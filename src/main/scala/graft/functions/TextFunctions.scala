@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the documents table.
+  *
+  * Everything here is composed from codegen'd built-in functions (split,
+  * transform, filter, aggregate, hash, …) — no Scala UDFs in the hot path —
+  * so whole-stage codegen spans stay wide and Catalyst can prune/push as
+  * usual. All hashes are deterministic (xxhash64 with fixed seeds), which is
+  * what makes MinHash/SimHash reproducible across runs and executors.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct token set (order-normalized for set ops). */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Contiguous word n-gram shingles of the token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n), i =>
+          array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  // ------------------------------------------------------------- MinHash
+
+  /** MinHash signature of a string-array column: `num` independent
+    * permutations h_i(x) = (a_i * x64 + b_i) mod p over the xxhash64 of each
+    * element. Returns array<long> of length `num`.
+    *
+    * Scale: signature is computed per-row in one pass (map-side only); the
+    * LSH banding in [[graft.operators.Dedup.minHashLsh]] is what bounds the
+    * candidate-pair join.
+    */
+  def minHashSignature(elems: Column, num: Int = 64): Column = {
+    val p = 2147483647L // 2^31-1, Mersenne prime
+    val hs = (0 until num).map { i =>
+      val a = 1L + 2L * i // odd multipliers (small: keeps a*h < 2^39, no ANSI overflow)
+      val b = 104729L * (i + 1)
+      // reduce xxhash64 into [0, p) first, then permute; min over all elements.
+      array_min(transform(elems, e =>
+        pmod(pmod(xxhash64(e), lit(p)) * lit(a) + lit(b), lit(p))))
+    }
+    array(hs: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: `bands` strings, each hashing
+    * `rows = num/bands` consecutive signature slots. Documents sharing any
+    * band key are near-dup candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows))).as("key"))
+    }: _*)
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over a token array: sign-sum of each token's xxhash64
+    * bits. Near-duplicates differ in few bits (Hamming distance).
+    * Pure column expression: bit k of the result = sign of
+    * sum_tokens(bit_k(hash) ? +1 : -1).
+    */
+  def simHash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { k =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two long columns (bit_count of xor). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------- fingerprint / quality
+
+  /** Karp–Rabin rolling-hash document fingerprint: polynomial hash of the
+    * token sequence mod 2^61-1 (order-sensitive, whitespace-normalized —
+    * unlike md5(text) it ignores spacing differences).
+    */
+  def fingerprint(toks: Column): Column = {
+    // p = 2^31-1 keeps acc*base + h < 2^52 — safe under ANSI overflow checks.
+    val p = lit(2147483647L)
+    aggregate(toks, lit(7L), (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), p), p))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Heuristic quality features, all exact-integer or round(…,6) arithmetic
+    * so they hash-match a SQL oracle.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val totalLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    Seq(
+      "n_tokens" -> nTok,
+      "n_distinct" -> size(array_distinct(toks)),
+      "avg_token_len" -> round(totalLen.cast("double") / nTok, 6),
+      "stopword_ratio" -> round(nStop.cast("double") / nTok, 6),
+      "distinct_ratio" -> round(size(array_distinct(toks)).cast("double") / nTok, 6))
+  }
+
+  /** Whitespace token count and regex ("BPE-ish" alnum-run) token count. */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_ws_tokens" -> size(tokens(text)),
+    "n_re_tokens" -> size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))))
+
+  /** N-gram-heuristic language ID: score each candidate language by marker
+    * token hits; argmax with a stable tie-break on language code, default
+    * "und" when no marker hits. Deterministic; markers are illustrative (the
+    * test corpus is synthetic).
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "fr" -> Seq("le", "la", "les", "et"),
+      "es" -> Seq("el", "los", "las", "que"),
+      "zh" -> Seq("的", "是", "了"))
+    val toks = tokens(text)
+    val scored = markers.map { case (lang, ms) =>
+      struct(size(filter(toks, t => t.isin(ms.map(lit): _*))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, ties → lexicographically
+    // larger lang (deterministic).
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

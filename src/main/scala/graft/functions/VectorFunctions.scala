@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, as pure column
+  * expressions (zip_with/aggregate are codegen'd higher-order functions — no
+  * UDF serialization, stays inside whole-stage codegen).
+  *
+  * All accumulation is sequential double arithmetic so results are
+  * deterministic and reproducible against a SQL oracle.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (do this once, up front). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 6 dp for cross-engine hash stability. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm2(a) * norm2(b)), 6)
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic random-hyperplane LSH bucket for a vector: `nBits` signs
+    * of dot products with pseudo-random hyperplanes derived from xxhash64 of
+    * (seed, dimension index). Used to bucket candidates for approximate NN:
+    * vectors in the same bucket are probed exactly.
+    *
+    * The hyperplane component for dim i of bit k is a deterministic value in
+    * [-1, 1): (xxhash64(k * D + i) mod 2^20) / 2^19 - 1.
+    */
+  def hyperplaneBucket(v: Column, nBits: Int, seed: Int = 42): Column = {
+    val bits = (0 until nBits).map { k =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
+          val h = pmod(xxhash64(lit(seed), lit(k), i), lit(1048576L))
+          x * (h.cast("double") / 524288.0 - 1.0)
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: every variant reduces the candidate space BEFORE any pairwise
+  * work — exact dedup is a single hash shuffle on a digest; MinHash-LSH and
+  * SimHash band/bucket first so the self-join runs per-bucket instead of
+  * all-pairs; embedding near-dup blocks on an LSH bucket (or a provided
+  * blocking key). Nothing here is O(n²) in the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup on a digest of `textCol`: keeps the row with the smallest
+    * `idCol` per distinct text. Deterministic survivor choice (unlike
+    * dropDuplicates) so results are oracle-checkable. One shuffle on the
+    * 128-bit digest — at 100 TB this is the cheapest possible dedup.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Streaming-style exact dedup on explicit key columns (batch analog of
+    * `dropDuplicates` with deterministic survivor = min id).
+    */
+  def exactByKeys(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle(n words) → minhash signature (`perms`) → `bands` LSH bands →
+    * explode band keys → self-join per (band, key) bucket → distinct pairs.
+    * Output: (id_a, id_b) with id_a < id_b, plus the estimated Jaccard from
+    * signature agreement. The band join is an equi shuffle join on the bucket
+    * key; bucket sizes bound the pairwise work.
+    */
+  def minHashLsh(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = perms / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minHashSignature(shingles(tokens(col(textCol)), shingleN), perms).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / perms.toDouble, 6).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, bucket by the 4 16-bit
+    * quarters (any pair within Hamming distance `maxHamming` ≤ 16/4·3 shares
+    * at least one exact quarter — pigeonhole), verify Hamming inside buckets.
+    */
+  def simHashPairs(
+      df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash64(tokens(col(textCol))).as("sig"))
+    val quarters = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.q").as("q"), col("b.qv").as("qv"))
+    val a = quarters.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = quarters.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q", "qv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram (word) Jaccard similarity for candidate pairs within a
+    * blocking key (here: all pairs of the filtered input — callers bound the
+    * input; used as the verify stage after LSH, or standalone on small sets).
+    * Output: (doc_a, doc_b, jaccard) for pairs ≥ `threshold`.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    val a = t.select(col("id").as("doc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("id").as("doc_b"), col("toks").as("toks_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by `blockCol` (e.g. a
+    * cluster label or an LSH bucket from
+    * [[graft.functions.VectorFunctions.hyperplaneBucket]]): pairwise cosine
+    * only within blocks.
+    */
+  def embeddingNearDup(
+      df: DataFrame, vecCol: String, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      VectorFunctions.toDouble(col(vecCol)).as("v"))
+    val a = v.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** LLM-data-pipeline extension operators (SURVEY.md §2.7 EXT1–EXT4 and the
+  * north-star dedup / similarity / text-analysis surface), declared as
+  * driver-checkable queries over `documents` and `embeddings`.
+  *
+  * Oracle-checked where the semantics are engine-portable (exact arithmetic /
+  * rounded ratios); hash-based sketches (MinHash/SimHash/fingerprint/LSH) are
+  * engine-specific by construction and declared rows-only, with their
+  * semantics covered by ScalaTest specs instead.
+  */
+object ExtensionQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------- EXT1
+    // Exact dedup with deterministic survivor (min doc_id per md5(text)).
+    QueryDef(
+      "ext01_dedup_exact",
+      (s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "source"),
+      Some("""
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1
+      """)),
+
+    // ------------------------------------------------------------- EXT2
+    // Exact brute-force top-5 cosine neighbors for 8 query vectors —
+    // broadcast queries × full corpus scan, rank on round(cos, 6).
+    QueryDef(
+      "ext02_knn_cosine",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+          FROM c, q WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5
+      """)),
+
+    // ------------------------------------------------------------- EXT3
+    // Exact word-set Jaccard near-dup pairs on a bounded candidate set
+    // (doc_id < 60 → 1770 pairs); the verify stage of an LSH pipeline.
+    QueryDef(
+      "ext03_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 60), "text", "doc_id", 0.8),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS toks
+          FROM documents WHERE doc_id < 60),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS inter,
+                 len(a.toks) + len(b.toks) AS tot
+          FROM t a, t b WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
+        FROM pairs WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.8
+      """)),
+
+    // ------------------------------------------------------------- EXT4
+    // Term frequencies: tokenize → explode → count, global top-50.
+    QueryDef(
+      "ext04_term_freq",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(50),
+      Some("""
+        SELECT tok, COUNT(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------- EXT5
+    // Per-document quality features (length / diversity / stopword ratios).
+    QueryDef(
+      "ext05_quality",
+      (s, dir) => {
+        val cols = TextFunctions.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir).select(col("doc_id") +: cols: _*)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               ROUND(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+               ROUND(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        FROM t
+      """)),
+
+    // ------------------------------------------------------------- EXT6
+    // Token counting (whitespace + regex alnum-run) rolled up per source.
+    QueryDef(
+      "ext06_token_counts",
+      (s, dir) => {
+        val counts = TextFunctions.tokenCounts(col("text")).map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir)
+          .select(col("source") +: counts: _*)
+          .groupBy("source")
+          .agg(sum("n_ws_tokens").as("ws_tokens"),
+            sum("n_re_tokens").as("re_tokens"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        SELECT source,
+               SUM(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS ws_tokens,
+               SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS re_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+      """)),
+
+    // ------------------------------------------------------------- EXT7
+    // Embedding-cosine near-dup pairs blocked on the cluster label.
+    QueryDef(
+      "ext07_embed_neardup",
+      (s, dir) => Dedup.embeddingNearDup(
+        Tables.embeddings(s, dir), "embedding", "vec_id", "label", threshold = 0.4),
+      Some("""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+      """)),
+
+    // ---------------------------------------------------- rows-only sketches
+    // MinHash-LSH candidate pairs (hash-engine-specific → no SQL oracle;
+    // semantics pinned by DedupSpec).
+    QueryDef(
+      "ext08_minhash_lsh",
+      (s, dir) => Dedup.minHashLsh(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "text", "doc_id"),
+      None, bench = false),
+
+    // SimHash near-dup pairs within Hamming distance 3.
+    QueryDef(
+      "ext09_simhash",
+      (s, dir) => Dedup.simHashPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "text", "doc_id"),
+      None, bench = false),
+
+    // Rolling-hash document fingerprints.
+    QueryDef(
+      "ext10_fingerprint",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("fp")),
+      None, bench = false),
+
+    // Heuristic language ID vs the labeled lang column.
+    QueryDef(
+      "ext11_langid",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("predicted")),
+      None, bench = false),
+
+    // Approximate NN via hyperplane-LSH buckets (the 100 TB path: equi join
+    // on bucket instead of query × corpus).
+    QueryDef(
+      "ext12_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5, nBits = 4)
+      },
+      None, bench = false)
+  )
+}

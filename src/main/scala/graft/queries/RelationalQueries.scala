@@ -1,0 +1,533 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** One declared query: a Spark builder plus (optionally) the equivalent ANSI
+  * SQL for the DuckDB oracle. Column names/aliases MUST match between the two
+  * (the driver sorts columns by name before hashing values).
+  *
+  * Determinism rules used throughout (Spark vs DuckDB must hash-match):
+  *   - money/qty doubles are cast to DECIMAL before SUM (exact,
+  *     order-independent), and the final aggregate is cast back to DOUBLE;
+  *   - averages/ratios are computed as exact-int-or-decimal numerator over
+  *     count, rounded to 6 dp;
+  *   - event time is always the microsecond long `ts_us` (both engines
+  *     truncate the parquet ns column to µs — see [[graft.sources.Tables]]);
+  *   - every ORDER BY used under a LIMIT / row_number carries a unique
+  *     tie-break key.
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** Included in the Bench headline set. */
+    bench: Boolean = true)
+
+/** Relational query inventory Q1–Q22 (SURVEY.md §2.7, re-based onto the
+  * driver's tables: `events` plays the role of the reference's
+  * `processing_results` stream table — user_id ↔ camera_id, ts ↔
+  * frame_timestamp).
+  *
+  * Reference semantics covered here (file:line refs are into
+  * /root/reference): per-key counting over the results table
+  * (CassandraService.java:125-145's (camera_id, day) layout → q02/q11),
+  * prev-frame deltas (VideoProcessor.java:155-205's ValueState → q03 lag /
+  * q19 as-of), newest-first reads (CLUSTERING ORDER BY frame_timestamp DESC,
+  * CassandraService.java:140 → q04/q16).
+  */
+object RelationalQueries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    // Full-table hash aggregate with partial/map-side combine; the plan is a
+    // single scan + HashAggregate pair — at 100 TB the partial agg reduces
+    // shuffle volume to |groups| per task.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").as("sum_qty"),
+            expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("sum_base_price"),
+            expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double)").as("sum_disc_price"),
+            expr("round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 6)").as("avg_qty"),
+            expr("round(cast(sum(cast(l_discount as decimal(18,2))) as double) / count(*), 6)").as("avg_disc"),
+            count(lit(1)).as("count_order")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+      """)),
+
+    // ---------------------------------------------------------------- q02
+    // Filter + projection battery: IN / BETWEEN / LIKE / CASE WHEN. All
+    // predicates are Catalyst-pushable to the parquet scan.
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_orderstatus").isin("O", "F") &&
+            col("o_orderpriority").like("%URGENT%") &&
+            col("o_totalprice").between(2000, 400000))
+          .select(
+            col("o_orderkey"),
+            col("o_orderstatus"),
+            upper(col("o_orderpriority")).as("prio"),
+            col("o_orderdate").cast("date").as("odate"),
+            expr("case when o_totalprice > 200000 then 'big' when o_totalprice >= 50000 then 'mid' else 'small' end").as("bucket")),
+      Some("""
+        SELECT o_orderkey, o_orderstatus, UPPER(o_orderpriority) AS prio,
+               CAST(o_orderdate AS DATE) AS odate,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice >= 50000 THEN 'mid' ELSE 'small' END AS bucket
+        FROM orders
+        WHERE o_orderstatus IN ('O','F') AND o_orderpriority LIKE '%URGENT%'
+          AND o_totalprice BETWEEN 2000 AND 400000
+      """)),
+
+    // ---------------------------------------------------------------- q03
+    // Inter-event gap per user — the batch restatement of the reference's
+    // per-camera prev-frame ValueState (VideoProcessor.java:155-205). One
+    // shuffle on the partition key; window runs sorted within partitions.
+    QueryDef(
+      "q03_gaps",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        ev(s, dir).select(
+          col("user_id"), col("event_id"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events
+      """)),
+
+    // ---------------------------------------------------------------- q04
+    // Newest-first top-k per key (Cassandra `CLUSTERING ORDER BY
+    // frame_timestamp DESC` reads). row_number ≤ k prunes in one window pass.
+    QueryDef(
+      "q04_topk_per_user",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("user_id", "event_id", "event_type", "rn")
+      },
+      Some("""
+        SELECT user_id, event_id, event_type, rn FROM (
+          SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events) WHERE rn <= 3
+      """)),
+
+    // ---------------------------------------------------------------- q05
+    // Fact ⋈ two small dims: explicit broadcast hints keep the 100 TB fact
+    // table shuffle-free (BroadcastHashJoin both times).
+    QueryDef(
+      "q05_star_join",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("p_size") < 30 && col("s_acctbal") >= 0)
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n_items"),
+            expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("revenue")),
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size < 30 AND s_acctbal >= 0
+        GROUP BY p_brand
+      """)),
+
+    // ---------------------------------------------------------------- q06
+    // Multi-way inner + left-outer join with agg over the outer side.
+    QueryDef(
+      "q06_multi_join",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
+          .groupBy("r_name", "n_name")
+          .agg(
+            countDistinct(col("c_custkey")).as("n_cust"),
+            count(col("o_orderkey")).as("n_orders")),
+      Some("""
+        SELECT r_name, n_name, COUNT(DISTINCT c_custkey) AS n_cust, COUNT(o_orderkey) AS n_orders
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY r_name, n_name
+      """)),
+
+    // ---------------------------------------------------------------- q07
+    // Left-semi join (EXISTS). Semi joins never duplicate the probe side, so
+    // output stays bounded by the left table at any scale.
+    QueryDef(
+      "q07_semi_join",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(
+            Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      """)),
+
+    // ---------------------------------------------------------------- q08
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    QueryDef(
+      "q08_anti_join",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      """)),
+
+    // ---------------------------------------------------------------- q09
+    // Range join with an equi prefix: error → purchase conversion within one
+    // hour. The user_id equi key keeps this a hash join + residual range
+    // filter — never a cartesian — so it scales with the key cardinality.
+    QueryDef(
+      "q09_range_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("u"), col("event_id").as("error_id"), col("ts_us").as("t0"))
+        val pur = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("event_id").as("purchase_id"), col("ts_us").as("t1"))
+        err.join(pur, col("u") === col("u2") && col("t1") > col("t0") && col("t1") <= col("t0") + expr("3600000000L"))
+          .select(col("u").as("user_id"), col("error_id"), col("purchase_id"), (col("t1") - col("t0")).as("gap_us"))
+      },
+      Some("""
+        SELECT e1.user_id AS user_id, e1.event_id AS error_id, e2.event_id AS purchase_id,
+               epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND epoch_us(e2.ts) > epoch_us(e1.ts)
+         AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
+        WHERE e1.event_type = 'error' AND e2.event_type = 'purchase'
+      """)),
+
+    // ---------------------------------------------------------------- q10
+    // Pure theta (band) join against a tiny inline dimension → broadcast
+    // nested-loop, the right physical plan when no equi key exists.
+    QueryDef(
+      "q10_band_join",
+      (s, dir) => {
+        val bands = s.createDataFrame(Seq(
+          (0.0, 905.0, "low"), (905.0, 915.0, "mid"), (915.0, 100000.0, "high")))
+          .toDF("lo", "hi", "band")
+        Tables.part(s, dir)
+          .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_parts"),
+            expr("cast(sum(cast(p_retailprice as decimal(18,2))) as double)").as("total_price"))
+      },
+      Some("""
+        SELECT band, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM part JOIN (VALUES (0.0, 905.0, 'low'), (905.0, 915.0, 'mid'), (915.0, 100000.0, 'high')) b(lo, hi, band)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+      """)),
+
+    // ---------------------------------------------------------------- q11
+    // ROLLUP over (event_type, day) — the (camera_id, day) partition-key
+    // derivation of CassandraService.java:153 as a multi-granularity agg.
+    QueryDef(
+      "q11_rollup",
+      (s, dir) => {
+        val e = ev(s, dir).withColumn("day", col("ts").cast("date"))
+        e.rollup("event_type", "day")
+          .agg(count(lit(1)).as("n"),
+            grouping(col("event_type")).cast("int").as("g_type"),
+            grouping(col("day")).cast("int").as("g_day"))
+      },
+      Some("""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS INT) AS g_day
+        FROM events GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+      """)),
+
+    // ---------------------------------------------------------------- q12
+    // CUBE + exact decimal sum.
+    QueryDef(
+      "q12_cube",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("total")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      """)),
+
+    // ---------------------------------------------------------------- q13
+    // Exact COUNT(DISTINCT) — expands to a two-phase agg in Spark (partial
+    // distinct per partition, then final), shuffle-bounded by |keys|.
+    QueryDef(
+      "q13_count_distinct",
+      (s, dir) =>
+        ev(s, dir).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events")),
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+      """)),
+
+    // approx_count_distinct (HLL) — tolerance-based, not hash-comparable
+    // across engines, so declared without an oracle (rows-only check).
+    QueryDef(
+      "q13b_approx_distinct",
+      (s, dir) =>
+        ev(s, dir).groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")),
+      None, bench = false),
+
+    // ---------------------------------------------------------------- q14
+    // INTERSECT (distinct semantics in both engines).
+    QueryDef(
+      "q14_intersect",
+      (s, dir) => {
+        val e = ev(s, dir).withColumn("day", col("ts").cast("date"))
+        e.filter(col("event_type") === "purchase").select("user_id", "day")
+          .intersect(e.filter(col("event_type") === "error").select("user_id", "day"))
+      },
+      Some("""
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) FROM events WHERE event_type = 'error'
+      """)),
+
+    // ---------------------------------------------------------------- q15
+    // EXCEPT: users who viewed but never purchased.
+    QueryDef(
+      "q15_except",
+      (s, dir) => {
+        val e = ev(s, dir).withColumn("day", col("ts").cast("date"))
+        e.filter(col("event_type") === "click").select("user_id", "day")
+          .except(e.filter(col("event_type") === "purchase").select("user_id", "day"))
+      },
+      Some("""
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) FROM events WHERE event_type = 'purchase'
+      """)),
+
+    // ---------------------------------------------------------------- q16
+    // Global top-100 newest — Spark plans TakeOrderedAndProject (per-partition
+    // heap + driver merge), never a full sort at scale.
+    QueryDef(
+      "q16_sort_limit",
+      (s, dir) =>
+        ev(s, dir)
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+          .limit(100)
+          .select("event_id", "user_id", "event_type", "ts_us"),
+      Some("""
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 100
+      """)),
+
+    // ---------------------------------------------------------------- q17
+    // Scalar-function battery: string / date / math (all codegen'd built-ins,
+    // no UDFs in the hot path).
+    QueryDef(
+      "q17_scalar_battery",
+      (s, dir) =>
+        ev(s, dir).select(
+          col("event_id"),
+          concat(col("event_type"), lit("-"), col("user_id").cast("string")).as("tag"),
+          substring(col("event_type"), 1, 3).as("et3"),
+          length(col("event_type")).as("et_len"),
+          upper(col("event_type")).as("et_up"),
+          regexp_replace(col("event_type"), "[aeiou]", "*").as("et_starred"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+          abs(col("value")).as("v_abs"),
+          round(col("value"), 1).as("v_round"),
+          ceil(col("value")).as("v_ceil"),
+          floor(col("value")).as("v_floor"),
+          expr("round(sqrt(value), 6)").as("v_sqrt"),
+          expr("round(ln(1 + value), 6)").as("v_ln")),
+      Some("""
+        SELECT event_id,
+               concat(event_type, '-', CAST(user_id AS VARCHAR)) AS tag,
+               substring(event_type, 1, 3) AS et3,
+               length(event_type) AS et_len,
+               upper(event_type) AS et_up,
+               regexp_replace(event_type, '[aeiou]', '*', 'g') AS et_starred,
+               year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+               strftime(ts, '%Y-%m-%d') AS day_str,
+               abs(value) AS v_abs,
+               round(value, 1) AS v_round,
+               CAST(ceil(value) AS BIGINT) AS v_ceil,
+               CAST(floor(value) AS BIGINT) AS v_floor,
+               round(sqrt(value), 6) AS v_sqrt,
+               round(ln(1 + value), 6) AS v_ln
+        FROM events
+      """)),
+
+    // ---------------------------------------------------------------- q18
+    // JSON extraction from the props column.
+    QueryDef(
+      "q18_json",
+      (s, dir) =>
+        ev(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .filter(col("k") > 50),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+      """)),
+
+    // ---------------------------------------------------------------- q19
+    // As-of join, union+window formulation: last signup at-or-before each
+    // purchase per user. One shuffle on user_id, no join explosion — this is
+    // the scalable as-of shape (vs the O(n·m) join+row_number one).
+    QueryDef(
+      "q19_asof",
+      (s, dir) => graft.operators.AsOf.lastEventBefore(
+        ev(s, dir), refType = "signup", queryType = "purchase"),
+      Some("""
+        WITH tagged AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                 CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_ref
+          FROM events WHERE event_type IN ('signup', 'purchase')
+        ), w AS (
+          SELECT *, MAX(CASE WHEN is_ref = 1 THEN ts_us END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts_us, is_ref DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ref_ts_us
+          FROM tagged)
+        SELECT event_id, user_id, ref_ts_us FROM w WHERE event_type = 'purchase'
+      """)),
+
+    // ---------------------------------------------------------------- q20
+    // Correlated EXISTS / NOT EXISTS — exercises Catalyst subquery
+    // decorrelation (RewritePredicateSubquery → semi/anti joins).
+    QueryDef(
+      "q20_exists",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT c_custkey, c_name FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+            AND NOT EXISTS (SELECT 1 FROM orders o2
+                            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+        """)
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+      """)),
+
+    // ---------------------------------------------------------------- q21
+    // GROUPING SETS + HAVING + grouping_id-style flags.
+    QueryDef(
+      "q21_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                 CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                 CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          HAVING COUNT(*) > 5
+        """)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        HAVING COUNT(*) > 5
+      """)),
+
+    // ---------------------------------------------------------------- q22
+    // UNION (distinct) of two slices.
+    QueryDef(
+      "q22_union",
+      (s, dir) => {
+        val e = ev(s, dir)
+        e.filter(col("event_type") === "click").select("user_id")
+          .union(e.filter(col("event_type") === "view").select("user_id"))
+          .distinct()
+      },
+      Some("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'view'
+      """)),
+
+    // ---------------------------------------------------------------- q23
+    // Window aggregates with explicit frames: running count + sliding sum
+    // (rowsBetween), plus first/last per partition.
+    QueryDef(
+      "q23_window_frames",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val sliding = byUser.rowsBetween(-2, 0)
+        val whole = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ev(s, dir).select(
+          col("user_id"), col("event_id"),
+          row_number().over(byUser).as("seq"),
+          sum(col("value").cast("decimal(18,2)")).over(sliding).cast("double").as("sliding_sum"),
+          first("event_id").over(whole).as("first_event"),
+          last("event_id").over(whole).as("last_event"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS seq,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_sum,
+               FIRST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+               LAST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      """))
+  )
+}

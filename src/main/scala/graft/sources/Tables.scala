@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+  *
+  * Scale notes (100 TB design): every loader is a plain parquet scan, so
+  * Catalyst predicate pushdown / column pruning / partition pruning apply
+  * unchanged when these paths point at partitioned cloud storage instead of
+  * the local test fixtures. No collect(), no driver-side staging.
+  */
+object Tables {
+
+  /** Plain parquet table scan. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table is written with parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the
+    * nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
+    *   - `ts_us`  microseconds-since-epoch (long) — the canonical event time
+    *     used by every query (DuckDB also truncates parquet ns → µs, so µs is
+    *     the common precision of both engines);
+    *   - `ts`     TimestampType at µs for date/window functions.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
