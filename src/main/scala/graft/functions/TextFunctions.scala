@@ -102,8 +102,8 @@ object TextFunctions {
     val totalLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     Seq(
-      "n_tokens" -> nTok,
-      "n_distinct" -> size(array_distinct(toks)),
+      "n_tokens" -> nTok.cast("long"),
+      "n_distinct" -> size(array_distinct(toks)).cast("long"),
       "avg_token_len" -> round(totalLen.cast("double") / nTok, 6),
       "stopword_ratio" -> round(nStop.cast("double") / nTok, 6),
       "distinct_ratio" -> round(size(array_distinct(toks)).cast("double") / nTok, 6))

@@ -127,8 +127,8 @@ object ExtensionQueries {
       },
       Some("""
         SELECT source,
-               SUM(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS ws_tokens,
-               SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS re_tokens,
+               CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY source
       """)),

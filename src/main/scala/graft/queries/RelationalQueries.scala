@@ -126,7 +126,7 @@ object RelationalQueries {
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
         ev(s, dir)
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select("user_id", "event_id", "event_type", "rn")
       },
@@ -372,11 +372,11 @@ object RelationalQueries {
           col("event_id"),
           concat(col("event_type"), lit("-"), col("user_id").cast("string")).as("tag"),
           substring(col("event_type"), 1, 3).as("et3"),
-          length(col("event_type")).as("et_len"),
+          length(col("event_type")).cast("long").as("et_len"),
           upper(col("event_type")).as("et_up"),
           regexp_replace(col("event_type"), "[aeiou]", "*").as("et_starred"),
-          year(col("ts")).as("y"), month(col("ts")).as("m"),
-          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+          year(col("ts")).cast("long").as("y"), month(col("ts")).cast("long").as("m"),
+          dayofmonth(col("ts")).cast("long").as("d"), hour(col("ts")).cast("long").as("h"),
           date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
           abs(col("value")).as("v_abs"),
           round(col("value"), 1).as("v_round"),
@@ -515,7 +515,7 @@ object RelationalQueries {
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ev(s, dir).select(
           col("user_id"), col("event_id"),
-          row_number().over(byUser).as("seq"),
+          row_number().over(byUser).cast("long").as("seq"),
           sum(col("value").cast("decimal(18,2)")).over(sliding).cast("double").as("sliding_sum"),
           first("event_id").over(whole).as("first_event"),
           last("event_id").over(whole).as("last_event"))
