@@ -1,0 +1,227 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.{Base64, UUID}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.cv.{Kernels, Png}
+import graft.model.{FrameCodec, ProcessingResult, VideoFrameData}
+
+/** The reference's entire Flink job (source → parse → filter → keyBy →
+  * stateful motion detect → sinks) re-expressed on Structured Streaming.
+  *
+  * Reference chain (/root/reference/dvaf/processor/.../VideoProcessor.java):
+  * Kafka pattern source (:106-141) → JSON parse to POJO (:143-153) → null
+  * filter (:83-84) → keyBy(camId) (:86-87) → KeyedProcessFunction with
+  * ValueState<previous frame> (:155-205) → Cassandra + PNG sinks.
+  *
+  * Spark shape: `readStream` → `from_json` → `filter` → `groupByKey(_.camId)`
+  * → `flatMapGroupsWithState` → `foreachBatch` parquet partitioned by
+  * (camera_id, day) — the Cassandra PK analog (CassandraService.java:139-140).
+  *
+  * Scale design:
+  *  - the only shuffle is the keyBy; frame payloads never enter a second
+  *    shuffle (results carry metadata + path, not pixels);
+  *  - state per key is ONE blurred grayscale plane (rows·cols bytes), not the
+  *    full color frame the reference keeps (3× smaller; semantically identical
+  *    because the reference re-derives exactly this plane from its stored
+  *    frame each call, MotionDetector.java:33-37);
+  *  - per-key event-time ordering is restored by sorting each group iterator
+  *    (sanctioned by the reference's own sort, MotionDetector.java:41-43);
+  *  - PNG side-writes use deterministic names ({camId}-T-{millis}.png,
+  *    MotionDetector.java:147) so at-least-once replays are idempotent.
+  */
+object MotionPipeline {
+
+  /** Per-key state: the blurred grayscale plane of the last processed frame. */
+  final case class PrevPlane(grayBlur: Array[Byte], rows: Int, cols: Int)
+
+  // ------------------------------------------------------------- sources
+
+  /** Batch JSON-lines frame source (fixtures / replay). */
+  def framesFromJson(spark: SparkSession, path: String): Dataset[VideoFrameData] =
+    parseFrames(spark.read.text(path).toDF("value"))
+
+  /** Streaming JSON-lines frame source over a directory (the offline
+    * stand-in for the Kafka value stream; same downstream plan).
+    */
+  def framesStreamFromJson(spark: SparkSession, dir: String): Dataset[VideoFrameData] =
+    parseFrames(spark.readStream.schema("value STRING").text(dir).toDF("value"))
+
+  /** Kafka pattern-subscribe source — wire parity with the reference's
+    * `setTopicPattern("video-events-.*")` + earliest offsets
+    * (VideoProcessor.java:106-141). Not runnable in the offline test env
+    * (no broker), but the produced plan is identical to the JSON path after
+    * the value projection.
+    */
+  def framesStreamFromKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topicPattern: String = "video-events-.*",
+      startingOffsets: String = "earliest"): Dataset[VideoFrameData] =
+    parseFrames(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribePattern", topicPattern)
+        .option("startingOffsets", startingOffsets)
+        .option("maxOffsetsPerTrigger", 1000) // backpressure at 1.23 MB/frame
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value"))
+
+  /** JSON string column → typed frames; unparseable rows → null struct →
+    * dropped (PERMISSIVE-with-drop, VideoProcessor.java:143-153 + :83-84).
+    */
+  def parseFrames(raw: DataFrame): Dataset[VideoFrameData] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw
+      .select(from_json(col("value"), FrameCodec.wireSchema).as("f"))
+      .filter(col("f").isNotNull && col("f.camId").isNotNull)
+      .select(
+        col("f.camId").as("camId"),
+        col("f.timestamp").as("timestamp"),
+        col("f.rows").as("rows"),
+        col("f.cols").as("cols"),
+        col("f.type").as("matType"),
+        col("f.data").as("data"))
+      .as[VideoFrameData]
+  }
+
+  // ------------------------------------------------------------- operator
+
+  /** keyBy(camId) + stateful motion detection. Works on both batch and
+    * streaming Datasets (flatMapGroupsWithState is identical in batch mode
+    * with empty initial state).
+    */
+  def detect(frames: Dataset[VideoFrameData], imageOutputDir: String): Dataset[ProcessingResult] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames
+      .groupByKey(_.camId)
+      .flatMapGroupsWithState[PrevPlane, ProcessingResult](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        processGroup(imageOutputDir) _)
+  }
+
+  /** The per-key state transition (KeyedProcessFunction analog,
+    * VideoProcessor.java:177-204 + MotionDetector.java:23-92):
+    * for each frame in event-time order — detect motion against the previous
+    * plane, save an annotated PNG iff regions were found, emit exactly one
+    * result row (first frame of a key included, detectionCount hardcoded 1,
+    * imagePath always populated — faithful to the reference's quirks),
+    * advance state. A frame that fails to decode is skipped without
+    * advancing state (FrameProcessorHelper.java:13-30's exception→null path).
+    */
+  def processGroup(imageOutputDir: String)(
+      camId: String,
+      frames: Iterator[VideoFrameData],
+      state: GroupState[PrevPlane]): Iterator[ProcessingResult] = {
+
+    val sorted = frames.toArray.sortBy(f => Option(f.timestamp).map(_.getTime).getOrElse(0L))
+    var prev = state.getOption.orNull
+    val out = Seq.newBuilder[ProcessingResult]
+
+    sorted.foreach { f =>
+      try {
+        val channels = FrameCodec.channelsOf(f.matType)
+        val px = Base64.getDecoder.decode(f.data)
+        require(px.length == FrameCodec.expectedBytes(f.rows, f.cols, f.matType),
+          s"decoded ${px.length} != ${f.rows}x${f.cols}x$channels")
+
+        val grayBlur = Kernels.gaussianBlur3x3(
+          Kernels.grayscale(px, f.rows, f.cols, channels), f.rows, f.cols)
+
+        if (prev != null && prev.rows == f.rows && prev.cols == f.cols) {
+          val regions = Kernels.boundingBoxes(
+            Kernels.threshold(Kernels.absDiff(prev.grayBlur, grayBlur), 20),
+            f.rows, f.cols, minArea = 300)
+          if (regions.nonEmpty) {
+            val annotated = px.clone()
+            regions.foreach(Kernels.drawRect(annotated, f.rows, f.cols, channels, _))
+            Png.saveFrame(annotated, f.rows, f.cols, channels,
+              camId, f.timestamp.getTime, imageOutputDir)
+          }
+        }
+
+        out += ProcessingResult(
+          id = UUID.randomUUID().toString,
+          cameraId = camId,
+          frameTimestamp = f.timestamp,
+          processingTimestamp = new Timestamp(System.currentTimeMillis()),
+          detectionType = "motion",
+          detectionCount = 1,
+          frameRows = f.rows,
+          frameCols = f.cols,
+          imagePath = s"$imageOutputDir/$camId-T-${f.timestamp.getTime}.png",
+          metadata = null)
+
+        prev = PrevPlane(grayBlur, f.rows, f.cols)
+      } catch {
+        case _: IllegalArgumentException => // bad base64 / size — skip frame
+      }
+    }
+
+    if (prev != null) state.update(prev)
+    out.result().iterator
+  }
+
+  // ------------------------------------------------------------- sinks
+
+  /** Snake-case the result columns and derive the `day` partition column —
+    * the Cassandra `dvaf.processing_results` layout
+    * (CassandraService.java:125-145, day derivation :153).
+    */
+  def toStorageLayout(results: Dataset[ProcessingResult]): DataFrame =
+    results.select(
+      col("cameraId").as("camera_id"),
+      date_format(col("frameTimestamp"), "yyyy-MM-dd").as("day"),
+      col("frameTimestamp").as("frame_timestamp"),
+      col("id"),
+      col("processingTimestamp").as("processing_timestamp"),
+      col("detectionType").as("detection_type"),
+      col("detectionCount").as("detection_count"),
+      col("frameRows").as("frame_rows"),
+      col("frameCols").as("frame_cols"),
+      col("imagePath").as("image_path"),
+      col("metadata"))
+
+  /** Streaming sink: per micro-batch append into parquet partitioned by
+    * (camera_id, day) — partition pruning then serves the reference's
+    * one-camera-one-day point reads (CassandraService.java:139-140).
+    * Exactly-once state via checkpointLocation; at-least-once rows (random
+    * UUID ids), same delivery contract as the reference's Cassandra sink.
+    */
+  def writeResults(
+      results: Dataset[ProcessingResult],
+      tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    toStorageLayout(results).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("camera_id", "day").parquet(tableDir)
+      }
+      .start()
+
+  /** Whole pipeline, batch mode: fixtures dir → results parquet + PNGs. */
+  def runBatch(
+      spark: SparkSession, inputJsonDir: String,
+      tableDir: String, imageDir: String): Unit = {
+    val results = detect(framesFromJson(spark, inputJsonDir), imageDir)
+    toStorageLayout(results)
+      .write.mode("append").partitionBy("camera_id", "day").parquet(tableDir)
+  }
+
+  /** Whole pipeline, streaming mode over a watched directory. */
+  def runStream(
+      spark: SparkSession, inputJsonDir: String,
+      tableDir: String, imageDir: String, checkpointDir: String): StreamingQuery =
+    writeResults(detect(framesStreamFromJson(spark, inputJsonDir), imageDir),
+      tableDir, checkpointDir)
+}

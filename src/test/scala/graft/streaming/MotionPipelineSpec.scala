@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SURVEY.md §5.2 items 2–3: stateful operator + end-to-end pipeline tests
+  * on deterministic fixtures. Covers per-frame result emission (first frame
+  * of a key included), PNG-only-on-motion, per-key isolation, in-batch
+  * event-time re-ordering, and state carry-over across micro-batches AND
+  * across query restarts from the checkpoint.
+  */
+class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def pngs(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).map(_.toSeq.sorted).getOrElse(Nil)
+  }
+
+  test("batch end-to-end: one result per frame, PNGs only for motion frames") {
+    val in = tmp("frames-in"); val img = tmp("frames-img"); val table = tmp("frames-out")
+    val t0 = 1700000000000L
+    // camA: 4 frames moving square → motion on frames 2..4
+    // camB: 3 frames static square → no motion at all
+    val lines = FrameFixtures.sequence("camA", t0, 4, moving = true) ++
+      FrameFixtures.sequence("camB", t0, 3, moving = false)
+    Files.write(Paths.get(in, "batch.jsonl"), String.join("\n", lines: _*).getBytes)
+
+    MotionPipeline.runBatch(spark, in, table, img)
+
+    val results = spark.read.parquet(table)
+    assert(results.count() == 7) // every frame emits exactly one row
+    assert(results.where("detection_type = 'motion' AND detection_count = 1").count() == 7)
+    // partitioned storage layout (camera_id, day)
+    assert(new java.io.File(s"$table/camera_id=camA").exists())
+    assert(new java.io.File(s"$table/camera_id=camB").exists())
+    // PNG side-output: camA frames 2..4 moved; camB never did
+    assert(pngs(img) == (1 to 3).map(i => s"camA-T-${t0 + i * 1000L}.png"))
+    // image_path populated for every row, motion or not (reference quirk)
+    assert(results.where("image_path IS NULL").count() == 0)
+  }
+
+  test("unsorted input within a key is re-ordered by event time before detection") {
+    val img = tmp("sort-img")
+    val t0 = 1700100000000L
+    val shuffled = Seq(2, 0, 3, 1).map(i =>
+      FrameFixtures.frameJson("camS", t0 + i * 1000L,
+        squareX = if (i % 2 == 1) FrameFixtures.PosB else FrameFixtures.PosA))
+    import spark.implicits._
+    val results = MotionPipeline.detect(
+      MotionPipeline.parseFrames(shuffled.toDF("value")), img).collect()
+    assert(results.length == 4)
+    // processed 0,1,2,3 in time order → motion PNGs for frames 1..3 exactly
+    assert(pngs(img) == (1 to 3).map(i => s"camS-T-${t0 + i * 1000L}.png"))
+  }
+
+  test("malformed and null-field JSON rows are dropped before the operator") {
+    import spark.implicits._
+    val good = FrameFixtures.frameJson("camX", 1700200000000L, 4)
+    val rows = Seq(good, """{"not json""", """{"camId":null,"rows":1}""", "", "42")
+    val parsed = MotionPipeline.parseFrames(rows.toDF("value")).collect()
+    assert(parsed.map(_.camId).toSeq == Seq("camX"))
+  }
+
+  test("corrupt base64 payload skips the frame without advancing state") {
+    val img = tmp("corrupt-img")
+    val t0 = 1700300000000L
+    val bad = s"""{"camId":"camC","timestamp":"${java.time.Instant.ofEpochMilli(t0 + 1000)}","rows":48,"cols":48,"type":16,"data":"AAAA"}"""
+    val lines = Seq(
+      FrameFixtures.frameJson("camC", t0, FrameFixtures.PosA),
+      bad, // wrong payload length → skipped
+      FrameFixtures.frameJson("camC", t0 + 2000, FrameFixtures.PosB))
+    import spark.implicits._
+    val results = MotionPipeline.detect(
+      MotionPipeline.parseFrames(lines.toDF("value")), img).collect()
+    // 2 valid frames → 2 rows; diff runs frame1 vs frame3 (skip didn't clear state)
+    assert(results.length == 2)
+    assert(pngs(img) == Seq(s"camC-T-${t0 + 2000}.png"))
+  }
+
+  test("streaming: state carries across micro-batches and query restarts") {
+    val img = tmp("stream-img"); val table = tmp("stream-out"); val ckpt = tmp("stream-ckpt")
+    val t0 = 1700400000000L
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val source = MemoryStream[String]
+    val frames = MotionPipeline.parseFrames(source.toDF().toDF("value"))
+    def runOnce(): Unit = {
+      val q = MotionPipeline.writeResults(
+        MotionPipeline.detect(frames, img), table, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    // batch 1: two frames, square moves → 1 PNG (frame 2 vs frame 1)
+    source.addData(FrameFixtures.frameJson("camZ", t0, FrameFixtures.PosA))
+    source.addData(FrameFixtures.frameJson("camZ", t0 + 1000, FrameFixtures.PosB))
+    runOnce()
+    assert(spark.read.parquet(table).count() == 2)
+    assert(pngs(img) == Seq(s"camZ-T-${t0 + 1000}.png"))
+
+    // batch 2 on a NEW query from the same checkpoint: the previous plane
+    // must be restored — frame 3 diffs against frame 2, not against nothing.
+    source.addData(FrameFixtures.frameJson("camZ", t0 + 2000, FrameFixtures.PosA))
+    runOnce()
+    assert(spark.read.parquet(table).count() == 3)
+    assert(pngs(img) == Seq(s"camZ-T-${t0 + 1000}.png", s"camZ-T-${t0 + 2000}.png"))
+
+    // static follow-up frame → row emitted, no new PNG
+    source.addData(FrameFixtures.frameJson("camZ", t0 + 3000, FrameFixtures.PosA))
+    runOnce()
+    assert(spark.read.parquet(table).count() == 4)
+    assert(pngs(img).length == 2)
+  }
+
+  test("per-key isolation: cameras never see each other's previous frame") {
+    val img = tmp("iso-img")
+    val t0 = 1700500000000L
+    // camP's square is at x=4; camQ's single frame has it at x=30. If state
+    // leaked across keys, camQ would "detect motion" against camP's plane.
+    val lines = Seq(
+      FrameFixtures.frameJson("camP", t0, 4),
+      FrameFixtures.frameJson("camQ", t0 + 500, 30),
+      FrameFixtures.frameJson("camP", t0 + 1000, 4))
+    import spark.implicits._
+    val results = MotionPipeline.detect(
+      MotionPipeline.parseFrames(lines.toDF("value")), img).collect()
+    assert(results.length == 3)
+    assert(pngs(img).isEmpty) // camP static; camQ has no previous frame
+  }
+}
