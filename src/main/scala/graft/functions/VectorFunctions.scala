@@ -37,6 +37,7 @@ object VectorFunctions {
     * [-1, 1): (xxhash64(k * D + i) mod 2^20) / 2^19 - 1.
     */
   def hyperplaneBucket(v: Column, nBits: Int, seed: Int = 42): Column = {
+    if (nBits <= 0) return lit(0L) // degenerate: one global bucket
     val bits = (0 until nBits).map { k =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {

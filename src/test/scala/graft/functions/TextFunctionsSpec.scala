@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect().head.getAs[T]("v")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("t").select(c.as("v")).collect().head.getSeq[String](0).toSeq
+
+  test("tokens lower-cases, splits on any whitespace, drops empties") {
+    val toks = oneSeq(TextFunctions.tokens(col("t")), "  The  QUICK\tbrown\n fox ")
+    assert(toks == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("shingles builds n-grams; short docs collapse to one shingle") {
+    val sh = oneSeq(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), "a b c d")
+    assert(sh == Seq("a b c", "b c d"))
+    val short = oneSeq(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), "a b")
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash signature: equal inputs agree, length = perms, stable across rows") {
+    val df = Seq("x y z w", "x y z w", "totally different words here").toDF("t")
+    val sigs = df.select(TextFunctions.minHashSignature(
+      TextFunctions.tokens(col("t")), 16).as("s")).collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash: identical texts collide, different texts differ") {
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta", "omicron pi rho sigma").toDF("t")
+    val sigs = df.select(TextFunctions.simHash64(TextFunctions.tokens(col("t"))).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("hamming64 counts differing bits") {
+    val df = Seq((0L, 0L), (0L, -1L), (5L, 1L)).toDF("a", "b")
+    val h = df.select(TextFunctions.hamming64(col("a"), col("b")).cast("int").as("h"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(h == Seq(0, 64, 1))
+  }
+
+  test("fingerprint is whitespace-insensitive but order-sensitive") {
+    val df = Seq("a  b   c", "a b c", "c b a").toDF("t")
+    val fps = df.select(TextFunctions.fingerprint(TextFunctions.tokens(col("t"))).as("f"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("quality features golden values") {
+    val row = Seq("the cat the cat runs").toDF("t")
+      .select(TextFunctions.qualityFeatures(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(row.getAs[Long]("n_tokens") == 5)
+    assert(row.getAs[Long]("n_distinct") == 3)
+    assert(row.getAs[Double]("avg_token_len") == 3.2) // (3+3+3+3+4)/5
+    assert(row.getAs[Double]("stopword_ratio") == 0.4) // "the" twice
+    assert(row.getAs[Double]("distinct_ratio") == 0.6)
+  }
+
+  test("langId picks the language with most marker hits, 'und' when none") {
+    val cases = Seq(
+      "the cat and the dog is here" -> "en",
+      "der hund und die katze" -> "de",
+      "le chat et la maison" -> "fr",
+      "zzz qqq www" -> "und")
+    cases.foreach { case (text, expected) =>
+      assert(one[String](TextFunctions.langId(col("t")), text) == expected, text)
+    }
+  }
+}

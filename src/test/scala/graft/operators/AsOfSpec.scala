@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class AsOfSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("lastEventBefore: latest ref at-or-before each query, per key") {
+    // user 1: signup@10, purchase@20 (ref 10), signup@30, purchase@40 (ref 30)
+    // user 2: purchase@5 (no ref) — null ref_ts_us
+    val events = Seq(
+      (1L, 100L, 10L, "signup"), (1L, 101L, 20L, "purchase"),
+      (1L, 102L, 30L, "signup"), (1L, 103L, 40L, "purchase"),
+      (2L, 200L, 5L, "purchase"),
+      (1L, 104L, 15L, "click") // other types ignored
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val res = AsOf.lastEventBefore(events, "signup", "purchase")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(res == Map(101L -> 10L, 103L -> 30L, 200L -> -1L))
+  }
+
+  test("lastEventBefore: simultaneous ref wins (at-or-before, ref sorts first)") {
+    val events = Seq(
+      (1L, 1L, 50L, "signup"), (1L, 2L, 50L, "purchase")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val res = AsOf.lastEventBefore(events, "signup", "purchase").collect()
+    assert(res.length == 1 && res.head.getLong(2) == 50L)
+  }
+
+  test("asofJoin attaches the latest right value per key") {
+    val trades = Seq(("A", 10L), ("A", 25L), ("B", 10L)).toDF("sym", "t")
+    val quotes = Seq(("A", 5L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0))
+      .toDF("sym", "t", "px")
+    // output columns: (sym, t, px)
+    val res = AsOf.asofJoin(trades, quotes, "sym", "t", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+    assert(res.contains(("A", 10L, 1.0)))
+    assert(res.contains(("A", 25L, 2.0)))
+    assert(res.exists(t => t._1 == "B" && t._2 == 10L && t._3.isNaN))
+  }
+}

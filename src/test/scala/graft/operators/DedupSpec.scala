@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantics of the dedup family — especially the hash-sketch variants
+  * (MinHash-LSH, SimHash) that the DuckDB oracle can't check because their
+  * signatures are engine-specific by construction.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (4L, "completely different content about spark catalyst optimizer internals"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the smallest id per distinct text") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("exactByKeys dedups on explicit key columns") {
+    val df = Seq((1L, "a", 10), (2L, "a", 10), (3L, "b", 10)).toDF("id", "k1", "k2")
+    val kept = Dedup.exactByKeys(df, Seq("k1", "k2"), "id").select("id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minHashLsh: exact duplicates are candidate pairs with est_jaccard 1.0") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dup12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    val dup15 = pairs.find(p => p._1 == 1L && p._2 == 5L)
+    assert(dup12.exists(_._3 == 1.0) && dup15.exists(_._3 == 1.0))
+    // doc 4 shares no shingles with anything → never a candidate
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHashLsh estimate tracks true shingle jaccard for near-dups") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.get((1L, 3L)).foreach { est =>
+      // true 3-shingle jaccard of docs 1/3 is 10/14 ≈ 0.714; 64 perms → ±0.2
+      assert(est > 0.4 && est < 1.0, s"est=$est")
+    }
+  }
+
+  test("simHashPairs: identical docs at hamming 0; unrelated docs absent") {
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.contains((1L, 2L, 0)) && pairs.contains((1L, 5L, 0)) &&
+      pairs.contains((2L, 5L, 0)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardPairs golden: overlap arithmetic is exact") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y")).toDF("doc_id", "text")
+    val rows = Dedup.jaccardPairs(df, "text", "doc_id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows((1L, 2L)) == 0.6) // |{a,b,c}| / |{a,b,c,d,e}|
+    assert(rows((1L, 3L)) == 0.0)
+    assert(Dedup.jaccardPairs(df, "text", "doc_id", threshold = 0.5).count() == 1)
+  }
+
+  test("embeddingNearDup only compares within blocks and is threshold-exact") {
+    val df = Seq(
+      (1L, "blk1", Seq(1.0f, 0.0f)),
+      (2L, "blk1", Seq(1.0f, 0.0f)), // cos 1 with id 1
+      (3L, "blk1", Seq(0.0f, 1.0f)), // cos 0 with ids 1,2
+      (4L, "blk2", Seq(1.0f, 0.0f)) // same direction as 1 but different block
+    ).toDF("vec_id", "label", "embedding")
+    val rows = Dedup.embeddingNearDup(df, "embedding", "vec_id", "label", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 2L, 1.0)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  // axis-aligned + diagonal unit-ish vectors with known cosines
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)), // close to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.9f, 0.1f)), // close to 2
+    (4L, Seq(0.577f, 0.577f, 0.577f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-breaks") {
+    val res = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(res == Seq((1L, 1L), (4L, 2L))) // nearest is 1, then the diagonal 4
+  }
+
+  test("bruteForceTopK excludes self and returns exactly k per query") {
+    val res = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+    val byQuery = res.collect().groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 2)
+      assert(!rows.exists(_.getLong(1) == q))
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+    }
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with identical sims") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", k = 4, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, sim) =>
+      assert(bf.contains(pair), s"lsh pair $pair missing from brute force")
+      assert(bf(pair) == sim)
+    }
+  }
+
+  test("lshTopK at nBits=0 degrades to brute force (single bucket)") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val lsh = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", k = 3, nBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(lsh == bf)
+  }
+}
