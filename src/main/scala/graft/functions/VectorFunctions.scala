@@ -24,6 +24,14 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm2(a) * norm2(b)), 6)
 
+  /** Cosine from precomputed norms: in pairwise joins, project `norm2(v)`
+    * ONCE per vector before the join and use this — one vector reduction per
+    * pair instead of three (the norms are scalar columns). Identical result:
+    * the same sqrt values feed the same division and rounding.
+    */
+  def cosinePrenormed(dotAB: Column, normA: Column, normB: Column): Column =
+    round(dotAB / (normA * normB), 6)
+
   /** Squared L2 distance. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)

@@ -111,13 +111,17 @@ object Dedup {
   def embeddingNearDup(
       df: DataFrame, vecCol: String, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
+    // norm once per vector (2k sqrts), not once per pair (200k): the join
+    // then does a single dot product per candidate pair.
     val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       VectorFunctions.toDouble(col(vecCol)).as("v"))
-    val a = v.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", VectorFunctions.norm2(col("v")))
+    val a = v.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = v.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", VectorFunctions.cosinePrenormed(
+        VectorFunctions.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -26,9 +26,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -44,12 +46,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), nBits))
+      .withColumn("qn", norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), nBits))
+      .withColumn("cn", norm2(col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")

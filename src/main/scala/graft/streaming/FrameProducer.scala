@@ -32,9 +32,10 @@ object FrameProducer {
     * every consecutive pair of frames shows detectable motion (diff area
     * 2×400 px > minArea 300).
     */
-  def synthPixels(seq: Long, rows: Int = DefaultRows, cols: Int = DefaultCols): Array[Byte] = {
+  def synthPixels(seq: Long, rows: Int = DefaultRows, cols: Int = DefaultCols,
+      moving: Boolean = true): Array[Byte] = {
     val px = Array.fill(rows * cols * Channels)(10.toByte)
-    val x0 = if (seq % 2 == 1) 26 else 4
+    val x0 = if (moving && seq % 2 == 1) 26 else 4
     val y0 = 10
     var r = y0
     while (r < y0 + 20 && r < rows) {
@@ -49,8 +50,8 @@ object FrameProducer {
     px
   }
 
-  private val synthDataUdf = udf((seq: Long, rows: Int, cols: Int) =>
-    Base64.getEncoder.encodeToString(synthPixels(seq, rows, cols)))
+  private val synthDataUdf = udf((seq: Long, rows: Int, cols: Int, moving: Boolean) =>
+    Base64.getEncoder.encodeToString(synthPixels(seq, rows, cols, moving)))
 
   /** Shape a generator relation (`rate` stream or `range` batch with columns
     * value, timestamp) into per-camera frames: camera = value mod n,
@@ -58,7 +59,8 @@ object FrameProducer {
     * sees `rowsPerSecond / nCameras` FPS (the producer's per-camera
     * `sleep(33)` throttle becomes the rate source's global rows-per-second).
     */
-  private def shape(gen: DataFrame, nCameras: Int, rows: Int, cols: Int): Dataset[VideoFrameData] = {
+  private def shape(gen: DataFrame, nCameras: Int, rows: Int, cols: Int,
+      moving: Boolean): Dataset[VideoFrameData] = {
     val spark = gen.sparkSession
     import spark.implicits._
     gen.select(
@@ -67,7 +69,7 @@ object FrameProducer {
       lit(rows).as("rows"),
       lit(cols).as("cols"),
       lit(MatTypeC3).as("matType"),
-      synthDataUdf(col("value") / nCameras, lit(rows), lit(cols)).as("data"))
+      synthDataUdf(col("value") / nCameras, lit(rows), lit(cols), lit(moving)).as("data"))
       .as[VideoFrameData]
   }
 
@@ -76,12 +78,13 @@ object FrameProducer {
     */
   def framesStream(
       spark: SparkSession, nCameras: Int, framesPerSecond: Int,
-      rows: Int = DefaultRows, cols: Int = DefaultCols): Dataset[VideoFrameData] =
+      rows: Int = DefaultRows, cols: Int = DefaultCols,
+      moving: Boolean = true): Dataset[VideoFrameData] =
     shape(
       spark.readStream.format("rate")
         .option("rowsPerSecond", framesPerSecond.toLong)
         .load(),
-      nCameras, rows, cols)
+      nCameras, rows, cols, moving)
 
   /** Bounded batch frame source: nCameras × framesPerCamera frames, 1/fps s
     * apart starting at t0 (for tests and fixture generation).
@@ -89,13 +92,14 @@ object FrameProducer {
   def framesBatch(
       spark: SparkSession, nCameras: Int, framesPerCamera: Int,
       t0Millis: Long, fps: Double = 30.0,
-      rows: Int = DefaultRows, cols: Int = DefaultCols): Dataset[VideoFrameData] = {
+      rows: Int = DefaultRows, cols: Int = DefaultCols,
+      moving: Boolean = true): Dataset[VideoFrameData] = {
     val stepMs = (1000.0 / fps).toLong
     shape(
       spark.range(nCameras.toLong * framesPerCamera).toDF("value")
         .withColumn("timestamp",
           timestamp_millis(lit(t0Millis) + (col("value") / nCameras).cast("long") * stepMs)),
-      nCameras, rows, cols)
+      nCameras, rows, cols, moving)
   }
 
   // ------------------------------------------------------------- wire out

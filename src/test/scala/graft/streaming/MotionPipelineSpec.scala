@@ -61,6 +61,38 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(pngs(img) == (1 to 3).map(i => s"camS-T-${t0 + i * 1000L}.png"))
   }
 
+  test("decodeWire fast path agrees with the from_json path and drops malformed rows") {
+    import spark.implicits._
+    val t0 = 1700250000000L
+    val good = Seq(
+      FrameFixtures.frameJson("camW", t0, FrameFixtures.PosA),
+      FrameFixtures.frameJson("camW", t0 + 1000, FrameFixtures.PosB))
+    val junk = Seq("""{"not json""", """{"camId":null,"rows":1}""", "", "42",
+      """{"timestamp":"2024-01-01T00:00:00Z","rows":2}""")
+    val raw = (good ++ junk).toDF("value")
+
+    val fast = MotionPipeline.decodeWire(raw).collect()
+      .sortBy(_.timestamp.getTime)
+    val slow = MotionPipeline.parseFrames(raw).collect()
+      .sortBy(_.timestamp.getTime)
+    assert(fast.length == 2 && slow.length == 2)
+    fast.zip(slow).foreach { case (f, s) =>
+      assert(f.camId == s.camId)
+      assert(f.timestamp == s.timestamp)
+      assert((f.rows, f.cols, f.matType) == (s.rows, s.cols, s.matType))
+      assert(f.px.toSeq == java.util.Base64.getDecoder.decode(s.data).toSeq)
+    }
+
+    // identical detection results through either path
+    val imgA = tmp("wire-a"); val imgB = tmp("wire-b")
+    val viaFast = MotionPipeline.detectBin(MotionPipeline.decodeWire(raw), imgA)
+      .collect().map(r => (r.cameraId, r.frameTimestamp, r.detectionCount)).sortBy(_.toString)
+    val viaSlow = MotionPipeline.detect(MotionPipeline.parseFrames(raw), imgB)
+      .collect().map(r => (r.cameraId, r.frameTimestamp, r.detectionCount)).sortBy(_.toString)
+    assert(viaFast.toSeq == viaSlow.toSeq)
+    assert(pngs(imgA) == pngs(imgB))
+  }
+
   test("malformed and null-field JSON rows are dropped before the operator") {
     import spark.implicits._
     val good = FrameFixtures.frameJson("camX", 1700200000000L, 4)
