@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.VideoFrameData
+
+/** Declared streaming surface beyond the motion pipeline (SURVEY.md §2.B
+  * "Streaming"): event-time windows with watermarks, session windows,
+  * late-data drop, and watermark-bounded streaming dedup. The reference has
+  * no watermarks at all (WatermarkStrategy.noWatermarks(),
+  * /root/reference/dvaf/processor/.../VideoProcessor.java:76) — these are the
+  * operators a Spark deployment adds on top for correctness under disorder.
+  *
+  * All builders work identically on batch and streaming Datasets; specs
+  * exercise them through MemoryStream micro-batches.
+  */
+object StreamOps {
+
+  /** Tumbling event-time frame counts per camera with a watermark: the
+    * streaming restatement of "frames per camera-day" (Cassandra partition
+    * key (camera_id, day), CassandraService.java:125-145) at window
+    * granularity. Rows later than the watermark delay are dropped.
+    */
+  def framesPerWindow(
+      frames: Dataset[VideoFrameData],
+      windowLen: String = "10 seconds",
+      watermarkDelay: String = "5 seconds"): DataFrame =
+    frames
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowLen), col("camId"))
+      .agg(count(lit(1)).as("n_frames"))
+      .select(
+        col("camId").as("camera_id"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_frames"))
+
+  /** Sliding-window frame rate (FPS over the trailing `windowLen`, emitted
+    * every `slide`): the producer's load metric (VideoEventCreator.java:69-90)
+    * as an overlapping event-time window.
+    */
+  def slidingFps(
+      frames: Dataset[VideoFrameData],
+      windowSeconds: Int = 10,
+      slideSeconds: Int = 5,
+      watermarkDelay: String = "5 seconds"): DataFrame =
+    frames
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(
+        window(col("timestamp"), s"$windowSeconds seconds", s"$slideSeconds seconds"),
+        col("camId"))
+      .agg(count(lit(1)).as("n_frames"))
+      .select(
+        col("camId").as("camera_id"),
+        col("window.start").as("window_start"),
+        round(col("n_frames").cast("double") / windowSeconds, 3).as("fps"))
+
+  /** Session windows per camera: contiguous activity bursts separated by
+    * `gap` of silence — "recording sessions" derived from frame arrivals.
+    */
+  def cameraSessions(
+      frames: Dataset[VideoFrameData],
+      gap: String = "30 seconds",
+      watermarkDelay: String = "5 seconds"): DataFrame =
+    frames
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(session_window(col("timestamp"), gap), col("camId"))
+      .agg(count(lit(1)).as("n_frames"))
+      .select(
+        col("camId").as("camera_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_frames"))
+
+  /** Watermark-bounded streaming dedup on (camId, timestamp) — the remedy
+    * for the at-least-once duplicate rows the reference's random-UUID sink
+    * produces under replay (VideoProcessor.java:189, SURVEY.md §7). State is
+    * bounded: keys older than the watermark are evicted.
+    */
+  def dedupFrames(
+      frames: Dataset[VideoFrameData],
+      watermarkDelay: String = "5 seconds"): Dataset[VideoFrameData] =
+    frames
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("camId", "timestamp")
+}

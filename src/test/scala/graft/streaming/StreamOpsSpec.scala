@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Watermark/window semantics (SURVEY.md §2.B Streaming): tumbling counts,
+  * sliding FPS, session windows, late-data drop past the watermark, and
+  * watermark-bounded dedup — all through MemoryStream micro-batches.
+  */
+class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  // small 8×8 frames are enough for windowing tests (payload content unused)
+  private def frame(camId: String, epochMillis: Long): String = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(Array.fill(8 * 8 * 3)(1.toByte))
+    val iso = java.time.Instant.ofEpochMilli(epochMillis).toString
+    s"""{"camId":"$camId","timestamp":"$iso","rows":8,"cols":8,"type":16,"data":"$b64"}"""
+  }
+
+  private val t0 = 1700700000000L // window-aligned (multiple of 10 s)
+
+  private def runQuery(
+      stream: MemoryStream[String],
+      build: org.apache.spark.sql.Dataset[graft.model.VideoFrameData] => org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      batches: Seq[Seq[String]]): Seq[org.apache.spark.sql.Row] = {
+    val sink = s"sink_${System.nanoTime()}"
+    val q = build(MotionPipeline.parseFrames(stream.toDF().toDF("value")))
+      .writeStream.format("memory").queryName(sink).outputMode(mode).start()
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(sink).collect().toSeq
+  }
+
+  test("tumbling window counts per camera; late rows beyond the watermark are dropped") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val rows = runQuery(
+      stream,
+      ds => StreamOps.framesPerWindow(ds, "10 seconds", "5 seconds"),
+      OutputMode.Append(),
+      Seq(
+        // batch 1: 3 frames in window [t0, t0+10s) + 1 in the next window
+        Seq(frame("camA", t0), frame("camA", t0 + 3000),
+          frame("camA", t0 + 6000), frame("camA", t0 + 12000)),
+        // batch 2: advance watermark far past window 1 (event time t0+60s):
+        // window 1 finalizes and emits
+        Seq(frame("camA", t0 + 60000)),
+        // batch 3: a LATE row for window 1 (watermark is now t0+55s) — must
+        // be dropped, not re-emitted
+        Seq(frame("camA", t0 + 1000)),
+        // batch 4: push watermark further so window 2 also finalizes
+        Seq(frame("camA", t0 + 90000))))
+    val byStart = rows.map(r =>
+      r.getAs[java.sql.Timestamp]("window_start").getTime -> r.getAs[Long]("n_frames")).toMap
+    assert(byStart(t0) == 3L) // late row did NOT bump this to 4
+    assert(byStart(t0 + 10000) == 1L)
+  }
+
+  test("sliding windows emit overlapping FPS readings") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val rows = runQuery(
+      stream,
+      ds => StreamOps.slidingFps(ds, windowSeconds = 10, slideSeconds = 5),
+      OutputMode.Append(),
+      Seq(
+        Seq(frame("camA", t0 + 1000), frame("camA", t0 + 2000)), // in 2 windows each
+        Seq(frame("camA", t0 + 60000)))) // advance watermark
+    val byStart = rows.map(r =>
+      r.getAs[java.sql.Timestamp]("window_start").getTime -> r.getAs[Double]("fps")).toMap
+    assert(byStart(t0) == 0.2) // 2 frames / 10 s
+    assert(byStart(t0 - 5000) == 0.2) // the overlapping window [t0-5, t0+5)
+  }
+
+  test("session windows split on the gap and merge within it") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val rows = runQuery(
+      stream,
+      ds => StreamOps.cameraSessions(ds, gap = "30 seconds"),
+      OutputMode.Append(),
+      Seq(
+        // burst 1: 3 frames 10 s apart (within gap) … then 100 s silence …
+        // burst 2: 2 frames
+        Seq(frame("camB", t0), frame("camB", t0 + 10000), frame("camB", t0 + 20000),
+          frame("camB", t0 + 120000), frame("camB", t0 + 125000)),
+        Seq(frame("camB", t0 + 600000)))) // advance watermark to close both
+    val sessions = rows.map(r => (
+      r.getAs[java.sql.Timestamp]("session_start").getTime,
+      r.getAs[Long]("n_frames"))).sortBy(_._1)
+    assert(sessions.take(2) == Seq((t0, 3L), (t0 + 120000, 2L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed frames across batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = StreamOps.dedupFrames(
+      MotionPipeline.parseFrames(stream.toDF().toDF("value")), "5 seconds")
+      .select("camId", "timestamp")
+      .writeStream.format("memory").queryName(sink).outputMode(OutputMode.Append()).start()
+    stream.addData(frame("camC", t0), frame("camC", t0)) // dup within batch
+    q.processAllAvailable()
+    stream.addData(frame("camC", t0)) // replay in next batch (within watermark)
+    q.processAllAvailable()
+    stream.addData(frame("camC", t0 + 1000))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(sink).collect().map(_.getAs[java.sql.Timestamp]("timestamp").getTime)
+    assert(rows.sorted.toSeq == Seq(t0, t0 + 1000))
+  }
+}
