@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
+
+import graft.expressions.MotionRegionCount
+
+/** Engine SQL surface registration.
+  *
+  * Two ways in:
+  *  - config `spark.sql.extensions=graft.GraftExtensions` (cluster-wide), or
+  *  - [[GraftFunctions.register]] on a live session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val all: Seq[FunctionDescription] = Seq(
+    (new FunctionIdentifier("motion_region_count"),
+      new ExpressionInfo(classOf[MotionRegionCount].getName, "motion_region_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"motion_region_count expects 5 arguments, got ${args.length}")
+        def bin(e: Expression) = if (e.dataType == BinaryType) e else Cast(e, BinaryType)
+        def int(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+        MotionRegionCount(bin(args(0)), bin(args(1)), int(args(2)), int(args(3)), int(args(4)))
+      }))
+
+  /** Register all engine functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

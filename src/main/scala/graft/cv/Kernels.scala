@@ -196,4 +196,17 @@ object Kernels {
     val g1 = gaussianBlur3x3(grayscale(cur, rows, cols, channels), rows, cols)
     boundingBoxes(threshold(absDiff(g0, g1), thresh), rows, cols, minArea)
   }
+
+  /** Codegen-friendly entry point for
+    * [[graft.expressions.MotionRegionCount]]: region count between two raw
+    * frames, or -1 when a payload doesn't match rows×cols×channels (the
+    * caller maps -1 to SQL NULL). `matType` is the OpenCV type code.
+    */
+  def motionRegionCount(
+      prev: Array[Byte], cur: Array[Byte], rows: Int, cols: Int, matType: Int): Int = {
+    val channels = graft.model.FrameCodec.channelsOf(matType)
+    val expected = rows * cols * channels
+    if (prev == null || cur == null || prev.length != expected || cur.length != expected) -1
+    else detectMotion(prev, cur, rows, cols, channels).size
+  }
 }
