@@ -528,6 +528,67 @@ object RelationalQueries {
                LAST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      """)),
+
+    // ---------------------------------------------------------------- q24
+    // Array-function battery (split / sort_array / array_contains / size /
+    // sequence+aggregate / slice / element_at / array_distinct), emitted as
+    // scalars/joined strings so results hash identically across engines.
+    QueryDef(
+      "q24_array_battery",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val arr = split(
+          concat(col("event_type"), lit("-"), (col("user_id") % 10).cast("string")), "-")
+        val seq1n = sequence(lit(1), month(col("ts")))
+        e.select(
+          col("event_id"),
+          array_join(sort_array(arr), "|").as("arr_joined"),
+          array_contains(arr, "click").as("has_click"),
+          size(arr).cast("long").as("arr_size"),
+          aggregate(seq1n, lit(0L), (acc, x) => acc + x).as("seq_sum"),
+          array_join(slice(seq1n, 1, 2), ",").as("sliced"),
+          element_at(arr, 1).as("first_tok"),
+          size(array_distinct(array(col("event_type"), col("event_type"), lit("x"))))
+            .cast("long").as("distinct_n"))
+      },
+      Some("""
+        SELECT event_id,
+          array_to_string(list_sort(string_split(concat(event_type, '-', CAST(user_id % 10 AS VARCHAR)), '-')), '|') AS arr_joined,
+          list_contains(string_split(concat(event_type, '-', CAST(user_id % 10 AS VARCHAR)), '-'), 'click') AS has_click,
+          CAST(len(string_split(concat(event_type, '-', CAST(user_id % 10 AS VARCHAR)), '-')) AS BIGINT) AS arr_size,
+          CAST(list_aggregate(range(1, month(ts) + 1), 'sum') AS BIGINT) AS seq_sum,
+          array_to_string(list_slice(range(1, month(ts) + 1), 1, 2), ',') AS sliced,
+          string_split(concat(event_type, '-', CAST(user_id % 10 AS VARCHAR)), '-')[1] AS first_tok,
+          CAST(len(list_distinct([event_type, event_type, 'x'])) AS BIGINT) AS distinct_n
+        FROM events
+      """)),
+
+    // ---------------------------------------------------------------- q25
+    // Map + JSON battery: map construction/keys/element_at, from_json typed
+    // field access, to_json round-trip.
+    QueryDef(
+      "q25_map_json",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val mp = map(
+          lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string"))
+        e.select(
+          col("event_id"),
+          array_join(map_keys(mp), ",").as("mkeys"),
+          element_at(mp, "type").as("mval"),
+          (from_json(col("props"), lit("k INT")).getField("k") + 1).as("k1"),
+          get_json_object(
+            to_json(struct(col("event_type").as("t"))), "$.t").as("rt"))
+      },
+      Some("""
+        SELECT event_id,
+          array_to_string(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS mkeys,
+          (MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'])[1] AS mval,
+          CAST(json_extract_string(props, '$.k') AS INT) + 1 AS k1,
+          json_extract_string(to_json({'t': event_type}), '$.t') AS rt
+        FROM events
       """))
   )
 }
