@@ -190,6 +190,40 @@ object ExtensionQueries {
         Similarity.lshTopK(
           emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5, nBits = 4)
       },
-      None, bench = false)
+      None, bench = false),
+
+    // ------------------------------------------------------------- EXT13
+    // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
+    // Two shuffles total (tf agg, df agg + broadcast back); the document
+    // count is a scalar broadcast — the standard scalable shape.
+    QueryDef(
+      "ext13_tfidf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val toks = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val allToks = docs
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = allToks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(broadcast(df), Seq("tok"))
+          .select(
+            col("doc_id"), col("tok"), col("tf"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+          FROM documents),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE doc_id < 50 GROUP BY doc_id, tok),
+        df AS (
+          SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, tf.tok AS tok, tf,
+               ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+      """))
   )
 }
