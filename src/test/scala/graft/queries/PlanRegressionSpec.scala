@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Physical-plan regression guards: the scale-critical plan shapes must not
+  * silently degrade (a SortMergeJoin sneaking into the star join, a lost
+  * pushdown, a full-window dedup instead of the partial top-k).
+  */
+class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q05 star join broadcasts both dims — fact side never shuffles for the join") {
+    val p = plan("q05_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // partial + final hash aggregate pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q01 scan is column-pruned to the referenced columns only") {
+    val p = plan("q01_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"))
+  }
+
+  test("ext01 dedup plans the partial per-partition top-k (WindowGroupLimit)") {
+    val p = plan("ext01_dedup_exact")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q16 global top-100 plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q16_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q07 semi join stays a semi join (no row explosion)") {
+    val p = plan("q07_semi_join")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("q09 range join keeps the user_id equi key (hash join, not NL-joined)") {
+    val p = plan("q09_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("ext02 knn broadcasts the query set against the corpus scan") {
+    val p = plan("ext02_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
