@@ -38,6 +38,96 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Approximate top-k via IVF (inverted-file) partitioning: a coarse
+    * k-means quantizer (trained on a bounded sample, Lloyd's iterations on
+    * the driver — the sample stays small at any corpus size) assigns every
+    * corpus vector to its nearest centroid list; each query probes its
+    * `nProbe` nearest lists and scores candidates exactly. The
+    * corpus-side work is one map (assignment) + an equi join on list id, so
+    * cost scales with probed-list occupancy, not |corpus|·|queries|.
+    * `nProbe = nLists` degrades to exact brute force.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 2,
+      sampleSize: Int = 2048, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+
+    // ---- train the coarse quantizer on a deterministic sample
+    val dim = corpus.select(toDouble(col(vecCol)).as("v")).head.getSeq[Double](0).length
+    val sample: Array[Array[Double]] = corpus
+      .select(toDouble(col(vecCol)).as("v"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, math.min(nLists, sample.length), dim, iters = 10, seed)
+
+    def nearestLists(v: Seq[Double], n: Int): Seq[Int] =
+      centroids.indices
+        .map(i => i -> l2(centroids(i), v))
+        .sortBy { case (i, d) => (d, i) }
+        .take(n).map(_._1)
+
+    val assignUdf = udf((v: Seq[Double]) => nearestLists(v, 1).head)
+    val probeUdf = udf((v: Seq[Double]) => nearestLists(v, nProbe))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+      .withColumn("list", assignUdf(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+      .withColumn("list", explode(probeUdf(col("qv"))))
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  private def l2(a: Array[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic Lloyd's k-means (k-means++-less: evenly strided init from
+    * the sample, which is deterministic and good enough for a coarse
+    * quantizer).
+    */
+  private def kmeans(
+      sample: Array[Array[Double]], k: Int, dim: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = sample.length
+    var cents = Array.tabulate(k)(i => sample(((i.toLong * n) / k).toInt % n).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = l2(cents(c), v)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Approximate top-k via hyperplane LSH bucketing: candidates = corpus
     * vectors sharing the query's `nBits`-bit bucket; exact cosine + top-k
     * within candidates. Recall/cost dial: fewer bits → bigger buckets.

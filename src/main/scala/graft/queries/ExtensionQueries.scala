@@ -192,6 +192,18 @@ object ExtensionQueries {
       },
       None, bench = false),
 
+    // Approximate NN via IVF coarse quantization (k-means lists + nProbe
+    // probing — the other 100 TB ANN path besides LSH).
+    QueryDef(
+      "ext14_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 2)
+      },
+      None, bench = false),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg + broadcast back); the document

@@ -48,6 +48,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfTopK with nProbe = nLists equals brute force") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding", k = 3,
+      nLists = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK results are a subset of brute force with identical sims") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding", k = 4,
+      nLists = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (pair, sim) =>
+      assert(bf.contains(pair) && bf(pair) == sim)
+    }
+  }
+
   test("lshTopK at nBits=0 degrades to brute force (single bucket)") {
     val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
