@@ -589,6 +589,106 @@ object RelationalQueries {
           CAST(json_extract_string(props, '$.k') AS INT) + 1 AS k1,
           json_extract_string(to_json({'t': event_type}), '$.t') AS rt
         FROM events
+      """)),
+
+    // ---------------------------------------------------------------- q26
+    // Ranking-function family: rank (ties share), dense_rank, ntile, lead —
+    // all partitioned by user_id so no global single-partition window.
+    QueryDef(
+      "q26_rank_funcs",
+      (s, dir) => {
+        val byType = Window.partitionBy("user_id").orderBy(col("event_type"))
+        val byTime = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        ev(s, dir).select(
+          col("user_id"), col("event_id"),
+          rank().over(byType).cast("long").as("rk"),
+          dense_rank().over(byType).cast("long").as("drk"),
+          ntile(4).over(byTime).cast("long").as("nt"),
+          lead("event_id", 1).over(byTime).as("nxt"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               CAST(RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS rk,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS drk,
+               CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS nt,
+               LEAD(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+        FROM events
+      """)),
+
+    // ---------------------------------------------------------------- q27
+    // Order-normalized collect: sorted distinct list rendered as a string
+    // (the only portable form — unsorted collect_list is nondeterministic).
+    QueryDef(
+      "q27_collect_sorted",
+      (s, dir) =>
+        ev(s, dir).filter(col("user_id") < 5)
+          .groupBy("event_type")
+          .agg(array_join(
+            transform(sort_array(collect_set(col("user_id"))), _.cast("string")),
+            ",").as("users")),
+      Some("""
+        SELECT event_type, array_to_string(list(DISTINCT user_id ORDER BY user_id), ',') AS users
+        FROM events WHERE user_id < 5 GROUP BY event_type
+      """)),
+
+    // ---------------------------------------------------------------- q28
+    // Right + full-outer joins over two aggregates, then UNION ALL
+    // (duplicate-preserving) — completing the join/set-op matrix.
+    QueryDef(
+      "q28_outer_union",
+      (s, dir) => {
+        val big = Tables.orders(s, dir).filter(col("o_totalprice") > 350000)
+          .groupBy(col("o_custkey").as("k1")).agg(count(lit(1)).as("n_big"))
+        val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n_urgent"))
+        val full = big.join(urgent, col("k1") === col("k2"), "full_outer")
+          .select(coalesce(col("k1"), col("k2")).as("custkey"),
+            col("n_big"), col("n_urgent"))
+        full.unionAll(full.filter(col("n_big").isNotNull))
+      },
+      Some("""
+        WITH big AS (
+          SELECT o_custkey AS k1, COUNT(*) AS n_big FROM orders
+          WHERE o_totalprice > 350000 GROUP BY o_custkey),
+        urgent AS (
+          SELECT o_custkey AS k2, COUNT(*) AS n_urgent FROM orders
+          WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        f AS (
+          SELECT COALESCE(k1, k2) AS custkey, n_big, n_urgent
+          FROM big FULL OUTER JOIN urgent ON k1 = k2)
+        SELECT custkey, n_big, n_urgent FROM f
+        UNION ALL
+        SELECT custkey, n_big, n_urgent FROM f WHERE n_big IS NOT NULL
+      """)),
+
+    // ---------------------------------------------------------------- q29
+    // Date/time battery: truncation, day difference, interval arithmetic,
+    // month addition (end-of-month clamped in both engines), last_day,
+    // quarter, epoch seconds.
+    QueryDef(
+      "q29_datetime",
+      (s, dir) =>
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(lit("1998-06-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAY")).cast("date").as("plus3"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          unix_timestamp(date_trunc("day", col("o_orderdate")).cast("timestamp"))
+            .as("day_epoch")),
+      Some("""
+        SELECT o_orderkey,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-06-01') AS BIGINT) AS days_to,
+          CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus3,
+          CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+          last_day(CAST(o_orderdate AS DATE)) AS eom,
+          CAST(quarter(o_orderdate) AS BIGINT) AS q,
+          CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_epoch
+        FROM orders
       """))
   )
 }
