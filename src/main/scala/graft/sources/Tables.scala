@@ -32,6 +32,22 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
   }
 
+  /** CSV scan with header + schema inference off by default (explicit schema
+    * keeps the scan single-pass; inference reads the data twice).
+    */
+  def csv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** JSON-lines scan (schema optional, same single-pass note as csv). */
+  def json(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -152,6 +152,29 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(pngs(img).length == 2)
   }
 
+  test("runStream watches a directory end-to-end: new files become new rows + PNGs") {
+    val in = tmp("rs-in"); val table = tmp("rs-out")
+    val img = tmp("rs-img"); val ckpt = tmp("rs-ckpt")
+    val t0 = 1700950000000L
+
+    Files.write(Paths.get(in, "a.jsonl"), String.join("\n",
+      FrameFixtures.frameJson("camR", t0, FrameFixtures.PosA),
+      FrameFixtures.frameJson("camR", t0 + 1000, FrameFixtures.PosB)).getBytes)
+    val q1 = MotionPipeline.runStream(spark, in, table, img, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(table).count() == 2)
+    assert(pngs(img) == Seq(s"camR-T-${t0 + 1000}.png"))
+
+    // drop a second file; a new query from the same checkpoint only reads
+    // the new file and carries the camera state forward
+    Files.write(Paths.get(in, "b.jsonl"),
+      FrameFixtures.frameJson("camR", t0 + 2000, FrameFixtures.PosA).getBytes)
+    val q2 = MotionPipeline.runStream(spark, in, table, img, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(table).count() == 3)
+    assert(pngs(img).length == 2) // frame 3 moved vs frame 2 from the old file
+  }
+
   test("per-key isolation: cameras never see each other's previous frame") {
     val img = tmp("iso-img")
     val t0 = 1700500000000L
