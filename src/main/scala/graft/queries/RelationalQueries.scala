@@ -302,9 +302,15 @@ object RelationalQueries {
       (s, dir) =>
         ev(s, dir).groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("n_users"),
-            count(lit(1)).as("n_events")),
+            count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("first_us"),
+            max(col("ts_us")).as("last_us"),
+            round(min(col("value")), 6).as("min_v"),
+            round(max(col("value")), 6).as("max_v")),
       Some("""
-        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+               MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+               ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v
         FROM events GROUP BY event_type
       """)),
 
@@ -383,7 +389,9 @@ object RelationalQueries {
           ceil(col("value")).as("v_ceil"),
           floor(col("value")).as("v_floor"),
           expr("round(sqrt(value), 6)").as("v_sqrt"),
-          expr("round(ln(1 + value), 6)").as("v_ln")),
+          expr("round(ln(1 + value), 6)").as("v_ln"),
+          sha2(col("event_type"), 256).as("et_sha"),
+          base64(col("event_type").cast("binary")).as("et_b64")),
       Some("""
         SELECT event_id,
                concat(event_type, '-', CAST(user_id AS VARCHAR)) AS tag,
@@ -398,7 +406,9 @@ object RelationalQueries {
                CAST(ceil(value) AS BIGINT) AS v_ceil,
                CAST(floor(value) AS BIGINT) AS v_floor,
                round(sqrt(value), 6) AS v_sqrt,
-               round(ln(1 + value), 6) AS v_ln
+               round(ln(1 + value), 6) AS v_ln,
+               sha256(event_type) AS et_sha,
+               to_base64(CAST(event_type AS BLOB)) AS et_b64
         FROM events
       """)),
 
@@ -510,6 +520,9 @@ object RelationalQueries {
       (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
         val sliding = byUser.rowsBetween(-2, 0)
+        // RANGE frame: trailing 1 s of event time (value-based, not row-based)
+        val trailing1s = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-1000000L, 0L)
         val whole = Window.partitionBy("user_id")
           .orderBy(col("ts_us"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -517,6 +530,7 @@ object RelationalQueries {
           col("user_id"), col("event_id"),
           row_number().over(byUser).cast("long").as("seq"),
           sum(col("value").cast("decimal(18,2)")).over(sliding).cast("double").as("sliding_sum"),
+          count(lit(1)).over(trailing1s).as("n_last_sec"),
           first("event_id").over(whole).as("first_event"),
           last("event_id").over(whole).as("last_event"))
       },
@@ -524,6 +538,8 @@ object RelationalQueries {
         SELECT user_id, event_id,
                ROW_NUMBER() OVER w AS seq,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_sum,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS n_last_sec,
                FIRST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
                LAST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
         FROM events

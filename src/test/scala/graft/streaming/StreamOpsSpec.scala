@@ -97,6 +97,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(sessions.take(2) == Seq((t0, 3L), (t0 + 120000, 2L)))
   }
 
+  test("update output mode emits partial window counts before finalization") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = StreamOps.framesPerWindow(
+      MotionPipeline.parseFrames(stream.toDF().toDF("value")), "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(frame("camU", t0))
+    q.processAllAvailable()
+    // update mode shows the in-progress window immediately
+    val partial = spark.table(sink).collect()
+    assert(partial.length == 1 && partial.head.getAs[Long]("n_frames") == 1L)
+    stream.addData(frame("camU", t0 + 2000))
+    q.processAllAvailable()
+    // the same window re-emits with the updated count
+    val updated = spark.table(sink).collect().map(_.getAs[Long]("n_frames"))
+    assert(updated.contains(2L))
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed frames across batches") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
