@@ -1,0 +1,117 @@
+package graft.cv
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM audio codecs/features for multimodal binary columns: real
+  * RIFF/WAV PCM-16 parsing (the header format is trivial and
+  * dependency-free), plus the features a training-data pipeline filters on.
+  * Compressed formats (mp3/aac) would slot into the same signatures where
+  * native codecs exist — the Spark-side plumbing (binary column in, typed
+  * struct out) is identical.
+  */
+object AudioOps {
+
+  /** Decoded PCM: sample rate, channel count, interleaved 16-bit samples. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Serialize PCM-16 samples as a minimal RIFF/WAV blob. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAV PCM-16 blob; None for anything else (undecodable →
+    * dropped, like every other modality here).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] =
+    try {
+      if (bytes.length < 44) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val riff = new Array[Byte](4); buf.get(riff)
+      if (new String(riff, "US-ASCII") != "RIFF") return None
+      buf.getInt // riff size
+      val wave = new Array[Byte](4); buf.get(wave)
+      if (new String(wave, "US-ASCII") != "WAVE") return None
+      var sampleRate = 0
+      var channels = 0
+      var bits = 0
+      var samples: Array[Short] = null
+      // walk chunks
+      while (buf.remaining() >= 8 && samples == null) {
+        val id = new Array[Byte](4); buf.get(id)
+        val size = buf.getInt
+        new String(id, "US-ASCII") match {
+          case "fmt " =>
+            val fmt = buf.getShort
+            channels = buf.getShort
+            sampleRate = buf.getInt
+            buf.getInt; buf.getShort
+            bits = buf.getShort
+            if (fmt != 1 || bits != 16) return None // PCM-16 only
+            buf.position(buf.position() + (size - 16))
+          case "data" =>
+            val n = size / 2
+            val s = new Array[Short](n)
+            var i = 0
+            while (i < n) { s(i) = buf.getShort; i += 1 }
+            samples = s
+          case _ =>
+            buf.position(buf.position() + size)
+        }
+      }
+      if (samples == null || sampleRate == 0) None
+      else Some(DecodedAudio(sampleRate, channels, samples))
+    } catch { case _: Exception => None }
+
+  /** RMS level, peak (both normalized to [0,1]), and zero-crossing rate —
+    * the standard cheap audio-quality features.
+    */
+  def features(a: DecodedAudio): (Double, Double, Double) = {
+    val n = a.samples.length
+    if (n == 0) return (0.0, 0.0, 0.0)
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.samples(i) / 32768.0
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) crossings += 1
+      i += 1
+    }
+    (math.sqrt(sumSq / n), peak, crossings.toDouble / n)
+  }
+
+  /** Nearest-neighbor resample to `outRate` (linear would also be fine for
+    * features; NN keeps it exactly invertible for rate multiples).
+    */
+  def resample(a: DecodedAudio, outRate: Int): DecodedAudio = {
+    val frames = a.samples.length / a.channels
+    val outFrames = math.max(1, (frames.toLong * outRate / a.sampleRate).toInt)
+    val out = new Array[Short](outFrames * a.channels)
+    var f = 0
+    while (f < outFrames) {
+      val src = math.min(frames - 1, (f.toLong * a.sampleRate / outRate).toInt)
+      var k = 0
+      while (k < a.channels) {
+        out(f * a.channels + k) = a.samples(src * a.channels + k)
+        k += 1
+      }
+      f += 1
+    }
+    DecodedAudio(outRate, a.channels, out)
+  }
+}

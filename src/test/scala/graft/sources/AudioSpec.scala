@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.cv.AudioOps
+
+class AudioSpec extends AnyFunSuite with SparkTestSession {
+
+  private def sine(rate: Int, hz: Double, seconds: Double): Array[Short] =
+    Array.tabulate((rate * seconds).toInt)(i =>
+      (math.sin(2 * math.Pi * hz * i / rate) * 16384).toShort)
+
+  test("WAV encode/decode round-trips samples exactly") {
+    val s = sine(8000, 440, 0.1)
+    val decoded = AudioOps.decodeWav(AudioOps.encodeWav(8000, 1, s)).get
+    assert(decoded.sampleRate == 8000 && decoded.channels == 1)
+    assert(decoded.samples.toSeq == s.toSeq)
+  }
+
+  test("features: silence is zero; a sine has rms ≈ peak/√2 and 2·hz/rate crossings") {
+    val silent = AudioOps.DecodedAudio(8000, 1, Array.fill(800)(0: Short))
+    assert(AudioOps.features(silent) == ((0.0, 0.0, 0.0)))
+    val s = AudioOps.decodeWav(AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.5))).get
+    val (rms, peak, zcr) = AudioOps.features(s)
+    assert(math.abs(peak - 0.5) < 0.01)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(zcr - 2.0 * 440 / 8000) < 0.01)
+  }
+
+  test("resample halves the frame count at half rate") {
+    val s = AudioOps.DecodedAudio(8000, 1, sine(8000, 100, 0.2))
+    val r = AudioOps.resample(s, 4000)
+    assert(r.sampleRate == 4000 && r.samples.length == s.samples.length / 2)
+  }
+
+  test("binaryFile read + decode + features over a wav directory") {
+    val dir = Files.createTempDirectory("wavs").toString
+    Files.write(Paths.get(dir, "tone.wav"), AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.2)))
+    Files.write(Paths.get(dir, "quiet.wav"), AudioOps.encodeWav(16000, 1, Array.fill(1600)(0: Short)))
+    Files.write(Paths.get(dir, "junk.wav"), Array[Byte](9, 9, 9))
+
+    val meta = Audio.decoded(Audio.readWavDir(spark, dir)).collect()
+      .map(r => (r.getAs[String]("path").split('/').last,
+        r.getAs[Int]("sample_rate"), r.getAs[Int]("n_samples"))).sorted.toSeq
+    assert(meta == Seq(("quiet.wav", 16000, 1600), ("tone.wav", 8000, 1600)))
+
+    val feats = Audio.withFeatures(Audio.readWavDir(spark, dir)).collect()
+      .map(r => r.getAs[String]("path").split('/').last -> r.getAs[Double]("rms")).toMap
+    assert(feats("quiet.wav") == 0.0)
+    assert(feats("tone.wav") > 0.3)
+  }
+}

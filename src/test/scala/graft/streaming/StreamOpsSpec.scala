@@ -97,6 +97,32 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(sessions.take(2) == Seq((t0, 3L), (t0 + 120000, 2L)))
   }
 
+  test("stateful ops run on the RocksDB state store (the at-scale provider)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[String]
+      val sink = s"sink_${System.nanoTime()}"
+      val q = StreamOps.dedupFrames(
+        MotionPipeline.parseFrames(stream.toDF().toDF("value")), "5 seconds")
+        .select("camId", "timestamp")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      stream.addData(frame("camK", t0), frame("camK", t0))
+      q.processAllAvailable()
+      stream.addData(frame("camK", t0), frame("camK", t0 + 1000))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table(sink).count() == 2) // dedup state lived in RocksDB
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("update output mode emits partial window counts before finalization") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
