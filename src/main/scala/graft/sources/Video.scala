@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cv.Kernels
+
+/** Video as a multimodal binary column.
+  *
+  * Real-world video (mp4/h264) needs native codecs that don't exist in this
+  * offline environment (SURVEY.md §7 hard-parts list) — so the CODEC here is
+  * a deterministic stand-in: `GVID`, a trivial container of raw BGR frames
+  * (header: magic, rows, cols, channels, fps, nFrames; then frame payloads).
+  * Everything AROUND the codec is the real production plumbing: binaryFile
+  * scans, decode → explode to per-frame rows, every-nth frame sampling, and
+  * per-frame feature columns. Swapping in a real decoder changes only
+  * [[decodeFrames]]' body.
+  */
+object Video {
+
+  private val Magic = 0x47564944 // "GVID"
+
+  /** Pack frames (each rows*cols*channels bytes) into a GVID blob. */
+  def encode(rows: Int, cols: Int, channels: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val frameLen = rows * cols * channels
+    require(frames.forall(_.length == frameLen), "frame size mismatch")
+    val buf = ByteBuffer.allocate(24 + frameLen * frames.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(Magic).putInt(rows).putInt(cols).putInt(channels)
+      .putInt(fps).putInt(frames.length)
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Decode a GVID blob → (rows, cols, channels, fps, frames). None for
+    * anything unrecognized. THIS is the stubbed codec boundary.
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
+    try {
+      if (bytes.length < 24) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (buf.getInt != Magic) return None
+      val rows = buf.getInt; val cols = buf.getInt
+      val channels = buf.getInt; val fps = buf.getInt; val n = buf.getInt
+      val frameLen = rows * cols * channels
+      if (bytes.length < 24 + frameLen.toLong * n) return None
+      val frames = (0 until n).map { i =>
+        val f = new Array[Byte](frameLen)
+        System.arraycopy(bytes, 24 + i * frameLen, f, 0, frameLen)
+        f
+      }
+      Some((rows, cols, channels, fps, frames))
+    } catch { case _: Exception => None }
+
+  def readVideoDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.gvid").load(dir)
+
+  private val explodeUdf = udf((bytes: Array[Byte]) =>
+    decodeFrames(bytes).map { case (rows, cols, ch, fps, frames) =>
+      frames.zipWithIndex.map { case (px, i) => (i, rows, cols, ch, fps, px) }
+    })
+
+  /** One row per frame: (path, frame_idx, rows, cols, channels, fps, px).
+    * Undecodable blobs are dropped. The explode happens executor-side — a
+    * 100 TB corpus fans out by file, then by frame.
+    */
+  def frames(videos: DataFrame): DataFrame =
+    videos
+      .withColumn("fs", explodeUdf(col("content")))
+      .filter(col("fs").isNotNull)
+      .select(col("path"), explode(col("fs")).as("f"))
+      .select(
+        col("path"),
+        col("f._1").as("frame_idx"),
+        col("f._2").as("rows"),
+        col("f._3").as("cols"),
+        col("f._4").as("channels"),
+        col("f._5").as("fps"),
+        col("f._6").as("px"))
+
+  /** Keep every nth frame (temporal subsampling before expensive work). */
+  def sampleFrames(frameRows: DataFrame, everyNth: Int): DataFrame =
+    frameRows.filter(col("frame_idx") % everyNth === 0)
+
+  private val motionUdf = udf(
+    (prev: Array[Byte], cur: Array[Byte], rows: Int, cols: Int, ch: Int) =>
+      if (prev == null) -1
+      else Kernels.detectMotion(prev, cur, rows, cols, ch).size)
+
+  /** Per-frame motion vs the previous frame of the same video — the batch
+    * window-lag form of the streaming pipeline, applied to decoded files.
+    */
+  def withMotion(frameRows: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("path").orderBy("frame_idx")
+    frameRows.withColumn("n_regions",
+      motionUdf(lag("px", 1).over(w), col("px"),
+        col("rows"), col("cols"), col("channels")))
+  }
+}
