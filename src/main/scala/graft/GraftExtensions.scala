@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
-import graft.expressions.MotionRegionCount
+import graft.expressions.{MotionRegionCount, VectorDot}
 
 /** Engine SQL surface registration.
   *
@@ -33,6 +33,15 @@ object GraftFunctions {
         def bin(e: Expression) = if (e.dataType == BinaryType) e else Cast(e, BinaryType)
         def int(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
         MotionRegionCount(bin(args(0)), bin(args(1)), int(args(2)), int(args(3)), int(args(4)))
+      }),
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
+        def arr(e: Expression) =
+          if (e.dataType == org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)) e
+          else Cast(e, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+        VectorDot(arr(args(0)), arr(args(1)))
       }))
 
   /** Register all engine functions on an existing session. */

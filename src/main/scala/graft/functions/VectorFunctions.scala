@@ -15,7 +15,18 @@ object VectorFunctions {
   /** Cast array<float> → array<double> (do this once, up front). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — the codegen'd [[graft.expressions.VectorDot]] (one
+    * primitive loop per pair; see its scaladoc for why not the
+    * aggregate∘zip_with form, kept below as [[dotHof]] for cross-checks).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnGlue
+    ColumnGlue.column(graft.expressions.VectorDot(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
+
+  /** Reference higher-order-function dot (identical semantics, slower). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
