@@ -38,6 +38,16 @@ object TextFunctions {
     * candidate-pair join.
     */
   def minHashSignature(elems: Column, num: Int = 64): Column = {
+    import org.apache.spark.sql.graft.ColumnGlue
+    ColumnGlue.column(graft.expressions.MinHashSig(
+      ColumnGlue.expression(transform(elems, e => xxhash64(e))), num))
+  }
+
+  /** Reference composed-column MinHash (`num` array traversals — identical
+    * arithmetic to [[minHashSignature]]'s one-pass expression; kept for the
+    * cross-check spec).
+    */
+  def minHashSignatureHof(elems: Column, num: Int = 64): Column = {
     val p = 2147483647L // 2^31-1, Mersenne prime
     val hs = (0 until num).map { i =>
       val a = 1L + 2L * i // odd multipliers (small: keeps a*h < 2^39, no ANSI overflow)
@@ -67,6 +77,16 @@ object TextFunctions {
     * sum_tokens(bit_k(hash) ? +1 : -1).
     */
   def simHash64(toks: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnGlue
+    ColumnGlue.column(graft.expressions.SimHashBits(
+      ColumnGlue.expression(transform(toks, t => xxhash64(t)))))
+  }
+
+  /** Reference composed-column SimHash (64 aggregate passes — identical
+    * votes to [[simHash64]]'s one-pass expression; kept for the cross-check
+    * spec).
+    */
+  def simHash64Hof(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
     val bits = (0 until 64).map { k =>
       val vote = aggregate(hashes, lit(0),

@@ -1,0 +1,42 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+
+/** The one-pass sketch expressions must agree bit-for-bit with the composed
+  * higher-order-function forms they replaced.
+  */
+class SketchExpressionsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "completely different content entirely",
+    "a", // single token
+    "x y z x y z x y z").toDF("t")
+
+  test("simhash_bits equals the 64-pass HOF form") {
+    val rows = texts.select(
+      TextFunctions.simHash64(TextFunctions.tokens(col("t"))).as("fast"),
+      TextFunctions.simHash64Hof(TextFunctions.tokens(col("t"))).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash_sig equals the num-pass HOF form for several sizes") {
+    Seq(4, 16, 64).foreach { num =>
+      val rows = texts.select(
+        TextFunctions.minHashSignature(
+          TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), num).as("fast"),
+        TextFunctions.minHashSignatureHof(
+          TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), num).as("ref")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"num=$num")
+      }
+    }
+  }
+}
