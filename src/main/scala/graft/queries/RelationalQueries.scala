@@ -705,6 +705,47 @@ object RelationalQueries {
           CAST(quarter(o_orderdate) AS BIGINT) AS q,
           CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_epoch
         FROM orders
+      """)),
+
+    // ---------------------------------------------------------------- q30
+    // Pivot (explicit value list keeps the output schema deterministic —
+    // inferred pivot values would force an extra distinct scan anyway).
+    QueryDef(
+      "q30_pivot",
+      (s, dir) =>
+        ev(s, dir)
+          .withColumn("day", col("ts").cast("date"))
+          .groupBy("day")
+          .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+          .count()
+          .na.fill(0L),
+      Some("""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'view') AS view,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'signup') AS signup
+        FROM events GROUP BY 1
+      """)),
+
+    // ---------------------------------------------------------------- q31
+    // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont` share
+    // the continuous-interpolation definition.
+    QueryDef(
+      "q31_percentiles",
+      (s, dir) =>
+        ev(s, dir).groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.9)"), 6).as("p90"),
+            round(expr("percentile(value, array(0.25, 0.75))[1] - percentile(value, array(0.25, 0.75))[0]"), 6).as("iqr")),
+      Some("""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+        FROM events GROUP BY event_type
       """))
   )
 }

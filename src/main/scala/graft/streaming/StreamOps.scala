@@ -73,6 +73,30 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_frames"))
 
+  /** Stream-stream interval self-join with watermarks: purchases within
+    * `horizonSeconds` after an error by the same user — the streaming
+    * restatement of the batch range join (q09). Both sides carry watermarks
+    * so Spark can bound the join state: error rows older than
+    * watermark + horizon are evicted.
+    * Input columns: (user_id, event_id, event_type, ts: timestamp).
+    */
+  def streamConversions(
+      events: DataFrame,
+      horizonSeconds: Int = 3600,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermarkDelay)
+    val pur = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("event_id").as("purchase_id"), col("ts").as("pur_ts"))
+      .withWatermark("pur_ts", watermarkDelay)
+    err.join(pur,
+      col("user_id") === col("u2") &&
+        col("pur_ts") > col("err_ts") &&
+        col("pur_ts") <= col("err_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select("user_id", "error_id", "purchase_id", "err_ts", "pur_ts")
+  }
+
   /** Watermark-bounded streaming dedup on (camId, timestamp) — the remedy
     * for the at-least-once duplicate rows the reference's random-UUID sink
     * produces under replay (VideoProcessor.java:189, SURVEY.md §7). State is

@@ -10,6 +10,9 @@ import graft.SparkTestSession
   * sliding FPS, session windows, late-data drop past the watermark, and
   * watermark-bounded dedup — all through MemoryStream micro-batches.
   */
+/** Top-level so spark.implicits can derive its Encoder. */
+final case class StreamEv(user_id: Long, event_id: Long, event_type: String, ts: java.sql.Timestamp)
+
 class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
 
   // small 8×8 frames are enough for windowing tests (payload content unused)
@@ -95,6 +98,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       r.getAs[java.sql.Timestamp]("session_start").getTime,
       r.getAs[Long]("n_frames"))).sortBy(_._1)
     assert(sessions.take(2) == Seq((t0, 3L), (t0 + 120000, 2L)))
+  }
+
+  test("stream-stream interval join matches errors to later purchases per user") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(u: Long, id: Long, t: String, ms: Long) = StreamEv(u, id, t, new java.sql.Timestamp(ms))
+
+    val stream = MemoryStream[StreamEv]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = StreamOps.streamConversions(stream.toDF(), horizonSeconds = 3600)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: error for user 1; batch 2: purchase 30 min later (join across
+    // micro-batches via state), purchase by user 2 (no matching error), and
+    // a purchase 2 h later for user 1 (outside the horizon)
+    stream.addData(ev(1, 10, "error", t0))
+    q.processAllAvailable()
+    stream.addData(
+      ev(1, 11, "purchase", t0 + 30 * 60 * 1000),
+      ev(2, 20, "purchase", t0 + 10 * 60 * 1000),
+      ev(1, 12, "purchase", t0 + 2 * 3600 * 1000))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table(sink).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("error_id"), r.getAs[Long]("purchase_id")))
+    assert(got.toSeq == Seq((1L, 10L, 11L)))
   }
 
   test("stateful ops run on the RocksDB state store (the at-scale provider)") {
