@@ -50,18 +50,22 @@ object Dedup {
     val rows = perms / bands
     val sigs = df.select(
       col(idCol).as("id"),
-      minHashSignature(shingles(tokens(col(textCol)), shingleN), perms).as("sig"))
+      minHashFromText(col(textCol), shingleN, perms).as("sig"))
     val banded = sigs
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // dedup candidate pairs BEFORE scoring: a pair can collide in up to
+    // `bands` buckets, and the signature-agreement scan is the expensive
+    // part — score each unique pair once, not once per collision.
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / perms.toDouble, 6).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, bucket by the 4 16-bit
@@ -70,7 +74,7 @@ object Dedup {
     */
   def simHashPairs(
       df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash64(tokens(col(textCol))).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), simHashFromText(col(textCol)).as("sig"))
     val quarters = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)).as("b"))

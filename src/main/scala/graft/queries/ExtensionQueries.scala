@@ -155,15 +155,15 @@ object ExtensionQueries {
     QueryDef(
       "ext08_minhash_lsh",
       (s, dir) => Dedup.minHashLsh(
-        Tables.documents(s, dir).filter(col("doc_id") < 200), "text", "doc_id"),
-      None, bench = false),
+        Tables.documents(s, dir), "text", "doc_id"),
+      None, bench = true),
 
     // SimHash near-dup pairs within Hamming distance 3.
     QueryDef(
       "ext09_simhash",
       (s, dir) => Dedup.simHashPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 200), "text", "doc_id"),
-      None, bench = false),
+        Tables.documents(s, dir), "text", "doc_id"),
+      None, bench = true),
 
     // Rolling-hash document fingerprints.
     QueryDef(

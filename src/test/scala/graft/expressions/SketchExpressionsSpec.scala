@@ -27,6 +27,19 @@ class SketchExpressionsSpec extends AnyFunSuite with SparkTestSession {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("fused text-to-signature UDFs equal the composed column forms") {
+    val rows = texts.select(
+      TextFunctions.minHashFromText(col("t"), 3, 32).as("mh_fused"),
+      TextFunctions.minHashSignature(
+        TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), 32).as("mh_col"),
+      TextFunctions.simHashFromText(col("t")).as("sh_fused"),
+      TextFunctions.simHash64(TextFunctions.tokens(col("t"))).as("sh_col")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("minhash_sig equals the num-pass HOF form for several sizes") {
     Seq(4, 16, 64).foreach { num =>
       val rows = texts.select(
