@@ -283,7 +283,14 @@ object MotionPipeline {
       tableDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    toStorageLayout(results).writeStream
+    toStorageLayout(results)
+      // per-batch load metrics surfaced through StreamingQueryProgress
+      // .observedMetrics — the producer's ZK load report
+      // (VideoEventCreator.java:69-90) without a side channel
+      .observe("graft_load",
+        count(lit(1)).as("rows"),
+        approx_count_distinct(col("camera_id")).as("cameras"))
+      .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -60,4 +60,28 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("ext02_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("results table prunes (camera_id, day) partitions on point reads") {
+    // the Cassandra partition-key read path (CassandraService.java:139-140):
+    // one camera-day predicate must touch one hive partition, not the table
+    import graft.streaming.{FrameFixtures, MotionPipeline}
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    import spark.implicits._
+    val lines = FrameFixtures.sequence("camA", 1700000000000L, 2, moving = false) ++
+      FrameFixtures.sequence("camB", 1700086400000L, 2, moving = false) // next day
+    val results = MotionPipeline.detectBin(
+      MotionPipeline.decodeWire(lines.toDF("value")),
+      java.nio.file.Files.createTempDirectory("prune-img").toString)
+    MotionPipeline.toStorageLayout(results)
+      .write.mode("overwrite").partitionBy("camera_id", "day").parquet(dir)
+
+    val q = spark.read.parquet(dir)
+      .where($"camera_id" === "camA" && $"day" === "2023-11-14")
+    val scan = q.queryExecution.executedPlan.toString
+    // both predicates land in PartitionFilters (directory pruning), not in
+    // data filters — and the result is exactly camA's rows
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("camera_id") && pf.contains("day"))
+    assert(q.count() == 2)
+  }
 }

@@ -175,6 +175,25 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(pngs(img).length == 2) // frame 3 moved vs frame 2 from the old file
   }
 
+  test("writeResults surfaces per-batch load metrics via observe()") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val t0 = 1700960000000L
+    val q = MotionPipeline.writeResults(
+      MotionPipeline.detectBin(
+        MotionPipeline.decodeWire(stream.toDF().toDF("value")), tmp("obs-img")),
+      tmp("obs-out"), tmp("obs-ckpt"))
+    stream.addData(
+      FrameFixtures.frameJson("camM", t0, FrameFixtures.PosA),
+      FrameFixtures.frameJson("camN", t0, FrameFixtures.PosA))
+    q.awaitTermination()
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_load")))
+    assert(observed.nonEmpty)
+    assert(observed.map(_.getAs[Long]("rows")).sum == 2)
+  }
+
   test("per-key isolation: cameras never see each other's previous frame") {
     val img = tmp("iso-img")
     val t0 = 1700500000000L
