@@ -107,6 +107,29 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The composed production near-dedup pipeline: MinHash-LSH generates
+    * candidate pairs (bounded by band-bucket occupancy), then exact word-set
+    * Jaccard verifies each candidate once — the 100 TB shape where the
+    * all-pairs O(n²) never materializes. Returns verified pairs
+    * (doc_a, doc_b, jaccard ≥ threshold).
+    */
+  def nearDupPipeline(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16): DataFrame = {
+    val candidates = minHashLsh(df, textCol, idCol, shingleN, perms, bands)
+      .select(col("id_a"), col("id_b"))
+    val toks = df.select(col(idCol).as("__id"), tokenSet(col(textCol)).as("__toks"))
+    candidates
+      .join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__toks", "toks_a"), "id_a")
+      .join(toks.withColumnRenamed("__id", "id_b").withColumnRenamed("__toks", "toks_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `blockCol` (e.g. a
     * cluster label or an LSH bucket from
     * [[graft.functions.VectorFunctions.hyperplaneBucket]]): pairwise cosine

@@ -204,6 +204,15 @@ object ExtensionQueries {
       },
       None, bench = false),
 
+    // The full scalable near-dedup composition: LSH candidates → exact
+    // Jaccard verify (rows-only: the candidate set is sketch-dependent;
+    // recall vs the exact all-pairs method is pinned by DedupSpec).
+    QueryDef(
+      "ext15_neardup_pipeline",
+      (s, dir) => Dedup.nearDupPipeline(
+        Tables.documents(s, dir), "text", "doc_id", threshold = 0.8),
+      None, bench = true),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg + broadcast back); the document

@@ -71,6 +71,17 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.jaccardPairs(df, "text", "doc_id", threshold = 0.5).count() == 1)
   }
 
+  test("nearDupPipeline finds exactly what all-pairs Jaccard finds on this corpus") {
+    // at jaccard ≥ 0.7 with 16 bands × 4 rows, candidate recall is ~0.999 —
+    // on this tiny corpus LSH must surface every qualifying pair
+    val viaPipeline = Dedup.nearDupPipeline(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaAllPairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaPipeline == viaAllPairs)
+    assert(viaPipeline.keySet.contains((1L, 2L))) // the exact dups
+  }
+
   test("embeddingNearDup only compares within blocks and is threshold-exact") {
     val df = Seq(
       (1L, "blk1", Seq(1.0f, 0.0f)),
