@@ -48,7 +48,9 @@ object AudioOps {
       var channels = 0
       var bits = 0
       var samples: Array[Short] = null
-      // walk chunks
+      // walk chunks; RIFF pads odd-sized chunks with one byte
+      def skipPad(size: Int): Unit =
+        if (size % 2 == 1 && buf.remaining() >= 1) buf.position(buf.position() + 1)
       while (buf.remaining() >= 8 && samples == null) {
         val id = new Array[Byte](4); buf.get(id)
         val size = buf.getInt
@@ -61,6 +63,7 @@ object AudioOps {
             bits = buf.getShort
             if (fmt != 1 || bits != 16) return None // PCM-16 only
             buf.position(buf.position() + (size - 16))
+            skipPad(size)
           case "data" =>
             val n = size / 2
             val s = new Array[Short](n)
@@ -69,9 +72,10 @@ object AudioOps {
             samples = s
           case _ =>
             buf.position(buf.position() + size)
+            skipPad(size)
         }
       }
-      if (samples == null || sampleRate == 0) None
+      if (samples == null || sampleRate <= 0 || channels < 1) None
       else Some(DecodedAudio(sampleRate, channels, samples))
     } catch { case _: Exception => None }
 

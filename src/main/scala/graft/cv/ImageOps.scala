@@ -110,6 +110,8 @@ object ImageOps {
       }
       r += 1
     }
-    (mean, std, edges.toDouble / (rows.toLong * (cols - 1)))
+    // a 1-px-wide image has no horizontal pairs: density 0, never NaN
+    val nPairs = rows.toLong * math.max(1, cols - 1)
+    (mean, std, edges.toDouble / nPairs)
   }
 }

@@ -35,23 +35,28 @@ object AsOf {
       .select("event_id", "user_id", "ref_ts_us")
   }
 
-  /** General two-table as-of: for each row of `left`, attach `valueCol` from
-    * the latest `right` row with `right.timeCol <= left.timeCol`, per `key`.
-    * Same union+window shape as above.
+  /** General two-table as-of: for each row of `left` (ALL its columns
+    * preserved), attach `valueCol` from the latest `right` row with
+    * `right.timeCol <= left.timeCol`, per `key`. Same union+window shape as
+    * above. The latest right ROW wins even when its value is null (wrapped
+    * in a struct so `last(…, ignoreNulls)` tracks row recency, not value
+    * non-nullness — pandas merge_asof semantics).
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       key: String, timeCol: String, valueCol: String): DataFrame = {
-    val l = left.select(col(key), col(timeCol).as("__t"))
-      .withColumn("__side", lit(0)).withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(col(key), col(timeCol).as("__t"), col(valueCol).as("__v"))
+    require(!left.columns.contains(valueCol),
+      s"left already has a column named $valueCol")
+    val l = left.withColumn("__side", lit(0))
+    val r = right.select(col(key), col(timeCol), col(valueCol))
       .withColumn("__side", lit(1))
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side").desc)
+    val w = Window.partitionBy(key).orderBy(col(timeCol), col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    l.unionByName(r)
-      .withColumn(valueCol, last(when(col("__side") === 1, col("__v")), ignoreNulls = true).over(w))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__ref",
+        last(when(col("__side") === 1, struct(col(valueCol))), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .drop("__side", "__v")
-      .withColumnRenamed("__t", timeCol)
+      .withColumn(valueCol, col("__ref").getField(valueCol))
+      .drop("__side", "__ref")
   }
 }

@@ -69,11 +69,17 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, bucket by the 4 16-bit
-    * quarters (any pair within Hamming distance `maxHamming` ≤ 16/4·3 shares
-    * at least one exact quarter — pigeonhole), verify Hamming inside buckets.
+    * quarters. Pigeonhole: a pair differing in ≤ 3 bits cannot touch all 4
+    * quarters, so it shares at least one exact quarter — hence candidate
+    * generation is complete only for `maxHamming` ≤ 3 (enforced; d = 4 can
+    * spread one flipped bit per quarter and would be silently missed).
+    * Verify Hamming inside buckets.
     */
   def simHashPairs(
       df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-quarter bucketing is only complete for maxHamming <= 3, got $maxHamming " +
+        "(use more/smaller bands for larger radii)")
     val sigs = df.select(col(idCol).as("id"), simHashFromText(col(textCol)).as("sig"))
     val quarters = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(q =>
@@ -93,16 +99,22 @@ object Dedup {
     * input; used as the verify stage after LSH, or standalone on small sets).
     * Output: (doc_a, doc_b, jaccard) for pairs ≥ `threshold`.
     */
+  /** Exact word-set Jaccard of two token-set columns, rounded to 6 dp (the
+    * single definition both the all-pairs and LSH-verified paths — and the
+    * DuckDB oracle — depend on).
+    */
+  private def jaccardOf(toksA: org.apache.spark.sql.Column, toksB: org.apache.spark.sql.Column) = {
+    val inter = size(array_intersect(toksA, toksB))
+    round(inter.cast("double") / (size(toksA) + size(toksB) - inter), 6)
+  }
+
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
     val a = t.select(col("id").as("doc_a"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("doc_b"), col("toks").as("toks_b"))
     a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .withColumn("jaccard", jaccardOf(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -122,10 +134,7 @@ object Dedup {
     candidates
       .join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__toks", "toks_a"), "id_a")
       .join(toks.withColumnRenamed("__id", "id_b").withColumnRenamed("__toks", "toks_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .withColumn("jaccard", jaccardOf(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }

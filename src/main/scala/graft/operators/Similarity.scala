@@ -54,13 +54,17 @@ object Similarity {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
 
-    // ---- train the coarse quantizer on a deterministic sample
-    val dim = corpus.select(toDouble(col(vecCol)).as("v")).head.getSeq[Double](0).length
+    // ---- train the coarse quantizer on a deterministic sample: order by id
+    // (TakeOrdered — one bounded job) so centroids don't depend on partition
+    // layout, and read the dimension off the sample itself (no extra job)
     val sample: Array[Array[Double]] = corpus
-      .select(toDouble(col(vecCol)).as("v"))
+      .select(col(idCol).as("__sid"), toDouble(col(vecCol)).as("v"))
+      .orderBy(col("__sid"))
       .limit(sampleSize)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val dim = sample(0).length
     val centroids = kmeans(sample, math.min(nLists, sample.length), dim, iters = 10, seed)
 
     def nearestLists(v: Seq[Double], n: Int): Seq[Int] =

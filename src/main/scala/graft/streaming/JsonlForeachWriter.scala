@@ -31,7 +31,15 @@ class JsonlForeachWriter(outDir: String) extends ForeachWriter[Row] {
           case null => "null"
           case n: Number => n.toString
           case b: Boolean => b.toString
-          case other => "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case other => "\"" + other.toString.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
         }
         "\"" + name + "\":" + rendered
       }.mkString("{", ",", "}")

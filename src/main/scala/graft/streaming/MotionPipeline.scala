@@ -134,7 +134,7 @@ object MotionPipeline {
             case _ => p.skipChildren()
           }
         }
-        if (camId == null || ts == null) None
+        if (camId == null || ts == null || rows <= 0 || cols <= 0) None
         else Some(BinFrame(camId, ts, rows, cols, matType, px))
       } finally p.close()
     } catch { case _: Exception => None }
@@ -148,7 +148,12 @@ object MotionPipeline {
     import spark.implicits._
     raw
       .select(from_json(col("value"), FrameCodec.wireSchema).as("f"))
-      .filter(col("f").isNotNull && col("f.camId").isNotNull)
+      // a missing timestamp or geometry field must drop the record here:
+      // downstream encoders use non-nullable Ints and the state fn derives
+      // paths from the timestamp, so a null would poison the query
+      .filter(col("f").isNotNull && col("f.camId").isNotNull &&
+        col("f.timestamp").isNotNull && col("f.rows").isNotNull &&
+        col("f.cols").isNotNull && col("f.type").isNotNull)
       .select(
         col("f.camId").as("camId"),
         col("f.timestamp").as("timestamp"),
@@ -244,7 +249,11 @@ object MotionPipeline {
 
         prev = PrevPlane(grayBlur, f.rows, f.cols)
       } catch {
-        case _: IllegalArgumentException => // bad base64 / size — skip frame
+        // any per-frame failure (bad payload size, null field that slipped
+        // the parse filter, I/O on the PNG write) skips the frame without
+        // advancing state — the reference helper's exception→null contract
+        // (FrameProcessorHelper.java:13-30)
+        case scala.util.control.NonFatal(_) =>
       }
     }
 

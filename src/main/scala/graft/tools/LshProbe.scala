@@ -8,9 +8,7 @@ import graft.sources.Tables
 /** Dev probe: where does ext08's time go at sf0.1. */
 object LshProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.builder(appName = "graft-lsh-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](l: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

@@ -8,12 +8,7 @@ import graft.streaming.{FrameProducer, MotionPipeline}
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder(appName = "graft-profile").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def time[A](label: String)(f: => A): A = {

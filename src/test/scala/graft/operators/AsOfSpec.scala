@@ -42,4 +42,19 @@ class AsOfSpec extends AnyFunSuite with SparkTestSession {
     assert(res.contains(("A", 25L, 2.0)))
     assert(res.exists(t => t._1 == "B" && t._2 == 10L && t._3.isNaN))
   }
+
+  test("asofJoin preserves all left columns and lets a null-valued latest row win") {
+    val trades = Seq(("A", 10L, 100L, 7), ("A", 25L, 101L, 9))
+      .toDF("sym", "t", "trade_id", "qty")
+    // latest quote before t=25 has a NULL px — as-of must return that null,
+    // not reach back to the older non-null quote
+    val quotes = Seq(("A", 5L, Some(1.0)), ("A", 20L, None))
+      .toDF("sym", "t", "px")
+    val out = AsOf.asofJoin(trades, quotes, "sym", "t", "px")
+    assert(out.columns.toSeq == Seq("sym", "t", "trade_id", "qty", "px"))
+    val byId = out.collect().map(r => r.getAs[Long]("trade_id") ->
+      (r.getAs[Int]("qty"), if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(byId(100L) == ((7, 1.0)))
+    assert(byId(101L)._1 == 9 && byId(101L)._2.isNaN)
+  }
 }

@@ -30,6 +30,25 @@ class AudioSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(zcr - 2.0 * 440 / 8000) < 0.01)
   }
 
+  test("odd-sized ancillary chunks are skipped with their RIFF pad byte") {
+    val s = sine(8000, 440, 0.05)
+    val plain = AudioOps.encodeWav(8000, 1, s)
+    // splice an odd-sized LIST chunk (5 bytes + 1 pad) between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val chunk = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = plain.take(fmtEnd) ++ chunk ++ plain.drop(fmtEnd)
+    val decoded = AudioOps.decodeWav(spliced)
+    assert(decoded.isDefined)
+    assert(decoded.get.samples.toSeq == s.toSeq)
+  }
+
+  test("zero-channel WAVs are rejected, not crash material") {
+    val s = sine(8000, 440, 0.05)
+    val wav = AudioOps.encodeWav(8000, 1, s)
+    wav(22) = 0 // fmt channels field → 0
+    assert(AudioOps.decodeWav(wav).isEmpty)
+  }
+
   test("resample halves the frame count at half rate") {
     val s = AudioOps.DecodedAudio(8000, 1, sine(8000, 100, 0.2))
     val r = AudioOps.resample(s, 4000)

@@ -35,4 +35,20 @@ class JsonlForeachWriterSpec extends AnyFunSuite with SparkTestSession {
     assert(lines.forall(_.contains("\"camera_id\":\"camF\"")))
     assert(lines.forall(_.contains("\"detection_type\":\"motion\"")))
   }
+
+  test("control characters in string fields are escaped, keeping one record per line") {
+    val out = Files.createTempDirectory("few-esc").toString
+    val w = new JsonlForeachWriter(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any]("line1\nline2\ttab\"quote"), schema)
+    assert(w.open(0, 0))
+    w.process(row)
+    w.close(null)
+    val lines = new java.io.File(out).listFiles()
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(lines.length == 1)
+    assert(lines.head == """{"s":"line1\nline2\ttab\"quote"}""")
+  }
 }

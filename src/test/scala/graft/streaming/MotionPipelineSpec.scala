@@ -96,9 +96,18 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
   test("malformed and null-field JSON rows are dropped before the operator") {
     import spark.implicits._
     val good = FrameFixtures.frameJson("camX", 1700200000000L, 4)
-    val rows = Seq(good, """{"not json""", """{"camId":null,"rows":1}""", "", "42")
+    val rows = Seq(good,
+      """{"not json""",
+      """{"camId":null,"rows":1}""",
+      "", "42",
+      // missing timestamp / missing geometry — would poison the typed
+      // encoder and the state fn's path derivation if not dropped here
+      """{"camId":"camX","rows":2,"cols":2,"type":16,"data":"AAAA"}""",
+      """{"camId":"camX","timestamp":"2024-01-01T00:00:00Z","data":"AAAA"}""")
     val parsed = MotionPipeline.parseFrames(rows.toDF("value")).collect()
     assert(parsed.map(_.camId).toSeq == Seq("camX"))
+    val fast = MotionPipeline.decodeWire(rows.toDF("value")).collect()
+    assert(fast.map(_.camId).toSeq == Seq("camX"))
   }
 
   test("corrupt base64 payload skips the frame without advancing state") {
