@@ -207,9 +207,24 @@ object MotionPipeline {
       camId: String,
       frames: Iterator[BinFrame],
       state: GroupState[PrevPlane]): Iterator[ProcessingResult] = {
+    val (out, newPrev) = processFrames(camId, frames, state.getOption.orNull, imageOutputDir)
+    if (newPrev != null) state.update(newPrev)
+    out.iterator
+  }
+
+  /** The state-API-agnostic core transition, shared by the
+    * flatMapGroupsWithState path and the Spark 4 transformWithState path:
+    * fold frames (event-time order) over the previous plane, return the
+    * emitted rows and the new plane (null ⇒ unchanged).
+    */
+  private[streaming] def processFrames(
+      camId: String,
+      frames: Iterator[BinFrame],
+      prev0: PrevPlane,
+      imageOutputDir: String): (Seq[ProcessingResult], PrevPlane) = {
 
     val sorted = frames.toArray.sortBy(f => Option(f.timestamp).map(_.getTime).getOrElse(0L))
-    var prev = state.getOption.orNull
+    var prev = prev0
     val out = Seq.newBuilder[ProcessingResult]
 
     sorted.foreach { f =>
@@ -257,8 +272,52 @@ object MotionPipeline {
       }
     }
 
-    if (prev != null) state.update(prev)
-    out.result().iterator
+    (out.result(), prev)
+  }
+
+  /** Spark 4 `transformWithState` variant of [[detectBin]] — same
+    * semantics via the same [[processFrames]] core, on the new arbitrary
+    * stateful API (requires the RocksDB state store provider in streaming).
+    */
+  def detectTws(frames: Dataset[BinFrame], imageOutputDir: String): Dataset[ProcessingResult] = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames
+      .groupByKey(_.camId)
+      .transformWithState(
+        new MotionStatefulProcessor(imageOutputDir),
+        streaming.TimeMode.None(),
+        OutputMode.Append(),
+        Encoders.product[ProcessingResult])
+  }
+
+  /** Per-camera processor on the transformWithState API (ValueState of the
+    * previous plane — the literal Spark-4 analog of the reference's Flink
+    * ValueState<VideoFrameData>, VideoProcessor.java:155-205).
+    */
+  class MotionStatefulProcessor(imageOutputDir: String)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BinFrame, ProcessingResult] {
+
+    @transient private var prev: org.apache.spark.sql.streaming.ValueState[PrevPlane] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      prev = getHandle.getValueState[PrevPlane](
+        "prevPlane",
+        org.apache.spark.sql.Encoders.product[PrevPlane],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[BinFrame],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ProcessingResult] = {
+      val p0 = if (prev.exists()) prev.get() else null
+      val (out, p1) = processFrames(key, rows, p0, imageOutputDir)
+      if (p1 != null) prev.update(p1)
+      out.iterator
+    }
   }
 
   // ------------------------------------------------------------- sinks

@@ -184,6 +184,44 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(pngs(img).length == 2) // frame 3 moved vs frame 2 from the old file
   }
 
+  test("transformWithState path matches the flatMapGroupsWithState path") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevConf = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700970000000L
+      val img = tmp("tws-img"); val table = tmp("tws-out"); val ckpt = tmp("tws-ckpt")
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      def runOnce(): Unit = {
+        val q = MotionPipeline.toStorageLayout(
+          MotionPipeline.detectTws(
+            MotionPipeline.decodeWire(stream.toDF().toDF("value")), img))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").partitionBy("camera_id", "day").parquet(table)
+          }.start()
+        q.awaitTermination()
+      }
+      stream.addData(
+        FrameFixtures.frameJson("camT", t0, FrameFixtures.PosA),
+        FrameFixtures.frameJson("camT", t0 + 1000, FrameFixtures.PosB))
+      runOnce()
+      assert(spark.read.parquet(table).count() == 2)
+      assert(pngs(img) == Seq(s"camT-T-${t0 + 1000}.png"))
+      // second batch via a new query from the same checkpoint: ValueState
+      // restored, frame 3 diffs against frame 2
+      stream.addData(FrameFixtures.frameJson("camT", t0 + 2000, FrameFixtures.PosA))
+      runOnce()
+      assert(spark.read.parquet(table).count() == 3)
+      assert(pngs(img).length == 2)
+    } finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("writeResults surfaces per-batch load metrics via observe()") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
