@@ -729,6 +729,83 @@ object RelationalQueries {
         FROM events GROUP BY 1
       """)),
 
+    // ---------------------------------------------------------------- q32
+    // TPC-H Q3 shape (shipping priority): 3-way join, filtered both sides,
+    // agg, global top-10 — the canonical fact-to-fact join-agg at scale.
+    QueryDef(
+      "q32_shipping_priority",
+      (s, dir) =>
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+          .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double)").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10),
+      Some("""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+      """)),
+
+    // ---------------------------------------------------------------- q33
+    // TPC-H Q5 shape (local supplier volume): 5-way snowflake join with the
+    // supplier-nation = customer-nation equi constraint.
+    QueryDef(
+      "q33_local_volume",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double)").as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+      """)),
+
+    // ---------------------------------------------------------------- q34
+    // TPC-H Q16-ish: agg over an anti-joined dimension with a grouped
+    // distinct count — join + NOT IN + count(distinct) in one plan.
+    QueryDef(
+      "q34_supplier_parts",
+      (s, dir) => {
+        val excluded = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type")
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT p_brand, p_type,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type
+      """)),
+
     // ---------------------------------------------------------------- q31
     // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont` share
     // the continuous-interpolation definition.
