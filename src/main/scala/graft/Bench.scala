@@ -30,10 +30,12 @@ object Bench {
     // streaming throughput first: isolated from the query suite's heap churn
     val fps = streamingFps(spark)
 
+    val failed = Seq.newBuilder[String]
     val results = headline.map { q =>
       val t0 = System.nanoTime()
       try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       q.name -> (System.nanoTime() - t0) / 1e9
@@ -41,7 +43,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"sf":"$sfDir"}""")
+    // failures are surfaced in the JSON line itself — a fast-failing query
+    // must not read as a good number
+    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

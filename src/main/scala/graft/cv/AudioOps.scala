@@ -65,6 +65,9 @@ object AudioOps {
             buf.position(buf.position() + (size - 16))
             skipPad(size)
           case "data" =>
+            // untrusted size: bound by what's actually in the buffer (a
+            // forged multi-GB declaration must not drive the allocation)
+            if (size < 0 || size > buf.remaining()) return None
             val n = size / 2
             val s = new Array[Short](n)
             var i = 0

@@ -205,8 +205,13 @@ object Kernels {
   def motionRegionCount(
       prev: Array[Byte], cur: Array[Byte], rows: Int, cols: Int, matType: Int): Int = {
     val channels = graft.model.FrameCodec.channelsOf(matType)
-    val expected = rows * cols * channels
-    if (prev == null || cur == null || prev.length != expected || cur.length != expected) -1
+    val expected = rows.toLong * cols * channels
+    // grayscale reads 3 interleaved samples per pixel for multi-channel
+    // input, so only 1/3/4-channel layouts are valid — anything else (e.g.
+    // CV_8UC2) maps to NULL rather than an out-of-bounds read
+    if (prev == null || cur == null || rows <= 0 || cols <= 0 ||
+      (channels != 1 && channels != 3 && channels != 4) ||
+      prev.length != expected || cur.length != expected) -1
     else detectMotion(prev, cur, rows, cols, channels).size
   }
 }

@@ -35,13 +35,21 @@ object Png {
     img
   }
 
+  /** camId comes off the untrusted wire; keep it a flat filename component
+    * (no separators / traversal) before it reaches the filesystem.
+    */
+  def sanitizeCamId(camId: String): String = {
+    val s = Option(camId).getOrElse("null").replaceAll("[^A-Za-z0-9._-]", "_")
+    if (s.isEmpty || s.forall(_ == '.')) "_" else s
+  }
+
   /** Write `{camId}-T-{epochMillis}.png` under outputDir (mkdir -p). */
   def saveFrame(
       px: Array[Byte], rows: Int, cols: Int, channels: Int,
       camId: String, epochMillis: Long, outputDir: String): String = {
     val dir = new File(outputDir)
     if (!dir.exists()) dir.mkdirs()
-    val path = new File(dir, s"$camId-T-$epochMillis.png")
+    val path = new File(dir, s"${sanitizeCamId(camId)}-T-$epochMillis.png")
     ImageIO.write(toImage(px, rows, cols, channels), "png", path)
     path.getAbsolutePath
   }

@@ -174,8 +174,9 @@ object TextFunctions {
   // ------------------------------------------------- fingerprint / quality
 
   /** Karp–Rabin rolling-hash document fingerprint: polynomial hash of the
-    * token sequence mod 2^61-1 (order-sensitive, whitespace-normalized —
-    * unlike md5(text) it ignores spacing differences).
+    * token sequence mod 2^31−1 (order-sensitive, whitespace-normalized —
+    * unlike md5(text) it ignores spacing differences). The small modulus
+    * keeps every intermediate below 2^52, inside ANSI-mode long arithmetic.
     */
   def fingerprint(toks: Column): Column = {
     // p = 2^31-1 keeps acc*base + h < 2^52 — safe under ANSI overflow checks.

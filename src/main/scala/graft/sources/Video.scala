@@ -45,8 +45,14 @@ object Video {
       if (buf.getInt != Magic) return None
       val rows = buf.getInt; val cols = buf.getInt
       val channels = buf.getInt; val fps = buf.getInt; val n = buf.getInt
-      val frameLen = rows * cols * channels
-      if (bytes.length < 24 + frameLen.toLong * n) return None
+      // header fields are untrusted: validate sign and compute the frame
+      // length in Long space so rows*cols*channels can't wrap past the
+      // bounds check
+      if (rows <= 0 || cols <= 0 || channels <= 0 || n < 0) return None
+      val frameLenL = rows.toLong * cols * channels
+      if (frameLenL > Int.MaxValue ||
+        bytes.length.toLong < 24L + frameLenL * n) return None
+      val frameLen = frameLenL.toInt
       val frames = (0 until n).map { i =>
         val f = new Array[Byte](frameLen)
         System.arraycopy(bytes, 24 + i * frameLen, f, 0, frameLen)

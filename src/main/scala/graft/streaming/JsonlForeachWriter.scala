@@ -29,6 +29,9 @@ class JsonlForeachWriter(outDir: String) extends ForeachWriter[Row] {
         val v = row.get(i)
         val rendered = v match {
           case null => "null"
+          // bare NaN/Infinity tokens are not JSON — render as null
+          case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+          case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
           case n: Number => n.toString
           case b: Boolean => b.toString
           case other => "\"" + other.toString.flatMap {

@@ -259,7 +259,7 @@ object MotionPipeline {
           detectionCount = 1,
           frameRows = f.rows,
           frameCols = f.cols,
-          imagePath = s"$imageOutputDir/$camId-T-${f.timestamp.getTime}.png",
+          imagePath = s"$imageOutputDir/${Png.sanitizeCamId(camId)}-T-${f.timestamp.getTime}.png",
           metadata = null)
 
         prev = PrevPlane(grayBlur, f.rows, f.cols)

@@ -105,7 +105,12 @@ object StreamOps {
   def dedupFrames(
       frames: Dataset[VideoFrameData],
       watermarkDelay: String = "5 seconds"): Dataset[VideoFrameData] =
-    frames
-      .withWatermark("timestamp", watermarkDelay)
-      .dropDuplicatesWithinWatermark("camId", "timestamp")
+    if (frames.isStreaming)
+      frames
+        .withWatermark("timestamp", watermarkDelay)
+        .dropDuplicatesWithinWatermark("camId", "timestamp")
+    else
+      // batch has the whole input: plain dedup is the same result with no
+      // watermark machinery (dropDuplicatesWithinWatermark is streaming-only)
+      frames.dropDuplicates("camId", "timestamp")
 }

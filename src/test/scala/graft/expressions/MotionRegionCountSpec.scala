@@ -37,6 +37,15 @@ class MotionRegionCountSpec extends AnyFunSuite with SparkTestSession {
     assert(zero == 0)
   }
 
+  test("unsupported channel layouts (CV_8UC2) yield NULL, not a crash") {
+    // matType 8 → 2 channels: payload length matches but the layout is
+    // not grayscale-able; the expression must return NULL
+    val twoCh = Array.fill(4 * 4 * 2)(1.toByte)
+    val df = Seq((twoCh, twoCh)).toDF("prev", "cur")
+    val rows = df.selectExpr("motion_region_count(prev, cur, 4, 4, 8) AS n").collect()
+    assert(rows.head.isNullAt(0))
+  }
+
   test("nulls and wrong-sized payloads yield NULL") {
     val a = px(FrameFixtures.PosA)
     val df = Seq(

@@ -42,6 +42,14 @@ class AudioSpec extends AnyFunSuite with SparkTestSession {
     assert(decoded.get.samples.toSeq == s.toSeq)
   }
 
+  test("a forged multi-GB data-chunk size is rejected without allocating") {
+    val wav = AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.01))
+    // data chunk size field sits 8 bytes before the samples (offset 40)
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 0x7FFFFFF0)
+    assert(AudioOps.decodeWav(wav).isEmpty)
+  }
+
   test("zero-channel WAVs are rejected, not crash material") {
     val s = sine(8000, 440, 0.05)
     val wav = AudioOps.encodeWav(8000, 1, s)

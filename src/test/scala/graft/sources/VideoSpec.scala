@@ -23,6 +23,18 @@ class VideoSpec extends AnyFunSuite with SparkTestSession {
     assert(Video.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("corrupt headers whose geometry overflows Int are rejected") {
+    // rows*cols = 2^32 wraps to 0 in Int math — the Long-space bound check
+    // must reject instead of returning zero-length frames
+    val buf = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0x47564944).putInt(65536).putInt(65536).putInt(1).putInt(30).putInt(2)
+    assert(Video.decodeFrames(buf.array()).isEmpty)
+    // negative dimension
+    val buf2 = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf2.putInt(0x47564944).putInt(-4).putInt(4).putInt(3).putInt(30).putInt(1)
+    assert(Video.decodeFrames(buf2.array()).isEmpty)
+  }
+
   test("frames explodes per-frame rows; sampling and motion compose on top") {
     val dir = Files.createTempDirectory("vids").toString
     Files.write(Paths.get(dir, "moving.gvid"), clip(moving = true, 4))

@@ -176,6 +176,14 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     q.stop()
   }
 
+  test("dedupFrames works on batch Datasets too (plain dropDuplicates fallback)") {
+    import spark.implicits._
+    val batch = MotionPipeline.parseFrames(
+      Seq(frame("camB1", t0), frame("camB1", t0), frame("camB1", t0 + 1000)).toDF("value"))
+    assert(!batch.isStreaming)
+    assert(StreamOps.dedupFrames(batch).count() == 2)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed frames across batches") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
