@@ -454,13 +454,14 @@ object RelationalQueries {
     QueryDef(
       "q20_exists",
       (s, dir) => {
-        Tables.customer(s, dir).createOrReplaceTempView("customer")
-        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        // query-scoped view names: Verify runs the catalog concurrently
+        Tables.customer(s, dir).createOrReplaceTempView("customer_q20")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_q20")
         s.sql("""
-          SELECT c_custkey, c_name FROM customer c
-          WHERE EXISTS (SELECT 1 FROM orders o
+          SELECT c_custkey, c_name FROM customer_q20 c
+          WHERE EXISTS (SELECT 1 FROM orders_q20 o
                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
-            AND NOT EXISTS (SELECT 1 FROM orders o2
+            AND NOT EXISTS (SELECT 1 FROM orders_q20 o2
                             WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
         """)
       },
@@ -477,12 +478,12 @@ object RelationalQueries {
     QueryDef(
       "q21_grouping_sets",
       (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_q21")
         s.sql("""
           SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
-          FROM orders
+          FROM orders_q21
           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
           HAVING COUNT(*) > 5
         """)
