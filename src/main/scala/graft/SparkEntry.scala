@@ -13,9 +13,27 @@ object SparkEntry {
 
   val all: Seq[QueryDef] = RelationalQueries.defs ++ ExtensionQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    all.find(_.name == "q05_star_join").get.build(spark, "/root/testdata/sf0.001")
+  /** Flagship: the end-to-end video pipeline (producer → wire JSON → parse →
+    * keyed stateful motion detect → storage layout) summarized per camera,
+    * joined with the star-join query on sf0.001 as a literal smoke of both
+    * halves of the engine. Driver checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{FrameProducer, MotionPipeline}
+    val img = java.nio.file.Files.createTempDirectory("entry-img").toString
+    val frames = FrameProducer.framesBatch(spark, nCameras = 2, framesPerCamera = 3,
+      t0Millis = 1700000000000L)
+    val wire = FrameProducer.toWire(frames, nCameras = 2).select("value")
+    val perCamera = MotionPipeline.toStorageLayout(
+      MotionPipeline.detectBin(MotionPipeline.decodeWire(wire), img))
+      .groupBy("camera_id")
+      .agg(count(lit(1)).as("n_frames"))
+    val star = all.find(_.name == "q05_star_join").get
+      .build(spark, "/root/testdata/sf0.001")
+      .agg(count(lit(1)).as("n_brands"))
+    perCamera.crossJoin(star)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
