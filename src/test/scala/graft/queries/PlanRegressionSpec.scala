@@ -12,8 +12,8 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  private def plan(name: String, dir: String = sf): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("q05 star join broadcasts both dims — fact side never shuffles for the join") {
     val p = plan("q05_star_join")
@@ -59,6 +59,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
   test("ext02 knn broadcasts the query set against the corpus scan") {
     val p = plan("ext02_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
+    // plans chosen from tiny stats can silently flip at larger inputs —
+    // pin the scale-critical shapes at the correctness-gate SF too
+    val p05 = plan("q05_star_join", "/root/testdata/sf0.01")
+    assert(p05.contains("BroadcastHashJoin") && !p05.contains("SortMergeJoin"))
+    assert(plan("ext01_dedup_exact", "/root/testdata/sf0.01").contains("WindowGroupLimit"))
+    assert(plan("q16_sort_limit", "/root/testdata/sf0.01").contains("TakeOrderedAndProject"))
+    val p09 = plan("q09_range_join", "/root/testdata/sf0.01")
+    assert(!p09.contains("BroadcastNestedLoopJoin") && !p09.contains("CartesianProduct"))
   }
 
   test("results table prunes (camera_id, day) partitions on point reads") {
