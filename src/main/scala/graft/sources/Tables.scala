@@ -48,6 +48,9 @@ object Tables {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** ORC scan — same columnar pushdown/pruning properties as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -86,6 +86,23 @@ object FrameProducer {
         .load(),
       nCameras, rows, cols, moving)
 
+  /** Deterministic streaming generator for tests/replay: `rate-micro-batch`
+    * emits exactly `rowsPerBatch` rows per micro-batch with a fixed start
+    * timestamp — reproducible micro-batch boundaries, unlike the wall-clock
+    * `rate` source.
+    */
+  def framesStreamDeterministic(
+      spark: SparkSession, nCameras: Int, rowsPerBatch: Int,
+      startMillis: Long = 1700000000000L,
+      rows: Int = DefaultRows, cols: Int = DefaultCols,
+      moving: Boolean = true): Dataset[VideoFrameData] =
+    shape(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch.toLong)
+        .option("startTimestamp", startMillis)
+        .load(),
+      nCameras, rows, cols, moving)
+
   /** Bounded batch frame source: nCameras × framesPerCamera frames, 1/fps s
     * apart starting at t0 (for tests and fixture generation).
     */

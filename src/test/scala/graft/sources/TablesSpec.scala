@@ -32,6 +32,16 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(explicit.count() == nation.count())
   }
 
+  test("ORC round-trip preserves rows and values") {
+    val dir = Files.createTempDirectory("orc").toString
+    val nation = Tables.nation(spark, sf)
+    nation.write.mode("overwrite").orc(dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.schema == nation.schema)
+    assert(back.collect().map(_.toSeq.toString).sorted.toSeq ==
+      nation.collect().map(_.toSeq.toString).sorted.toSeq)
+  }
+
   test("JSON round-trip preserves rows and values") {
     val dir = Files.createTempDirectory("json").toString
     val region = Tables.region(spark, sf)

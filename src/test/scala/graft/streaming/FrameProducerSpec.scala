@@ -69,6 +69,23 @@ class FrameProducerSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("rate-micro-batch generator streams deterministic frames through detection") {
+    val img = Files.createTempDirectory("rmb-img").toString
+    val frames = FrameProducer.framesStreamDeterministic(
+      spark, nCameras = 2, rowsPerBatch = 4, startMillis = t0)
+    assert(frames.isStreaming)
+    val sink = s"sink_${System.nanoTime()}"
+    val q = MotionPipeline.detect(frames, img)
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one AvailableNow batch of 4 rows → 2 cameras × 2 frames, one result each
+    val rows = spark.table(sink).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("cameraId")).distinct.sorted.toSeq == Seq("cam0", "cam1"))
+  }
+
   test("end-to-end: produced frames flow through the motion pipeline and detect motion") {
     val img = Files.createTempDirectory("prod-img").toString
     // square teleports every frame → motion on every frame after the first
