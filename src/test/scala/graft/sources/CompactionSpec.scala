@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class CompactionSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def write(dir: String, day: String, n: Int, batches: Int): Unit =
+    (1 to batches).foreach { b =>
+      (1 to n).map(i => ("camA", day, s"row-$day-$b-$i"))
+        .toDF("camera_id", "day", "payload")
+        .repartition(2) // several small files per append, like micro-batches
+        .write.mode("append").partitionBy("camera_id", "day").parquet(dir)
+    }
+
+  private def filesIn(dir: String, day: String): Int =
+    Option(new java.io.File(s"$dir/camera_id=camA/day=$day").listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+
+  test("compaction rewrites old partitions into few files and leaves fresh ones alone") {
+    val dir = Files.createTempDirectory("compact").toString
+    write(dir, "2024-01-01", n = 10, batches = 5) // historical: 10 small files
+    write(dir, "2024-01-02", n = 10, batches = 5) // "today": must stay untouched
+    val before = spark.read.parquet(dir).select("payload").as[String].collect().sorted
+    assert(filesIn(dir, "2024-01-01") == 10)
+
+    val rewritten = Compaction.compactResults(spark, dir, beforeDay = "2024-01-02")
+    assert(rewritten == 50)
+    assert(filesIn(dir, "2024-01-01") <= 2) // coalesced
+    assert(filesIn(dir, "2024-01-02") == 10) // untouched partition
+    // zero data change
+    val after = spark.read.parquet(dir).select("payload").as[String].collect().sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("no-op when nothing is older than the cutoff") {
+    val dir = Files.createTempDirectory("compact2").toString
+    write(dir, "2024-03-05", n = 4, batches = 2)
+    assert(Compaction.compactResults(spark, dir, "2024-01-01") == 0)
+    assert(filesIn(dir, "2024-03-05") == 4)
+  }
+}

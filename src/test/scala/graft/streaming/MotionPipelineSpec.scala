@@ -222,6 +222,32 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     } finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("LoadReportListener captures per-batch rates and observed rows") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val listener = new LoadReportListener()
+    spark.streams.addListener(listener)
+    try {
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val t0 = 1700980000000L
+      val q = MotionPipeline.writeResults(
+        MotionPipeline.detectBin(
+          MotionPipeline.decodeWire(stream.toDF().toDF("value")), tmp("lrl-img")),
+        tmp("lrl-out"), tmp("lrl-ckpt"))
+      stream.addData(
+        FrameFixtures.frameJson("camL", t0, FrameFixtures.PosA),
+        FrameFixtures.frameJson("camL", t0 + 1000, FrameFixtures.PosB))
+      q.awaitTermination()
+      // listener delivery is async — poll briefly
+      var tries = 0
+      while (listener.reports.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val withRows = listener.reports.filter(_.numInputRows > 0)
+      assert(withRows.nonEmpty)
+      assert(withRows.map(_.numInputRows).sum == 2)
+      assert(withRows.flatMap(_.observedRows).sum == 2)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("writeResults surfaces per-batch load metrics via observe()") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
