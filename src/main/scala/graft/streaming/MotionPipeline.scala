@@ -194,6 +194,52 @@ object MotionPipeline {
         processGroup(imageOutputDir) _)
   }
 
+  /** [[detectBin]] with bounded state: cameras idle past `idleTimeout` of
+    * event time (measured against the watermark) have their plane evicted.
+    * Without this, every camera that ever existed pins rows×cols bytes of
+    * state forever — the reference has the same leak (its ValueState is
+    * never cleared); at fleet scale eviction is mandatory. A camera that
+    * returns after eviction is treated as new (first frame emits a row, no
+    * diff) — identical to how the reference behaves after a restart with no
+    * checkpoint.
+    */
+  def detectBinExpiring(
+      frames: Dataset[BinFrame], imageOutputDir: String,
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMillis: Long = 3600L * 1000): Dataset[ProcessingResult] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames
+      .withWatermark("timestamp", watermarkDelay)
+      .groupByKey(_.camId)
+      .flatMapGroupsWithState[PrevPlane, ProcessingResult](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        processGroupExpiring(imageOutputDir, idleTimeoutMillis) _)
+  }
+
+  private[streaming] def processGroupExpiring(imageOutputDir: String, idleTimeoutMillis: Long)(
+      camId: String,
+      frames: Iterator[BinFrame],
+      state: GroupState[PrevPlane]): Iterator[ProcessingResult] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val materialized = frames.toArray
+      val (out, newPrev) =
+        processFrames(camId, materialized.iterator, state.getOption.orNull, imageOutputDir)
+      if (newPrev != null) state.update(newPrev)
+      if (state.exists) {
+        val maxEvent = materialized.iterator
+          .flatMap(f => Option(f.timestamp).map(_.getTime)).maxOption.getOrElse(0L)
+        // timeout must sit strictly beyond the current watermark
+        state.setTimeoutTimestamp(
+          math.max(maxEvent + idleTimeoutMillis, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+  }
+
   /** The per-key state transition (KeyedProcessFunction analog,
     * VideoProcessor.java:177-204 + MotionDetector.java:23-92):
     * for each frame in event-time order — detect motion against the previous

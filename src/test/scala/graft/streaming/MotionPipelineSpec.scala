@@ -184,6 +184,39 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(pngs(img).length == 2) // frame 3 moved vs frame 2 from the old file
   }
 
+  test("detectBinExpiring evicts idle-camera state past the watermark") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700990000000L
+    val img = tmp("ttl-img")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = MotionPipeline.detectBinExpiring(
+      MotionPipeline.decodeWire(stream.toDF().toDF("value")), img,
+      watermarkDelay = "1 second", idleTimeoutMillis = 60_000L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+
+    // batch 1: camA frame — state created, timeout armed at t0+60s
+    stream.addData(FrameFixtures.frameJson("camA", t0, FrameFixtures.PosA))
+    q.processAllAvailable()
+    // batch 2: camB an hour later pushes the watermark far past camA's
+    // timeout; batch 3 lets the expired timer fire and evict camA
+    stream.addData(FrameFixtures.frameJson("camB", t0 + 3600_000L, FrameFixtures.PosA))
+    q.processAllAvailable()
+    stream.addData(FrameFixtures.frameJson("camB", t0 + 3610_000L, FrameFixtures.PosA))
+    q.processAllAvailable()
+    // batch 4: camA returns MOVED — with its plane evicted this is a fresh
+    // first frame: a row is emitted but no diff runs, so NO motion PNG
+    stream.addData(FrameFixtures.frameJson("camA", t0 + 3620_000L, FrameFixtures.PosB))
+    q.processAllAvailable()
+    q.stop()
+
+    val results = spark.table(sink).collect()
+    assert(results.length == 4) // every frame still emits its row
+    assert(pngs(img).isEmpty) // eviction prevented the would-be motion diff
+  }
+
   test("transformWithState path matches the flatMapGroupsWithState path") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
