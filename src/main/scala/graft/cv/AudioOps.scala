@@ -54,6 +54,8 @@ object AudioOps {
       while (buf.remaining() >= 8 && samples == null) {
         val id = new Array[Byte](4); buf.get(id)
         val size = buf.getInt
+        // a negative declared size would rewind the cursor and loop forever
+        if (size < 0 || size > buf.remaining()) return None
         new String(id, "US-ASCII") match {
           case "fmt " =>
             val fmt = buf.getShort
@@ -65,9 +67,6 @@ object AudioOps {
             buf.position(buf.position() + (size - 16))
             skipPad(size)
           case "data" =>
-            // untrusted size: bound by what's actually in the buffer (a
-            // forged multi-GB declaration must not drive the allocation)
-            if (size < 0 || size > buf.remaining()) return None
             val n = size / 2
             val s = new Array[Short](n)
             var i = 0

@@ -75,6 +75,9 @@ object FrameCodec {
     */
   def channelsOf(matType: Int): Int = ((matType >> 3) & 0x1ff) + 1
 
+  /** Inverse for 8-bit unsigned layouts: channels → CV_8UCn type code. */
+  def matTypeOf(channels: Int): Int = (channels - 1) << 3
+
   /** Raw pixel payload length validation (MotionDetector.java:101-104). */
   def expectedBytes(rows: Int, cols: Int, matType: Int): Int =
     rows * cols * channelsOf(matType)

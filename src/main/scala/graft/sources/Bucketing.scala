@@ -27,7 +27,7 @@ object Bucketing {
   /** Join two same-bucketed tables on the bucket column. With equal bucket
     * counts the join is Exchange-free (verified by BucketingSpec).
     */
-  def cololocatedJoin(
+  def colocatedJoin(
       spark: org.apache.spark.sql.SparkSession,
       leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)

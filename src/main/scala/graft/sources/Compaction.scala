@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -9,7 +10,7 @@ import org.apache.spark.sql.functions._
   * per (camera_id, day) partition; after days of 60 s batches a partition
   * holds thousands of KB-sized files and scan planning dominates query
   * time — the classic streaming small-file problem. Compaction rewrites
-  * each partition's rows into ~`targetFileBytes` files.
+  * each historical partition's rows into ~`targetFileBytes` files.
   *
   * Uses dynamic partition overwrite so ONLY partitions present in the
   * rewritten data are replaced — an untouched partition (e.g. today's,
@@ -30,12 +31,22 @@ object Compaction {
       val toCompact = spark.read.parquet(tableDir).where(col("day") < beforeDay)
       val rows = toCompact.count()
       if (rows > 0) {
-        // estimate output file count from input bytes (parquet in ≈ out)
-        val inputBytes = toCompact.inputFiles
-          .map(f => new java.io.File(new java.net.URI(f)).length()).sum
-        val nFiles = math.max(1, (inputBytes / targetFileBytes).toInt)
+        // size only the partitions being rewritten, through the Hadoop FS
+        // API (works on hdfs/s3a/..., unlike java.io.File)
+        val (targetBytes, nPartitions) =
+          partitionSizes(spark, tableDir, beforeDay)
+        val filesPerPartition =
+          math.max(1, math.ceil(targetBytes.toDouble /
+            math.max(1, nPartitions) / targetFileBytes).toInt)
+        // rows with equal (camera_id, day) hash to one task — a salt lets a
+        // big partition split across `filesPerPartition` writers. The
+        // partition count is explicit: AQE would otherwise coalesce the
+        // shuffle and undo the split.
         toCompact
-          .repartition(nFiles, col("camera_id"), col("day"))
+          .withColumn("__salt", (rand(7L) * filesPerPartition).cast("int"))
+          .repartition(math.max(1, nPartitions) * filesPerPartition,
+            col("camera_id"), col("day"), col("__salt"))
+          .drop("__salt")
           .write.mode("overwrite")
           .partitionBy("camera_id", "day")
           .parquet(tableDir)
@@ -45,5 +56,25 @@ object Compaction {
       old.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
     }
+  }
+
+  /** (total bytes, partition count) of the camera-day partition directories
+    * with day < beforeDay.
+    */
+  private def partitionSizes(
+      spark: SparkSession, tableDir: String, beforeDay: String): (Long, Int) = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dayDirs = fs.globStatus(new Path(root, "camera_id=*/day=*"))
+    var bytes = 0L
+    var n = 0
+    if (dayDirs != null) dayDirs.foreach { st =>
+      val day = st.getPath.getName.stripPrefix("day=")
+      if (st.isDirectory && day < beforeDay) {
+        n += 1
+        bytes += fs.getContentSummary(st.getPath).getLength
+      }
+    }
+    (bytes, n)
   }
 }

@@ -75,6 +75,10 @@ object Images {
   def sampleFrames(images: DataFrame, everyNth: Int): DataFrame = {
     val named = images
       .withColumn("fname", element_at(split(col("path"), "/"), -1))
+      // stray files that don't match {cam}-T-{ms}.png are dropped BEFORE
+      // the cast: under ANSI mode (Spark 4 default) casting the empty
+      // string from a failed regexp_extract would abort the job
+      .filter(col("fname").rlike("^.+-T-\\d+\\.png$"))
       .withColumn("camera_id", regexp_extract(col("fname"), "^(.*)-T-\\d+\\.png$", 1))
       .withColumn("epoch_ms", regexp_extract(col("fname"), "-T-(\\d+)\\.png$", 1).cast("long"))
     val w = org.apache.spark.sql.expressions.Window

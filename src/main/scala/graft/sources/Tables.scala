@@ -25,6 +25,9 @@ object Tables {
     *   - `ts`     TimestampType at µs for date/window functions.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // NOTE session-wide effect, deliberately not restored: the conf must
+    // still hold when the lazy plan executes, and any nanos-parquet read in
+    // a graft session is this table. Declared here AND in GraftSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
@@ -32,8 +35,8 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
   }
 
-  /** CSV scan with header + schema inference off by default (explicit schema
-    * keeps the scan single-pass; inference reads the data twice).
+  /** CSV scan with header. Pass a schema to keep the scan single-pass;
+    * without one, inference is enabled and reads the data twice.
     */
   def csv(spark: SparkSession, path: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {

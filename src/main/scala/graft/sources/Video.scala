@@ -48,7 +48,10 @@ object Video {
       // header fields are untrusted: validate sign and compute the frame
       // length in Long space so rows*cols*channels can't wrap past the
       // bounds check
-      if (rows <= 0 || cols <= 0 || channels <= 0 || n < 0) return None
+      // channels restricted to the layouts the CV kernels can read
+      // (interleaved gray/BGR/BGRA) — 2-channel data would read OOB there
+      if (rows <= 0 || cols <= 0 || n < 0 ||
+        (channels != 1 && channels != 3 && channels != 4)) return None
       val frameLenL = rows.toLong * cols * channels
       if (frameLenL > Int.MaxValue ||
         bytes.length.toLong < 24L + frameLenL * n) return None
@@ -92,9 +95,13 @@ object Video {
     frameRows.filter(col("frame_idx") % everyNth === 0)
 
   private val motionUdf = udf(
-    (prev: Array[Byte], cur: Array[Byte], rows: Int, cols: Int, ch: Int) =>
-      if (prev == null) -1
-      else Kernels.detectMotion(prev, cur, rows, cols, ch).size)
+    (prev: Array[Byte], cur: Array[Byte], rows: Int, cols: Int, ch: Int) => {
+      // NULL (not a sentinel) for the first frame or anything the guarded
+      // kernel entry point rejects — same contract as motion_region_count
+      val n = Kernels.motionRegionCount(prev, cur, rows, cols,
+        graft.model.FrameCodec.matTypeOf(ch))
+      if (n < 0) null.asInstanceOf[java.lang.Integer] else java.lang.Integer.valueOf(n)
+    })
 
   /** Per-frame motion vs the previous frame of the same video — the batch
     * window-lag form of the streaming pipeline, applied to decoded files.

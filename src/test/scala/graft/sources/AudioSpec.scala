@@ -50,6 +50,15 @@ class AudioSpec extends AnyFunSuite with SparkTestSession {
     assert(AudioOps.decodeWav(wav).isEmpty)
   }
 
+  test("a negative unknown-chunk size is rejected instead of looping forever") {
+    val wav = AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.01))
+    val fmtEnd = 12 + 8 + 16
+    // unknown chunk declaring size -8 would rewind the cursor to its own start
+    val evil = Array[Byte]('J', 'U', 'N', 'K', -8, -1, -1, -1)
+    val spliced = wav.take(fmtEnd) ++ evil ++ wav.drop(fmtEnd)
+    assert(AudioOps.decodeWav(spliced).isEmpty)
+  }
+
   test("zero-channel WAVs are rejected, not crash material") {
     val s = sine(8000, 440, 0.05)
     val wav = AudioOps.encodeWav(8000, 1, s)

@@ -22,7 +22,7 @@ class BucketingSpec extends AnyFunSuite with SparkTestSession {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = Bucketing.cololocatedJoin(spark, custTbl, ordTbl, "c_custkey")
+      val joined = Bucketing.colocatedJoin(spark, custTbl, ordTbl, "c_custkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"))
       assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")

@@ -38,6 +38,16 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(after.toSeq == before.toSeq)
   }
 
+  test("a big partition splits across multiple files when over the target size") {
+    val dir = Files.createTempDirectory("compact3").toString
+    write(dir, "2024-01-01", n = 2000, batches = 3)
+    // tiny target forces several output files for the single partition —
+    // the salt is what lets equal (camera_id, day) rows reach >1 writer
+    Compaction.compactResults(spark, dir, "2024-02-01", targetFileBytes = 8 * 1024)
+    assert(filesIn(dir, "2024-01-01") > 1)
+    assert(spark.read.parquet(dir).count() == 6000)
+  }
+
   test("no-op when nothing is older than the cutoff") {
     val dir = Files.createTempDirectory("compact2").toString
     write(dir, "2024-03-05", n = 4, batches = 2)

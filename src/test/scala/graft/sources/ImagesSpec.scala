@@ -67,6 +67,9 @@ class ImagesSpec extends AnyFunSuite with SparkTestSession {
     val dir = Files.createTempDirectory("imgs-smp").toString
     writeFrames(dir, "camD", 6)
     writeFrames(dir, "camE", 3)
+    // a stray PNG without the -T-{ms} pattern must be ignored, not abort
+    // the job on the ANSI cast of a failed regexp_extract
+    Files.write(java.nio.file.Paths.get(dir, "cover.png"), Array[Byte](1, 2, 3))
     val kept = Images.sampleFrames(Images.readPngDir(spark, dir), everyNth = 2)
       .select("camera_id", "epoch_ms").collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq

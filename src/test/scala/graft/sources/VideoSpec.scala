@@ -48,12 +48,23 @@ class VideoSpec extends AnyFunSuite with SparkTestSession {
     assert(sampled.count() == 4) // frames 0 and 2 of each clip
 
     val motion = Video.withMotion(all).collect()
-      .map(r => (r.getAs[String]("path").split('/').last,
-        r.getAs[Int]("frame_idx"), r.getAs[Int]("n_regions")))
-    // first frame of each clip unknown (-1); moving clip has motion on 1..3
+      .map { r =>
+        val n = if (r.isNullAt(r.fieldIndex("n_regions"))) -1
+          else r.getAs[Int]("n_regions")
+        (r.getAs[String]("path").split('/').last, r.getAs[Int]("frame_idx"), n)
+      }
+    // first frame of each clip has NULL regions (no previous frame);
+    // moving clip has motion on 1..3
     assert(motion.filter(_._1 == "moving.gvid").sortBy(_._2).map(_._3).toSeq ==
       Seq(-1, 1, 1, 1))
     assert(motion.filter(_._1 == "static.gvid").sortBy(_._2).map(_._3).toSeq ==
       Seq(-1, 0, 0, 0))
+  }
+
+  test("unsupported channel counts in the header are rejected") {
+    val buf = java.nio.ByteBuffer.allocate(24 + 4 * 4 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0x47564944).putInt(4).putInt(4).putInt(2).putInt(30).putInt(1)
+    assert(Video.decodeFrames(buf.array()).isEmpty) // 2-channel: no CV layout
   }
 }
