@@ -93,15 +93,22 @@ object FrameProducer {
     */
   def framesStreamDeterministic(
       spark: SparkSession, nCameras: Int, rowsPerBatch: Int,
-      startMillis: Long = 1700000000000L,
+      startMillis: Long = 1700000000000L, fps: Double = 30.0,
       rows: Int = DefaultRows, cols: Int = DefaultCols,
-      moving: Boolean = true): Dataset[VideoFrameData] =
+      moving: Boolean = true): Dataset[VideoFrameData] = {
+    val stepMs = (1000.0 / fps).toLong
     shape(
       spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rowsPerBatch.toLong)
         .option("startTimestamp", startMillis)
-        .load(),
+        .load()
+        // rate-micro-batch stamps every row of a batch with ONE timestamp;
+        // frame time must come from the sequence instead or same-camera
+        // frames in a batch would tie (undefined order, colliding PNG paths)
+        .withColumn("timestamp",
+          timestamp_millis(lit(startMillis) + (col("value") / nCameras).cast("long") * stepMs)),
       nCameras, rows, cols, moving)
+  }
 
   /** Bounded batch frame source: nCameras × framesPerCamera frames, 1/fps s
     * apart starting at t0 (for tests and fixture generation).

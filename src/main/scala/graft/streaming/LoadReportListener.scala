@@ -20,6 +20,7 @@ class LoadReportListener(
   import LoadReportListener.Report
 
   private val buf = new ConcurrentLinkedQueue[Report]()
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def reports: Seq[Report] = {
     val it = buf.iterator()
@@ -42,7 +43,10 @@ class LoadReportListener(
         if (p.inputRowsPerSecond.isNaN) 0.0 else p.inputRowsPerSecond,
       observedRows = observedRows)
     buf.add(r)
-    while (buf.size() > maxReports) buf.poll()
+    // O(1) trim: ConcurrentLinkedQueue.size() walks the whole list
+    if (count.incrementAndGet() > maxReports) {
+      if (buf.poll() != null) count.decrementAndGet()
+    }
     forward(r)
   }
 

@@ -202,11 +202,18 @@ object MotionPipeline {
     * returns after eviction is treated as new (first frame emits a row, no
     * diff) — identical to how the reference behaves after a restart with no
     * checkpoint.
+    *
+    * TRADE-OFF vs [[detectBin]]: bounding state requires a watermark, and
+    * Spark drops input rows older than it before the state function runs —
+    * frames later than `watermarkDelay` are discarded (no row, no PNG).
+    * Choose the delay to cover the worst expected disorder. On a batch
+    * Dataset (no watermark machinery) this degrades to plain [[detectBin]].
     */
   def detectBinExpiring(
       frames: Dataset[BinFrame], imageOutputDir: String,
       watermarkDelay: String = "10 seconds",
       idleTimeoutMillis: Long = 3600L * 1000): Dataset[ProcessingResult] = {
+    if (!frames.isStreaming) return detectBin(frames, imageOutputDir)
     val spark = frames.sparkSession
     import spark.implicits._
     frames
@@ -230,8 +237,11 @@ object MotionPipeline {
         processFrames(camId, materialized.iterator, state.getOption.orNull, imageOutputDir)
       if (newPrev != null) state.update(newPrev)
       if (state.exists) {
-        val maxEvent = materialized.iterator
-          .flatMap(f => Option(f.timestamp).map(_.getTime)).maxOption.getOrElse(0L)
+        var maxEvent = 0L
+        materialized.foreach { f =>
+          if (f.timestamp != null && f.timestamp.getTime > maxEvent)
+            maxEvent = f.timestamp.getTime
+        }
         // timeout must sit strictly beyond the current watermark
         state.setTimeoutTimestamp(
           math.max(maxEvent + idleTimeoutMillis, state.getCurrentWatermarkMs() + 1))

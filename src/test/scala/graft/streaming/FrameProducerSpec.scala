@@ -84,6 +84,13 @@ class FrameProducerSpec extends AnyFunSuite with SparkTestSession {
     val rows = spark.table(sink).collect()
     assert(rows.length == 4)
     assert(rows.map(_.getAs[String]("cameraId")).distinct.sorted.toSeq == Seq("cam0", "cam1"))
+    // frame times derive from the sequence, so same-camera frames in one
+    // micro-batch never tie (deterministic order, distinct PNG paths)
+    val perCam = rows.groupBy(_.getAs[String]("cameraId"))
+    perCam.values.foreach { rs =>
+      val ts = rs.map(_.getAs[java.sql.Timestamp]("frameTimestamp").getTime)
+      assert(ts.distinct.length == ts.length)
+    }
   }
 
   test("end-to-end: produced frames flow through the motion pipeline and detect motion") {

@@ -184,6 +184,19 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(pngs(img).length == 2) // frame 3 moved vs frame 2 from the old file
   }
 
+  test("detectBinExpiring degrades to plain detect on batch inputs") {
+    import spark.implicits._
+    val t0 = 1700995000000L
+    val img = tmp("ttlb-img")
+    val lines = Seq(
+      FrameFixtures.frameJson("camQ", t0, FrameFixtures.PosA),
+      FrameFixtures.frameJson("camQ", t0 + 1000, FrameFixtures.PosB))
+    val res = MotionPipeline.detectBinExpiring(
+      MotionPipeline.decodeWire(lines.toDF("value")), img).collect()
+    assert(res.length == 2) // no watermark machinery in batch — no crash
+    assert(pngs(img).length == 1)
+  }
+
   test("detectBinExpiring evicts idle-camera state past the watermark") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
