@@ -40,7 +40,10 @@ object AsOf {
     * `right.timeCol <= left.timeCol`, per `key`. Same union+window shape as
     * above. The latest right ROW wins even when its value is null (wrapped
     * in a struct so `last(…, ignoreNulls)` tracks row recency, not value
-    * non-nullness — pandas merge_asof semantics).
+    * non-nullness — pandas merge_asof semantics). Right rows tied on
+    * (key, timeCol) are broken by the value itself (greatest wins) so the
+    * result is deterministic; callers needing a different tie policy should
+    * pre-aggregate the right side to unique (key, time).
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
@@ -50,7 +53,8 @@ object AsOf {
     val l = left.withColumn("__side", lit(0))
     val r = right.select(col(key), col(timeCol), col(valueCol))
       .withColumn("__side", lit(1))
-    val w = Window.partitionBy(key).orderBy(col(timeCol), col("__side").desc)
+    val w = Window.partitionBy(key)
+      .orderBy(col(timeCol), col("__side").desc, col(valueCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__ref",

@@ -47,15 +47,9 @@ object Dedup {
   def minHashLsh(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, perms: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = perms / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minHashFromText(col(textCol), shingleN, perms).as("sig"))
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val sigs = signatures(df, textCol, idCol, shingleN, perms, bands)
+    val a = sigs.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     // dedup candidate pairs BEFORE scoring: a pair can collide in up to
     // `bands` buckets, and the signature-agreement scan is the expensive
     // part — score each unique pair once, not once per collision.
@@ -66,6 +60,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / perms.toDouble, 6).as("est_jaccard"))
+  }
+
+  /** Candidate (id_a, id_b) pairs only — no signature payload carried
+    * through the distinct shuffle and no agreement scan; the cheap input
+    * for pipelines that verify candidates exactly ([[nearDupPipeline]]).
+    */
+  def minHashLshCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = signatures(df, textCol, idCol, shingleN, perms, bands)
+    val a = sigs.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = sigs.select(col("band"), col("key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  private def signatures(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, perms: Int, bands: Int): DataFrame = {
+    require(bands > 0 && bands <= perms && perms % bands == 0,
+      s"bands must divide perms with rows >= 1 (got perms=$perms bands=$bands): " +
+        "rows = 0 would put every document in one bucket — the all-pairs blowup")
+    val rows = perms / bands
+    df.select(
+      col(idCol).as("id"),
+      minHashFromText(col(textCol), shingleN, perms).as("sig"))
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, bucket by the 4 16-bit
@@ -94,20 +118,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact word-set Jaccard of two token-set columns, rounded to 6 dp (the
+    * single definition both the all-pairs and LSH-verified paths — and the
+    * DuckDB oracle — depend on). Two EMPTY sets are defined as identical
+    * (1.0) rather than 0/0 = NaN, which Spark would sort/compare above
+    * every real similarity.
+    */
+  private def jaccardOf(toksA: org.apache.spark.sql.Column, toksB: org.apache.spark.sql.Column) = {
+    val inter = size(array_intersect(toksA, toksB))
+    val union = size(toksA) + size(toksB) - inter
+    when(union === 0, 1.0).otherwise(round(inter.cast("double") / union, 6))
+  }
+
   /** Exact n-gram (word) Jaccard similarity for candidate pairs within a
     * blocking key (here: all pairs of the filtered input — callers bound the
     * input; used as the verify stage after LSH, or standalone on small sets).
     * Output: (doc_a, doc_b, jaccard) for pairs ≥ `threshold`.
     */
-  /** Exact word-set Jaccard of two token-set columns, rounded to 6 dp (the
-    * single definition both the all-pairs and LSH-verified paths — and the
-    * DuckDB oracle — depend on).
-    */
-  private def jaccardOf(toksA: org.apache.spark.sql.Column, toksB: org.apache.spark.sql.Column) = {
-    val inter = size(array_intersect(toksA, toksB))
-    round(inter.cast("double") / (size(toksA) + size(toksB) - inter), 6)
-  }
-
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
     val a = t.select(col("id").as("doc_a"), col("toks").as("toks_a"))
@@ -128,8 +155,7 @@ object Dedup {
   def nearDupPipeline(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       shingleN: Int = 3, perms: Int = 64, bands: Int = 16): DataFrame = {
-    val candidates = minHashLsh(df, textCol, idCol, shingleN, perms, bands)
-      .select(col("id_a"), col("id_b"))
+    val candidates = minHashLshCandidates(df, textCol, idCol, shingleN, perms, bands)
     val toks = df.select(col(idCol).as("__id"), tokenSet(col(textCol)).as("__toks"))
     candidates
       .join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__toks", "toks_a"), "id_a")

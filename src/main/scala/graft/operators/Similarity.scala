@@ -7,6 +7,13 @@ import graft.functions.VectorFunctions._
 
 /** Similarity search (k-NN) over an embedding column.
   *
+  * Shared conventions: rows with NULL or zero-norm vectors are excluded
+  * (cosine is undefined for them — and a NaN similarity would otherwise
+  * sort above every real neighbor); a candidate whose id equals the
+  * query's id is excluded (self-match suppression — callers whose query
+  * and corpus id spaces overlap but refer to different entities should
+  * re-key first).
+  *
   * Two tiers:
   *   - [[bruteForceTopK]]: exact — broadcast the (small) query set against
   *     the full corpus; one pass, no corpus shuffle. Right answer whenever
@@ -25,10 +32,12 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm2(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm2(col("cv")))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv"))).filter(col("qn") > 0)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
@@ -54,18 +63,20 @@ object Similarity {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
 
-    // ---- train the coarse quantizer on a deterministic sample: order by id
-    // (TakeOrdered — one bounded job) so centroids don't depend on partition
-    // layout, and read the dimension off the sample itself (no extra job)
+    // ---- train the coarse quantizer on a deterministic UNBIASED sample:
+    // order by a seeded hash of the id (TakeOrdered — one bounded job), so
+    // centroids neither depend on partition layout nor inherit id-order
+    // topic bias (ids often correlate with ingest batches)
     val sample: Array[Array[Double]] = corpus
-      .select(col(idCol).as("__sid"), toDouble(col(vecCol)).as("v"))
-      .orderBy(col("__sid"))
+      .filter(col(vecCol).isNotNull)
+      .select(xxhash64(lit(seed), col(idCol)).as("__h"), toDouble(col(vecCol)).as("v"))
+      .orderBy(col("__h"))
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "ivfTopK: empty corpus")
     val dim = sample(0).length
-    val centroids = kmeans(sample, math.min(nLists, sample.length), dim, iters = 10, seed)
+    val centroids = kmeans(sample, math.min(nLists, sample.length), dim, iters = 10)
 
     def nearestLists(v: Seq[Double], n: Int): Seq[Int] =
       centroids.indices
@@ -76,11 +87,13 @@ object Similarity {
     val assignUdf = udf((v: Seq[Double]) => nearestLists(v, 1).head)
     val probeUdf = udf((v: Seq[Double]) => nearestLists(v, nProbe))
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm2(col("cv")))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
       .withColumn("list", assignUdf(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm2(col("qv")))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv"))).filter(col("qn") > 0)
       .withColumn("list", explode(probeUdf(col("qv"))))
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
@@ -99,12 +112,12 @@ object Similarity {
   }
 
   /** Deterministic Lloyd's k-means (k-means++-less: evenly strided init from
-    * the sample, which is deterministic and good enough for a coarse
-    * quantizer).
+    * the hash-shuffled sample — deterministic and good enough for a coarse
+    * quantizer; sample randomization comes from the seeded hash upstream).
     */
   private def kmeans(
       sample: Array[Array[Double]], k: Int, dim: Int,
-      iters: Int, seed: Long): Array[Array[Double]] = {
+      iters: Int): Array[Array[Double]] = {
     val n = sample.length
     var cents = Array.tabulate(k)(i => sample(((i.toLong * n) / k).toInt % n).clone())
     var it = 0
@@ -138,12 +151,14 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), nBits))
-      .withColumn("qn", norm2(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("qn", norm2(col("qv"))).filter(col("qn") > 0)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), nBits))
-      .withColumn("cn", norm2(col("cv")))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

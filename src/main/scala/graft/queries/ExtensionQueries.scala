@@ -70,9 +70,13 @@ object ExtensionQueries {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS inter,
                  len(a.toks) + len(b.toks) AS tot
-          FROM t a, t b WHERE a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
-        FROM pairs WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.8
+          FROM t a, t b WHERE a.doc_id < b.doc_id),
+        scored AS (
+          SELECT doc_a, doc_b,
+                 CASE WHEN tot - inter = 0 THEN 1.0
+                      ELSE ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) END AS jaccard
+          FROM pairs)
+        SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
       """)),
 
     // ------------------------------------------------------------- EXT4

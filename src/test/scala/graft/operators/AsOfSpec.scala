@@ -43,6 +43,17 @@ class AsOfSpec extends AnyFunSuite with SparkTestSession {
     assert(res.exists(t => t._1 == "B" && t._2 == 10L && t._3.isNaN))
   }
 
+  test("asofJoin breaks right-side (key, time) ties deterministically") {
+    val trades = Seq(("A", 10L)).toDF("sym", "t")
+    val quotes = Seq(("A", 5L, 2.0), ("A", 5L, 1.0), ("A", 5L, 3.0))
+      .toDF("sym", "t", "px")
+    // greatest value among tied rows wins, every run
+    (1 to 3).foreach { _ =>
+      val px = AsOf.asofJoin(trades, quotes, "sym", "t", "px").head.getDouble(2)
+      assert(px == 3.0)
+    }
+  }
+
   test("asofJoin preserves all left columns and lets a null-valued latest row win") {
     val trades = Seq(("A", 10L, 100L, 7), ("A", 25L, 101L, 9))
       .toDF("sym", "t", "trade_id", "qty")

@@ -82,6 +82,22 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(viaPipeline.keySet.contains((1L, 2L))) // the exact dups
   }
 
+  test("empty documents are jaccard-identical (1.0), never NaN") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "real words")).toDF("doc_id", "text")
+    val rows = Dedup.jaccardPairs(df, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 2L, 1.0))) // the two empty docs only, at exactly 1.0
+  }
+
+  test("minHashLsh rejects band configs that would degenerate to all-pairs") {
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(docs, "text", "doc_id", perms = 64, bands = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(docs, "text", "doc_id", perms = 64, bands = 7)
+    }
+  }
+
   test("embeddingNearDup only compares within blocks and is threshold-exact") {
     val df = Seq(
       (1L, "blk1", Seq(1.0f, 0.0f)),

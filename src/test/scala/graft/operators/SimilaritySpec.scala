@@ -69,6 +69,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("null and zero-norm vectors are excluded, never NaN-ranked first") {
+    val dirty = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f)), // zero norm — cosine undefined
+      (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(dirty, dirty, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(0L -> 1L, 1L -> 0L)) // 2 and 3 appear nowhere
+    // same hygiene on the approximate paths
+    assert(Similarity.lshTopK(dirty, dirty, "vec_id", "embedding", 1, nBits = 0)
+      .collect().forall(r => Set(0L, 1L)(r.getLong(1))))
+    assert(Similarity.ivfTopK(dirty, dirty, "vec_id", "embedding", 1, nLists = 1, nProbe = 1)
+      .collect().forall(r => Set(0L, 1L)(r.getLong(1))))
+  }
+
   test("lshTopK at nBits=0 degrades to brute force (single bucket)") {
     val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
