@@ -72,7 +72,10 @@ object TextFunctions {
   }
 
   private def tokenizeJvm(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    // lower-case through UTF8String so the fused path matches Spark's
+    // lower() byte-for-byte regardless of the JVM default locale
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
 
   private def shinglesJvm(toks: Array[String], n: Int): Array[String] =
     if (toks.length < n) Array(toks.mkString(" "))
@@ -194,12 +197,17 @@ object TextFunctions {
     val nTok = size(toks)
     val totalLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    // empty documents: ratios are NULL (ANSI mode would otherwise throw on
+    // the zero divisor; DuckDB's x/0 is NULL, so the oracle agrees)
+    def ratio(num: Column): Column =
+      when(nTok === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / nTok, 6))
     Seq(
       "n_tokens" -> nTok.cast("long"),
       "n_distinct" -> size(array_distinct(toks)).cast("long"),
-      "avg_token_len" -> round(totalLen.cast("double") / nTok, 6),
-      "stopword_ratio" -> round(nStop.cast("double") / nTok, 6),
-      "distinct_ratio" -> round(size(array_distinct(toks)).cast("double") / nTok, 6))
+      "avg_token_len" -> ratio(totalLen),
+      "stopword_ratio" -> ratio(nStop),
+      "distinct_ratio" -> ratio(size(array_distinct(toks))))
   }
 
   /** Whitespace token count and regex ("BPE-ish" alnum-run) token count. */

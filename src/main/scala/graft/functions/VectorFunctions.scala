@@ -56,6 +56,9 @@ object VectorFunctions {
     * [-1, 1): (xxhash64(k * D + i) mod 2^20) / 2^19 - 1.
     */
   def hyperplaneBucket(v: Column, nBits: Int, seed: Int = 42): Column = {
+    require(nBits <= 64,
+      s"bucket is a single long: nBits must be <= 64, got $nBits " +
+        "(Java's masked shift would silently alias bits past 63)")
     if (nBits <= 0) return lit(0L) // degenerate: one global bucket
     val bits = (0 until nBits).map { k =>
       val proj = aggregate(

@@ -88,6 +88,10 @@ object Dedup {
     df.select(
       col(idCol).as("id"),
       minHashFromText(col(textCol), shingleN, perms).as("sig"))
+      // null-text docs have no signature; without this filter they'd all
+      // share the constant empty-slice band key — an all-pairs blowup of
+      // exactly the kind banding exists to prevent
+      .filter(col("sig").isNotNull)
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
@@ -175,9 +179,11 @@ object Dedup {
       threshold: Double): DataFrame = {
     // norm once per vector (2k sqrts), not once per pair (200k): the join
     // then does a single dot product per candidate pair.
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      VectorFunctions.toDouble(col(vecCol)).as("v"))
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm2(col("v")))
+      .filter(col("nrm") > 0) // cosine undefined for zero vectors
     val a = v.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = v.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("blk"))

@@ -110,9 +110,12 @@ object ExtensionQueries {
         SELECT doc_id,
                len(toks) AS n_tokens,
                len(list_distinct(toks)) AS n_distinct,
-               ROUND(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS DOUBLE) / len(toks), 6) AS avg_token_len,
-               ROUND(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
-               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                 ROUND(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS DOUBLE) / len(toks), 6) END AS avg_token_len,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                 ROUND(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6) END AS stopword_ratio,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                 ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) END AS distinct_ratio
         FROM t
       """)),
 

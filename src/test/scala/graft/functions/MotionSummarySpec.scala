@@ -9,14 +9,20 @@ class MotionSummarySpec extends AnyFunSuite with SparkTestSession {
 
   import spark.implicits._
 
-  test("aggregator golden: counts, motion frames, totals, max") {
-    // regions per frame: -1 (first frame), 0, 2, 3, 0
-    val got = Seq(-1, 0, 2, 3, 0).foldLeft(MotionSummary.aggregator.zero)(
-      MotionSummary.aggregator.reduce)
+  test("aggregator golden: counts, motion frames, totals, max; null = unknown") {
+    // regions per frame: null (first frame), 0, 2, 3, 0
+    val in: Seq[java.lang.Integer] = Seq(null, 0, 2, 3, 0).map {
+      case null => null.asInstanceOf[java.lang.Integer]
+      case i: Int => java.lang.Integer.valueOf(i)
+    }
+    val got = in.foldLeft(MotionSummary.aggregator.zero)(MotionSummary.aggregator.reduce)
     assert(got == MotionSummary.Buf(5, 4, 2, 5, 3))
-    // merge is associative with the same answer
-    val (l, r) = (Seq(-1, 0).foldLeft(MotionSummary.aggregator.zero)(MotionSummary.aggregator.reduce),
-      Seq(2, 3, 0).foldLeft(MotionSummary.aggregator.zero)(MotionSummary.aggregator.reduce))
+    // merge is associative with the same answer; -1 behaves like null
+    val (l, r) = (
+      Seq[java.lang.Integer](-1, 0).foldLeft(MotionSummary.aggregator.zero)(
+        MotionSummary.aggregator.reduce),
+      Seq[java.lang.Integer](2, 3, 0).foldLeft(MotionSummary.aggregator.zero)(
+        MotionSummary.aggregator.reduce))
     assert(MotionSummary.aggregator.merge(l, r) == got)
   }
 
@@ -31,11 +37,13 @@ class MotionSummarySpec extends AnyFunSuite with SparkTestSession {
       ("camA", 3L, px(FrameFixtures.PosB)),
       ("camB", 1L, px(FrameFixtures.PosA))
     ).toDF("camId", "seq", "px").createOrReplaceTempView("frames_udaf")
+    // NO coalesce: the raw NULL from motion_region_count must land in the
+    // aggregator's unknown branch by itself
     val rows = spark.sql(
       s"""WITH scored AS (
-            SELECT camId, coalesce(motion_region_count(
+            SELECT camId, motion_region_count(
               lag(px) OVER (PARTITION BY camId ORDER BY seq), px,
-              ${FrameFixtures.Rows}, ${FrameFixtures.Cols}, ${FrameFixtures.MatTypeC3}), -1) AS n
+              ${FrameFixtures.Rows}, ${FrameFixtures.Cols}, ${FrameFixtures.MatTypeC3}) AS n
             FROM frames_udaf)
           SELECT camId, motion_summary(n) AS s FROM scored GROUP BY camId ORDER BY camId""")
       .collect().map(r => r.getString(0) -> r.getStruct(1).toSeq).toMap
