@@ -222,23 +222,29 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
-    // Two shuffles total (tf agg, df agg + broadcast back); the document
-    // count is a scalar broadcast — the standard scalable shape.
+    // Two shuffles total (tf agg, df agg). The vocabulary join carries NO
+    // broadcast hint: |vocab| grows with the corpus (billions of distinct
+    // noise tokens at 100 TB), so forcing a broadcast would OOM — AQE picks
+    // broadcast at runtime iff the df side actually fits. The corpus size N
+    // is a 1-row aggregate cross-joined in (always broadcast-safe), not a
+    // separate count() action — the whole query is one job, no extra scan
+    // materialized on the driver.
     QueryDef(
       "ext13_tfidf",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val n = docs.count()
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val toks = docs.filter(col("doc_id") < 50)
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         val allToks = docs
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val df = allToks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-        tf.join(broadcast(df), Seq("tok"))
+        tf.join(df, Seq("tok"))
+          .crossJoin(broadcast(nDocs))
           .select(
             col("doc_id"), col("tok"), col("tf"),
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+            round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
       },
       Some("""
         WITH toks AS (

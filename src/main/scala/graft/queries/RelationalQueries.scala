@@ -733,10 +733,13 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q32
     // TPC-H Q3 shape (shipping priority): 3-way join, filtered both sides,
     // agg, global top-10 — the canonical fact-to-fact join-agg at scale.
+    // The segment-filtered customer side is dimension-sized relative to the
+    // two fact tables — broadcast it so neither fact shuffles for the first
+    // join (the orders⋈lineitem equi join is the one unavoidable shuffle).
     QueryDef(
       "q32_shipping_priority",
       (s, dir) =>
-        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
           .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
@@ -766,7 +769,9 @@ object RelationalQueries {
         Tables.customer(s, dir)
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-          .join(Tables.supplier(s, dir),
+          // supplier is 1/10 the size of customer in this schema's ratios —
+          // broadcast keeps the fact stream partitioned on l_orderkey only
+          .join(broadcast(Tables.supplier(s, dir)),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))

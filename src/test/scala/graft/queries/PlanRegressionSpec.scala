@@ -61,6 +61,28 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q32 broadcasts the segment-filtered customer side (both facts avoid a dim shuffle)") {
+    val p = plan("q32_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q33 broadcasts supplier and nation (the only shuffle joins are fact-fact)") {
+    val p = plan("q33_local_volume")
+    // customer⋈orders and orders⋈lineitem may shuffle (fact-fact); the
+    // supplier and nation dims must not force a third/fourth shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("ext13 tfidf has no mandatory vocabulary broadcast (only the 1-row N scalar)") {
+    val qe = SparkEntry.queries("ext13_tfidf")(spark, sf).queryExecution
+    // the optimized logical plan must carry at most the N-scalar hint; the
+    // vocabulary (df) join is left to AQE/stats so it can never OOM at scale
+    val hints = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected exactly the N-scalar broadcast hint, got ${hints.size}")
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
@@ -70,6 +92,9 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(plan("q16_sort_limit", "/root/testdata/sf0.01").contains("TakeOrderedAndProject"))
     val p09 = plan("q09_range_join", "/root/testdata/sf0.01")
     assert(!p09.contains("BroadcastNestedLoopJoin") && !p09.contains("CartesianProduct"))
+    assert(plan("q32_shipping_priority", "/root/testdata/sf0.01").contains("BroadcastHashJoin"))
+    assert("BroadcastHashJoin".r
+      .findAllIn(plan("q33_local_volume", "/root/testdata/sf0.01")).size >= 2)
   }
 
   test("results table prunes (camera_id, day) partitions on point reads") {
