@@ -58,6 +58,10 @@ object AudioOps {
         if (size < 0 || size > buf.remaining()) return None
         new String(id, "US-ASCII") match {
           case "fmt " =>
+            // a forged fmt size < 16 would rewind the cursor into already-
+            // parsed bytes after the fixed fields are read — reject like the
+            // negative-size guard above
+            if (size < 16) return None
             val fmt = buf.getShort
             channels = buf.getShort
             sampleRate = buf.getInt

@@ -22,8 +22,18 @@ object Kernels {
     * (77,150,29) like OpenCV's BGR2GRAY with B first.
     */
   def grayscale(px: Array[Byte], rows: Int, cols: Int, channels: Int): Array[Byte] = {
+    val out = new Array[Byte](rows * cols)
+    grayscaleInto(px, rows, cols, channels, out)
+    out
+  }
+
+  /** [[grayscale]] into a caller-provided plane — the zero-allocation form
+    * used by the streaming hot path (one frame per call per camera, so the
+    * state function reuses one scratch buffer for a whole micro-batch).
+    */
+  def grayscaleInto(
+      px: Array[Byte], rows: Int, cols: Int, channels: Int, out: Array[Byte]): Unit = {
     val n = rows * cols
-    val out = new Array[Byte](n)
     if (channels == 1) {
       System.arraycopy(px, 0, out, 0, n)
     } else {
@@ -38,7 +48,6 @@ object Kernels {
         j += channels
       }
     }
-    out
   }
 
   /** 3×3 Gaussian blur (kernel 1-2-1 ⊗ 1-2-1 / 16), separable, replicated
@@ -46,7 +55,16 @@ object Kernels {
     * sigma-from-ksize kernel is exactly [1,2,1]/4.
     */
   def gaussianBlur3x3(gray: Array[Byte], rows: Int, cols: Int): Array[Byte] = {
-    val tmp = new Array[Int](rows * cols)
+    val out = new Array[Byte](rows * cols)
+    gaussianBlur3x3Into(gray, rows, cols, new Array[Int](rows * cols), out)
+    out
+  }
+
+  /** [[gaussianBlur3x3]] with caller-provided scratch (`tmp`, length ≥
+    * rows·cols) and output planes — zero-allocation hot-path form.
+    */
+  def gaussianBlur3x3Into(
+      gray: Array[Byte], rows: Int, cols: Int, tmp: Array[Int], out: Array[Byte]): Unit = {
     // horizontal pass
     var r = 0
     while (r < rows) {
@@ -62,7 +80,6 @@ object Kernels {
       r += 1
     }
     // vertical pass + normalize (round-to-nearest like OpenCV's fixed-point)
-    val out = new Array[Byte](rows * cols)
     r = 0
     while (r < rows) {
       val up = (if (r == 0) 0 else r - 1) * cols
@@ -75,7 +92,6 @@ object Kernels {
       }
       r += 1
     }
-    out
   }
 
   /** |a - b| per pixel (OpenCV absdiff, MotionDetector.java:56). */
@@ -102,20 +118,51 @@ object Kernels {
     out
   }
 
+  /** Fused absdiff + threshold in one pass into a caller-provided binary
+    * plane: out(i) = 255 iff ||a-b|| > thresh. Bit-identical to
+    * `threshold(absDiff(a, b), thresh)` (cross-checked in KernelsSpec) but
+    * skips the intermediate diff plane — the streaming hot path runs this
+    * once per frame per camera.
+    */
+  def absDiffThresholdInto(
+      a: Array[Byte], b: Array[Byte], thresh: Int, out: Array[Byte]): Unit = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      out(i) = if (d > thresh || -d > thresh) 255.toByte else 0
+      i += 1
+    }
+  }
+
   /** Connected components (8-connectivity, matching findContours
     * RETR_EXTERNAL grouping) over a binary image → bounding boxes of
-    * components with area ≥ minArea, ordered by (y, x) of the box corner.
+    * components with area strictly > minArea, ordered by (y, x) of the box
+    * corner.
     *
     * Replaces findContours+boundingRect (MotionDetector.java:111-131):
     * for axis-aligned bounding boxes of external regions the two are
-    * equivalent; area here is the pixel count of the component, used only
-    * against minArea like contourArea is in the reference (area 300).
+    * equivalent. The comparison is strict (> minArea) like the reference's
+    * `contourArea(contour) > 300` (MotionDetector.java:61); note pixel
+    * count is systematically ≥ contourArea (polygon area underestimates the
+    * rasterized component), so detection here is marginally MORE sensitive
+    * at the boundary than OpenCV's — the close side to err on for a motion
+    * alarm.
     *
     * Iterative flood fill with an explicit int stack — no recursion.
     */
-  def boundingBoxes(bin: Array[Byte], rows: Int, cols: Int, minArea: Int): Seq[MotionRegion] = {
-    val labels = new Array[Boolean](rows * cols)
-    val stack = new java.util.ArrayDeque[Int]()
+  def boundingBoxes(bin: Array[Byte], rows: Int, cols: Int, minArea: Int): Seq[MotionRegion] =
+    boundingBoxesReuse(
+      bin, rows, cols, minArea,
+      new Array[Boolean](rows * cols), new java.util.ArrayDeque[Int]())
+
+  /** [[boundingBoxes]] with caller-provided visit-marks and stack (hot-path
+    * form; `labels` length ≥ rows·cols, cleared here before use).
+    */
+  def boundingBoxesReuse(
+      bin: Array[Byte], rows: Int, cols: Int, minArea: Int,
+      labels: Array[Boolean], stack: java.util.ArrayDeque[Int]): Seq[MotionRegion] = {
+    java.util.Arrays.fill(labels, 0, rows * cols, false)
+    stack.clear()
     val boxes = Seq.newBuilder[MotionRegion]
     var idx = 0
     while (idx < rows * cols) {
@@ -152,7 +199,7 @@ object Kernels {
             dr += 1
           }
         }
-        if (area >= minArea)
+        if (area > minArea)
           boxes += MotionRegion(minC, minR, maxC - minC + 1, maxR - minR + 1)
       }
       idx += 1
@@ -160,9 +207,10 @@ object Kernels {
     boxes.result().sortBy(b => (b.y, b.x))
   }
 
-  /** Draw a 2px green rectangle on an interleaved BGR image in place
-    * (Imgproc.rectangle with Scalar(0,255,0), thickness 2,
-    * MotionDetector.java:64-66).
+  /** Draw a 1px green rectangle on an interleaved BGR image in place.
+    * The reference's `Imgproc.rectangle(copyFrame, rect, Scalar(0,255,0,0))`
+    * (MotionDetector.java:64-66) passes no thickness argument, so OpenCV's
+    * default thickness 1 applies — matched here.
     */
   def drawRect(px: Array[Byte], rows: Int, cols: Int, channels: Int, box: MotionRegion): Unit = {
     if (channels < 3) return
@@ -176,14 +224,10 @@ object Kernels {
     }
     val x1 = box.x; val y1 = box.y
     val x2 = box.x + box.w - 1; val y2 = box.y + box.h - 1
-    var t = 0
-    while (t < 2) {
-      var c = x1
-      while (c <= x2) { set(y1 + t, c); set(y2 - t, c); c += 1 }
-      var r = y1
-      while (r <= y2) { set(r, x1 + t); set(r, x2 - t); r += 1 }
-      t += 1
-    }
+    var c = x1
+    while (c <= x2) { set(y1, c); set(y2, c); c += 1 }
+    var r = y1
+    while (r <= y2) { set(r, x1); set(r, x2); r += 1 }
   }
 
   /** Full motion-detection step between two frames' raw pixels:

@@ -14,27 +14,60 @@ import org.apache.spark.sql.functions._
   *
   * Uses dynamic partition overwrite so ONLY partitions present in the
   * rewritten data are replaced — an untouched partition (e.g. today's,
-  * still being appended) keeps its files, and the rewrite of historical
-  * partitions is atomic per partition.
+  * still being appended) keeps its files.
+  *
+  * CONCURRENCY CONTRACT: plain parquet directories have no transaction
+  * log, so a file appended into a partition between this job's scan and
+  * its overwrite commit is silently deleted. The rewrite is therefore only
+  * safe for partitions the sink can no longer touch. Because the sink
+  * partitions by EVENT-time day, "can no longer touch" is a watermark
+  * statement, not a wall-clock one: late rows land in old (camera_id, day)
+  * partitions until the stream's watermark passes them. Derive the cutoff
+  * with [[safeCutoffDay]] from the query's current watermark (or quiesce
+  * the sink for the duration); anything more concurrent needs a
+  * transactional table format.
   */
 object Compaction {
 
+  /** Latest day (yyyy-MM-dd, UTC) that is safe to compact under a stream
+    * whose event-time watermark is at `watermarkMs`: every day strictly
+    * before the returned value ended at least `safetyMarginMs` before the
+    * watermark, so the sink can never again append to it (Spark drops
+    * later-than-watermark rows before the state/sink stage). Pass the
+    * `watermark` field of the query's last `StreamingQueryProgress`.
+    */
+  def safeCutoffDay(watermarkMs: Long, safetyMarginMs: Long = 6L * 3600 * 1000): String =
+    java.time.Instant.ofEpochMilli(math.max(0L, watermarkMs - safetyMarginMs))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
   /** Rewrite partitions older than `beforeDay` (exclusive, yyyy-MM-dd) into
     * right-sized files. Returns the number of rows rewritten.
+    *
+    * `beforeDay` must respect the watermark contract above; when
+    * `watermarkMs` is supplied the cutoff is clamped to
+    * [[safeCutoffDay]] automatically, making a too-eager caller safe.
     */
   def compactResults(
       spark: SparkSession, tableDir: String, beforeDay: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      watermarkMs: Option[Long] = None,
+      safetyMarginMs: Long = 6L * 3600 * 1000): Long = {
+    val cutoff = watermarkMs match {
+      case Some(wm) =>
+        val safe = safeCutoffDay(wm, safetyMarginMs)
+        if (safe < beforeDay) safe else beforeDay
+      case None => beforeDay
+    }
     val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val toCompact = spark.read.parquet(tableDir).where(col("day") < beforeDay)
+      val toCompact = spark.read.parquet(tableDir).where(col("day") < cutoff)
       val rows = toCompact.count()
       if (rows > 0) {
         // size only the partitions being rewritten, through the Hadoop FS
         // API (works on hdfs/s3a/..., unlike java.io.File)
         val (targetBytes, nPartitions) =
-          partitionSizes(spark, tableDir, beforeDay)
+          partitionSizes(spark, tableDir, cutoff)
         val filesPerPartition =
           math.max(1, math.ceil(targetBytes.toDouble /
             math.max(1, nPartitions) / targetFileBytes).toInt)

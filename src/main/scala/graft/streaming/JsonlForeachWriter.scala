@@ -1,6 +1,7 @@
 package graft.streaming
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{ForeachWriter, Row}
 
@@ -17,9 +18,13 @@ class JsonlForeachWriter(outDir: String) extends ForeachWriter[Row] {
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     new File(outDir).mkdirs()
-    // one file per (partition, epoch) — replays overwrite deterministically
-    writer = new BufferedWriter(new FileWriter(
-      new File(outDir, s"part-$partitionId-epoch-$epochId.jsonl"), false))
+    // one file per (partition, epoch) — replays overwrite deterministically.
+    // Explicit UTF-8: the escaping below passes non-ASCII through raw, which
+    // is only valid if the writer encodes UTF-8 regardless of file.encoding.
+    writer = new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(
+        new File(outDir, s"part-$partitionId-epoch-$epochId.jsonl"), false),
+      StandardCharsets.UTF_8))
     true
   }
 

@@ -268,10 +268,54 @@ object MotionPipeline {
     out.iterator
   }
 
+  /** Per-invocation scratch planes for the kernel chain. The naive chain
+    * allocates ~5 full planes per frame (gray, blur tmp int[], blur out,
+    * absdiff, threshold ≈ 2.7 MB at 640×480) — at 30 FPS/camera that is pure
+    * allocator/GC pressure on the only sequential path in the pipeline. One
+    * Scratch per state-function call amortizes every buffer across the
+    * micro-batch; the blur output double-buffers because the previous
+    * frame's plane is still live (it IS the diff operand) while the current
+    * one is written.
+    */
+  private final class Scratch {
+    private var n = -1
+    var gray: Array[Byte] = _
+    var tmp: Array[Int] = _
+    var bin: Array[Byte] = _
+    var labels: Array[Boolean] = _
+    val stack = new java.util.ArrayDeque[Int]()
+    private var blurA: Array[Byte] = _
+    private var blurB: Array[Byte] = _
+
+    def ensure(rows: Int, cols: Int): Unit = {
+      val m = rows * cols
+      if (m != n) {
+        n = m
+        gray = new Array[Byte](m)
+        tmp = new Array[Int](m)
+        bin = new Array[Byte](m)
+        labels = new Array[Boolean](m)
+        blurA = new Array[Byte](m)
+        blurB = new Array[Byte](m)
+      }
+    }
+
+    /** Blur target: whichever buffer the still-live previous plane does NOT
+      * alias (robust even when a frame fails mid-step — selection depends
+      * only on what `prev` references, not on a flip counter).
+      */
+    def blurTarget(prevPlane: Array[Byte]): Array[Byte] =
+      if (prevPlane eq blurA) blurB else blurA
+  }
+
   /** The state-API-agnostic core transition, shared by the
     * flatMapGroupsWithState path and the Spark 4 transformWithState path:
     * fold frames (event-time order) over the previous plane, return the
     * emitted rows and the new plane (null ⇒ unchanged).
+    *
+    * The returned plane may alias a scratch buffer: callers must treat it as
+    * immutable (they do — it is either encoded into the state store or
+    * dropped) and it is never touched again after this call returns.
     */
   private[streaming] def processFrames(
       camId: String,
@@ -282,6 +326,7 @@ object MotionPipeline {
     val sorted = frames.toArray.sortBy(f => Option(f.timestamp).map(_.getTime).getOrElse(0L))
     var prev = prev0
     val out = Seq.newBuilder[ProcessingResult]
+    val scratch = new Scratch
 
     sorted.foreach { f =>
       try {
@@ -291,13 +336,15 @@ object MotionPipeline {
           px.length == FrameCodec.expectedBytes(f.rows, f.cols, f.matType),
           s"decoded payload != ${f.rows}x${f.cols}x$channels")
 
-        val grayBlur = Kernels.gaussianBlur3x3(
-          Kernels.grayscale(px, f.rows, f.cols, channels), f.rows, f.cols)
+        scratch.ensure(f.rows, f.cols)
+        Kernels.grayscaleInto(px, f.rows, f.cols, channels, scratch.gray)
+        val grayBlur = scratch.blurTarget(if (prev == null) null else prev.grayBlur)
+        Kernels.gaussianBlur3x3Into(scratch.gray, f.rows, f.cols, scratch.tmp, grayBlur)
 
         if (prev != null && prev.rows == f.rows && prev.cols == f.cols) {
-          val regions = Kernels.boundingBoxes(
-            Kernels.threshold(Kernels.absDiff(prev.grayBlur, grayBlur), 20),
-            f.rows, f.cols, minArea = 300)
+          Kernels.absDiffThresholdInto(prev.grayBlur, grayBlur, 20, scratch.bin)
+          val regions = Kernels.boundingBoxesReuse(
+            scratch.bin, f.rows, f.cols, 300, scratch.labels, scratch.stack)
           if (regions.nonEmpty) {
             val annotated = px.clone()
             regions.foreach(Kernels.drawRect(annotated, f.rows, f.cols, channels, _))

@@ -78,17 +78,20 @@ class KernelsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- regions
 
-  test("boundingBoxes finds two separated blobs, drops sub-minArea ones") {
+  test("boundingBoxes finds two separated blobs, drops sub-minArea ones (strict >)") {
     val rows = 20; val cols = 20
     val bin = gray(rows, cols, 0)
     // blob A: 3x3 at (2,2) — area 9
     for (r <- 2 until 5; c <- 2 until 5) bin(r * cols + c) = -1
     // blob B: 2x4 at (10,12) — area 8
     for (r <- 10 until 12; c <- 12 until 16) bin(r * cols + c) = -1
-    val all = Kernels.boundingBoxes(bin, rows, cols, minArea = 1)
+    val all = Kernels.boundingBoxes(bin, rows, cols, minArea = 0)
     assert(all == Seq(MotionRegion(2, 2, 3, 3), MotionRegion(12, 10, 4, 2)))
-    assert(Kernels.boundingBoxes(bin, rows, cols, minArea = 9) ==
+    // strict comparison like the reference's contourArea(contour) > 300:
+    // area 9 > 8 survives, area 8 > 8 does not
+    assert(Kernels.boundingBoxes(bin, rows, cols, minArea = 8) ==
       Seq(MotionRegion(2, 2, 3, 3)))
+    assert(Kernels.boundingBoxes(bin, rows, cols, minArea = 9).isEmpty)
   }
 
   test("8-connectivity merges diagonal neighbors into one region") {
@@ -143,7 +146,7 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
-  test("drawRect paints a green 2px border inside the box bounds") {
+  test("drawRect paints a green 1px border (OpenCV default thickness) inside the box") {
     val rows = 16; val cols = 16; val ch = 3
     val px = Array.fill(rows * cols * ch)(7.toByte)
     Kernels.drawRect(px, rows, cols, ch, MotionRegion(2, 3, 6, 5))
@@ -152,8 +155,42 @@ class KernelsSpec extends AnyFunSuite {
       px(o) == 0 && (px(o + 1) & 0xff) == 255 && px(o + 2) == 0
     }
     assert(isGreen(3, 2) && isGreen(3, 7) && isGreen(7, 2) && isGreen(7, 7)) // corners
-    assert(isGreen(4, 3)) // second-thickness ring
+    assert(isGreen(3, 4) && isGreen(7, 4) && isGreen(5, 2) && isGreen(5, 7)) // edges
+    assert(!isGreen(4, 3)) // interior ring untouched (thickness 1, not 2)
     assert(!isGreen(5, 4)) // interior untouched
     assert(!isGreen(0, 0)) // exterior untouched
+  }
+
+  // ------------------------------------------------------------- fused forms
+
+  test("fused absDiffThresholdInto matches threshold(absDiff(a,b)) bit-for-bit") {
+    for (seed <- 1 to 5) {
+      val n = 97
+      val a = Array.tabulate(n)(i => ((i * 31 + seed * 7) % 256).toByte)
+      val b = Array.tabulate(n)(i => ((i * 13 + seed * 3) % 256).toByte)
+      val out = new Array[Byte](n)
+      Kernels.absDiffThresholdInto(a, b, 20, out)
+      assert(out.toSeq == Kernels.threshold(Kernels.absDiff(a, b), 20).toSeq)
+    }
+  }
+
+  test("Into variants match their allocating forms; reuse tolerates dirty buffers") {
+    val rows = 9; val cols = 11
+    val px = Array.tabulate(rows * cols * 3)(i => ((i * 53) % 256).toByte)
+    val gray = new Array[Byte](rows * cols)
+    Kernels.grayscaleInto(px, rows, cols, 3, gray)
+    assert(gray.toSeq == Kernels.grayscale(px, rows, cols, 3).toSeq)
+
+    val tmp = Array.fill(rows * cols)(Int.MaxValue) // dirty scratch
+    val blur = Array.fill[Byte](rows * cols)(-1)
+    Kernels.gaussianBlur3x3Into(gray, rows, cols, tmp, blur)
+    assert(blur.toSeq == Kernels.gaussianBlur3x3(gray, rows, cols).toSeq)
+
+    val bin = Kernels.threshold(blur, 100)
+    val labels = Array.fill(rows * cols)(true) // dirty visit marks
+    val stack = new java.util.ArrayDeque[Int]()
+    stack.push(42)
+    assert(Kernels.boundingBoxesReuse(bin, rows, cols, 0, labels, stack) ==
+      Kernels.boundingBoxes(bin, rows, cols, 0))
   }
 }

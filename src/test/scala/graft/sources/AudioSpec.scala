@@ -50,6 +50,15 @@ class AudioSpec extends AnyFunSuite with SparkTestSession {
     assert(AudioOps.decodeWav(wav).isEmpty)
   }
 
+  test("a forged fmt size < 16 is rejected before the fixed fields are read") {
+    val wav = AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.01))
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // fmt chunk size field sits at offset 16; 12 < 16 would rewind the
+    // cursor into the already-parsed fmt body and misparse what follows
+    bb.putInt(16, 12)
+    assert(AudioOps.decodeWav(wav).isEmpty)
+  }
+
   test("a negative unknown-chunk size is rejected instead of looping forever") {
     val wav = AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.01))
     val fmtEnd = 12 + 8 + 16

@@ -48,6 +48,22 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(dir).count() == 6000)
   }
 
+  test("watermark clamp: a too-eager cutoff is pulled back to the safe day") {
+    val dir = Files.createTempDirectory("compact4").toString
+    write(dir, "2024-01-01", n = 4, batches = 3)
+    write(dir, "2024-01-03", n = 4, batches = 3)
+    // watermark sits mid-2024-01-03 → with the 6 h margin only days before
+    // 2024-01-03 are sealed; the caller's beforeDay = 2024-01-04 must NOT
+    // rewrite the still-appendable 01-03 partition
+    val wmMs = java.time.Instant.parse("2024-01-03T12:00:00Z").toEpochMilli
+    val rewritten = Compaction.compactResults(
+      spark, dir, beforeDay = "2024-01-04", watermarkMs = Some(wmMs))
+    assert(rewritten == 12) // only 2024-01-01
+    assert(filesIn(dir, "2024-01-01") <= 2)
+    assert(filesIn(dir, "2024-01-03") == 6) // untouched: watermark not past it
+    assert(Compaction.safeCutoffDay(wmMs) == "2024-01-03")
+  }
+
   test("no-op when nothing is older than the cutoff") {
     val dir = Files.createTempDirectory("compact2").toString
     write(dir, "2024-03-05", n = 4, batches = 2)
