@@ -9,8 +9,38 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink (count() would
   * let Catalyst prune the aggregate work away). AQE on, 32 shuffle
   * partitions — the local[32] stand-in for a real cluster.
+  *
+  * The fixture tables are single-file/single-row-group parquet, which Spark
+  * cannot split — every scan would run as ONE task on a 32-core box, hiding
+  * per-row cost (the JSON-heavy projections especially). A real table at any
+  * production scale is thousands of splits, so the harness first STAGES the
+  * SF dir into a multi-file layout (untimed, once) and benchmarks against
+  * that: measured numbers then reflect the parallelism the same plan gets on
+  * a cluster. Dimension tables stay single-file (they are broadcast anyway).
   */
 object Bench {
+
+  private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  private val dimTables = Seq("customer", "supplier", "part", "nation", "region")
+
+  /** Rewrite each fixture table into `staged/<name>.parquet/` directories —
+    * fact tables as `splits` files, dims as one. `spark.read.parquet` treats
+    * the directory exactly like the original file, so query code is
+    * unchanged. events' TIMESTAMP(NANOS) column round-trips as the same
+    * int64 nanos value ([[graft.sources.Tables.events]] reads it with
+    * `nanosAsLong` either way).
+    */
+  private[graft] def stage(spark: SparkSession, sfDir: String, splits: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory("bench-sf").toString
+    (factTables.map(_ -> splits) ++ dimTables.map(_ -> 1)).foreach { case (t, n) =>
+      val src = s"$sfDir/$t.parquet"
+      if (new java.io.File(src).exists())
+        spark.read.parquet(src).repartition(n)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,9 +50,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.all.filter(_.bench)
-    // Warm the JVM/codegen paths once on the smallest SF so the measured
-    // numbers reflect execution, not first-call classloading.
-    headline.take(3).foreach { q =>
+    val staged = stage(spark, sfDir, splits = cpus.toInt)
+    // Warm EVERY query shape once on the smallest SF so mid-suite entries
+    // don't pay first-call codegen/classload inside their timed window.
+    headline.foreach { q =>
       try q.build(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -33,7 +64,7 @@ object Bench {
     val failed = Seq.newBuilder[String]
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.build(spark, staged).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")

@@ -145,23 +145,65 @@ object Similarity {
     cents
   }
 
-  /** Approximate top-k via hyperplane LSH bucketing: candidates = corpus
-    * vectors sharing the query's `nBits`-bit bucket; exact cosine + top-k
-    * within candidates. Recall/cost dial: fewer bits → bigger buckets.
+  /** Per-query recall of an approximate top-k result against the exact one:
+    * |approx ∩ exact| / |exact| on (query_id, neighbor_id) pairs. Output:
+    * (query_id, expected, hits, recall) — one row per query present in the
+    * exact result (recall 0 for queries the approximate method missed
+    * entirely). Both inputs are ≤ |queries|·k rows, so this is dim-sized
+    * work at any corpus scale; it exists to make the ANN quality dial
+    * observable in the same harness that checks correctness.
+    */
+  def recallVsExact(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select("query_id", "neighbor_id")
+    val hits = e
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    e.groupBy("query_id").agg(count(lit(1)).as("expected"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("expected"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("expected"), 6).as("recall"))
+  }
+
+  /** Approximate top-k via hyperplane LSH bucketing with `nTables`
+    * independent hash tables (standard multi-table LSH): a vector lands in
+    * one `nBits`-bit bucket per table (seeded independently), candidates =
+    * corpus vectors sharing the query's bucket in ANY table, then exact
+    * cosine + top-k within candidates. Recall dials: fewer bits → bigger
+    * buckets; more tables → more chances to collide (recall ≈
+    * 1-(1-p^nBits)^nTables for per-bit agreement p).
+    *
+    * Scale shape: buckets for all tables are computed in ONE corpus
+    * projection (posexplode — no repeated scans), the cross-table candidate
+    * dedup carries IDS ONLY (never vectors), and the vectors are joined back
+    * by id for scoring — so the distinct() shuffle is narrow and the join
+    * work scales with bucket occupancy, not |corpus|·|queries|.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
-    val q = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", hyperplaneBucket(col("qv"), nBits))
-      .withColumn("qn", norm2(col("qv"))).filter(col("qn") > 0)
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", hyperplaneBucket(col("cv"), nBits))
-      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(q, Seq("bucket"))
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8,
+      nTables: Int = 1, seed: Int = 42): DataFrame = {
+    require(nTables >= 1, s"lshTopK: nTables must be >= 1, got $nTables")
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(id), toDouble(col(vecCol)).as(v))
+        .withColumn(n, norm2(col(v))).filter(col(n) > 0)
+    def buckets(v: String) =
+      array((0 until nTables).map(t => hyperplaneBucket(col(v), nBits, seed + t)): _*)
+
+    val q = prep(queries, "query_id", "qv", "qn")
+    val c = prep(corpus, "neighbor_id", "cv", "cn")
+    val qb = q.select(col("query_id"), posexplode(buckets("qv")))
+      .toDF("query_id", "tbl", "bucket")
+    val cb = c.select(col("neighbor_id"), posexplode(buckets("cv")))
+      .toDF("neighbor_id", "tbl", "bucket")
+    val cand = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("sim", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

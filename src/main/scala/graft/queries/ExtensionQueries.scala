@@ -188,14 +188,16 @@ object ExtensionQueries {
         TextFunctions.langId(col("text")).as("predicted")),
       None, bench = false),
 
-    // Approximate NN via hyperplane-LSH buckets (the 100 TB path: equi join
-    // on bucket instead of query × corpus).
+    // Approximate NN via multi-table hyperplane-LSH buckets (the 100 TB
+    // path: equi join on (table, bucket) instead of query × corpus; 8
+    // independent 4-bit tables — recall measured by ext16).
     QueryDef(
       "ext12_ann_lsh",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(
-          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5, nBits = 4)
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+          k = 5, nBits = 4, nTables = 8)
       },
       None, bench = false),
 
@@ -208,6 +210,33 @@ object ExtensionQueries {
         Similarity.ivfTopK(
           emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
           k = 5, nLists = 8, nProbe = 2)
+      },
+      None, bench = false),
+
+    // ANN quality made driver-visible: per-query recall of each approximate
+    // method against the exact brute-force top-k (rows-only: the recall
+    // value depends on the sketch; the ≥-floor assertion lives in
+    // SimilaritySpec). One row per query id, so the driver sees the quality
+    // dial, not just that the plumbing returned rows.
+    QueryDef(
+      "ext16_ann_lsh_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 8)
+        Similarity.recallVsExact(
+          Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 8),
+          Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+      },
+      None, bench = false),
+
+    QueryDef(
+      "ext17_ann_ivf_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 8)
+        Similarity.recallVsExact(
+          Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2),
+          Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
       },
       None, bench = false),
 

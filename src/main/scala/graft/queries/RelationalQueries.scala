@@ -815,6 +815,13 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q31
     // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont` share
     // the continuous-interpolation definition.
+    //
+    // SCALE NOTE: exact `percentile` buffers every value of a group in the
+    // aggregation buffer — O(|group|) memory, an OOM at 100 TB group sizes.
+    // It is kept because the oracle gate needs exact interpolation;
+    // q31b_approx_percentiles below is the production path (t-digest sketch,
+    // constant memory per group) and its error vs this query is pinned by
+    // ApproxSpec.
     QueryDef(
       "q31_percentiles",
       (s, dir) =>
@@ -829,6 +836,19 @@ object RelationalQueries {
                ROUND(quantile_cont(value, 0.9), 6) AS p90,
                ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
         FROM events GROUP BY event_type
-      """))
+      """)),
+
+    // approx_percentile: the constant-memory-per-group percentile path that
+    // actually survives 100 TB group sizes (see the q31 scale note).
+    // Sketch-based → not hash-comparable across engines → rows-only; the
+    // |approx − exact| bound is asserted by ApproxSpec.
+    QueryDef(
+      "q31b_approx_percentiles",
+      (s, dir) =>
+        ev(s, dir).groupBy("event_type")
+          .agg(
+            round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+            round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90")),
+      None, bench = false)
   )
 }

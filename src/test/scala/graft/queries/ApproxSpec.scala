@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Accuracy gates for the approximate operators the DuckDB oracle cannot
+  * check (sketches are engine-specific): each approximate query is compared
+  * against its exact twin at the correctness-gate SF, so "approximately
+  * right" is a measured bound, not a claim.
+  */
+class ApproxSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q13b approx_count_distinct is within 2% of the exact count per group") {
+    val exact = run("q13_count_distinct")
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = run("q13b_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (g, a) =>
+      val e = exact(g)
+      assert(math.abs(a - e) <= math.max(1L, (0.02 * e).toLong),
+        s"group $g: approx $a vs exact $e exceeds the 2% rsd envelope")
+    }
+  }
+
+  test("q31b approx percentiles land inside the exact ±5%-rank band per group") {
+    // rank-based bound: approx_percentile(accuracy 10000) returns a real
+    // element whose rank error is far below 5%, so the value must sit
+    // between the exact 45th/55th (resp. 88th/92nd) percentiles
+    val bands = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.45)").as("p50_lo"),
+        expr("percentile(value, 0.55)").as("p50_hi"),
+        expr("percentile(value, 0.88)").as("p90_lo"),
+        expr("percentile(value, 0.92)").as("p90_hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = run("q31b_approx_percentiles").collect()
+    assert(approx.length == bands.size)
+    approx.foreach { r =>
+      val (p50lo, p50hi, p90lo, p90hi) = bands(r.getString(0))
+      val p50 = r.getDouble(1); val p90 = r.getDouble(2)
+      assert(p50 >= p50lo && p50 <= p50hi, s"${r.getString(0)}: p50 $p50 outside [$p50lo,$p50hi]")
+      assert(p90 >= p90lo && p90 <= p90hi, s"${r.getString(0)}: p90 $p90 outside [$p90lo,$p90hi]")
+    }
+  }
+
+  private def meanRecall(name: String): Double = {
+    val rows = run(name).collect()
+    assert(rows.length == 8, s"$name: expected one recall row per query, got ${rows.length}")
+    rows.map(_.getAs[Double]("recall")).sum / rows.length
+  }
+
+  test("ext16 multi-table LSH mean recall@5 clears the declared floor") {
+    val r = meanRecall("ext16_ann_lsh_recall")
+    assert(r >= 0.5, s"LSH mean recall $r below the 0.5 floor (8 tables x 4 bits)")
+  }
+
+  test("ext17 IVF mean recall@5 clears the declared floor") {
+    val r = meanRecall("ext17_ann_ivf_recall")
+    assert(r >= 0.4, s"IVF mean recall $r below the 0.4 floor (nProbe 2 of 8 lists)")
+  }
+}
