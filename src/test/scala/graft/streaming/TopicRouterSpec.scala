@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Dynamic routing parity with the reference scaler (TopicScaler.java:97-183
+  * + TopicAssignmentManager.java:115-147): assignments follow the LIVE
+  * camera set — new cameras re-route the fleet mid-stream without restart,
+  * disappeared cameras re-pack the remainder.
+  */
+class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("assignment math matches the reference: sorted cams, ceil-packed topics") {
+    val r = new TopicRouter(maxPerTopic = 2, minTopics = 1)
+    r.observe(Seq("cam1", "cam0"))
+    assert(r.assignments == Map("cam0" -> "video-events-0", "cam1" -> "video-events-0"))
+    r.observe(Seq("cam2"))
+    // 3 cams / 2 per topic → 2 topics; sorted index 2 → topic 1
+    assert(r.assignments == Map(
+      "cam0" -> "video-events-0", "cam1" -> "video-events-0", "cam2" -> "video-events-1"))
+  }
+
+  test("a removed camera re-packs the remainder into fewer topics") {
+    val r = new TopicRouter(maxPerTopic = 2, minTopics = 1)
+    r.observe(Seq("cam0", "cam1", "cam2", "cam3"))
+    assert(r.assignments("cam3") == "video-events-1")
+    r.remove(Seq("cam0", "cam1"))
+    // 2 live cams → 1 topic; cam2/cam3 move DOWN to topic 0 (reconcile)
+    assert(r.assignments == Map("cam2" -> "video-events-0", "cam3" -> "video-events-0"))
+  }
+
+  test("expire drops cameras by last-seen age, like a ZK ephemeral timeout") {
+    val r = new TopicRouter(maxPerTopic = 2)
+    r.observe(Seq("cam0"), atMillis = 1000L)
+    r.observe(Seq("cam1"), atMillis = 9000L)
+    assert(r.expire(maxIdleMillis = 5000L, nowMillis = 10000L) == Seq("cam0"))
+    assert(r.liveCameras == Seq("cam1"))
+  }
+
+  test("minTopics floor holds with no cameras and tiny fleets") {
+    val r = new TopicRouter(maxPerTopic = 2, minTopics = 3)
+    assert(r.assignments.isEmpty)
+    r.observe(Seq("cam0"))
+    assert(r.assignments("cam0") == "video-events-0") // idx 0 regardless of floor
+  }
+
+  test("a camera appearing mid-stream re-routes the fleet without restart") {
+    val source = MemoryStream[(String, String)](spark)
+    val router = new TopicRouter(maxPerTopic = 2, minTopics = 1)
+    val out = Files.createTempDirectory("router-out").toString
+    val ckpt = Files.createTempDirectory("router-ckpt").toString
+    val wire = source.toDF().toDF("key", "value")
+
+    val q = TopicRouter.routeStream(wire, router, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 1: two cameras → both on topic 0
+      source.addData(("cam0", "f0"), ("cam1", "f1"))
+      q.processAllAvailable()
+      // batch 2: two NEW cameras appear mid-stream → fleet spans 2 topics
+      source.addData(("cam0", "f2"), ("cam2", "f3"), ("cam3", "f4"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(out)
+      .select("key", "value", "topic").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("cam0", "f0", "video-events-0"),
+      ("cam1", "f1", "video-events-0"),
+      // batch 2 routed with the LIVE set {cam0..cam3}: 4/2 → 2 topics
+      ("cam0", "f2", "video-events-0"),
+      ("cam2", "f3", "video-events-1"),
+      ("cam3", "f4", "video-events-1")))
+    assert(router.liveCameras == Seq("cam0", "cam1", "cam2", "cam3"))
+  }
+
+  test("route falls back to topic 0 for a key raced out of the registry") {
+    val r = new TopicRouter(maxPerTopic = 2)
+    val df = Seq(("cam9", "x")).toDF("key", "value")
+    val routed = r.route(df) // cam9 observed within route → assigned
+    assert(routed.select("topic").as[String].collect().toSeq == Seq("video-events-0"))
+  }
+}
