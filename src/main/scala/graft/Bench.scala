@@ -100,14 +100,19 @@ object Bench {
     wire.count() // materialize generation outside the timed section
     val img = java.nio.file.Files.createTempDirectory("bench-img").toString
     // one untimed full pass to warm codegen/JIT for this plan shape (the
-    // kernels need real iteration counts before C2 kicks in)
+    // kernels need real iteration counts before C2 kicks in), then the
+    // MEDIAN of three timed passes: single-pass numbers on this box swing
+    // 2-4× with neighbor load, and a throughput headline should reflect the
+    // pipeline's sustainable rate, not one scheduler hiccup
     MotionPipeline.detectBin(MotionPipeline.decodeWire(wire), img)
       .write.format("noop").mode("overwrite").save()
-    System.gc()
-    val t0 = System.nanoTime()
-    MotionPipeline.detectBin(MotionPipeline.decodeWire(wire), img)
-      .write.format("noop").mode("overwrite").save()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secs = (1 to 3).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      MotionPipeline.detectBin(MotionPipeline.decodeWire(wire), img)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
     wire.unpersist()
     nCams * perCam / secs
   }
