@@ -78,7 +78,13 @@ object Bench {
     // must not read as a good number
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"failed":$failedJson,"sf":"$sfDir"}""")
+    deleteRecursively(new java.io.File(staged)) // staged copies are fact-table-sized
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Motion-pipeline throughput at the reference's frame geometry

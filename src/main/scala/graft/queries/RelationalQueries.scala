@@ -138,14 +138,22 @@ object RelationalQueries {
       """)),
 
     // ---------------------------------------------------------------- q05
-    // Fact ⋈ two small dims: explicit broadcast hints keep the 100 TB fact
-    // table shuffle-free (BroadcastHashJoin both times).
+    // Fact ⋈ two dims, kept shuffle-free for the fact table
+    // (BroadcastHashJoin both times — plan-guarded).
+    //
+    // BROADCAST-HINT POLICY (applies to the whole catalog): only
+    // FIXED-cardinality tables (nation 25 rows, region 5, literal band/dim
+    // tables) carry an explicit broadcast() hint — those are safe at any
+    // scale. part/supplier/customer GROW with the dataset, so their joins
+    // are left to Catalyst stats + AQE: broadcast while they fit the
+    // threshold, shuffle when they outgrow it — a forced hint would OOM at
+    // 100 TB exactly like ext13's removed vocabulary broadcast.
     QueryDef(
       "q05_star_join",
       (s, dir) =>
         Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
           .filter(col("p_size") < 30 && col("s_acctbal") >= 0)
           .groupBy("p_brand")
           .agg(
@@ -734,12 +742,14 @@ object RelationalQueries {
     // TPC-H Q3 shape (shipping priority): 3-way join, filtered both sides,
     // agg, global top-10 — the canonical fact-to-fact join-agg at scale.
     // The segment-filtered customer side is dimension-sized relative to the
-    // two fact tables — broadcast it so neither fact shuffles for the first
-    // join (the orders⋈lineitem equi join is the one unavoidable shuffle).
+    // two fact tables, but customer still scales with the dataset — no
+    // forced hint (q05 policy): stats/AQE broadcast it while it fits, so
+    // neither fact shuffles for the first join at bench SFs, and the plan
+    // degrades to a shuffle join instead of an OOM at 100 TB.
     QueryDef(
       "q32_shipping_priority",
       (s, dir) =>
-        broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
           .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
@@ -769,9 +779,10 @@ object RelationalQueries {
         Tables.customer(s, dir)
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-          // supplier is 1/10 the size of customer in this schema's ratios —
-          // broadcast keeps the fact stream partitioned on l_orderkey only
-          .join(broadcast(Tables.supplier(s, dir)),
+          // supplier is 1/10 the size of customer in this schema's ratios;
+          // stats/AQE broadcast it at bench SFs (q05 hint policy), keeping
+          // the fact stream partitioned on l_orderkey only
+          .join(Tables.supplier(s, dir),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -798,7 +809,7 @@ object RelationalQueries {
         val excluded = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
           .select(col("s_suppkey"))
         Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
           .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy("p_brand", "p_type")
           .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -76,7 +76,11 @@ final class TopicRouter(
     * producer blocks on its first assignment, TopicAssignmentManager:115).
     */
   def route(batch: DataFrame, keyCol: String = "key"): DataFrame = {
-    val cams = batch.select(col(keyCol)).distinct().collect().map(_.getString(0))
+    // null keys can't register (TreeMap natural ordering rejects null, and
+    // the reference's ZK path would too) — they fall through to topic 0 via
+    // the coalesce below
+    val cams = batch.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct().collect().map(_.getString(0))
     observe(cams)
     val asg = assignments
     val fallback = s"$baseTopic-0"
@@ -104,12 +108,17 @@ object TopicRouter {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        router.route(batch)
-          .write.mode("append").partitionBy("topic").parquet(outDir)
+        // the batch is evaluated twice (distinct-keys collect + the routed
+        // write) — persist so the source isn't read/decoded twice per batch
+        batch.persist()
+        try
+          router.route(batch)
+            .write.mode("append").partitionBy("topic").parquet(outDir)
+        finally batch.unpersist()
       }
       .start()
 
   /** Batch helper mirroring [[routeStream]]'s per-batch body. */
-  def routeBatch(spark: SparkSession, wire: DataFrame, router: TopicRouter): DataFrame =
+  def routeBatch(wire: DataFrame, router: TopicRouter): DataFrame =
     router.route(wire)
 }

@@ -82,6 +82,15 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
     assert(router.liveCameras == Seq("cam0", "cam1", "cam2", "cam3"))
   }
 
+  test("a null key routes to the fallback topic instead of NPE-ing the batch") {
+    val r = new TopicRouter(maxPerTopic = 2)
+    val df = Seq((null.asInstanceOf[String], "x"), ("cam0", "y")).toDF("key", "value")
+    val routed = r.route(df).collect()
+      .map(x => Option(x.getString(0)).getOrElse("<null>") -> x.getString(2)).toMap
+    assert(routed == Map("<null>" -> "video-events-0", "cam0" -> "video-events-0"))
+    assert(r.liveCameras == Seq("cam0")) // the null never registered
+  }
+
   test("route falls back to topic 0 for a key raced out of the registry") {
     val r = new TopicRouter(maxPerTopic = 2)
     val df = Seq(("cam9", "x")).toDF("key", "value")
