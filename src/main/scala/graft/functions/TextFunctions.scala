@@ -27,6 +27,21 @@ object TextFunctions {
         transform(sequence(lit(0), size(toks) - n), i =>
           array_join(slice(toks, i + 1, lit(n)), " ")))
 
+  /** Distinct, sorted CHARACTER n-grams of the lower-cased text (the other
+    * classic near-dup representation besides word shingles — robust to
+    * missing/extra whitespace and concatenated-word noise). Text shorter
+    * than `n` yields its whole (lower-cased) self as the single gram;
+    * null text stays null. Map-side only — one pass per row.
+    */
+  def charNgramSet(text: Column, n: Int): Column = {
+    require(n >= 1, s"charNgramSet: n must be >= 1, got $n")
+    val t = lower(text)
+    array_sort(array_distinct(
+      when(length(t) <= n, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)), i =>
+          t.substr(i, lit(n))))))
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature of a string-array column: `num` independent

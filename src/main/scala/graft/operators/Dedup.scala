@@ -150,6 +150,25 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact character-n-gram Jaccard for candidate pairs — [[jaccardPairs]]
+    * with [[graft.functions.TextFunctions.charNgramSet]] as the document
+    * representation (robust to whitespace/concatenation noise where word
+    * sets are not). Same caller-bounds-the-input contract as jaccardPairs:
+    * this IS the verify stage; banding/LSH bounds candidates upstream.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), charNgramSet(col(textCol), n).as("toks"))
+    val a = t.select(col("id").as("doc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("id").as("doc_b"), col("toks").as("toks_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccardOf(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** The composed production near-dedup pipeline: MinHash-LSH generates
     * candidate pairs (bounded by band-bucket occupancy), then exact word-set
     * Jaccard verifies each candidate once — the 100 TB shape where the

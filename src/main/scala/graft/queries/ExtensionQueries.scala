@@ -249,6 +249,35 @@ object ExtensionQueries {
         Tables.documents(s, dir), "text", "doc_id", threshold = 0.8),
       None, bench = true),
 
+    // ------------------------------------------------------------- EXT18
+    // Character-4-gram Jaccard near-dup pairs on a bounded candidate set —
+    // the whitespace-robust sibling of ext03's word-set Jaccard.
+    QueryDef(
+      "ext18_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 40), "text", "doc_id",
+        n = 4, threshold = 0.35),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                   CASE WHEN length(lower(text)) <= 4 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 2),
+                                            i -> substr(lower(text), i, 4)) END)) AS toks
+          FROM documents WHERE doc_id < 40),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS inter,
+                 len(a.toks) + len(b.toks) AS tot
+          FROM t a, t b WHERE a.doc_id < b.doc_id),
+        scored AS (
+          SELECT doc_a, doc_b,
+                 CASE WHEN tot - inter = 0 THEN 1.0
+                      ELSE ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) END AS jaccard
+          FROM pairs)
+        SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.35
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO

@@ -109,4 +109,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows == Seq((1L, 2L, 1.0)))
   }
+
+  test("charNgramSet: whole-text gram for short docs, sliding grams otherwise") {
+    import graft.functions.TextFunctions.charNgramSet
+    val df = Seq((1L, "abc"), (2L, "abcd"), (3L, "Abcde"), (4L, "aaaa a")).toDF("id", "t")
+    val grams = df.select(col("id"), charNgramSet(col("t"), 4).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(grams(1L) == Seq("abc"))        // shorter than n → itself
+    assert(grams(2L) == Seq("abcd"))       // exactly n
+    assert(grams(3L) == Seq("abcd", "bcde")) // lower-cased, sliding
+    assert(grams(4L) == Seq("aa a", "aaa ", "aaaa")) // distinct + sorted
+  }
+
+  test("ngramJaccardPairs: whitespace-noise dup found by char grams, scored exactly") {
+    val df = Seq(
+      (1L, "spark catalyst optimizer"),
+      (2L, "spark catalyst optimizer"),   // exact dup → 1.0
+      (3L, "sparkcatalyst optimizer"),    // same chars, one space dropped
+      (4L, "entirely unrelated text")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(rows.contains((1L, 2L, 1.0)))
+    // the whitespace near-dup survives with high-but-sub-1.0 similarity
+    val nd = rows.filter(p => p._1 == 1L && p._2 == 3L)
+    assert(nd.nonEmpty && nd.head._3 > 0.5 && nd.head._3 < 1.0)
+    assert(!rows.exists(p => p._2 == 4L || p._1 == 4L))
+  }
 }
