@@ -278,6 +278,49 @@ object ExtensionQueries {
         SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.35
       """)),
 
+    // ------------------------------------------------------------- EXT19
+    // The capstone training-data-prep pipeline as ONE query: quality gate
+    // (token count + lexical diversity) → exact dedup (deterministic
+    // survivor) → per-(source, lang) corpus stats. Every stage is the
+    // scale-safe form: map-side features, one digest shuffle for dedup, one
+    // partial+final agg. The summary ratio is derived from exact integer
+    // sums (not an avg of rounded doubles) so both engines hash-match.
+    QueryDef(
+      "ext19_training_prep",
+      (s, dir) => {
+        val feats = TextFunctions.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+        val scored = Tables.documents(s, dir)
+          .select(Seq(col("doc_id"), col("source"), col("lang"), col("text")) ++ feats: _*)
+        val kept = scored.filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.4)
+        Dedup.exact(kept, "text", "doc_id")
+          .groupBy("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            round(sum(col("n_distinct").cast("long")).cast("double") /
+              sum(col("n_tokens").cast("long")), 6).as("corpus_distinct_ratio"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, lang, text,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, source, lang, text,
+                 len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+          FROM t
+          WHERE len(toks) >= 20
+            AND ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.4),
+        d AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM f) WHERE rn = 1)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens), 6) AS corpus_distinct_ratio
+        FROM d GROUP BY source, lang
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO
