@@ -849,6 +849,42 @@ object RelationalQueries {
         FROM events GROUP BY event_type
       """)),
 
+    // ---------------------------------------------------------------- q35
+    // Batch sessionization with Spark's NATIVE session_window (the same
+    // primitive the streaming pipeline uses), pinned against an independent
+    // gaps-and-islands formulation in DuckDB: new session when the gap from
+    // the previous event reaches 4 h; session end = last event + gap
+    // (Spark's [start, last+gap) window). One shuffle on user_id; the
+    // session merge is per-group — the scale shape of streaming state.
+    QueryDef(
+      "q35_sessionize",
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            unix_micros(col("sw.start")).as("session_start_us"),
+            unix_micros(col("sw.end")).as("session_end_us"),
+            col("n_events")),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        m AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 14400000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e),
+        s AS (
+          SELECT user_id, us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT user_id, MIN(us) AS session_start_us,
+               MAX(us) + 14400000000 AS session_end_us, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the
