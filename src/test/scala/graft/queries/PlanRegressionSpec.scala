@@ -83,6 +83,21 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(hints.size == 1, s"expected exactly the N-scalar broadcast hint, got ${hints.size}")
   }
 
+  test("q35 sessionization: partial agg before ONE user_id shuffle, then MergingSessions") {
+    val p = plan("q35_sessionize")
+    assert(p.contains("MergingSessions"))
+    // partial+final pair around a single exchange — the scale shape where
+    // per-user session merge happens once, after map-side pre-aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected one shuffle:\n$p")
+  }
+
+  test("ext19 training-prep keeps the partial dedup top-k (WindowGroupLimit) in one plan") {
+    val p = plan("ext19_training_prep")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
