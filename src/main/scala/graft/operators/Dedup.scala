@@ -139,8 +139,15 @@ object Dedup {
     * input; used as the verify stage after LSH, or standalone on small sets).
     * Output: (doc_a, doc_b, jaccard) for pairs ≥ `threshold`.
     */
-  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
-    val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
+    jaccardOverPairs(
+      df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks")), threshold)
+
+  /** Shared verify scaffold: all (doc_a < doc_b) pairs of an (id, toks)
+    * frame scored with [[jaccardOf]] and thresholded. The crossJoin is the
+    * caller-bounded verify stage by contract.
+    */
+  private def jaccardOverPairs(t: DataFrame, threshold: Double): DataFrame = {
     val a = t.select(col("id").as("doc_a"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("doc_b"), col("toks").as("toks_b"))
     a.crossJoin(b)
@@ -158,16 +165,9 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val t = df.select(col(idCol).as("id"), charNgramSet(col(textCol), n).as("toks"))
-    val a = t.select(col("id").as("doc_a"), col("toks").as("toks_a"))
-    val b = t.select(col("id").as("doc_b"), col("toks").as("toks_b"))
-    a.crossJoin(b)
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccardOf(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+      n: Int, threshold: Double): DataFrame =
+    jaccardOverPairs(
+      df.select(col(idCol).as("id"), charNgramSet(col(textCol), n).as("toks")), threshold)
 
   /** The composed production near-dedup pipeline: MinHash-LSH generates
     * candidate pairs (bounded by band-bucket occupancy), then exact word-set
