@@ -27,6 +27,15 @@ object TextFunctions {
         transform(sequence(lit(0), size(toks) - n), i =>
           array_join(slice(toks, i + 1, lit(n)), " ")))
 
+  /** BPE-style pre-tokenization: lower-cased text split into maximal runs
+    * of letters, digits, or other-non-space — the class boundaries every
+    * byte-pair-encoding tokenizer splits on before merging. The pattern is
+    * deliberately ASCII-class-only so Java (Spark) and RE2 (DuckDB oracle)
+    * regexes agree byte-for-byte.
+    */
+  def bpePreTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+
   /** Distinct, sorted CHARACTER n-grams of the lower-cased text (the other
     * classic near-dup representation besides word shingles — robust to
     * missing/extra whitespace and concatenated-word noise). Text shorter

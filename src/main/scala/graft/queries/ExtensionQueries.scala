@@ -278,6 +278,42 @@ object ExtensionQueries {
         SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.35
       """)),
 
+    // ------------------------------------------------------------- EXT20
+    // BPE-style pre-tokenization stats per lang: maximal letter/digit/punct
+    // runs (the class boundaries a BPE tokenizer merges within), counted by
+    // class. Map-side extraction + one partial/final agg.
+    QueryDef(
+      "ext20_bpe_pretokens",
+      (s, dir) => {
+        val toks = TextFunctions.bpePreTokens(col("text"))
+        Tables.documents(s, dir)
+          .select(
+            col("lang"),
+            size(toks).cast("long").as("n_pre"),
+            size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long").as("n_word"),
+            size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit"))
+          .groupBy("lang")
+          .agg(
+            sum("n_pre").as("n_pretokens"),
+            sum("n_word").as("word_runs"),
+            sum("n_digit").as("digit_runs"),
+            (sum("n_pre") - sum("n_word") - sum("n_digit")).as("punct_runs"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT lang,
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS toks
+          FROM documents)
+        SELECT lang,
+               CAST(SUM(len(toks)) AS BIGINT) AS n_pretokens,
+               CAST(SUM(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))) AS BIGINT) AS word_runs,
+               CAST(SUM(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))) AS BIGINT) AS digit_runs,
+               CAST(SUM(len(toks))
+                 - SUM(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))))
+                 - SUM(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))) AS BIGINT) AS punct_runs
+        FROM t GROUP BY lang
+      """)),
+
     // ------------------------------------------------------------- EXT19
     // The capstone training-data-prep pipeline as ONE query: quality gate
     // (token count + lexical diversity) → exact dedup (deterministic

@@ -96,18 +96,23 @@ final class TopicRouter(
 
 object TopicRouter {
 
-  /** Streaming wire-out with live re-routing: per micro-batch, re-derive the
-    * assignment from the observed camera set and write the routed records
-    * partitioned by topic (the offline analog of producing to per-topic
-    * Kafka topics; swap the writer body for a kafka sink in deployment).
+  /** Streaming wire-out with live re-routing: per micro-batch, expire
+    * cameras idle past `maxIdleMillis` (the ZK ephemeral-node timeout
+    * analog — disappeared cameras re-pack the fleet, reference
+    * TopicScaler CHILD_REMOVED → reconcile), then re-derive the assignment
+    * from the observed camera set and write the routed records partitioned
+    * by topic (the offline analog of producing to per-topic Kafka topics;
+    * swap the writer body for a kafka sink in deployment).
     */
   def routeStream(
       wire: DataFrame, router: TopicRouter, outDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxIdleMillis: Long = Long.MaxValue): StreamingQuery =
     wire.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (maxIdleMillis != Long.MaxValue) router.expire(maxIdleMillis): Unit
         // the batch is evaluated twice (distinct-keys collect + the routed
         // write) — persist so the source isn't read/decoded twice per batch
         batch.persist()

@@ -82,6 +82,26 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
     assert(router.liveCameras == Seq("cam0", "cam1", "cam2", "cam3"))
   }
 
+  test("routeStream with maxIdle expires silent cameras before routing each batch") {
+    val source = MemoryStream[(String, String)](spark)
+    val router = new TopicRouter(maxPerTopic = 1, minTopics = 1)
+    // pre-register a camera long idle (epoch 0 — far past any idle bound)
+    router.observe(Seq("cam9"), atMillis = 1L)
+    val out = Files.createTempDirectory("router-exp-out").toString
+    val ckpt = Files.createTempDirectory("router-exp-ckpt").toString
+    val q = TopicRouter.routeStream(source.toDF().toDF("key", "value"), router, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      maxIdleMillis = 60_000L)
+    try {
+      source.addData(("cam0", "f0"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // cam9 expired before routing, so cam0 packed into topic 0 (not 1)
+    assert(router.liveCameras == Seq("cam0"))
+    val topics = spark.read.parquet(out).select("topic").collect().map(_.getString(0)).toSet
+    assert(topics == Set("video-events-0"))
+  }
+
   test("a null key routes to the fallback topic instead of NPE-ing the batch") {
     val r = new TopicRouter(maxPerTopic = 2)
     val df = Seq((null.asInstanceOf[String], "x"), ("cam0", "y")).toDF("key", "value")
