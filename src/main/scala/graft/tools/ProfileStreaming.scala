@@ -1,8 +1,10 @@
 package graft.tools
 
-/** Throwaway phase profiler for the streaming hot path — pure JVM, no Spark:
+/** Phase profiler for the streaming hot path (dev aid, like [[Plans]]):
   * measures per-frame cost of (a) wire-JSON parse+base64 decode and (b) the
-  * fused kernel chain, at the bench geometry (640×480×3, static scene).
+  * fused kernel chain pure-JVM, then the Spark-side phase breakdown
+  * (scan / decode / shuffle / full detect) at the bench geometry
+  * (4 cams × 75 frames of 640×480×3, static scene).
   * Run: sbt "runMain graft.tools.ProfileStreaming"
   */
 object ProfileStreaming {
