@@ -29,12 +29,13 @@ object TextFunctions {
 
   /** BPE-style pre-tokenization: lower-cased text split into maximal runs
     * of letters, digits, or other-non-space — the class boundaries every
-    * byte-pair-encoding tokenizer splits on before merging. The pattern is
-    * deliberately ASCII-class-only so Java (Spark) and RE2 (DuckDB oracle)
-    * regexes agree byte-for-byte.
+    * byte-pair-encoding tokenizer splits on before merging. The whitespace
+    * class is spelled out ([ \t\n\r\f]) instead of \s because Java's \s
+    * includes vertical tab while RE2's does not — with explicit classes the
+    * Spark pattern and the DuckDB oracle's agree byte-for-byte.
     */
   def bpePreTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]+"), lit(0))
 
   /** Distinct, sorted CHARACTER n-grams of the lower-cased text (the other
     * classic near-dup representation besides word shingles — robust to

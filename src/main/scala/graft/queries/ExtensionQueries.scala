@@ -302,7 +302,7 @@ object ExtensionQueries {
       Some("""
         WITH t AS (
           SELECT lang,
-                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS toks
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]+') AS toks
           FROM documents)
         SELECT lang,
                CAST(SUM(len(toks)) AS BIGINT) AS n_pretokens,

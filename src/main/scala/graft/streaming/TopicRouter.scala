@@ -123,7 +123,12 @@ object TopicRouter {
       }
       .start()
 
-  /** Batch helper mirroring [[routeStream]]'s per-batch body. */
-  def routeBatch(wire: DataFrame, router: TopicRouter): DataFrame =
+  /** Batch helper mirroring [[routeStream]]'s per-batch body, including the
+    * optional idle-camera expiry that runs before the reconcile.
+    */
+  def routeBatch(wire: DataFrame, router: TopicRouter,
+      maxIdleMillis: Long = Long.MaxValue): DataFrame = {
+    if (maxIdleMillis != Long.MaxValue) router.expire(maxIdleMillis): Unit
     router.route(wire)
+  }
 }

@@ -80,4 +80,16 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
       assert(one[String](TextFunctions.langId(col("t")), text) == expected, text)
     }
   }
+
+  test("bpePreTokens splits letter/digit/punct runs exactly (golden values)") {
+    val f = TextFunctions.bpePreTokens(col("t"))
+    // mixed classes: letters, digits, punctuation runs split at boundaries
+    assert(oneSeq(f, "ab12, cd") == Seq("ab", "12", ",", "cd"))
+    assert(oneSeq(f, "GPT-4o costs $0.01!") ==
+      Seq("gpt", "-", "4", "o", "costs", "$", "0", ".", "01", "!"))
+    // consecutive punctuation is ONE run; all whitespace kinds separate
+    assert(oneSeq(f, "a...b\tc\nd\re\ff") == Seq("a", "...", "b", "c", "d", "e", "f"))
+    assert(oneSeq(f, "   ") == Seq.empty)
+    assert(oneSeq(f, "") == Seq.empty)
+  }
 }

@@ -85,8 +85,14 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
   test("routeStream with maxIdle expires silent cameras before routing each batch") {
     val source = MemoryStream[(String, String)](spark)
     val router = new TopicRouter(maxPerTopic = 1, minTopics = 1)
-    // pre-register a camera long idle (epoch 0 — far past any idle bound)
-    router.observe(Seq("cam9"), atMillis = 1L)
+    // pre-register a long-idle camera that sorts BEFORE cam0 ('-' < '0'):
+    // if it survived the reconcile, cam0 would sit at sorted index 1 and
+    // route to video-events-1 — so the topic assertion below actually
+    // discriminates expire-before-route from no/late expiry
+    router.observe(Seq("cam-idle"), atMillis = 1L)
+    val noExpiry = new TopicRouter(maxPerTopic = 1, minTopics = 1)
+    noExpiry.observe(Seq("cam-idle", "cam0"))
+    assert(noExpiry.assignments("cam0") == "video-events-1") // without-expiry baseline
     val out = Files.createTempDirectory("router-exp-out").toString
     val ckpt = Files.createTempDirectory("router-exp-ckpt").toString
     val q = TopicRouter.routeStream(source.toDF().toDF("key", "value"), router, out, ckpt,
@@ -96,7 +102,7 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
       source.addData(("cam0", "f0"))
       q.processAllAvailable()
     } finally q.stop()
-    // cam9 expired before routing, so cam0 packed into topic 0 (not 1)
+    // cam-idle expired BEFORE routing, so cam0 packed into topic 0
     assert(router.liveCameras == Seq("cam0"))
     val topics = spark.read.parquet(out).select("topic").collect().map(_.getString(0)).toSet
     assert(topics == Set("video-events-0"))
