@@ -108,6 +108,40 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
     assert(topics == Set("video-events-0"))
   }
 
+  test("routeStream restarted from checkpoint with a fresh router re-learns the fleet") {
+    // driver restart: the in-memory registry dies with the process (like the
+    // reference's scaler, which rebuilds from ZK); a new router must re-learn
+    // the fleet from the first post-restart batch and route consistently
+    val source = MemoryStream[(String, String)](spark)
+    val out = Files.createTempDirectory("router-rs-out").toString
+    val ckpt = Files.createTempDirectory("router-rs-ckpt").toString
+    val wire = source.toDF().toDF("key", "value")
+
+    val q1 = TopicRouter.routeStream(wire, new TopicRouter(maxPerTopic = 2), out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      source.addData(("cam0", "f0"), ("cam1", "f1"), ("cam2", "f2"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val fresh = new TopicRouter(maxPerTopic = 2)
+    val q2 = TopicRouter.routeStream(wire, fresh, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      source.addData(("cam0", "f3"), ("cam2", "f4"), ("cam3", "f5"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // post-restart batch routed from the re-learned live set {cam0,cam2,cam3}
+    val rows = spark.read.parquet(out).select("key", "value", "topic").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.filter(r => Set("f3", "f4", "f5")(r._2)) == Set(
+      ("cam0", "f3", "video-events-0"),
+      ("cam2", "f4", "video-events-0"),
+      ("cam3", "f5", "video-events-1")))
+    assert(fresh.liveCameras == Seq("cam0", "cam2", "cam3")) // cam1 not re-learned
+  }
+
   test("a null key routes to the fallback topic instead of NPE-ing the batch") {
     val r = new TopicRouter(maxPerTopic = 2)
     val df = Seq((null.asInstanceOf[String], "x"), ("cam0", "y")).toDF("key", "value")
