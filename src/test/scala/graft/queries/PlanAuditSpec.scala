@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Catalog-wide plan audit: no query may plan a CartesianProduct or
+  * BroadcastNestedLoopJoin unless it is on the documented allow-list of
+  * deliberately bounded shapes — a new catalog entry that accidentally
+  * drops its equi key fails here instead of at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Queries whose non-equi/cross shapes are deliberate AND caller-bounded:
+    * q10 band join (pure theta → BNLJ over a literal band table), ext02
+    * (broadcast query set × corpus — the exact-kNN contract), ext03/ext18
+    * (all-pairs verify stage, input bounded by contract), the N-scalar
+    * cross joins of ext13/ext15-derived shapes, and the recall harnesses
+    * joining two ≤|Q|·k frames.
+    */
+  private val allowed = Set(
+    "q10_band_join", "ext02_knn_cosine", "ext03_jaccard_pairs",
+    "ext07_embed_neardup", "ext12_ann_lsh", "ext13_tfidf", "ext14_ann_ivf",
+    "ext15_neardup_pipeline", "ext16_ann_lsh_recall", "ext17_ann_ivf_recall",
+    "ext18_ngram_jaccard", "ext19_training_prep")
+
+  test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
+    val offenders = SparkEntry.all.flatMap { q =>
+      val plan =
+        try q.build(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: ${e.getMessage}") }
+      val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !allowed.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"undeclared non-equi join shapes in: $offenders")
+  }
+}
