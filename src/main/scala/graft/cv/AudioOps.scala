@@ -99,7 +99,12 @@ object AudioOps {
       val v = a.samples(i) / 32768.0
       sumSq += v * v
       if (math.abs(v) > peak) peak = math.abs(v)
-      if (i > 0 && (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) crossings += 1
+      // zero crossings are per CHANNEL: compare to the previous frame's
+      // sample of the same channel, not the interleaved neighbor (which for
+      // stereo would compare L against R and report sign flips that are
+      // channel separation, not crossings)
+      if (i >= a.channels && (a.samples(i) >= 0) != (a.samples(i - a.channels) >= 0))
+        crossings += 1
       i += 1
     }
     (math.sqrt(sumSq / n), peak, crossings.toDouble / n)
@@ -110,6 +115,7 @@ object AudioOps {
     */
   def resample(a: DecodedAudio, outRate: Int): DecodedAudio = {
     val frames = a.samples.length / a.channels
+    if (frames == 0) return DecodedAudio(outRate, a.channels, Array.empty)
     val outFrames = math.max(1, (frames.toLong * outRate / a.sampleRate).toInt)
     val out = new Array[Short](outFrames * a.channels)
     var f = 0

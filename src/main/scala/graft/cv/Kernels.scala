@@ -18,8 +18,8 @@ object Kernels {
 
   /** BGR/RGB (any channel order) → 8-bit luma, integer arithmetic.
     * For channels==1 this is a copy. Uses the Rec.601 integer approximation
-    * (29·B + 150·G + 77·R) >> 8 in memory channel order [c0,c1,c2] =
-    * (77,150,29) like OpenCV's BGR2GRAY with B first.
+    * (29·B + 150·G + 77·R) >> 8, i.e. weights in memory channel order
+    * [c0,c1,c2] = (29,150,77) like OpenCV's BGR2GRAY with B first.
     */
   def grayscale(px: Array[Byte], rows: Int, cols: Int, channels: Int): Array[Byte] = {
     val out = new Array[Byte](rows * cols)

@@ -61,30 +61,31 @@ object Compaction {
     val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val toCompact = spark.read.parquet(tableDir).where(col("day") < cutoff)
-      val rows = toCompact.count()
-      if (rows > 0) {
-        // size only the partitions being rewritten, through the Hadoop FS
-        // API (works on hdfs/s3a/..., unlike java.io.File)
-        val (targetBytes, nPartitions) =
-          partitionSizes(spark, tableDir, cutoff)
-        val filesPerPartition =
-          math.max(1, math.ceil(targetBytes.toDouble /
-            math.max(1, nPartitions) / targetFileBytes).toInt)
-        // rows with equal (camera_id, day) hash to one task — a salt lets a
-        // big partition split across `filesPerPartition` writers. The
-        // partition count is explicit: AQE would otherwise coalesce the
-        // shuffle and undo the split.
-        toCompact
-          .withColumn("__salt", (rand(7L) * filesPerPartition).cast("int"))
-          .repartition(math.max(1, nPartitions) * filesPerPartition,
-            col("camera_id"), col("day"), col("__salt"))
-          .drop("__salt")
-          .write.mode("overwrite")
-          .partitionBy("camera_id", "day")
-          .parquet(tableDir)
-      }
-      rows
+      // size the partitions being rewritten FIRST, through the Hadoop FS
+      // API (works on hdfs/s3a/..., unlike java.io.File): metadata-only, so
+      // the nothing-to-do case costs no data scan, and the rewrite below is
+      // the ONLY read of the data (the row count rides along via observe()
+      // instead of a separate count() job re-scanning every old partition).
+      val (targetBytes, nPartitions) = partitionSizes(spark, tableDir, cutoff)
+      if (nPartitions == 0) return 0L
+      val filesPerPartition =
+        math.max(1, math.ceil(targetBytes.toDouble /
+          math.max(1, nPartitions) / targetFileBytes).toInt)
+      val obs = org.apache.spark.sql.Observation()
+      // rows with equal (camera_id, day) hash to one task — a salt lets a
+      // big partition split across `filesPerPartition` writers. The
+      // partition count is explicit: AQE would otherwise coalesce the
+      // shuffle and undo the split.
+      spark.read.parquet(tableDir).where(col("day") < cutoff)
+        .observe(obs, count(lit(1)).as("rows"))
+        .withColumn("__salt", (rand(7L) * filesPerPartition).cast("int"))
+        .repartition(nPartitions * filesPerPartition,
+          col("camera_id"), col("day"), col("__salt"))
+        .drop("__salt")
+        .write.mode("overwrite")
+        .partitionBy("camera_id", "day")
+        .parquet(tableDir)
+      obs.get("rows").asInstanceOf[Long]
     } finally {
       old.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))

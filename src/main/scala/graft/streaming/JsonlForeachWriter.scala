@@ -28,30 +28,33 @@ class JsonlForeachWriter(outDir: String) extends ForeachWriter[Row] {
     true
   }
 
+  // field-name prefixes are identical for every row of a partition — derive
+  // once on first row instead of re-allocating fieldNames + tuples per row
+  private var fieldPrefixes: Array[String] = _
+
   override def process(row: Row): Unit =
     try {
-      val json = row.schema.fieldNames.zipWithIndex.map { case (name, i) =>
-        val v = row.get(i)
-        val rendered = v match {
-          case null => "null"
+      if (fieldPrefixes == null)
+        fieldPrefixes = row.schema.fieldNames.map(n => "\"" + n + "\":")
+      val sb = new java.lang.StringBuilder(64)
+      sb.append('{')
+      var i = 0
+      while (i < fieldPrefixes.length) {
+        if (i > 0) sb.append(',')
+        sb.append(fieldPrefixes(i))
+        row.get(i) match {
+          case null => sb.append("null")
           // bare NaN/Infinity tokens are not JSON — render as null
-          case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
-          case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
-          case n: Number => n.toString
-          case b: Boolean => b.toString
-          case other => "\"" + other.toString.flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case '\n' => "\\n"
-            case '\r' => "\\r"
-            case '\t' => "\\t"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          } + "\""
+          case d: java.lang.Double if d.isNaN || d.isInfinite => sb.append("null")
+          case f: java.lang.Float if f.isNaN || f.isInfinite => sb.append("null")
+          case n: Number => sb.append(n.toString)
+          case b: Boolean => sb.append(b.toString)
+          case other => sb.append(graft.util.Json.quote(other.toString))
         }
-        "\"" + name + "\":" + rendered
-      }.mkString("{", ",", "}")
-      writer.write(json)
+        i += 1
+      }
+      sb.append('}')
+      writer.write(sb.toString)
       writer.newLine()
     } catch {
       case e: Exception =>

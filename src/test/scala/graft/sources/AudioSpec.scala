@@ -50,6 +50,25 @@ class AudioSpec extends AnyFunSuite with SparkTestSession {
     assert(AudioOps.decodeWav(wav).isEmpty)
   }
 
+  test("stereo ZCR compares within channels, not across interleaved samples") {
+    // L constant +1000, R constant -1000: neither channel ever crosses zero.
+    // An interleaved comparison would see a sign flip at EVERY sample.
+    val interleaved = Array.tabulate[Short](400)(i => if (i % 2 == 0) 1000 else -1000)
+    val (_, _, zcr) = AudioOps.features(AudioOps.DecodedAudio(8000, 2, interleaved))
+    assert(zcr == 0.0)
+    // and a stereo signal whose channels DO cross still counts per channel
+    val bothSines = Array.tabulate[Short](800) { i =>
+      (math.sin(2 * math.Pi * 440 * (i / 2) / 8000) * 16384).toShort
+    }
+    val (_, _, zcr2) = AudioOps.features(AudioOps.DecodedAudio(8000, 2, bothSines))
+    assert(math.abs(zcr2 - 2.0 * 440 / 8000) < 0.02)
+  }
+
+  test("resample of empty audio returns empty instead of crashing") {
+    val out = AudioOps.resample(AudioOps.DecodedAudio(8000, 1, Array.empty), 16000)
+    assert(out.sampleRate == 16000 && out.samples.isEmpty)
+  }
+
   test("a forged fmt size < 16 is rejected before the fixed fields are read") {
     val wav = AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.01))
     val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
