@@ -83,6 +83,9 @@ final class TopicRouter(
       .distinct().collect().map(_.getString(0))
     observe(cams)
     val asg = assignments
+    // the coalesce fallback below exists for NULL keys (filtered out of the
+    // registry above) — a non-null key is always in `asg` because observe()
+    // ran on this very batch first
     val fallback = s"$baseTopic-0"
     val topicExpr =
       if (asg.isEmpty) lit(fallback)

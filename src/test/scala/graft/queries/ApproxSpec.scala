@@ -16,7 +16,11 @@ class ApproxSpec extends AnyFunSuite with SparkTestSession {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("q13b approx_count_distinct is within 2% of the exact count per group") {
+  test("q13b approx_count_distinct stays within 3 rsd of the exact count per group") {
+    // rsd=0.02 is a 1-sigma figure, not a hard bound — HLL lands past 1 rsd
+    // ~32% of the time at large cardinalities. 3 rsd (6%) is the envelope a
+    // correct estimator essentially never exceeds, so a failure here means
+    // a real defect, not estimator luck.
     val exact = run("q13_count_distinct")
       .select("event_type", "n_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -25,8 +29,8 @@ class ApproxSpec extends AnyFunSuite with SparkTestSession {
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (g, a) =>
       val e = exact(g)
-      assert(math.abs(a - e) <= math.max(1L, (0.02 * e).toLong),
-        s"group $g: approx $a vs exact $e exceeds the 2% rsd envelope")
+      assert(math.abs(a - e) <= math.max(2L, (0.06 * e).toLong),
+        s"group $g: approx $a vs exact $e exceeds the 3-rsd (6%) envelope")
     }
   }
 

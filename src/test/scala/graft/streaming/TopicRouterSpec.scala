@@ -3,7 +3,6 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -151,10 +150,4 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
     assert(r.liveCameras == Seq("cam0")) // the null never registered
   }
 
-  test("route falls back to topic 0 for a key raced out of the registry") {
-    val r = new TopicRouter(maxPerTopic = 2)
-    val df = Seq(("cam9", "x")).toDF("key", "value")
-    val routed = r.route(df) // cam9 observed within route → assigned
-    assert(routed.select("topic").as[String].collect().toSeq == Seq("video-events-0"))
-  }
 }
