@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
-import graft.expressions.{MotionRegionCount, VectorDot}
+import graft.expressions.{MotionRegionCount, SigAgreement, VectorDot}
 
 /** Engine SQL surface registration.
   *
@@ -42,6 +42,15 @@ object GraftFunctions {
           if (e.dataType == org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)) e
           else Cast(e, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
         VectorDot(arr(args(0)), arr(args(1)))
+      }),
+    (new FunctionIdentifier("sig_agreement"),
+      new ExpressionInfo(classOf[SigAgreement].getName, "sig_agreement"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"sig_agreement expects 2 arguments, got ${args.length}")
+        def arr(e: Expression) =
+          if (e.dataType == org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)) e
+          else Cast(e, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+        SigAgreement(arr(args(0)), arr(args(1)))
       }))
 
   /** Register all engine functions on an existing session. */

@@ -199,6 +199,22 @@ object TextFunctions {
   /** Hamming distance between two long columns (bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Codegen'd signature-agreement count ([[graft.expressions.SigAgreement]]
+    * — one primitive loop per pair; [[sigAgreementHof]] kept for
+    * cross-checks).
+    */
+  def sigAgreement(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnGlue
+    ColumnGlue.column(graft.expressions.SigAgreement(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
+
+  /** Reference higher-order-function agreement count (identical semantics
+    * for fixed-length never-null signatures, slower).
+    */
+  def sigAgreementHof(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+
   // ------------------------------------------------- fingerprint / quality
 
   /** Karp–Rabin rolling-hash document fingerprint: polynomial hash of the

@@ -58,7 +58,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        round(sigAgreement(col("sig_a"), col("sig_b"))
           .cast("double") / perms.toDouble, 6).as("est_jaccard"))
   }
 

@@ -52,4 +52,22 @@ class SketchExpressionsSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("sig_agreement equals the zip_with/filter/size HOF form") {
+    // cross all pairs of signatures (incl. self-pairs → agreement = perms)
+    val sigs = texts.select(TextFunctions.minHashFromText(col("t"), 3, 32).as("sig"))
+    val pairs = sigs.crossJoin(sigs.select(col("sig").as("sig2")))
+    val rows = pairs.select(
+      TextFunctions.sigAgreement(col("sig"), col("sig2")).as("fast"),
+      TextFunctions.sigAgreementHof(col("sig"), col("sig2")).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // registered SQL surface + null propagation
+    graft.GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS a, " +
+        "sig_agreement(NULL, array(1L)) AS n")
+      .collect().head
+    assert(sql.getInt(0) == 2 && sql.isNullAt(1))
+  }
 }
