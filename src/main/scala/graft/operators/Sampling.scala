@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Both variants key the randomness on a HASH of the row id, not on RNG
+  * state: the same input always yields the same sample (re-runs, retries
+  * and the DuckDB oracle all agree), and adding/removing other rows never
+  * flips an unrelated row's membership (hash sampling is per-row stable,
+  * unlike reservoir/rand()-ordered schemes).
+  */
+object Sampling {
+
+  /** md5-derived uniform bucket in [0, 100) for a key column — the shared
+    * randomness of both sampling variants (and portable to any engine that
+    * has md5).
+    */
+  def hashBucket(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % 100)
+
+  /** Bernoulli-style hash sample: keep rows whose bucket < pct. Map-side
+    * only — no shuffle, the 100 TB default for "give me ~20% of the
+    * corpus".
+    */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(hashBucket(col(idCol)) < pct)
+  }
+
+  /** EXACT stratified sample: ceil(fraction·|stratum|) rows per stratum,
+    * chosen deterministically by hash order (tie-broken by id). One
+    * window shuffle on the stratum key; per-stratum state is a counter, so
+    * this scales to any stratum size — use [[hashSample]] when approximate
+    * per-stratum rates are acceptable and the shuffle isn't.
+    */
+  def stratifiedExact(
+      df: DataFrame, strataCol: String, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+}

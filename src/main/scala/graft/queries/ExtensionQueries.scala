@@ -278,6 +278,25 @@ object ExtensionQueries {
         SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.35
       """)),
 
+    // ------------------------------------------------------------- EXT21
+    // Deterministic EXACT stratified sample: ceil(20%·|lang stratum|) docs
+    // per lang, membership decided by md5 hash order (not RNG state) so
+    // re-runs and the oracle agree row-for-row.
+    QueryDef(
+      "ext21_stratified_sample",
+      (s, dir) => graft.operators.Sampling.stratifiedExact(
+        Tables.documents(s, dir), "lang", "doc_id", 0.2)
+        .select("doc_id", "lang", "source"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT doc_id, lang, source FROM t WHERE rn <= CEIL(0.2 * n)
+      """)),
+
     // ------------------------------------------------------------- EXT20
     // BPE-style pre-tokenization stats per lang: maximal letter/digit/punct
     // runs (the class boundaries a BPE tokenizer merges within), counted by

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SamplingSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private val docs = (0L until 200L).map(i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr", s"text $i"))
+    .toDF("doc_id", "lang", "text")
+
+  test("hashSample is deterministic, per-row stable, and ~pct sized") {
+    val a = Sampling.hashSample(docs, "doc_id", 20).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "doc_id", 20).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // re-run identical
+    assert(a.size > 10 && a.size < 80) // ~40 expected of 200, generous band
+    // membership is per-row stable: sampling a subset keeps the same ids
+    val subset = Sampling.hashSample(docs.filter(col("doc_id") < 100), "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subset == a.filter(_ < 100))
+    // pct monotonicity: a 20% sample is contained in a 50% sample
+    val wider = Sampling.hashSample(docs, "doc_id", 50).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+  }
+
+  test("stratifiedExact keeps exactly ceil(f*n) rows per stratum, deterministically") {
+    val sampled = Sampling.stratifiedExact(docs, "lang", "doc_id", 0.25)
+    val perLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata sizes: en=67, de=67, fr=66 → ceil(0.25*n) = 17, 17, 17
+    assert(perLang == Map("en" -> 17L, "de" -> 17L, "fr" -> 17L))
+    val again = Sampling.stratifiedExact(docs, "lang", "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("fraction edge cases: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.stratifiedExact(docs, "lang", "doc_id", 0.0).count() == 0)
+    assert(Sampling.stratifiedExact(docs, "lang", "doc_id", 1.0).count() == 200)
+    assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0)
+    assert(Sampling.hashSample(docs, "doc_id", 100).count() == 200)
+  }
+}
