@@ -23,7 +23,8 @@ object Sampling {
 
   /** Bernoulli-style hash sample: keep rows whose bucket < pct. Map-side
     * only — no shuffle, the 100 TB default for "give me ~20% of the
-    * corpus".
+    * corpus". Rows with a NULL id are dropped (their bucket is NULL, which
+    * never satisfies the filter) — sample on a non-null key.
     */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")

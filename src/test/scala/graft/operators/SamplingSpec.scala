@@ -38,6 +38,12 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("null ids never enter a hash sample (documented drop, not a crash)") {
+    val withNull = Seq((java.lang.Long.valueOf(1L), "en"), (null.asInstanceOf[java.lang.Long], "en"))
+      .toDF("doc_id", "lang")
+    assert(Sampling.hashSample(withNull, "doc_id", 100).count() == 1)
+  }
+
   test("fraction edge cases: 0 keeps nothing, 1 keeps everything") {
     assert(Sampling.stratifiedExact(docs, "lang", "doc_id", 0.0).count() == 0)
     assert(Sampling.stratifiedExact(docs, "lang", "doc_id", 1.0).count() == 200)
