@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Character-n-gram-profile language identification (the classic Cavnar-
+  * Trenkle shape): train a per-language profile of the K most document-
+  * frequent character n-grams from a labeled corpus, classify a document by
+  * which profile it overlaps most. Deterministic end-to-end (count ties
+  * break on the gram, score ties on the language), so the whole
+  * train+classify composition is oracle-checkable — unlike the marker-word
+  * heuristic in [[graft.functions.TextFunctions.langId]], which stays as
+  * the zero-training fallback.
+  *
+  * Scale shape: training is explode → two-level agg → per-lang top-K
+  * window (partial WindowGroupLimit); the profile is nLangs×K rows —
+  * FIXED-cardinality, so its classify-join side broadcasts safely at any
+  * corpus size (q05 hint policy). Classification is one equi join on the
+  * gram plus a per-doc top-1 window.
+  */
+object LangIdNgram {
+
+  /** (doc_id, gram) pairs — each document's distinct n-gram set, exploded. */
+  private def docGrams(df: DataFrame, textCol: String, idCol: String, n: Int) =
+    df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.charNgramSet(col(textCol), n)).as("g"))
+
+  /** Per-language profile: the `topK` grams by document frequency
+    * (ties → lexicographically smaller gram), as (lang, g).
+    */
+  def trainProfiles(
+      df: DataFrame, textCol: String, langCol: String, idCol: String,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    val grams = df.select(col(langCol).as("lang"),
+      explode(TextFunctions.charNgramSet(col(textCol), n)).as("g"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
+    grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("lang", "g")
+  }
+
+  /** Classify every document: the language whose profile shares the most
+    * grams with the document (ties → lexicographically smaller language);
+    * documents overlapping no profile get 'und'. Output:
+    * (doc_id, predicted).
+    */
+  def classify(
+      df: DataFrame, profiles: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docGrams(df, textCol, idCol, n)
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand"))
+    val best = grams
+      .join(broadcast(profiles.select(col("lang").as("cand"), col("g"))), Seq("g"))
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand"))
+    df.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand"), lit("und")).as("predicted"))
+  }
+
+  /** Self-trained train+classify over one labeled corpus — the composed
+    * driver-visible form (output: doc_id, lang, predicted).
+    */
+  def selfTest(
+      df: DataFrame, textCol: String, langCol: String, idCol: String,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    val profiles = trainProfiles(df, textCol, langCol, idCol, n, topK)
+    df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(classify(df, profiles, textCol, idCol, n), Seq("doc_id"))
+      .select("doc_id", "lang", "predicted")
+  }
+}

@@ -278,6 +278,44 @@ object ExtensionQueries {
         SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.35
       """)),
 
+    // ------------------------------------------------------------- EXT22
+    // N-gram-profile language ID (Cavnar-Trenkle shape), self-trained and
+    // classified in one deterministic plan — oracle-checked train+classify,
+    // unlike the marker-word ext11 (rows-only). Profile = top-50 trigrams
+    // per lang by document frequency.
+    //
+    // NOTE the fixture's `lang` labels are uncorrelated with the text (all
+    // langs share one synthetic vocabulary), so accuracy on this corpus is
+    // label noise — this entry pins the train+classify computation against
+    // the oracle; LangIdNgramSpec pins ACCURACY on a corpus with real
+    // per-language character signal.
+    QueryDef(
+      "ext22_langid_ngram",
+      (s, dir) => graft.operators.LangIdNgram.selfTest(
+        Tables.documents(s, dir), "text", "lang", "doc_id", n = 3, topK = 50),
+      Some("""
+        WITH grams AS (
+          SELECT doc_id, lang,
+                 unnest(list_sort(list_distinct(
+                   CASE WHEN length(lower(text)) <= 3 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 1),
+                                            i -> substr(lower(text), i, 3)) END))) AS g
+          FROM documents),
+        prof AS (
+          SELECT lang AS cand, g FROM (
+            SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY COUNT(*) DESC, g) AS rk
+            FROM grams GROUP BY lang, g) WHERE rk <= 50),
+        best AS (
+          SELECT doc_id, cand FROM (
+            SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY COUNT(*) DESC, cand) AS rk
+            FROM grams JOIN prof USING (g)
+            GROUP BY doc_id, cand) WHERE rk = 1)
+        SELECT doc_id, lang, COALESCE(b.cand, 'und') AS predicted
+        FROM documents LEFT JOIN best b USING (doc_id)
+      """)),
+
     // ------------------------------------------------------------- EXT21
     // Deterministic EXACT stratified sample: ceil(20%·|lang stratum|) docs
     // per lang, membership decided by md5 hash order (not RNG state) so
