@@ -176,6 +176,27 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     q.stop()
   }
 
+  test("complete output mode re-emits the whole aggregate table every batch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = MotionPipeline.parseFrames(stream.toDF().toDF("value"))
+      .groupBy($"camId").count()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(frame("camX", t0), frame("camY", t0))
+    q.processAllAvailable()
+    assert(spark.table(sink).collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("camX" -> 1L, "camY" -> 1L))
+    stream.addData(frame("camX", t0 + 1000))
+    q.processAllAvailable()
+    // complete mode: the FULL table (both keys) re-emitted with running totals
+    assert(spark.table(sink).collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("camX" -> 2L, "camY" -> 1L))
+    q.stop()
+  }
+
   test("dedupFrames works on batch Datasets too (plain dropDuplicates fallback)") {
     import spark.implicits._
     val batch = MotionPipeline.parseFrames(
