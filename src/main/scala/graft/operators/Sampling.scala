@@ -40,6 +40,12 @@ object Sampling {
   def stratifiedExact(
       df: DataFrame, strataCol: String, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    // withColumn silently REPLACES same-named input columns — a caller whose
+    // frame already has __rn/__n would lose them from the output
+    Seq("__rn", "__n").foreach { c =>
+      require(!df.columns.contains(c),
+        s"stratifiedExact uses temp column $c; input already has a column named $c")
+    }
     val w = Window.partitionBy(strataCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rn", row_number().over(w))

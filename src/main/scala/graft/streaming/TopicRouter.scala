@@ -82,18 +82,25 @@ final class TopicRouter(
     val cams = batch.select(col(keyCol)).filter(col(keyCol).isNotNull)
       .distinct().collect().map(_.getString(0))
     observe(cams)
-    val asg = assignments
-    // the coalesce fallback below exists for NULL keys (filtered out of the
-    // registry above) — a non-null key is always in `asg` because observe()
-    // ran on this very batch first
+    batch.withColumn("topic", topicColumn(assignments, keyCol))
+  }
+
+  /** The routing expression for a given assignment snapshot.
+    * try_element_at (not element_at): under ANSI mode a missing non-null
+    * key would throw MAP_KEY_DOES_NOT_EXIST. routeStream persists the batch
+    * so observe() and the write see the same rows, but a direct route() on
+    * an unpersisted non-deterministic frame can surface a key the distinct
+    * collect never saw — that key takes the documented topic-0 fallback
+    * instead of failing the whole batch. NULL keys land there too.
+    */
+  private[streaming] def topicColumn(
+      asg: Map[String, String], keyCol: String): org.apache.spark.sql.Column = {
     val fallback = s"$baseTopic-0"
-    val topicExpr =
-      if (asg.isEmpty) lit(fallback)
-      else {
-        val m = map(asg.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-        coalesce(element_at(m, col(keyCol)), lit(fallback))
-      }
-    batch.withColumn("topic", topicExpr)
+    if (asg.isEmpty) lit(fallback)
+    else {
+      val m = map(asg.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      coalesce(try_element_at(m, col(keyCol)), lit(fallback))
+    }
   }
 }
 

@@ -50,4 +50,14 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0)
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == 200)
   }
+
+  test("an input that already has a __rn/__n column is rejected, not silently clobbered") {
+    // withColumn REPLACES same-named columns — without the guard the
+    // caller's __rn would vanish from the output
+    val clashing = docs.withColumn("__rn", lit(42))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedExact(clashing, "lang", "doc_id", 0.5)
+    }
+    assert(e.getMessage.contains("__rn"))
+  }
 }

@@ -150,4 +150,17 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
     assert(r.liveCameras == Seq("cam0")) // the null never registered
   }
 
+  test("a key unseen by the assignment snapshot falls back instead of throwing (ANSI)") {
+    // the scenario: a non-deterministic unpersisted frame surfaces a key the
+    // distinct-keys collect never observed. Under ANSI (Spark 4 default)
+    // element_at on a map would fail the batch with MAP_KEY_DOES_NOT_EXIST;
+    // the router must route the stranger to the documented topic-0 fallback.
+    val r = new TopicRouter(maxPerTopic = 2)
+    val df = Seq(("ghost", "x"), ("cam0", "y")).toDF("key", "value")
+    val routed = df.withColumn("topic",
+        r.topicColumn(Map("cam0" -> "video-events-1"), "key"))
+      .collect().map(x => x.getString(0) -> x.getString(2)).toMap
+    assert(routed == Map("ghost" -> "video-events-0", "cam0" -> "video-events-1"))
+  }
+
 }
