@@ -6,9 +6,9 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
-  * (q01–q34 + q31b relational/TPC-H shapes) and
-  * [[graft.queries.ExtensionQueries]] (ext01–ext17 dedup / similarity /
-  * text / TF-IDF / ANN-recall extensions); this object
+  * (q01–q35 + q31b relational/TPC-H shapes) and
+  * [[graft.queries.ExtensionQueries]] (ext01–ext25 dedup / similarity /
+  * text / TF-IDF / ANN-recall / packing / mixing extensions); this object
   * just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -27,6 +27,14 @@ object TextFunctions {
         transform(sequence(lit(0), size(toks) - n), i =>
           array_join(slice(toks, i + 1, lit(n)), " ")))
 
+  /** Contiguous word bigrams ("w1 w2"); EMPTY for token arrays shorter
+    * than 2 — unlike [[shingles]], no whole-doc pseudo-shingle, so
+    * repetition ratios never count a one-token document as its own bigram.
+    */
+  def wordBigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(shingles(toks, 2))
+
   /** BPE-style pre-tokenization: lower-cased text split into maximal runs
     * of letters, digits, or other-non-space — the class boundaries every
     * byte-pair-encoding tokenizer splits on before merging. The whitespace

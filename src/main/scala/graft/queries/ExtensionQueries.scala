@@ -414,6 +414,104 @@ object ExtensionQueries {
         FROM d GROUP BY source, lang
       """)),
 
+    // ------------------------------------------------------------- EXT23
+    // Sequence packing (concat-and-chunk): documents ordered by id within
+    // each source, running token offset, bin = floor(offset / seqLen). The
+    // window is partitioned by source — no global order anywhere; at 100 TB
+    // the group key just gets more granular (source × shard).
+    QueryDef(
+      "ext23_seq_packing",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        graft.operators.Packing.packBins(d, "source", "doc_id", "n_tok", seqLen = 256)
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        p AS (
+          SELECT source, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+          FROM d)
+        SELECT source, CAST(FLOOR(off / 256) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        FROM p GROUP BY source, bin
+      """)),
+
+    // ------------------------------------------------------------- EXT24
+    // Gopher-style repetition signals per document: duplicate-bigram
+    // fraction and most-frequent-bigram share. Two hash aggregates
+    // ((doc, bigram) counts → per-doc ratios) — map-side partials both
+    // times, nothing quadratic, no window.
+    QueryDef(
+      "ext24_repetition",
+      (s, dir) => {
+        val bg = TextFunctions.wordBigrams(TextFunctions.tokens(col("text")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(bg).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(
+            sum("n").as("n_bigrams"),
+            round(lit(1.0) - count(lit(1)).cast("double") / sum("n"), 6).as("dup_frac"),
+            round(max("n").cast("double") / sum("n"), 6).as("top_frac"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(2, len(toks) + 1),
+                        i -> toks[i-1] || ' ' || toks[i])) AS bg
+          FROM w),
+        c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY doc_id, bg)
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_frac,
+               ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_frac
+        FROM c GROUP BY doc_id
+      """)),
+
+    // ------------------------------------------------------------- EXT25
+    // Temperature-weighted source mixing: per-source keep-fraction so kept
+    // tokens ≈ 50% of the corpus distributed ∝ avail^0.5 (tail sources
+    // upsampled), realized by the deterministic md5-order selection rule.
+    // The plan is |sources| rows — AQE broadcasts it, no forced hint.
+    QueryDef(
+      "ext25_temperature_mix",
+      (s, dir) => graft.operators.Mixing.temperatureMix(
+        Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok", alpha = 0.5, budgetShare = 0.5),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        a AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail, COUNT(*) AS n_docs
+              FROM d GROUP BY source),
+        t AS (SELECT SUM(pow(avail, 0.5)) AS sw, CAST(SUM(avail) AS BIGINT) AS total FROM a),
+        p AS (SELECT source, avail, n_docs,
+                     ROUND(LEAST(1.0, 0.5 * total * pow(avail, 0.5) / sw / avail), 6) AS frac
+              FROM a, t),
+        r AS (SELECT d.doc_id, d.source, d.n_tok, p.frac, p.n_docs,
+                     ROW_NUMBER() OVER (PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+              FROM d JOIN p USING (source)),
+        k AS (SELECT source, COUNT(*) AS kept_docs, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+              FROM r WHERE rn <= CEIL(frac * n_docs) GROUP BY source)
+        SELECT p.source, p.avail AS avail_tokens, p.n_docs, p.frac,
+               k.kept_docs, k.kept_tokens
+        FROM p JOIN k USING (source)
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO

@@ -92,4 +92,11 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(oneSeq(f, "   ") == Seq.empty)
     assert(oneSeq(f, "") == Seq.empty)
   }
+
+  test("wordBigrams: n-1 bigrams, EMPTY below 2 tokens (no whole-doc shingle)") {
+    val f = TextFunctions.wordBigrams(TextFunctions.tokens(col("t")))
+    assert(oneSeq(f, "a b c a b") == Seq("a b", "b c", "c a", "a b"))
+    assert(oneSeq(f, "solo") == Seq.empty)   // shingles() would yield ["solo"]
+    assert(oneSeq(f, "") == Seq.empty)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Concat-and-chunk sequence packing: bins follow the running token offset
+  * within each group, documents may straddle a boundary, groups pack
+  * independently.
+  */
+class PackingSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("bin is the chunk the document's first token lands in") {
+    // offsets: 0, 4, 8, 12 with seqLen 10 → bins 0, 0, 0, 1; the doc
+    // starting at 8 straddles the boundary but belongs to bin 0
+    val d = Seq(("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 4L), ("g", 4L, 4L))
+      .toDF("src", "id", "n_tok")
+    val got = Packing.packBins(d, "src", "id", "n_tok", seqLen = 10)
+      .orderBy("id").select("offset", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (4L, 0L), (8L, 0L), (12L, 1L)))
+  }
+
+  test("groups pack independently — each group restarts at offset 0") {
+    val d = Seq(("a", 1L, 7L), ("a", 2L, 7L), ("b", 1L, 7L), ("b", 2L, 7L))
+      .toDF("src", "id", "n_tok")
+    val got = Packing.packBins(d, "src", "id", "n_tok", seqLen = 10)
+      .orderBy("src", "id").select("src", "offset", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 0L, 0L), ("a", 7L, 0L), ("b", 0L, 0L), ("b", 7L, 0L)))
+  }
+
+  test("duplicate order keys still produce a running sum (explicit ROWS frame)") {
+    // with the default RANGE frame both rows would see the peer-summed
+    // offset 10; the ROWS frame keeps the stream strictly running
+    val d = Seq(("g", 1L, 5L), ("g", 1L, 5L)).toDF("src", "id", "n_tok")
+    val offsets = Packing.packBins(d, "src", "id", "n_tok", seqLen = 100)
+      .select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(offsets == Seq(0L, 5L))
+  }
+
+  test("guards: positive seqLen, no silent offset/bin clobber") {
+    val d = Seq(("g", 1L, 5L)).toDF("src", "id", "n_tok")
+    intercept[IllegalArgumentException](Packing.packBins(d, "src", "id", "n_tok", 0))
+    val clash = d.withColumn("bin", lit(9))
+    val e = intercept[IllegalArgumentException](
+      Packing.packBins(clash, "src", "id", "n_tok", 10))
+    assert(e.getMessage.contains("bin"))
+  }
+}
