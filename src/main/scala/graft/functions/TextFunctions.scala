@@ -60,6 +60,50 @@ object TextFunctions {
           t.substr(i, lit(n))))))
   }
 
+  /** Fused JVM form of [[charNgramSet]]: one pass over the string instead
+    * of an interpreted transform+substr per position (the HOF chain is the
+    * ext22 hot loop — hundreds of per-position lambda evaluations and
+    * intermediate arrays per document). Same SET of grams (cross-checked in
+    * TextFunctionsSpec): lower-casing goes through UTF8String like Spark's
+    * lower(), and windows advance by CODE POINT exactly like column
+    * substr. Element order may differ from the HOF's array_sort — every
+    * consumer explodes into order-insensitive aggregation, so only set
+    * equality is contractual.
+    */
+  def charNgramSetFast(text: Column, n: Int): Column = {
+    require(n >= 1, s"charNgramSetFast: n must be >= 1, got $n")
+    val f = udf((t: String) => {
+      if (t == null) null.asInstanceOf[Array[String]]
+      else {
+        val lowered =
+          org.apache.spark.unsafe.types.UTF8String.fromString(t).toLowerCase.toString
+        val cps = lowered.codePointCount(0, lowered.length)
+        val set = new java.util.TreeSet[String]()
+        if (cps <= n) set.add(lowered)
+        else {
+          // UTF-16 offsets of each code-point boundary, so each window is
+          // exactly n code points (column substr semantics)
+          val offsets = new Array[Int](cps + 1)
+          var off = 0
+          var i = 0
+          while (i < cps) {
+            offsets(i) = off
+            off = lowered.offsetByCodePoints(off, 1)
+            i += 1
+          }
+          offsets(cps) = lowered.length
+          var s = 0
+          while (s + n <= cps) {
+            set.add(lowered.substring(offsets(s), offsets(s + n))): Unit
+            s += 1
+          }
+        }
+        set.toArray(new Array[String](set.size))
+      }
+    })
+    f(text)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature of a string-array column: `num` independent

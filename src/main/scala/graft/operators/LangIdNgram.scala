@@ -22,10 +22,14 @@ import graft.functions.TextFunctions
   */
 object LangIdNgram {
 
-  /** (doc_id, gram) pairs — each document's distinct n-gram set, exploded. */
+  /** (doc_id, gram) pairs — each document's distinct n-gram set, exploded.
+    * Uses the fused one-pass gram extractor: the interpreted
+    * transform+substr HOF was the suite's hot loop (set parity
+    * cross-checked in TextFunctionsSpec).
+    */
   private def docGrams(df: DataFrame, textCol: String, idCol: String, n: Int) =
     df.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.charNgramSet(col(textCol), n)).as("g"))
+      explode(TextFunctions.charNgramSetFast(col(textCol), n)).as("g"))
 
   /** Per-language profile: the `topK` grams by document frequency
     * (ties → lexicographically smaller gram), as (lang, g).
@@ -34,7 +38,7 @@ object LangIdNgram {
       df: DataFrame, textCol: String, langCol: String, idCol: String,
       n: Int = 3, topK: Int = 50): DataFrame = {
     val grams = df.select(col(langCol).as("lang"),
-      explode(TextFunctions.charNgramSet(col(textCol), n)).as("g"))
+      explode(TextFunctions.charNgramSetFast(col(textCol), n)).as("g"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
     grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))

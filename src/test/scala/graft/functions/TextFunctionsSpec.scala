@@ -93,6 +93,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(oneSeq(f, "") == Seq.empty)
   }
 
+  test("charNgramSetFast yields the same gram SET as the HOF charNgramSet") {
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown Fox jumps over the lazy dog",
+      "aaaaaa", "ab", "abc", "", "  spaced   out  ",
+      "Füße größer — naïve café", // non-ASCII lowercasing + multibyte windows
+      "ψυχή και σώμα", "日本語のテキストです")
+    val df = texts.toDF("t")
+    val rows = df.select(
+      TextFunctions.charNgramSet(col("t"), 3).as("hof"),
+      TextFunctions.charNgramSetFast(col("t"), 3).as("fused")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet, s"mismatch for '$t'")
+    }
+    // null passes through as null on both paths
+    val nulls = Seq(null.asInstanceOf[String]).toDF("t").select(
+      TextFunctions.charNgramSet(col("t"), 3).as("hof"),
+      TextFunctions.charNgramSetFast(col("t"), 3).as("fused")).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("wordBigrams: n-1 bigrams, EMPTY below 2 tokens (no whole-doc shingle)") {
     val f = TextFunctions.wordBigrams(TextFunctions.tokens(col("t")))
     assert(oneSeq(f, "a b c a b") == Seq("a b", "b c", "c a", "a b"))
