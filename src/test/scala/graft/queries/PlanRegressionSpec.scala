@@ -98,6 +98,27 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ext23 packing windows are partitioned by source — never a global single-partition sort") {
+    val p = plan("ext23_seq_packing")
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      "packing must never collapse to one partition — that is the global-order scale bug")
+  }
+
+  test("ext24 repetition is two hash aggregates, no window, no join") {
+    val p = plan("ext24_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+  }
+
+  test("ext25 mixing: only the 1-row totals side nested-loops; doc joins stay equi") {
+    val p = plan("ext25_temperature_mix")
+    assert(!p.contains("CartesianProduct"))
+    // the documents ⋈ plan join must be an equi join (broadcast or shuffled)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
