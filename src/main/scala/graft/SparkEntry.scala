@@ -7,7 +7,7 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   *
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
   * (q01–q35 + q31b relational/TPC-H shapes) and
-  * [[graft.queries.ExtensionQueries]] (ext01–ext25 dedup / similarity /
+  * [[graft.queries.ExtensionQueries]] (ext01–ext26 dedup / similarity /
   * text / TF-IDF / ANN-recall / packing / mixing extensions); this object
   * just flattens the catalog into the driver's Map shape.
   */

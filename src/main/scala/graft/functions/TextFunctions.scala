@@ -27,13 +27,17 @@ object TextFunctions {
         transform(sequence(lit(0), size(toks) - n), i =>
           array_join(slice(toks, i + 1, lit(n)), " ")))
 
-  /** Contiguous word bigrams ("w1 w2"); EMPTY for token arrays shorter
-    * than 2 — unlike [[shingles]], no whole-doc pseudo-shingle, so
-    * repetition ratios never count a one-token document as its own bigram.
+  /** [[shingles]] without the whole-doc fallback: EMPTY for token arrays
+    * shorter than n. A document shorter than n tokens contains no n-gram —
+    * repetition ratios and containment checks must not see it as its own
+    * shingle.
     */
-  def wordBigrams(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(shingles(toks, 2))
+  def strictShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(shingles(toks, n))
+
+  /** Contiguous word bigrams ("w1 w2"); EMPTY below 2 tokens. */
+  def wordBigrams(toks: Column): Column = strictShingles(toks, 2)
 
   /** BPE-style pre-tokenization: lower-cased text split into maximal runs
     * of letters, digits, or other-non-space — the class boundaries every

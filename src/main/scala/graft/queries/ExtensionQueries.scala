@@ -512,6 +512,36 @@ object ExtensionQueries {
         FROM p JOIN k USING (source)
       """)),
 
+    // ------------------------------------------------------------- EXT26
+    // Benchmark decontamination: corpus docs (id ≥ 20) sharing any 4-token
+    // shingle with the eval proxy set (id < 20). Distinct-shingle explode
+    // on both sides, one equi join (AQE broadcasts the benchmark-sized eval
+    // side), one agg — the clean majority never leaves the map side.
+    QueryDef(
+      "ext26_decontamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Decontaminate.overlaps(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", n = 4)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                        i -> list_aggregate(toks[i:i+3], 'string_agg', ' ')))) AS sh
+          FROM d),
+        e AS (SELECT doc_id AS eval_id, sh FROM s WHERE doc_id < 20),
+        c AS (SELECT doc_id, sh FROM s WHERE doc_id >= 20)
+        SELECT c.doc_id, COUNT(DISTINCT e.eval_id) AS n_eval_docs,
+               COUNT(DISTINCT c.sh) AS n_shingles
+        FROM c JOIN e USING (sh) GROUP BY c.doc_id
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO
