@@ -16,16 +16,20 @@ import org.apache.spark.sql.SparkSession
   * production scale is thousands of splits, so the harness first STAGES the
   * SF dir into a multi-file layout (untimed, once) and benchmarks against
   * that: measured numbers then reflect the parallelism the same plan gets on
-  * a cluster. Dimension tables stay single-file (they are broadcast anyway).
+  * a cluster. The tiny fixed-cardinality dims (region/nation/supplier) stay
+  * single-file — they are broadcast anyway.
   */
 object Bench {
 
-  /** Target bytes per staged split. Small enough that every fact table
-    * (including the 2 MB `events` file whose per-row JSON cost dominates its
-    * byte size) fans out to the full core count at sf0.1, while the true
-    * dims (region/nation/supplier, ≤ ~25 KB) stay single-file.
+  /** Target bytes per staged split. Small enough that every per-row-cost
+    * table fans out to the full core count at sf0.1 — not just the big
+    * scans (lineitem 10.8 MB, events 2.2 MB) but also `documents`
+    * (594 KB / 16 KB = 36 → capped 32) and `embeddings`, whose
+    * tokenize/shingle/minhash cost dominates their byte size the same way
+    * events' JSON does — while the true dims (region/nation/supplier,
+    * ≤ ~22 KB) stay single-file.
     */
-  private val bytesPerSplit = 64L << 10
+  private val bytesPerSplit = 16L << 10
 
   /** Rewrite every `<name>.parquet` fixture under `sfDir` into
     * `staged/<name>.parquet/` directories, with a split count proportional

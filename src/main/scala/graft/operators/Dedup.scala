@@ -158,16 +158,21 @@ object Dedup {
   }
 
   /** Exact character-n-gram Jaccard for candidate pairs — [[jaccardPairs]]
-    * with [[graft.functions.TextFunctions.charNgramSet]] as the document
+    * with the fused one-pass gram extractor
+    * ([[graft.functions.TextFunctions.charNgramSetFast]]) as the document
     * representation (robust to whitespace/concatenation noise where word
-    * sets are not). Same caller-bounds-the-input contract as jaccardPairs:
+    * sets are not). Downstream only takes intersect/union SIZES, so the
+    * fast form's set parity (cross-checked in TextFunctionsSpec) is the
+    * whole contract. Same caller-bounds-the-input contract as jaccardPairs:
     * this IS the verify stage; banding/LSH bounds candidates upstream.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame =
     jaccardOverPairs(
-      df.select(col(idCol).as("id"), charNgramSet(col(textCol), n).as("toks")), threshold)
+      df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.charNgramSetFast(col(textCol), n).as("toks")),
+      threshold)
 
   /** The composed production near-dedup pipeline: MinHash-LSH generates
     * candidate pairs (bounded by band-bucket occupancy), then exact word-set

@@ -47,6 +47,10 @@ object Mixing {
     */
   def temperatureMix(d: DataFrame, sourceCol: String, idCol: String,
       tokCol: String, alpha: Double, budgetShare: Double): DataFrame = {
+    val reserved = Seq("__rn", "avail", "n_docs", "frac")
+    val clash = d.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with temperatureMix internals")
     val p = fractions(d, sourceCol, tokCol, alpha, budgetShare)
     val w = Window.partitionBy(sourceCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -55,8 +59,13 @@ object Mixing {
       .filter(col("__rn") <= ceil(col("frac") * col("n_docs")))
       .groupBy(sourceCol)
       .agg(count(lit(1)).as("kept_docs"), sum(col(tokCol)).as("kept_tokens"))
-    p.join(kept, sourceCol)
+    // left join: a source whose frac rounds to 0 must still appear in the
+    // report as kept_docs = 0, not vanish — the caller auditing the mix
+    // can't otherwise tell "excluded by budget" from "absent from input"
+    p.join(kept, Seq(sourceCol), "left")
       .select(col(sourceCol), col("avail").as("avail_tokens"),
-        col("n_docs"), col("frac"), col("kept_docs"), col("kept_tokens"))
+        col("n_docs"), col("frac"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 }

@@ -41,6 +41,21 @@ class MixingSpec extends AnyFunSuite with SparkTestSession {
     assert(m1 == m2)
   }
 
+  test("a source whose frac rounds to 0 still appears in the report with kept = 0") {
+    // budgetShare 1e-7 at alpha 1 gives every source frac = 1e-7, which
+    // rounds to 0.0 at 6 dp → ceil keeps nothing; the report must still
+    // show both sources (kept_docs = 0), not silently drop them
+    val m = Mixing.temperatureMix(d, "source", "doc_id", "n_tok", 1.0, 1e-7)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(m == Map("big" -> ((0L, 0L)), "small" -> ((0L, 0L))))
+  }
+
+  test("input columns colliding with mix internals are rejected, not clobbered") {
+    intercept[IllegalArgumentException](
+      Mixing.temperatureMix(d.withColumn("frac", org.apache.spark.sql.functions.lit(1.0)),
+        "source", "doc_id", "n_tok", 0.5, 0.5))
+  }
+
   test("budgetShare bounds are enforced") {
     intercept[IllegalArgumentException](
       Mixing.fractions(d, "source", "n_tok", 0.5, 0.0))
