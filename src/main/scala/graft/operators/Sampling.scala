@@ -53,4 +53,30 @@ object Sampling {
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .drop("__rn", "__n")
   }
+
+  /** Quality-percentile gate: keep the top ceil(fraction·|stratum|) rows of
+    * each stratum by `scoreCol` DESCENDING — "keep the best X% per source",
+    * the standard corpus-pruning step after quality scoring. Deterministic:
+    * NULL scores sort last (explicitly, since engines disagree on default
+    * NULL order under DESC) and ties break on ascending `idCol`, so the
+    * kept set is oracle-checkable and stable under re-runs. Same scale
+    * shape as [[stratifiedExact]]: one window shuffle on the stratum key,
+    * per-stratum state is a counter — at 100 TB the stratum key just gets
+    * more granular (source × shard).
+    */
+  def topFractionBy(
+      df: DataFrame, strataCol: String, scoreCol: String, idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    Seq("__rn", "__n").foreach { c =>
+      require(!df.columns.contains(c),
+        s"topFractionBy uses temp column $c; input already has a column named $c")
+    }
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
 }

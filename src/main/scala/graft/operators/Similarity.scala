@@ -145,6 +145,33 @@ object Similarity {
     cents
   }
 
+  /** Per-label (class) centroid by DISTRIBUTED element-wise aggregation —
+    * the fully-distributed counterpart of [[ivfTopK]]'s bounded-sample
+    * driver-side quantizer, and the building block for IVF list maintenance
+    * at corpus scale: posexplode to (label, pos, value) rows, one hash
+    * aggregate with map-side partials on (label, pos), then a per-label
+    * rebuild whose collect_list is bounded by the embedding DIMENSION,
+    * never by corpus size. Nothing touches the driver. NULL vectors are
+    * excluded; a fixed dimension per label is assumed (n_vecs is the
+    * per-position row count). Component means round to 6 dp — double-sum
+    * order noise is ~1e-12, far inside the rounding — so the result is
+    * engine-portable. Output: (label, n_vecs, centroid, centroid_norm).
+    */
+  def classCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val e = df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(toDouble(col(vecCol))).as(Seq("pos", "v")))
+    e.groupBy("label", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        max("n").as("n_vecs"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), round(col("sv") / col("n"), 6).as("m")))),
+          x => x.getField("m")).as("centroid"))
+      .withColumn("centroid_norm", round(norm2(col("centroid")), 6))
+  }
+
   /** Per-query recall of an approximate top-k result against the exact one:
     * |approx ∩ exact| / |exact| on (query_id, neighbor_id) pairs. Output:
     * (query_id, expected, hits, recall) — one row per query present in the

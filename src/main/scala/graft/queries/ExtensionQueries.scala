@@ -542,6 +542,68 @@ object ExtensionQueries {
         FROM c JOIN e USING (sh) GROUP BY c.doc_id
       """)),
 
+    // ------------------------------------------------------------- EXT27
+    // Quality-percentile gate: score every document (distinct-token
+    // ratio), keep the best 60% per source — the standard corpus-pruning
+    // step after quality scoring. One window shuffle on source; NULL
+    // scores sort last EXPLICITLY (engines disagree on default NULL order
+    // under DESC), ties break on doc_id.
+    QueryDef(
+      "ext27_quality_gate",
+      (s, dir) => {
+        val feats = TextFunctions.qualityFeatures(col("text")).toMap
+        val scored = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"), feats("distinct_ratio").as("score"))
+        graft.operators.Sampling.topFractionBy(
+          scored, "source", "score", "doc_id", fraction = 0.6)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(toks) = 0 THEN NULL ELSE
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) END AS score
+          FROM t),
+        r AS (
+          SELECT doc_id, source, score,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY score DESC NULLS LAST, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM f)
+        SELECT doc_id, source, score FROM r WHERE rn <= CEIL(n * 0.6)
+      """)),
+
+    // ------------------------------------------------------------- EXT28
+    // Per-label embedding centroids, fully distributed: posexplode →
+    // (label, pos) hash aggregate (map-side partials) → per-label rebuild
+    // bounded by the embedding dimension. The scale-out counterpart of the
+    // IVF quantizer's bounded driver sample — nothing here ever collects.
+    QueryDef(
+      "ext28_class_centroids",
+      (s, dir) => Similarity.classCentroids(
+        Tables.embeddings(s, dir), "embedding", "label"),
+      Some("""
+        WITH v AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        e AS (
+          SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+          FROM v),
+        s AS (
+          SELECT label, pos, SUM(val) AS sv, COUNT(*) AS n
+          FROM e GROUP BY label, pos),
+        c AS (
+          SELECT label, MAX(n) AS n_vecs,
+                 list(ROUND(sv / n, 6) ORDER BY pos) AS centroid
+          FROM s GROUP BY label)
+        SELECT label, n_vecs, centroid,
+               ROUND(sqrt(list_dot_product(centroid, centroid)), 6) AS centroid_norm
+        FROM c
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO

@@ -51,6 +51,23 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == 200)
   }
 
+  test("topFractionBy keeps the best ceil(f*n) by score, nulls last, ties on id") {
+    // stratum "a": scores 9,7,7,null over ids 1..4; stratum "b": 5,3 over 10,11
+    val d = Seq(
+      (1L, "a", java.lang.Double.valueOf(9.0)), (2L, "a", java.lang.Double.valueOf(7.0)),
+      (3L, "a", java.lang.Double.valueOf(7.0)), (4L, "a", null.asInstanceOf[java.lang.Double]),
+      (10L, "b", java.lang.Double.valueOf(5.0)), (11L, "b", java.lang.Double.valueOf(3.0)))
+      .toDF("doc_id", "source", "score")
+    val kept = Sampling.topFractionBy(d, "source", "score", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a: ceil(0.5*4)=2 → 9.0 then the id-2 seven (tie-break); null never kept
+    // b: ceil(0.5*2)=1 → the 5.0
+    assert(kept == Set(1L, 2L, 10L))
+    // fraction 1.0 keeps the null-scored row too — the gate prunes by rank,
+    // it is not a null filter
+    assert(Sampling.topFractionBy(d, "source", "score", "doc_id", 1.0).count() == 6)
+  }
+
   test("an input that already has a __rn/__n column is rejected, not silently clobbered") {
     // withColumn REPLACES same-named columns — without the guard the
     // caller's __rn would vanish from the output

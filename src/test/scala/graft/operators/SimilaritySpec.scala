@@ -86,6 +86,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().forall(r => Set(0L, 1L)(r.getLong(1))))
   }
 
+  test("classCentroids: golden element-wise means, null vectors excluded") {
+    val d = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (1L, Seq(3.0f, 4.0f, 5.0f), 0),
+      (2L, Seq(0.0f, 6.0f, 0.0f), 1),
+      (3L, null.asInstanceOf[Seq[Float]], 1) // must not count toward label 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.classCentroids(d, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))).toMap
+    assert(got(0) == ((2L, Seq(2.0, 3.0, 4.0), 5.385165)))
+    assert(got(1) == ((1L, Seq(0.0, 6.0, 0.0), 6.0)))
+  }
+
   test("lshTopK at nBits=0 degrades to brute force (single bucket)") {
     val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
