@@ -193,6 +193,55 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
+  /** Transitive closure of near-dup PAIRS into CLUSTERS — the step that
+    * turns pairwise candidates into per-document keep/drop decisions
+    * (pairs alone can't: a≈b and b≈c must collapse to one survivor even
+    * when a≉c directly). Min-label propagation (BSP connected components):
+    * every node starts as its own label, each round takes the min over its
+    * neighbors' labels, converged when a round changes nothing — reached
+    * in O(component diameter) rounds, and near-dup components are shallow.
+    *
+    * Scale design: one equi-join + one min-aggregate per round, fully
+    * distributed; `localCheckpoint` truncates the otherwise-growing plan
+    * lineage each round (swap for `checkpoint` on a reliability-critical
+    * cluster). The per-round convergence test is a count — a driver
+    * action, but O(1) data; the loop count is diameter-bounded, not
+    * data-bounded, which is the adjudicated exception to "no driver-side
+    * loops". Throws if `maxIters` rounds don't converge rather than
+    * returning silently-partial clusters.
+    *
+    * Input: a (doc_a, doc_b) pair frame (extra columns ignored). Output:
+    * (doc_id, cluster_id) for every document appearing in a pair, with
+    * cluster_id = the component's minimum doc id.
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = e.join(labels, col("dst") === col("node"))
+        .groupBy("src").agg(min("lbl").as("nlbl"))
+        .withColumnRenamed("src", "node")
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("lbl").as("__prev")), "node")
+        .filter(col("lbl") < col("__prev")).count()
+      labels = next
+      it += 1
+    }
+    e.unpersist()
+    require(changed == 0,
+      s"clusterPairs did not converge in $maxIters rounds — component diameter exceeds maxIters")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by `blockCol` (e.g. a
     * cluster label or an LSH bucket from
     * [[graft.functions.VectorFunctions.hyperplaneBucket]]): pairwise cosine

@@ -604,6 +604,49 @@ object ExtensionQueries {
         FROM c
       """)),
 
+    // ------------------------------------------------------------- EXT29
+    // Near-dup pairs → transitive CLUSTERS with a keep/drop verdict: the
+    // final dedup step pairs alone can't express (a≈b, b≈c collapse to one
+    // survivor even when a≉c). BSP min-label propagation on the ext18 pair
+    // graph; the oracle computes the same components with a recursive CTE
+    // (label set stays candidate-bounded, so the CTE is cheap here while
+    // the Spark loop is the corpus-scale shape).
+    QueryDef(
+      "ext29_dedup_clusters",
+      (s, dir) => Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 40), "text", "doc_id",
+          n = 4, threshold = 0.35))
+        .withColumn("kept", col("doc_id") === col("cluster_id")),
+      Some("""
+        WITH RECURSIVE
+        t AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                   CASE WHEN length(lower(text)) <= 4 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 2),
+                                            i -> substr(lower(text), i, 4)) END)) AS toks
+          FROM documents WHERE doc_id < 40),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS inter,
+                 len(a.toks) + len(b.toks) AS tot
+          FROM t a, t b WHERE a.doc_id < b.doc_id),
+        p AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE (CASE WHEN tot - inter = 0 THEN 1.0
+                      ELSE ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) END) >= 0.35),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        r AS (
+          SELECT src AS node, src AS lbl FROM e
+          UNION
+          SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node)
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+               (node = MIN(lbl)) AS kept
+        FROM r GROUP BY node
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO

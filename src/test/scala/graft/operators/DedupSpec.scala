@@ -136,4 +136,19 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(nd.nonEmpty && nd.head._3 > 0.5 && nd.head._3 < 1.0)
     assert(!rows.exists(p => p._2 == 4L || p._1 == 4L))
   }
+
+  test("clusterPairs: transitive chain collapses to one cluster, islands stay apart") {
+    // chain 1-2-3-4 (diameter 3, no direct 1-4 edge) + island {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterPairs fails loudly when maxIters is below the component diameter") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](Dedup.clusterPairs(chain, maxIters = 1))
+    // and the same graph converges with the default budget
+    assert(Dedup.clusterPairs(chain).filter($"cluster_id" === 1L).count() == 5)
+  }
 }
