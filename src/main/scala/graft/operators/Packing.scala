@@ -37,4 +37,26 @@ object Packing {
     df.withColumn("offset", sum(col(tokCol)).over(w) - col(tokCol))
       .withColumn("bin", floor(col("offset") / seqLen))
   }
+
+  /** Training-output shard assignment + balance audit: shard = md5-derived
+    * uniform hash of the id modulo `nShards` — a pure per-row function, so
+    * the assignment itself adds NO shuffle (the subsequent write just
+    * partitions by `shard`) and re-runs/retries agree exactly. The report
+    * is one aggregate over nShards rows: per-shard doc/token volume plus
+    * each shard's relative token deviation from the uniform ideal — the
+    * audit that decides whether hash sharding suffices or a skewed corpus
+    * needs salting. Output: (shard, n_docs, shard_tokens, rel_dev).
+    */
+  def shardReport(df: DataFrame, idCol: String, tokCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("long") % nShards).as("shard")
+    val per = df.select(shard, col(tokCol).cast("long").as("__tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").as("shard_tokens"))
+    val tot = per.agg(sum("shard_tokens").as("__total"))
+    per.crossJoin(tot)
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        round(col("shard_tokens") / (col("__total") / nShards) - 1.0, 6).as("rel_dev"))
+  }
 }

@@ -647,6 +647,31 @@ object ExtensionQueries {
         FROM r GROUP BY node
       """)),
 
+    // ------------------------------------------------------------- EXT30
+    // Training-output shard assignment + balance audit: md5-hash shard
+    // (pure per-row — no shuffle for the assignment), then one aggregate
+    // reporting per-shard volume and deviation from the uniform ideal.
+    QueryDef(
+      "ext30_shard_balance",
+      (s, dir) => graft.operators.Packing.shardReport(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok")),
+        "doc_id", "n_tok", nShards = 16),
+      Some("""
+        WITH d AS (
+          SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 16 AS shard,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        p AS (
+          SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+          FROM d GROUP BY shard),
+        t AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS total FROM p)
+        SELECT shard, n_docs, shard_tokens,
+               ROUND(shard_tokens / (total / 16) - 1.0, 6) AS rel_dev
+        FROM p, t
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO

@@ -42,6 +42,24 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
     assert(offsets == Seq(0L, 5L))
   }
 
+  test("shardReport: every doc lands in [0, n), volumes add up, report is deterministic") {
+    val d = (0L until 300L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tok")
+    val rep = Packing.shardReport(d, "doc_id", "n_tok", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    assert(rep.map(_._2).sum == 300L)
+    assert(rep.map(_._3).sum == (0L until 300L).map(i => 10L + i % 7).sum)
+    // rel_dev is each shard's tokens vs the uniform ideal
+    val total = rep.map(_._3).sum.toDouble
+    rep.foreach { case (_, _, tok, dev) =>
+      assert(math.abs(dev - (tok / (total / 8) - 1.0)) < 1e-6)
+    }
+    val again = Packing.shardReport(d, "doc_id", "n_tok", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](Packing.shardReport(d, "doc_id", "n_tok", 0))
+  }
+
   test("guards: positive seqLen, no silent offset/bin clobber") {
     val d = Seq(("g", 1L, 5L)).toDF("src", "id", "n_tok")
     intercept[IllegalArgumentException](Packing.packBins(d, "src", "id", "n_tok", 0))
