@@ -672,6 +672,53 @@ object ExtensionQueries {
         FROM p, t
       """)),
 
+    // ------------------------------------------------------------- EXT31
+    // PII redaction. The corpus fixture carries no natural PII, so this
+    // entry SYNTHESIZES a contact note per customer from fixture columns —
+    // identically on both engines — and redacts it; the deliverable is the
+    // scrub/count operator (map-side, codegen'd, Java∩RE2-portable
+    // patterns), the note construction just guarantees real matches.
+    QueryDef(
+      "ext31_pii_redact",
+      (s, dir) => {
+        val note = concat(
+          col("c_name"), lit(" phone 25-"),
+          lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+          lit("-741-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" email "),
+          lower(regexp_replace(col("c_name"), "#", "")),
+          lit("@example.com from 10.0."),
+          (col("c_custkey") % 256).cast("string"), lit("."),
+          (col("c_nationkey") % 256).cast("string"))
+        val counts = graft.functions.Redaction.piiCounts(note)
+          .map { case (n, c) => c.as(n) }
+        Tables.customer(s, dir).select(
+          col("c_custkey") +:
+            graft.functions.Redaction.scrub(note).as("redacted") +: counts: _*)
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey, c_nationkey,
+                 c_name || ' phone 25-' ||
+                 lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') ||
+                 '-741-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+                 ' email ' || lower(replace(c_name, '#', '')) ||
+                 '@example.com from 10.0.' ||
+                 CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+                 CAST(c_nationkey % 256 AS VARCHAR) AS note
+          FROM customer)
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(note,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(note, '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(note, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        FROM t
+      """)),
+
     // ------------------------------------------------------------- EXT13
     // TF-IDF from built-ins: explode → (doc,term) tf, term df, idf join.
     // Two shuffles total (tf agg, df agg). The vocabulary join carries NO
