@@ -6,17 +6,21 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
-import graft.expressions.{MotionRegionCount, SigAgreement, VectorDot}
+import graft.expressions.{MotionRegionCount, RegexpCount, SigAgreement, VectorDot}
 
 /** Engine SQL surface registration.
   *
   * Two ways in:
   *  - config `spark.sql.extensions=graft.GraftExtensions` (cluster-wide), or
-  *  - [[GraftFunctions.register]] on a live session (tests, notebooks).
+  *  - [[GraftFunctions.register]] on a live session (tests, notebooks) —
+  *    functions only; the optimizer rule needs the extensions config (or
+  *    `spark.experimental.extraOptimizations`, which is what the specs use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseRegexpCount)
+  }
 }
 
 object GraftFunctions {
@@ -42,6 +46,15 @@ object GraftFunctions {
           if (e.dataType == org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)) e
           else Cast(e, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
         VectorDot(arr(args(0)), arr(args(1)))
+      }),
+    (new FunctionIdentifier("regexp_count"),
+      new ExpressionInfo(classOf[RegexpCount].getName, "regexp_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"regexp_count expects 2 arguments, got ${args.length}")
+        def str(e: Expression) =
+          if (e.dataType == org.apache.spark.sql.types.StringType) e
+          else Cast(e, org.apache.spark.sql.types.StringType)
+        RegexpCount(str(args(0)), str(args(1)))
       }),
     (new FunctionIdentifier("sig_agreement"),
       new ExpressionInfo(classOf[SigAgreement].getName, "sig_agreement"),
