@@ -172,6 +172,60 @@ object Similarity {
       .withColumn("centroid_norm", round(norm2(col("centroid")), 6))
   }
 
+  /** Fully DISTRIBUTED Lloyd's k-means over the whole corpus — the scale
+    * path when even a quantizer sample shouldn't route through the driver
+    * ([[ivfTopK]]'s bounded-sample trainer is the low-latency path; this is
+    * the quality path for IVF list maintenance at corpus scale, and the
+    * iterative-DataFrame pattern ML libraries wrap). Per iteration:
+    * ASSIGN = corpus × broadcast(k centroids) with the codegen'd dot
+    * (|v−c|² = vv + cc − 2·v·c; the k·dim broadcast never grows with the
+    * corpus) reduced by a deterministic struct-min (ties → lowest list id);
+    * UPDATE = the [[classCentroids]] posexplode aggregation. Nothing
+    * corpus-sized ever touches the driver; `iters` is fixed so the job
+    * graph is deterministic (no convergence action); component means round
+    * to 6 dp each round, which also pins cross-run float stability. An
+    * emptied cluster keeps its previous centroid (n_vecs 0) instead of
+    * vanishing.
+    *
+    * Init: the k distinct-hash vectors with the smallest seeded id-hash —
+    * unbiased and partition-layout-independent, same rationale as
+    * ivfTopK's sample. Output: (list, n_vecs, centroid: array<double>).
+    */
+  def kmeansDistributed(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__vid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    val initW = Window.orderBy("__h") // k rows — single tiny partition
+    var cents = v
+      .select(xxhash64(lit(seed), col("__vid")).as("__h"), col("v").as("centroid"))
+      .orderBy("__h").limit(k)
+      .withColumn("list", row_number().over(initW).cast("int") - 1)
+      .select("list", "centroid")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val c = cents.withColumn("cc", dot(col("centroid"), col("centroid")))
+      val assigned = v.crossJoin(broadcast(c))
+        .withColumn("d", col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("centroid")))
+        .groupBy("__vid")
+        .agg(min(struct(col("d"), col("list"))).getField("list").as("list"),
+          first(col("v")).as("v"))
+      val updated = classCentroids(assigned, "v", "list")
+        .select(col("label").as("list"), col("n_vecs"), col("centroid"))
+      // left join against the PREVIOUS round: an emptied list keeps its
+      // centroid instead of disappearing from the quantizer
+      cents = cents.select(col("list"), col("centroid").as("__old"))
+        .join(updated, Seq("list"), "left")
+        .select(col("list"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          coalesce(col("centroid"), col("__old")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents.select("list", "n_vecs", "centroid")
+  }
+
   /** Per-query recall of an approximate top-k result against the exact one:
     * |approx ∩ exact| / |exact| on (query_id, neighbor_id) pairs. Output:
     * (query_id, expected, hits, recall) — one row per query present in the

@@ -240,6 +240,18 @@ object ExtensionQueries {
       },
       None, bench = false),
 
+    // ------------------------------------------------------------- EXT32
+    // Fully distributed Lloyd's k-means over the embeddings corpus — no
+    // driver-side sample anywhere (the scale twin of ext14's bounded
+    // quantizer). Rows-only: iterative float means are engine-specific;
+    // convergence-to-exact-means and empty-list survival are pinned by
+    // SimilaritySpec.
+    QueryDef(
+      "ext32_kmeans_distributed",
+      (s, dir) => Similarity.kmeansDistributed(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3),
+      None, bench = true),
+
     // The full scalable near-dedup composition: LSH candidates → exact
     // Jaccard verify (rows-only: the candidate set is sketch-dependent;
     // recall vs the exact all-pairs method is pinned by DedupSpec).

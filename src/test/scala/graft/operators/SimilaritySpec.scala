@@ -100,6 +100,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got(1) == ((1L, Seq(0.0, 6.0, 0.0), 6.0)))
   }
 
+  test("kmeansDistributed: well-separated clusters converge to their exact means") {
+    val d = Seq(
+      (0L, Seq(0.0f, 0.1f)), (1L, Seq(0.1f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (10L, Seq(5.0f, 5.1f)), (11L, Seq(5.1f, 5.0f)), (12L, Seq(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansDistributed(d, "vec_id", "embedding", k = 2, iters = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).sortBy(_._1)
+    val cents = run()
+    assert(cents.map(_._2).sum == 6L)
+    assert(cents.map(_._3).toSet ==
+      Set(Seq(0.033333, 0.033333), Seq(5.033333, 5.033333)))
+    assert(run().toSeq == cents.toSeq) // deterministic end to end
+  }
+
+  test("kmeansDistributed: an emptied list keeps its centroid with n_vecs = 0") {
+    // two duplicate locations, k = 3: one list necessarily ends up empty
+    // (ties assign to the lowest list id) but must stay in the quantizer
+    val d = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(9.0f, 9.0f)), (4L, Seq(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansDistributed(d, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(cents.length == 3)
+    assert(cents.map(_._2).sum == 4L)
+    val empty = cents.filter(_._2 == 0L)
+    assert(empty.length == 1 && empty.head._3.nonEmpty)
+  }
+
   test("lshTopK at nBits=0 degrades to brute force (single bucket)") {
     val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
