@@ -119,6 +119,21 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
       p.contains("ShuffledHashJoin"))
   }
 
+  test("ext27 quality gate: both windows share ONE source shuffle, partitioned (no global sort)") {
+    val p = plan("ext27_quality_gate")
+    assert(p.contains("Window"))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"rank + count windows must reuse the same source partitioning:\n$p")
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("ext28 centroids: partial aggregation on (label,pos), no collect, two shuffles") {
+    val p = plan("ext28_class_centroids")
+    assert(p.contains("partial_"), "the (label,pos) sum must combine map-side")
+    assert(!p.contains("CollectLimit"))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"expected (label,pos) → label only:\n$p")
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
