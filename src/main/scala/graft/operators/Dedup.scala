@@ -233,6 +233,9 @@ object Dedup {
       changed = next
         .join(labels.select(col("node"), col("lbl").as("__prev")), "node")
         .filter(col("lbl") < col("__prev")).count()
+      // the previous round's checkpoint blocks are pinned storage — release
+      // them once `changed` (the last reader) has been computed
+      labels.unpersist()
       labels = next
       it += 1
     }

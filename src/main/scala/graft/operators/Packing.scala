@@ -49,14 +49,20 @@ object Packing {
     */
   def shardReport(df: DataFrame, idCol: String, tokCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
-      .cast("long") % nShards).as("shard")
-    val per = df.select(shard, col(tokCol).cast("long").as("__tok"))
+    val per = df
+      .select(Sampling.hashBucket(col(idCol), nShards).as("shard"),
+        col(tokCol).cast("long").as("__tok"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("__tok").as("shard_tokens"))
+    // join onto the full 0..nShards-1 spine: a shard that received NOTHING
+    // is the worst-skew signal and must show as rel_dev = -1, not vanish
+    val spine = df.sparkSession.range(nShards).select(col("id").as("shard"))
     val tot = per.agg(sum("shard_tokens").as("__total"))
-    per.crossJoin(tot)
-      .select(col("shard"), col("n_docs"), col("shard_tokens"),
-        round(col("shard_tokens") / (col("__total") / nShards) - 1.0, 6).as("rel_dev"))
+    spine.join(per, Seq("shard"), "left").crossJoin(tot)
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("shard_tokens"), lit(0L)).as("shard_tokens"),
+        round(coalesce(col("shard_tokens"), lit(0L)) /
+          (col("__total") / nShards) - 1.0, 6).as("rel_dev"))
   }
 }

@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** md5-derived uniform bucket in [0, 100) for a key column — the shared
-    * randomness of both sampling variants (and portable to any engine that
-    * has md5).
+  /** md5-derived uniform bucket in [0, `buckets`) for a key column — the
+    * shared randomness of the sampling variants and of
+    * [[Packing.shardReport]]'s shard assignment (and portable to any engine
+    * that has md5 — the oracle mirrors the same hex arithmetic).
     */
-  def hashBucket(key: Column): Column =
-    (conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % 100)
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    (conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % buckets)
+  }
+
+  /** [[hashBucket]] with the percentage modulus both samplers use. */
+  def hashBucket(key: Column): Column = hashBucket(key, 100)
 
   /** Bernoulli-style hash sample: keep rows whose bucket < pct. Map-side
     * only — no shuffle, the 100 TB default for "give me ~20% of the
@@ -38,21 +44,9 @@ object Sampling {
     * per-stratum rates are acceptable and the shuffle isn't.
     */
   def stratifiedExact(
-      df: DataFrame, strataCol: String, idCol: String, fraction: Double): DataFrame = {
-    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
-    // withColumn silently REPLACES same-named input columns — a caller whose
-    // frame already has __rn/__n would lose them from the output
-    Seq("__rn", "__n").foreach { c =>
-      require(!df.columns.contains(c),
-        s"stratifiedExact uses temp column $c; input already has a column named $c")
-    }
-    val w = Window.partitionBy(strataCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(strataCol)))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
-  }
+      df: DataFrame, strataCol: String, idCol: String, fraction: Double): DataFrame =
+    keepTopRanked(df, strataCol,
+      Seq(md5(col(idCol).cast("string")), col(idCol)), fraction)
 
   /** Quality-percentile gate: keep the top ceil(fraction·|stratum|) rows of
     * each stratum by `scoreCol` DESCENDING — "keep the best X% per source",
@@ -66,14 +60,25 @@ object Sampling {
     */
   def topFractionBy(
       df: DataFrame, strataCol: String, scoreCol: String, idCol: String,
+      fraction: Double): DataFrame =
+    keepTopRanked(df, strataCol,
+      Seq(col(scoreCol).desc_nulls_last, col(idCol)), fraction)
+
+  /** Shared scaffold of the exact per-stratum keepers: rank within each
+    * stratum by `order`, keep rank ≤ ceil(fraction·|stratum|). Both windows
+    * share one stratum shuffle (plan-guarded via ext27).
+    */
+  private def keepTopRanked(
+      df: DataFrame, strataCol: String, order: Seq[Column],
       fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    // withColumn silently REPLACES same-named input columns — a caller whose
+    // frame already has __rn/__n would lose them from the output
     Seq("__rn", "__n").foreach { c =>
       require(!df.columns.contains(c),
-        s"topFractionBy uses temp column $c; input already has a column named $c")
+        s"exact per-stratum selection uses temp column $c; input already has a column named $c")
     }
-    val w = Window.partitionBy(strataCol)
-      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    val w = Window.partitionBy(strataCol).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(strataCol)))
       .filter(col("__rn") <= ceil(col("__n") * fraction))

@@ -151,14 +151,17 @@ object Similarity {
     * at corpus scale: posexplode to (label, pos, value) rows, one hash
     * aggregate with map-side partials on (label, pos), then a per-label
     * rebuild whose collect_list is bounded by the embedding DIMENSION,
-    * never by corpus size. Nothing touches the driver. NULL vectors are
-    * excluded; a fixed dimension per label is assumed (n_vecs is the
+    * never by corpus size. Nothing touches the driver. Vectors that are
+    * NULL or CONTAIN a null element are excluded (a null element would
+    * silently deflate that position's mean: sum skips it but the row count
+    * would not); a fixed dimension per label is assumed (n_vecs is the
     * per-position row count). Component means round to 6 dp — double-sum
     * order noise is ~1e-12, far inside the rounding — so the result is
     * engine-portable. Output: (label, n_vecs, centroid, centroid_norm).
     */
   def classCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
-    val e = df.filter(col(vecCol).isNotNull)
+    val e = df
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(col(labelCol).as("label"),
         posexplode(toDouble(col(vecCol))).as(Seq("pos", "v")))
     e.groupBy("label", "pos")
@@ -216,12 +219,14 @@ object Similarity {
         .select(col("label").as("list"), col("n_vecs"), col("centroid"))
       // left join against the PREVIOUS round: an emptied list keeps its
       // centroid instead of disappearing from the quantizer
-      cents = cents.select(col("list"), col("centroid").as("__old"))
+      val next = cents.select(col("list"), col("centroid").as("__old"))
         .join(updated, Seq("list"), "left")
         .select(col("list"),
           coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
           coalesce(col("centroid"), col("__old")).as("centroid"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old blocks go
+      cents.unpersist()
+      cents = next
     }
     cents.select("list", "n_vecs", "centroid")
   }

@@ -17,15 +17,19 @@ import graft.expressions.RegexpCount
   * with the engine extensions installed (`spark.sql.extensions=
   * graft.GraftExtensions`) gets the cheap plan transparently.
   *
-  * The rewrite only fires for group index 0 (whole-match extraction — group
-  * extraction counts the same, but keeping the trigger narrow keeps the
-  * equivalence proof trivial) and only for the non-legacy `size` null
-  * semantics (`size(null) = null`, matching RegexpCount; legacy mode
-  * returns -1 and must keep the built-in).
+  * The rewrite only fires when the pattern is FOLDABLE (a non-foldable
+  * pattern would trade the built-in's lastRegex per-value compile cache for
+  * RegexpCount's per-row compile fallback — a pessimization), only for
+  * group index 0 (whole-match extraction — group extraction counts the
+  * same, but keeping the trigger narrow keeps the equivalence proof
+  * trivial), and only for the non-legacy `size` null semantics
+  * (`size(null) = null`, matching RegexpCount; legacy mode returns -1 and
+  * must keep the built-in).
   */
 object CollapseRegexpCount extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Size(RegExpExtractAll(subject, regexp, Literal(0, IntegerType)), false) =>
+    case Size(RegExpExtractAll(subject, regexp, Literal(0, IntegerType)), false)
+        if regexp.foldable =>
       RegexpCount(subject, regexp)
   }
 }

@@ -520,8 +520,9 @@ object ExtensionQueries {
         k AS (SELECT source, COUNT(*) AS kept_docs, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
               FROM r WHERE rn <= CEIL(frac * n_docs) GROUP BY source)
         SELECT p.source, p.avail AS avail_tokens, p.n_docs, p.frac,
-               k.kept_docs, k.kept_tokens
-        FROM p JOIN k USING (source)
+               COALESCE(k.kept_docs, 0) AS kept_docs,
+               COALESCE(k.kept_tokens, 0) AS kept_tokens
+        FROM p LEFT JOIN k USING (source)
       """)),
 
     // ------------------------------------------------------------- EXT26
@@ -600,7 +601,9 @@ object ExtensionQueries {
       Some("""
         WITH v AS (
           SELECT label, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         e AS (
           SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
           FROM v),
@@ -678,10 +681,13 @@ object ExtensionQueries {
         p AS (
           SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
           FROM d GROUP BY shard),
+        sp AS (SELECT range AS shard FROM range(16)),
         t AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS total FROM p)
-        SELECT shard, n_docs, shard_tokens,
-               ROUND(shard_tokens / (total / 16) - 1.0, 6) AS rel_dev
-        FROM p, t
+        SELECT sp.shard,
+               COALESCE(p.n_docs, 0) AS n_docs,
+               COALESCE(p.shard_tokens, 0) AS shard_tokens,
+               ROUND(COALESCE(p.shard_tokens, 0) / (t.total / 16) - 1.0, 6) AS rel_dev
+        FROM sp LEFT JOIN p ON sp.shard = p.shard CROSS JOIN t
       """)),
 
     // ------------------------------------------------------------- EXT31

@@ -78,16 +78,19 @@ object CorpusIngest {
       .option("path", table)
       .start()
 
-  /** End-to-end convenience: watch `inDir` for JSONL files, land the
-    * gated+deduped corpus at `table`.
+  /** End-to-end convenience over a JSONL directory. The default
+    * `AvailableNow` trigger DRAINS the currently-present files and stops
+    * (the batch-ingest shape the specs and bench use); pass a processing-
+    * time trigger to actually watch the directory continuously.
     */
   def runStream(
       spark: SparkSession, inDir: String, table: String, checkpoint: String,
       minTokens: Int = 5, minDistinctRatio: Double = 0.2,
-      watermarkDelay: String = "10 minutes"): StreamingQuery = {
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val lines = spark.readStream.schema("value STRING").text(inDir)
     writeCorpus(
       prepare(parse(lines), minTokens, minDistinctRatio, watermarkDelay),
-      table, checkpoint)
+      table, checkpoint, trigger)
   }
 }

@@ -46,7 +46,7 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
     val d = (0L until 300L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tok")
     val rep = Packing.shardReport(d, "doc_id", "n_tok", nShards = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rep.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    assert(rep.map(_._1).toSet == (0L until 8L).toSet, "every shard reports, even empty ones")
     assert(rep.map(_._2).sum == 300L)
     assert(rep.map(_._3).sum == (0L until 300L).map(i => 10L + i % 7).sum)
     // rel_dev is each shard's tokens vs the uniform ideal
@@ -58,6 +58,15 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rep.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
     intercept[IllegalArgumentException](Packing.shardReport(d, "doc_id", "n_tok", 0))
+  }
+
+  test("an EMPTY shard surfaces as rel_dev = -1, the worst-skew signal — never vanishes") {
+    val tiny = Seq((1L, 10L), (2L, 10L)).toDF("doc_id", "n_tok")
+    val rep = Packing.shardReport(tiny, "doc_id", "n_tok", nShards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rep.length == 16)
+    val empty = rep.filter(_._2 == 0L)
+    assert(empty.nonEmpty && empty.forall(_._3 == -1.0))
   }
 
   test("guards: positive seqLen, no silent offset/bin clobber") {

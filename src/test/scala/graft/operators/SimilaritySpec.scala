@@ -86,12 +86,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().forall(r => Set(0L, 1L)(r.getLong(1))))
   }
 
-  test("classCentroids: golden element-wise means, null vectors excluded") {
+  test("classCentroids: golden element-wise means, null and null-element vectors excluded") {
     val d = Seq(
-      (0L, Seq(1.0f, 2.0f, 3.0f), 0),
-      (1L, Seq(3.0f, 4.0f, 5.0f), 0),
-      (2L, Seq(0.0f, 6.0f, 0.0f), 1),
-      (3L, null.asInstanceOf[Seq[Float]], 1) // must not count toward label 1
+      (0L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f), 0),
+      (1L, Seq[java.lang.Float](3.0f, 4.0f, 5.0f), 0),
+      (2L, Seq[java.lang.Float](0.0f, 6.0f, 0.0f), 1),
+      (3L, null.asInstanceOf[Seq[java.lang.Float]], 1), // must not count toward label 1
+      // a null ELEMENT would deflate position means (sum skips it, the row
+      // count would not) — the whole vector is excluded instead
+      (4L, Seq[java.lang.Float](9.0f, null, 9.0f), 1)
     ).toDF("vec_id", "embedding", "label")
     val got = Similarity.classCentroids(d, "embedding", "label")
       .collect().map(r => r.getInt(0) ->
