@@ -662,6 +662,59 @@ object ExtensionQueries {
         FROM r GROUP BY node
       """)),
 
+    // ------------------------------------------------------------- EXT33
+    // End-to-end dedup retention: pairs → clusters → per-source keep/drop
+    // accounting. Unpaired documents are their own singleton cluster
+    // (kept); in a cluster only the minimum id survives. The answer every
+    // corpus owner asks of a dedup run — "how much of each source is
+    // left?" — as one oracle-checked plan.
+    QueryDef(
+      "ext33_dedup_retention",
+      (s, dir) => {
+        val bounded = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        val clusters = Dedup.clusterPairs(
+          Dedup.ngramJaccardPairs(bounded, "text", "doc_id", n = 4, threshold = 0.35))
+        bounded.select(col("doc_id"), col("source"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("kept",
+            col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+      },
+      Some("""
+        WITH RECURSIVE
+        t AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                   CASE WHEN length(lower(text)) <= 4 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 2),
+                                            i -> substr(lower(text), i, 4)) END)) AS toks
+          FROM documents WHERE doc_id < 40),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS inter,
+                 len(a.toks) + len(b.toks) AS tot
+          FROM t a, t b WHERE a.doc_id < b.doc_id),
+        p AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE (CASE WHEN tot - inter = 0 THEN 1.0
+                      ELSE ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) END) >= 0.35),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        r AS (
+          SELECT src AS node, src AS lbl FROM e
+          UNION
+          SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node)
+        SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+        FROM (SELECT doc_id, source FROM documents WHERE doc_id < 40) d
+        LEFT JOIN c ON d.doc_id = c.doc_id
+        GROUP BY d.source
+      """)),
+
     // ------------------------------------------------------------- EXT30
     // Training-output shard assignment + balance audit: md5-hash shard
     // (pure per-row — no shuffle for the assignment), then one aggregate
