@@ -7,9 +7,10 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   *
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
   * (q01–q35 + q31b relational/TPC-H shapes) and
-  * [[graft.queries.ExtensionQueries]] (ext01–ext26 dedup / similarity /
-  * text / TF-IDF / ANN-recall / packing / mixing extensions); this object
-  * just flattens the catalog into the driver's Map shape.
+  * [[graft.queries.ExtensionQueries]] (ext01–ext39 dedup / similarity /
+  * text / TF-IDF / ANN-recall / packing / mixing / indexing / chunking /
+  * quantization extensions); this object just flattens the catalog into the
+  * driver's Map shape.
   */
 object SparkEntry {
 

@@ -47,6 +47,34 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** Symmetric per-vector int8 quantization scale: round(max|x| / 127, 6).
+    * Rounded to 6 dp BEFORE the codes are derived so a SQL oracle working
+    * from the same rounded scale reproduces the exact same codes. Input must
+    * already be array<double> ([[toDouble]]).
+    */
+  def int8Scale(v: Column): Column =
+    round(array_max(transform(v, x => abs(x))) / 127d, 6)
+
+  /** int8 codes under [[int8Scale]]: floor(x/scale + 0.5) — explicit
+    * half-up-toward-+∞ instead of engine round(), whose tie rules differ
+    * between engines. Zero vectors (scale 0) map to all-zero codes rather
+    * than dividing by zero. Codes stay in [-127, 127] by construction
+    * (|x| ≤ 127·scale up to the 6-dp scale rounding, which is orders of
+    * magnitude below a half step).
+    */
+  def int8Codes(v: Column, scale: Column): Column =
+    when(scale === 0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => floor(x / scale + 0.5d).cast("int")))
+
+  /** Max absolute reconstruction error |x − code·scale| of the
+    * quantization, rounded to 6 dp. Bounded by scale/2 (+ rounding dust) —
+    * spec-pinned.
+    */
+  def int8MaxError(v: Column, scale: Column): Column =
+    when(scale === 0, lit(0.0))
+      .otherwise(round(array_max(transform(v,
+        x => abs(x - floor(x / scale + 0.5d) * scale))), 6))
+
   /** Deterministic random-hyperplane LSH bucket for a vector: `nBits` signs
     * of dot products with pseudo-random hyperplanes derived from xxhash64 of
     * (seed, dimension index). Used to bucket candidates for approximate NN:

@@ -828,6 +828,170 @@ object ExtensionQueries {
         SELECT doc_id, tf.tok AS tok, tf,
                ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
         FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+      """)),
+
+    // ------------------------------------------------------------- EXT34
+    // Inverted index: term → (exact df, sorted posting list capped at 32).
+    // One shuffle total — df window, rank window and posting agg all share
+    // the term hash partitioning (plan-guarded); the row_number cap bounds
+    // the collect buffer so a stopword's postings can't OOM an agg buffer.
+    QueryDef(
+      "ext34_inverted_index",
+      (s, dir) => graft.operators.Indexing.invertedIndex(
+        Tables.documents(s, dir), "text", "doc_id", cap = 32),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS term
+          FROM documents),
+        r AS (
+          SELECT term, doc_id,
+                 COUNT(*) OVER (PARTITION BY term) AS df,
+                 ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+          FROM toks)
+        SELECT term, CAST(MAX(df) AS BIGINT) AS df,
+               list_sort(list(doc_id)) AS postings
+        FROM r WHERE rn <= 32 GROUP BY term
+      """)),
+
+    // ------------------------------------------------------------- EXT35
+    // Bigram PMI: collocation strength of adjacent-token pairs seen ≥ 5
+    // times. Two hash aggs + two vocabulary joins (no broadcast hint — the
+    // unigram table scales with the corpus; AQE decides) + a 1-row totals
+    // cross-join. The log/division chain is written identically on both
+    // engines so the 6-dp rounding hash-matches.
+    QueryDef(
+      "ext35_bigram_pmi",
+      (s, dir) => graft.operators.Indexing.bigramPmi(
+        Tables.documents(s, dir), "text", minCount = 5L),
+      Some("""
+        WITH d AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        totals AS (
+          SELECT CAST(SUM(len(toks)) AS DOUBLE) AS n_uni,
+                 CAST(SUM(GREATEST(len(toks) - 1, 0)) AS DOUBLE) AS n_bi
+          FROM d),
+        uni AS (
+          SELECT tok, COUNT(*) AS c1
+          FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        bi AS (
+          SELECT bigram, COUNT(*) AS c12
+          FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM d)
+          GROUP BY bigram HAVING COUNT(*) >= 5)
+        SELECT bigram, CAST(c12 AS BIGINT) AS c12,
+               ROUND(LN((c12 / n_bi) / ((a.c1 / n_uni) * (b.c1 / n_uni))), 6) AS pmi
+        FROM bi
+        JOIN uni a ON a.tok = string_split(bigram, ' ')[1]
+        JOIN uni b ON b.tok = string_split(bigram, ' ')[-1]
+        CROSS JOIN totals
+      """)),
+
+    // ------------------------------------------------------------- EXT36
+    // Overlapping character chunking (200-char windows every 150 chars) —
+    // context-window preparation. Map-side ONLY: sequence → explode →
+    // substring, zero shuffles (plan-guarded); the chunk index is derived
+    // arithmetically from the offset, so both engines emit identical rows.
+    QueryDef(
+      "ext36_doc_chunks",
+      (s, dir) => graft.operators.Chunking.charChunks(
+        Tables.documents(s, dir), "text", "doc_id", size = 200, stride = 150),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, text, unnest(range(1, length(text) + 1, 150)) AS start
+          FROM documents)
+        SELECT doc_id,
+               (start - 1) // 150 + 1 AS chunk_idx,
+               CAST(start AS BIGINT) AS start,
+               substr(text, CAST(start AS INTEGER), 200) AS chunk,
+               CAST(length(substr(text, CAST(start AS INTEGER), 200)) AS BIGINT) AS chunk_len
+        FROM s
+      """)),
+
+    // ------------------------------------------------------------- EXT37
+    // Tokenizer vocabulary build: top-500 BPE pretokens by corpus count
+    // (min count 10), with a deterministic vocab id. The top-k is
+    // TakeOrderedAndProject (plan-guarded — never a full global sort of the
+    // vocabulary); only the ≤ 500 surviving rows pass through the single
+    // rank window that assigns ids.
+    QueryDef(
+      "ext37_vocab_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, dir)
+          .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 10)
+        counts.orderBy(col("cnt").desc, col("tok")).limit(500)
+          .withColumn("vocab_id",
+            row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+              .cast("long"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT tok, COUNT(*) AS cnt
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]+')) AS tok
+                FROM documents)
+          GROUP BY tok HAVING COUNT(*) >= 10),
+        r AS (
+          SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS vocab_id
+          FROM c)
+        SELECT tok, cnt, vocab_id FROM r WHERE vocab_id <= 500
+      """)),
+
+    // ------------------------------------------------------------- EXT38
+    // Symmetric per-vector int8 embedding quantization: 6-dp-rounded scale,
+    // explicit floor(x/s + 0.5) codes (engine round() tie rules differ),
+    // max reconstruction error. Map-side only; zero vectors quantize to
+    // all-zero codes instead of dividing by zero.
+    QueryDef(
+      "ext38_int8_quant",
+      (s, dir) => {
+        val clean = Tables.embeddings(s, dir)
+          .filter(col("embedding").isNotNull &&
+            size(filter(col("embedding"), x => x.isNull)) === 0)
+        clean
+          .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+          .withColumn("scale", VectorFunctions.int8Scale(col("v")))
+          .select(
+            col("vec_id"), col("scale"),
+            VectorFunctions.int8Codes(col("v"), col("scale")).as("codes"),
+            VectorFunctions.int8MaxError(col("v"), col("scale")).as("max_err"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        s AS (
+          SELECT vec_id, v,
+                 ROUND(list_max(list_transform(v, x -> abs(x))) / 127, 6) AS scale
+          FROM v)
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) END AS codes,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE ROUND(list_max(list_transform(v,
+                           x -> abs(x - floor(x / scale + 0.5) * scale))), 6) END AS max_err
+        FROM s
+      """)),
+
+    // ------------------------------------------------------------- EXT39
+    // Salted two-phase aggregation (graft.operators.Skew.saltedCount): the
+    // deterministic fallback for keys so hot that even AQE's split
+    // partitions overwhelm one reducer. The salt only changes the physical
+    // distribution — the result is the plain GROUP BY count, which is
+    // exactly what the oracle checks.
+    QueryDef(
+      "ext39_salted_agg",
+      (s, dir) => graft.operators.Skew.saltedCount(
+        Tables.events(s, dir).select(col("event_type")), "event_type", nSalt = 8),
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
       """))
   )
 }

@@ -15,7 +15,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     * q10 band join (pure theta → BNLJ over a literal band table), ext02
     * (broadcast query set × corpus — the exact-kNN contract), ext03/ext18
     * (all-pairs verify stage, input bounded by contract), the N-scalar
-    * cross joins of ext13/ext15-derived shapes, ext25 and ext30 (their
+    * cross joins of ext13/ext15-derived shapes, ext25/ext30/ext35 (their
     * totals sides are 1-row aggregates — always broadcast-safe), and the
     * recall harnesses joining two ≤|Q|·k frames. ext19 is deliberately NOT
     * listed: it has no join at all, and must stay that way
@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "q10_band_join", "ext02_knn_cosine", "ext03_jaccard_pairs",
     "ext07_embed_neardup", "ext12_ann_lsh", "ext13_tfidf", "ext14_ann_ivf",
     "ext15_neardup_pipeline", "ext16_ann_lsh_recall", "ext17_ann_ivf_recall",
-    "ext18_ngram_jaccard", "ext25_temperature_mix", "ext30_shard_balance")
+    "ext18_ngram_jaccard", "ext25_temperature_mix", "ext30_shard_balance",
+    "ext35_bigram_pmi")
 
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>

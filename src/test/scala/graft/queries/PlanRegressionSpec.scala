@@ -134,6 +134,36 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert("Exchange".r.findAllIn(p).size <= 2, s"expected (label,pos) → label only:\n$p")
   }
 
+  test("ext34 inverted index: windows and posting agg share ONE term shuffle") {
+    val p = plan("ext34_inverted_index")
+    assert(p.contains("Window"))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"df window, rank window and collect agg must all reuse the term partitioning:\n$p")
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("ext36 chunking is map-side only: zero shuffles") {
+    val p = plan("ext36_doc_chunks")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate")) // the explode
+  }
+
+  test("ext37 vocab top-k plans TakeOrderedAndProject, never a full vocabulary sort") {
+    val p = plan("ext37_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the only single-partition stage is the ≤500-row id-assignment window
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "vocabulary counting must combine map-side")
+  }
+
+  test("ext39 salted agg: two-phase (key,salt) → key aggregation, partials on both") {
+    val p = plan("ext39_salted_agg")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"salted partial then final agg — exactly two shuffles:\n$p")
+    assert(p.contains("partial_"))
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
