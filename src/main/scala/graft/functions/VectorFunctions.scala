@@ -47,33 +47,45 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** Symmetric per-vector int8 quantization scale: round(max|x| / 127, 6).
-    * Rounded to 6 dp BEFORE the codes are derived so a SQL oracle working
-    * from the same rounded scale reproduces the exact same codes. Input must
-    * already be array<double> ([[toDouble]]).
+  /** Symmetric per-vector int8 quantization scale: round(max|x| / 127, 6),
+    * falling back to the UNROUNDED max|x|/127 when the 6-dp rounding
+    * underflows to 0 for a nonzero vector (max|x| below ~6.35e-5) — the
+    * rounded form would silently quantize a nonzero vector to all zeros
+    * while reporting zero error. Rounded (when representable) BEFORE the
+    * codes are derived so a SQL oracle working from the same scale
+    * reproduces the exact same codes; the fallback is an exact division,
+    * so it is equally engine-portable. Input must already be array<double>
+    * ([[toDouble]]).
     */
-  def int8Scale(v: Column): Column =
-    round(array_max(transform(v, x => abs(x))) / 127d, 6)
+  def int8Scale(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(x)))
+    val r = round(m / 127d, 6)
+    when(r === 0 && m > 0, m / 127d).otherwise(r)
+  }
 
   /** int8 codes under [[int8Scale]]: floor(x/scale + 0.5) — explicit
     * half-up-toward-+∞ instead of engine round(), whose tie rules differ
-    * between engines. Zero vectors (scale 0) map to all-zero codes rather
-    * than dividing by zero. Codes stay in [-127, 127] by construction
-    * (|x| ≤ 127·scale up to the 6-dp scale rounding, which is orders of
-    * magnitude below a half step).
+    * between engines — clamped to [-127, 127]. The clamp matters for
+    * tiny-magnitude vectors, where the 6-dp scale rounding is NOT
+    * negligible relative to max|x| (e.g. max|x| = 1.78e-4 rounds scale
+    * 1.4e-6 down to 1e-6, putting the raw code at 178). Zero vectors
+    * (scale 0) map to all-zero codes rather than dividing by zero.
     */
   def int8Codes(v: Column, scale: Column): Column =
     when(scale === 0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => floor(x / scale + 0.5d).cast("int")))
+      .otherwise(transform(v,
+        x => greatest(lit(-127), least(lit(127), floor(x / scale + 0.5d))).cast("int")))
 
-  /** Max absolute reconstruction error |x − code·scale| of the
-    * quantization, rounded to 6 dp. Bounded by scale/2 (+ rounding dust) —
-    * spec-pinned.
+  /** Max absolute reconstruction error |x − clamp(code)·scale| of the
+    * quantization, rounded to 6 dp. Bounded by scale/2 + scale·(relative
+    * scale-rounding error) — spec-pinned. Uses the same clamped codes as
+    * [[int8Codes]] so the reported error is the error of the codes a
+    * reader would actually dequantize.
     */
   def int8MaxError(v: Column, scale: Column): Column =
     when(scale === 0, lit(0.0))
       .otherwise(round(array_max(transform(v,
-        x => abs(x - floor(x / scale + 0.5d) * scale))), 6))
+        x => abs(x - greatest(lit(-127), least(lit(127), floor(x / scale + 0.5d))) * scale))), 6))
 
   /** Deterministic random-hyperplane LSH bucket for a vector: `nBits` signs
     * of dot products with pseudo-random hyperplanes derived from xxhash64 of

@@ -196,19 +196,31 @@ object Dedup {
   /** Transitive closure of near-dup PAIRS into CLUSTERS — the step that
     * turns pairwise candidates into per-document keep/drop decisions
     * (pairs alone can't: a≈b and b≈c must collapse to one survivor even
-    * when a≉c directly). Min-label propagation (BSP connected components):
-    * every node starts as its own label, each round takes the min over its
-    * neighbors' labels, converged when a round changes nothing — reached
-    * in O(component diameter) rounds, and near-dup components are shallow.
+    * when a≉c directly). Min-label propagation with POINTER JUMPING (BSP
+    * connected components): every node starts as its own label; each round
+    * takes (a) the min over its neighbors' labels, then (b) the label OF
+    * its label (path halving — `lbl` always names a node in the same
+    * component, so chasing it one hop stays inside the component while
+    * collapsing label chains exponentially). Converged when a round changes
+    * nothing — reached in O(log diameter) rounds instead of plain
+    * propagation's O(diameter), which matters twice: long chain-shaped
+    * dup components (crawl mirrors) stop costing a round per hop, and each
+    * saved round saves a full shuffle cycle.
     *
-    * Scale design: one equi-join + one min-aggregate per round, fully
+    * Scale design: two equi-joins + one min-aggregate per round, fully
     * distributed; `localCheckpoint` truncates the otherwise-growing plan
     * lineage each round (swap for `checkpoint` on a reliability-critical
-    * cluster). The per-round convergence test is a count — a driver
-    * action, but O(1) data; the loop count is diameter-bounded, not
-    * data-bounded, which is the adjudicated exception to "no driver-side
-    * loops". Throws if `maxIters` rounds don't converge rather than
-    * returning silently-partial clusters.
+    * cluster). Superseded checkpoint blocks are released by Spark's
+    * ContextCleaner once the previous round's Dataset is unreachable —
+    * `unpersist()` would be a no-op here (checkpoint RDD blocks are not
+    * registered with the cache manager). Convergence is detected by
+    * comparing exact decimal label sums between rounds (labels only ever
+    * decrease, so the sum strictly decreases iff any label changed) — one
+    * O(1)-output aggregate per round, no extra join, and the previous
+    * round's sum is reused rather than recomputed. The loop count is
+    * log-diameter-bounded, not data-bounded, which is the adjudicated
+    * exception to "no driver-side loops". Throws if `maxIters` rounds
+    * don't converge rather than returning silently-partial clusters.
     *
     * Input: a (doc_a, doc_b) pair frame (extra columns ignored). Output:
     * (doc_id, cluster_id) for every document appearing in a pair, with
@@ -220,28 +232,32 @@ object Dedup {
       .distinct().persist()
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
-    var changed = 1L
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (!converged && it < maxIters) {
       val nbrMin = e.join(labels, col("dst") === col("node"))
         .groupBy("src").agg(min("lbl").as("nlbl"))
         .withColumnRenamed("src", "node")
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val prop = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: lbl := min(lbl, lbl's own new label) — path halving
+      val next = prop
+        .join(prop.select(col("node").as("lbl"), col("lbl").as("__jl")), Seq("lbl"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("__jl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("node"), col("lbl").as("__prev")), "node")
-        .filter(col("lbl") < col("__prev")).count()
-      // the previous round's checkpoint blocks are pinned storage — release
-      // them once `changed` (the last reader) has been computed
-      labels.unpersist()
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       it += 1
     }
     e.unpersist()
-    require(changed == 0,
-      s"clusterPairs did not converge in $maxIters rounds — component diameter exceeds maxIters")
+    require(converged,
+      s"clusterPairs did not converge in $maxIters rounds — component diameter exceeds 2^maxIters")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

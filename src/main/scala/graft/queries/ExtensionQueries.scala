@@ -246,10 +246,15 @@ object ExtensionQueries {
     // quantizer). Rows-only: iterative float means are engine-specific;
     // convergence-to-exact-means and empty-list survival are pinned by
     // SimilaritySpec.
+    // Rows-only, but the gate still sorts the Spark result — so the
+    // centroid array emits as a micro-unit joined string here too.
     QueryDef(
       "ext32_kmeans_distributed",
       (s, dir) => Similarity.kmeansDistributed(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3),
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3)
+        .select(col("list"), col("n_vecs"),
+          array_join(transform(col("centroid"),
+            x => round(x * 1000000d).cast("long")), ",").as("centroid_u6")),
       None, bench = true),
 
     // The full scalable near-dedup composition: LSH candidates → exact
@@ -594,10 +599,18 @@ object ExtensionQueries {
     // (label, pos) hash aggregate (map-side partials) → per-label rebuild
     // bounded by the embedding dimension. The scale-out counterpart of the
     // IVF quantizer's bounded driver sample — nothing here ever collects.
+    // The driver gate cannot sort/hash list columns, so the 6-dp centroid
+    // components emit as micro-units (×1e6, exactly integral after the
+    // operator's rounding) joined into a string; the operator itself keeps
+    // returning the real array<double>.
     QueryDef(
       "ext28_class_centroids",
       (s, dir) => Similarity.classCentroids(
-        Tables.embeddings(s, dir), "embedding", "label"),
+        Tables.embeddings(s, dir), "embedding", "label")
+        .select(col("label"), col("n_vecs"),
+          array_join(transform(col("centroid"),
+            x => round(x * 1000000d).cast("long")), ",").as("centroid_u6"),
+          col("centroid_norm")),
       Some("""
         WITH v AS (
           SELECT label, CAST(embedding AS DOUBLE[]) AS v
@@ -614,7 +627,9 @@ object ExtensionQueries {
           SELECT label, MAX(n) AS n_vecs,
                  list(ROUND(sv / n, 6) ORDER BY pos) AS centroid
           FROM s GROUP BY label)
-        SELECT label, n_vecs, centroid,
+        SELECT label, n_vecs,
+               array_to_string(list_transform(centroid,
+                 x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS centroid_u6,
                ROUND(sqrt(list_dot_product(centroid, centroid)), 6) AS centroid_norm
         FROM c
       """)),
@@ -835,10 +850,13 @@ object ExtensionQueries {
     // One shuffle total — df window, rank window and posting agg all share
     // the term hash partitioning (plan-guarded); the row_number cap bounds
     // the collect buffer so a stopword's postings can't OOM an agg buffer.
+    // Postings emit comma-joined (sorted doc_ids) so the gate can
+    // sort/hash the row; list columns are not gate-comparable.
     QueryDef(
       "ext34_inverted_index",
       (s, dir) => graft.operators.Indexing.invertedIndex(
-        Tables.documents(s, dir), "text", "doc_id", cap = 32),
+        Tables.documents(s, dir), "text", "doc_id", cap = 32)
+        .withColumn("postings", array_join(col("postings"), ",")),
       Some("""
         WITH toks AS (
           SELECT doc_id,
@@ -850,7 +868,7 @@ object ExtensionQueries {
                  ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
           FROM toks)
         SELECT term, CAST(MAX(df) AS BIGINT) AS df,
-               list_sort(list(doc_id)) AS postings
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM r WHERE rn <= 32 GROUP BY term
       """)),
 
@@ -942,10 +960,15 @@ object ExtensionQueries {
       """)),
 
     // ------------------------------------------------------------- EXT38
-    // Symmetric per-vector int8 embedding quantization: 6-dp-rounded scale,
-    // explicit floor(x/s + 0.5) codes (engine round() tie rules differ),
-    // max reconstruction error. Map-side only; zero vectors quantize to
-    // all-zero codes instead of dividing by zero.
+    // Symmetric per-vector int8 embedding quantization: 6-dp-rounded scale
+    // (unrounded fallback when rounding would underflow a nonzero vector to
+    // scale 0), explicit floor(x/s + 0.5) codes clamped to [-127, 127]
+    // (engine round() tie rules differ; tiny-magnitude vectors make the
+    // scale rounding material), max reconstruction error of the CLAMPED
+    // codes. Map-side only; zero vectors quantize to all-zero codes instead
+    // of dividing by zero. Codes emit as a comma-joined string so the
+    // verify gate can sort/hash the row (list columns are not
+    // gate-comparable).
     QueryDef(
       "ext38_int8_quant",
       (s, dir) => {
@@ -957,7 +980,7 @@ object ExtensionQueries {
           .withColumn("scale", VectorFunctions.int8Scale(col("v")))
           .select(
             col("vec_id"), col("scale"),
-            VectorFunctions.int8Codes(col("v"), col("scale")).as("codes"),
+            array_join(VectorFunctions.int8Codes(col("v"), col("scale")), ",").as("codes"),
             VectorFunctions.int8MaxError(col("v"), col("scale")).as("max_err"))
       },
       Some("""
@@ -966,16 +989,21 @@ object ExtensionQueries {
           FROM embeddings
           WHERE embedding IS NOT NULL
             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        m AS (
+          SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM v),
         s AS (
           SELECT vec_id, v,
-                 ROUND(list_max(list_transform(v, x -> abs(x))) / 127, 6) AS scale
-          FROM v)
+                 CASE WHEN ROUND(mx / 127, 6) = 0 AND mx > 0 THEN mx / 127
+                      ELSE ROUND(mx / 127, 6) END AS scale
+          FROM m)
         SELECT vec_id, scale,
-               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-                    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) END AS codes,
+               CASE WHEN scale = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+                    ELSE array_to_string(list_transform(v,
+                           x -> CAST(GREATEST(-127, LEAST(127, floor(x / scale + 0.5))) AS INTEGER)), ',') END AS codes,
                CASE WHEN scale = 0 THEN 0.0
                     ELSE ROUND(list_max(list_transform(v,
-                           x -> abs(x - floor(x / scale + 0.5) * scale))), 6) END AS max_err
+                           x -> abs(x - GREATEST(-127, LEAST(127, floor(x / scale + 0.5))) * scale))), 6) END AS max_err
         FROM s
       """)),
 

@@ -42,6 +42,28 @@ class VectorQuantSpec extends AnyFunSuite with SparkTestSession {
     assert(codes == Seq(0, 0, 0))
   }
 
+  test("tiny-magnitude band: scale rounding is material — codes clamp to [-127, 127]") {
+    // max|x| = 1.78e-4 → raw scale 1.4015...e-6 rounds to 1e-6; the raw
+    // code floor(1.78e-4/1e-6 + 0.5) = 178 would escape int8 without the
+    // clamp. The reported error must be the CLAMPED code's error.
+    val Array((scale, codes, err)) = quantize(Seq(Seq(1.78e-4, -1.78e-4, 2e-7)))
+    assert(scale == 1e-6)
+    assert(codes == Seq(127, -127, 0))
+    assert(err > 0) // |1.78e-4 − 127e-6| = 5.1e-5, visible at 6 dp
+    assert(math.abs(err - 5.1e-5) < 1e-9)
+  }
+
+  test("sub-underflow band: nonzero vector whose rounded scale would be 0 " +
+    "falls back to the unrounded scale instead of zeroing the vector") {
+    // max|x| = 4e-5 → max/127 = 3.15e-7 rounds to 0 at 6 dp; the fallback
+    // keeps the exact division so the vector still quantizes faithfully.
+    val Array((scale, codes, err)) = quantize(Seq(Seq(4e-5, -2e-5)))
+    assert(scale > 0 && scale == 4e-5 / 127d)
+    assert(codes.head == 127)
+    assert(codes(1) == math.floor(-2e-5 / scale + 0.5).toInt)
+    assert(err <= scale / 2 + 1e-12)
+  }
+
   test("reconstruction beats 1% relative error on unit-norm-ish vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(20)(Seq.fill(32)(rnd.nextGaussian() * 0.2))

@@ -52,8 +52,14 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       doc(4, "alpha beta gamma delta epsilon zeta", "srcB", "2026-01-01 00:00:03"))
     runOnce()
     val afterB1 = spark.read.parquet(table)
-    assert(afterB1.count() == 1, "gate + in-batch dedup must keep exactly the first good doc")
-    assert(afterB1.select("doc_id").head().getLong(0) == 1L)
+    assert(afterB1.count() == 1, "gate + in-batch dedup must keep exactly one good doc")
+    // WHICH of the two same-digest duplicates (ids 1 and 4) survives a
+    // shuffled streaming dedup is not contractually ordered — assert on the
+    // surviving CONTENT, and carry the survivor's id into the batch-2 check
+    val survivor = afterB1.select("doc_id", "text").head()
+    assert(survivor.getString(1) == "alpha beta gamma delta epsilon zeta")
+    val survivorId = survivor.getLong(0)
+    assert(Set(1L, 4L).contains(survivorId))
 
     // batch 2 on a fresh query from the same checkpoint: a replayed
     // duplicate within the watermark drops, a genuinely new doc lands
@@ -63,7 +69,7 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     runOnce()
     val afterB2 = spark.read.parquet(table)
     assert(afterB2.count() == 2)
-    assert(afterB2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 6L))
+    assert(afterB2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(survivorId, 6L))
 
     // the landing table is source-partitioned (corpus analog of the
     // (camera_id, day) frame sink layout)
