@@ -112,6 +112,139 @@ object TextFunctions {
     f(text)
   }
 
+  /** One-pass tokenizer for the fused word-shingle paths: lower-case via
+    * UTF8String (matches column lower()), then collect maximal runs of
+    * non-\s characters (\s = [ \t\n\x0B\f\r] exactly — Java regex \s, what
+    * `split(lower(text), "\\s+")` + empty-filter produces; NOT
+    * Character.isWhitespace, which also matches U+2028 etc.).
+    */
+  private def fusedTokens(t: String): Array[String] = {
+    val lowered =
+      org.apache.spark.unsafe.types.UTF8String.fromString(t).toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = lowered.length
+    while (i < len) {
+      var j = i
+      while (j < len && !isWs(lowered.charAt(j))) j += 1
+      if (j > i) out += lowered.substring(i, j)
+      i = if (j > i) j else i + 1
+    }
+    out.toArray
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Fused JVM form of [[strictShingles]]∘[[tokens]] — all word n-gram
+    * shingles WITH multiplicity, one pass over the string instead of an
+    * interpreted transform+slice+array_join per position (the HOF chain is
+    * the bigram/shingle hot loop: hundreds of lambda evaluations and
+    * intermediate arrays per document). Same elements in the same order
+    * (cross-checked in TextFunctionsSpec); empty below n tokens, null for
+    * null text.
+    */
+  def wordShinglesFast(text: Column, n: Int): Column = {
+    require(n >= 1, s"wordShinglesFast: n must be >= 1, got $n")
+    val f = udf((t: String) => {
+      if (t == null) null.asInstanceOf[Array[String]]
+      else {
+        val toks = fusedTokens(t)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val out = new Array[String](toks.length - n + 1)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + n <= toks.length) {
+            sb.setLength(0)
+            var k = 0
+            while (k < n) {
+              if (k > 0) sb.append(' ')
+              sb.append(toks(i + k)): Unit
+              k += 1
+            }
+            out(i) = sb.toString
+            i += 1
+          }
+          out
+        }
+      }
+    })
+    f(text)
+  }
+
+  /** DISTINCT variant of [[wordShinglesFast]] — the fused form of
+    * array_distinct∘strictShingles∘tokens that containment checks
+    * (decontamination) explode. Set equality with the HOF form is
+    * contractual; element order is not (consumers aggregate
+    * order-insensitively).
+    */
+  def wordShingleSetFast(text: Column, n: Int): Column = {
+    require(n >= 1, s"wordShingleSetFast: n must be >= 1, got $n")
+    val f = udf((t: String) => {
+      if (t == null) null.asInstanceOf[Array[String]]
+      else {
+        val toks = fusedTokens(t)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val set = new java.util.LinkedHashSet[String]()
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + n <= toks.length) {
+            sb.setLength(0)
+            var k = 0
+            while (k < n) {
+              if (k > 0) sb.append(' ')
+              sb.append(toks(i + k)): Unit
+              k += 1
+            }
+            set.add(sb.toString): Unit
+            i += 1
+          }
+          set.toArray(new Array[String](set.size))
+        }
+      }
+    })
+    f(text)
+  }
+
+  /** Per-document bigram repetition statistics in ONE map-side pass:
+    * (n_bigrams, n_distinct, top_count) over adjacent-token bigrams — the
+    * inputs of the Gopher-style duplicate-bigram-fraction and
+    * most-frequent-bigram-share signals. All bigrams of a document live in
+    * its own row, so no explode/shuffle is ever semantically needed for a
+    * per-doc ratio: this replaces a 2-shuffle explode+groupBy pipeline with
+    * zero shuffles, which is the correct shape at any corpus scale. NULL
+    * for null text or documents with fewer than 2 tokens (no bigram — the
+    * exploded form produces no rows for them, and callers filter the same
+    * way).
+    */
+  def bigramStats(text: Column): Column = {
+    val f = udf((t: String) => {
+      if (t == null) null
+      else {
+        val toks = fusedTokens(t)
+        if (toks.length < 2) null
+        else {
+          val counts = new java.util.HashMap[String, Long]()
+          val sb = new java.lang.StringBuilder
+          var top = 0L
+          var i = 0
+          while (i + 2 <= toks.length) {
+            sb.setLength(0)
+            sb.append(toks(i)).append(' ').append(toks(i + 1)): Unit
+            val key = sb.toString
+            val c = counts.merge(key, 1L, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          (toks.length - 1L, counts.size.toLong, top)
+        }
+      }
+    })
+    f(text)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature of a string-array column: `num` independent

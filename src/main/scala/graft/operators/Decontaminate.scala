@@ -29,10 +29,12 @@ object Decontaminate {
   def overlaps(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"shingle n must be >= 1, got $n")
+    // fused one-pass shingle-set build (the interpreted
+    // transform+slice+array_join HOF chain costs ~45ms CPU/doc at these
+    // document lengths; set equality with the HOF form is spec-pinned)
     def exploded(df: DataFrame, outId: String) = df.select(
       col(idCol).as(outId),
-      explode(array_distinct(
-        TextFunctions.strictShingles(TextFunctions.tokens(col(textCol)), n))).as("sh"))
+      explode(TextFunctions.wordShingleSetFast(col(textCol), n)).as("sh"))
     exploded(corpus, "doc_id")
       .join(exploded(evalSet, "eval_id"), "sh")
       .groupBy("doc_id")

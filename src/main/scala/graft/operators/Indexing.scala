@@ -60,8 +60,11 @@ object Indexing {
       sum(greatest(size(col("toks")) - 1, lit(0))).cast("double").as("n_bi"))
     val uni = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
-    val bi = toks
-      .select(explode(TextFunctions.wordBigrams(col("toks"))).as("bigram"))
+    // fused one-pass bigram build for the hot branch (the interpreted
+    // transform+slice+array_join HOF chain dominates this operator's cost;
+    // element-for-element parity with wordBigrams∘tokens is spec-pinned)
+    val bi = docs
+      .select(explode(TextFunctions.wordShinglesFast(col(textCol), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
     bi

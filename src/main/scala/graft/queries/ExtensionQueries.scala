@@ -463,21 +463,23 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------- EXT24
     // Gopher-style repetition signals per document: duplicate-bigram
-    // fraction and most-frequent-bigram share. Two hash aggregates
-    // ((doc, bigram) counts → per-doc ratios) — map-side partials both
-    // times, nothing quadratic, no window.
+    // fraction and most-frequent-bigram share. ZERO shuffles: every bigram
+    // of a document lives in the document's own row, so the counts are a
+    // single map-side pass ([[TextFunctions.bigramStats]]) — a per-doc
+    // ratio never needs an explode+groupBy round trip, at any corpus
+    // scale. (The exploded 2-shuffle form this replaced moved ~200 rows
+    // per document through two exchanges.)
     QueryDef(
       "ext24_repetition",
-      (s, dir) => {
-        val bg = TextFunctions.wordBigrams(TextFunctions.tokens(col("text")))
+      (s, dir) =>
         Tables.documents(s, dir)
-          .select(col("doc_id"), explode(bg).as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id").agg(
-            sum("n").as("n_bigrams"),
-            round(lit(1.0) - count(lit(1)).cast("double") / sum("n"), 6).as("dup_frac"),
-            round(max("n").cast("double") / sum("n"), 6).as("top_frac"))
-      },
+          .select(col("doc_id"), TextFunctions.bigramStats(col("text")).as("st"))
+          .filter(col("st").isNotNull)
+          .select(
+            col("doc_id"),
+            col("st._1").as("n_bigrams"),
+            round(lit(1.0) - col("st._2").cast("double") / col("st._1"), 6).as("dup_frac"),
+            round(col("st._3").cast("double") / col("st._1"), 6).as("top_frac")),
       Some("""
         WITH w AS (
           SELECT doc_id,

@@ -120,4 +120,52 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(oneSeq(f, "solo") == Seq.empty)   // shingles() would yield ["solo"]
     assert(oneSeq(f, "") == Seq.empty)
   }
+
+  test("wordShinglesFast agrees element-for-element with strictShingles∘tokens") {
+    val texts = Seq(
+      "a b c a b", "one  two\tthree\nfour", "  leading and trailing  ",
+      "solo", "", "UPPER Case MiXeD tokens here now",
+      "Füße größer — naïve café words appended", "ab\fc\rd")
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 4)) {
+      val rows = df.select(
+        TextFunctions.strictShingles(TextFunctions.tokens(col("t")), n).as("hof"),
+        TextFunctions.wordShinglesFast(col("t"), n).as("fused")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n mismatch for '$t'")
+      }
+    }
+    val nulls = Seq(null.asInstanceOf[String]).toDF("t").select(
+      TextFunctions.wordShinglesFast(col("t"), 2)).collect()(0)
+    assert(nulls.isNullAt(0))
+  }
+
+  test("wordShingleSetFast is the distinct set of the multiplicity form") {
+    val texts = Seq("a b a b a b", "x y z x y", "short", "")
+    val rows = texts.toDF("t").select(
+      TextFunctions.wordShingleSetFast(col("t"), 2).as("set"),
+      TextFunctions.wordShinglesFast(col("t"), 2).as("all")).collect()
+    rows.foreach { r =>
+      val set = r.getSeq[String](0)
+      assert(set.toSet == r.getSeq[String](1).toSet)
+      assert(set.distinct == set, "set form must not repeat elements")
+    }
+  }
+
+  test("bigramStats matches the exploded groupBy computation") {
+    val texts = Seq("a b a b a b c", "one two three", "w w w w w", "solo", "")
+    val rows = texts.toDF("t").select(TextFunctions.bigramStats(col("t")).as("st")).collect()
+    texts.zip(rows).foreach { case (t, r) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 2) assert(r.isNullAt(0), s"'$t' has no bigram — must be null")
+      else {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = bgs.groupBy(identity).map(_._2.size)
+        val st = r.getStruct(0)
+        assert(st.getLong(0) == bgs.size.toLong, s"n_bigrams for '$t'")
+        assert(st.getLong(1) == counts.size.toLong, s"n_distinct for '$t'")
+        assert(st.getLong(2) == counts.max.toLong, s"top for '$t'")
+      }
+    }
+  }
 }

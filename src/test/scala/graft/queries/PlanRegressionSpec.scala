@@ -105,9 +105,10 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
       "packing must never collapse to one partition — that is the global-order scale bug")
   }
 
-  test("ext24 repetition is two hash aggregates, no window, no join") {
+  test("ext24 repetition is map-side only: zero exchanges, no window, no join") {
     val p = plan("ext24_repetition")
-    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Exchange"),
+      s"per-doc bigram stats are one row-local pass — any shuffle is a regression:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
 
