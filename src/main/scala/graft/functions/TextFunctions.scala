@@ -112,6 +112,46 @@ object TextFunctions {
     f(text)
   }
 
+  /** ALL character n-grams of the lower-cased text IN ORDER, with repeats —
+    * the multiset sibling of [[charNgramSetFast]] for occurrence-weighted
+    * consumers (n-gram language models). Strict: text shorter than n code
+    * points yields an EMPTY array (no whole-doc fallback — a 2-char string
+    * contains no trigram); null stays null. Same fused one-pass shape and
+    * code-point window semantics as [[charNgramSetFast]], so the grams
+    * match column substr / the DuckDB oracle byte-for-byte.
+    */
+  def charNgramsFast(text: Column, n: Int): Column = {
+    require(n >= 1, s"charNgramsFast: n must be >= 1, got $n")
+    val f = udf((t: String) => {
+      if (t == null) null.asInstanceOf[Array[String]]
+      else {
+        val lowered =
+          org.apache.spark.unsafe.types.UTF8String.fromString(t).toLowerCase.toString
+        val cps = lowered.codePointCount(0, lowered.length)
+        if (cps < n) Array.empty[String]
+        else {
+          val offsets = new Array[Int](cps + 1)
+          var off = 0
+          var i = 0
+          while (i < cps) {
+            offsets(i) = off
+            off = lowered.offsetByCodePoints(off, 1)
+            i += 1
+          }
+          offsets(cps) = lowered.length
+          val out = new Array[String](cps - n + 1)
+          var s = 0
+          while (s + n <= cps) {
+            out(s) = lowered.substring(offsets(s), offsets(s + n))
+            s += 1
+          }
+          out
+        }
+      }
+    })
+    f(text)
+  }
+
   /** One-pass tokenizer for the fused word-shingle paths: lower-case via
     * UTF8String (matches column lower()), then collect maximal runs of
     * non-\s characters (\s = [ \t\n\x0B\f\r] exactly — Java regex \s, what

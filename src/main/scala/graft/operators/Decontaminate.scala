@@ -41,4 +41,41 @@ object Decontaminate {
       .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
         countDistinct(col("sh")).as("n_shingles"))
   }
+
+  /** Per-document contamination FRACTION: of each corpus document's
+    * distinct n-gram shingles, what share also occurs anywhere in the eval
+    * set? The graded version of [[overlaps]] — thresholding the fraction
+    * (rather than "any overlap") is how real decontamination pipelines
+    * trade recall against over-dropping (e.g. the 70%-of-13-grams rule in
+    * GPT-3's appendix).
+    *
+    * Every corpus document appears in the output, clean ones with
+    * `contamination = 0` — the denominators (per-doc distinct-shingle
+    * counts) are computed map-side from the same shingle set that feeds
+    * the join, so including the clean majority costs one small left join
+    * of per-doc totals against the per-doc hit counts, not a second scan.
+    * Documents shorter than n tokens have no shingles: contamination 0 of
+    * 0 windows, emitted as 0.0 (nothing to leak).
+    */
+  def contaminationFraction(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"shingle n must be >= 1, got $n")
+    val withSet = corpus.select(col(idCol).as("doc_id"),
+      TextFunctions.wordShingleSetFast(col(textCol), n).as("shs"))
+    val totals = withSet.select(col("doc_id"),
+      size(col("shs")).cast("long").as("n_shingles"))
+    val evalShingles = evalSet
+      .select(explode(TextFunctions.wordShingleSetFast(col(textCol), n)).as("sh"))
+      .distinct()
+    val hits = withSet.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(evalShingles, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated")) // shs is already a set per doc
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_shingles") === 0, lit(0d))
+          .otherwise(round(coalesce(col("n_contaminated"), lit(0L)) /
+            col("n_shingles"), 6)).as("contamination"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-SUBSTRING detection across documents — the
+  * Lee et al. ("Deduplicating Training Data Makes Language Models Better",
+  * ACL 2022) problem: find long character runs that occur verbatim in more
+  * than one document, the signature of boilerplate, licenses, and templated
+  * text that survives document-level dedup.
+  *
+  * Their suffix-array construction is a single-machine algorithm; the
+  * distributed restatement here is hashed fixed-length windows with
+  * CONTENT-BASED sampling (the winnowing idea of Schleimer/Wilkerson/Aiken,
+  * SIGMOD 2003): a window is kept iff its own hash satisfies a predicate,
+  * so two copies of the same run select the same windows regardless of
+  * where each copy sits in its document — a positional stride could never
+  * promise that. With a 1/16 sample, any duplicated run of ~`window + 16`
+  * characters is expected to surface while the shuffle carries ~1/16 of the
+  * (hash, doc, pos) stream.
+  *
+  * Scale shape: one map-side pass emits sampled (hash, doc_id, pos) rows,
+  * one aggregate on hash counts distinct documents, one self-join of the
+  * qualifying hashes back to the sampled rows (AQE broadcasts the
+  * dup-hash side — duplicated boilerplate is tiny next to the corpus).
+  * Nothing is pairwise in documents.
+  */
+object SubstringDedup {
+
+  /** All (pos, md5) windows of `window` code points whose md5 hex starts
+    * with one of 16 `sampleHexPrefixes` characters — pos is 1-based in code
+    * points, matching both column `substr` and the DuckDB oracle. Documents
+    * shorter than `window` have no windows. One pass per row: the code-point
+    * offset table is built once, each window hashed once.
+    */
+  private def sampledWindows(window: Int, hexPrefix: String): Column => Column = {
+    val f = udf((t: String) => {
+      if (t == null) null.asInstanceOf[Seq[(Long, String)]]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cps = t.codePointCount(0, t.length)
+        val out = Seq.newBuilder[(Long, String)]
+        if (cps >= window) {
+          val offsets = new Array[Int](cps + 1)
+          var off = 0
+          var i = 0
+          while (i < cps) {
+            offsets(i) = off
+            off = t.offsetByCodePoints(off, 1)
+            i += 1
+          }
+          offsets(cps) = t.length
+          var s = 0
+          while (s + window <= cps) {
+            val bytes = t.substring(offsets(s), offsets(s + window))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            md.reset()
+            val hex = md.digest(bytes).map("%02x".format(_)).mkString
+            if (hex.startsWith(hexPrefix)) out += ((s + 1L, hex))
+            s += 1
+          }
+        }
+        out.result()
+      }
+    })
+    c => f(c)
+  }
+
+  /** Spans of `window` code points occurring verbatim in >= 2 distinct
+    * documents, restricted to the content-sampled windows. Output one row
+    * per (document, position) holding a duplicated window:
+    * (doc_id, pos, h, n_docs) — n_docs = distinct documents sharing that
+    * exact window text.
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 64, hexPrefix: String = "0"): DataFrame = {
+    require(window >= 8, s"window must be >= 8 code points, got $window")
+    val sampled = docs.select(col(idCol).as("doc_id"),
+        explode(sampledWindows(window, hexPrefix)(col(textCol))).as("w"))
+      .select(col("doc_id"), col("w._1").as("pos"), col("w._2").as("h"))
+    val dupHashes = sampled.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+    sampled.join(dupHashes, "h")
+      .select(col("doc_id"), col("pos"), col("h"), col("n_docs"))
+  }
+}

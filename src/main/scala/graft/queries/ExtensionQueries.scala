@@ -1022,6 +1022,167 @@ object ExtensionQueries {
       Some("""
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
+      """)),
+
+    // ------------------------------------------------------------- EXT40
+    // Exact heavy hitters over word bigrams: which collocations exceed
+    // 0.15% of all bigram occurrences — the corpus-audit question behind
+    // boilerplate detection and stop-phrase lists. One (item) hash agg
+    // with map-side partials, the total derived FROM the counts (no second
+    // scan), one 1-row cross join.
+    QueryDef(
+      "ext40_heavy_hitters",
+      (s, dir) => graft.operators.HeavyHitters.exact(
+        Tables.documents(s, dir)
+          .select(explode(TextFunctions.wordShinglesFast(col("text"), 2)).as("item")),
+        "item", minShare = 0.0015),
+      Some("""
+        WITH d AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS item
+          FROM d WHERE len(toks) >= 2),
+        c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY item),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT item, n, ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+        FROM c, t WHERE n >= total * 0.0015
+      """)),
+
+    // ------------------------------------------------------------ EXT40b
+    // The sketch twin (q13b pattern): distributed Misra–Gries with 64
+    // counters — O(k) state per partition, at most k counters cross the
+    // shuffle, with the classic guarantee (every item above N/(k+1)
+    // present; estimates undercount by <= N/(k+1), emitted per row as
+    // max_undercount). Engine-specific survivor set below the guarantee
+    // line → rows-only; the bounds are pinned against [[HeavyHitters
+    // .exact]] in HeavyHittersSpec.
+    QueryDef(
+      "ext40b_heavy_hitters_sketch",
+      (s, dir) => graft.operators.HeavyHitters.sketch(
+        Tables.documents(s, dir)
+          .select(explode(TextFunctions.wordShinglesFast(col("text"), 2)).as("item")),
+        "item", k = 64),
+      None),
+
+    // ------------------------------------------------------------- EXT41
+    // Per-document contamination FRACTION vs the eval proxy set — the
+    // graded form of EXT26's boolean flag (the GPT-3-appendix style
+    // "fraction of n-grams seen in eval" dial). Clean documents appear
+    // with 0.0: denominators are map-side shingle-set sizes, so the clean
+    // majority costs one per-doc-totals left join, never a second scan.
+    QueryDef(
+      "ext41_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Decontaminate.contaminationFraction(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", n = 4)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                        i -> list_aggregate(toks[i:i+3], 'string_agg', ' ')))) AS sh
+          FROM d),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+                FROM s GROUP BY doc_id),
+        e AS (SELECT DISTINCT sh FROM s WHERE doc_id < 20),
+        h AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+              FROM s JOIN e USING (sh) WHERE s.doc_id >= 20 GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               COALESCE(tot.n_shingles, 0) AS n_shingles,
+               COALESCE(h.n_contaminated, 0) AS n_contaminated,
+               CASE WHEN COALESCE(tot.n_shingles, 0) = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                               / tot.n_shingles, 6) END AS contamination
+        FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN h USING (doc_id)
+        WHERE d.doc_id >= 20
+      """)),
+
+    // ------------------------------------------------------------- EXT42
+    // Duplicated-substring spans (Lee et al. 2022 restated): 64-char
+    // windows occurring verbatim in >= 2 documents, found via
+    // content-based (winnowing) 1/16 sampling — position-independent, so
+    // misaligned copies still collide. Map-side hash pass → one agg on
+    // the window hash → AQE-broadcast join of the (tiny) dup-hash set
+    // back to spans. Nothing pairwise in documents.
+    QueryDef(
+      "ext42_substring_dedup",
+      (s, dir) => graft.operators.SubstringDedup.duplicatedSpans(
+        Tables.documents(s, dir), "text", "doc_id", window = 64, hexPrefix = "0"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+        s AS (SELECT * FROM w WHERE substr(h, 1, 1) = '0'),
+        d AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT s.doc_id, s.pos, s.h, d.n_docs FROM s JOIN d USING (h)
+      """)),
+
+    // ------------------------------------------------------------- EXT43
+    // Distributed PCA projection of the embedding corpus to 8 components:
+    // the O(rows) moment pass is one constant-buffer Aggregator, the d×d
+    // eigensolve is driver-side (d = dimension, never corpus), projection
+    // is codegen'd dots against broadcast literal components — no shuffle.
+    // Eigensolve output is engine-specific float work → rows-only; sign
+    // convention, orthonormality, variance ordering, Parseval residuals,
+    // and agreement with a reference eigensolve are pinned in PcaSpec.
+    // Scores emit as 6-dp micro-units (×1e6) strings, the ext28 pattern
+    // for list columns the gate cannot hash.
+    QueryDef(
+      "ext43_pca_project",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.operators.Pca.fit(emb, "embedding", d = 64, k = 8)
+        graft.operators.Pca.project(emb, "vec_id", "embedding", model)
+          .select(col("vec_id"),
+            array_join(transform(col("scores"),
+              x => round(x * 1000000d).cast("long")), ",").as("scores_u6"),
+            col("recon_err"))
+      },
+      None),
+
+    // ------------------------------------------------------------- EXT44
+    // Character-trigram LM quality score (the CCNet/KenLM perplexity
+    // filter restated as two aggregates + two dimension-sized joins):
+    // train on the doc_id < 250 reference slice, score every document by
+    // average conditional log-prob with add-one smoothing. Identical
+    // count → divide → ln → avg chain on both engines, 6-dp rounded.
+    QueryDef(
+      "ext44_ngram_lm",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.NgramLm.score(
+          docs, docs.filter(col("doc_id") < 250), "text", "doc_id", n = 3)
+      },
+      Some("""
+        WITH tr AS (SELECT lower(text) AS t FROM documents
+                    WHERE doc_id < 250 AND text IS NOT NULL),
+        tg AS (SELECT unnest(list_transform(range(1, length(t) - 1),
+                      i -> substr(t, CAST(i AS INT), 3))) AS gram
+               FROM tr WHERE length(t) >= 3),
+        c3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_n FROM tg GROUP BY gram),
+        c2 AS (SELECT substr(gram, 1, 2) AS prefix, CAST(SUM(c_n) AS BIGINT) AS c_prefix
+               FROM c3 GROUP BY 1),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c3),
+        dt AS (SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
+                      i -> substr(lower(text), CAST(i AS INT), 3))) AS gram
+               FROM documents WHERE length(text) >= 3),
+        sc AS (SELECT doc_id, ln((COALESCE(c_n, 0) + 1.0) /
+                                 (COALESCE(c_prefix, 0) + v)) AS lp
+               FROM dt LEFT JOIN c3 USING (gram)
+                       LEFT JOIN c2 ON substr(dt.gram, 1, 2) = c2.prefix, v)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               ROUND(AVG(lp), 6) AS logprob
+        FROM sc GROUP BY doc_id
       """))
   )
 }

@@ -39,4 +39,20 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((9L, 1L, 1L)))
   }
+
+  test("contaminationFraction grades every corpus doc, clean ones at 0.0") {
+    val got = Decontaminate.contaminationFraction(corpus, evalSet, "text", "doc_id", n = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 1: 3 distinct shingles, 1 contaminated → 1/3
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    // doc 2: 6 shingles, 2 contaminated → 1/3
+    assert(got(2L) == ((6L, 2L, 0.333333)))
+    // doc 3: 2 shingles, none contaminated → present at 0.0
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    // doc 4: no 4-gram at all → 0 of 0 windows, emitted as 0.0
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
 }

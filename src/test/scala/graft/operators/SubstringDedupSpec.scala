@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Duplicated-substring spans: a long verbatim run shared by two documents
+  * surfaces even when the copies sit at different offsets (the point of
+  * content-based sampling), unique text never pairs, and short documents
+  * have no windows at all.
+  */
+class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  // 120 chars of boilerplate — long enough that a 1/16 content sample of
+  // 64-char windows hits it with near-certainty (57 window starts).
+  private val boiler =
+    "This material is licensed under the Creative Commons Attribution license " +
+      "and may be redistributed with attribution only."
+
+  private def uniq(seed: Int): String =
+    (0 until 12).map(i => s"unique${seed}word$i").mkString(" ")
+
+  test("a shared long run is found at DIFFERENT offsets in each doc") {
+    val docs = Seq(
+      (1L, uniq(1) + " " + boiler),            // copy at one offset
+      (2L, boiler + " " + uniq(2)),            // copy at offset 1
+      (3L, uniq(3) + " " + uniq(4))            // no copy
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.duplicatedSpans(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(spans.nonEmpty, "sampled windows of the shared run must collide")
+    assert(spans.map(_._1).toSet == Set(1L, 2L), "only the two copies pair")
+    assert(spans.forall(_._4 == 2L))
+    // the same window hash appears in both docs at DIFFERENT positions
+    val byHash = spans.groupBy(_._3)
+    assert(byHash.values.exists { g =>
+      g.map(_._1).toSet == Set(1L, 2L) && g.map(_._2).distinct.length == 2
+    }, "position independence: same content, different offsets")
+  }
+
+  test("position is the 1-based window start within its own document") {
+    val docs = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val spans = SubstringDedup.duplicatedSpans(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(spans.nonEmpty)
+    // identical docs → identical (pos, hash) sets
+    val p1 = spans.filter(_._1 == 1L).map(s => (s._2, s._3)).toSet
+    val p2 = spans.filter(_._1 == 2L).map(s => (s._2, s._3)).toSet
+    assert(p1 == p2 && p1.forall(p => p._1 >= 1 && p._1 <= boiler.length - 63))
+  }
+
+  test("unique documents and sub-window documents produce nothing") {
+    val docs = Seq(
+      (1L, uniq(10) + " " + uniq(11)),
+      (2L, uniq(12) + " " + uniq(13)),
+      (3L, "too short for any 64-char window")
+    ).toDF("doc_id", "text")
+    assert(SubstringDedup.duplicatedSpans(docs, "text", "doc_id").isEmpty)
+  }
+
+  test("null text is skipped, not a crash or an all-null bucket") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, boiler))
+      .toDF("doc_id", "text")
+    assert(SubstringDedup.duplicatedSpans(docs, "text", "doc_id").isEmpty)
+  }
+}

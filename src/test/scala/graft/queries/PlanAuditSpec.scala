@@ -26,7 +26,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ext07_embed_neardup", "ext12_ann_lsh", "ext13_tfidf", "ext14_ann_ivf",
     "ext15_neardup_pipeline", "ext16_ann_lsh_recall", "ext17_ann_ivf_recall",
     "ext18_ngram_jaccard", "ext25_temperature_mix", "ext30_shard_balance",
-    "ext35_bigram_pmi")
+    "ext35_bigram_pmi",
+    // 1-row scalar sides (total-count / vocab-size) — always broadcast-safe
+    "ext40_heavy_hitters", "ext44_ngram_lm")
 
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>

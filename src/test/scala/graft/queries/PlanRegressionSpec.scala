@@ -165,6 +165,43 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("ext40 heavy hitters: partial agg on item; only the 1-row total nested-loops") {
+    val p = plan("ext40_heavy_hitters")
+    assert(p.contains("partial_count"))
+    // the total comes FROM the item counts (sum of n), never a third scan
+    assert("FileScan".r.findAllIn(p).size <= 2, s"total must derive from counts:\n$p")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("ext41 contamination: clean-majority totals stay map-side (left join, no doc explode on the totals branch)") {
+    val p = plan("ext41_contamination")
+    assert(p.contains("LeftOuter"))
+    // the per-doc denominators are a size() projection, not an explode+agg
+    assert(p.contains("size(UDF(text"))
+  }
+
+  test("ext42 substring dedup: span join is equi on the window hash, nothing pairwise") {
+    val p = plan("ext42_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count(distinct doc_id"))
+  }
+
+  test("ext43 pca projection is map-side only: no exchange, vector cast projected once") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val model = graft.operators.Pca.fit(emb, "embedding", d = 64, k = 8)
+    val p = graft.operators.Pca.project(emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n${p.take(800)}")
+    assert("vec_dot".r.findAllIn(p).size >= 10, "codegen'd dots, not HOF chains")
+  }
+
+  test("ext44 ngram lm: model joins broadcast, per-doc agg has map-side partials") {
+    val p = plan("ext44_ngram_lm")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"c_n and c_prefix joins should broadcast at this SF:\n$p")
+    assert(p.contains("partial_avg"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
