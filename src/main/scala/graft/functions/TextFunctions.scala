@@ -53,6 +53,27 @@ object TextFunctions {
   def bpePreTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]+"), lit(0))
 
+  /** UTF-16 offsets of every code-point boundary of `s` (length = cps + 1,
+    * where cps = code-point count) — the shared slicing table for every
+    * fused code-point-window path (character n-grams here, the sampled
+    * windows of [[graft.operators.SubstringDedup]]). One table per string,
+    * so each window is exactly n code points, matching column `substr`
+    * and the DuckDB oracle's character semantics.
+    */
+  private[graft] def codePointOffsets(s: String): Array[Int] = {
+    val cps = s.codePointCount(0, s.length)
+    val offsets = new Array[Int](cps + 1)
+    var off = 0
+    var i = 0
+    while (i < cps) {
+      offsets(i) = off
+      off = s.offsetByCodePoints(off, 1)
+      i += 1
+    }
+    offsets(cps) = s.length
+    offsets
+  }
+
   /** Distinct, sorted CHARACTER n-grams of the lower-cased text (the other
     * classic near-dup representation besides word shingles — robust to
     * missing/extra whitespace and concatenated-word noise). Text shorter
@@ -89,17 +110,7 @@ object TextFunctions {
         val set = new java.util.TreeSet[String]()
         if (cps <= n) set.add(lowered)
         else {
-          // UTF-16 offsets of each code-point boundary, so each window is
-          // exactly n code points (column substr semantics)
-          val offsets = new Array[Int](cps + 1)
-          var off = 0
-          var i = 0
-          while (i < cps) {
-            offsets(i) = off
-            off = lowered.offsetByCodePoints(off, 1)
-            i += 1
-          }
-          offsets(cps) = lowered.length
+          val offsets = codePointOffsets(lowered)
           var s = 0
           while (s + n <= cps) {
             set.add(lowered.substring(offsets(s), offsets(s + n))): Unit
@@ -130,15 +141,7 @@ object TextFunctions {
         val cps = lowered.codePointCount(0, lowered.length)
         if (cps < n) Array.empty[String]
         else {
-          val offsets = new Array[Int](cps + 1)
-          var off = 0
-          var i = 0
-          while (i < cps) {
-            offsets(i) = off
-            off = lowered.offsetByCodePoints(off, 1)
-            i += 1
-          }
-          offsets(cps) = lowered.length
+          val offsets = codePointOffsets(lowered)
           val out = new Array[String](cps - n + 1)
           var s = 0
           while (s + n <= cps) {

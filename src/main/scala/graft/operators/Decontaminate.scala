@@ -50,32 +50,36 @@ object Decontaminate {
     * GPT-3's appendix).
     *
     * Every corpus document appears in the output, clean ones with
-    * `contamination = 0` — the denominators (per-doc distinct-shingle
-    * counts) are computed map-side from the same shingle set that feeds
-    * the join, so including the clean majority costs one small left join
-    * of per-doc totals against the per-doc hit counts, not a second scan.
-    * Documents shorter than n tokens have no shingles: contamination 0 of
-    * 0 windows, emitted as 0.0 (nothing to leak).
+    * `contamination = 0` — the denominator (per-doc distinct-shingle
+    * count) rides along each exploded shingle row, so one corpus scan,
+    * one shingle evaluation, one left join against the distinct eval
+    * shingles, and one per-doc aggregate produce both counts. Documents
+    * shorter than n tokens (or with null text) have no shingles:
+    * contamination 0 of 0 windows, emitted as 0.0 (nothing to leak).
     */
   def contaminationFraction(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"shingle n must be >= 1, got $n")
-    val withSet = corpus.select(col(idCol).as("doc_id"),
-      TextFunctions.wordShingleSetFast(col(textCol), n).as("shs"))
-    val totals = withSet.select(col("doc_id"),
-      size(col("shs")).cast("long").as("n_shingles"))
+    // ONE corpus scan and ONE shingle-UDF evaluation: the per-doc set size
+    // rides along each exploded row (explode_outer keeps shingle-less and
+    // null-text docs as a single null-shingle row, which the left join
+    // scores as 0 hits of 0 windows)
+    val exploded = corpus.select(col(idCol).as("doc_id"),
+        TextFunctions.wordShingleSetFast(col(textCol), n).as("shs"))
+      .select(col("doc_id"),
+        coalesce(size(col("shs")), lit(0)).cast("long").as("n_shingles"),
+        explode_outer(col("shs")).as("sh"))
     val evalShingles = evalSet
       .select(explode(TextFunctions.wordShingleSetFast(col(textCol), n)).as("sh"))
       .distinct()
-    val hits = withSet.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .join(evalShingles, "sh")
+      .withColumn("hit", lit(1))
+    exploded.join(evalShingles, Seq("sh"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_contaminated")) // shs is already a set per doc
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(col("hit")).as("n_contaminated")) // shs is a set: 1 row per shingle
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         when(col("n_shingles") === 0, lit(0d))
-          .otherwise(round(coalesce(col("n_contaminated"), lit(0L)) /
-            col("n_shingles"), 6)).as("contamination"))
+          .otherwise(round(col("n_contaminated") / col("n_shingles"), 6))
+          .as("contamination"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -48,9 +48,9 @@ object HeavyHitters {
   final case class MgBuf(counters: Map[String, Long], n: Long)
 
   /** The classic decrement step: when a (k+1)-th distinct key arrives,
-    * subtract 1 from every counter and drop zeros. Amortized via a batch
-    * decrement of the minimum on overflow (equivalent summary, fewer
-    * passes).
+    * subtract 1 from every counter and drop zeros (the arriving item's own
+    * +1 cancels against the shared −1). O(k) on each overflowing arrival;
+    * with skewed input most arrivals hit an existing counter instead.
     */
   private def mgReduce(k: Int)(b: MgBuf, item: String): MgBuf = {
     if (item == null) return b
@@ -118,7 +118,4 @@ object HeavyHitters {
         col("n").as("n_total"))
       .withColumn("max_undercount", floor(col("n_total") / (k + 1)))
   }
-
-  /** Column form of the exact share for reuse in gates. */
-  def share(n: Column, total: Column): Column = round(n / total, 6)
 }

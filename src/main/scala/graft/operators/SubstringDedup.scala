@@ -33,7 +33,39 @@ object SubstringDedup {
     * shorter than `window` have no windows. One pass per row: the code-point
     * offset table is built once, each window hashed once.
     */
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(digest: Array[Byte]): String = {
+    val out = new Array[Char](digest.length * 2)
+    var i = 0
+    while (i < digest.length) {
+      out(2 * i) = HexChars((digest(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(digest(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** True iff the digest's leading nibbles spell `prefixNibbles` — the
+    * sampling test on the raw bytes, so the ~15/16 rejected windows never
+    * pay for hex encoding (only MD5 itself).
+    */
+  private def nibblesMatch(digest: Array[Byte], prefixNibbles: Array[Int]): Boolean = {
+    var i = 0
+    while (i < prefixNibbles.length) {
+      val nib = if (i % 2 == 0) (digest(i / 2) >> 4) & 0xF else digest(i / 2) & 0xF
+      if (nib != prefixNibbles(i)) return false
+      i += 1
+    }
+    true
+  }
+
   private def sampledWindows(window: Int, hexPrefix: String): Column => Column = {
+    val prefixNibbles = hexPrefix.toCharArray.map { c =>
+      val v = Character.digit(c, 16)
+      require(v >= 0, s"hexPrefix must be hex chars, got '$c'")
+      v
+    }
     val f = udf((t: String) => {
       if (t == null) null.asInstanceOf[Seq[(Long, String)]]
       else {
@@ -41,22 +73,14 @@ object SubstringDedup {
         val cps = t.codePointCount(0, t.length)
         val out = Seq.newBuilder[(Long, String)]
         if (cps >= window) {
-          val offsets = new Array[Int](cps + 1)
-          var off = 0
-          var i = 0
-          while (i < cps) {
-            offsets(i) = off
-            off = t.offsetByCodePoints(off, 1)
-            i += 1
-          }
-          offsets(cps) = t.length
+          val offsets = graft.functions.TextFunctions.codePointOffsets(t)
           var s = 0
           while (s + window <= cps) {
             val bytes = t.substring(offsets(s), offsets(s + window))
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             md.reset()
-            val hex = md.digest(bytes).map("%02x".format(_)).mkString
-            if (hex.startsWith(hexPrefix)) out += ((s + 1L, hex))
+            val digest = md.digest(bytes)
+            if (nibblesMatch(digest, prefixNibbles)) out += ((s + 1L, toHex(digest)))
             s += 1
           }
         }

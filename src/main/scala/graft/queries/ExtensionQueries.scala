@@ -1175,7 +1175,7 @@ object ExtensionQueries {
         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c3),
         dt AS (SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
                       i -> substr(lower(text), CAST(i AS INT), 3))) AS gram
-               FROM documents WHERE length(text) >= 3),
+               FROM documents WHERE length(lower(text)) >= 3),
         sc AS (SELECT doc_id, ln((COALESCE(c_n, 0) + 1.0) /
                                  (COALESCE(c_prefix, 0) + v)) AS lp
                FROM dt LEFT JOIN c3 USING (gram)

@@ -173,11 +173,14 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_sum"))
   }
 
-  test("ext41 contamination: clean-majority totals stay map-side (left join, no doc explode on the totals branch)") {
+  test("ext41 contamination: ONE corpus scan, denominators ride the exploded rows (left join)") {
     val p = plan("ext41_contamination")
     assert(p.contains("LeftOuter"))
-    // the per-doc denominators are a size() projection, not an explode+agg
-    assert(p.contains("size(UDF(text"))
+    // single corpus pass: one shingle-UDF explode total across the plan's
+    // corpus side (the >=20 branch), not a totals branch + a hits branch
+    val corpusScans = "GreaterThanOrEqual\\(doc_id,20\\)".r.findAllIn(p).size
+    assert(corpusScans <= 2, // PushedFilters + DataFilters of ONE FileScan
+      s"corpus must be scanned once:\n$p")
   }
 
   test("ext42 substring dedup: span join is equi on the window hash, nothing pairwise") {
