@@ -1183,6 +1183,40 @@ object ExtensionQueries {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                ROUND(AVG(lp), 6) AS logprob
         FROM sc GROUP BY doc_id
-      """))
+      """)),
+
+    // ------------------------------------------------------------- EXT45
+    // BPE tokenizer TRAINING (Sennrich 2016): one distributed pre-token
+    // frequency aggregate, then the greedy merge loop on the bounded
+    // word-frequency dictionary driver-side — the split every production
+    // BPE trainer uses (the corpus is never rescanned per merge).
+    // Iterative greedy training is inexpressible in one SQL query →
+    // rows-only; the merge sequence (incl. tie-breaks) is hand-verified
+    // in BpeSpec on the classic low/lower/newest/widest corpus.
+    QueryDef(
+      "ext45_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Bpe.trainMerges(
+          Tables.documents(s, dir), "text", numMerges = 200)
+          .toDF().select(col("rank").cast("long").as("rank"),
+            col("left"), col("right"), col("pairCount").as("pair_count"))
+      },
+      None),
+
+    // ------------------------------------------------------------- EXT46
+    // BPE ENCODING under the trained tokenizer: merge ranks broadcast
+    // into a map-side UDF, per-doc token/char counts + the
+    // chars-per-token compression dial tokenizer training optimizes.
+    // Rows-only (the tokens depend on the learned merges); inference ≡
+    // training segmentation is pinned in BpeSpec.
+    QueryDef(
+      "ext46_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 200)
+        graft.operators.Bpe.encodeStats(docs, "text", "doc_id", merges)
+      },
+      None)
   )
 }
