@@ -27,6 +27,14 @@ import graft.functions.TextFunctions
   */
 object Bpe {
 
+  /** Initial symbols of a word: one per CODE POINT, not UTF-16 unit — a
+    * surrogate pair (emoji, astral CJK) must stay one symbol, or the UDF
+    * boundary mangles the unpaired halves to '?' and chars stop being
+    * conserved (the repo-wide code-point-exact convention).
+    */
+  private[operators] def codePointSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** One learned merge: at step `rank`, the adjacent symbol pair
     * (left, right) — occurring `pairCount` weighted times — became the
     * single symbol left+right.
@@ -56,7 +64,7 @@ object Bpe {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // words as mutable symbol sequences, weighted by type frequency
     val words = dict.map { case (w, c) =>
-      (scala.collection.mutable.ArrayBuffer.from(w.map(_.toString)), c)
+      (scala.collection.mutable.ArrayBuffer.from(codePointSymbols(w)), c)
     }
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -77,16 +85,16 @@ object Bpe {
         merges += Merge(rank, l, r, c)
         val joined = l + r
         words.foreach { case (syms, _) =>
+          // non-overlapping left-to-right replacement: after a merge the
+          // new symbol l+r can never itself start another (l, r) match
+          // (r is non-empty), so always advance
           var i = 0
           while (i < syms.length - 1) {
             if (syms(i) == l && syms(i + 1) == r) {
               syms(i) = joined
               syms.remove(i + 1): Unit
-              // stay at i: the new symbol may pair with the previous one
-              // only via the NEXT round's learned merge — but it can merge
-              // again with the following symbol in THIS rank's scan, which
-              // re-checking position i handles
-            } else i += 1
+            }
+            i += 1
           }
         }
         rank += 1
@@ -101,7 +109,7 @@ object Bpe {
     */
   private[operators] def encodeWord(w: String,
       rankOf: Map[(String, String), Int]): Array[String] = {
-    var syms = w.map(_.toString).toArray
+    var syms = codePointSymbols(w)
     var continue = syms.length > 1
     while (continue) {
       var best = Int.MaxValue
@@ -141,17 +149,31 @@ object Bpe {
   /** Per-document encoding summary under the learned tokenizer:
     * (id, n_pretokens, n_tokens, n_chars, compression) where compression =
     * round(chars-per-token, 6) — the dial tokenizer training optimizes.
+    * n_chars counts CODE POINTS of the emitted tokens (chars are conserved:
+    * it equals the summed code-point length of the pre-tokens). All three
+    * counts come from ONE UDF over ONE pre-tokenization — the regexp
+    * extraction must not run once per output column.
     */
   def encodeStats(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val toks = tokensColumn(col(textCol), merges)
+    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val stats = udf((toks: Seq[String]) => {
+      if (toks == null) null.asInstanceOf[(Long, Long, Long)]
+      else {
+        var nTok = 0L
+        var nCh = 0L
+        toks.foreach { w =>
+          val enc = encodeWord(w, rankOf)
+          nTok += enc.length
+          enc.foreach(t => nCh += t.codePointCount(0, t.length))
+        }
+        (toks.length.toLong, nTok, nCh)
+      }
+    })
     docs.select(col(idCol),
-        size(TextFunctions.bpePreTokens(col(textCol))).cast("long").as("n_pretokens"),
-        toks.as("toks"))
-      .select(col(idCol), col("n_pretokens"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        aggregate(transform(col("toks"), t => length(t).cast("long")),
-          lit(0L), (a, b) => a + b).as("n_chars"))
+        stats(TextFunctions.bpePreTokens(col(textCol))).as("st"))
+      .select(col(idCol), col("st._1").as("n_pretokens"),
+        col("st._2").as("n_tokens"), col("st._3").as("n_chars"))
       .withColumn("compression",
         when(col("n_tokens") === 0, lit(0d))
           .otherwise(round(col("n_chars") / col("n_tokens"), 6)))

@@ -69,13 +69,30 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) == ((6L, 18L, 36L, 2.0)))
   }
 
-  test("null text: stats row absent, tokens column null") {
+  test("null text keeps its row with null counts; real text gets real counts") {
     val docs = Seq((1L, null: String), (2L, "low")).toDF("doc_id", "text")
     val merges = Bpe.trainMerges(corpus, "text", 5)
     val rows = Bpe.encodeStats(docs, "text", "doc_id", merges)
-      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
-    // bpePreTokens(null) is null → size() null: the row carries nulls but
-    // must not crash; the driver entry filters nothing away
-    assert(rows.contains(1L) && rows.contains(2L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(1) && rows(1L).isNullAt(2) && rows(1L).isNullAt(4),
+      "null text: counts and compression are null, the row survives")
+    assert((rows(2L).getLong(1), rows(2L).getLong(2), rows(2L).getLong(3)) ==
+      ((1L, 1L, 3L)))
+    val toks = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(Bpe.tokensColumn(org.apache.spark.sql.functions.col("text"), merges))
+      .collect()
+    assert(toks.head.isNullAt(0), "tokensColumn(null text) is null, not empty")
+  }
+
+  test("supplementary characters stay one symbol end-to-end (code points, not UTF-16 units)") {
+    val rankOf = Map.empty[(String, String), Int]
+    val toks = Bpe.encodeWord("a😀b", rankOf) // a 😀 b
+    assert(toks.toSeq == Seq("a", "😀", "b"),
+      "the emoji must not split into surrogate halves")
+    // chars are conserved as CODE POINTS through encodeStats
+    val docs = Seq((1L, "😀😀")).toDF("doc_id", "text")
+    val got = Bpe.encodeStats(docs, "text", "doc_id", Seq.empty)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(got == ((1L, 2L, 2L)), s"2 emoji = 1 pretoken, 2 tokens, 2 chars; got $got")
   }
 }
