@@ -36,6 +36,25 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup: survivors of a NEW batch against an already
+    * ingested corpus — dedup within the batch ([[exact]]), then drop
+    * anything whose digest the existing corpus already holds (left-anti on
+    * the digest). The batch-side twin of CorpusIngest's at-ingest guard,
+    * and the shape that matters operationally: re-deduping 100 TB on every
+    * delivery is a full-corpus shuffle, while this shuffles the NEW batch
+    * plus a digest-only projection of the old corpus (16 bytes/doc — in a
+    * production layout those digests are a stored, partitioned column and
+    * the old side never rescans text at all).
+    */
+  def incremental(newBatch: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val oldDigests = existing.select(md5(col(textCol)).as("__d")).distinct()
+    exact(newBatch, textCol, idCol)
+      .withColumn("__d", md5(col(textCol)))
+      .join(oldDigests, Seq("__d"), "left_anti")
+      .drop("__d")
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * shingle(n words) → minhash signature (`perms`) → `bands` LSH bands →

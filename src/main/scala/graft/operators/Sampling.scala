@@ -64,6 +64,28 @@ object Sampling {
     keepTopRanked(df, strataCol,
       Seq(col(scoreCol).desc_nulls_last, col(idCol)), fraction)
 
+  /** TOKEN-BUDGET selection: per stratum, take documents in deterministic
+    * md5-of-id order while the RUNNING weight total (tokens, bytes, …)
+    * stays within `budget` — "give me a 1B-token sample of each source",
+    * the last step before a training mix is materialized. Inclusive
+    * greedy: a row is kept iff the cumulative weight up to and including
+    * it is ≤ budget, so an oversized first document is dropped rather
+    * than blowing the budget. One window shuffle on the stratum key; the
+    * running sum is per-partition state, nothing global. Output keeps the
+    * cumulative weight (`cum_weight`) so downstream can audit fill level.
+    */
+  def tokenBudget(df: DataFrame, strataCol: String, weightCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(!df.columns.contains("cum_weight"),
+      "tokenBudget emits cum_weight; input already has a column named cum_weight")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_weight", sum(col(weightCol)).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
+
   /** Shared scaffold of the exact per-stratum keepers: rank within each
     * stratum by `order`, keep rank ≤ ceil(fraction·|stratum|). Both windows
     * share one stratum shuffle (plan-guarded via ext27).

@@ -1217,6 +1217,61 @@ object ExtensionQueries {
         val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 200)
         graft.operators.Bpe.encodeStats(docs, "text", "doc_id", merges)
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------- EXT47
+    // Incremental exact dedup: survivors of a NEW delivery (doc_id >= 400)
+    // against the already-ingested corpus (doc_id < 400) — dedup within
+    // the batch, then left-anti on the existing digests. The operational
+    // shape: the old corpus contributes a 16-byte digest projection, not
+    // a full re-shuffle of 100 TB per delivery.
+    QueryDef(
+      "ext47_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incremental(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          "text", "doc_id")
+          .select("doc_id", "lang", "source")
+      },
+      Some("""
+        WITH surv AS (
+          SELECT doc_id, lang, source, md5(text) AS d FROM (
+            SELECT doc_id, lang, source, text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents WHERE doc_id >= 400) WHERE rn = 1),
+        old AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < 400)
+        SELECT doc_id, lang, source FROM surv
+        WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.d = surv.d)
+      """)),
+
+    // ------------------------------------------------------------- EXT48
+    // Token-budget selection: per source, take documents in deterministic
+    // md5 order while the running token total stays <= 600 — the "give me
+    // an N-token sample per source" step that materializes a training
+    // mix. One window shuffle on source; inclusive greedy, so an
+    // oversized head document drops instead of blowing the budget.
+    QueryDef(
+      "ext48_token_budget",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        graft.operators.Sampling.tokenBudget(
+          docs, "source", "n_tok", "doc_id", budget = 600L)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+          FROM d)
+        SELECT doc_id, source, n_tok, cum_weight FROM c WHERE cum_weight <= 600
+      """))
   )
 }

@@ -27,6 +27,21 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("incremental: batch-internal dups collapse, corpus-known texts drop, novel texts survive") {
+    val existing = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "some existing corpus document about watermarks")).toDF("doc_id", "text")
+    // new batch: 100 dups existing 10; 101/103 are internal dups; 102 novel
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "a brand new never seen document"),
+      (102L, "another novel document entirely"),
+      (103L, "a brand new never seen document")).toDF("doc_id", "text")
+    val kept = Dedup.incremental(batch, existing, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(101L, 102L))
+  }
+
   test("exactByKeys dedups on explicit key columns") {
     val df = Seq((1L, "a", 10), (2L, "a", 10), (3L, "b", 10)).toDF("id", "k1", "k2")
     val kept = Dedup.exactByKeys(df, Seq("k1", "k2"), "id").select("id")

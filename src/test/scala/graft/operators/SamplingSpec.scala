@@ -68,6 +68,31 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(Sampling.topFractionBy(d, "source", "score", "doc_id", 1.0).count() == 6)
   }
 
+  test("tokenBudget keeps the md5-order prefix whose running weight fits, per stratum") {
+    val d = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L),
+      (10L, "b", 700L), (11L, "b", 100L))
+      .toDF("doc_id", "source", "n_tok")
+    val got = Sampling.tokenBudget(d, "source", "n_tok", "doc_id", budget = 600L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // stratum a: exactly two 300s fit whatever the md5 order; stratum b:
+    // the 700 can never fit — if it hashes first, ONLY a later 100 with
+    // cum <= 600 survives (inclusive greedy, not first-fit repair)
+    val aKept = got.keySet.filter(_ < 10L)
+    assert(aKept.size == 2 && got.values.forall(_ <= 600L))
+    // deterministic: same input, same selection
+    val again = Sampling.tokenBudget(d, "source", "n_tok", "doc_id", budget = 600L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == got.keySet)
+    // zero budget keeps nothing
+    assert(Sampling.tokenBudget(d, "source", "n_tok", "doc_id", 0L).count() == 0)
+  }
+
+  test("tokenBudget: an oversized head document is dropped, not budget-blowing") {
+    val d = Seq((1L, "a", 1000L)).toDF("doc_id", "source", "n_tok")
+    assert(Sampling.tokenBudget(d, "source", "n_tok", "doc_id", 600L).count() == 0)
+  }
+
   test("an input that already has a __rn/__n column is rejected, not silently clobbered") {
     // withColumn REPLACES same-named columns — without the guard the
     // caller's __rn would vanish from the output

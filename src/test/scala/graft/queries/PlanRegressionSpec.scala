@@ -205,6 +205,23 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_avg"))
   }
 
+  test("ext47 incremental dedup: anti join on digests; old corpus scan prunes to text only") {
+    val p = plan("ext47_incremental_dedup")
+    assert(p.contains("LeftAnti"))
+    val oldScan = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("LessThan(doc_id,400)"))
+      .mkString
+    assert(oldScan.contains("struct<doc_id:bigint,text:string>") ||
+      oldScan.contains("struct<text:string"),
+      s"existing-corpus side must not read lang/source/n_chars:\n$oldScan")
+  }
+
+  test("ext48 token budget: one source-partitioned running window, no global sort") {
+    val p = plan("ext48_token_budget")
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"), s"budget selection must stay partitioned:\n$p")
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
