@@ -48,9 +48,14 @@ object Dedup {
     */
   def incremental(newBatch: DataFrame, existing: DataFrame,
       textCol: String, idCol: String): DataFrame = {
+    // withColumn REPLACES same-named input columns — refuse rather than
+    // silently clobber a caller's __d (same convention as Sampling's guards)
+    require(!newBatch.columns.contains("__d"),
+      "incremental dedup uses temp column __d; input already has a column named __d")
     val oldDigests = existing.select(md5(col(textCol)).as("__d")).distinct()
-    exact(newBatch, textCol, idCol)
-      .withColumn("__d", md5(col(textCol)))
+    // digest projected ONCE and reused by the dedup window AND the anti
+    // join — full-text md5 is the dominant per-row cost here
+    exactByKeys(newBatch.withColumn("__d", md5(col(textCol))), Seq("__d"), idCol)
       .join(oldDigests, Seq("__d"), "left_anti")
       .drop("__d")
   }

@@ -79,10 +79,19 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(!df.columns.contains("cum_weight"),
       "tokenBudget emits cum_weight; input already has a column named cum_weight")
+    // the prefix contract only holds for non-negative weights (a negative
+    // weight makes the running sum non-monotone and re-qualifies later
+    // rows; a NULL is skipped by sum and rides for free) — enforce at
+    // execution, inside the summed expression so pruning can't drop it
+    val guarded = when(col(weightCol).isNotNull && col(weightCol) >= 0, col(weightCol))
+      .otherwise(raise_error(concat(
+        lit(s"tokenBudget: $weightCol must be non-null and >= 0, got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL"))))
+        .cast(df.schema(weightCol).dataType))
     val w = Window.partitionBy(strataCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_weight", sum(col(weightCol)).over(w))
+    df.withColumn("cum_weight", sum(guarded).over(w))
       .filter(col("cum_weight") <= budget)
   }
 

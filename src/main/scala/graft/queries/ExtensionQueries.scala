@@ -1220,26 +1220,43 @@ object ExtensionQueries {
       None),
 
     // ------------------------------------------------------------- EXT47
-    // Incremental exact dedup: survivors of a NEW delivery (doc_id >= 400)
-    // against the already-ingested corpus (doc_id < 400) — dedup within
-    // the batch, then left-anti on the existing digests. The operational
-    // shape: the old corpus contributes a 16-byte digest projection, not
-    // a full re-shuffle of 100 TB per delivery.
+    // Incremental exact dedup: survivors of a NEW delivery against the
+    // already-ingested corpus (doc_id < 400) — dedup within the batch,
+    // then left-anti on the existing digests. The operational shape: the
+    // old corpus contributes a 16-byte digest projection, not a full
+    // re-shuffle of 100 TB per delivery. The delivery is doc_id >= 400
+    // PLUS re-tagged copies of 10 existing docs (id+100000 — must be
+    // anti-joined away) and of 5 batch docs (id+200000 — must lose
+    // within-batch survivor choice), so every code path is exercised at
+    // EVERY scale factor (the raw fixture has no duplicate texts at
+    // sf0.01, which would make this gate vacuous).
     QueryDef(
       "ext47_incremental_dedup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.incremental(
-          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        val redelivered = docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        val batchDups = docs.filter(col("doc_id") >= 400 && col("doc_id") < 405)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+        val batch = docs.filter(col("doc_id") >= 400)
+          .unionAll(redelivered).unionAll(batchDups)
+        Dedup.incremental(batch, docs.filter(col("doc_id") < 400),
           "text", "doc_id")
           .select("doc_id", "lang", "source")
       },
       Some("""
-        WITH surv AS (
+        WITH batch AS (
+          SELECT doc_id, lang, source, text FROM documents WHERE doc_id >= 400
+          UNION ALL
+          SELECT doc_id + 100000, lang, source, text FROM documents WHERE doc_id < 10
+          UNION ALL
+          SELECT doc_id + 200000, lang, source, text FROM documents
+          WHERE doc_id >= 400 AND doc_id < 405),
+        surv AS (
           SELECT doc_id, lang, source, md5(text) AS d FROM (
             SELECT doc_id, lang, source, text,
                    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-            FROM documents WHERE doc_id >= 400) WHERE rn = 1),
+            FROM batch) WHERE rn = 1),
         old AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < 400)
         SELECT doc_id, lang, source FROM surv
         WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.d = surv.d)

@@ -76,10 +76,13 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val got = Sampling.tokenBudget(d, "source", "n_tok", "doc_id", budget = 600L)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     // stratum a: exactly two 300s fit whatever the md5 order; stratum b:
-    // the 700 can never fit — if it hashes first, ONLY a later 100 with
-    // cum <= 600 survives (inclusive greedy, not first-fit repair)
+    // md5("11") < md5("10"), so doc 11 (weight 100, cum 100) is kept and
+    // the 700 lands at cum 800 and drops — the kept set is the exact
+    // md5-order prefix, pinned per id
     val aKept = got.keySet.filter(_ < 10L)
-    assert(aKept.size == 2 && got.values.forall(_ <= 600L))
+    assert(aKept.size == 2)
+    assert(got.get(11L).contains(100L), s"doc 11 must be stratum b's kept prefix: $got")
+    assert(!got.contains(10L), "the 700-token doc exceeds the budget at cum 800")
     // deterministic: same input, same selection
     val again = Sampling.tokenBudget(d, "source", "n_tok", "doc_id", budget = 600L)
       .collect().map(r => r.getLong(0)).toSet
@@ -91,6 +94,20 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
   test("tokenBudget: an oversized head document is dropped, not budget-blowing") {
     val d = Seq((1L, "a", 1000L)).toDF("doc_id", "source", "n_tok")
     assert(Sampling.tokenBudget(d, "source", "n_tok", "doc_id", 600L).count() == 0)
+  }
+
+  test("tokenBudget rejects negative and NULL weights at execution (prefix contract)") {
+    val neg = Seq((1L, "a", -1L), (2L, "a", 5L)).toDF("doc_id", "source", "n_tok")
+    val e = intercept[Exception] {
+      Sampling.tokenBudget(neg, "source", "n_tok", "doc_id", 600L).collect()
+    }
+    assert(e.getMessage.contains("must be non-null and >= 0"))
+    val nul = Seq((1L, "a", java.lang.Long.valueOf(3L)),
+      (2L, "a", null.asInstanceOf[java.lang.Long])).toDF("doc_id", "source", "n_tok")
+    val e2 = intercept[Exception] {
+      Sampling.tokenBudget(nul, "source", "n_tok", "doc_id", 600L).collect()
+    }
+    assert(e2.getMessage.contains("must be non-null and >= 0"))
   }
 
   test("an input that already has a __rn/__n column is rejected, not silently clobbered") {
