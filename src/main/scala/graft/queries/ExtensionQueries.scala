@@ -1289,6 +1289,57 @@ object ExtensionQueries {
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
           FROM d)
         SELECT doc_id, source, n_tok, cum_weight FROM c WHERE cum_weight <= 600
+      """)),
+
+    // ------------------------------------------------------------- EXT49
+    // CCNet's closing step on top of EXT44: split each language into
+    // perplexity head/middle/tail terciles (bucket 1 = most reference-like)
+    // and report the per-bucket corpus profile that decides what gets kept,
+    // downsampled, or dropped. ntile over (logprob desc, doc_id) is fully
+    // deterministic; one window shuffle on lang over the doc-sized score
+    // frame, then one aggregate.
+    QueryDef(
+      "ext49_perplexity_buckets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val scored = graft.operators.NgramLm.score(
+          docs, docs.filter(col("doc_id") < 250), "text", "doc_id", n = 3)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val w = Window.partitionBy("lang").orderBy(col("logprob").desc, col("doc_id"))
+        scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("logprob"), 6).as("avg_logprob"),
+            round(min("logprob"), 6).as("min_logprob"))
+      },
+      Some("""
+        WITH tr AS (SELECT lower(text) AS t FROM documents
+                    WHERE doc_id < 250 AND text IS NOT NULL),
+        tg AS (SELECT unnest(list_transform(range(1, length(t) - 1),
+                      i -> substr(t, CAST(i AS INT), 3))) AS gram
+               FROM tr WHERE length(t) >= 3),
+        c3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_n FROM tg GROUP BY gram),
+        c2 AS (SELECT substr(gram, 1, 2) AS prefix, CAST(SUM(c_n) AS BIGINT) AS c_prefix
+               FROM c3 GROUP BY 1),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c3),
+        dt AS (SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
+                      i -> substr(lower(text), CAST(i AS INT), 3))) AS gram
+               FROM documents WHERE length(lower(text)) >= 3),
+        sc AS (SELECT doc_id, ln((COALESCE(c_n, 0) + 1.0) /
+                                 (COALESCE(c_prefix, 0) + v)) AS lp
+               FROM dt LEFT JOIN c3 USING (gram)
+                       LEFT JOIN c2 ON substr(dt.gram, 1, 2) = c2.prefix, v),
+        scored AS (SELECT doc_id, ROUND(AVG(lp), 6) AS logprob
+                   FROM sc GROUP BY doc_id),
+        b AS (SELECT d.lang, scored.logprob,
+                     CAST(ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY scored.logprob DESC, scored.doc_id) AS BIGINT) AS bucket
+              FROM scored JOIN documents d USING (doc_id))
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(logprob), 6) AS avg_logprob,
+               ROUND(MIN(logprob), 6) AS min_logprob
+        FROM b GROUP BY lang, bucket
       """))
   )
 }
