@@ -487,6 +487,31 @@ object TextFunctions {
       "distinct_ratio" -> ratio(size(array_distinct(toks))))
   }
 
+  /** Shannon entropy (bits) of the character unigram distribution of
+    * `text` — the classic cheap junk detector (binary blobs and
+    * keyboard-mash score high, "aaaa…" padding scores near 0; natural
+    * text sits in a narrow band). Entirely map-side: the whole
+    * distribution of one document lives in its own row, so like
+    * [[bigramStats]] this needs ZERO shuffles at any corpus scale.
+    *
+    * Deterministic cross-engine: distinct characters are SORTED before the
+    * left-fold so both engines sum identical terms in identical order;
+    * empty text → 0.0, null text → null. Cost is O(distinct × length) per
+    * row, bounded by the alphabet.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1)))
+    val uniq = array_sort(array_distinct(chars))
+    val n = size(chars).cast("double")
+    val negSum = aggregate(uniq, lit(0.0), (acc, c) => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      acc + p * log2(p)
+    })
+    // + 0.0 normalizes the single-repeated-char case: −(0.0) is IEEE −0.0,
+    // which canonicalizes differently from 0.0 across engines.
+    when(length(text) === 0, lit(0.0)).otherwise(round(-negSum + 0.0, 6))
+  }
+
   /** Whitespace token count and regex ("BPE-ish" alnum-run) token count. */
   def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
     "n_ws_tokens" -> size(tokens(text)),

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Cross-source shingle-overlap audit: for every pair of corpus sources,
+  * how many distinct word n-gram shingles they share and the Jaccard of
+  * their shingle sets.
+  *
+  * This is the corpus-level view of contamination that EXT26/EXT41 give
+  * per-document: before mixing sources into a training set you want to
+  * know which sources are near-copies of each other (mirrors, scrapes of
+  * the same site, re-crawls), because per-pair overlap decides whether two
+  * "sources" should share one dedup pass or a mixing weight.
+  *
+  * Scale shape (the 100 TB question): one shuffle produces the distinct
+  * (source, shingle) set; the self-join is an equi join on the shingle
+  * whose per-key fanout is bounded by the NUMBER OF SOURCES (a gram
+  * contributes at most C(nSources, 2) pairs no matter how many documents
+  * repeat it — multiplicity died in the distinct), and the final
+  * aggregate emits at most nSources² rows. The per-source size table is
+  * nSources rows, so AQE broadcasts the enrichment joins. Nothing here is
+  * quadratic in documents.
+  */
+object Overlap {
+
+  /** Pairs (src_a < src_b) with ≥ 1 shared shingle; symmetric pairs are
+    * reported once. Jaccard = shared / (|A| + |B| − shared), 6 dp.
+    */
+  def sourceShingleOverlap(
+      df: DataFrame, textCol: String, srcCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"sourceShingleOverlap: n must be >= 1, got $n")
+    val grams = df
+      .select(col(srcCol).as("src"),
+        explode(TextFunctions.wordShingleSetFast(col(textCol), n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), Seq("gram"))
+      .where(col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(sizes.select(col("src").as("src_a"), col("n_grams").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_grams").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams") /
+          (col("n_a") + col("n_b") - col("shared_grams")), 6).as("jaccard"))
+  }
+}

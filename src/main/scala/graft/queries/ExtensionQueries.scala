@@ -1340,6 +1340,119 @@ object ExtensionQueries {
                ROUND(AVG(logprob), 6) AS avg_logprob,
                ROUND(MIN(logprob), 6) AS min_logprob
         FROM b GROUP BY lang, bucket
+      """)),
+
+    // ------------------------------------------------------------- EXT50
+    // Cross-source contamination matrix: distinct word-3-gram overlap and
+    // Jaccard per source pair. Distinct kills document multiplicity before
+    // the self-join, so per-gram fanout is bounded by the number of
+    // sources, never by corpus size (see Overlap scaladoc).
+    QueryDef(
+      "ext50_source_overlap",
+      (s, dir) => graft.operators.Overlap.sourceShingleOverlap(
+        Tables.documents(s, dir), "text", "source", n = 3),
+      Some("""
+        WITH d AS (SELECT source,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                   FROM documents),
+        g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(toks) - 1),
+                     i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS gram
+              FROM d WHERE len(toks) >= 3),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+        sh AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+               FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT sh.src_a, sh.src_b, sh.shared_grams,
+               ROUND(sh.shared_grams / (sa.n_grams + sb.n_grams - sh.shared_grams), 6) AS jaccard
+        FROM sh JOIN sz sa ON sh.src_a = sa.source
+                JOIN sz sb ON sh.src_b = sb.source
+      """)),
+
+    // ------------------------------------------------------------- EXT51
+    // Character-entropy junk detector: per-doc Shannon entropy (bits) of
+    // the char unigram distribution — zero shuffles, the whole signal is
+    // map-side (TextFunctions.charEntropy). Distinct chars are sorted on
+    // both engines so the float fold sums identical terms in identical
+    // order.
+    QueryDef(
+      "ext51_char_entropy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.select(col("doc_id"),
+          size(array_distinct(transform(
+            sequence(lit(1), length(col("text"))),
+            i => col("text").substr(i, lit(1))))).cast("long").as("n_distinct_chars"),
+          TextFunctions.charEntropy(col("text")).as("entropy_bits"))
+      },
+      Some("""
+        WITH ch AS (SELECT doc_id,
+                      list_transform(range(1, length(text) + 1),
+                                     i -> substr(text, CAST(i AS INT), 1)) AS chars
+                    FROM documents),
+        e AS (SELECT doc_id, chars, list_sort(list_distinct(chars)) AS uniq,
+                     CAST(len(chars) AS DOUBLE) AS n
+              FROM ch)
+        SELECT doc_id,
+               CAST(len(uniq) AS BIGINT) AS n_distinct_chars,
+               CASE WHEN n = 0 THEN 0.0 ELSE
+                 ROUND(-list_sum(list_transform(uniq,
+                   c -> (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / n)
+                        * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / n)))
+                   + 0.0, 6) END AS entropy_bits
+        FROM e
+      """)),
+
+    // ------------------------------------------------------------- EXT52
+    // DSIR importance weights: target = English slice, raw = full corpus,
+    // 1024 hash buckets. The bucket table is ≤ 1024 rows BY CONSTRUCTION,
+    // so its broadcast is principled (the bounded twin of ext13's
+    // deliberately-unhinted vocabulary join).
+    QueryDef(
+      "ext52_dsir_weights",
+      (s, dir) => graft.operators.Dsir.importanceWeights(
+        Tables.documents(s, dir), "text", "doc_id",
+        isTarget = col("lang") === "en", buckets = 1024),
+      Some("""
+        WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS tok
+                      FROM documents),
+        b AS (SELECT doc_id, is_tgt,
+                CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 1024 AS bucket
+              FROM toks),
+        c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_raw,
+                CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+              FROM b GROUP BY bucket),
+        t AS (SELECT CAST(SUM(n_raw) AS BIGINT) AS t_raw,
+                     CAST(SUM(n_tgt) AS BIGINT) AS t_tgt FROM c),
+        r AS (SELECT bucket,
+                ln((n_tgt + 1.0) / (t_tgt + 1024)) - ln((n_raw + 1.0) / (t_raw + 1024)) AS log_ratio
+              FROM c CROSS JOIN t)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               ROUND(AVG(log_ratio), 6) AS dsir_weight
+        FROM b JOIN r USING (bucket) GROUP BY doc_id
+      """)),
+
+    // ------------------------------------------------------------- EXT53
+    // Per-source Tukey length fences: exact quartiles of n_chars, count of
+    // docs outside [p25 − 1.5·IQR, p75 + 1.5·IQR]. One grouped percentile
+    // agg + AQE-broadcast fence join + one counting agg.
+    QueryDef(
+      "ext53_length_outliers",
+      (s, dir) => graft.operators.Outliers.tukeyFences(
+        Tables.documents(s, dir), "n_chars", "source", k = 1.5),
+      Some("""
+        WITH f AS (SELECT source,
+                     percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+                     percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75
+                   FROM documents GROUP BY source),
+        b AS (SELECT source, p25 - (p75 - p25) * 1.5 AS lo, p75 + (p75 - p25) * 1.5 AS hi FROM f)
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               ROUND(ANY_VALUE(b.lo), 6) AS lo_fence,
+               ROUND(ANY_VALUE(b.hi), 6) AS hi_fence
+        FROM documents d JOIN b USING (source) GROUP BY d.source
       """))
   )
 }

@@ -152,6 +152,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("charEntropy: uniform alphabet → log2(k); repeats → 0; empty → 0; null → null") {
+    val rows = Seq("abcd", "aaaa", "", "aabb", null)
+      .toDF("t").select(TextFunctions.charEntropy(col("t")).as("h")).collect()
+    assert(rows(0).getDouble(0) == 2.0)  // 4 equiprobable chars
+    assert(rows(1).getDouble(0) == 0.0)  // single symbol (and not -0.0)
+    assert(rows(2).getDouble(0) == 0.0)
+    assert(rows(3).getDouble(0) == 1.0)  // two equiprobable symbols
+    assert(rows(4).isNullAt(0))
+  }
+
+  test("charEntropy matches a JVM reference on mixed text") {
+    val texts = Seq("the quick brown fox", "mississippi", "a b a b")
+    val got = texts.toDF("t")
+      .select(TextFunctions.charEntropy(col("t")).as("h")).collect().map(_.getDouble(0))
+    texts.zip(got).foreach { case (t, h) =>
+      val n = t.length.toDouble
+      val expect = -t.groupBy(identity).values
+        .map(g => g.length / n * (math.log(g.length / n) / math.log(2.0))).sum
+      assert(math.abs(h - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, t)
+    }
+  }
+
   test("bigramStats matches the exploded groupBy computation") {
     val texts = Seq("a b a b a b c", "one two three", "w w w w w", "solo", "")
     val rows = texts.toDF("t").select(TextFunctions.bigramStats(col("t")).as("st")).collect()

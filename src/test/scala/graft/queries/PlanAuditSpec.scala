@@ -28,7 +28,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ext18_ngram_jaccard", "ext25_temperature_mix", "ext30_shard_balance",
     "ext35_bigram_pmi",
     // 1-row scalar sides (total-count / vocab-size) — always broadcast-safe
-    "ext40_heavy_hitters", "ext44_ngram_lm", "ext49_perplexity_buckets")
+    "ext40_heavy_hitters", "ext44_ngram_lm", "ext49_perplexity_buckets",
+    // ext52: the totals side of the bucket-ratio table is a 1-row aggregate
+    // (the ratio table itself is ≤1024 rows and joins equi — see Dsir)
+    "ext52_dsir_weights")
 
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>

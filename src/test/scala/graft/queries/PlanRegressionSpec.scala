@@ -222,6 +222,24 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SinglePartition"), s"budget selection must stay partitioned:\n$p")
   }
 
+  test("ext50 source overlap: self-join is equi on the gram, never pairwise") {
+    val p = plan("ext50_source_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gram self-join degraded to a pairwise plan:\n$p")
+  }
+
+  test("ext52 dsir: the ≤1024-row bucket ratio table broadcasts onto the token stream") {
+    val p = plan("ext52_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"))
+    // final per-doc aggregate keeps map-side partials
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("ext51 char entropy is map-side only: no exchange anywhere") {
+    val p = plan("ext51_char_entropy")
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
