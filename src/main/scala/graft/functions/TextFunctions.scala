@@ -512,6 +512,46 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0)).otherwise(round(-negSum + 0.0, 6))
   }
 
+  /** Fused one-pass form of [[charEntropy]] plus the distinct-char count:
+    * struct(n_distinct_chars, entropy_bits). The HOF form re-scans the
+    * char array once per DISTINCT character (O(distinct × length) with an
+    * interpreted lambda per element — the catalog's slowest entry at
+    * sf0.1); this counts into a sorted map in one pass and folds the same
+    * terms in the same sorted-character order with the same FP ops
+    * (p = cnt/n, p·(ln p / ln 2), left-to-right sum, HALF_UP round at 6),
+    * so equality with [[charEntropy]] is exact, not approximate
+    * (cross-checked in TextFunctionsSpec). Counting is per UTF-16 code
+    * unit while the HOF form is per code point — identical on the BMP
+    * (the corpus contract here is ASCII); supplementary-plane text would
+    * need a codePoints() loop.
+    */
+  def charEntropyStats(text: Column): Column = {
+    val ln2 = math.log(2.0)
+    val f = udf((t: String) => {
+      if (t == null) None
+      else if (t.isEmpty) Some((0L, 0.0))
+      else {
+        val counts = scala.collection.mutable.TreeMap.empty[Char, Long]
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i)
+          counts.update(c, counts.getOrElse(c, 0L) + 1L)
+          i += 1
+        }
+        val n = t.length.toDouble
+        var acc = 0.0
+        counts.valuesIterator.foreach { cnt =>
+          val p = cnt / n
+          acc += p * (math.log(p) / ln2)
+        }
+        val h = java.math.BigDecimal.valueOf(-acc + 0.0)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        Some((counts.size.toLong, h))
+      }
+    })
+    f(text).cast("struct<n_distinct_chars: bigint, entropy_bits: double>")
+  }
+
   /** Whitespace token count and regex ("BPE-ish" alnum-run) token count. */
   def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
     "n_ws_tokens" -> size(tokens(text)),

@@ -1377,12 +1377,10 @@ object ExtensionQueries {
     QueryDef(
       "ext51_char_entropy",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        docs.select(col("doc_id"),
-          size(array_distinct(transform(
-            sequence(lit(1), length(col("text"))),
-            i => col("text").substr(i, lit(1))))).cast("long").as("n_distinct_chars"),
-          TextFunctions.charEntropy(col("text")).as("entropy_bits"))
+        val st = TextFunctions.charEntropyStats(col("text"))
+        Tables.documents(s, dir).select(col("doc_id"),
+          st.getField("n_distinct_chars").as("n_distinct_chars"),
+          st.getField("entropy_bits").as("entropy_bits"))
       },
       Some("""
         WITH ch AS (SELECT doc_id,

@@ -885,6 +885,80 @@ object RelationalQueries {
         FROM s GROUP BY user_id, sid
       """)),
 
+    // ---------------------------------------------------------------- q36
+    // Cohort retention: cohort = a user's first active day; for offsets
+    // 0..7 count distinct users of each cohort active again `offset` days
+    // later. The product-analytics staple. Shape: per-user min-day agg +
+    // distinct (user, day) activity share the user_id partitioning, the
+    // cohort join is equi on user_id, then one (cohort, offset) agg —
+    // distinct-day dedup happens BEFORE the join, so per-user fanout is
+    // bounded by active days, never raw event count.
+    QueryDef(
+      "q36_retention",
+      (s, dir) => {
+        val days = ev(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+        val act = days.distinct()
+        val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+        act.join(cohort, "user_id")
+          .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
+          .where(col("offset") <= 7)
+          .groupBy("cohort_day", "offset")
+          .agg(count_distinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        c AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+        SELECT c.cohort_day, CAST(act.day - c.cohort_day AS BIGINT) AS "offset",
+               CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+        FROM act JOIN c USING (user_id)
+        WHERE act.day - c.cohort_day <= 7
+        GROUP BY 1, 2
+      """)),
+
+    // ---------------------------------------------------------------- q37
+    // Ordered conversion funnel signup → click → purchase with a 24 h
+    // per-stage conversion window: each stage's timestamp must STRICTLY
+    // follow the previous stage's earliest timestamp and land within 24 h
+    // of it (min-ts chaining, the standard funnel semantics — without the
+    // window the dense fixture converts everyone and the query stops
+    // discriminating). Three per-user min aggs chained by equi joins on
+    // user_id — co-partitioned under AQE, no window function, no ordering
+    // shuffle; the per-user frame collapses to one row per stage before
+    // any join.
+    QueryDef(
+      "q37_funnel",
+      (s, dir) => {
+        val winUs = 24L * 3600L * 1000000L
+        val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+        val t1 = e.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val t2 = e.where(col("event_type") === "click").join(t1, "user_id")
+          .where(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + winUs)
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val t3 = e.where(col("event_type") === "purchase").join(t2, "user_id")
+          .where(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + winUs)
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        t1.join(t2.select("user_id", "t2"), Seq("user_id"), "left")
+          .join(t3.select("user_id", "t3"), Seq("user_id"), "left")
+          .select(when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L).otherwise(1L).as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM e JOIN t1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts_us > t1.t1
+                 AND e.ts_us <= t1.t1 + 86400000000 GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM e JOIN t2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2
+                 AND e.ts_us <= t2.t2 + 86400000000 GROUP BY e.user_id)
+        SELECT CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        GROUP BY 1
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the

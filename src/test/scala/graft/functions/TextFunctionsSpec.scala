@@ -174,6 +174,22 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("charEntropyStats fused path equals the HOF form bit-for-bit") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog", "mississippi",
+      "a", "ab", "aabbccddeeff gg hh", "", "x y z x y z x", "1234567890 !?.,;")
+    val rows = texts.toDF("t").select(
+      TextFunctions.charEntropy(col("t")).as("hof"),
+      TextFunctions.charEntropyStats(col("t")).as("st")).collect()
+    texts.zip(rows).foreach { case (t, r) =>
+      assert(r.getDouble(0) == r.getStruct(1).getDouble(1), s"entropy mismatch for '$t'")
+      assert(r.getStruct(1).getLong(0) == t.distinct.length.toLong, s"n_distinct for '$t'")
+    }
+    // null text → null struct, matching the HOF's null
+    val nr = Seq[String](null).toDF("t")
+      .select(TextFunctions.charEntropyStats(col("t"))).collect().head
+    assert(nr.isNullAt(0))
+  }
+
   test("bigramStats matches the exploded groupBy computation") {
     val texts = Seq("a b a b a b c", "one two three", "w w w w w", "solo", "")
     val rows = texts.toDF("t").select(TextFunctions.bigramStats(col("t")).as("st")).collect()
