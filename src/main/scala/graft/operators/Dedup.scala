@@ -309,4 +309,56 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * k-means cluster the embeddings, then prune near-identical vectors
+    * WITHIN each cluster only. The clustering is what makes semantic dedup
+    * tractable at corpus scale — candidate pairs exist only inside a
+    * cluster, so the pairwise stage is blocked exactly like
+    * [[embeddingNearDup]] but with learned blocks instead of labels.
+    *
+    * Survivor rule (house-standard greedy, deterministic): a vector is
+    * DROPPED iff some lower-id vector in its cluster has cosine ≥
+    * `threshold` with it; the min id of every duplicate group survives.
+    *
+    * Returns per-cluster accounting (cluster, n_vecs, n_dropped, n_kept) —
+    * k rows. Scale shape: centroids are k rows (broadcast by
+    * construction, [[Similarity.kmeansDistributed]] never collects
+    * vectors); assignment is map-side; the only data shuffles are the
+    * cluster-keyed pair join and the final k-row aggregate.
+    */
+  def semDedup(
+      df: DataFrame, vecCol: String, idCol: String, k: Int,
+      threshold: Double, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val cents = Similarity.kmeansDistributed(df, idCol, vecCol, k, iters, seed)
+      .select(col("list").as("cluster"), col("centroid"))
+      .withColumn("cc", VectorFunctions.dot(col("centroid"), col("centroid")))
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm2(col("v")))
+      .filter(col("nrm") > 0)
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("d", col("nrm") * col("nrm") + col("cc") -
+        lit(2.0) * VectorFunctions.dot(col("v"), col("centroid")))
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("cluster"))).getField("cluster").as("cluster"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosinePrenormed(
+        VectorFunctions.dot(col("v_a"), col("v_b")),
+        col("n_a"), col("n_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("cluster").cast("long").as("cluster"), col("n_vecs"),
+        col("n_dropped"), (col("n_vecs") - col("n_dropped")).as("n_kept"))
+  }
 }

@@ -1342,6 +1342,19 @@ object ExtensionQueries {
         FROM b GROUP BY lang, bucket
       """)),
 
+    // ------------------------------------------------------------- EXT54
+    // SemDeDup: k-means cluster embeddings, prune near-identical vectors
+    // within clusters only; per-cluster kept/dropped accounting. Seeded
+    // xxhash64 init → engine-specific clustering → rows-only; the survivor
+    // rule, drop/keep conservation, and threshold monotonicity are pinned
+    // by DedupSpec.
+    QueryDef(
+      "ext54_semdedup",
+      (s, dir) => Dedup.semDedup(
+        Tables.embeddings(s, dir), "embedding", "vec_id",
+        k = 8, threshold = 0.9, iters = 3),
+      None),
+
     // ------------------------------------------------------------- EXT50
     // Cross-source contamination matrix: distinct word-3-gram overlap and
     // Jaccard per source pair. Distinct kills document multiplicity before

@@ -160,6 +160,53 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("semDedup: exact duplicates collapse to one survivor, counts conserve") {
+    // 3 well-separated directions; the first has 3 identical copies and the
+    // second has 2 — regardless of how k-means carves the space, identical
+    // vectors land in the same cluster, so 2 + 1 drops must happen.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)), (2L, Array(1f, 0f, 0f)),
+      (10L, Array(0f, 1f, 0f)), (11L, Array(0f, 1f, 0f)),
+      (20L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "embedding", "vec_id", k = 3, threshold = 0.999)
+    val total = out.agg(sum("n_vecs"), sum("n_dropped"), sum("n_kept")).collect().head
+    assert(total.getLong(0) == 6 && total.getLong(1) == 3 && total.getLong(2) == 3)
+    // conservation per cluster too
+    out.collect().foreach(r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), r.toString))
+  }
+
+  test("semDedup: an impossible threshold drops nothing; lower thresholds drop more") {
+    val vecs = (0L until 30L).map(i =>
+      (i, Array((i % 5).toFloat + 1f, ((i * 7) % 3).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val none = Dedup.semDedup(vecs, "embedding", "vec_id", k = 4, threshold = 1.01)
+    assert(none.agg(sum("n_dropped")).collect().head.getLong(0) == 0)
+    val strict = Dedup.semDedup(vecs, "embedding", "vec_id", k = 4, threshold = 0.9999)
+      .agg(sum("n_dropped")).collect().head.getLong(0)
+    val loose = Dedup.semDedup(vecs, "embedding", "vec_id", k = 4, threshold = 0.9)
+      .agg(sum("n_dropped")).collect().head.getLong(0)
+    assert(loose >= strict)
+    assert(strict >= 1) // the fixture repeats directions (i%5, i*7%3 cycles)
+  }
+
+  // NOTE: no bitwise-determinism assertion — centroid averaging sums floats
+  // in partition order, so borderline ASSIGNMENTS may flip between runs
+  // (same caveat as ext32). The invariants below hold under any assignment.
+  test("semDedup: ≤ k clusters, every cluster keeps ≥ 1, totals conserve") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array((i % 4).toFloat, (i % 6).toFloat, 1f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "embedding", "vec_id", k = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length <= 4 && out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (c, n, d, kept) =>
+      assert(n == d + kept && kept >= 1, s"cluster $c: n=$n d=$d kept=$kept")
+    }
+    assert(out.map(_._2).sum == 40)
+  }
+
   test("clusterPairs fails loudly when maxIters is below the component diameter") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException](Dedup.clusterPairs(chain, maxIters = 1))

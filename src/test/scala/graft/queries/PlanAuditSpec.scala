@@ -31,7 +31,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ext40_heavy_hitters", "ext44_ngram_lm", "ext49_perplexity_buckets",
     // ext52: the totals side of the bucket-ratio table is a 1-row aggregate
     // (the ratio table itself is ≤1024 rows and joins equi — see Dsir)
-    "ext52_dsir_weights")
+    "ext52_dsir_weights",
+    // ext54: assignment cross-joins the k-row centroid table (broadcast by
+    // construction); the pair stage itself is equi on the cluster id
+    "ext54_semdedup")
 
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>
