@@ -1355,6 +1355,50 @@ object ExtensionQueries {
         k = 8, threshold = 0.9, iters = 3),
       None),
 
+    // ------------------------------------------------------------- EXT55
+    // Cross-modal composition: quality-gate the TEXT side (token count +
+    // distinct ratio — map-side), keep only gated documents' EMBEDDINGS
+    // (equi join on the shared id), then exact top-5 cosine retrieval over
+    // the curated corpus. The shape of "search only what survived
+    // curation" — gate prunes the corpus BEFORE the similarity stage ever
+    // sees it. No rounding in the gate predicate: both engines divide the
+    // same exact ints, IEEE division makes the comparison identical.
+    QueryDef(
+      "ext55_curated_knn",
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val gated = Tables.documents(s, dir)
+          .select(col("doc_id"), size(toks).as("n_tok"),
+            size(array_distinct(toks)).as("n_dis"))
+          .where(col("n_tok") >= 15 &&
+            col("n_dis").cast("double") / col("n_tok") > 0.5)
+          .select(col("doc_id").as("vec_id"))
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb.join(gated, "vec_id"),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id FROM t
+              WHERE len(toks) >= 15
+                AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) > 0.5),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings JOIN g ON embeddings.vec_id = g.doc_id),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+          FROM c, q WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5
+      """)),
+
     // ------------------------------------------------------------- EXT50
     // Cross-source contamination matrix: distinct word-3-gram overlap and
     // Jaccard per source pair. Distinct kills document multiplicity before

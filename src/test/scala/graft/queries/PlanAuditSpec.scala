@@ -34,7 +34,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ext52_dsir_weights",
     // ext54: assignment cross-joins the k-row centroid table (broadcast by
     // construction); the pair stage itself is equi on the cluster id
-    "ext54_semdedup")
+    "ext54_semdedup",
+    // ext55: ext02's broadcast query set × the gated corpus
+    "ext55_curated_knn")
 
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>
