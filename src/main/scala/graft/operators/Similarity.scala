@@ -198,9 +198,15 @@ object Similarity {
       k: Int, iters: Int = 5, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // cache the prepared vector frame: every iteration (and the init scan)
+    // re-reads it, so without this Lloyd's re-scans the parquet and re-runs
+    // the float→double conversion iters+1 times. MEMORY_AND_DISK: at corpus
+    // scale the working set may exceed executor memory — spilled blocks
+    // still beat a source re-scan per iteration.
     val v = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__vid"), toDouble(col(vecCol)).as("v"))
       .withColumn("vv", dot(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val initW = Window.orderBy("__h") // k rows — single tiny partition
     var cents = v
       .select(xxhash64(lit(seed), col("__vid")).as("__h"), col("v").as("centroid"))
@@ -228,6 +234,9 @@ object Similarity {
       cents.unpersist()
       cents = next
     }
+    // the final centroid frame is checkpointed, so the cache is safe to
+    // release — consumers (assignment passes) re-derive their own frames
+    v.unpersist()
     cents.select("list", "n_vecs", "centroid")
   }
 
