@@ -26,6 +26,32 @@ import graft.functions.TextFunctions
   */
 object Overlap {
 
+  /** Per-document n-gram novelty in id order: the fraction of a document's
+    * DISTINCT word n-grams whose first corpus occurrence (minimum id) is
+    * this document. The novelty curve is the diminishing-returns audit of
+    * a growing corpus — novelty collapsing toward 0 over an id range means
+    * new deliveries are re-treading existing content and dedup should bite
+    * before training does.
+    *
+    * Scale shape: distinct (doc, gram) explode → one gram-keyed min-id
+    * aggregate (partials apply) → equi join back on the gram → one doc
+    * aggregate. The gram frame is touched twice but never leaves the
+    * gram partitioning between the agg and the join; nothing is pairwise.
+    */
+  def ngramNovelty(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n must be >= 1, got $n")
+    val grams = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.wordShingleSetFast(col(textCol), n)).as("gram"))
+    val firstSeen = grams.groupBy("gram").agg(min("id").as("first_id"))
+    grams.join(firstSeen, "gram")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** Pairs (src_a < src_b) with ≥ 1 shared shingle; symmetric pairs are
     * reported once. Jaccard = shared / (|A| + |B| − shared), 6 dp.
     */

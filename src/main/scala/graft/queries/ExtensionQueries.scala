@@ -1355,6 +1355,29 @@ object ExtensionQueries {
         k = 8, threshold = 0.9, iters = 3),
       None),
 
+    // ------------------------------------------------------------- EXT56
+    // N-gram novelty curve in doc-id (delivery) order: what fraction of
+    // each document's distinct 3-grams is NEW to the corpus at that point.
+    // One gram-keyed min-id agg + an equi join back + one doc agg.
+    QueryDef(
+      "ext56_ngram_novelty",
+      (s, dir) => graft.operators.Overlap.ngramNovelty(
+        Tables.documents(s, dir), "text", "doc_id", n = 3),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+              FROM d WHERE len(toks) >= 3),
+        f AS (SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY gram)
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM g JOIN f USING (gram) GROUP BY g.doc_id
+      """)),
+
     // ------------------------------------------------------------- EXT55
     // Cross-modal composition: quality-gate the TEXT side (token count +
     // distinct ratio — map-side), keep only gated documents' EMBEDDINGS

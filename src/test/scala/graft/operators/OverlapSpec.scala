@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -36,5 +37,29 @@ class OverlapSpec extends AnyFunSuite with SparkTestSession {
 
   test("n larger than every document yields no pairs") {
     assert(Overlap.sourceShingleOverlap(docs, "text", "source", n = 9).isEmpty)
+  }
+
+  test("ngramNovelty: first doc is fully novel, an exact copy is fully stale") {
+    val corpus = Seq(
+      (0L, "a b c d"),        // grams: {a b c, b c d} — all first-seen
+      (1L, "a b c d"),        // exact copy → novelty 0
+      (2L, "a b c x y z"))    // {a b c, b c x, c x y, x y z}: 3 of 4 novel
+      .toDF("doc_id", "text")
+    val out = Overlap.ngramNovelty(corpus, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((2L, 2L, 1.0)))
+    assert(out(1L) == ((2L, 0L, 0.0)))
+    assert(out(2L) == ((4L, 3L, 0.75)))
+  }
+
+  test("ngramNovelty: per-corpus novel counts sum to the distinct gram total") {
+    val corpus = (0L until 20L).map(i => (i, s"w${i % 4} w${(i + 1) % 5} w${(i + 2) % 3} end"))
+      .toDF("doc_id", "text")
+    val out = Overlap.ngramNovelty(corpus, "text", "doc_id", n = 3)
+    val novelSum = out.agg(sum("n_novel")).collect().head.getLong(0)
+    val distinctGrams = corpus.select(explode(
+      graft.functions.TextFunctions.wordShingleSetFast(col("text"), 3)).as("g"))
+      .select("g").distinct().count()
+    assert(novelSum == distinctGrams) // every distinct gram is novel exactly once
   }
 }
