@@ -1355,6 +1355,51 @@ object ExtensionQueries {
         k = 8, threshold = 0.9, iters = 3),
       None),
 
+    // ------------------------------------------------------------- EXT57
+    // Zipf fit over the token frequency spectrum: least-squares slope of
+    // ln(count) vs ln(rank) for the top-100 tokens — the corpus-health
+    // dial (natural language sits near −1; flat means synthetic/templated
+    // text, steep means boilerplate domination). Vocabulary-sized hash agg
+    // → TakeOrderedAndProject top-k → the regression runs on ≤100 rows
+    // (rank window and sums are bounded by construction, like ext37).
+    // FP-safe across engines: ≤100 summed terms keep order error ~1e-15,
+    // far inside the 6 dp round.
+    QueryDef(
+      "ext57_zipf_slope",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("tok"))
+        val top = counts.orderBy(col("cnt").desc, col("tok")).limit(100)
+          .withColumn("rank", row_number().over(w).cast("double"))
+        top.select(log(col("rank")).as("x"), log(col("cnt").cast("double")).as("y"))
+          .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+            sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+            sum(expr("x * x")).as("sxx"))
+          .select(col("n").cast("long").as("n_top"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+              .as("zipf_intercept"))
+      },
+      Some("""
+        WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                              x -> x <> '')) AS tok FROM documents),
+        c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+        t AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+              FROM c ORDER BY cnt DESC, tok LIMIT 100),
+        x AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM t),
+        s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM x)
+        SELECT CAST(n AS BIGINT) AS n_top,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS zipf_intercept
+        FROM s
+      """)),
+
     // ------------------------------------------------------------- EXT56
     // N-gram novelty curve in doc-id (delivery) order: what fraction of
     // each document's distinct 3-grams is NEW to the corpus at that point.
