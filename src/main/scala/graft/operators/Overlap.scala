@@ -54,6 +54,12 @@ object Overlap {
 
   /** Pairs (src_a < src_b) with ≥ 1 shared shingle; symmetric pairs are
     * reported once. Jaccard = shared / (|A| + |B| − shared), 6 dp.
+    *
+    * The pair stage is ONE gram-keyed aggregate, not a gram self-join:
+    * each gram collects its (≤ nSources, bounded by construction) sorted
+    * source set, and the C(s,2) ordered pairs expand MAP-SIDE from that
+    * array — so the big distinct-gram frame crosses the wire once, and
+    * nothing in the plan can fan out beyond nSources² rows.
     */
   def sourceShingleOverlap(
       df: DataFrame, textCol: String, srcCol: String, n: Int): DataFrame = {
@@ -63,10 +69,17 @@ object Overlap {
         explode(TextFunctions.wordShingleSetFast(col(textCol), n)).as("gram"))
       .distinct()
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
-    val shared = grams.as("a")
-      .join(grams.as("b"), Seq("gram"))
-      .where(col("a.src") < col("b.src"))
-      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+    // all ordered pairs (i < j) of the sorted per-gram source set, expanded
+    // with nested transform over the array — no join, no row explosion
+    // beyond C(|srcs|, 2) per gram
+    val pairs = grams.groupBy("gram")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+    val shared = pairs
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
     shared
       .join(sizes.select(col("src").as("src_a"), col("n_grams").as("n_a")), "src_a")

@@ -1469,9 +1469,9 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------- EXT50
     // Cross-source contamination matrix: distinct word-3-gram overlap and
-    // Jaccard per source pair. Distinct kills document multiplicity before
-    // the self-join, so per-gram fanout is bounded by the number of
-    // sources, never by corpus size (see Overlap scaladoc).
+    // Jaccard per source pair. One gram-keyed collect_set aggregate (the
+    // per-gram source set is bounded by nSources) + a map-side pair
+    // expansion — no self-join anywhere (see Overlap scaladoc).
     QueryDef(
       "ext50_source_overlap",
       (s, dir) => graft.operators.Overlap.sourceShingleOverlap(
