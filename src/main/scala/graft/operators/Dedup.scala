@@ -322,7 +322,12 @@ object Dedup {
     * `threshold` with it; the min id of every duplicate group survives.
     *
     * Returns per-cluster accounting (cluster, n_vecs, n_dropped, n_kept) —
-    * k rows. Scale shape: centroids are k rows (broadcast by
+    * k rows. NULL-embedding and zero-norm vectors are EXCLUDED before
+    * clustering (cosine is undefined for them — same contract as
+    * [[embeddingNearDup]]), so sum(n_vecs) counts only clusterable
+    * vectors; reconcile input row count against that sum plus your
+    * upstream null/zero audit, not against the input alone.
+    * Scale shape: centroids are k rows (broadcast by
     * construction, [[Similarity.kmeansDistributed]] never collects
     * vectors); assignment is map-side; the only data shuffles are the
     * cluster-keyed pair join and the final k-row aggregate.

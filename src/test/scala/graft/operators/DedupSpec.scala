@@ -191,6 +191,16 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(strict >= 1) // the fixture repeats directions (i%5, i*7%3 cycles)
   }
 
+  test("semDedup excludes null and zero-norm vectors from the accounting (documented contract)") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 0f)),                    // zero norm — cosine undefined
+      (3L, null.asInstanceOf[Array[Float]]))      // null embedding
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "embedding", "vec_id", k = 2, threshold = 0.99)
+    assert(out.agg(sum("n_vecs")).collect().head.getLong(0) == 2)
+  }
+
   // NOTE: no bitwise-determinism assertion — centroid averaging sums floats
   // in partition order, so borderline ASSIGNMENTS may flip between runs
   // (same caveat as ext32). The invariants below hold under any assignment.
