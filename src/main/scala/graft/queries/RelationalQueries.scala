@@ -959,6 +959,36 @@ object RelationalQueries {
         GROUP BY 1
       """)),
 
+    // ---------------------------------------------------------------- q38
+    // Correlated SCALAR subqueries — the decorrelation shape q20 covers
+    // for EXISTS: a per-user average in the predicate and a per-user max
+    // in the projection, both of which Catalyst must rewrite into
+    // aggregate-then-join (no per-row re-execution exists in a batch
+    // engine). Values rounded where floats meet the oracle.
+    QueryDef(
+      "q38_scalar_subquery",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_q38")
+        s.sql("""
+          SELECT e.event_id, e.user_id, ROUND(e.value, 6) AS value,
+                 (SELECT CAST(MAX(e3.event_id) AS BIGINT) FROM events_q38 e3
+                  WHERE e3.user_id = e.user_id AND e3.event_type = 'error') AS last_error_id
+          FROM events_q38 e
+          WHERE e.event_type = 'purchase'
+            AND e.value > (SELECT AVG(e2.value) FROM events_q38 e2
+                           WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase')
+        """)
+      },
+      Some("""
+        SELECT e.event_id, e.user_id, ROUND(e.value, 6) AS value,
+               (SELECT CAST(MAX(e3.event_id) AS BIGINT) FROM events e3
+                WHERE e3.user_id = e.user_id AND e3.event_type = 'error') AS last_error_id
+        FROM events e
+        WHERE e.event_type = 'purchase'
+          AND e.value > (SELECT AVG(e2.value) FROM events e2
+                         WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase')
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the
