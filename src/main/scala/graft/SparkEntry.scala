@@ -7,7 +7,7 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   *
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
   * (q01–q38 + q31b relational/TPC-H/event-analytics shapes) and
-  * [[graft.queries.ExtensionQueries]] (ext01–ext57 + ext40b dedup /
+  * [[graft.queries.ExtensionQueries]] (ext01–ext58 + ext40b dedup /
   * similarity / text / TF-IDF / ANN-recall / packing / mixing / indexing /
   * chunking / quantization / heavy-hitter / contamination / PCA / LM-score /
   * BPE-tokenizer extensions); this object just flattens the catalog into

@@ -961,6 +961,42 @@ object ExtensionQueries {
         SELECT tok, cnt, vocab_id FROM r WHERE vocab_id <= 500
       """)),
 
+    // ------------------------------------------------------------- EXT58
+    // Tokenizer-fit audit: per-source out-of-vocabulary rate under EXT37's
+    // vocabulary (top-500 pretokens with ≥10 occurrences). The dial that
+    // says which sources a tokenizer trained on this corpus will shatter
+    // into bytes. Pretoken explode → left join the ≤500-row vocab (AQE
+    // broadcast by construction) → one (source) aggregate.
+    QueryDef(
+      "ext58_oov_rate",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 10)
+          .orderBy(col("cnt").desc, col("tok")).limit(500)
+          .select(col("tok"), lit(true).as("in_vocab"))
+        toks.join(vocab, Seq("tok"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tok"), 6))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]+')) AS tok
+          FROM documents),
+        c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok HAVING COUNT(*) >= 10),
+        v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 500)
+        SELECT toks.source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) /
+                     CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        FROM toks LEFT JOIN v USING (tok) GROUP BY toks.source
+      """)),
+
     // ------------------------------------------------------------- EXT38
     // Symmetric per-vector int8 embedding quantization: 6-dp-rounded scale
     // (unrounded fallback when rounding would underflow a nonzero vector to
