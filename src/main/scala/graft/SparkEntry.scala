@@ -6,8 +6,8 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
-  * (q01–q38 + q31b relational/TPC-H/event-analytics shapes) and
-  * [[graft.queries.ExtensionQueries]] (ext01–ext58 + ext40b dedup /
+  * (q01–q39 + q31b relational/TPC-H/event-analytics shapes) and
+  * [[graft.queries.ExtensionQueries]] (ext01–ext59 + ext40b dedup /
   * similarity / text / TF-IDF / ANN-recall / packing / mixing / indexing /
   * chunking / quantization / heavy-hitter / contamination / PCA / LM-score /
   * BPE-tokenizer extensions); this object just flattens the catalog into

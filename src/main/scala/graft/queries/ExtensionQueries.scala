@@ -997,6 +997,38 @@ object ExtensionQueries {
         FROM toks LEFT JOIN v USING (tok) GROUP BY toks.source
       """)),
 
+    // ------------------------------------------------------------- EXT59
+    // Sequence-length histogram in log2 buckets — the packing planner's
+    // input (EXT23 packs against a budget; this says what the length
+    // distribution will do to fill efficiency). Map-side bucket math +
+    // one aggregate. The bucket is the BIT LENGTH of the token count minus
+    // one (= exact floor(log2)) — float log2 is a trap here: Spark computes
+    // it as ln(x)/ln(2), which lands a hair under the integer at exact
+    // powers of two while DuckDB's std::log2 is exact, so floor() would
+    // disagree on every 2^k-token document.
+    QueryDef(
+      "ext59_length_histogram",
+      (s, dir) => {
+        val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
+        Tables.documents(s, dir)
+          .select(col("source"), nTok.as("n_tok"))
+          .where(col("n_tok") > 0)
+          .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT source, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM d WHERE n_tok > 0 GROUP BY 1, 2
+      """)),
+
     // ------------------------------------------------------------- EXT38
     // Symmetric per-vector int8 embedding quantization: 6-dp-rounded scale
     // (unrounded fallback when rounding would underflow a nonzero vector to

@@ -989,6 +989,31 @@ object RelationalQueries {
                          WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase')
       """)),
 
+    // ---------------------------------------------------------------- q39
+    // percent_rank / cume_dist — the distribution half of the window-rank
+    // family (q26 covers rank/dense_rank/ntile/lead). The (value,
+    // event_id) order key is collision-free, so both functions are
+    // rank-determined and engine-portable; one window shuffle on
+    // event_type.
+    QueryDef(
+      "q39_rank_dist",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        ev(s, dir).where(col("value") > 90)
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 6).as("value"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""
+        SELECT event_id, event_type, ROUND(value, 6) AS value,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM events WHERE value > 90
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the
