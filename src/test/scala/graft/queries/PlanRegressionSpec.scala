@@ -240,6 +240,23 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
   }
 
+  test("q36 retention: distinct-day dedup and cohort agg share partials; joins stay equi") {
+    val p = plan("q36_retention")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q37 funnel: min-ts chaining plans equi joins only — no window, no global sort") {
+    val p = plan("q37_funnel")
+    assert(!p.contains("Window"), s"funnel must not need a window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("ext58 oov: the ≤500-row vocabulary broadcasts onto the pretoken stream") {
+    val p = plan("ext58_oov_rate")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
