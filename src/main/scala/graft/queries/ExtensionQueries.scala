@@ -965,21 +965,24 @@ object ExtensionQueries {
     // Tokenizer-fit audit: per-source out-of-vocabulary rate under EXT37's
     // vocabulary (top-500 pretokens with ≥10 occurrences). The dial that
     // says which sources a tokenizer trained on this corpus will shatter
-    // into bytes. Pretoken explode → left join the ≤500-row vocab (AQE
-    // broadcast by construction) → one (source) aggregate.
+    // into bytes. ONE corpus scan: the (source, tok) count aggregate feeds
+    // BOTH the vocab (via a tok-level rollup of the counts — never a
+    // re-scan) and the join probe; the ≤500-row vocab left-joins the small
+    // aggregate (AQE broadcast by construction), then one (source) agg.
     QueryDef(
       "ext58_oov_rate",
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
+        val perSrc = Tables.documents(s, dir)
           .select(col("source"), explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
-        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        val vocab = perSrc.groupBy("tok").agg(sum("cnt").as("cnt"))
           .filter(col("cnt") >= 10)
           .orderBy(col("cnt").desc, col("tok")).limit(500)
           .select(col("tok"), lit(true).as("in_vocab"))
-        toks.join(vocab, Seq("tok"), "left")
+        perSrc.join(vocab, Seq("tok"), "left")
           .groupBy("source")
-          .agg(count(lit(1)).as("n_tok"),
-            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .agg(sum("cnt").as("n_tok"),
+            sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L)).as("n_oov"))
           .withColumn("oov_rate",
             round(col("n_oov").cast("double") / col("n_tok"), 6))
       },
@@ -988,13 +991,14 @@ object ExtensionQueries {
           SELECT source,
                  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]+')) AS tok
           FROM documents),
-        c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok HAVING COUNT(*) >= 10),
+        p AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY source, tok),
+        c AS (SELECT tok, SUM(cnt) AS cnt FROM p GROUP BY tok HAVING SUM(cnt) >= 10),
         v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 500)
-        SELECT toks.source, CAST(COUNT(*) AS BIGINT) AS n_tok,
-               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-               ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) /
-                     CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
-        FROM toks LEFT JOIN v USING (tok) GROUP BY toks.source
+        SELECT p.source, CAST(SUM(p.cnt) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN p.cnt ELSE 0 END) AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.tok IS NULL THEN p.cnt ELSE 0 END) /
+                     CAST(SUM(p.cnt) AS DOUBLE), 6) AS oov_rate
+        FROM p LEFT JOIN v USING (tok) GROUP BY p.source
       """)),
 
     // ------------------------------------------------------------- EXT59

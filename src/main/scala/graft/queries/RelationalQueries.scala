@@ -961,10 +961,13 @@ object RelationalQueries {
 
     // ---------------------------------------------------------------- q38
     // Correlated SCALAR subqueries — the decorrelation shape q20 covers
-    // for EXISTS: a per-user average in the predicate and a per-user max
-    // in the projection, both of which Catalyst must rewrite into
+    // for EXISTS: a per-user "above average" predicate and a per-user max
+    // in the projection, all of which Catalyst must rewrite into
     // aggregate-then-join (no per-row re-execution exists in a batch
-    // engine). Values rounded where floats meet the oracle.
+    // engine). The above-average comparison is value·n > sum over
+    // DECIMAL(18,6) — exact arithmetic, per the q01 decimal-sum
+    // convention: a raw double AVG would make borderline rows depend on
+    // float summation ORDER, which differs between engines.
     QueryDef(
       "q38_scalar_subquery",
       (s, dir) => {
@@ -975,8 +978,11 @@ object RelationalQueries {
                   WHERE e3.user_id = e.user_id AND e3.event_type = 'error') AS last_error_id
           FROM events_q38 e
           WHERE e.event_type = 'purchase'
-            AND e.value > (SELECT AVG(e2.value) FROM events_q38 e2
-                           WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase')
+            AND CAST(e.value AS DECIMAL(18,6)) *
+                (SELECT COUNT(*) FROM events_q38 e2
+                 WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase') >
+                (SELECT SUM(CAST(e2.value AS DECIMAL(18,6))) FROM events_q38 e2
+                 WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase')
         """)
       },
       Some("""
@@ -985,8 +991,11 @@ object RelationalQueries {
                 WHERE e3.user_id = e.user_id AND e3.event_type = 'error') AS last_error_id
         FROM events e
         WHERE e.event_type = 'purchase'
-          AND e.value > (SELECT AVG(e2.value) FROM events e2
-                         WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase')
+          AND CAST(e.value AS DECIMAL(18,6)) *
+              (SELECT COUNT(*) FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase') >
+              (SELECT SUM(CAST(e2.value AS DECIMAL(18,6))) FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.event_type = 'purchase')
       """)),
 
     // ---------------------------------------------------------------- q39
