@@ -47,6 +47,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Contrastive-pair mining: for each query, the exact top-k most-similar
+    * SAME-label neighbors (positives) and top-k most-similar DIFFERENT-label
+    * neighbors (hard negatives) — the standard mining step for contrastive /
+    * metric-learning training sets (hard negatives are the highest-cosine
+    * vectors the model must learn to push away).
+    *
+    * Same plan shape as [[bruteForceTopK]]: broadcast queries × one corpus
+    * scan, so corpus-side work is a single pass at any scale; the top-k
+    * window partitions by (query_id, kind) so positives and negatives rank
+    * independently. Output: (query_id, neighbor_id, kind 'pos'|'neg', sim,
+    * rank), ties broken by neighbor id.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv"))).filter(col("qn") > 0)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("c_label"),
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("kind", when(col("q_label") === col("c_label"), lit("pos")).otherwise(lit("neg")))
+    val w = Window.partitionBy("query_id", "kind").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "kind", "sim", "rank")
+  }
+
   /** Approximate top-k via IVF (inverted-file) partitioning: a coarse
     * k-means quantizer (trained on a bounded sample, Lloyd's iterations on
     * the driver — the sample stays small at any corpus size) assigns every

@@ -1648,6 +1648,41 @@ object ExtensionQueries {
                ROUND(ANY_VALUE(b.lo), 6) AS lo_fence,
                ROUND(ANY_VALUE(b.hi), 6) AS hi_fence
         FROM documents d JOIN b USING (source) GROUP BY d.source
+      """)),
+
+    // ------------------------------------------------------------- EXT60
+    // Contrastive-pair mining over the labeled embeddings: per query
+    // (vec_id < 24), exact top-3 same-label neighbors (positives) and
+    // top-3 different-label neighbors (hard negatives) by cosine — the
+    // training-set construction step for contrastive/metric learning.
+    // Broadcast-queries × one corpus scan (ext02's plan shape); the rank
+    // window partitions by (query_id, kind) so the two lists rank
+    // independently. Deterministic: sim rounded to 6 dp, neighbor-id
+    // tie-break.
+    QueryDef(
+      "ext60_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 24), emb, "vec_id", "embedding", "label", k = 3)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 24),
+        c AS (SELECT vec_id AS neighbor_id, label AS c_label,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 CASE WHEN q_label = c_label THEN 'pos' ELSE 'neg' END AS kind,
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+          FROM c, q WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, kind, sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, kind
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 3
       """))
   )
 }

@@ -1023,6 +1023,103 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       """)),
 
+    // ---------------------------------------------------------------- q40
+    // Statistical-moments battery: corr / covar_pop / stddev_samp /
+    // skewness / kurtosis per group — computed from EXACT integer power
+    // sums, not the engines' builtin aggregates. The builtins disagree
+    // across engines twice over: (a) float accumulation order differs, and
+    // (b) DuckDB's skewness/kurtosis are sample-bias-corrected while
+    // Spark's are population moments. Here l_quantity is an exact 1–50
+    // integer and l_extendedprice is exact cents, so Σx, Σx², Σx³, Σx⁴,
+    // Σxy are exact BIGINT/DECIMAL sums (order-independent), and both
+    // engines then evaluate the SAME double expression tree over the same
+    // exact inputs. One scan + one partial/final hash agg — the sums are
+    // mergeable, so at 100 TB the shuffle carries |groups| rows of seven
+    // longs, the same shape as q01. Magnitude audit at sf0.1 (600 k rows):
+    // Σq⁴ ≤ 3.8e12, Σpq ≤ 3.2e14, Σp ≤ 6.3e12 — all < 2^62 (ANSI-safe);
+    // Σp² ≤ 6.6e19 > int64 → DECIMAL(38,0) on the Spark side, HUGEINT
+    // (automatic for SUM(BIGINT)) on DuckDB.
+    QueryDef(
+      "q40_stats_battery",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val q = col("l_quantity").cast("long")
+        val p = round(col("l_extendedprice") * 100, 0).cast("long") // exact cents
+        val sums = li.select(col("l_returnflag"), q.as("q"), p.as("p"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("q")).as("sq"),
+            sum(col("q") * col("q")).as("sq2"),
+            sum(col("q") * col("q") * col("q")).as("sq3"),
+            sum(col("q") * col("q") * col("q") * col("q")).as("sq4"),
+            sum(col("p")).as("sp"),
+            sum((col("p") * col("p")).cast("decimal(38,0)")).as("sp2"),
+            sum(col("p") * col("q")).as("spq"))
+        // identical double expression tree on both engines (see oracle)
+        val nD = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val meanQ = d("sq") / nD
+        val meanP = d("sp") / nD
+        val varQ = d("sq2") / nD - meanQ * meanQ
+        val varP = d("sp2") / nD - meanP * meanP
+        val covQP = d("spq") / nD - meanQ * meanP
+        val m3 = d("sq3") / nD - lit(3.0) * meanQ * (d("sq2") / nD) +
+          lit(2.0) * meanQ * meanQ * meanQ
+        val m4 = d("sq4") / nD - lit(4.0) * meanQ * (d("sq3") / nD) +
+          lit(6.0) * meanQ * meanQ * (d("sq2") / nD) -
+          lit(3.0) * meanQ * meanQ * meanQ * meanQ
+        sums.select(
+          col("l_returnflag"),
+          col("n"),
+          round(covQP / sqrt(varQ * varP), 6).as("corr_qty_price"),
+          round(covQP / lit(100.0), 6).as("covar_pop_qty_price"),
+          round(sqrt((d("sq2") - d("sq") * d("sq") / nD) / (nD - lit(1.0))), 6)
+            .as("stddev_qty"),
+          round(m3 / sqrt(varQ * varQ * varQ), 6).as("skew_qty"),
+          round(m4 / (varQ * varQ) - lit(3.0), 6).as("kurt_qty"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(q) AS sq, SUM(q*q) AS sq2, SUM(q*q*q) AS sq3,
+                 SUM(q*q*q*q) AS sq4,
+                 SUM(p) AS sp, SUM(p*p) AS sp2, SUM(p*q) AS spq
+          FROM (SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS q,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p
+                FROM lineitem)
+          GROUP BY l_returnflag),
+        -- double stage: the SAME expression tree as the Spark side (explicit
+        -- multiplications, no power() — pow may differ from repeated * in ulps)
+        d AS (
+          SELECT l_returnflag, n,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mq,
+                 CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mp,
+                 CAST(sq AS DOUBLE) AS sqd, CAST(sq2 AS DOUBLE) AS sq2d,
+                 CAST(sq3 AS DOUBLE) AS sq3d, CAST(sq4 AS DOUBLE) AS sq4d,
+                 CAST(sp2 AS DOUBLE) AS sp2d, CAST(spq AS DOUBLE) AS spqd
+          FROM s),
+        m AS (
+          SELECT l_returnflag, n, nd, mq, mp, sqd, sq2d, sq3d, sq4d,
+                 sq2d / nd - mq * mq AS vq,
+                 sp2d / nd - mp * mp AS vp,
+                 spqd / nd - mq * mp AS cov
+          FROM d)
+        SELECT l_returnflag, n,
+          ROUND(cov / sqrt(vq * vp), 6) AS corr_qty_price,
+          ROUND(cov / 100.0, 6) AS covar_pop_qty_price,
+          ROUND(sqrt((sq2d - sqd * sqd / nd) / (nd - 1.0)), 6) AS stddev_qty,
+          ROUND((sq3d / nd - 3.0 * mq * (sq2d / nd) + 2.0 * mq * mq * mq)
+                / sqrt(vq * vq * vq), 6) AS skew_qty,
+          ROUND((sq4d / nd - 4.0 * mq * (sq3d / nd)
+                 + 6.0 * mq * mq * (sq2d / nd) - 3.0 * mq * mq * mq * mq)
+                / (vq * vq) - 3.0, 6) AS kurt_qty
+        FROM m
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the

@@ -36,6 +36,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("hardNegatives: positives share the query's label, negatives don't, both rank by cosine") {
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f), 0),  // same-label, nearest to 0
+      (2L, Seq(0.8f, 0.2f, 0.0f), 1),  // diff-label, nearest to 0
+      (3L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (4L, Seq(0.577f, 0.577f, 0.577f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val res = Similarity.hardNegatives(
+      labeled.filter(col("vec_id") === 0), labeled, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getString(2), r.getLong(1), r.getLong(4))).toSet
+    // positives: 1 (cos≈0.994) then 4 (cos≈0.577); negatives: 2 (cos≈0.970) then 3 (0.0)
+    assert(res == Set(("pos", 1L, 1L), ("pos", 4L, 2L), ("neg", 2L, 1L), ("neg", 3L, 2L)))
+  }
+
+  test("hardNegatives: self is excluded and each kind returns at most k") {
+    val labeled = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val res = Similarity.hardNegatives(labeled, labeled, "vec_id", "embedding", "label", k = 2)
+    val byQK = res.collect().groupBy(r => (r.getLong(0), r.getString(2)))
+    byQK.foreach { case ((q, _), rows) =>
+      assert(rows.length <= 2)
+      assert(!rows.exists(_.getLong(1) == q))
+      assert(rows.map(_.getLong(4)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // 5 vectors, labels 0/1 alternating: every query has both kinds present
+    assert(byQK.keys.map(_._1).toSet.size == 5)
+    assert(byQK.keySet.map(_._2) == Set("pos", "neg"))
+  }
+
   test("lshTopK results are a subset of brute-force candidates with identical sims") {
     val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** q40 computes corr/covar/stddev/skewness/kurtosis from exact integer power
+  * sums (the engine-portable formulation — builtin float accumulation is
+  * order-dependent and DuckDB's skew/kurt are bias-corrected where Spark's
+  * are population moments). This spec pins the algebra: the portable
+  * formulas must agree with Spark's own builtin aggregates to float
+  * tolerance on the same data.
+  */
+class StatsBatterySpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q40 moment-sum formulas match Spark's builtin corr/covar/stddev/skew/kurt") {
+    val got = SparkEntry.queries("q40_stats_battery")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val ref = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_b"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("covar_b"),
+        stddev_samp(col("l_quantity")).as("stddev_b"),
+        skewness(col("l_quantity")).as("skew_b"),
+        kurtosis(col("l_quantity")).as("kurt_b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (flag, g) =>
+      val r = ref(flag)
+      assert(g.getLong(1) == r.getLong(1), s"$flag n")
+      def close(a: Double, b: Double, what: String, tol: Double = 1e-4): Unit =
+        assert(math.abs(a - b) <= tol * math.max(1.0, math.abs(b)), s"$flag $what: $a vs $b")
+      close(g.getDouble(2), r.getDouble(2), "corr")
+      close(g.getDouble(3), r.getDouble(3), "covar_pop")
+      close(g.getDouble(4), r.getDouble(4), "stddev")
+      close(g.getDouble(5), r.getDouble(5), "skewness")
+      close(g.getDouble(6), r.getDouble(6), "kurtosis")
+    }
+  }
+
+  test("q40 plan is one scan with a partial/final hash aggregate pair — no extra shuffle") {
+    val plan = SparkEntry.queries("q40_stats_battery")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    // exactly one exchange: the partial→final agg shuffle on l_returnflag
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+}
