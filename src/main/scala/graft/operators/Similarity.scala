@@ -137,6 +137,148 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Approximate top-k via IVF-PQ (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) with exact re-ranking — the
+    * memory-bounded ANN path for corpora where even one float vector per
+    * row is too much state to shuffle:
+    *
+    *   1. TRAIN (driver, bounded): coarse k-means quantizer on the seeded-
+    *      hash sample (as [[ivfTopK]]), then per-subspace codebooks of
+    *      `ksub` centroids over the sample's RESIDUALS (v − coarse list
+    *      centroid), `m` subspaces of dim/m dims each.
+    *   2. INDEX (one corpus map, no shuffle): each vector → its list id +
+    *      `m` byte-sized codes + its true norm. The index row is ~m bytes
+    *      of codes instead of dim floats — at 100 TB this is the difference
+    *      between an index that fits executor memory and one that doesn't.
+    *   3. SEARCH: queries explode to their `nProbe` nearest lists and
+    *      precompute ONE ADC lookup table per (query, list) — lut[j][c] =
+    *      dot(q_j, coarse_j + codebook_j[c]) — so scoring a candidate is m
+    *      table lookups, never a dim-length loop. Candidates join on list
+    *      id (equi join, occupancy-bounded like IVF).
+    *   4. REFINE: the ADC top (refineFactor·k) per query re-ranks with
+    *      EXACT cosine against the raw vectors (a broadcast-sized candidate
+    *      join back onto the corpus — the standard refine stage; only
+    *      refineFactor·k raw vectors per query are ever touched).
+    *
+    * Exactness invariant (spec-pinned): ADC only PRUNES — the final
+    * scoring is exact cosine with [[bruteForceTopK]]'s tie-breaks, so with
+    * nProbe = nLists and a refine pool covering the corpus the result
+    * equals brute force bit-for-bit. Output: (query_id, neighbor_id, sim,
+    * rank).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 2,
+      m: Int = 8, ksub: Int = 16, refineFactor: Int = 4,
+      sampleSize: Int = 2048, seed: Long = 42L): DataFrame = {
+    // ---- 1. train on the bounded seeded-hash sample (see ivfTopK)
+    val sample: Array[Array[Double]] = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(xxhash64(lit(seed), col(idCol)).as("__h"), toDouble(col(vecCol)).as("v"))
+      .orderBy(col("__h"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val coarse = kmeans(sample, math.min(nLists, sample.length), dim, iters = 10)
+
+    def nearestIdx(cents: Array[Array[Double]], v: Seq[Double], off: Int): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < cents(c).length) { val d = cents(c)(i) - v(off + i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    // per-subspace codebooks over sample residuals
+    val residuals = sample.map { v =>
+      val c = coarse(nearestIdx(coarse, v, 0))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val subs = residuals.map(r => r.slice(j * dsub, (j + 1) * dsub))
+      kmeans(subs, math.min(ksub, subs.length), dsub, iters = 10)
+    }
+
+    // ---- 2. index: one corpus map → (list, codes, norm); codes only
+    val encodeUdf = udf((v: Seq[Double]) => {
+      val list = nearestIdx(coarse, v, 0)
+      val cent = coarse(list)
+      val r = Array.tabulate(v.length)(i => v(i) - cent(i))
+      val codes = Array.tabulate(m)(j => nearestIdx(codebooks(j), r, j * dsub))
+      (list, codes.toSeq)
+    })
+    val index = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
+      .withColumn("enc", encodeUdf(col("cv")))
+      .select(col("neighbor_id"), col("cn"),
+        col("enc._1").as("list"), col("enc._2").as("codes"))
+
+    // ---- 3. search: per (query, probed list) ADC lookup table
+    val probeUdf = udf((v: Seq[Double]) => {
+      coarse.indices
+        .map(i => i -> { var s = 0.0; var j = 0
+          while (j < dim) { val d = coarse(i)(j) - v(j); s += d * d; j += 1 }; s })
+        .sortBy { case (i, d) => (d, i) }
+        .take(nProbe).map(_._1)
+    })
+    // lut[j*ksub + c] = dot(q_j, coarse_j + cb_j[c]) — summing m entries
+    // reconstructs dot(q, coarse + Σ residual codewords) exactly
+    val lutUdf = udf((qv: Seq[Double], list: Int) => {
+      val cent = coarse(list)
+      val lut = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var c = 0
+        while (c < cb.length) {
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += qv(j * dsub + i) * (cent(j * dsub + i) + cb(c)(i)); i += 1 }
+          lut(j * ksub + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      lut.toSeq
+    })
+    val adcUdf = udf((lut: Seq[Double], codes: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j * ksub + codes(j)); j += 1 }
+      s
+    })
+
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv"))).filter(col("qn") > 0)
+      .withColumn("list", explode(probeUdf(col("qv"))))
+      .withColumn("lut", lutUdf(col("qv"), col("list")))
+
+    val wAdc = Window.partitionBy("query_id").orderBy(col("sim_adc").desc, col("neighbor_id"))
+    val candidates = index.join(q, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_adc", adcUdf(col("lut"), col("codes")) / (col("qn") * col("cn")))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= refineFactor * k)
+      .select("query_id", "neighbor_id", "qv", "qn")
+
+    // ---- 4. refine: exact cosine over the raw vectors of the ADC pool
+    val raw = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
+    val wExact = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(candidates).join(raw, Seq("neighbor_id"))
+      .withColumn("sim", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   private def l2(a: Array[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

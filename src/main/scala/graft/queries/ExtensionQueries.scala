@@ -1683,6 +1683,36 @@ object ExtensionQueries {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, kind
                                        ORDER BY sim DESC, neighbor_id) AS rank
           FROM scored) WHERE rank <= 3
-      """))
+      """)),
+
+    // ------------------------------------------------------------- EXT61
+    // IVF-PQ with exact refine (Jégou et al. 2011) — the memory-bounded ANN
+    // path: the index row is m code bytes + a norm instead of dim floats,
+    // ADC scoring is m table lookups per candidate, and only the ADC-top
+    // refine pool ever touches raw vectors again. Rows-only (k-means
+    // codebooks are engine-specific floats); the prune-only invariant and
+    // recall floor are pinned in SimilaritySpec, recall is driver-visible
+    // via ext62.
+    QueryDef(
+      "ext61_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 2, m = 8, ksub = 16, refineFactor = 4)
+      },
+      None, bench = false),
+
+    QueryDef(
+      "ext62_ann_ivfpq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 8)
+        Similarity.recallVsExact(
+          Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+            k = 5, nLists = 8, nProbe = 2, m = 8, ksub = 16, refineFactor = 4),
+          Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+      },
+      None, bench = false)
   )
 }

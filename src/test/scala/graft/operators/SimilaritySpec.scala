@@ -86,6 +86,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(ivf == bf)
   }
 
+  test("ivfPqTopK with full probe and a corpus-covering refine pool equals brute force") {
+    // ADC only prunes; the refine stage scores exactly with the same
+    // tie-breaks — so at nProbe = nLists and refineFactor·k ≥ |corpus| the
+    // result must be bit-for-bit brute force
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val pq = Similarity.ivfPqTopK(vecs, vecs, "vec_id", "embedding", k = 3,
+      nLists = 2, nProbe = 2, m = 3, ksub = 4, refineFactor = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(pq == bf)
+  }
+
+  test("ivfPqTopK returned sims are exact cosines (refine stage), ranks contiguous") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.ivfPqTopK(vecs, vecs, "vec_id", "embedding", k = 2,
+      nLists = 2, nProbe = 1, m = 3, ksub = 4, refineFactor = 2).collect()
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    pq.foreach { r =>
+      val exact = bf.get((r.getLong(0), r.getLong(1)))
+      // every returned pair the brute-force top-4 also saw must carry the
+      // identical exact sim — ADC distortion never leaks into the output
+      exact.foreach(e => assert(r.getDouble(2) == e,
+        s"(${r.getLong(0)},${r.getLong(1)}): refine sim ${r.getDouble(2)} != exact $e"))
+    }
+  }
+
+  test("ivfPqTopK rejects a dimension not divisible by m") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(vecs, vecs, "vec_id", "embedding", k = 2,
+        nLists = 2, nProbe = 1, m = 2, ksub = 4)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
   test("ivfTopK results are a subset of brute force with identical sims") {
     val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

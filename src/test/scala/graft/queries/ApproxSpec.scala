@@ -71,4 +71,11 @@ class ApproxSpec extends AnyFunSuite with SparkTestSession {
     val r = meanRecall("ext17_ann_ivf_recall")
     assert(r >= 0.4, s"IVF mean recall $r below the 0.4 floor (nProbe 2 of 8 lists)")
   }
+
+  test("ext62 IVF-PQ mean recall@5 is at least plain IVF's floor (same lists, + exact refine)") {
+    // PQ prunes candidates the same lists give IVF, and the refine stage
+    // re-ranks exactly — so its recall can't collapse below the IVF floor
+    val r = meanRecall("ext62_ann_ivfpq_recall")
+    assert(r >= 0.4, s"IVF-PQ mean recall $r below the 0.4 floor (nProbe 2 of 8 lists, refine 4k)")
+  }
 }
