@@ -335,19 +335,29 @@ object Dedup {
   def semDedup(
       df: DataFrame, vecCol: String, idCol: String, k: Int,
       threshold: Double, iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val cents = Similarity.kmeansDistributed(df, idCol, vecCol, k, iters, seed)
-      .select(col("list").as("cluster"), col("centroid"))
-      .withColumn("cc", VectorFunctions.dot(col("centroid"), col("centroid")))
-    val v = df.filter(col(vecCol).isNotNull)
+    val (cents, _) = Similarity.kmeansCentroids(df, idCol, vecCol, k, iters, seed)
+    // map-side argmin against the driver-held k×dim matrix (same tie rule
+    // as training: lowest cluster id wins) — assignment costs ZERO
+    // shuffles at any corpus size
+    val assignUdf = udf((vv: Seq[Double]) => {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < cents(c).length) { val d = cents(c)(i) - vv(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    })
+    // localCheckpoint: the assignment frame feeds BOTH pair-join sides and
+    // the final accounting join — one materialization instead of three
+    // scan+assign passes. Same discipline as the Lloyd's loop's cache.
+    val assigned = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm2(col("v")))
       .filter(col("nrm") > 0)
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("d", col("nrm") * col("nrm") + col("cc") -
-        lit(2.0) * VectorFunctions.dot(col("v"), col("centroid")))
-      .groupBy("id")
-      .agg(min(struct(col("d"), col("cluster"))).getField("cluster").as("cluster"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .withColumn("cluster", assignUdf(col("v")))
+      .localCheckpoint()
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),

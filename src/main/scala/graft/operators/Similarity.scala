@@ -349,27 +349,80 @@ object Similarity {
       .withColumn("centroid_norm", round(norm2(col("centroid")), 6))
   }
 
-  /** Fully DISTRIBUTED Lloyd's k-means over the whole corpus — the scale
-    * path when even a quantizer sample shouldn't route through the driver
-    * ([[ivfTopK]]'s bounded-sample trainer is the low-latency path; this is
-    * the quality path for IVF list maintenance at corpus scale, and the
-    * iterative-DataFrame pattern ML libraries wrap). Per iteration:
-    * ASSIGN = corpus × broadcast(k centroids) with the codegen'd dot
-    * (|v−c|² = vv + cc − 2·v·c; the k·dim broadcast never grows with the
-    * corpus) reduced by a deterministic struct-min (ties → lowest list id);
-    * UPDATE = the [[classCentroids]] posexplode aggregation. Nothing
-    * corpus-sized ever touches the driver; `iters` is fixed so the job
-    * graph is deterministic (no convergence action); component means round
-    * to 6 dp each round, which also pins cross-run float stability. An
-    * emptied cluster keeps its previous centroid (n_vecs 0) instead of
-    * vanishing.
+  /** Fully DISTRIBUTED Lloyd's k-means over the whole corpus — every
+    * iteration sees ALL vectors (no quantizer sample; [[ivfTopK]]'s
+    * bounded-sample trainer is the low-latency path, this is the quality
+    * path for IVF list maintenance at corpus scale). The iteration state is
+    * the k×dim centroid matrix, held on the driver between rounds — bounded
+    * by the quantizer size, never by the corpus (the same contract as Spark
+    * MLlib's KMeans). Per iteration:
+    * ASSIGN = map-side argmin against the closure-shipped centroid matrix —
+    * ZERO shuffle (ties → lowest list id); UPDATE = the constant-buffer
+    * [[VecSumBuf]] aggregator (element-wise vector sums, O(dim) state per
+    * list), ONE partial-merge shuffle whose volume is tasks × k buffers,
+    * then a k-row collect to rebuild the matrix.
+    * Nothing corpus-sized ever touches the driver or the network — the
+    * previous formulation shuffled every VECTOR once per iteration
+    * (crossJoin + per-id reduce), which is the 100-TB bottleneck this
+    * shape removes. `iters` is fixed so the job graph is deterministic (no
+    * convergence action); component means round to 6 dp each round, which
+    * also pins cross-run float stability. An emptied cluster keeps its
+    * previous centroid (n_vecs 0) instead of vanishing.
     *
-    * Init: the k distinct-hash vectors with the smallest seeded id-hash —
-    * unbiased and partition-layout-independent, same rationale as
-    * ivfTopK's sample. Output: (list, n_vecs, centroid: array<double>).
+    * Init: the k vectors with the smallest seeded id-hash — unbiased and
+    * partition-layout-independent, same rationale as ivfTopK's sample.
+    * Output: (list, n_vecs, centroid: array<double>).
     */
   def kmeansDistributed(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val (cents, counts) = kmeansCentroids(corpus, idCol, vecCol, k, iters, seed)
+    val rows = cents.indices.map(i => (i, counts(i), cents(i).toSeq))
+    spark.createDataFrame(rows).toDF("list", "n_vecs", "centroid")
+  }
+
+  /** Constant-size buffer for the per-list vector sum: (row count,
+    * element-wise sum). O(dim) state per list regardless of input size, so
+    * Spark runs it with partial aggregation — the Lloyd's update shuffle
+    * moves at most k buffers per partition. Input elements are boxed
+    * ([[graft.operators.Pca.GramBuf]]'s convention): a NULL element
+    * contributes 0 to its position but the row still counts, matching the
+    * old posexplode+sum/count formulation.
+    */
+  final case class VecSumBuf(var n: Long, var s: Array[Double])
+
+  private def vecSumUdaf = udaf(
+    new org.apache.spark.sql.expressions.Aggregator[Seq[java.lang.Double], VecSumBuf, VecSumBuf] {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      override def zero: VecSumBuf = VecSumBuf(0L, Array.empty)
+      override def reduce(b: VecSumBuf, v: Seq[java.lang.Double]): VecSumBuf = {
+        if (v == null) return b
+        if (b.s.length == 0) b.s = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { val x = v(i); if (x != null) b.s(i) += x; i += 1 }
+        b.n += 1; b
+      }
+      override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf = {
+        if (a.s.length == 0) b
+        else if (b.s.length == 0) a
+        else {
+          var i = 0
+          while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+          a.n += b.n; a
+        }
+      }
+      override def finish(b: VecSumBuf): VecSumBuf = b
+      override def bufferEncoder: Encoder[VecSumBuf] = Encoders.product[VecSumBuf]
+      override def outputEncoder: Encoder[VecSumBuf] = Encoders.product[VecSumBuf]
+    })
+
+  /** [[kmeansDistributed]]'s engine, returning the centroid matrix + final
+    * per-list counts as driver arrays — the form consumers that assign
+    * map-side ([[graft.operators.Dedup.semDedup]]) want directly.
+    */
+  private[graft] def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seed: Long): (Array[Array[Double]], Array[Long]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // cache the prepared vector frame: every iteration (and the init scan)
@@ -379,39 +432,47 @@ object Similarity {
     // still beat a source re-scan per iteration.
     val v = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__vid"), toDouble(col(vecCol)).as("v"))
-      .withColumn("vv", dot(col("v"), col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val initW = Window.orderBy("__h") // k rows — single tiny partition
-    var cents = v
-      .select(xxhash64(lit(seed), col("__vid")).as("__h"), col("v").as("centroid"))
+    var cents: Array[Array[Double]] = v
+      .select(xxhash64(lit(seed), col("__vid")).as("__h"), col("v"))
       .orderBy("__h").limit(k)
-      .withColumn("list", row_number().over(initW).cast("int") - 1)
-      .select("list", "centroid")
-      .localCheckpoint()
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, "kmeansDistributed: empty corpus")
+    var counts = new Array[Long](cents.length)
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     for (_ <- 1 to iters) {
-      val c = cents.withColumn("cc", dot(col("centroid"), col("centroid")))
-      val assigned = v.crossJoin(broadcast(c))
-        .withColumn("d", col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("centroid")))
-        .groupBy("__vid")
-        .agg(min(struct(col("d"), col("list"))).getField("list").as("list"),
-          first(col("v")).as("v"))
-      val updated = classCentroids(assigned, "v", "list")
-        .select(col("label").as("list"), col("n_vecs"), col("centroid"))
-      // left join against the PREVIOUS round: an emptied list keeps its
-      // centroid instead of disappearing from the quantizer
-      val next = cents.select(col("list"), col("centroid").as("__old"))
-        .join(updated, Seq("list"), "left")
-        .select(col("list"),
-          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
-          coalesce(col("centroid"), col("__old")).as("centroid"))
-        .localCheckpoint() // eager: materialized before the old blocks go
-      cents.unpersist()
+      val cs = cents // stable capture for the task closure (k×dim doubles)
+      val assign = udf((vv: Seq[Double]) => {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var i = 0
+          while (i < cs(c).length) { val d = cs(c)(i) - vv(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c } // strict <: ties keep lowest list
+          c += 1
+        }
+        best
+      })
+      val sums = v
+        .select(assign(col("v")).as("list"), col("v"))
+        .groupBy("list")
+        .agg(vecSumUdaf(col("v")).as("r"))
+        .select(col("list"), col("r.n").as("n"), col("r.s").as("s"))
+        .collect()
+      val next = cents.map(_.clone()) // emptied lists keep their centroid
+      val cnt = new Array[Long](cents.length)
+      sums.foreach { r =>
+        val list = r.getInt(0)
+        val n = r.getLong(1)
+        val s = r.getSeq[Double](2)
+        cnt(list) = n
+        if (n > 0) next(list) = Array.tabulate(s.length)(i => round6(s(i) / n))
+      }
       cents = next
+      counts = cnt
     }
-    // the final centroid frame is checkpointed, so the cache is safe to
-    // release — consumers (assignment passes) re-derive their own frames
     v.unpersist()
-    cents.select("list", "n_vecs", "centroid")
+    (cents, counts)
   }
 
   /** Per-query recall of an approximate top-k result against the exact one:
