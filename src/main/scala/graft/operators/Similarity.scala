@@ -391,7 +391,7 @@ object Similarity {
     */
   final case class VecSumBuf(var n: Long, var s: Array[Double])
 
-  private def vecSumUdaf = udaf(
+  private[graft] def vecSumUdaf = udaf(
     new org.apache.spark.sql.expressions.Aggregator[Seq[java.lang.Double], VecSumBuf, VecSumBuf] {
       import org.apache.spark.sql.{Encoder, Encoders}
       override def zero: VecSumBuf = VecSumBuf(0L, Array.empty)

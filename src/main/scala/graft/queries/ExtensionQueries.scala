@@ -1703,6 +1703,28 @@ object ExtensionQueries {
       },
       None, bench = false),
 
+    // ------------------------------------------------------------- EXT63
+    // In-engine quality-classifier training (the GPT-3/CCNet pipeline
+    // step): logistic regression on the EXT5 quality features, trained by
+    // distributed full-batch GD — driver-held d+1 weight vector, one
+    // constant-buffer gradient agg per round (kmeansDistributed's
+    // iteration contract). Label: lang = 'en' (the CCNet target-vs-rest
+    // framing); output is the per-source calibration audit. Rows-only
+    // (float gradient sums); convergence/separability pinned by
+    // QualityClassifierSpec.
+    QueryDef(
+      "ext63_quality_classifier",
+      (s, dir) => {
+        val feats = TextFunctions.qualityFeatures(col("text"))
+        val prepared = Tables.documents(s, dir).select(
+          (col("source") :: col("lang") :: feats.map { case (n, c) => c.as(n) }.toList): _*)
+          .withColumn("is_en", (col("lang") === "en").cast("int"))
+        graft.operators.QualityClassifier.scoreAudit(prepared,
+          Seq("n_tokens", "avg_token_len", "stopword_ratio", "distinct_ratio"),
+          "is_en", "source")
+      },
+      None),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

@@ -1120,6 +1120,44 @@ object RelationalQueries {
         FROM m
       """)),
 
+    // ---------------------------------------------------------------- q41
+    // NATIVE unpivot (wide → long): q30 covers the conditional-agg
+    // formulation; this exercises Spark's melt/Expand operator itself —
+    // the Expand emits |measures| rows per input row map-side (no shuffle
+    // until the downstream agg, whose partials collapse the 4× expansion
+    // back to |groups| before the exchange). Decimal-exact sums, min/max
+    // order-independent, avg derived from the exact sum.
+    QueryDef(
+      "q41_unpivot",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        li.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "measure", "val")
+          .groupBy("l_returnflag", "measure")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("val").cast("decimal(18,6)")).cast("double"), 6).as("total"),
+            round(sum(col("val").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_val"),
+            round(min(col("val")), 6).as("min_val"),
+            round(max(col("val")), 6).as("max_val"))
+      },
+      Some("""
+        SELECT l_returnflag, measure,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE), 6) AS total,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_val,
+               ROUND(MIN(val), 6) AS min_val,
+               ROUND(MAX(val), 6) AS max_val
+        FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+                       FROM lineitem)
+              ON l_quantity, l_extendedprice, l_discount, l_tax
+              INTO NAME measure VALUE val)
+        GROUP BY l_returnflag, measure
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the
