@@ -475,6 +475,76 @@ object Similarity {
     (cents, counts)
   }
 
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) — the retrieval-augmentation step that keeps a
+    * few-shot/RAG candidate set from being k copies of the same document:
+    * greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s).
+    *
+    * Scale shape: the greedy loop is inherently sequential per query, so it
+    * runs ONLY over the bounded `poolK` relevance pool ([[bruteForceTopK]]
+    * supplies it; swap in an ANN pool at scale) — one broadcast-sized join
+    * back to the raw vectors, one collect_list bounded by poolK, and a
+    * per-query UDF doing O(poolK·k·dim) work. Candidates are sorted by id
+    * inside the UDF so the result is independent of collect_list order;
+    * score ties pick the lower neighbor id. Output: (query_id,
+    * neighbor_id, mmr_score, rank). Rows-only at the gate (float greedy);
+    * the λ=1 ≡ relevance-order invariant and a constructed diversity case
+    * are pinned in SimilaritySpec.
+    */
+  def mmrDiversify(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      poolK: Int = 20, lambda: Double = 0.5): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
+    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolK)
+    val raw = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
+      .withColumn("nv", transform(col("cv"), x => x / col("cn")))
+    val cand = broadcast(pool).join(raw, Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id"), col("sim"), col("nv"))).as("cand"))
+    val mmr = udf((cs: Seq[org.apache.spark.sql.Row]) => {
+      val ordered = cs.sortBy(_.getLong(0)) // collect_list order is arbitrary
+      val n = ordered.length
+      val ids = Array.tabulate(n)(i => ordered(i).getLong(0))
+      val rel = Array.tabulate(n)(i => ordered(i).getDouble(1))
+      val nvs = Array.tabulate(n)(i => ordered(i).getSeq[Double](2).toArray)
+      val picked = new Array[Boolean](n)
+      val maxSim = new Array[Double](n) // max cosine to any picked result
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+      var r = 1
+      while (r <= math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val s = lambda * rel(i) - (1.0 - lambda) * maxSim(i)
+            if (s > bestScore) { bestScore = s; best = i } // scan order = id asc ties
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((ids(best), bestScore, r.toLong))
+        val pv = nvs(best)
+        i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            var d = 0.0; var j = 0
+            while (j < pv.length) { d += pv(j) * nvs(i)(j); j += 1 }
+            if (d > maxSim(i)) maxSim(i) = d
+          }
+          i += 1
+        }
+        r += 1
+      }
+      out.toSeq
+    })
+    cand.select(col("query_id"), explode(mmr(col("cand"))).as("r"))
+      .select(col("query_id"), col("r._1").as("neighbor_id"),
+        round(col("r._2"), 6).as("mmr_score"), col("r._3").as("rank"))
+  }
+
   /** Per-query recall of an approximate top-k result against the exact one:
     * |approx ∩ exact| / |exact| on (query_id, neighbor_id) pairs. Output:
     * (query_id, expected, hits, recall) — one row per query present in the

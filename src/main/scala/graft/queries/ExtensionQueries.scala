@@ -1725,6 +1725,22 @@ object ExtensionQueries {
       },
       None),
 
+    // ------------------------------------------------------------- EXT64
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): top-5 per
+    // query re-ranked from a 20-deep relevance pool at λ=0.5 — the RAG/
+    // few-shot selection step that trades raw similarity for coverage.
+    // The greedy loop only ever sees the bounded pool; rows-only (float
+    // greedy), λ-invariants pinned in SimilaritySpec.
+    QueryDef(
+      "ext64_mmr_diversify",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.mmrDiversify(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+          k = 5, poolK = 20, lambda = 0.5)
+      },
+      None),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

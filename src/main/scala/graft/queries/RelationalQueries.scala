@@ -1158,6 +1158,40 @@ object RelationalQueries {
         GROUP BY l_returnflag, measure
       """)),
 
+    // ---------------------------------------------------------------- q42
+    // Gap-filling (LOCF + backfill) via IGNORE NULLS window functions —
+    // the time-series repair surface the frame battery (q23) doesn't
+    // touch: error events null their reading, forward-fill carries the
+    // last good value, backfill the next good one. One window shuffle on
+    // user_id serves both directions (same partitioning, mirrored
+    // frames); (ts_us, event_id) ordering is collision-free.
+    QueryDef(
+      "q42_gap_fill",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val ffillW = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bfillW = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            when(col("event_type") === "error", lit(null).cast("double"))
+              .otherwise(round(col("value"), 6)).as("v"))
+          .select(col("user_id"), col("event_id"), col("v"),
+            round(last(col("v"), ignoreNulls = true).over(ffillW), 6).as("ffill"),
+            round(first(col("v"), ignoreNulls = true).over(bfillW), 6).as("bfill"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE ROUND(value, 6) END AS v
+          FROM events)
+        SELECT user_id, event_id, v,
+               ROUND(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill,
+               ROUND(first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS bfill
+        FROM e
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the

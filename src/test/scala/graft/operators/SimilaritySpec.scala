@@ -115,6 +115,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("mmrDiversify at lambda = 1 reproduces the pure relevance order") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val mmr = Similarity.mmrDiversify(vecs, vecs, "vec_id", "embedding",
+      k = 3, poolK = 4, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(mmr == bf)
+  }
+
+  test("mmrDiversify displaces a near-duplicate of the first pick in favor of a diverse result") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.0f)),      // query + top relevance
+      (1L, Seq(0.999f, 0.02f)),   // near-duplicate of 0
+      (2L, Seq(0.707f, 0.707f)),  // diverse, still relevant
+      (3L, Seq(0.0f, 1.0f)))      // orthogonal
+      .toDF("vec_id", "embedding")
+    val q = docs.filter(col("vec_id") === 0)
+    // pure relevance puts the duplicate second...
+    val rel = Similarity.bruteForceTopK(q, docs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(1L, 2L))
+    // ...MMR at lambda = 0.4 keeps the top hit but swaps the redundant
+    // region for the most diverse candidate (score_3 = -0.6*cos(3,1) ≈
+    // -0.012 beats score_2 = 0.4*0.707 - 0.6*0.721 ≈ -0.150)
+    val mmr = Similarity.mmrDiversify(q, docs, "vec_id", "embedding",
+      k = 2, poolK = 3, lambda = 0.4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(mmr == Seq(1L, 3L))
+  }
+
+  test("mmrDiversify output is a subset of the pool with contiguous ranks") {
+    val res = Similarity.mmrDiversify(vecs, vecs, "vec_id", "embedding",
+      k = 3, poolK = 4, lambda = 0.5).collect()
+    val pool = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    res.foreach(r => assert(pool.contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("ivfPqTopK rejects a dimension not divisible by m") {
     val e = intercept[IllegalArgumentException] {
       Similarity.ivfPqTopK(vecs, vecs, "vec_id", "embedding", k = 2,
