@@ -32,11 +32,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // ext52: the totals side of the bucket-ratio table is a 1-row aggregate
     // (the ratio table itself is ≤1024 rows and joins equi — see Dsir)
     "ext52_dsir_weights",
-    // ext54: assignment cross-joins the k-row centroid table (broadcast by
-    // construction); the pair stage itself is equi on the cluster id
-    "ext54_semdedup",
     // ext55: ext02's broadcast query set × the gated corpus
-    "ext55_curated_knn")
+    "ext55_curated_knn",
+    // ext60/ext64: ext02's broadcast query set × corpus contract (MMR's
+    // pool comes from bruteForceTopK; everything downstream is equi or
+    // bounded by poolK); ext62: the recall harness's exact side is
+    // bruteForceTopK — the IVF-PQ side itself joins equi on list/id
+    "ext60_hard_negatives", "ext64_mmr_diversify", "ext62_ann_ivfpq_recall")
 
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>
