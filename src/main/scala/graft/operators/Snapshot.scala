@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diffing — the delivery-versioning audit between two
+  * crawls/exports of the same collection: which documents were added,
+  * removed, changed, or untouched. The scale contract mirrors
+  * [[Dedup.incrementalExact]] (EXT47): each side contributes its id and a
+  * 16-byte content digest computed map-side — the full text never crosses
+  * the join, so the shuffle is O(rows × digest), and the join itself is a
+  * plain equi full-outer on the id.
+  */
+object Snapshot {
+
+  /** Per-id diff row: (id, group, status ∈ added|removed|changed|unchanged)
+    * where `group` carries `groupCol` from whichever side has the row.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, contentCol: String, groupCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      md5(col(contentCol)).as("old_digest"), col(groupCol).as("old_g"))
+    val n = newDf.select(col(idCol).as("id"),
+      md5(col(contentCol)).as("new_digest"), col(groupCol).as("new_g"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("new_g"), col("old_g")).as("group"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** The audit table: counts per (group, status). */
+  def diffSummary(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, contentCol: String, groupCol: String): DataFrame =
+    diff(oldDf, newDf, idCol, contentCol, groupCol)
+      .groupBy(col("group").as(groupCol), col("status"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1741,6 +1741,55 @@ object ExtensionQueries {
       },
       None),
 
+    // ------------------------------------------------------------- EXT65
+    // Z-order (Morton) write layout on (l_partkey, l_suppkey): the
+    // lakehouse clustering step that makes min/max file skipping work on
+    // BOTH predicate columns — codegen'd bit-interleave key, one stats
+    // pass, repartitionByRange + sortWithinPartitions. The entry emits the
+    // layout-quality audit (per-partition span fractions — the "how many
+    // files does a predicate read" dial). Rows-only (range boundaries are
+    // engine-specific); the interleave golden values and the
+    // narrow-in-both-dims locality property are pinned by LayoutSpec.
+    QueryDef(
+      "ext65_zorder_layout",
+      (s, dir) => graft.operators.Layout.zorderAudit(
+        Tables.lineitem(s, dir), "l_partkey", "l_suppkey", nParts = 16),
+      None),
+
+    // ------------------------------------------------------------- EXT66
+    // Snapshot diff (delivery versioning): old = doc_id < 400, new =
+    // doc_id ≥ 100 with every 7th doc's text revised — added / removed /
+    // changed / unchanged counts per source. Digests are computed
+    // map-side; only (id, 16-byte digest) crosses the full-outer equi
+    // join (EXT47's scale contract applied to two-sided reconciliation).
+    QueryDef(
+      "ext66_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val prev = docs.filter(col("doc_id") < 400)
+        val next = docs.filter(col("doc_id") >= 100)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        graft.operators.Snapshot.diffSummary(prev, next, "doc_id", "text", "source")
+      },
+      Some("""
+        WITH o AS (SELECT doc_id, md5(text) AS od, source AS og
+                   FROM documents WHERE doc_id < 400),
+        n AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nd,
+                source AS ng
+              FROM documents WHERE doc_id >= 100),
+        d AS (SELECT COALESCE(n.ng, o.og) AS source,
+                CASE WHEN o.od IS NULL THEN 'added'
+                     WHEN n.nd IS NULL THEN 'removed'
+                     WHEN o.od <> n.nd THEN 'changed'
+                     ELSE 'unchanged' END AS status
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY source, status
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SnapshotSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private val prev = Seq(
+    (1L, "alpha", "a"), (2L, "beta", "a"), (3L, "gamma", "b"))
+    .toDF("id", "text", "src")
+  private val next = Seq(
+    (2L, "beta", "a"), (3L, "gamma REVISED", "b"), (4L, "delta", "b"))
+    .toDF("id", "text", "src")
+
+  test("diff classifies added / removed / changed / unchanged") {
+    val d = Snapshot.diff(prev, next, "id", "text", "src")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("diff carries the group from whichever side has the row") {
+    val d = Snapshot.diff(prev, next, "id", "text", "src")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d(1L) == "a") // removed: only the old side knows it
+    assert(d(4L) == "b") // added: only the new side
+  }
+
+  test("diffSummary counts per (group, status)") {
+    val s = Snapshot.diffSummary(prev, next, "id", "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(s == Map(
+      ("a", "removed") -> 1L, ("a", "unchanged") -> 1L,
+      ("b", "changed") -> 1L, ("b", "added") -> 1L))
+  }
+}
