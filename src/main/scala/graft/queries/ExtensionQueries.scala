@@ -1790,6 +1790,32 @@ object ExtensionQueries {
         FROM d GROUP BY source, status
       """)),
 
+    // ------------------------------------------------------------- EXT67
+    // MinHash estimator accuracy made driver-visible (the sketch-quality
+    // sibling of the ANN recall entries ext16/17/62): every LSH candidate
+    // pair's estimated Jaccard next to the EXACT shingle-set Jaccard of
+    // the same pair, plus the absolute error. Rows-only (the candidate
+    // set is sketch-dependent); the mean-error floor is pinned in
+    // ApproxSpec.
+    QueryDef(
+      "ext67_minhash_accuracy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minHashLsh(docs, "text", "doc_id")
+        val sh = docs.select(col("doc_id"),
+          TextFunctions.wordShingleSetFast(col("text"), 3).as("sh"))
+        val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+        val union = size(col("sh_a")) + size(col("sh_b")) - inter
+        pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("exact_jaccard",
+            when(union === 0, 1.0).otherwise(round(inter.cast("double") / union, 6)))
+          .select(col("id_a"), col("id_b"), col("est_jaccard"), col("exact_jaccard"),
+            round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
+      },
+      None, bench = false),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

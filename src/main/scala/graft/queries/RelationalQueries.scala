@@ -1192,6 +1192,74 @@ object RelationalQueries {
         FROM e
       """)),
 
+    // ---------------------------------------------------------------- q43
+    // TPC-H Q18 shape (large-volume orders): HAVING-filtered fact
+    // aggregate joined back to facts + a broadcast dim. The decimal-exact
+    // quantity sum gates BEFORE the joins, so the order join only sees the
+    // surviving keys (Catalyst pushes the aggregate below the join — at
+    // 100 TB the big-orders side is a small fraction of lineitem).
+    QueryDef(
+      "q43_big_orders",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+      },
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      """)),
+
+    // ---------------------------------------------------------------- q44
+    // TPC-H Q21 shape (suppliers who kept orders waiting): one correlated
+    // EXISTS + one correlated NOT EXISTS over the same derived "late"
+    // relation — the hardest decorrelation pattern in the TPC-H set
+    // (Catalyst rewrites to a semi join + an anti join on l_orderkey with
+    // the <> residual). "Late" = shipped more than 90 days after the
+    // order date (this schema has no receipt/commit dates).
+    QueryDef(
+      "q44_waiting_suppliers",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q44")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_q44")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_q44")
+        s.sql("""
+          WITH l1 AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                      FROM lineitem_q44 JOIN orders_q44 ON l_orderkey = o_orderkey),
+          late AS (SELECT * FROM l1 WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+          FROM late l JOIN supplier_q44 s ON s.s_suppkey = l.l_suppkey
+          WHERE EXISTS (SELECT 1 FROM lineitem_q44 l2
+                        WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late l3
+                            WHERE l3.l_orderkey = l.l_orderkey AND l3.l_suppkey <> l.l_suppkey)
+          GROUP BY s_name
+        """)
+      },
+      Some("""
+        WITH l1 AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        late AS (SELECT * FROM l1 WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l.l_orderkey AND l3.l_suppkey <> l.l_suppkey)
+        GROUP BY s_name
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the

@@ -72,6 +72,20 @@ class ApproxSpec extends AnyFunSuite with SparkTestSession {
     assert(r >= 0.4, s"IVF mean recall $r below the 0.4 floor (nProbe 2 of 8 lists)")
   }
 
+  test("ext67 minhash estimates track exact shingle Jaccard within the 64-perm envelope") {
+    val rows = run("ext67_minhash_accuracy").collect()
+    assert(rows.nonEmpty, "LSH produced no candidate pairs at the gate SF")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    // 64 permutations → σ ≈ sqrt(J(1-J)/64) ≤ 0.0625; mean |err| across
+    // pairs sits well under 2σ unless the estimator or the exact side is
+    // broken (shingle-universe mismatch shows up here immediately)
+    assert(meanErr <= 0.12, s"mean |est - exact| = $meanErr exceeds the envelope")
+  }
+
   test("ext62 IVF-PQ mean recall@5 is at least plain IVF's floor (same lists, + exact refine)") {
     // PQ prunes candidates the same lists give IVF, and the refine stage
     // re-ranks exactly — so its recall can't collapse below the IVF floor
