@@ -257,6 +257,25 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q43 aggregates lineitem BEFORE the order join and broadcasts customer") {
+    val p = plan("q43_big_orders")
+    assert(p.contains("BroadcastHashJoin"))
+    // partial+final agg pair must sit below the joins (the HAVING gate
+    // shrinks the fact side first); a plan that joined raw lineitem to
+    // orders before aggregating would show the join above a plain scan
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      "expected the quantity aggregate below the joins")
+  }
+
+  test("q44 decorrelates EXISTS/NOT EXISTS into semi + anti joins — never a nested loop") {
+    val p = plan("q44_waiting_suppliers")
+    assert(p.contains("LeftSemi"), "correlated EXISTS must become a semi join")
+    assert(p.contains("LeftAnti"), "correlated NOT EXISTS must become an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
@@ -269,6 +288,9 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(plan("q32_shipping_priority", "/root/testdata/sf0.01").contains("BroadcastHashJoin"))
     assert("BroadcastHashJoin".r
       .findAllIn(plan("q33_local_volume", "/root/testdata/sf0.01")).size >= 2)
+    val p44 = plan("q44_waiting_suppliers", "/root/testdata/sf0.01")
+    assert(p44.contains("LeftSemi") && p44.contains("LeftAnti") &&
+      !p44.contains("BroadcastNestedLoopJoin"))
   }
 
   test("results table prunes (camera_id, day) partitions on point reads") {
