@@ -310,6 +310,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Edit-distance near-dup pairs on a caller-bounded candidate set — the
+    * character-level fuzzy-dedup verify stage (catches OCR noise and
+    * small in-place edits that token-set Jaccard under-weights). Two
+    * principled prunes before the O(len²) DP: the length band
+    * (|len_a − len_b| ≤ maxDist is a true lower bound of edit distance, so
+    * it never drops a qualifying pair) and Spark's thresholded
+    * `levenshtein(l, r, maxDist)` (early-exits the DP and returns −1 past
+    * the bound). Same caller-bounds-the-input contract as
+    * [[jaccardPairs]]: banding/LSH bounds candidates upstream at scale.
+    * Output: (doc_a, doc_b, dist ≤ maxDist).
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).as("len"))
+    val a = t.select(col("id").as("doc_a"), col("t").as("t_a"), col("len").as("len_a"))
+    val b = t.select(col("id").as("doc_b"), col("t").as("t_b"), col("len").as("len_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     * k-means cluster the embeddings, then prune near-identical vectors
     * WITHIN each cluster only. The clustering is what makes semantic dedup

@@ -1816,6 +1816,58 @@ object ExtensionQueries {
       },
       None, bench = false),
 
+    // ------------------------------------------------------------- EXT68
+    // FIM (fill-in-the-middle) training splits, Bavarian et al. 2022:
+    // deterministic md5-derived cut points → (prefix, middle, suffix)
+    // lengths + PSM/SPM mode + the middle's digest. Map-side only, zero
+    // shuffles; oracle-checked END TO END including the substring digest
+    // (the split must be byte-identical on any engine or infilling
+    // corpora drift between pipeline runs).
+    QueryDef(
+      "ext68_fim_split",
+      (s, dir) => graft.operators.Fim.split(
+        Tables.documents(s, dir), "text", "doc_id"),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n, text,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|fim-c1'), 1, 6)) AS BIGINT) % 1000 AS b1,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|fim-c2'), 1, 6)) AS BIGINT) % 1000 AS b2,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|fim-m'), 1, 6)) AS BIGINT) % 1000 AS bm
+          FROM documents),
+        c AS (
+          SELECT doc_id, n, text, bm,
+            CAST(FLOOR(CAST(n AS DOUBLE) * CAST(b1 AS DOUBLE) / 1000.0) AS BIGINT) AS c1,
+            CAST(FLOOR(CAST(n AS DOUBLE) * CAST(b2 AS DOUBLE) / 1000.0) AS BIGINT) AS c2
+          FROM b),
+        d AS (
+          SELECT doc_id, n, text, bm,
+            LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+          FROM c)
+        SELECT doc_id,
+               CASE WHEN bm < 500 THEN 'spm' ELSE 'psm' END AS fim_mode,
+               lo AS p_len, hi - lo AS m_len, n - hi AS s_len,
+               md5(substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))) AS middle_md5
+        FROM d
+      """)),
+
+    // ------------------------------------------------------------- EXT69
+    // Edit-distance fuzzy dedup (bounded verify stage): all doc_id < 60
+    // pairs within levenshtein 150 — length-band prune (a true lower
+    // bound, never drops a qualifying pair) + thresholded early-exit DP.
+    // Oracle-checked: both engines implement unit-cost Levenshtein.
+    QueryDef(
+      "ext69_edit_distance",
+      (s, dir) => Dedup.editDistancePairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 60),
+        "text", "doc_id", maxDist = 150),
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM d a, d b
+        WHERE a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 150
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

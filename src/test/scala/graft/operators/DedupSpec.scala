@@ -21,6 +21,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // dup of 1
   ).toDF("doc_id", "text")
 
+  test("editDistancePairs: golden distances, threshold excludes, exact dups at 0") {
+    val d = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "zzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val at3 = Dedup.editDistancePairs(d, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(at3 == Set((1L, 2L, 3L), (1L, 3L, 0L), (2L, 3L, 3L)))
+    val at2 = Dedup.editDistancePairs(d, "text", "doc_id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at2 == Set((1L, 3L))) // kitten↔sitting (3) now excluded
+  }
+
+  test("editDistancePairs: the length band is a true lower bound (never drops a qualifying pair)") {
+    // len diff 4 with maxDist 4: the band keeps it, and the DP confirms 4
+    val d = Seq((1L, "abcd"), (2L, "abcdwxyz")).toDF("doc_id", "text")
+    val r = Dedup.editDistancePairs(d, "text", "doc_id", maxDist = 4).collect()
+    assert(r.length == 1 && r(0).getLong(2) == 4L)
+    // and at maxDist 3 the band alone prunes it before any DP runs
+    assert(Dedup.editDistancePairs(d, "text", "doc_id", maxDist = 3).isEmpty)
+  }
+
   test("exact dedup keeps the smallest id per distinct text") {
     val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .as[Long].collect().sorted

@@ -38,7 +38,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // pool comes from bruteForceTopK; everything downstream is equi or
     // bounded by poolK); ext62: the recall harness's exact side is
     // bruteForceTopK — the IVF-PQ side itself joins equi on list/id
-    "ext60_hard_negatives", "ext64_mmr_diversify", "ext62_ann_ivfpq_recall")
+    "ext60_hard_negatives", "ext64_mmr_diversify", "ext62_ann_ivfpq_recall",
+    // ext69: the edit-distance verify stage — caller-bounded all-pairs by
+    // contract (the same adjudication as ext03/ext18)
+    "ext69_edit_distance")
 
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>
