@@ -1868,6 +1868,71 @@ object ExtensionQueries {
         WHERE a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 150
       """)),
 
+    // ------------------------------------------------------------- EXT70
+    // DoReMi-lite domain reweighting (Xie et al. 2023 restated without the
+    // proxy-model loop): per-source mean LM score (EXT44's reference-slice
+    // trigram LM as the proxy loss), excess over the corpus mean, and
+    // softmax(η·excess) mixture weights — upweight domains the reference
+    // models poorly. Per-doc scores are 6-dp-rounded, so the per-source
+    // sums run in EXACT decimal (order-independent); the exp/normalize
+    // chain is identical on both engines (ext35's ln/division precedent).
+    // Two 1-row cross joins (corpus totals, weight normalizer).
+    QueryDef(
+      "ext70_doremi_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scores = graft.operators.NgramLm.score(
+          docs, docs.filter(col("doc_id") < 250), "text", "doc_id", n = 3)
+        val bySrc = scores
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("logprob").cast("decimal(18,6)")).as("s"))
+        val tot = bySrc.agg(sum(col("s")).as("ts"), sum(col("n_docs")).as("tn"))
+        val m = bySrc.crossJoin(tot)
+          .withColumn("mean_lm", col("s").cast("double") / col("n_docs"))
+          .withColumn("excess", col("mean_lm") - col("ts").cast("double") / col("tn"))
+          .withColumn("w", exp(col("excess")))
+        val wtot = m.agg(sum(col("w")).as("wsum"))
+        m.crossJoin(wtot)
+          .select(col("source"), col("n_docs"),
+            round(col("mean_lm"), 6).as("mean_lm"),
+            round(col("excess"), 6).as("excess"),
+            round(col("w") / col("wsum"), 6).as("weight"))
+      },
+      Some("""
+        WITH tr AS (SELECT lower(text) AS t FROM documents
+                    WHERE doc_id < 250 AND text IS NOT NULL),
+        tg AS (SELECT unnest(list_transform(range(1, length(t) - 1),
+                      i -> substr(t, CAST(i AS INT), 3))) AS gram
+               FROM tr WHERE length(t) >= 3),
+        c3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_n FROM tg GROUP BY gram),
+        c2 AS (SELECT substr(gram, 1, 2) AS prefix, CAST(SUM(c_n) AS BIGINT) AS c_prefix
+               FROM c3 GROUP BY 1),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c3),
+        dt AS (SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
+                      i -> substr(lower(text), CAST(i AS INT), 3))) AS gram
+               FROM documents WHERE length(lower(text)) >= 3),
+        sc AS (SELECT doc_id, ln((COALESCE(c_n, 0) + 1.0) /
+                                 (COALESCE(c_prefix, 0) + v)) AS lp
+               FROM dt LEFT JOIN c3 USING (gram)
+                       LEFT JOIN c2 ON substr(dt.gram, 1, 2) = c2.prefix, v),
+        doc AS (SELECT doc_id, ROUND(AVG(lp), 6) AS logprob FROM sc GROUP BY doc_id),
+        bysrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         SUM(CAST(logprob AS DECIMAL(18,6))) AS s
+                  FROM doc JOIN documents USING (doc_id) GROUP BY source),
+        tot AS (SELECT SUM(s) AS ts, SUM(n_docs) AS tn FROM bysrc),
+        m AS (SELECT source, n_docs,
+                     CAST(s AS DOUBLE) / n_docs AS mean_lm,
+                     CAST(s AS DOUBLE) / n_docs - CAST(ts AS DOUBLE) / tn AS excess,
+                     exp(CAST(s AS DOUBLE) / n_docs - CAST(ts AS DOUBLE) / tn) AS w
+              FROM bysrc CROSS JOIN tot),
+        wtot AS (SELECT SUM(w) AS wsum FROM m)
+        SELECT source, n_docs, ROUND(mean_lm, 6) AS mean_lm,
+               ROUND(excess, 6) AS excess, ROUND(w / wsum, 6) AS weight
+        FROM m CROSS JOIN wtot
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

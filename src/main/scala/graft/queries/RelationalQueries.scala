@@ -1260,6 +1260,34 @@ object RelationalQueries {
         GROUP BY s_name
       """)),
 
+    // ---------------------------------------------------------------- q45
+    // Snowflake join: the fact chains through THREE nested dimension hops
+    // (supplier → nation → region) — q33 exercises two. All three dims
+    // broadcast, so the fact side never shuffles; the rollup is one
+    // partial/final agg on r_name. Revenue decimal-exact per q01.
+    QueryDef(
+      "q45_snowflake",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)")).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the

@@ -276,6 +276,12 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q45 snowflake broadcasts all three dimension hops — the fact never shuffles") {
+    val p = plan("q45_snowflake")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
