@@ -1288,6 +1288,43 @@ object RelationalQueries {
         GROUP BY r_name
       """)),
 
+    // ---------------------------------------------------------------- q46
+    // RECURSIVE CTE (new engine surface in Spark 4): calendar fill — a
+    // recursively generated day spine left-joined to a sparse daily
+    // aggregate, zero-filling missing days (at sf0.001, 11 of the 30 days
+    // have no qualifying purchase and must still appear). The recursion
+    // is bounded by the literal date range, so the plan is a 30-row local
+    // spine + one broadcast-able join against the aggregated facts.
+    QueryDef(
+      "q46_calendar_fill",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_q46")
+        s.sql("""
+          WITH RECURSIVE days(day) AS (
+            SELECT DATE '2024-01-01'
+            UNION ALL
+            SELECT date_add(day, 1) FROM days WHERE day < DATE '2024-01-30'),
+          p AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+                FROM events_q46 WHERE event_type = 'purchase' AND value > 99 GROUP BY 1)
+          SELECT days.day, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases,
+                 COALESCE(p.rev, 0.0D) AS revenue
+          FROM days LEFT JOIN p ON days.day = p.day
+        """)
+      },
+      Some("""
+        WITH RECURSIVE days(day) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL
+          SELECT day + 1 FROM days WHERE day < DATE '2024-01-30'),
+        p AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+              FROM events WHERE event_type = 'purchase' AND value > 99 GROUP BY 1)
+        SELECT days.day, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases,
+               COALESCE(p.rev, 0.0) AS revenue
+        FROM days LEFT JOIN p ON days.day = p.day
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the

@@ -45,6 +45,15 @@ class StatsBatterySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q46 recursive spine yields all 30 days and zero-fills the empty ones at sf0.001") {
+    val rows = SparkEntry.queries("q46_calendar_fill")(spark, sf).collect()
+    assert(rows.length == 30)
+    val zeros = rows.count(_.getAs[Long]("n_purchases") == 0L)
+    assert(zeros == 11, s"expected 11 empty days at sf0.001, got $zeros")
+    rows.filter(_.getAs[Long]("n_purchases") == 0L)
+      .foreach(r => assert(r.getAs[Double]("revenue") == 0.0))
+  }
+
   test("q40 plan is one scan with a partial/final hash aggregate pair — no extra shuffle") {
     val plan = SparkEntry.queries("q40_stats_battery")(spark, sf)
       .queryExecution.executedPlan.toString
