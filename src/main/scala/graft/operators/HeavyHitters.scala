@@ -52,7 +52,7 @@ object HeavyHitters {
     * +1 cancels against the shared −1). O(k) on each overflowing arrival;
     * with skewed input most arrivals hit an existing counter instead.
     */
-  private def mgReduce(k: Int)(b: MgBuf, item: String): MgBuf = {
+  private[graft] def mgReduce(k: Int)(b: MgBuf, item: String): MgBuf = {
     if (item == null) return b
     val c = b.counters
     c.get(item) match {

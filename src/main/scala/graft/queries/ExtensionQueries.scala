@@ -1933,6 +1933,26 @@ object ExtensionQueries {
         FROM m CROSS JOIN wtot
       """)),
 
+    // ------------------------------------------------------------- EXT71
+    // k-anonymity audit over quasi-identifiers (lang, source, length
+    // bucket) — the privacy gate a corpus release runs before shipping
+    // (EXT31 scrubs direct identifiers; this measures re-identification
+    // risk from the metadata that remains). One hash agg; at_risk groups
+    // are those smaller than k = 5.
+    QueryDef(
+      "ext71_k_anonymity",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("long").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5),
+      Some("""
+        SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n, COUNT(*) < 5 AS at_risk
+        FROM documents GROUP BY 1, 2, 3
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class TrendingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def run(batches: Seq[Seq[(String, String)]], k: Int, topN: Int) = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, String)]
+    val sink = s"trend_${System.nanoTime()}"
+    val q = Trending.trendingTopK(stream.toDF().toDF("g", "item"), "g", "item", k, topN)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(sink).collect()
+  }
+
+  test("counts accumulate across micro-batches and the top item is exact for heavy keys") {
+    val rows = run(Seq(
+      Seq(("click", "a"), ("click", "a"), ("click", "b")),
+      Seq(("click", "a"), ("click", "c"))), k = 8, topN = 2)
+    // last batch's emission reflects the accumulated sketch: a=3 of 5
+    val last = rows.filter(_.getAs[Long]("n_total") == 5L)
+    assert(last.nonEmpty, "expected an emission after the second batch")
+    val top = last.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[String]("item") == "a" && top.getAs[Long]("est_n") == 3L)
+  }
+
+  test("state stays O(k): many distinct items never grow the sketch past k counters") {
+    val items = (1 to 40).map(i => ("t", s"item$i"))
+    val rows = run(Seq(items, Seq(("t", "hot"), ("t", "hot"), ("t", "hot"))), k = 4, topN = 4)
+    // at most k rows emitted per batch (the sketch holds <= k counters)
+    rows.groupBy(_.getAs[Long]("n_total")).foreach { case (_, emitted) =>
+      assert(emitted.length <= 4)
+    }
+    // the heavy late arrival still surfaces at rank 1 (MG's guarantee:
+    // 3 occurrences against undercount n/(k+1) of prior noise)
+    val last = rows.filter(_.getAs[Long]("n_total") == 43L)
+    assert(last.exists(r => r.getAs[Int]("rank") == 1 && r.getAs[String]("item") == "hot"))
+  }
+
+  test("groups keep independent sketches") {
+    val rows = run(Seq(Seq(
+      ("x", "a"), ("x", "a"), ("y", "b"))), k = 4, topN = 1)
+    val byGroup = rows.groupBy(_.getAs[String]("group"))
+    assert(byGroup("x").head.getAs[String]("item") == "a")
+    assert(byGroup("y").head.getAs[String]("item") == "b")
+    assert(byGroup("y").head.getAs[Long]("n_total") == 1L)
+  }
+}
