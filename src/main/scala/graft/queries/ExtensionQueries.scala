@@ -1953,6 +1953,38 @@ object ExtensionQueries {
         FROM documents GROUP BY 1, 2, 3
       """)),
 
+    // ------------------------------------------------------------- EXT72
+    // Next-event-prediction dataset prep: the second-order transition
+    // matrix over per-user event sequences — (prev, current) context →
+    // next-event label counts, the supervised-pair extraction a
+    // behavioral sequence model (or synthetic-data generator) trains on.
+    // One user_id window shuffle builds lag AND lead in the same pass;
+    // the count agg collapses to |types|³ rows map-side first.
+    QueryDef(
+      "ext72_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull && col("next_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("cur_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type AS cur_type,
+                 LAG(event_type) OVER w AS prev_type,
+                 LEAD(event_type) OVER w AS next_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        SELECT prev_type, cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL AND next_type IS NOT NULL
+        GROUP BY 1, 2, 3
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

@@ -1325,6 +1325,39 @@ object RelationalQueries {
         FROM days LEFT JOIN p ON days.day = p.day
       """)),
 
+    // ---------------------------------------------------------------- q47
+    // Null-safe equality join (<=> ≙ IS NOT DISTINCT FROM): both sides
+    // derive a NULLABLE bucket key (readings ≥ 99 are anonymized to NULL),
+    // and the NULL buckets must MATCH each other — the semantics a plain
+    // equi join silently drops. Spark folds EqualNullSafe into the hash
+    // join key (coalesce-wrapped), so this still plans a hash join, not a
+    // nested loop.
+    QueryDef(
+      "q47_null_safe_join",
+      (s, dir) => {
+        def bucketed(eventType: String, outCol: String) =
+          ev(s, dir).filter(col("event_type") === eventType)
+            .select(when(col("value") >= 99, lit(null).cast("long"))
+              .otherwise(floor(col("value") / 10).cast("long")).as("k"))
+            .groupBy("k").agg(count(lit(1)).as(outCol))
+        val p = bucketed("purchase", "n_purchases")
+        val v = bucketed("view", "n_views")
+        p.join(v, p("k") <=> v("k"))
+          .select(p("k").as("bucket"), col("n_purchases"), col("n_views"))
+      },
+      Some("""
+        WITH p AS (SELECT CASE WHEN value >= 99 THEN NULL
+                               ELSE CAST(FLOOR(value / 10) AS BIGINT) END AS k,
+                          CAST(COUNT(*) AS BIGINT) AS n_purchases
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        v AS (SELECT CASE WHEN value >= 99 THEN NULL
+                          ELSE CAST(FLOOR(value / 10) AS BIGINT) END AS k,
+                     CAST(COUNT(*) AS BIGINT) AS n_views
+              FROM events WHERE event_type = 'view' GROUP BY 1)
+        SELECT p.k AS bucket, n_purchases, n_views
+        FROM p JOIN v ON p.k IS NOT DISTINCT FROM v.k
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the
