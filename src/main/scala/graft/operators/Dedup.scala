@@ -378,7 +378,8 @@ object Dedup {
     // localCheckpoint: the assignment frame feeds BOTH pair-join sides and
     // the final accounting join — one materialization instead of three
     // scan+assign passes. Same discipline as the Lloyd's loop's cache.
-    val assigned = df.filter(col(vecCol).isNotNull)
+    val assigned = df
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm2(col("v")))
       .filter(col("nrm") > 0)

@@ -44,23 +44,32 @@ object Layout {
         .cast("long"))
   }
 
-  /** Z-order `df` on two numeric columns: one min/max stats pass, then
-    * repartitionByRange + sortWithinPartitions on the Morton key. This is
-    * the layout a writer would `.write.parquet` — returned with the key
-    * dropped, rows clustered.
-    */
-  def zorder(df: DataFrame, colX: String, colY: String,
-      nParts: Int, bits: Int = 16): DataFrame = {
+  private def rangeStats(df: DataFrame, colX: String, colY: String): (Double, Double, Double, Double) = {
     val s = df.agg(
       min(col(colX).cast("double")), max(col(colX).cast("double")),
       min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
-    val (xLo, xHi, yLo, yHi) = (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
+    (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
+  }
+
+  private def zorderWith(df: DataFrame, colX: String, colY: String,
+      nParts: Int, bits: Int,
+      stats: (Double, Double, Double, Double)): DataFrame = {
+    val (xLo, xHi, yLo, yHi) = stats
     df.withColumn("__zkey",
         interleaveBits(scaled(col(colX), xLo, xHi, bits), scaled(col(colY), yLo, yHi, bits), bits))
       .repartitionByRange(nParts, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
   }
+
+  /** Z-order `df` on two numeric columns: one min/max stats pass, then
+    * repartitionByRange + sortWithinPartitions on the Morton key. This is
+    * the layout a writer would `.write.parquet` — returned with the key
+    * dropped, rows clustered.
+    */
+  def zorder(df: DataFrame, colX: String, colY: String,
+      nParts: Int, bits: Int = 16): DataFrame =
+    zorderWith(df, colX, colY, nParts, bits, rangeStats(df, colX, colY))
 
   /** Layout-quality audit: per partition of the clustered frame, the span
     * of each dimension as a fraction of its global range — the proxy for
@@ -70,12 +79,11 @@ object Layout {
     */
   def zorderAudit(df: DataFrame, colX: String, colY: String,
       nParts: Int, bits: Int = 16): DataFrame = {
-    val s = df.agg(
-      min(col(colX).cast("double")), max(col(colX).cast("double")),
-      min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
-    val xSpan = math.max(s.getDouble(1) - s.getDouble(0), Double.MinPositiveValue)
-    val ySpan = math.max(s.getDouble(3) - s.getDouble(2), Double.MinPositiveValue)
-    zorder(df, colX, colY, nParts, bits)
+    // ONE stats pass shared by the key scaling and the span normalization
+    val stats = rangeStats(df, colX, colY)
+    val xSpan = math.max(stats._2 - stats._1, Double.MinPositiveValue)
+    val ySpan = math.max(stats._4 - stats._3, Double.MinPositiveValue)
+    zorderWith(df, colX, colY, nParts, bits, stats)
       .select(spark_partition_id().cast("long").as("pid"),
         col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
       .groupBy("pid")

@@ -385,9 +385,8 @@ object Similarity {
     * element-wise sum). O(dim) state per list regardless of input size, so
     * Spark runs it with partial aggregation — the Lloyd's update shuffle
     * moves at most k buffers per partition. Input elements are boxed
-    * ([[graft.operators.Pca.GramBuf]]'s convention): a NULL element
-    * contributes 0 to its position but the row still counts, matching the
-    * old posexplode+sum/count formulation.
+    * ([[graft.operators.Pca.GramBuf]]'s convention) as defense in depth —
+    * callers exclude vectors containing null elements before aggregation.
     */
   final case class VecSumBuf(var n: Long, var s: Array[Double])
 
@@ -429,15 +428,21 @@ object Similarity {
     // re-reads it, so without this Lloyd's re-scans the parquet and re-runs
     // the float→double conversion iters+1 times. MEMORY_AND_DISK: at corpus
     // scale the working set may exceed executor memory — spilled blocks
-    // still beat a source re-scan per iteration.
-    val v = corpus.filter(col(vecCol).isNotNull)
+    // still beat a source re-scan per iteration. NULL vectors and vectors
+    // CONTAINING a null element are excluded (classCentroids' contract —
+    // the typed assign UDF cannot represent a null element).
+    val v = corpus
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(col(idCol).as("__vid"), toDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = v
       .select(xxhash64(lit(seed), col("__vid")).as("__h"), col("v"))
       .orderBy("__h").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, "kmeansDistributed: empty corpus")
+    if (cents.isEmpty) { // empty / all-null corpus degrades to zero clusters
+      v.unpersist()
+      return (Array.empty, Array.empty)
+    }
     var counts = new Array[Long](cents.length)
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -496,9 +501,18 @@ object Similarity {
       poolK: Int = 20, lambda: Double = 0.5): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
-    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolK)
+    // the greedy UDF materializes ids as longs (its output tuple needs a
+    // concrete encoder) — fail fast on non-integral id columns instead of
+    // a mid-job ClassCastException
+    require(Seq("long", "int", "integer", "bigint", "smallint", "tinyint")
+      .contains(corpus.schema(idCol).dataType.typeName),
+      s"mmrDiversify requires an integral id column, got " +
+        s"${corpus.schema(idCol).dataType.typeName} for '$idCol'")
+    val pool = bruteForceTopK(
+      queries.withColumn(idCol, col(idCol).cast("long")),
+      corpus.withColumn(idCol, col(idCol).cast("long")), idCol, vecCol, poolK)
     val raw = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .select(col(idCol).cast("long").as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
       .withColumn("nv", transform(col("cv"), x => x / col("cn")))
     val cand = broadcast(pool).join(raw, Seq("neighbor_id"))

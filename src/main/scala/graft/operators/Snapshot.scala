@@ -18,17 +18,21 @@ object Snapshot {
     */
   def diff(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, contentCol: String, groupCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"),
+    // presence comes from explicit per-side markers, NOT digest nullability:
+    // a NULL-content row still EXISTS in its snapshot (md5(NULL) is NULL,
+    // which would otherwise misreport it as added/removed), and two NULL
+    // contents are equal — hence the null-safe digest compare below
+    val o = oldDf.select(col(idCol).as("id"), lit(true).as("in_old"),
       md5(col(contentCol)).as("old_digest"), col(groupCol).as("old_g"))
-    val n = newDf.select(col(idCol).as("id"),
+    val n = newDf.select(col(idCol).as("id"), lit(true).as("in_new"),
       md5(col(contentCol)).as("new_digest"), col(groupCol).as("new_g"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
         coalesce(col("new_g"), col("old_g")).as("group"),
-        when(col("old_digest").isNull, lit("added"))
-          .when(col("new_digest").isNull, lit("removed"))
-          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("old_digest") <=> col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
   }
 
   /** The audit table: counts per (group, status). */

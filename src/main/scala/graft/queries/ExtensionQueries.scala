@@ -1774,17 +1774,17 @@ object ExtensionQueries {
         graft.operators.Snapshot.diffSummary(prev, next, "doc_id", "text", "source")
       },
       Some("""
-        WITH o AS (SELECT doc_id, md5(text) AS od, source AS og
+        WITH o AS (SELECT doc_id, TRUE AS in_old, md5(text) AS od, source AS og
                    FROM documents WHERE doc_id < 400),
-        n AS (SELECT doc_id,
+        n AS (SELECT doc_id, TRUE AS in_new,
                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nd,
                 source AS ng
               FROM documents WHERE doc_id >= 100),
         d AS (SELECT COALESCE(n.ng, o.og) AS source,
-                CASE WHEN o.od IS NULL THEN 'added'
-                     WHEN n.nd IS NULL THEN 'removed'
-                     WHEN o.od <> n.nd THEN 'changed'
-                     ELSE 'unchanged' END AS status
+                CASE WHEN in_old IS NULL THEN 'added'
+                     WHEN in_new IS NULL THEN 'removed'
+                     WHEN o.od IS NOT DISTINCT FROM n.nd THEN 'unchanged'
+                     ELSE 'changed' END AS status
               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
         FROM d GROUP BY source, status

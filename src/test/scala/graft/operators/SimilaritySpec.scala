@@ -225,6 +225,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(run().toSeq == cents.toSeq) // deterministic end to end
   }
 
+  test("kmeansDistributed: null-element vectors are excluded, empty corpus degrades to zero rows") {
+    val d = Seq(
+      (0L, Some(Seq(Some(0.0f), Some(0.1f)))),
+      (1L, Some(Seq(Some(0.1f), Option.empty[Float]))), // null element → excluded
+      (2L, Option.empty[Seq[Option[Float]]]),           // null vector → excluded
+      (3L, Some(Seq(Some(0.2f), Some(0.0f)))))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansDistributed(d, "vec_id", "embedding", k = 1, iters = 2).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 2L) // only vecs 0 and 3 counted
+    val empty = Similarity.kmeansDistributed(
+      d.filter(col("vec_id") < 0), "vec_id", "embedding", k = 2, iters = 2)
+    assert(empty.isEmpty) // graceful, not an exception
+  }
+
   test("kmeansDistributed: an emptied list keeps its centroid with n_vecs = 0") {
     // two duplicate locations, k = 3: one list necessarily ends up empty
     // (ties assign to the lowest list id) but must stay in the quantizer

@@ -29,6 +29,16 @@ class SnapshotSpec extends AnyFunSuite with SparkTestSession {
     assert(d(4L) == "b") // added: only the new side
   }
 
+  test("NULL content marks presence, not absence: null→text is changed, null→null unchanged") {
+    val o = Seq((1L, Option.empty[String], "a"), (2L, Option.empty[String], "a"),
+      (3L, Option("x"), "a")).toDF("id", "text", "src")
+    val n = Seq((1L, Option("now set"), "a"), (2L, Option.empty[String], "a"),
+      (3L, Option.empty[String], "a")).toDF("id", "text", "src")
+    val d = Snapshot.diff(o, n, "id", "text", "src")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(d == Map(1L -> "changed", 2L -> "unchanged", 3L -> "changed"))
+  }
+
   test("diffSummary counts per (group, status)") {
     val s = Snapshot.diffSummary(prev, next, "id", "text", "src")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -46,6 +46,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // normalizer) — always broadcast-safe
     "ext70_doremi_weights")
 
+  // NOTE: building a catalog entry is not always free — iterative operators
+  // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
+  // training loops before a final plan exists. That cost is inherent to
+  // auditing the real plan the driver gate executes, and stays bounded at
+  // the audit's sf0.001.
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
     val offenders = SparkEntry.all.flatMap { q =>
       val plan =
