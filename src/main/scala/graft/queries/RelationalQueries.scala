@@ -399,7 +399,9 @@ object RelationalQueries {
           expr("round(sqrt(value), 6)").as("v_sqrt"),
           expr("round(ln(1 + value), 6)").as("v_ln"),
           sha2(col("event_type"), 256).as("et_sha"),
-          base64(col("event_type").cast("binary")).as("et_b64")),
+          base64(col("event_type").cast("binary")).as("et_b64"),
+          format_string("%s|%04d", col("event_type"), col("user_id").cast("int")).as("et_fmt"),
+          unbase64(base64(col("event_type").cast("binary"))).cast("string").as("et_rt")),
       Some("""
         SELECT event_id,
                concat(event_type, '-', CAST(user_id AS VARCHAR)) AS tag,
@@ -416,7 +418,9 @@ object RelationalQueries {
                round(sqrt(value), 6) AS v_sqrt,
                round(ln(1 + value), 6) AS v_ln,
                sha256(event_type) AS et_sha,
-               to_base64(CAST(event_type AS BLOB)) AS et_b64
+               to_base64(CAST(event_type AS BLOB)) AS et_b64,
+               printf('%s|%04d', event_type, CAST(user_id AS INT)) AS et_fmt,
+               CAST(from_base64(to_base64(CAST(event_type AS BLOB))) AS VARCHAR) AS et_rt
         FROM events
       """)),
 

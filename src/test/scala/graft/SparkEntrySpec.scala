@@ -16,6 +16,23 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("schema_of_json infers the events props schema (declared SURVEY §2.B surface)") {
+    // oracle-unportable (DuckDB's json_structure speaks a different schema
+    // language), so the Spark-side contract is pinned here instead
+    import org.apache.spark.sql.functions._
+    val props = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("props")).filter(col("props").isNotNull).limit(1)
+      .collect()(0).getString(0)
+    val ddl = spark.range(1)
+      .select(schema_of_json(lit(props)).as("s")).collect()(0).getString(0)
+    assert(ddl.startsWith("STRUCT<"), s"expected a struct schema, got $ddl")
+    val parsed = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(from_json(col("props"), org.apache.spark.sql.types.DataType
+        .fromDDL(ddl.replace("STRUCT", "struct"))).as("p"))
+      .filter(col("p").isNotNull)
+    assert(parsed.count() > 0)
+  }
+
   test("every oracle key has a query; names are unique") {
     val qnames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
