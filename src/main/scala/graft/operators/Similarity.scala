@@ -171,31 +171,50 @@ object Similarity {
       nLists: Int = 16, nProbe: Int = 2,
       m: Int = 8, ksub: Int = 16, refineFactor: Int = 4,
       sampleSize: Int = 2048, seed: Long = 42L): DataFrame = {
-    // ---- 1. train on the bounded seeded-hash sample (see ivfTopK)
-    val sample: Array[Array[Double]] = corpus
-      .filter(col(vecCol).isNotNull)
+    val model = trainPq(
+      sampleVectors(corpus, idCol, vecCol, sampleSize, seed), nLists, m, ksub)
+    searchPqIndex(encodePqIndex(corpus, idCol, vecCol, model),
+      corpus, queries, idCol, vecCol, model, k, nProbe, refineFactor)
+  }
+
+  /** The trained IVF-PQ model: coarse quantizer + per-subspace residual
+    * codebooks. k·dim + m·ksub·(dim/m) doubles — driver/closure-sized by
+    * construction, and small enough to persist as one parquet row
+    * ([[VectorIndex]]).
+    */
+  final case class PqModel(dim: Int, m: Int, ksub: Int,
+      coarse: Array[Array[Double]], codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+  }
+
+  private[graft] def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      sampleSize: Int, seed: Long): Array[Array[Double]] =
+    corpus.filter(col(vecCol).isNotNull)
       .select(xxhash64(lit(seed), col(idCol)).as("__h"), toDouble(col(vecCol)).as("v"))
       .orderBy(col("__h"))
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+
+  private def nearestIdx(cents: Array[Array[Double]], v: Seq[Double], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var s = 0.0; var i = 0
+      while (i < cents(c).length) { val d = cents(c)(i) - v(off + i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train the coarse quantizer + residual codebooks on a bounded sample. */
+  private[graft] def trainPq(sample: Array[Array[Double]],
+      nLists: Int, m: Int, ksub: Int): PqModel = {
+    require(sample.nonEmpty, "trainPq: empty corpus")
     val dim = sample(0).length
-    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m subspaces")
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val coarse = kmeans(sample, math.min(nLists, sample.length), dim, iters = 10)
-
-    def nearestIdx(cents: Array[Array[Double]], v: Seq[Double], off: Int): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cents.length) {
-        var s = 0.0; var i = 0
-        while (i < cents(c).length) { val d = cents(c)(i) - v(off + i); s += d * d; i += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      best
-    }
-    // per-subspace codebooks over sample residuals
     val residuals = sample.map { v =>
       val c = coarse(nearestIdx(coarse, v, 0))
       Array.tabulate(dim)(i => v(i) - c(i))
@@ -204,8 +223,15 @@ object Similarity {
       val subs = residuals.map(r => r.slice(j * dsub, (j + 1) * dsub))
       kmeans(subs, math.min(ksub, subs.length), dsub, iters = 10)
     }
+    PqModel(dim, m, ksub, coarse, codebooks)
+  }
 
-    // ---- 2. index: one corpus map → (list, codes, norm); codes only
+  /** One corpus map → (neighbor_id, cn, list, codes): the persistable index
+    * rows — ~m code bytes + a norm instead of dim floats.
+    */
+  private[graft] def encodePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val (coarse, codebooks, m, dsub) = (model.coarse, model.codebooks, model.m, model.dsub)
     val encodeUdf = udf((v: Seq[Double]) => {
       val list = nearestIdx(coarse, v, 0)
       val cent = coarse(list)
@@ -213,14 +239,23 @@ object Similarity {
       val codes = Array.tabulate(m)(j => nearestIdx(codebooks(j), r, j * dsub))
       (list, codes.toSeq)
     })
-    val index = corpus.filter(col(vecCol).isNotNull)
+    corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
       .withColumn("enc", encodeUdf(col("cv")))
       .select(col("neighbor_id"), col("cn"),
         col("enc._1").as("list"), col("enc._2").as("codes"))
+  }
 
-    // ---- 3. search: per (query, probed list) ADC lookup table
+  /** ADC search + exact refine over an (already built) index frame —
+    * steps 3–4 of [[ivfPqTopK]]'s scaladoc. `corpus` supplies the raw
+    * vectors for the refine stage only.
+    */
+  private[graft] def searchPqIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, model: PqModel,
+      k: Int, nProbe: Int, refineFactor: Int): DataFrame = {
+    val (coarse, codebooks, m, ksub, dim, dsub) =
+      (model.coarse, model.codebooks, model.m, model.ksub, model.dim, model.dsub)
     val probeUdf = udf((v: Seq[Double]) => {
       coarse.indices
         .map(i => i -> { var s = 0.0; var j = 0
@@ -267,7 +302,7 @@ object Similarity {
       .filter(col("adc_rank") <= refineFactor * k)
       .select("query_id", "neighbor_id", "qv", "qn")
 
-    // ---- 4. refine: exact cosine over the raw vectors of the ADC pool
+    // refine: exact cosine over the raw vectors of the ADC pool
     val raw = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)

@@ -1985,6 +1985,25 @@ object ExtensionQueries {
         GROUP BY 1, 2, 3
       """)),
 
+    // ------------------------------------------------------------- EXT73
+    // Persisted ANN index lifecycle: build the IVF-PQ index to disk
+    // (codes parquet PARTITIONED BY list — the inverted file as directory
+    // layout — plus the quantizer as one self-describing parquet row),
+    // then answer the ext61 query FROM the index. Rows-only; bit-for-bit
+    // parity with the one-shot path is pinned in VectorIndexSpec.
+    QueryDef(
+      "ext73_ann_index_lifecycle",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+        graft.operators.VectorIndex.buildIvfPq(
+          emb, "vec_id", "embedding", idxDir, nLists = 8, m = 8, ksub = 16)
+        graft.operators.VectorIndex.searchIvfPq(
+          s, idxDir, emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+          k = 5, nProbe = 2, refineFactor = 4)
+      },
+      None, bench = false),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def emb = graft.sources.Tables.embeddings(spark, sf)
+
+  test("build -> search equals the one-shot ivfPqTopK bit-for-bit; codes are list-partitioned") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx").toString
+    VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 8, m = 8, ksub = 16)
+
+    // the inverted-file layout is real directory partitioning
+    val listDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(listDirs.length > 1, "expected list=N partition directories")
+
+    val q = emb.filter(col("vec_id") < 8)
+    val fromIndex = VectorIndex.searchIvfPq(spark, dir, q, emb, "vec_id", "embedding",
+        k = 5, nProbe = 2, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val oneShot = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 2, m = 8, ksub = 16, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(fromIndex == oneShot)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("the persisted model round-trips exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
+    VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 4, m = 4, ksub = 8)
+    val trained = Similarity.trainPq(
+      Similarity.sampleVectors(emb, "vec_id", "embedding", 2048, 42L), 4, 4, 8)
+    val loaded = VectorIndex.loadModel(spark, dir)
+    assert(loaded.dim == trained.dim && loaded.m == trained.m && loaded.ksub == trained.ksub)
+    assert(loaded.coarse.map(_.toSeq).toSeq == trained.coarse.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      trained.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+}
