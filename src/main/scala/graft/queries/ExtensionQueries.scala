@@ -2004,6 +2004,37 @@ object ExtensionQueries {
       },
       None, bench = false),
 
+    // ------------------------------------------------------------- EXT74
+    // Dataset card (datasheet) summary: the one-row corpus report a data
+    // release ships with — sizes, diversity, length profile, exact-dup
+    // rate. ONE scan: a single aggregate computes every field (the dup
+    // rate via count distinct digest), so the datasheet costs one pass at
+    // any corpus size. Deterministic: counts exact, ratios rounded,
+    // median via exact percentile on integer lengths.
+    QueryDef(
+      "ext74_dataset_card",
+      (s, dir) => Tables.documents(s, dir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("mean_chars"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") / count(lit(1)), 6)
+            .as("dup_fraction")),
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS p50_chars,
+               ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+                 AS dup_fraction
+        FROM documents
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {
