@@ -32,6 +32,22 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(explicit.count() == nation.count())
   }
 
+  test("parquet schema evolution: mergeSchema unions batch schemas, old rows read NULL for new columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // delivery 1: (id, text); delivery 2 adds a quality column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", 0.9)).toDF("id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "quality", "text"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("quality")))
+    assert(byId(3L).getAs[Double]("quality") == 0.9)
+    assert(merged.count() == 3)
+  }
+
   test("ORC round-trip preserves rows and values") {
     val dir = Files.createTempDirectory("orc").toString
     val nation = Tables.nation(spark, sf)
