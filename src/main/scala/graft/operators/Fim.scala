@@ -23,7 +23,7 @@ object Fim {
       lit(1000.0)).cast("long")
 
   /** Split plan per document: (id, fim_mode 'psm'|'spm', p_len, m_len,
-    * s_len, middle_md5). `spmFraction`‰ of documents get SPM ordering
+    * s_len, middle_md5). `spmPermille`‰ of documents get SPM ordering
     * (the paper trains a mix). Character-based cuts; `substring` is
     * 1-indexed on both engines.
     */

@@ -189,7 +189,7 @@ object Similarity {
 
   private[graft] def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
       sampleSize: Int, seed: Long): Array[Array[Double]] =
-    corpus.filter(col(vecCol).isNotNull)
+    corpus.filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(xxhash64(lit(seed), col(idCol)).as("__h"), toDouble(col(vecCol)).as("v"))
       .orderBy(col("__h"))
       .limit(sampleSize)
@@ -239,7 +239,7 @@ object Similarity {
       val codes = Array.tabulate(m)(j => nearestIdx(codebooks(j), r, j * dsub))
       (list, codes.toSeq)
     })
-    corpus.filter(col(vecCol).isNotNull)
+    corpus.filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
       .withColumn("enc", encodeUdf(col("cv")))
@@ -538,11 +538,14 @@ object Similarity {
     require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
     // the greedy UDF materializes ids as longs (its output tuple needs a
     // concrete encoder) — fail fast on non-integral id columns instead of
-    // a mid-job ClassCastException
-    require(Seq("long", "int", "integer", "bigint", "smallint", "tinyint")
-      .contains(corpus.schema(idCol).dataType.typeName),
-      s"mmrDiversify requires an integral id column, got " +
-        s"${corpus.schema(idCol).dataType.typeName} for '$idCol'")
+    // a mid-job ClassCastException. DataType.typeName values, not SQL
+    // aliases: long/integer/short/byte.
+    val integral = Set("long", "integer", "short", "byte")
+    Seq("corpus" -> corpus, "queries" -> queries).foreach { case (what, df) =>
+      val t = df.schema(idCol).dataType.typeName
+      require(integral.contains(t),
+        s"mmrDiversify requires an integral id column, got $t for $what.'$idCol'")
+    }
     val pool = bruteForceTopK(
       queries.withColumn(idCol, col(idCol).cast("long")),
       corpus.withColumn(idCol, col(idCol).cast("long")), idCol, vecCol, poolK)

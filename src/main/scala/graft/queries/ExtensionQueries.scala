@@ -1995,7 +1995,10 @@ object ExtensionQueries {
       "ext73_ann_index_lifecycle",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val idxDir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+        // fixed per-JVM path + overwrite mode: repeated builds (plan
+        // audits, re-runs) reuse one directory instead of leaking a fresh
+        // temp dir per invocation
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-vecidx-ext73"
         graft.operators.VectorIndex.buildIvfPq(
           emb, "vec_id", "embedding", idxDir, nLists = 8, m = 8, ksub = 16)
         graft.operators.VectorIndex.searchIvfPq(

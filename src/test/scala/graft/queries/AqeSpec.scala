@@ -28,11 +28,17 @@ class AqeSpec extends AnyFunSuite with SparkTestSession {
       s"AQE should promote the 3-row side to broadcast:\n${p.take(2000)}")
   }
 
-  test("post-shuffle partitions coalesce far below the configured 32 for small data") {
-    val agg = graft.sources.Tables.lineitem(spark, sf)
-      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)))
-    agg.collect()
-    val parts = agg.rdd.getNumPartitions
-    assert(parts < 32, s"expected AQE to coalesce the tiny shuffle, got $parts partitions")
+  test("post-shuffle partitions coalesce far below the configured count for small data") {
+    // the shared test session runs with 4 shuffle partitions — raise to 32
+    // for this test so the coalescing assertion has room to actually fail
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val agg = graft.sources.Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)))
+      agg.collect()
+      val parts = agg.rdd.getNumPartitions
+      assert(parts < 32, s"expected AQE to coalesce the tiny shuffle, got $parts partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 }
