@@ -52,6 +52,21 @@ object VectorIndex {
         .map(_.map(_.toArray).toArray).toArray)
   }
 
+  /** Incremental index maintenance: encode a NEW delivery under the
+    * EXISTING quantizer and append its codes — no retraining, no re-encode
+    * of the old corpus (the standard IVF-PQ maintenance contract; the
+    * quantizer drifts from the true distribution as data shifts, which is
+    * what [[Similarity.classCentroids]]-based drift monitoring is for —
+    * rebuild when drift crosses your threshold). Append-mode parquet into
+    * the same list= partitions.
+    */
+  def appendIvfPq(newBatch: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val model = loadModel(newBatch.sparkSession, dir)
+    Similarity.encodePqIndex(newBatch, idCol, vecCol, model)
+      .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
+  }
+
   /** Search a built index. `corpus` supplies raw vectors for the exact
     * refine stage only (the standard split: the index holds codes, the
     * store holds vectors).

@@ -2038,6 +2038,49 @@ object ExtensionQueries {
         FROM documents
       """)),
 
+    // ------------------------------------------------------------- EXT75
+    // Embedding drift monitor: per-label centroid rotation between two
+    // snapshots (old = vec_id < 250, new = rest) — the production dial
+    // that says when EXT73's persisted quantizer needs retraining and
+    // when an embedding-model upgrade shifted the space. Two distributed
+    // classCentroids passes (6-dp-rounded means make the cosine chain
+    // engine-portable) + one |labels|-row join.
+    QueryDef(
+      "ext75_embedding_drift",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        def side(f: org.apache.spark.sql.Column, nOut: String, cOut: String) =
+          Similarity.classCentroids(emb.filter(f), "embedding", "label")
+            .select(col("label"), col("n_vecs").as(nOut), col("centroid").as(cOut))
+        side(col("vec_id") < 250, "n_old", "c_old")
+          .join(side(col("vec_id") >= 250, "n_new", "c_new"), Seq("label"))
+          .select(col("label").cast("long").as("label"), col("n_old"), col("n_new"),
+            VectorFunctions.cosine(col("c_old"), col("c_new")).as("drift_cos"))
+      },
+      Some("""
+        WITH oavg AS (
+          SELECT label, t.pos, ROUND(SUM(embedding[t.pos + 1]) / COUNT(*), 6) AS m
+          FROM embeddings, UNNEST(range(len(embedding))) AS t(pos)
+          WHERE vec_id < 250 GROUP BY label, t.pos),
+        oc AS (SELECT label, list(m ORDER BY pos) AS c FROM oavg GROUP BY label),
+        onn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_old
+                FROM embeddings WHERE vec_id < 250 GROUP BY label),
+        navg AS (
+          SELECT label, t.pos, ROUND(SUM(embedding[t.pos + 1]) / COUNT(*), 6) AS m
+          FROM embeddings, UNNEST(range(len(embedding))) AS t(pos)
+          WHERE vec_id >= 250 GROUP BY label, t.pos),
+        nc AS (SELECT label, list(m ORDER BY pos) AS c FROM navg GROUP BY label),
+        nnn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM embeddings WHERE vec_id >= 250 GROUP BY label)
+        SELECT CAST(oc.label AS BIGINT) AS label, n_old, n_new,
+               ROUND(list_dot_product(oc.c, nc.c) /
+                     (sqrt(list_dot_product(oc.c, oc.c)) * sqrt(list_dot_product(nc.c, nc.c))), 6)
+                 AS drift_cos
+        FROM oc JOIN nc ON oc.label = nc.label
+        JOIN onn ON oc.label = onn.label
+        JOIN nnn ON oc.label = nnn.label
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

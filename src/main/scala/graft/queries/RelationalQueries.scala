@@ -1362,6 +1362,35 @@ object RelationalQueries {
         FROM p JOIN v ON p.k IS NOT DISTINCT FROM v.k
       """)),
 
+    // ---------------------------------------------------------------- q48
+    // Aggregate FILTER clause — conditional aggregation as first-class
+    // syntax (q30's pivot does it via CASE WHEN; FILTER is the standard
+    // form both engines parse): several differently-filtered measures out
+    // of ONE scan + ONE agg, no self-joins.
+    QueryDef(
+      "q48_filtered_agg",
+      (s, dir) => {
+        ev(s, dir).createOrReplaceTempView("events_q48")
+        s.sql("""
+          SELECT user_id % 50 AS cohort,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                 CAST(COUNT(*) FILTER (WHERE value > 90) AS BIGINT) AS n_high,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+                 CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'error') AS BIGINT) AS err_users
+          FROM events_q48 GROUP BY user_id % 50
+        """)
+      },
+      Some("""
+        SELECT user_id % 50 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (WHERE value > 90) AS BIGINT) AS n_high,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+               CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'error') AS BIGINT) AS err_users
+        FROM events GROUP BY user_id % 50
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the

@@ -30,6 +30,28 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(fromIndex.nonEmpty)
   }
 
+  test("appendIvfPq: build on half, append the rest == one-shot search with the half-trained model") {
+    val dirA = java.nio.file.Files.createTempDirectory("vecidx-a").toString
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    VectorIndex.buildIvfPq(half, "vec_id", "embedding", dirA, nLists = 8, m = 8, ksub = 16)
+    VectorIndex.appendIvfPq(rest, "vec_id", "embedding", dirA)
+
+    // reference: the same half-trained model applied to the full corpus
+    val model = Similarity.trainPq(
+      Similarity.sampleVectors(half, "vec_id", "embedding", 2048, 42L), 8, 8, 16)
+    val q = emb.filter(col("vec_id") < 8)
+    val expected = Similarity.searchPqIndex(
+        Similarity.encodePqIndex(emb, "vec_id", "embedding", model),
+        emb, q, "vec_id", "embedding", model, k = 5, nProbe = 2, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = VectorIndex.searchIvfPq(spark, dirA, q, emb, "vec_id", "embedding",
+        k = 5, nProbe = 2, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("the persisted model round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 4, m = 4, ksub = 8)
