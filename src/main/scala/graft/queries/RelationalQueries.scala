@@ -1391,6 +1391,34 @@ object RelationalQueries {
         FROM events GROUP BY user_id % 50
       """)),
 
+    // ---------------------------------------------------------------- q49
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-row top-k
+    // as first-class syntax (q04 is the window formulation; LATERAL is
+    // the decorrelation path Catalyst rewrites via
+    // DecorrelateInnerQuery). Bounded driver set (user_id < 20), unique
+    // (value, event_id) ordering.
+    QueryDef(
+      "q49_lateral_topk",
+      (s, dir) => {
+        ev(s, dir).createOrReplaceTempView("events_q49")
+        s.sql("""
+          WITH u AS (SELECT DISTINCT user_id FROM events_q49 WHERE user_id < 20)
+          SELECT u.user_id, l.event_id, ROUND(l.value, 6) AS value
+          FROM u, LATERAL (
+            SELECT event_id, value FROM events_q49 e
+            WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+            ORDER BY e.value DESC, e.event_id LIMIT 3) l
+        """)
+      },
+      Some("""
+        WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20)
+        SELECT u.user_id, l.event_id, ROUND(l.value, 6) AS value
+        FROM u, LATERAL (
+          SELECT event_id, value FROM events e
+          WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+          ORDER BY e.value DESC, e.event_id LIMIT 3) l
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the
