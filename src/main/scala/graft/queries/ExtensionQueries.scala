@@ -2081,6 +2081,57 @@ object ExtensionQueries {
         JOIN nnn ON oc.label = nnn.label
       """)),
 
+    // ------------------------------------------------------------- EXT76
+    // Classification report over EXT22's language-ID predictions: per-class
+    // support / predicted / TP / precision / recall / F1 — in-engine model
+    // evaluation on a DETERMINISTIC classifier, so the whole report is
+    // oracle-checkable (NULL where undefined: never-predicted classes have
+    // no precision; the 'und' fallback class has no support).
+    QueryDef(
+      "ext76_classifier_eval",
+      (s, dir) => graft.operators.Evaluation.classificationReport(
+        graft.operators.LangIdNgram.selfTest(
+          Tables.documents(s, dir), "text", "lang", "doc_id", n = 3, topK = 50),
+        "lang", "predicted"),
+      Some("""
+        WITH grams AS (
+          SELECT doc_id, lang,
+                 unnest(list_sort(list_distinct(
+                   CASE WHEN length(lower(text)) <= 3 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 1),
+                                            i -> substr(lower(text), i, 3)) END))) AS g
+          FROM documents),
+        prof AS (
+          SELECT lang AS cand, g FROM (
+            SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY COUNT(*) DESC, g) AS rk
+            FROM grams GROUP BY lang, g) WHERE rk <= 50),
+        best AS (
+          SELECT doc_id, cand FROM (
+            SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY COUNT(*) DESC, cand) AS rk
+            FROM grams JOIN prof USING (g)
+            GROUP BY doc_id, cand) WHERE rk = 1),
+        pr AS (SELECT lang AS label, COALESCE(b.cand, 'und') AS pred
+               FROM documents LEFT JOIN best b USING (doc_id)),
+        a AS (SELECT label AS cls, CAST(COUNT(*) AS BIGINT) AS n_actual FROM pr GROUP BY 1),
+        p AS (SELECT pred AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred FROM pr GROUP BY 1),
+        t AS (SELECT label AS cls, CAST(COUNT(*) AS BIGINT) AS tp
+              FROM pr WHERE label = pred GROUP BY 1),
+        j AS (SELECT cls, COALESCE(n_actual, 0) AS n_actual,
+                     COALESCE(n_pred, 0) AS n_pred, COALESCE(tp, 0) AS tp
+              FROM a FULL OUTER JOIN p USING (cls) LEFT JOIN t USING (cls)),
+        m AS (SELECT cls, n_actual, n_pred, tp,
+                CASE WHEN n_pred > 0 THEN ROUND(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+                CASE WHEN n_actual > 0 THEN ROUND(CAST(tp AS DOUBLE) / n_actual, 6) END AS recall
+              FROM j)
+        SELECT cls, n_actual, n_pred, tp, precision, recall,
+               CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                         AND precision + recall > 0
+                    THEN ROUND(2.0 * precision * recall / (precision + recall), 6) END AS f1
+        FROM m
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {
