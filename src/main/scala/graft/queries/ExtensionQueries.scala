@@ -2132,6 +2132,47 @@ object ExtensionQueries {
         FROM m
       """)),
 
+    // ------------------------------------------------------------- EXT77
+    // Training data-order manifest: for each epoch, every document's
+    // (shard, step-within-shard) under a seeded deterministic permutation
+    // — the reproducibility artifact that answers "which examples did
+    // step N of epoch E consume" when debugging a loss spike. Per-epoch
+    // order is md5(epoch || doc_id) (re-shuffled every epoch, stable
+    // across runs); shard assignment is the hash bucket, step the
+    // within-shard rank — so the only shuffle is the shard-partitioned
+    // window, never a global sort.
+    QueryDef(
+      "ext77_data_order_manifest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id")
+        val epochs = Seq(0, 1)
+        epochs.map { e =>
+          val ord = md5(concat(lit(s"epoch$e|"), col("doc_id").cast("string")))
+          docs
+            .withColumn("epoch", lit(e.toLong))
+            .withColumn("shard",
+              graft.operators.Sampling.hashBucket(
+                concat(lit(s"shard$e|"), col("doc_id").cast("string")), 8))
+            .withColumn("step",
+              row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy("shard").orderBy(ord, col("doc_id"))).cast("long"))
+        }.reduce(_.union(_))
+          .select("epoch", "shard", "step", "doc_id")
+      },
+      Some("""
+        WITH e AS (SELECT 0 AS epoch FROM (VALUES (1)) UNION ALL SELECT 1),
+        m AS (
+          SELECT epoch, doc_id,
+            CAST(('0x' || substr(md5('shard' || epoch || '|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS shard,
+            md5('epoch' || epoch || '|' || CAST(doc_id AS VARCHAR)) AS ord
+          FROM documents CROSS JOIN e)
+        SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS BIGINT) AS step,
+               doc_id
+        FROM m
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {
