@@ -68,14 +68,34 @@ object LangIdNgram {
   }
 
   /** Self-trained train+classify over one labeled corpus — the composed
-    * driver-visible form (output: doc_id, lang, predicted).
+    * driver-visible form (output: doc_id, lang, predicted). Training and
+    * classification read the SAME corpus here, so the gram extraction —
+    * the composition's hot loop — runs ONCE into an eager executor-local
+    * checkpoint instead of once per stage (the [[trainProfiles]] /
+    * [[classify]] pair stays for the separate-corpora case). Identical
+    * results: both stages derive from the identical gram frame.
     */
   def selfTest(
       df: DataFrame, textCol: String, langCol: String, idCol: String,
       n: Int = 3, topK: Int = 50): DataFrame = {
-    val profiles = trainProfiles(df, textCol, langCol, idCol, n, topK)
+    val grams = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(TextFunctions.charNgramSetFast(col(textCol), n)).as("g"))
+      .localCheckpoint()
+    val wProf = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
+    val profiles = grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wProf))
+      .filter(col("rk") <= topK)
+      .select(col("lang").as("cand"), col("g"))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand"))
+    val best = grams
+      .join(broadcast(profiles), Seq("g"))
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand"))
     df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
-      .join(classify(df, profiles, textCol, idCol, n), Seq("doc_id"))
-      .select("doc_id", "lang", "predicted")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cand"), lit("und")).as("predicted"))
   }
 }
