@@ -23,10 +23,16 @@ object Evaluation {
       .agg(count(lit(1)).as("n_actual"))
     val predicted = base.groupBy(col("pred").as("cls"))
       .agg(count(lit(1)).as("n_pred"))
-    val tp = base.filter(col("label") === col("pred"))
+    val tp = base.filter(col("label") <=> col("pred")) // null-safe: (NULL,NULL) agrees
       .groupBy(col("label").as("cls")).agg(count(lit(1)).as("tp"))
-    val joined = actual.join(predicted, Seq("cls"), "full_outer")
-      .join(tp, Seq("cls"), "left")
+    // null-safe (<=>) joins: a NULL class (abstaining classifier, missing
+    // truth label) must merge into ONE report row, not split across sides
+    val a = actual.withColumnRenamed("cls", "a_cls")
+    val p = predicted.withColumnRenamed("cls", "p_cls")
+    val t = tp.withColumnRenamed("cls", "t_cls")
+    val joined = a.join(p, a("a_cls") <=> p("p_cls"), "full_outer")
+      .withColumn("cls", coalesce(col("a_cls"), col("p_cls")))
+      .join(t, col("cls") <=> t("t_cls"), "left")
       .select(col("cls"),
         coalesce(col("n_actual"), lit(0L)).as("n_actual"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),

@@ -31,20 +31,42 @@ object LangIdNgram {
     df.select(col(idCol).as("doc_id"),
       explode(TextFunctions.charNgramSetFast(col(textCol), n)).as("g"))
 
-  /** Per-language profile: the `topK` grams by document frequency
-    * (ties → lexicographically smaller gram), as (lang, g).
+  /** Top-K profile from an already-extracted (lang, g) gram frame — the
+    * ONE copy of the ranking semantics (ties → lexicographically smaller
+    * gram). Output: (lang, g).
     */
-  def trainProfiles(
-      df: DataFrame, textCol: String, langCol: String, idCol: String,
-      n: Int = 3, topK: Int = 50): DataFrame = {
-    val grams = df.select(col(langCol).as("lang"),
-      explode(TextFunctions.charNgramSetFast(col(textCol), n)).as("g"))
+  private def profilesFromGrams(grams: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
     grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select("lang", "g")
   }
+
+  /** Per-doc winning profile from an already-extracted (doc_id, g) gram
+    * frame — the ONE copy of the scoring semantics (most shared grams;
+    * ties → lexicographically smaller language). Output: (doc_id, cand).
+    */
+  private def bestFromGrams(grams: DataFrame, profiles: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand"))
+    grams
+      .join(broadcast(profiles.select(col("lang").as("cand"), col("g"))), Seq("g"))
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand"))
+  }
+
+  /** Per-language profile: the `topK` grams by document frequency
+    * (ties → lexicographically smaller gram), as (lang, g).
+    */
+  def trainProfiles(
+      df: DataFrame, textCol: String, langCol: String, idCol: String,
+      n: Int = 3, topK: Int = 50): DataFrame =
+    profilesFromGrams(
+      df.select(col(langCol).as("lang"),
+        explode(TextFunctions.charNgramSetFast(col(textCol), n)).as("g")),
+      topK)
 
   /** Classify every document: the language whose profile shares the most
     * grams with the document (ties → lexicographically smaller language);
@@ -53,46 +75,28 @@ object LangIdNgram {
     */
   def classify(
       df: DataFrame, profiles: DataFrame, textCol: String, idCol: String,
-      n: Int = 3): DataFrame = {
-    val grams = docGrams(df, textCol, idCol, n)
-    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand"))
-    val best = grams
-      .join(broadcast(profiles.select(col("lang").as("cand"), col("g"))), Seq("g"))
-      .groupBy("doc_id", "cand").agg(count(lit(1)).as("hits"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cand"))
+      n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"))
-      .join(best, Seq("doc_id"), "left")
+      .join(bestFromGrams(docGrams(df, textCol, idCol, n), profiles), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cand"), lit("und")).as("predicted"))
-  }
 
   /** Self-trained train+classify over one labeled corpus — the composed
     * driver-visible form (output: doc_id, lang, predicted). Training and
     * classification read the SAME corpus here, so the gram extraction —
-    * the composition's hot loop — runs ONCE into an eager executor-local
-    * checkpoint instead of once per stage (the [[trainProfiles]] /
-    * [[classify]] pair stays for the separate-corpora case). Identical
-    * results: both stages derive from the identical gram frame.
+    * the composition's hot loop — runs ONCE into a lazy executor-local
+    * checkpoint (materialized at first action, shared by both stages)
+    * instead of once per stage. Ranking/scoring semantics live solely in
+    * [[profilesFromGrams]]/[[bestFromGrams]], shared with the
+    * separate-corpora pair above.
     */
   def selfTest(
       df: DataFrame, textCol: String, langCol: String, idCol: String,
       n: Int = 3, topK: Int = 50): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         explode(TextFunctions.charNgramSetFast(col(textCol), n)).as("g"))
-      .localCheckpoint()
-    val wProf = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
-    val profiles = grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(wProf))
-      .filter(col("rk") <= topK)
-      .select(col("lang").as("cand"), col("g"))
-    val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand"))
-    val best = grams
-      .join(broadcast(profiles), Seq("g"))
-      .groupBy("doc_id", "cand").agg(count(lit(1)).as("hits"))
-      .withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cand"))
+      .localCheckpoint(eager = false)
+    val profiles = profilesFromGrams(grams.select("lang", "g"), topK)
+    val best = bestFromGrams(grams.select("doc_id", "g"), profiles)
     df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),

@@ -232,7 +232,13 @@ object Similarity {
   private[graft] def encodePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
     val (coarse, codebooks, m, dsub) = (model.coarse, model.codebooks, model.m, model.dsub)
+    val expectDim = model.dim
     val encodeUdf = udf((v: Seq[Double]) => {
+      // fail LOUDLY on a dimension mismatch: without this, a higher-dim
+      // batch (embedding-model upgrade) would be silently encoded by
+      // truncation, corrupting a persisted index (VectorIndex.appendIvfPq)
+      require(v.length == expectDim,
+        s"PQ encode: vector dim ${v.length} != model dim $expectDim")
       val list = nearestIdx(coarse, v, 0)
       val cent = coarse(list)
       val r = Array.tabulate(v.length)(i => v(i) - cent(i))

@@ -17,6 +17,31 @@ import graft.functions.VectorFunctions
   */
 object ExtensionQueries {
 
+  /** The language-ID train+classify oracle CTEs, shared by ext22 (the
+    * predictions) and ext76 (the classification report over them) — ONE
+    * copy of the gram/profile/winner SQL so the two gates can never verify
+    * against diverging semantics.
+    */
+  private val langIdOracleCtes = """
+        grams AS (
+          SELECT doc_id, lang,
+                 unnest(list_sort(list_distinct(
+                   CASE WHEN length(lower(text)) <= 3 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 1),
+                                            i -> substr(lower(text), i, 3)) END))) AS g
+          FROM documents),
+        prof AS (
+          SELECT lang AS cand, g FROM (
+            SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY COUNT(*) DESC, g) AS rk
+            FROM grams GROUP BY lang, g) WHERE rk <= 50),
+        best AS (
+          SELECT doc_id, cand FROM (
+            SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY COUNT(*) DESC, cand) AS rk
+            FROM grams JOIN prof USING (g)
+            GROUP BY doc_id, cand) WHERE rk = 1)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------- EXT1
@@ -310,25 +335,8 @@ object ExtensionQueries {
       "ext22_langid_ngram",
       (s, dir) => graft.operators.LangIdNgram.selfTest(
         Tables.documents(s, dir), "text", "lang", "doc_id", n = 3, topK = 50),
-      Some("""
-        WITH grams AS (
-          SELECT doc_id, lang,
-                 unnest(list_sort(list_distinct(
-                   CASE WHEN length(lower(text)) <= 3 THEN [lower(text)]
-                        ELSE list_transform(range(1, length(lower(text)) - 1),
-                                            i -> substr(lower(text), i, 3)) END))) AS g
-          FROM documents),
-        prof AS (
-          SELECT lang AS cand, g FROM (
-            SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
-                     ORDER BY COUNT(*) DESC, g) AS rk
-            FROM grams GROUP BY lang, g) WHERE rk <= 50),
-        best AS (
-          SELECT doc_id, cand FROM (
-            SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id
-                     ORDER BY COUNT(*) DESC, cand) AS rk
-            FROM grams JOIN prof USING (g)
-            GROUP BY doc_id, cand) WHERE rk = 1)
+      Some(s"""
+        WITH $langIdOracleCtes
         SELECT doc_id, lang, COALESCE(b.cand, 'und') AS predicted
         FROM documents LEFT JOIN best b USING (doc_id)
       """)),
@@ -2093,25 +2101,8 @@ object ExtensionQueries {
         graft.operators.LangIdNgram.selfTest(
           Tables.documents(s, dir), "text", "lang", "doc_id", n = 3, topK = 50),
         "lang", "predicted"),
-      Some("""
-        WITH grams AS (
-          SELECT doc_id, lang,
-                 unnest(list_sort(list_distinct(
-                   CASE WHEN length(lower(text)) <= 3 THEN [lower(text)]
-                        ELSE list_transform(range(1, length(lower(text)) - 1),
-                                            i -> substr(lower(text), i, 3)) END))) AS g
-          FROM documents),
-        prof AS (
-          SELECT lang AS cand, g FROM (
-            SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
-                     ORDER BY COUNT(*) DESC, g) AS rk
-            FROM grams GROUP BY lang, g) WHERE rk <= 50),
-        best AS (
-          SELECT doc_id, cand FROM (
-            SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id
-                     ORDER BY COUNT(*) DESC, cand) AS rk
-            FROM grams JOIN prof USING (g)
-            GROUP BY doc_id, cand) WHERE rk = 1),
+      Some(s"""
+        WITH $langIdOracleCtes,
         pr AS (SELECT lang AS label, COALESCE(b.cand, 'und') AS pred
                FROM documents LEFT JOIN best b USING (doc_id)),
         a AS (SELECT label AS cls, CAST(COUNT(*) AS BIGINT) AS n_actual FROM pr GROUP BY 1),

@@ -37,6 +37,22 @@ class EvaluationSpec extends AnyFunSuite with SparkTestSession {
     assert(dd.getAs[Double]("precision") == 0.0)
   }
 
+  test("NULL classes merge into one report row (abstaining classifier + missing labels)") {
+    val d = Seq(
+      (Some("a"), Option.empty[String]), // model abstains on a true 'a'
+      (Option.empty[String], Some("a")), // missing truth, predicted 'a'
+      (Option.empty[String], Option.empty[String]), // both null: a NULL true positive
+      (Some("a"), Some("a")))
+      .toDF("y", "yhat")
+    val rows = Evaluation.classificationReport(d, "y", "yhat").collect()
+    val nullRows = rows.filter(_.isNullAt(0))
+    assert(nullRows.length == 1, s"NULL class must be ONE row, got ${nullRows.length}")
+    val n = nullRows.head
+    assert(n.getAs[Long]("n_actual") == 2 && n.getAs[Long]("n_pred") == 2 && n.getAs[Long]("tp") == 1)
+    val a = rows.find(r => !r.isNullAt(0) && r.getString(0) == "a").get
+    assert(a.getAs[Long]("n_actual") == 2 && a.getAs[Long]("n_pred") == 2 && a.getAs[Long]("tp") == 1)
+  }
+
   test("a perfect classifier scores 1.0 across the board") {
     val d = Seq(("x", "x"), ("y", "y"), ("y", "y")).toDF("y", "yhat")
     Evaluation.classificationReport(d, "y", "yhat").collect().foreach { row =>
