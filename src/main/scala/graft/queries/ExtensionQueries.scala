@@ -2164,6 +2164,56 @@ object ExtensionQueries {
         FROM m
       """)),
 
+    // ------------------------------------------------------------- EXT78
+    // Retrieval evaluation (the IR twin of ext76's classification report):
+    // per query over ext02's exact top-5, with "relevant" = same label —
+    // hit@5, precision@5, and MRR's reciprocal first-relevant rank. All
+    // rank math over the deterministic top-k, so the whole eval is
+    // oracle-checkable; |queries| output rows.
+    QueryDef(
+      "ext78_retrieval_eval",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val topk = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+        val labels = emb.select(col("vec_id"), col("label"))
+        topk
+          .join(labels.select(col("vec_id").as("query_id"), col("label").as("q_label")), "query_id")
+          .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+          .withColumn("rel", (col("q_label") === col("n_label")).cast("int"))
+          .groupBy("query_id")
+          .agg(
+            max(col("rel")).cast("boolean").as("hit_at_5"),
+            round(sum(col("rel")).cast("double") / count(lit(1)), 6).as("precision_at_5"),
+            round(coalesce(
+              lit(1.0) / min(when(col("rel") === 1, col("rank"))), lit(0.0)), 6)
+              .as("reciprocal_rank"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS n_label
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, q_label, n_label,
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+          FROM c, q WHERE query_id <> neighbor_id),
+        topk AS (
+          SELECT query_id, neighbor_id, q_label, n_label, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 5),
+        r AS (SELECT query_id, rank,
+                     CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel
+              FROM topk)
+        SELECT query_id,
+               CAST(MAX(rel) AS BOOLEAN) AS hit_at_5,
+               ROUND(CAST(SUM(rel) AS DOUBLE) / COUNT(*), 6) AS precision_at_5,
+               ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0), 6)
+                 AS reciprocal_rank
+        FROM r GROUP BY query_id
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {
