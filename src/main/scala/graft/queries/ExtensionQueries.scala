@@ -2214,6 +2214,78 @@ object ExtensionQueries {
         FROM r GROUP BY query_id
       """)),
 
+    // ------------------------------------------------------------- EXT79
+    // NDCG@5 with binary label relevance — the graded-discount member of
+    // the ext78 retrieval-eval family. log2 is written as ln(x)/ln(2) on
+    // BOTH engines (builtin log2 differs in ulps across libm
+    // implementations — the same hazard the ext59 histogram dodged);
+    // ideal DCG normalizes by the query's relevant count clamped to k.
+    QueryDef(
+      "ext79_ndcg",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val topk = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+        val labels = emb.select(col("vec_id"), col("label"))
+        val ln2 = log(lit(2.0))
+        val dcgTerm = col("rel").cast("double") / (log(col("rank") + lit(1.0)) / ln2)
+        val nRel = labels.select(col("label").as("q_label2"))
+          .groupBy("q_label2").agg(count(lit(1)).as("n_same"))
+        topk
+          .join(labels.select(col("vec_id").as("query_id"), col("label").as("q_label")), "query_id")
+          .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+          .withColumn("rel", (col("q_label") === col("n_label")).cast("int"))
+          .groupBy("query_id", "q_label")
+          .agg(sum(dcgTerm).as("dcg"), sum(col("rel")).as("n_rel_at_k"))
+          .join(broadcast(nRel), col("q_label") === col("q_label2"))
+          // ideal: the query's same-label corpus size minus itself, clamped to k
+          .withColumn("n_ideal", least(col("n_same") - 1, lit(5L)))
+          .withColumn("idcg",
+            when(col("n_ideal") >= 1, // sequence(1,0) would run DESCENDING
+              expr("aggregate(sequence(1, int(n_ideal)), 0.0D, (acc, i) -> acc + 1.0 / (ln(i + 1.0) / ln(2.0)))"))
+              .otherwise(lit(0.0)))
+          .select(col("query_id"),
+            round(col("dcg"), 6).as("dcg"),
+            round(col("idcg"), 6).as("idcg"),
+            round(when(col("idcg") > 0, col("dcg") / col("idcg")), 6).as("ndcg"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS n_label
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, q_label, n_label,
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+          FROM c, q WHERE query_id <> neighbor_id),
+        topk AS (
+          SELECT query_id, q_label, n_label, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 5),
+        nrel AS (SELECT label AS q_label2, CAST(COUNT(*) AS BIGINT) AS n_same
+                 FROM embeddings GROUP BY label),
+        agg AS (
+          SELECT query_id, q_label,
+                 SUM(CAST(CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS DOUBLE)
+                     / (ln(rank + 1.0) / ln(2.0))) AS dcg
+          FROM topk GROUP BY query_id, q_label),
+        j AS (
+          SELECT query_id, dcg, LEAST(n_same - 1, 5) AS n_ideal
+          FROM agg JOIN nrel ON q_label = q_label2),
+        -- uncorrelated idcg lookup (DuckDB range() can't take a lateral
+        -- column): idcg(n) for n = 0..5
+        ideal AS (
+          SELECT n.n, COALESCE(SUM(1.0 / (ln(p.i + 1.0) / ln(2.0))), 0.0) AS idcg
+          FROM (SELECT unnest(range(0, 6)) AS n) n
+          LEFT JOIN (SELECT unnest(range(1, 6)) AS i) p ON p.i <= n.n
+          GROUP BY n.n),
+        f AS (SELECT query_id, dcg, idcg FROM j JOIN ideal ON j.n_ideal = ideal.n)
+        SELECT query_id, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+               ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+        FROM f
+      """)),
+
     QueryDef(
       "ext62_ann_ivfpq_recall",
       (s, dir) => {

@@ -45,9 +45,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // ext70: two 1-row scalar cross joins (corpus totals + weight
     // normalizer) — always broadcast-safe
     "ext70_doremi_weights",
-    // ext78: the retrieval-eval harness ranks ext02's broadcast-query
-    // brute-force top-k
-    "ext78_retrieval_eval")
+    // ext78/ext79: the retrieval-eval harnesses rank ext02's
+    // broadcast-query brute-force top-k
+    "ext78_retrieval_eval", "ext79_ndcg")
 
   // NOTE: building a catalog entry is not always free — iterative operators
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
