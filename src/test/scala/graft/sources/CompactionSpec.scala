@@ -10,6 +10,34 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
 
   import spark.implicits._
 
+  test("dynamic partition overwrite reprocesses ONE day idempotently, leaving siblings untouched") {
+    // the lakehouse correction contract: re-running a day's pipeline with
+    // fixed data must replace exactly that day's partition — static
+    // overwrite mode would wipe the whole table
+    val dir = java.nio.file.Files.createTempDirectory("dpo").toString
+    def rows(day: String, tag: String) =
+      (1 to 4).map(i => ("camA", day, s"$tag-$i")).toDF("camera_id", "day", "payload")
+    rows("2024-01-01", "orig").unionAll(rows("2024-01-02", "orig"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      rows("2024-01-02", "fixed")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    val res = spark.read.parquet(dir)
+    assert(res.count() == 8)
+    // partition-column inference reads the day dir back as DateType
+    val byDay = res.collect().groupBy(_.getAs[AnyRef]("day").toString)
+    assert(byDay("2024-01-01").forall(_.getAs[String]("payload").startsWith("orig-")))
+    assert(byDay("2024-01-02").forall(_.getAs[String]("payload").startsWith("fixed-")))
+  }
+
   private def write(dir: String, day: String, n: Int, batches: Int): Unit =
     (1 to batches).foreach { b =>
       (1 to n).map(i => ("camA", day, s"row-$day-$b-$i"))
