@@ -6,7 +6,7 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
-  * (q01–q50 + q31b relational/TPC-H/event-analytics shapes, incl. the
+  * (q01–q51 + q31b relational/TPC-H/event-analytics shapes, incl. the
   * recursive-CTE calendar fill) and [[graft.queries.ExtensionQueries]]
   * (ext01–ext79 + ext40b dedup / similarity / text / TF-IDF / ANN-recall /
   * packing / mixing / indexing / chunking / quantization / heavy-hitter /

@@ -1472,6 +1472,35 @@ object RelationalQueries {
         FROM w
       """)),
 
+    // ---------------------------------------------------------------- q51
+    // VARIANT (new semi-structured type in Spark 4; q18/q25 are the
+    // string-path JSON queries): parse_json once into a variant column,
+    // then typed variant_get extraction feeding a grouped aggregate — the
+    // parse-once/extract-many pattern the binary-encoded type exists for.
+    QueryDef(
+      "q51_variant",
+      (s, dir) => {
+        ev(s, dir).createOrReplaceTempView("events_q51")
+        s.sql("""
+          WITH v AS (SELECT event_type, parse_json(props) AS pv FROM events_q51
+                     WHERE props IS NOT NULL)
+          SELECT event_type,
+                 variant_get(pv, '$.k', 'bigint') div 10 AS k_decile,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(variant_get(pv, '$.k', 'bigint')) AS BIGINT) AS k_sum
+          FROM v
+          GROUP BY event_type, variant_get(pv, '$.k', 'bigint') div 10
+        """)
+      },
+      Some("""
+        SELECT event_type,
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events WHERE props IS NOT NULL
+        GROUP BY 1, 2
+      """)),
+
     // approx_percentile: the constant-memory-per-group percentile path that
     // actually survives 100 TB group sizes (see the q31 scale note).
     // Sketch-based → not hash-comparable across engines → rows-only; the
