@@ -2236,7 +2236,7 @@ object ExtensionQueries {
           .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
           .withColumn("rel", (col("q_label") === col("n_label")).cast("int"))
           .groupBy("query_id", "q_label")
-          .agg(sum(dcgTerm).as("dcg"), sum(col("rel")).as("n_rel_at_k"))
+          .agg(sum(dcgTerm).as("dcg"))
           .join(broadcast(nRel), col("q_label") === col("q_label2"))
           // ideal: the query's same-label corpus size minus itself, clamped to k
           .withColumn("n_ideal", least(col("n_same") - 1, lit(5L)))

@@ -1421,29 +1421,32 @@ object RelationalQueries {
 
     // ---------------------------------------------------------------- q50
     // Rolling anomaly detection: per-user z-score of each reading against
-    // its TRAILING ONE HOUR (a value-based RANGE frame on µs event time —
+    // its TRAILING 24 HOURS (a value-based RANGE frame on µs event time —
     // q23's frame battery is row/value-based; this is the time-window
-    // member). Determinism is q40's trick applied to windows: the frame
-    // aggregates are EXACT decimal sums of value and value² (order-free),
-    // and only the final mean/std/z formula runs in doubles — identical
-    // expression tree on both engines. Readings with fewer than 5 trailing
-    // neighbors emit NULL z (std of a near-empty frame is noise, and ANSI
-    // would throw on the zero divisor).
+    // member; at the gate SF ~1.9k readings clear the n ≥ 5 threshold, so
+    // the arithmetic is genuinely exercised). Determinism is q40's trick
+    // applied to windows: the frame aggregates are EXACT decimal sums of
+    // value and value² (order-free), and only the final mean/std/z formula
+    // runs in doubles — identical expression tree on both engines. The
+    // guard tests the variance RADICAND, not the sqrt: catastrophic
+    // cancellation on a constant-valued frame can make it a tiny NEGATIVE,
+    // where Spark's sqrt returns NaN (and NaN compares greatest) while
+    // DuckDB's sqrt hard-errors.
     QueryDef(
       "q50_rolling_anomaly",
       (s, dir) => {
-        val hour = 3600L * 1000000L
+        val day = 24L * 3600L * 1000000L
         val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
-          .rangeBetween(-hour, Window.currentRow)
+          .rangeBetween(-day, Window.currentRow)
         val s1 = sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
         val n = count(lit(1)).over(w).cast("double")
         val s2 = sum((col("value").cast("decimal(18,6)") * col("value").cast("decimal(18,6)"))
           .cast("decimal(38,12)")).over(w).cast("double")
         val mean = s1 / n
-        val std = sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+        val rad = (s2 - s1 * s1 / n) / (n - lit(1.0))
         // numerator uses the 6-dp-rounded reading — the same value the
         // oracle's output column carries (raw doubles may differ past 6dp)
-        val z = when(n >= 5 && std > 0, round((round(col("value"), 6) - mean) / std, 6))
+        val z = when(n >= 5 && rad > 0, round((round(col("value"), 6) - mean) / sqrt(rad), 6))
         ev(s, dir)
           .select(col("user_id"), col("event_id"), col("ts_us"),
             round(col("value"), 6).as("value"),
@@ -1460,13 +1463,13 @@ object RelationalQueries {
                            AS DECIMAL(38,12))) OVER win AS DOUBLE) AS s2
           FROM events
           WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+                         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
         SELECT user_id, event_id, ts_us, value,
                CAST(n AS BIGINT) AS n_window,
-               CASE WHEN n >= 5 AND sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
+               CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
                     THEN ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6)
                END AS zscore,
-               COALESCE(ABS(CASE WHEN n >= 5 AND sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
+               COALESCE(ABS(CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
                     THEN ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6)
                END) > 2, FALSE) AS is_anomaly
         FROM w
