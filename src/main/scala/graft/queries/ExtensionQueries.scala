@@ -970,13 +970,16 @@ object ExtensionQueries {
       """)),
 
     // ------------------------------------------------------------- EXT58
-    // Tokenizer-fit audit: per-source out-of-vocabulary rate under EXT37's
-    // vocabulary (top-500 pretokens with ≥10 occurrences). The dial that
-    // says which sources a tokenizer trained on this corpus will shatter
-    // into bytes. ONE corpus scan: the (source, tok) count aggregate feeds
-    // BOTH the vocab (via a tok-level rollup of the counts — never a
-    // re-scan) and the join probe; the ≤500-row vocab left-joins the small
-    // aggregate (AQE broadcast by construction), then one (source) agg.
+    // Tokenizer-fit audit: per-source out-of-vocabulary rate under a
+    // top-20 pretoken vocabulary (≥10 occurrences; ext37's production cap
+    // is 500, but the synthetic corpus has only ~31 distinct pretokens —
+    // a 500-cap vocab covers everything and the OOV dial would be
+    // identically zero at the gate, i.e. data-dead). The dial says which
+    // sources a tokenizer trained on this corpus will shatter into bytes.
+    // ONE corpus scan: the (source, tok) count aggregate feeds BOTH the
+    // vocab (via a tok-level rollup of the counts — never a re-scan) and
+    // the join probe; the ≤20-row vocab left-joins the small aggregate
+    // (AQE broadcast by construction), then one (source) agg.
     QueryDef(
       "ext58_oov_rate",
       (s, dir) => {
@@ -985,7 +988,7 @@ object ExtensionQueries {
           .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
         val vocab = perSrc.groupBy("tok").agg(sum("cnt").as("cnt"))
           .filter(col("cnt") >= 10)
-          .orderBy(col("cnt").desc, col("tok")).limit(500)
+          .orderBy(col("cnt").desc, col("tok")).limit(20)
           .select(col("tok"), lit(true).as("in_vocab"))
         perSrc.join(vocab, Seq("tok"), "left")
           .groupBy("source")
@@ -1001,7 +1004,7 @@ object ExtensionQueries {
           FROM documents),
         p AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY source, tok),
         c AS (SELECT tok, SUM(cnt) AS cnt FROM p GROUP BY tok HAVING SUM(cnt) >= 10),
-        v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 500)
+        v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 20)
         SELECT p.source, CAST(SUM(p.cnt) AS BIGINT) AS n_tok,
                CAST(SUM(CASE WHEN v.tok IS NULL THEN p.cnt ELSE 0 END) AS BIGINT) AS n_oov,
                ROUND(SUM(CASE WHEN v.tok IS NULL THEN p.cnt ELSE 0 END) /
@@ -1427,12 +1430,16 @@ object ExtensionQueries {
     // within clusters only; per-cluster kept/dropped accounting. Seeded
     // xxhash64 init → engine-specific clustering → rows-only; the survivor
     // rule, drop/keep conservation, and threshold monotonicity are pinned
-    // by DedupSpec.
+    // by DedupSpec. Threshold 0.42 sits inside the synthetic corpus's
+    // cosine range (max pairwise ≈ 0.51, 34 qualifying pairs) so the
+    // PRUNING path actually executes at the gate — the paper's 0.9-ish
+    // dial against random synthetic vectors would drop nothing and leave
+    // the core semantic data-dead.
     QueryDef(
       "ext54_semdedup",
       (s, dir) => Dedup.semDedup(
         Tables.embeddings(s, dir), "embedding", "vec_id",
-        k = 8, threshold = 0.9, iters = 3),
+        k = 8, threshold = 0.42, iters = 3),
       None),
 
     // ------------------------------------------------------------- EXT57
