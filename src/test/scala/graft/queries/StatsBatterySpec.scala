@@ -54,6 +54,30 @@ class StatsBatterySpec extends AnyFunSuite with SparkTestSession {
       .foreach(r => assert(r.getAs[Double]("revenue") == 0.0))
   }
 
+  test("q50's z-score branch is LIVE: non-null scores exist at sf0.001 (dead-dial guard)") {
+    // the query's first version had an unreachable n >= 5 branch (1-hour
+    // frames never collect 5 readings in this data) — every zscore was
+    // NULL and the oracle hash-passed vacuously. Pin liveness so a frame/
+    // threshold change can't silently kill the semantics again.
+    val rows = SparkEntry.queries("q50_rolling_anomaly")(spark, sf).collect()
+    val live = rows.count(!_.isNullAt(5))
+    assert(live > 0, "no non-null zscores — the anomaly branch is dead again")
+    assert(live < rows.length, "every row scored — the n>=5 warmup guard stopped working")
+  }
+
+  test("ext54's pruning is LIVE: the gate corpus produces actual drops (dead-dial guard)") {
+    val dropped = SparkEntry.queries("ext54_semdedup")(spark, "/root/testdata/sf0.01")
+      .agg(sum("n_dropped")).head().getLong(0)
+    assert(dropped > 0, "semDedup dropped nothing — threshold no longer inside the corpus cosine range")
+  }
+
+  test("ext58's OOV dial is LIVE: rates are neither all zero nor all one (dead-dial guard)") {
+    val rates = SparkEntry.queries("ext58_oov_rate")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getAs[Double]("oov_rate"))
+    assert(rates.exists(_ > 0), "all OOV rates zero — vocab covers the whole corpus again")
+    assert(rates.forall(_ < 1), "OOV rate of 1 — vocab matches nothing")
+  }
+
   test("q40 plan is one scan with a partial/final hash aggregate pair — no extra shuffle") {
     val plan = SparkEntry.queries("q40_stats_battery")(spark, sf)
       .queryExecution.executedPlan.toString
