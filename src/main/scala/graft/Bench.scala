@@ -91,7 +91,14 @@ object Bench {
     // failures are surfaced in the JSON line itself — a fast-failing query
     // must not read as a good number
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // The single JSON line overflows tail-style log captures once the query
+    // map is large (r5 lost its relational timings that way) — persist the
+    // same line to a file so the artifact survives stdout clipping.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     deleteRecursively(new java.io.File(staged)) // staged copies are fact-table-sized
     spark.stop()
   }

@@ -1607,8 +1607,8 @@ object ExtensionQueries {
                CASE WHEN n = 0 THEN 0.0 ELSE
                  ROUND(-list_sum(list_transform(uniq,
                    c -> (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / n)
-                        * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / n)))
-                   + 0.0, 6) END AS entropy_bits
+                        * (ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / n)
+                           / ln(2)))) + 0.0, 6) END AS entropy_bits
         FROM e
       """)),
 
@@ -2010,10 +2010,13 @@ object ExtensionQueries {
       "ext73_ann_index_lifecycle",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        // fixed per-JVM path + overwrite mode: repeated builds (plan
-        // audits, re-runs) reuse one directory instead of leaking a fresh
-        // temp dir per invocation
-        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-vecidx-ext73"
+        // per-PROCESS path + overwrite mode: repeated builds within a JVM
+        // (plan audits, re-runs) reuse one directory instead of leaking a
+        // fresh temp dir per invocation, while two concurrent JVMs (sbt
+        // test vs the Verify driver) never overwrite each other's codes/
+        // mid-read
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-vecidx-ext73-" +
+          ProcessHandle.current().pid()
         graft.operators.VectorIndex.buildIvfPq(
           emb, "vec_id", "embedding", idxDir, nLists = 8, m = 8, ksub = 16)
         graft.operators.VectorIndex.searchIvfPq(

@@ -1488,16 +1488,18 @@ object RelationalQueries {
           WITH v AS (SELECT event_type, parse_json(props) AS pv FROM events_q51
                      WHERE props IS NOT NULL)
           SELECT event_type,
-                 variant_get(pv, '$.k', 'bigint') div 10 AS k_decile,
+                 CAST(FLOOR(variant_get(pv, '$.k', 'bigint') / 10.0) AS BIGINT)
+                   AS k_decile,
                  CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(variant_get(pv, '$.k', 'bigint')) AS BIGINT) AS k_sum
           FROM v
-          GROUP BY event_type, variant_get(pv, '$.k', 'bigint') div 10
+          GROUP BY event_type,
+                   CAST(FLOOR(variant_get(pv, '$.k', 'bigint') / 10.0) AS BIGINT)
         """)
       },
       Some("""
         SELECT event_type,
-               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+               CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) AS k_decile,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         FROM events WHERE props IS NOT NULL

@@ -8,14 +8,22 @@ import graft.SparkEntry
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *     sbt "runMain graft.tools.Time ext32_kmeans_distributed ext54_semdedup"
+  *
+  * SPARK_GRAFT_STAGE=1 first rewrites the SF dir through [[graft.Bench.stage]]
+  * (multi-file splits) so per-query numbers are comparable to Bench's — the
+  * raw single-file fixtures scan as ONE task and hide per-row cost.
   */
 object Time {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val rawDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession
       .builder(s"local[$cpus]", cpus.toInt, appName = "graft-time").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sfDir =
+      if (sys.env.get("SPARK_GRAFT_STAGE").contains("1"))
+        graft.Bench.stage(spark, rawDir, splits = cpus.toInt)
+      else rawDir
     require(args.nonEmpty, "usage: Time <query-name> [<query-name> ...]")
     args.foreach { n =>
       val run = () => SparkEntry.queries(n)(spark, sfDir)

@@ -252,7 +252,7 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("ext58 oov: the ≤500-row vocabulary broadcasts onto the pretoken stream") {
+  test("ext58 oov: the ≤20-row vocabulary (gate sizing; production cap 500 per ext37) broadcasts onto the pretoken stream") {
     val p = plan("ext58_oov_rate")
     assert(p.contains("BroadcastHashJoin"))
   }
