@@ -310,25 +310,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Edit-distance near-dup pairs on a caller-bounded candidate set — the
-    * character-level fuzzy-dedup verify stage (catches OCR noise and
-    * small in-place edits that token-set Jaccard under-weights). Two
-    * principled prunes before the O(len²) DP: the length band
-    * (|len_a − len_b| ≤ maxDist is a true lower bound of edit distance, so
-    * it never drops a qualifying pair) and Spark's thresholded
-    * `levenshtein(l, r, maxDist)` (early-exits the DP and returns −1 past
-    * the bound). Same caller-bounds-the-input contract as
-    * [[jaccardPairs]]: banding/LSH bounds candidates upstream at scale.
-    * Output: (doc_a, doc_b, dist ≤ maxDist).
+  /** Edit-distance near-dup pairs — the character-level fuzzy-dedup verify
+    * stage (catches OCR noise and small in-place edits that token-set
+    * Jaccard under-weights). The length band (|len_a − len_b| ≤ maxDist is
+    * a true lower bound of edit distance, so it never drops a qualifying
+    * pair) is expressed as an EQUI key, not a residual: each doc lands in
+    * length bucket ⌊len/(maxDist+1)⌋, and because the bucket width exceeds
+    * maxDist a qualifying pair's buckets differ by at most 1 — so the left
+    * side probes {b−1, b, b+1} (a 3× explode of ids+lengths, not a
+    * cartesian) and the join is a plain shuffled equi-join that scales like
+    * any other key join. Each qualifying pair matches on exactly one probe
+    * value, so no dedup pass is needed. The DP itself stays residual via
+    * Spark's thresholded `levenshtein(l, r, maxDist)` (early-exits and
+    * returns −1 past the bound). Bucket population — docs of similar
+    * length — bounds the candidate blow-up the same way LSH bands do in
+    * [[minHashLsh]]. Output: (doc_a, doc_b, dist ≤ maxDist).
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = maxDist + 1
     val t = df.select(col(idCol).as("id"), col(textCol).as("t"),
-      length(col(textCol)).as("len"))
-    val a = t.select(col("id").as("doc_a"), col("t").as("t_a"), col("len").as("len_a"))
-    val b = t.select(col("id").as("doc_b"), col("t").as("t_b"), col("len").as("len_b"))
-    a.crossJoin(b)
+        length(col(textCol)).as("len"))
+      .withColumn("bkt", floor(col("len").cast("long") / w))
+    val a = t.select(col("id").as("doc_a"), col("t").as("t_a"),
+      col("len").as("len_a"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    val b = t.select(col("bkt"), col("id").as("doc_b"), col("t").as("t_b"),
+      col("len").as("len_b"))
+    a.join(b, Seq("bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))

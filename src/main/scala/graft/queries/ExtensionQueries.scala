@@ -1867,8 +1867,9 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------- EXT69
     // Edit-distance fuzzy dedup (bounded verify stage): all doc_id < 60
-    // pairs within levenshtein 150 — length-band prune (a true lower
-    // bound, never drops a qualifying pair) + thresholded early-exit DP.
+    // pairs within levenshtein 150 — the length band runs as an equi-join
+    // on ⌊len/(maxDist+1)⌋ buckets (probe b−1..b+1; a true lower bound,
+    // never drops a qualifying pair) + thresholded early-exit DP.
     // Oracle-checked: both engines implement unit-cost Levenshtein.
     QueryDef(
       "ext69_edit_distance",

@@ -39,9 +39,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // bounded by poolK); ext62: the recall harness's exact side is
     // bruteForceTopK — the IVF-PQ side itself joins equi on list/id
     "ext60_hard_negatives", "ext64_mmr_diversify", "ext62_ann_ivfpq_recall",
-    // ext69: the edit-distance verify stage — caller-bounded all-pairs by
-    // contract (the same adjudication as ext03/ext18)
-    "ext69_edit_distance",
     // ext70: two 1-row scalar cross joins (corpus totals + weight
     // normalizer) — always broadcast-safe
     "ext70_doremi_weights",

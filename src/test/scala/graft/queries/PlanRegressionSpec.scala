@@ -282,6 +282,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("ext69 edit-distance runs the length band as an equi-join, not a cartesian") {
+    // the ⌊len/(maxDist+1)⌋ bucket key turns the band prune into a shuffled
+    // key join — the one former cartesian-with-residual in the dedup family
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val p = plan("ext69_edit_distance", dir)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    }
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
