@@ -28,6 +28,48 @@ class AqeSpec extends AnyFunSuite with SparkTestSession {
       s"AQE should promote the 3-row side to broadcast:\n${p.take(2000)}")
   }
 
+  test("a skewed join key is split across tasks at runtime (OptimizeSkewedJoin)") {
+    // the 100×-scale lifesaver: one hot key must not pin a whole join to a
+    // single straggler task. Build a join where ~all left rows share key 0,
+    // lower the skew thresholds to fixture scale (defaults are 256 MB), and
+    // disable broadcast so the join stays sort-merge — then assert AQE
+    // re-planned it as a skew join (the hot partition read in slices).
+    val keep = Seq(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      val pad = lit("x" * 200)
+      val left = spark.range(0, 100000).toDF("id")
+        .select(when(col("id") < 95000, lit(0L)).otherwise(col("id") % 50).as("k"),
+          concat(col("id").cast("string"), pad).as("payload"))
+      val right = spark.range(0, 50).toDF("k").withColumn("w", col("k") * 2)
+      // the payload must be REFERENCED downstream or column pruning strips
+      // it before the shuffle and no partition ever crosses the threshold
+      val joined = left.join(right, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("s"),
+          sum(length(col("payload"))).as("bytes"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p.take(500))
+      assert(p.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot key 0 partition:\n${p.take(3000)}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("post-shuffle partitions coalesce far below the configured count for small data") {
     // the shared test session runs with 4 shuffle partitions — raise to 32
     // for this test so the coalescing assertion has room to actually fail

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -43,6 +43,44 @@ class TrendingSpec extends AnyFunSuite with SparkTestSession {
     // 3 occurrences against undercount n/(k+1) of prior noise)
     val last = rows.filter(_.getAs[Long]("n_total") == 43L)
     assert(last.exists(r => r.getAs[Int]("rank") == 1 && r.getAs[String]("item") == "hot"))
+  }
+
+  test("sketch state survives a query restart from the checkpoint") {
+    // the MG counters live in keyed state: a NEW query resumed from the
+    // same checkpoint must carry them forward, or every restart silently
+    // zeroes trending history (MotionPipeline has the same guard for its
+    // per-camera planes)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("trend-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("trend-out").toString
+    def runOnce(): Array[org.apache.spark.sql.Row] = {
+      // foreachBatch parquet append: the memory sink refuses checkpoint
+      // recovery, and this is the production sink shape anyway
+      val q = Trending.trendingTopK(stream.toDF().toDF("g", "item"), "g", "item",
+          k = 8, topN = 2)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+    }
+    stream.addData(("click", "a"), ("click", "a"), ("click", "b"))
+    assert(runOnce().exists(r => r.getAs[String]("item") == "a" &&
+      r.getAs[Long]("est_n") == 2L && r.getAs[Long]("n_total") == 3L))
+    // second query, same checkpoint: counters restored, so the new batch
+    // ACCUMULATES (a reaches 3 of 5) instead of restarting from zero
+    stream.addData(("click", "a"), ("click", "c"))
+    val resumed = runOnce().filter(_.getAs[Long]("n_total") == 5L)
+    assert(resumed.nonEmpty, "restarted query should emit from restored state")
+    val top = resumed.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[String]("item") == "a" && top.getAs[Long]("est_n") == 3L)
   }
 
   test("groups keep independent sketches") {
