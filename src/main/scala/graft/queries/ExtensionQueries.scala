@@ -2307,6 +2307,44 @@ object ExtensionQueries {
             k = 5, nLists = 8, nProbe = 2, m = 8, ksub = 16, refineFactor = 4),
           Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
       },
-      None, bench = false)
+      None, bench = false),
+
+    // ------------------------------------------------------------- EXT80
+    // Winnowing recall audit for ext42 (the ext67 pattern applied to
+    // substring dedup): every maximal duplicated 64-char run via EXACT
+    // window enumeration, flagged with whether the 1/16 production sample
+    // — and a deliberately coarse 1/256 — would have surfaced it.
+    // Detection is a pure function of the run text (content-based
+    // sampling), so the audit is fully deterministic and ORACLE-CHECKED,
+    // and the fixture keeps both branches live at the gate SF (45 runs,
+    // 45 vs 23 detected). The exact side is gate-SF/held-out-slice
+    // tooling by design — see samplingRecallAudit's scaladoc.
+    QueryDef(
+      "ext80_winnowing_recall",
+      (s, dir) => graft.operators.SubstringDedup.samplingRecallAudit(
+        Tables.documents(s, dir), "text", "doc_id", window = 64),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+        d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        s AS (SELECT w.* FROM w JOIN d USING (h)),
+        isl AS (
+          SELECT doc_id, pos, h,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM s),
+        runs AS (
+          SELECT doc_id, MIN(pos) AS run_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_windows,
+                 CAST(MAX(CASE WHEN substr(h, 1, 1) = '0' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS det_1_16,
+                 CAST(MAX(CASE WHEN substr(h, 1, 2) = '00' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS det_1_256
+          FROM isl GROUP BY doc_id, grp)
+        SELECT doc_id, run_start, n_windows, n_windows + 63 AS run_chars,
+               det_1_16, det_1_256
+        FROM runs
+      """))
   )
 }

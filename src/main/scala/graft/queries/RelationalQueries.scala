@@ -1517,6 +1517,75 @@ object RelationalQueries {
           .agg(
             round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
             round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90")),
-      None, bench = false)
+      None, bench = false),
+
+    // ---------------------------------------------------------------- q52
+    // LISTAGG WITHIN GROUP (Spark 4 surface; SQL:2023): per market
+    // segment, the keys of the 3 highest-value orders as one ordered CSV
+    // cell — the "top-k as a report column" shape. Deterministic by
+    // construction: row_number with a unique o_orderkey tie-break feeds
+    // the WITHIN GROUP order, so the string is stable on any engine.
+    // Plan: one window over the segment (customer dim broadcast) + one
+    // hash agg — the only full-sort is within 5 groups of 3 rows.
+    QueryDef(
+      "q52_listagg",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_q52")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_q52")
+        s.sql("""
+          WITH ranked AS (
+            SELECT c_mktsegment, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders_q52 JOIN customer_q52 ON o_custkey = c_custkey)
+          SELECT c_mktsegment,
+                 listagg(CAST(o_orderkey AS STRING), ',')
+                   WITHIN GROUP (ORDER BY rk) AS top_orders,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ranked WHERE rk <= 3
+          GROUP BY c_mktsegment
+        """)
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT c_mktsegment, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT c_mktsegment,
+               string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rk) AS top_orders,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ranked WHERE rk <= 3
+        GROUP BY c_mktsegment
+      """)),
+
+    // ---------------------------------------------------------------- q53
+    // SQL pipe syntax (Spark 4 surface, |> operators): q01's
+    // filter → aggregate → having chain restated as a pipeline. Same
+    // Catalyst plan as the nested form — the surface is sugar, the scan +
+    // partial/final agg pair underneath is identical (and the oracle IS
+    // the nested form, proving the equivalence end-to-end).
+    QueryDef(
+      "q53_pipe_syntax",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q53")
+        s.sql("""
+          FROM lineitem_q53
+          |> WHERE l_shipdate <= DATE '1998-09-02'
+          |> AGGREGATE CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows
+             GROUP BY l_returnflag, l_linestatus
+          |> WHERE n_rows > 10
+        """)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        HAVING COUNT(*) > 10
+      """))
   )
 }

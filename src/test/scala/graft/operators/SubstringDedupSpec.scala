@@ -60,6 +60,47 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(SubstringDedup.duplicatedSpans(docs, "text", "doc_id").isEmpty)
   }
 
+  test("samplingRecallAudit: runs collapse to maximal islands with correct detect flags") {
+    // doc1/doc2 share boiler at different offsets → ONE maximal run each;
+    // the run is 57 windows, so det_1_16 must be 1 with near-certainty is
+    // NOT what we assert — the flag is deterministic for this text, so pin
+    // whatever md5 says, and pin the island geometry exactly
+    val docs = Seq(
+      (1L, uniq(1) + " " + boiler),
+      (2L, boiler + " " + uniq(2)),
+      (3L, uniq(3) + " " + uniq(4))).toDF("doc_id", "text")
+    val runs = SubstringDedup.samplingRecallAudit(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(runs.map(_._1).sorted.toSeq == Seq(1L, 2L), "one maximal run per copy")
+    val Seq(r1, r2) = runs.sortBy(_._1).toSeq
+    assert(r1._3 == r2._3, "both copies hold the same run length")
+    assert(r1._4 == r1._3 + 63, "run_chars = windows + window - 1")
+    // offsets differ but geometry matches: doc2's copy starts at pos 1
+    assert(r2._2 == 1L && r1._2 > 1L)
+    // detection flags are content-based → identical across the two copies
+    assert(r1._5 == r2._5 && r1._6 == r2._6)
+    // coarser sampling can only lose runs, never gain them
+    assert(r1._6 <= r1._5)
+  }
+
+  test("samplingRecallAudit floor on the fixture corpus: 1/16 catches every run, 1/256 visibly erodes") {
+    // sf0.001 documents: 43 maximal duplicated runs; md5 is deterministic,
+    // so these are exact pins, not statistical floors. The 1/256 dial
+    // must sit strictly between 0 and n_runs — both audit branches live.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val runs = SubstringDedup.samplingRecallAudit(docs, "text", "doc_id")
+      .groupBy().agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("det_1_16").as("d16"),
+        org.apache.spark.sql.functions.sum("det_1_256").as("d256"))
+      .collect().head
+    assert(runs.getLong(0) == 43L, s"expected 43 maximal runs, got ${runs.getLong(0)}")
+    assert(runs.getLong(1) == 43L, "the production 1/16 dial catches every fixture run")
+    val d256 = runs.getLong(2)
+    assert(d256 > 0L && d256 < 43L, s"1/256 must be lossy-but-alive, got $d256")
+  }
+
   test("null text is skipped, not a crash or an all-null bucket") {
     val docs = Seq((1L, null: String), (2L, null: String), (3L, boiler))
       .toDF("doc_id", "text")
