@@ -143,4 +143,42 @@ object SubstringDedup {
         (col("n_windows") + (window - 1)).as("run_chars"),
         col("det_1_16"), col("det_1_256"))
   }
+
+  /** Per-document duplicated-character coverage — the Lee et al. headline
+    * dial ("what fraction of my corpus is verbatim-duplicated text"),
+    * computed as the TRUE char-interval union of the exact duplicated
+    * windows: each window covers [pos, pos+window−1], and two consecutive
+    * duplicated positions merge iff they are ≤ window−1 apart (their char
+    * extents overlap) — summing per-run lengths would double-count
+    * overlapping runs. Every document appears in the output (coverage 0.0
+    * when nothing is duplicated), so the fraction is a complete corpus
+    * profile, not a survivors-only view. Same exact-enumeration caveat as
+    * [[samplingRecallAudit]]: audit tooling — run on a slice at corpus
+    * scale. Output: (doc_id, n_chars, n_islands, dup_chars, dup_fraction).
+    */
+  def duplicatedCoverage(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byDoc = W.partitionBy("doc_id").orderBy("pos")
+    val spans = duplicatedSpans(docs, textCol, idCol, window, hexPrefix = "")
+    val islands = spans
+      .withColumn("newgrp",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= window - 1, 0L)
+          .otherwise(1L))
+      .withColumn("grp", sum(col("newgrp"))
+        .over(byDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + window).as("cov"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("dup_chars"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("n_chars") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"), 6))
+          .otherwise(0.0).as("dup_fraction"))
+  }
 }

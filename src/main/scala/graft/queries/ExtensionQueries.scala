@@ -2345,6 +2345,54 @@ object ExtensionQueries {
         SELECT doc_id, run_start, n_windows, n_windows + 63 AS run_chars,
                det_1_16, det_1_256
         FROM runs
+      """)),
+
+    // ------------------------------------------------------------- EXT81
+    // Duplicated-character coverage per document (the Lee et al. 2022
+    // headline: "N% of the corpus is verbatim-duplicated"): true
+    // char-interval UNION of the exact duplicated windows (overlapping
+    // runs merge — a per-run length sum would double-count), with every
+    // document present so the fraction profiles the whole corpus. The
+    // removal decision this feeds ("cut docs above X% duplication") is a
+    // plain filter on the output. Oracle-checked; exact-enumeration side
+    // is audit/slice tooling like ext80.
+    QueryDef(
+      "ext81_dup_coverage",
+      (s, dir) => graft.operators.SubstringDedup.duplicatedCoverage(
+        Tables.documents(s, dir), "text", "doc_id", window = 64),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+        d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        s AS (SELECT w.* FROM w JOIN d USING (h)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           <= 63
+                      THEN 0 ELSE 1 END AS newgrp
+          FROM s),
+        g AS (
+          SELECT doc_id, pos,
+                 SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl),
+        cov AS (
+          SELECT doc_id, CAST(MAX(pos) - MIN(pos) + 64 AS BIGINT) AS cov
+          FROM g GROUP BY doc_id, grp),
+        pd AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+                 CAST(SUM(cov) AS BIGINT) AS dup_chars
+          FROM cov GROUP BY doc_id)
+        SELECT dd.doc_id, CAST(LENGTH(dd.text) AS BIGINT) AS n_chars,
+               COALESCE(n_islands, 0) AS n_islands,
+               COALESCE(dup_chars, 0) AS dup_chars,
+               CASE WHEN LENGTH(dd.text) > 0
+                    THEN ROUND(CAST(COALESCE(dup_chars, 0) AS DOUBLE)
+                               / LENGTH(dd.text), 6)
+                    ELSE 0.0 END AS dup_fraction
+        FROM documents dd LEFT JOIN pd USING (doc_id)
       """))
   )
 }

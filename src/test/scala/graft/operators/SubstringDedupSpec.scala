@@ -101,6 +101,32 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(d256 > 0L && d256 < 43L, s"1/256 must be lossy-but-alive, got $d256")
   }
 
+  test("duplicatedCoverage: char-interval union, zero-coverage docs included") {
+    // docA/docB share two runs (P and Q) separated by DIFFERENT 1-char
+    // middles, so the windows crossing the middle are unique to each doc:
+    // coverage must report two disjoint islands whose char union excludes
+    // exactly the substituted position — and doc 3 reports 0.0, present.
+    val p = "P" + boiler // 121 chars of shared prefix run
+    val q = boiler.reverse + "Q" // 121 chars of shared suffix run
+    val docs = Seq(
+      (1L, p + "x" + q),
+      (2L, p + "y" + q),
+      (3L, uniq(20) + " " + uniq(21))).toDF("doc_id", "text")
+    val cov = SubstringDedup.duplicatedCoverage(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val total = (p + "x" + q).length.toLong
+    assert(cov(3L) == ((docs.filter($"doc_id" === 3L).head.getString(1).length.toLong, 0L, 0L, 0.0)))
+    for (id <- Seq(1L, 2L)) {
+      val (nChars, nIslands, dupChars, frac) = cov(id)
+      assert(nChars == total)
+      assert(nIslands == 2L, s"doc $id: P and Q must stay disjoint islands")
+      // union covers everything except the single substituted middle char
+      assert(dupChars == total - 1, s"doc $id: got $dupChars of $total")
+      assert(math.abs(frac - (total - 1).toDouble / total) < 1e-6)
+    }
+  }
+
   test("null text is skipped, not a crash or an all-null bucket") {
     val docs = Seq((1L, null: String), (2L, null: String), (3L, boiler))
       .toDF("doc_id", "text")

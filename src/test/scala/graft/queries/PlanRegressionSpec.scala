@@ -293,6 +293,23 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q52 listagg's rank<=3 filter plans the partial per-partition top-k (WindowGroupLimit)") {
+    // the 5-group window would otherwise sort EVERY order within its
+    // segment before the filter — WindowGroupLimit keeps only 3 rows per
+    // partition ahead of the shuffle, the same guard ext01 carries
+    val p = plan("q52_listagg")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "customer dim should broadcast")
+  }
+
+  test("ext80/ext81 substring audits stay equi-joined windows, never pairwise") {
+    for (name <- Seq("ext80_winnowing_recall", "ext81_dup_coverage")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name:\n${p.linesIterator.take(30).mkString("\n")}")
+    }
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
