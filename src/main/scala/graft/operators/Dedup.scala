@@ -198,6 +198,74 @@ object Dedup {
         graft.functions.TextFunctions.charNgramSetFast(col(textCol), n).as("toks")),
       threshold)
 
+  /** Brute-force word-n-gram Jaccard over ALL pairs — the verify-stage
+    * twin of [[ngramJaccardPairs]] on word shingles, and the spec-side
+    * reference [[setSimilarityJoin]]'s losslessness is checked against.
+    * Caller-bounded-input contract like every [[jaccardOverPairs]] user.
+    */
+  def ngramWordJaccardBrute(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame =
+    jaccardOverPairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.wordShingleSetFast(col(textCol), n).as("toks"))
+        .filter(size(col("toks")) > 0),
+      threshold)
+
+  /** EXACT-threshold set-similarity self-join WITHOUT a caller-bounded
+    * candidate set — the prefix-filtering join of Vernica et al. (SIGMOD
+    * 2010), the lossless alternative to [[jaccardPairs]]'s verify-stage
+    * contract and to [[minHashLsh]]'s probabilistic recall: every pair
+    * with word-`n`-gram Jaccard ≥ `threshold` is returned, with no
+    * all-pairs stage anywhere.
+    *
+    * Why it is complete: order all shingles by global rarity (document
+    * frequency asc, shingle asc — a strict total order). If
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so A cannot fit its whole
+    * intersection outside its first |A| − ⌈t·|A|⌉ + 1 shingles — hence two
+    * qualifying sets MUST share at least one PREFIX shingle, and an
+    * equi-join on prefix shingles finds every qualifying pair. The prefix
+    * here is one longer (⌊t·n⌋ instead of ⌈t·n⌉) so float rounding of t·n
+    * can only ADD a candidate, never lose one.
+    *
+    * Scale shape: one df agg, one rarity join (AQE-planned), one per-doc
+    * sort of its own shingles, then an equi self-join on prefix shingles —
+    * candidates are bounded by the bucket sizes of the RAREST ~(1−t)
+    * fraction of each doc's shingles, exactly the tokens with the smallest
+    * buckets. Verify joins candidate ids back to the (id, set) frame and
+    * scores [[jaccardOf]]. Output: (doc_a, doc_b, jaccard ≥ threshold).
+    */
+  def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sets = df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.wordShingleSetFast(col(textCol), n).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tok = sets.select(col("id"), explode(col("toks")).as("t"))
+    val rarity = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val prefixes = tok.join(rarity, "t")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
+      // prefix sized against t − 5e-7, not t: the OUTPUT filter accepts
+      // 6-dp-ROUNDED jaccard ≥ t, which admits true similarity down to
+      // t − 5e-7 — the prefix must cover that sliver or a round-up pair
+      // could be missed (plus ⌊·⌋ instead of ⌈·⌉ so float noise in t·n
+      // only ever lengthens the prefix)
+      .select(col("id"), explode(slice(col("ord"), lit(1),
+        (size(col("ord")) - floor(size(col("ord")) * (threshold - 5e-7)) + 1)
+          .cast("int"))).as("p"))
+      .select(col("id"), col("p.t").as("t"))
+    val cands = prefixes.select(col("t"), col("id").as("doc_a"))
+      .join(prefixes.select(col("t"), col("id").as("doc_b")), Seq("t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(sets.select(col("id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(sets.select(col("id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccardOf(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** The composed production near-dedup pipeline: MinHash-LSH generates
     * candidate pairs (bounded by band-bucket occupancy), then exact word-set
     * Jaccard verifies each candidate once — the 100 TB shape where the

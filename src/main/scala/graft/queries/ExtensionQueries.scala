@@ -2345,7 +2345,7 @@ object ExtensionQueries {
         SELECT doc_id, run_start, n_windows, n_windows + 63 AS run_chars,
                det_1_16, det_1_256
         FROM runs
-      """)),
+      """), bench = false), // audit tool (exact enumeration) — ext67's adjudication
 
     // ------------------------------------------------------------- EXT81
     // Duplicated-character coverage per document (the Lee et al. 2022
@@ -2393,6 +2393,39 @@ object ExtensionQueries {
                                / LENGTH(dd.text), 6)
                     ELSE 0.0 END AS dup_fraction
         FROM documents dd LEFT JOIN pd USING (doc_id)
+      """), bench = false), // audit tool (exact enumeration) — ext67's adjudication
+
+    // ------------------------------------------------------------- EXT82
+    // Exact-threshold set-similarity SELF-JOIN over the whole corpus —
+    // prefix filtering (Vernica et al., SIGMOD 2010): unlike ext03/ext18
+    // (caller-bounded verify stages) and ext08 (probabilistic recall),
+    // this returns EVERY word-3-gram-Jaccard ≥ 0.8 pair with no all-pairs
+    // stage anywhere — candidates come from an equi-join on each doc's
+    // rarest-first shingle prefix, which provably covers every qualifying
+    // pair. The oracle brute-forces the same answer (it can, at gate SF),
+    // so completeness is hash-checked, not asserted.
+    QueryDef(
+      "ext82_setsim_join",
+      (s, dir) => Dedup.setSimilarityJoin(
+        Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.8),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS g
+               FROM d WHERE len(toks) >= 3),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.g, b.g)) AS i,
+                      len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CASE WHEN u = 0 THEN 1.0 ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END
+                 AS jaccard
+        FROM pr
+        WHERE (CASE WHEN u = 0 THEN 1.0 ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END)
+              >= 0.8
       """))
   )
 }

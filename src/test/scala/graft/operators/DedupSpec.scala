@@ -32,6 +32,29 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(at2 == Set((1L, 3L))) // kitten↔sitting (3) now excluded
   }
 
+  test("setSimilarityJoin: equals brute-force jaccardPairs at every threshold (prefix filter is lossless)") {
+    // mixed corpus: exact dups, a near-dup pair, disjoint docs, a doc too
+    // short to shingle — the prefix join must reproduce the brute-force
+    // answer EXACTLY (same pairs, same rounded scores)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base + " extra trailing words here"), // near-dup of 1/2
+      (4L, (100 to 140).map(i => s"z$i").mkString(" ")), // disjoint
+      (5L, (100 to 140).map(i => s"z$i").mkString(" ")), // dup of 4
+      (6L, "two words")). // < 3 tokens: no shingles, must not crash
+      toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val fast = Dedup.setSimilarityJoin(docs, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.ngramWordJaccardBrute(docs, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"threshold $t: prefix join diverged from brute force")
+      assert(fast.nonEmpty, s"threshold $t: fixture must produce pairs")
+    }
+  }
+
   test("editDistancePairs: the length band is a true lower bound (never drops a qualifying pair)") {
     // len diff 4 with maxDist 4: the band keeps it, and the DP confirms 4
     val d = Seq((1L, "abcd"), (2L, "abcdwxyz")).toDF("doc_id", "text")
