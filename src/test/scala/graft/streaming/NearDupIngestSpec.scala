@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Streaming near-dup suppression: a lightly-edited redelivery must drop
+  * (the case exact digest dedup cannot catch), distinct docs must pass,
+  * state must survive a restart and must NOT outlive the watermark.
+  */
+class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
+
+  // long shared body → near-identical shingle sets for edited copies
+  private val body = (1 to 80).map(i => s"token$i").mkString(" ")
+  private def jsonl(id: Long, text: String, tsSec: Long, source: String = "web") =
+    s"""{"doc_id":$id,"text":"$text","source":"$source","ingest_ts":"${
+      java.time.Instant.ofEpochSecond(tsSec)}"}"""
+
+  private def runBatches(
+      table: String, ckpt: String, threshold: Double, delay: String)(
+      batches: Seq[Seq[String]]): Unit = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    batches.foreach { b =>
+      stream.addData(b: _*)
+      // a NEW query per batch group: restart-resilience is part of the test
+      NearDupIngest.writeNearDeduped(
+        CorpusIngest.parse(stream.toDF().toDF("value")),
+        table, ckpt, threshold = threshold, watermarkDelay = delay)
+        .awaitTermination()
+    }
+  }
+
+  test("edited redelivery drops, distinct doc passes, evidence lands in rejects") {
+    val base = Files.createTempDirectory("neardup").toString
+    val t0 = 1700000000L
+    runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
+      Seq(jsonl(1, body, t0)),
+      Seq( // batch 2, next query restart: state must carry over
+        jsonl(2, body + " appended tail", t0 + 60), // near-dup of 1 → drop
+        jsonl(3, (200 to 280).map(i => s"other$i").mkString(" "), t0 + 60)))) // distinct → keep
+    val kept = spark.read.parquet(s"$base/t")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // kept rows carry their payload exactly once
+    assert(kept.filter("text IS NULL").count() == 0)
+    val rejects = spark.read.parquet(s"$base/t_rejects")
+    val r = rejects.collect()
+    assert(r.length == 1 && r.head.getAs[Long]("doc_id") == 2L)
+    assert(r.head.getAs[Long]("matched_doc") == 1L, "evidence names the matched survivor")
+    assert(r.head.getAs[Double]("max_est") >= 0.9)
+  }
+
+  test("exact duplicate estimates 1.0 and same-batch ties keep the earliest") {
+    val base = Files.createTempDirectory("neardup-exact").toString
+    val t0 = 1700100000L
+    runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
+      Seq(jsonl(10, body, t0), jsonl(11, body, t0 + 1)))) // same batch, exact dup
+    val kept = spark.read.parquet(s"$base/t").collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L), "earlier ts survives")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("doc_id") == 11L)
+    assert(rej.head.getAs[Double]("max_est") == 1.0)
+  }
+
+  test("state does not outlive the watermark: a late re-arrival past the horizon is kept") {
+    val base = Files.createTempDirectory("neardup-evict").toString
+    val t0 = 1700200000L
+    runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "1 minutes")(Seq(
+      Seq(jsonl(20, body, t0)),
+      // advance the watermark far past t0 + delay with an unrelated doc
+      Seq(jsonl(21, (300 to 380).map(i => s"advance$i").mkString(" "), t0 + 3600)),
+      // same body again, one hour later: the bucket was evicted → kept
+      Seq(jsonl(22, body, t0 + 3700))))
+    val kept = spark.read.parquet(s"$base/t").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(20L, 21L, 22L),
+      "doc 22 must pass once the watermark evicted doc 20's signatures")
+  }
+}
