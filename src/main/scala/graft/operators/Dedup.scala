@@ -250,13 +250,19 @@ object Dedup {
       // t − 5e-7 — the prefix must cover that sliver or a round-up pair
       // could be missed (plus ⌊·⌋ instead of ⌈·⌉ so float noise in t·n
       // only ever lengthens the prefix)
-      .select(col("id"), explode(slice(col("ord"), lit(1),
+      .select(col("id"), size(col("ord")).as("n"), explode(slice(col("ord"), lit(1),
         (size(col("ord")) - floor(size(col("ord")) * (threshold - 5e-7)) + 1)
           .cast("int"))).as("p"))
-      .select(col("id"), col("p.t").as("t"))
-    val cands = prefixes.select(col("t"), col("id").as("doc_a"))
-      .join(prefixes.select(col("t"), col("id").as("doc_b")), Seq("t"))
+      .select(col("id"), col("n"), col("p.t").as("t"))
+    // the size band is the second lossless prune (J ≥ t ⇒ t·|A| ≤ |B| ≤
+    // |A|/t, slackened like the prefix): it kills the candidates a token
+    // that is rare globally but common in one size class would otherwise
+    // emit, BEFORE the distinct shuffle carries them
+    val tSlack = threshold - 5e-7
+    val cands = prefixes.select(col("t"), col("id").as("doc_a"), col("n").as("n_a"))
+      .join(prefixes.select(col("t"), col("id").as("doc_b"), col("n").as("n_b")), Seq("t"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("n_b") >= col("n_a") * tSlack && col("n_a") >= col("n_b") * tSlack)
       .select("doc_a", "doc_b").distinct()
     cands
       .join(sets.select(col("id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
