@@ -2426,6 +2426,79 @@ object ExtensionQueries {
         FROM pr
         WHERE (CASE WHEN u = 0 THEN 1.0 ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END)
               >= 0.8
-      """))
+      """)),
+
+    // ------------------------------------------------------------- EXT83
+    // QUALITY-aware dedup survivor selection (the Dolma/RefinedWeb policy:
+    // keep the BEST near-duplicate, not the lowest id): ext33's transitive
+    // clusters re-judged — per cluster the survivor is the doc with the
+    // highest distinct-token ratio (ties → lower doc_id), as a top-1
+    // rank window over the cluster (WindowGroupLimit shape, not a
+    // per-cluster collect). Singletons survive trivially. Demonstrates
+    // the dedup POLICY axis is orthogonal to cluster construction.
+    QueryDef(
+      "ext83_quality_survivor",
+      (s, dir) => {
+        val bounded = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        val feats = TextFunctions.qualityFeatures(col("text")).toMap
+        val q = bounded.select(col("doc_id"), col("source"),
+          feats("distinct_ratio").as("quality"))
+        val clusters = Dedup.clusterPairs(
+          Dedup.ngramJaccardPairs(bounded, "text", "doc_id", n = 4, threshold = 0.35))
+        val labeled = q.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+        labeled
+          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("source"), col("quality"), col("cluster_id"),
+            (col("rk") === 1).as("is_survivor"))
+      },
+      Some("""
+        WITH RECURSIVE
+        t AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                   CASE WHEN length(lower(text)) <= 4 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 2),
+                                            i -> substr(lower(text), i, 4)) END)) AS toks
+          FROM documents WHERE doc_id < 40),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS inter,
+                 len(a.toks) + len(b.toks) AS tot
+          FROM t a, t b WHERE a.doc_id < b.doc_id),
+        p AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE (CASE WHEN tot - inter = 0 THEN 1.0
+                      ELSE ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) END) >= 0.35),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        r AS (
+          SELECT src AS node, src AS lbl FROM e
+          UNION
+          SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+        qd AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 40),
+        q AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(toks) = 0 THEN NULL ELSE
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                 END AS quality
+          FROM qd),
+        lab AS (
+          SELECT q.doc_id, q.source, q.quality,
+                 COALESCE(c.cluster_id, q.doc_id) AS cluster_id
+          FROM q LEFT JOIN c ON q.doc_id = c.doc_id),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                      ORDER BY quality DESC NULLS LAST, doc_id) AS rn
+          FROM lab)
+        SELECT doc_id, source, quality, cluster_id, rn = 1 AS is_survivor
+        FROM rk
+      """), bench = false) // bounded slice, the ext33 adjudication
   )
 }
