@@ -67,6 +67,54 @@ object VectorIndex {
       .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
   }
 
+  /** Index deletion — the remaining CRUD leg (GDPR erasure, retracted
+    * documents, dedup-driven pruning): drop `ids` from the codes WITHOUT
+    * touching unaffected inverted lists. The codes of the victim ids live
+    * in a handful of list= partitions; dynamic partition overwrite
+    * rewrites ONLY those partitions (anti-joined against the tombstones),
+    * so a delete of d docs costs O(lists containing them), never a full
+    * index rewrite — at index scale the difference between an erasure
+    * request and a rebuild. The model is untouched (a quantizer does not
+    * unlearn; retrain on drift, per [[appendIvfPq]]'s contract).
+    */
+  def deleteIvfPq(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tombstones = broadcast(ids.select(col(idCol).as("neighbor_id")).distinct())
+    val codes = spark.read.parquet(s"$dir/codes")
+    // bounded collect: list ids number ≤ nLists by construction
+    val affected = codes.join(tombstones, "neighbor_id")
+      .select("list").distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    // stage the survivors of the affected lists OUTSIDE the index first —
+    // Spark refuses to overwrite a path it is reading, and a mid-rewrite
+    // failure must not leave codes/ half-deleted
+    val tmp = s"$dir/codes_rewrite_tmp"
+    codes
+      .filter(col("list").isin(affected.map(Integer.valueOf).toSeq: _*))
+      .join(tombstones, Seq("neighbor_id"), "left_anti")
+      .select(codes.columns.filter(_ != "list").map(col) :+ col("list"): _*)
+      .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the write — a
+    // list whose every row was tombstoned writes nothing and would keep
+    // its stale files; clear those partition dirs explicitly
+    val remaining = staged.select("list").distinct().collect().map(_.getInt(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(remaining).foreach { l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/list=$l"), true): Unit
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+  }
+
   /** Search a built index. `corpus` supplies raw vectors for the exact
     * refine stage only (the standard split: the index holds codes, the
     * store holds vectors).

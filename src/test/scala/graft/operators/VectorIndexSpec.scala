@@ -52,6 +52,45 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("deleteIvfPq: victims gone, untouched lists' files untouched, emptied lists cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-del").toString
+    VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 8, m = 8, ksub = 16)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id", "list").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byList = codes.groupBy(_._2)
+    val emptyTarget = byList.minBy { case (l, rs) => (rs.length, l) }._1 // wipe entirely
+    val partialTarget = byList.maxBy { case (l, rs) => (rs.length, l) }._1 // wipe 3 ids
+    val victims = byList(emptyTarget).map(_._1) ++ byList(partialTarget).map(_._1).take(3)
+    val untouched = byList.keys.filterNot(l => l == emptyTarget || l == partialTarget)
+    assert(untouched.nonEmpty, "fixture must leave some lists untouched")
+    def fileState(l: Int) = Option(new java.io.File(s"$dir/codes/list=$l").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+
+    import spark.implicits._
+    val beforeUntouched = untouched.map(l => l -> fileState(l)).toMap
+    VectorIndex.deleteIvfPq(spark, dir, victims.toSeq.toDF("vec_id"), "vec_id")
+
+    val after = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id", "list").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(after.length == codes.length - victims.length, "exactly the victims left")
+    assert(after.map(_._1).toSet.intersect(victims.toSet).isEmpty)
+    // a delete is surgical: untouched lists keep their exact files
+    untouched.foreach { l => assert(fileState(l) == beforeUntouched(l), s"list $l rewritten") }
+    assert(!new java.io.File(s"$dir/codes/list=$emptyTarget").exists(),
+      "a fully-tombstoned list must not keep stale files")
+    assert(!new java.io.File(s"$dir/codes_rewrite_tmp").exists(), "staging dir cleaned")
+    // and the index still answers, without ever returning a victim
+    val got = VectorIndex.searchIvfPq(spark, dir,
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 5, nProbe = 8, refineFactor = 4)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(1)).toSet.intersect(victims.toSet).isEmpty,
+      "deleted ids must never surface as neighbors")
+  }
+
   test("the persisted model round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 4, m = 4, ksub = 8)
