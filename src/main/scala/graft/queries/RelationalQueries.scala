@@ -1586,6 +1586,48 @@ object RelationalQueries {
         WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         HAVING COUNT(*) > 10
+      """)),
+
+    // ---------------------------------------------------------------- q54
+    // TPC-H Q17 (small-quantity-order revenue): a correlated scalar
+    // AGGREGATE subquery in WHERE — the decorrelation shape q38's scalar
+    // subqueries don't cover (the per-partkey average must become a
+    // grouped aggregate joined back, or the plan degenerates to a
+    // per-row nested loop; PlanRegressionSpec pins the join form).
+    // Determinism: the brand-filtered revenue and the per-part average
+    // both run on decimal-exact sums, doubles appear only at the final
+    // ROUND and the 0.2× threshold — identical chains on both engines.
+    QueryDef(
+      "q54_small_qty_revenue",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q54")
+        Tables.part(s, dir).createOrReplaceTempView("part_q54")
+        s.sql("""
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS revenue,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / 7.0, 6) AS avg_yearly
+          FROM lineitem_q54 JOIN part_q54 ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#4'
+            AND l_quantity <
+                (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                                    AS DOUBLE) / COUNT(*))
+                 FROM lineitem_q54 l2 WHERE l2.l_partkey = p_partkey)
+        """)
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS revenue,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / 7.0, 6) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity <
+              (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                                  AS DOUBLE) / COUNT(*))
+               FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
       """))
   )
 }

@@ -154,7 +154,10 @@ object NearDupIngest {
         timestamp_millis(first(col("ts_millis"))).as("ingest_ts"),
         first(col("text"), ignoreNulls = true).as("text"),
         max(col("est")).as("max_est"),
-        max_by(col("matched_doc"), col("est")).as("matched_doc"))
+        // tie-break the evidence doc deterministically (two bands can
+        // report the same estimate against different stored docs)
+        max_by(col("matched_doc"), struct(col("est"), col("matched_doc")))
+          .as("matched_doc"))
       .withColumn("keep", col("max_est") < threshold)
 
   /** End-to-end: parsed docs → near-deduped landing table (kept docs) via

@@ -310,6 +310,13 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q54's correlated aggregate decorrelates to a join, not a per-row loop") {
+    val p = plan("q54_small_qty_revenue")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("plan shapes hold as data grows (sf0.01): broadcasts and top-k stay put") {
     // plans chosen from tiny stats can silently flip at larger inputs —
     // pin the scale-critical shapes at the correctness-gate SF too
