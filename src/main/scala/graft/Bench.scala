@@ -72,8 +72,8 @@ object Bench {
     }
 
     // streaming throughput first: isolated from the query suite's heap churn
-    val fps = streamingFps(spark)
-    val fpsE2e = streamingFpsE2e(spark)
+    val (fps, fpsMedian) = streamingFps(spark)
+    val (fpsE2e, fpsE2eMedian) = streamingFpsE2e(spark)
 
     val failed = Seq.newBuilder[String]
     val results = headline.map { q =>
@@ -91,7 +91,10 @@ object Bench {
     // failures are surfaced in the JSON line itself — a fast-failing query
     // must not read as a good number
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
+    // headline fps = best-of-5 (min-interference run, JMH/hyperfine
+    // discipline — see streamingFps); the medians ride along so the
+    // estimator choice is auditable, not hidden
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // The single JSON line overflows tail-style log captures once the query
     // map is large (r5 lost its relational timings that way) — persist the
@@ -116,7 +119,7 @@ object Bench {
     * update. Static scene ⇒ kernels run every frame, no PNG I/O (same as a
     * reference camera watching an empty room).
     */
-  private def streamingFps(spark: SparkSession): Double = {
+  private def streamingFps(spark: SparkSession): (Double, Double) = {
     import graft.streaming.{FrameProducer, MotionPipeline}
     val nCams = 4
     val perCam = 75
@@ -141,9 +144,9 @@ object Bench {
       MotionPipeline.detectBin(MotionPipeline.decodeWire(wire), img)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }.sorted
     wire.unpersist()
-    nCams * perCam / secs
+    (nCams * perCam / secs.head, nCams * perCam / secs(secs.length / 2))
   }
 
   /** END-TO-END streaming throughput: the full BASELINE.md path — wire JSON
@@ -160,7 +163,7 @@ object Bench {
     * same build does ~235; the min-interference run estimates the
     * pipeline, not the neighbors).
     */
-  private def streamingFpsE2e(spark: SparkSession): Double = {
+  private def streamingFpsE2e(spark: SparkSession): (Double, Double) = {
     import graft.streaming.{FrameProducer, MotionPipeline}
     val nCams = 4
     val perCam = 150
@@ -181,8 +184,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     run("warm")
-    val secs = (1 to 5).map(i => run(s"timed-$i")).min
+    val secs = (1 to 5).map(i => run(s"timed-$i")).sorted
     deleteRecursively(base.toFile)
-    nCams * perCam / secs
+    (nCams * perCam / secs.head, nCams * perCam / secs(secs.length / 2))
   }
 }
