@@ -2499,6 +2499,55 @@ object ExtensionQueries {
           FROM lab)
         SELECT doc_id, source, quality, cluster_id, rn = 1 AS is_survivor
         FROM rk
-      """), bench = false) // bounded slice, the ext33 adjudication
+      """), bench = false), // bounded slice, the ext33 adjudication
+
+    // ------------------------------------------------------------- EXT84
+    // FULL-corpus dedup retention accounting — what ext82 buys downstream:
+    // ext33's pairs→clusters→per-source retention chain, but with the
+    // prefix-filtering join as the candidate source there is NO doc_id<40
+    // bound anymore — every J≥0.8 pair corpus-wide feeds the clusters, and
+    // the whole chain keeps equi-join/BSP shapes (the oracle brute-forces
+    // the same pairs, which it can at gate SF; the Spark side never does).
+    QueryDef(
+      "ext84_full_retention",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.clusterPairs(
+          Dedup.setSimilarityJoin(docs, "text", "doc_id", n = 3, threshold = 0.8))
+        docs.select(col("doc_id"), col("source"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("kept",
+            col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+      },
+      Some("""
+        WITH RECURSIVE
+        d AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS g
+               FROM d WHERE len(toks) >= 3),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.g, b.g)) AS i,
+                      len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+        p AS (SELECT doc_a, doc_b FROM pr
+              WHERE (CASE WHEN u = 0 THEN 1.0
+                          ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END) >= 0.8),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        r AS (SELECT src AS node, src AS lbl FROM e
+              UNION SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node)
+        SELECT dd.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = dd.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+        FROM documents dd LEFT JOIN c ON dd.doc_id = c.doc_id
+        GROUP BY dd.source
+      """))
   )
 }
