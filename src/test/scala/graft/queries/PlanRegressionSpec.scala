@@ -310,6 +310,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ext82/ext84 prefix-join family is all-equi at both SFs (the whole point of the operator)") {
+    for (name <- Seq("ext82_setsim_join", "ext84_full_retention");
+         dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val p = plan(name, dir)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name at $dir:\n${p.linesIterator.take(30).mkString("\n")}")
+    }
+  }
+
   test("q54's correlated aggregate decorrelates to a join, not a per-row loop") {
     val p = plan("q54_small_qty_revenue")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
