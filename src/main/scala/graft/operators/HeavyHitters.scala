@@ -118,4 +118,88 @@ object HeavyHitters {
         col("n").as("n_total"))
       .withColumn("max_undercount", floor(col("n_total") / (k + 1)))
   }
+
+  // ------------------------------------------------------------ Count-Min
+
+  /** Count-Min buffer: depth×width cells flattened row-major, plus the
+    * stream length (needed to report the ε·N bound). Mutable-array buffer,
+    * the [[graft.operators.Similarity.VecSumBuf]] convention.
+    */
+  final case class CmBuf(var cells: Array[Long], var n: Long)
+
+  /** Row-seeded cell index — plain JVM Murmur3 (the sketch never needs to
+    * be engine-portable; its CONTRACT, not its cell values, is what the
+    * spec and the exact twin pin).
+    */
+  private[graft] def cmCell(item: String, row: Int, width: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(item, 0x9747b28c + row), width)
+
+  /** Count-Min sketch aggregator (Cormode & Muthukrishnan 2005) — the
+    * point-frequency complement of the Misra–Gries top-k summary: AFTER
+    * one pass, the estimate for ANY item is min over rows of its cell,
+    * with est ≥ true always (counters only ever add) and
+    * est ≤ true + ⌈e/width·N⌉ with probability ≥ 1 − e^(−depth) per
+    * probe. O(depth·width) state regardless of stream size, associatively
+    * mergeable (pointwise sum) → partial aggregation, one constant-size
+    * buffer per partition over the shuffle.
+    */
+  def cmAggregator(depth: Int, width: Int): Aggregator[String, CmBuf, CmBuf] = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2; got $depth×$width")
+    new Aggregator[String, CmBuf, CmBuf] {
+      override def zero: CmBuf = CmBuf(new Array[Long](depth * width), 0L)
+      override def reduce(b: CmBuf, item: String): CmBuf = {
+        if (item != null) {
+          var j = 0
+          while (j < depth) { b.cells(j * width + cmCell(item, j, width)) += 1; j += 1 }
+          b.n += 1
+        }
+        b
+      }
+      override def merge(a: CmBuf, b: CmBuf): CmBuf = {
+        var i = 0
+        while (i < a.cells.length) { a.cells(i) += b.cells(i); i += 1 }
+        a.n += b.n
+        a
+      }
+      override def finish(b: CmBuf): CmBuf = b
+      override def bufferEncoder: Encoder[CmBuf] = Encoders.product[CmBuf]
+      override def outputEncoder: Encoder[CmBuf] = Encoders.product[CmBuf]
+    }
+  }
+
+  /** Build the sketch in one distributed pass, then grade it against the
+    * exact counts of the `probes` items (caller-bounded — an audit set,
+    * e.g. the exact top-k): one row per probe with
+    * (item, exact_n, est_n, overcount, bound) where overcount = est−exact
+    * is ≥ 0 BY CONSTRUCTION and bound = ⌈e/width·N⌉ is the per-probe
+    * ε·N guarantee. The finished sketch is depth·width longs —
+    * bounded-by-construction driver state, broadcast into a map-side
+    * lookup (the same adjudication as the k-means centroid collect).
+    */
+  def cmEstimates(items: DataFrame, itemCol: String, probes: DataFrame,
+      probeCol: String, depth: Int = 4, width: Int = 512): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val strs = items.select(col(itemCol).cast("string").as("item"))
+    val buf = strs.as[String].select(cmAggregator(depth, width).toColumn).head()
+    val (cells, n) = (buf.cells, buf.n)
+    val estUdf = udf((item: String) => {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < depth) {
+        val v = cells(j * width + cmCell(item, j, width))
+        if (v < best) best = v
+        j += 1
+      }
+      best
+    })
+    val bound = math.ceil(math.E / width * n).toLong
+    val exact = strs.groupBy("item").agg(count(lit(1)).as("exact_n"))
+    probes.select(col(probeCol).cast("string").as("item")).distinct()
+      .join(exact, Seq("item"), "left")
+      .select(col("item"), coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        estUdf(col("item")).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .withColumn("bound", lit(bound))
+  }
 }

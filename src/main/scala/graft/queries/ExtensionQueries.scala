@@ -2548,6 +2548,26 @@ object ExtensionQueries {
                              THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
         FROM documents dd LEFT JOIN c ON dd.doc_id = c.doc_id
         GROUP BY dd.source
-      """))
+      """)),
+
+    // ------------------------------------------------------------- EXT85
+    // Count-Min point-frequency audit (the sketch-family leg ext40b's
+    // Misra–Gries top-k doesn't cover): one constant-state pass over the
+    // word-bigram stream, then every exact-top-50 bigram graded against
+    // its sketch estimate — overcount ≥ 0 by construction, ε·N bound
+    // reported per row. Rows-only (cell hashes are engine-specific);
+    // the ≥-exact invariant, the bound, and merge associativity are
+    // pinned in HeavyHittersSpec.
+    QueryDef(
+      "ext85_countmin",
+      (s, dir) => {
+        val bigrams = Tables.documents(s, dir)
+          .select(explode(TextFunctions.wordShinglesFast(col("text"), 2)).as("item"))
+        val probes = bigrams.groupBy("item").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("item")).limit(50).select("item")
+        graft.operators.HeavyHitters.cmEstimates(
+          bigrams, "item", probes, "item", depth = 4, width = 512)
+      },
+      None)
   )
 }

@@ -73,4 +73,43 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall(_._3 == 3L), "n_total counts non-null items only")
     assert(got.map(_._1).toSet == Set("x", "y"))
   }
+
+  test("count-min: est >= exact for EVERY probe, within the eps*N bound on a skewed stream") {
+    // 2000 rows over ~120 distinct items, heavy head — the regime CM is for
+    val rnd = new scala.util.Random(7)
+    val stream = (1 to 2000).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 40) "hot" else if (r < 60) s"warm${r % 5}" else s"cold${rnd.nextInt(100)}"
+    }.toDF("item")
+    val probes = stream.distinct()
+    val got = HeavyHitters.cmEstimates(stream, "item", probes, "item",
+        depth = 4, width = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // hard invariant: counters only ever add, so est can never undercount
+    got.foreach { case (item, exact, est, over, _) =>
+      assert(est >= exact, s"$item undercounted: $est < $exact")
+      assert(over == est - exact)
+    }
+    // the eps*N guarantee holds per-probe w.p. 1 - e^-depth (~98% at d=4);
+    // on this fixed seed, every probe lands inside it
+    got.foreach { case (item, _, _, over, bound) =>
+      assert(over <= bound, s"$item overcount $over exceeds bound $bound")
+    }
+    // the probe absent from the stream estimates only collision mass
+    val ghost = HeavyHitters.cmEstimates(stream, "item",
+        Seq("never-seen").toDF("item"), "item", depth = 4, width = 256)
+      .collect().head
+    assert(ghost.getLong(1) == 0L && ghost.getLong(2) <= ghost.getLong(4))
+  }
+
+  test("count-min: partition layout does not change the sketch (merge is pointwise sum)") {
+    val stream = (1 to 500).map(i => s"item${i % 17}").toDF("item")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      HeavyHitters.cmEstimates(df, "item", df.distinct(), "item", depth = 3, width = 64)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(run(stream.coalesce(1)) == run(stream.repartition(7)),
+      "estimates must be identical however the stream was partitioned")
+  }
 }
