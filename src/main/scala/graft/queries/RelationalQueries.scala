@@ -1628,6 +1628,57 @@ object RelationalQueries {
               (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
                                   AS DOUBLE) / COUNT(*))
                FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      """)),
+
+    // ---------------------------------------------------------------- q55
+    // ANSI-safety battery: this engine runs Spark 4 with ANSI mode ON
+    // (divide-by-zero and bad casts THROW), so `try_divide`/`try_cast`
+    // are the production idiom for dirty data — NULL instead of a killed
+    // job. Each try-site is row-MIXED (some rows succeed, some null) so
+    // neither branch is dead, and the outputs are pure counts — no
+    // float-sum ordering to disagree on.
+    QueryDef(
+      "q55_ansi_safety",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q55")
+        s.sql("""
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN try_divide(l_extendedprice, l_quantity - 25)
+                                    IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_div_by_zero,
+                 CAST(SUM(CASE WHEN try_cast(
+                        CASE WHEN l_quantity > 25
+                             THEN CAST(CAST(l_quantity AS BIGINT) AS STRING)
+                             ELSE l_returnflag END AS INT) IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_fail,
+                 CAST(SUM(CASE WHEN try_cast(
+                        CASE WHEN l_quantity > 25
+                             THEN CAST(CAST(l_quantity AS BIGINT) AS STRING)
+                             ELSE l_returnflag END AS INT) IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_ok
+          FROM lineitem_q55
+          GROUP BY l_returnflag
+        """)
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_extendedprice / NULLIF(l_quantity - 25, 0)
+                                  IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_div_by_zero,
+               CAST(SUM(CASE WHEN TRY_CAST(
+                      CASE WHEN l_quantity > 25
+                           THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                           ELSE l_returnflag END AS INTEGER) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_fail,
+               CAST(SUM(CASE WHEN TRY_CAST(
+                      CASE WHEN l_quantity > 25
+                           THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                           ELSE l_returnflag END AS INTEGER) IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_ok
+        FROM lineitem
+        GROUP BY l_returnflag
       """))
   )
 }
