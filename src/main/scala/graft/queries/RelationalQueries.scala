@@ -1679,6 +1679,45 @@ object RelationalQueries {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_ok
         FROM lineitem
         GROUP BY l_returnflag
+      """)),
+
+    // ---------------------------------------------------------------- q56
+    // Per-key CUSUM changepoint statistic (Page 1954): a SEQUENTIAL
+    // recurrence — S_t depends on S_{t−1}'s RESULT, which no window frame
+    // can express — run with the secondary-sort fold (repartition +
+    // sortWithinPartitions + one streaming pass; see
+    // [[graft.operators.Monitoring]]), the shape that survives unbounded
+    // per-key groups. Exact decimal arithmetic end to end, so even a
+    // 2000-step recurrence hash-matches the oracle's recursive CTE.
+    // Dials sized to the fixture: drift 100 / threshold 300 → alarms AND
+    // resets both fire at the gate SF (14 vs 8081 of 10000 rows).
+    QueryDef(
+      "q56_cusum",
+      (s, dir) => graft.operators.Monitoring.cusum(
+          ev(s, dir), "event_type", "ts_us", "event_id", "value",
+          drift = "100", threshold = "300")
+        .select(col("key").as("event_type"), col("ord").as("ts_us"),
+          col("tie").as("event_id"), col("x"), col("cusum"), col("alarm")),
+      Some("""
+        WITH RECURSIVE ordered AS (
+          SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events WHERE value IS NOT NULL),
+        c AS (
+          SELECT event_type, event_id, ts_us, x, rn,
+                 GREATEST(CAST(0 AS DECIMAL(28,6)), x - 100) AS cusum
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.event_type, o.event_id, o.ts_us, o.x, o.rn,
+                 GREATEST(CAST(0 AS DECIMAL(28,6)), c.cusum + o.x - 100)
+          FROM c JOIN ordered o
+            ON o.event_type = c.event_type AND o.rn = c.rn + 1)
+        SELECT event_type, ts_us, event_id, x,
+               CAST(cusum AS DECIMAL(28,6)) AS cusum,
+               cusum > 300 AS alarm
+        FROM c
       """))
   )
 }
