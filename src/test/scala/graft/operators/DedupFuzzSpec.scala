@@ -56,6 +56,18 @@ class DedupFuzzSpec extends AnyFunSuite with SparkTestSession {
     assert(any, "no seed produced a single qualifying pair — generator broken")
   }
 
+  test("setSimilarityJoin == brute force on one larger corpus (150 docs, heavier mutation mix)") {
+    val docs = corpus(99L, 150).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.setSimilarityJoin(docs, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.ngramWordJaccardBrute(docs, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"150-doc corpus, t=$t: prefix join diverged")
+      assert(fast.nonEmpty)
+    }
+  }
+
   test("editDistancePairs == unbucketed cross join on seeded random corpora (maxDist 2 / 6)") {
     for (seed <- 11L to 14L; maxDist <- Seq(2, 6)) {
       val docs = corpus(seed, 20).toDF("doc_id", "text")
