@@ -1718,6 +1718,78 @@ object RelationalQueries {
                CAST(cusum AS DECIMAL(28,6)) AS cusum,
                cusum > 300 AS alarm
         FROM c
+      """)),
+
+    // ---------------------------------------------------------------- q57
+    // Autocorrelation function per event type, lags 1–3 — the "is this
+    // metric stream independent or drifting" dial next to q56's CUSUM.
+    // q40's exact-moment discipline on LAGGED pairs: micro-unit integer
+    // values, exact integer/decimal power sums (one window pass + one
+    // agg), the scale-invariant corr formula evaluated in doubles only at
+    // the end — identical expression tree on both engines.
+    QueryDef(
+      "q57_acf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = ev(s, dir).select(col("event_type"), col("ts_us"), col("event_id"),
+          round(col("value") * 1e6, 0).cast("long").as("v"))
+        val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+        val lagged = e.select(
+          (col("event_type") +: col("v").as("x") +:
+            (1 to 3).map(k => lag(col("v"), k).over(w).as(s"y$k"))): _*)
+        val perLag = (1 to 3).map { k =>
+          lagged.filter(col(s"y$k").isNotNull)
+            .select(col("event_type"), lit(k.toLong).as("lag"),
+              col("x"), col(s"y$k").as("y"))
+        }.reduce(_ unionAll _)
+        val sums = perLag.groupBy("event_type", "lag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        val nD = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val num = nD * d("sxy") - d("sx") * d("sy")
+        val den = sqrt((nD * d("sxx") - d("sx") * d("sx")) *
+          (nD * d("syy") - d("sy") * d("sy")))
+        sums.select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+          round(num / den, 6).as("acf"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+                 CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v
+          FROM events),
+        lagged AS (
+          SELECT event_type, v AS x,
+                 LAG(v, 1) OVER w AS y1, LAG(v, 2) OVER w AS y2,
+                 LAG(v, 3) OVER w AS y3
+          FROM v
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        pairs AS (
+          SELECT event_type, CAST(1 AS BIGINT) AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+          UNION ALL
+          SELECT event_type, CAST(2 AS BIGINT), x, y2 FROM lagged WHERE y2 IS NOT NULL
+          UNION ALL
+          SELECT event_type, CAST(3 AS BIGINT), x, y3 FROM lagged WHERE y3 IS NOT NULL),
+        s AS (
+          SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+          FROM pairs GROUP BY event_type, lag)
+        SELECT event_type, lag, n AS n_pairs,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS acf
+        FROM s
       """))
   )
 }
