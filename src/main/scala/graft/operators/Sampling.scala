@@ -27,6 +27,40 @@ object Sampling {
   /** [[hashBucket]] with the percentage modulus both samplers use. */
   def hashBucket(key: Column): Column = hashBucket(key, 100)
 
+  /** Train/test split with near-duplicate LEAKAGE exclusion — the split a
+    * hash bucket alone gets wrong: a train doc that is a near-dup of a
+    * test doc leaks the test set into training (memorization reads as
+    * generalization). Split deterministically by [[hashBucket]], find
+    * every cross-split near-dup pair with the LOSSLESS
+    * [[Dedup.setSimilarityJoin]] (no all-pairs stage, so the guard runs
+    * at corpus scale), and re-label the train side of each leak as
+    * `dropped_leak`. Test docs always keep their label (the eval set is
+    * sacred; training data is what yields). Output: (doc_id, split ∈
+    * test | train | dropped_leak).
+    */
+  def leakageFreeSplit(docs: DataFrame, textCol: String, idCol: String,
+      testPct: Int = 10, simThreshold: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    require(testPct >= 1 && testPct <= 99, s"testPct in [1,99], got $testPct")
+    val labeled = docs.select(col(idCol).as("doc_id"),
+      when(hashBucket(col(idCol)) < testPct, lit("test"))
+        .otherwise(lit("train")).as("split0"))
+    val pairs = Dedup.setSimilarityJoin(docs, textCol, idCol, shingleN, simThreshold)
+      .select("doc_a", "doc_b")
+    val testIds = labeled.filter(col("split0") === "test")
+      .select(col("doc_id").as("tid"))
+    val leaked = pairs.join(testIds, pairs("doc_a") === testIds("tid"))
+      .select(col("doc_b").as("doc_id"))
+      .union(pairs.join(testIds, pairs("doc_b") === testIds("tid"))
+        .select(col("doc_a").as("doc_id")))
+      .distinct()
+      .withColumn("leak", lit(true))
+    labeled.join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("split0") === "train" && col("leak"), lit("dropped_leak"))
+          .otherwise(col("split0")).as("split"))
+  }
+
   /** Bernoulli-style hash sample: keep rows whose bucket < pct. Map-side
     * only — no shuffle, the 100 TB default for "give me ~20% of the
     * corpus". Rows with a NULL id are dropped (their bucket is NULL, which

@@ -2568,6 +2568,56 @@ object ExtensionQueries {
         graft.operators.HeavyHitters.cmEstimates(
           bigrams, "item", probes, "item", depth = 4, width = 512)
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------- EXT86
+    // Leakage-free train/test split: deterministic 10% hash holdout, then
+    // every TRAIN doc that near-duplicates a TEST doc (ext82's lossless
+    // join — no all-pairs stage, so the guard holds at corpus scale) is
+    // re-labeled dropped_leak. The split a plain hash bucket gets wrong,
+    // and the reason eval numbers survive an audit. All three labels live
+    // at gate SF (41 test / 2 dropped_leak of 500). Oracle-checked end to
+    // end, brute-force pairs on the oracle side only.
+    QueryDef(
+      "ext86_leakage_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.select(col("doc_id"), col("source"))
+          .join(graft.operators.Sampling.leakageFreeSplit(
+            docs, "text", "doc_id", testPct = 10, simThreshold = 0.8),
+            Seq("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS g
+               FROM d WHERE len(toks) >= 3),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.g, b.g)) AS i,
+                      len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+        p AS (SELECT doc_a, doc_b FROM pr
+              WHERE (CASE WHEN u = 0 THEN 1.0
+                          ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END) >= 0.8),
+        lab AS (SELECT doc_id, source,
+                  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS BIGINT) % 100 < 10
+                       THEN 'test' ELSE 'train' END AS split0
+                FROM documents),
+        leaked AS (
+          SELECT DISTINCT x AS doc_id FROM (
+            SELECT doc_b AS x FROM p JOIN lab ON doc_a = lab.doc_id
+            WHERE lab.split0 = 'test'
+            UNION
+            SELECT doc_a FROM p JOIN lab ON doc_b = lab.doc_id
+            WHERE lab.split0 = 'test'))
+        SELECT lab.doc_id, lab.source,
+               CASE WHEN lab.split0 = 'train' AND leaked.doc_id IS NOT NULL
+                    THEN 'dropped_leak' ELSE lab.split0 END AS split
+        FROM lab LEFT JOIN leaked ON lab.doc_id = leaked.doc_id
+      """))
   )
 }
