@@ -1572,7 +1572,7 @@ object RelationalQueries {
         s.sql("""
           FROM lineitem_q53
           |> WHERE l_shipdate <= DATE '1998-09-02'
-          |> AGGREGATE CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+          |> AGGREGATE CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
                        CAST(COUNT(*) AS BIGINT) AS n_rows
              GROUP BY l_returnflag, l_linestatus
           |> WHERE n_rows > 10
@@ -1580,7 +1580,7 @@ object RelationalQueries {
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
@@ -1604,7 +1604,7 @@ object RelationalQueries {
         Tables.part(s, dir).createOrReplaceTempView("part_q54")
         s.sql("""
           SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS revenue,
                  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                        / 7.0, 6) AS avg_yearly
@@ -1618,7 +1618,7 @@ object RelationalQueries {
       },
       Some("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS revenue,
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                      / 7.0, 6) AS avg_yearly
@@ -1691,13 +1691,17 @@ object RelationalQueries {
     // 2000-step recurrence hash-matches the oracle's recursive CTE.
     // Dials sized to the fixture: drift 100 / threshold 300 → alarms AND
     // resets both fire at the gate SF (14 vs 8081 of 10000 rows).
+    // Final projection casts x/cusum to DOUBLE (catalog convention: no
+    // DECIMAL columns in gate outputs — fixed-scale decimal rendering
+    // trips the driver's hasher; arithmetic stays decimal-exact inside).
     QueryDef(
       "q56_cusum",
       (s, dir) => graft.operators.Monitoring.cusum(
           ev(s, dir), "event_type", "ts_us", "event_id", "value",
           drift = "100", threshold = "300")
         .select(col("key").as("event_type"), col("ord").as("ts_us"),
-          col("tie").as("event_id"), col("x"), col("cusum"), col("alarm")),
+          col("tie").as("event_id"), col("x").cast("double").as("x"),
+          col("cusum").cast("double").as("cusum"), col("alarm")),
       Some("""
         WITH RECURSIVE ordered AS (
           SELECT event_type, event_id, epoch_us(ts) AS ts_us,
@@ -1707,16 +1711,18 @@ object RelationalQueries {
           FROM events WHERE value IS NOT NULL),
         c AS (
           SELECT event_type, event_id, ts_us, x, rn,
-                 GREATEST(CAST(0 AS DECIMAL(28,6)), x - 100) AS cusum
+                 GREATEST(CAST(0 AS DECIMAL(28,6)),
+                          CAST(x - 100 AS DECIMAL(28,6))) AS cusum
           FROM ordered WHERE rn = 1
           UNION ALL
           SELECT o.event_type, o.event_id, o.ts_us, o.x, o.rn,
-                 GREATEST(CAST(0 AS DECIMAL(28,6)), c.cusum + o.x - 100)
+                 GREATEST(CAST(0 AS DECIMAL(28,6)),
+                          CAST(c.cusum + o.x - 100 AS DECIMAL(28,6)))
           FROM c JOIN ordered o
             ON o.event_type = c.event_type AND o.rn = c.rn + 1)
-        SELECT event_type, ts_us, event_id, x,
-               CAST(cusum AS DECIMAL(28,6)) AS cusum,
-               cusum > 300 AS alarm
+        SELECT event_type, ts_us, event_id, CAST(x AS DOUBLE) AS x,
+               CAST(ROUND(cusum, 6) AS DOUBLE) AS cusum,
+               ROUND(cusum, 6) > 300 AS alarm
         FROM c
       """)),
 
@@ -1746,9 +1752,9 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           sum(col("x")).as("sx"),
           sum(col("y")).as("sy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+          sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"),
+          sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
+          sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"))
         val nD = col("n").cast("double")
         def d(c: String) = col(c).cast("double")
         val num = nD * d("sxy") - d("sx") * d("sy")
@@ -1777,9 +1783,9 @@ object RelationalQueries {
         s AS (
           SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
-                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
           FROM pairs GROUP BY event_type, lag)
         SELECT event_type, lag, n AS n_pairs,
                ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)

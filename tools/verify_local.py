@@ -8,6 +8,7 @@ oracle SQL from oracle_sql.json in DuckDB (views over the sfDir tables), and
 compares: columns sorted by name, rows sorted, values canonicalized.
 """
 import sys, json, glob, os
+from decimal import Decimal
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -21,6 +22,13 @@ def canon(v):
         if v != v:
             return "NaN"
         return repr(v)
+    if isinstance(v, Decimal):
+        # Float-style rendering: the driver's hasher canonicalizes decimal
+        # cells asymmetrically (fixed-scale "12.310000" vs float "12.31"),
+        # which is why the catalog convention is NO DECIMAL columns in final
+        # projections. Rendering decimals float-style here makes the local
+        # gate predict the driver gate rather than silently passing.
+        return repr(float(v))
     return str(v)
 
 def rowset(rows, names):
