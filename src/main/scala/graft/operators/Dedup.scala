@@ -235,11 +235,62 @@ object Dedup {
     * scores [[jaccardOf]]. Output: (doc_a, doc_b, jaccard ≥ threshold).
     */
   def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val sets = df.select(col(idCol).as("id"),
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    setSimilarityJoinOnSets(shingleSets(df, textCol, idCol, n), threshold)
+
+  /** [[setSimilarityJoin]] on CHARACTER n-gram sets
+    * ([[graft.functions.TextFunctions.charNgramSetFast]]) — the
+    * representation robust to whitespace/concatenation noise, and the one
+    * where template-level similarity (shared boilerplate) shows up at
+    * moderate thresholds. Same lossless prefix-filter machinery.
+    */
+  def charSetSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, threshold: Double = 0.4): DataFrame =
+    setSimilarityJoinOnSets(
+      df.select(col(idCol).as("id"),
+          graft.functions.TextFunctions.charNgramSetFast(col(textCol), n).as("toks"))
+        .filter(size(col("toks")) > 0),
+      threshold)
+
+  /** The representation-agnostic core of [[setSimilarityJoin]]: candidates
+    * ([[setSimCandidatesOnSets]]) verified by exact Jaccard over the same
+    * `sets` frame ((id, toks), toks non-empty).
+    */
+  def setSimilarityJoinOnSets(sets: DataFrame, threshold: Double): DataFrame = {
+    val cands = setSimCandidatesOnSets(sets, threshold)
+      // fanout visibility (VERDICT r6): the candidate count is THE number
+      // that decides whether this join survives a skewed corpus — surface
+      // it as an observed metric every execution reports (readable via
+      // QueryExecutionListener; PlanRegressionSpec bounds it at two SFs)
+      .observe("setsim_candidates", count(lit(1)).as("n_candidates"))
+    cands
+      .join(sets.select(col("id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(sets.select(col("id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccardOf(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The (id, word-n-gram set) frame both stages of [[setSimilarityJoin]]
+    * derive from. */
+  private def shingleSets(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         graft.functions.TextFunctions.wordShingleSetFast(col(textCol), n).as("toks"))
       .filter(size(col("toks")) > 0)
+
+  /** The LOSSLESS candidate stage of [[setSimilarityJoin]] (prefix filter +
+    * size band), public so audits can count/bound the candidate fanout
+    * without paying the verify stage. Output: (doc_a, doc_b) candidate ids,
+    * a superset of every pair with Jaccard ≥ `threshold`.
+    */
+  def setSimCandidates(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    setSimCandidatesOnSets(shingleSets(df, textCol, idCol, n), threshold)
+
+  /** [[setSimCandidates]] over a prepared (id, toks) frame. */
+  def setSimCandidatesOnSets(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val tok = sets.select(col("id"), explode(col("toks")).as("t"))
     val rarity = tok.groupBy("t").agg(count(lit(1)).as("df"))
     val prefixes = tok.join(rarity, "t")
@@ -259,17 +310,11 @@ object Dedup {
     // that is rare globally but common in one size class would otherwise
     // emit, BEFORE the distinct shuffle carries them
     val tSlack = threshold - 5e-7
-    val cands = prefixes.select(col("t"), col("id").as("doc_a"), col("n").as("n_a"))
+    prefixes.select(col("t"), col("id").as("doc_a"), col("n").as("n_a"))
       .join(prefixes.select(col("t"), col("id").as("doc_b"), col("n").as("n_b")), Seq("t"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("n_b") >= col("n_a") * tSlack && col("n_a") >= col("n_b") * tSlack)
       .select("doc_a", "doc_b").distinct()
-    cands
-      .join(sets.select(col("id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-      .join(sets.select(col("id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-      .withColumn("jaccard", jaccardOf(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** The composed production near-dedup pipeline: MinHash-LSH generates
@@ -328,10 +373,14 @@ object Dedup {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).localCheckpoint()
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    // LAZY localCheckpoint: the lblSum convergence probe is then the single
+    // action that both materializes the round's checkpoint and reads the
+    // probe — one job per round instead of two (each saved action is a
+    // cluster round-trip at 100 TB)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(false)
     var prevSum = lblSum(labels)
     var converged = false
     var it = 0
@@ -346,13 +395,16 @@ object Dedup {
       val next = prop
         .join(prop.select(col("node").as("lbl"), col("lbl").as("__jl")), Seq("lbl"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("__jl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = lblSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       it += 1
     }
+    // fanout visibility (VERDICT r6): edge count + rounds, once per call —
+    // e is persisted so the count reads the cache, not the pair join
+    System.err.println(s"[graft] clusterPairs: edges=${e.count()} rounds=$it")
     e.unpersist()
     require(converged,
       s"clusterPairs did not converge in $maxIters rounds — component diameter exceeds 2^maxIters")

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped materialization of the corpus-wide near-duplicate pair
+  * table — the production shape for a 100 TB pipeline: the J ≥ t pair set
+  * is computed ONCE (it is the single most expensive artifact in the dedup
+  * family) and every consumer — retention accounting, leakage guards,
+  * cluster audits, survivor policies — reads the same materialization
+  * instead of re-running the similarity join. On a cluster this is a
+  * parquet table written by one job; in-session it is a persisted
+  * DataFrame keyed by (session, input key, shingle n, threshold).
+  *
+  * The first caller pays the join and a `count()` that (a) materializes
+  * the cache before any concurrent reader can fork a second computation
+  * and (b) logs the pair count — fanout on a skewed corpus must never be
+  * silent. `computeIfAbsent` serializes concurrent first-callers on the
+  * same key (Verify runs the catalog 4 queries at a time).
+  */
+object MaterializedPairs {
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[Dedup.setSimilarityJoin]] memoized per (session, `key`, `n`,
+    * `threshold`). `key` must identify the input data (the SF dir path);
+    * the session identity is added automatically so stale frames from a
+    * stopped SparkSession are never returned.
+    */
+  def setSimPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, key: String): DataFrame = {
+    val full = Seq(System.identityHashCode(docs.sparkSession), key,
+      textCol, idCol, n, threshold).mkString("|")
+    memo.computeIfAbsent(full, _ => {
+      val pairs = Dedup.setSimilarityJoin(docs, textCol, idCol, n, threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      val nPairs = pairs.count()
+      System.err.println(
+        f"[graft] materialized setsim pairs: key=$key n=$n t=$threshold " +
+          f"pairs=$nPairs build=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      pairs
+    })
+  }
+
+  /** Drop every cached pair table (unpersist + forget). Bench calls this
+    * between timed passes so repeat timings measure the query, not a cache
+    * hit from the previous pass.
+    */
+  def clear(): Unit = {
+    memo.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    memo.clear()
+  }
+}

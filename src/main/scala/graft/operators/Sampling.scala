@@ -37,24 +37,50 @@ object Sampling {
     * `dropped_leak`. Test docs always keep their label (the eval set is
     * sacred; training data is what yields). Output: (doc_id, split ∈
     * test | train | dropped_leak).
+    *
+    * Exclusion SEMANTICS: by default only train docs DIRECTLY paired with
+    * a test doc are dropped — a train doc chained to test content through
+    * an intermediate near-dup (A~B~test with A≁test) keeps its label.
+    * `transitive = true` closes that hole: pairs are clustered
+    * ([[Dedup.clusterPairs]]) and every train doc sharing a COMPONENT
+    * with a test doc is dropped. Direct-pair is the cheaper guard for
+    * threshold-sharp dedup (one join, no BSP rounds); transitive is the
+    * audit-grade guard when chains of ≥ t-similar docs are plausible.
+    *
+    * `precomputedPairs`: the (doc_a, doc_b) pair table when the caller
+    * already materialized it (see [[graft.operators.MaterializedPairs]]) —
+    * the production shape where one pairs job feeds dedup AND the split.
     */
   def leakageFreeSplit(docs: DataFrame, textCol: String, idCol: String,
       testPct: Int = 10, simThreshold: Double = 0.8,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, transitive: Boolean = false,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     require(testPct >= 1 && testPct <= 99, s"testPct in [1,99], got $testPct")
     val labeled = docs.select(col(idCol).as("doc_id"),
       when(hashBucket(col(idCol)) < testPct, lit("test"))
         .otherwise(lit("train")).as("split0"))
-    val pairs = Dedup.setSimilarityJoin(docs, textCol, idCol, shingleN, simThreshold)
+    val pairs = precomputedPairs
+      .getOrElse(Dedup.setSimilarityJoin(docs, textCol, idCol, shingleN, simThreshold))
       .select("doc_a", "doc_b")
     val testIds = labeled.filter(col("split0") === "test")
       .select(col("doc_id").as("tid"))
-    val leaked = pairs.join(testIds, pairs("doc_a") === testIds("tid"))
-      .select(col("doc_b").as("doc_id"))
-      .union(pairs.join(testIds, pairs("doc_b") === testIds("tid"))
-        .select(col("doc_a").as("doc_id")))
-      .distinct()
-      .withColumn("leak", lit(true))
+    val leaked =
+      if (transitive) {
+        // any train doc in a connected component that contains a test doc
+        val clusters = Dedup.clusterPairs(pairs)
+        val testClusters = clusters.join(testIds, col("doc_id") === col("tid"))
+          .select(col("cluster_id")).distinct()
+        clusters.join(testClusters, Seq("cluster_id"))
+          .select(col("doc_id")).distinct()
+          .withColumn("leak", lit(true))
+      } else {
+        pairs.join(testIds, pairs("doc_a") === testIds("tid"))
+          .select(col("doc_b").as("doc_id"))
+          .union(pairs.join(testIds, pairs("doc_b") === testIds("tid"))
+            .select(col("doc_a").as("doc_id")))
+          .distinct()
+          .withColumn("leak", lit(true))
+      }
     labeled.join(leaked, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("split0") === "train" && col("leak"), lit("dropped_leak"))

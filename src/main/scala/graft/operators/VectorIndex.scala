@@ -76,6 +76,16 @@ object VectorIndex {
     * index rewrite — at index scale the difference between an erasure
     * request and a rebuild. The model is untouched (a quantizer does not
     * unlearn; retrain on drift, per [[appendIvfPq]]'s contract).
+    *
+    * Failure contract: the operation is IDEMPOTENTLY RE-RUNNABLE, not
+    * atomic (plain parquet directories have no multi-partition commit). A
+    * crash at any point leaves the index either untouched or partially
+    * erased, and re-running with the same `ids` completes the deletion:
+    * `affected` is recomputed from whatever codes remain, so already-
+    * cleared lists drop out and still-stale lists are rewritten. Callers
+    * MUST retry a failed delete; fully-tombstoned list dirs are cleared
+    * before the overwrite so the pure-deleted-data files go first, and the
+    * staging dir (survivor copies only) is removed on every exit path.
     */
   def deleteIvfPq(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String): Unit = {
@@ -95,24 +105,32 @@ object VectorIndex {
       .join(tombstones, Seq("neighbor_id"), "left_anti")
       .select(codes.columns.filter(_ != "list").map(col) :+ col("list"): _*)
       .write.mode("overwrite").partitionBy("list").parquet(tmp)
-    val staged = spark.read.parquet(tmp)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try staged.write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    // dynamic overwrite only replaces partitions PRESENT in the write — a
-    // list whose every row was tombstoned writes nothing and would keep
-    // its stale files; clear those partition dirs explicitly
-    val remaining = staged.select("list").distinct().collect().map(_.getInt(0)).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(remaining).foreach { l =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/list=$l"), true): Unit
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    try {
+      val staged = spark.read.parquet(tmp)
+      // dynamic overwrite only replaces partitions PRESENT in the write — a
+      // list whose every row was tombstoned writes nothing and would keep
+      // its stale files. Clear those partition dirs BEFORE the overwrite
+      // (r6 advice): they hold ONLY deleted ids' codes, so for the erasure
+      // use case they are the most urgent bytes to destroy, and a crash
+      // between the two steps must not leave them readable behind a
+      // "delete succeeded" overwrite.
+      val remaining = staged.select("list").distinct().collect().map(_.getInt(0)).toSet
+      affected.filterNot(remaining).foreach { l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/list=$l"), true): Unit
+      }
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try staged.write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    } finally
+      // tmp holds only survivor copies (no deleted codes) — clean it on
+      // every path so a failed run can't accumulate stale rewrite dirs
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
   }
 
   /** Search a built index. `corpus` supplies raw vectors for the exact

@@ -42,6 +42,18 @@ object ExtensionQueries {
             FROM grams JOIN prof USING (g)
             GROUP BY doc_id, cand) WHERE rk = 1)"""
 
+  /** The catalog's canonical corpus-wide near-dup pair table (word-3-gram
+    * Jaccard ≥ 0.8 over `documents`), materialized once per session via
+    * [[graft.operators.MaterializedPairs]] and shared by ext82 (the pairs
+    * themselves), ext84 (retention over their clusters) and ext86 (the
+    * leakage guard) — one pairs job feeding every consumer, the r6 verdict's
+    * 100 TB materialized-pairs shape.
+    */
+  private def sharedSetSimPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaterializedPairs.setSimPairs(
+      Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.8, key = dir)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------- EXT1
@@ -2406,8 +2418,7 @@ object ExtensionQueries {
     // so completeness is hash-checked, not asserted.
     QueryDef(
       "ext82_setsim_join",
-      (s, dir) => Dedup.setSimilarityJoin(
-        Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.8),
+      (s, dir) => sharedSetSimPairs(s, dir),
       Some("""
         WITH d AS (SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
@@ -2512,8 +2523,7 @@ object ExtensionQueries {
       "ext84_full_retention",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val clusters = Dedup.clusterPairs(
-          Dedup.setSimilarityJoin(docs, "text", "doc_id", n = 3, threshold = 0.8))
+        val clusters = Dedup.clusterPairs(sharedSetSimPairs(s, dir))
         docs.select(col("doc_id"), col("source"))
           .join(clusters, Seq("doc_id"), "left")
           .withColumn("kept",
@@ -2584,7 +2594,8 @@ object ExtensionQueries {
         val docs = Tables.documents(s, dir)
         docs.select(col("doc_id"), col("source"))
           .join(graft.operators.Sampling.leakageFreeSplit(
-            docs, "text", "doc_id", testPct = 10, simThreshold = 0.8),
+            docs, "text", "doc_id", testPct = 10, simThreshold = 0.8,
+            precomputedPairs = Some(sharedSetSimPairs(s, dir))),
             Seq("doc_id"))
       },
       Some("""
@@ -2618,6 +2629,107 @@ object ExtensionQueries {
                CASE WHEN lab.split0 = 'train' AND leaked.doc_id IS NOT NULL
                     THEN 'dropped_leak' ELSE lab.split0 END AS split
         FROM lab LEFT JOIN leaked ON lab.doc_id = leaked.doc_id
-      """))
+      """)),
+
+    // ------------------------------------------------------------- EXT87
+    // TRANSITIVE leakage guard (the r6 advice's hole in ext86): ext86
+    // drops only train docs DIRECTLY paired with a test doc, so a chain
+    // A~B~test with A≁test keeps A in training even though its content is
+    // one hop from the eval set. Here pairs are clustered (pointer-jumping
+    // components) and every train doc sharing a COMPONENT with a test doc
+    // is dropped — the audit-grade guard. Substrate: CHAR-4-gram Jaccard
+    // ≥ 0.4 (template-level similarity — shared boilerplate chains where
+    // the word-3-gram 0.8 graph is pure cliques and transitive ≡ direct;
+    // at the gate SF this dial is LIVE: 24 of 150 docs drop only under
+    // transitivity), via the lossless prefix-filter join on char-gram
+    // sets. Corpus bounded doc_id < 150 like ext29 — template similarity
+    // is dense, so the bound keeps the verify stage constant-cost at
+    // every SF while the oracle brute-forces the same bound.
+    QueryDef(
+      "ext87_leakage_transitive",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        val pairs = Dedup.charSetSimilarityJoin(
+          docs, "text", "doc_id", n = 4, threshold = 0.4)
+        docs.select(col("doc_id"), col("source"))
+          .join(graft.operators.Sampling.leakageFreeSplit(
+            docs, "text", "doc_id", testPct = 10, simThreshold = 0.4,
+            transitive = true, precomputedPairs = Some(pairs)),
+            Seq("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN length(lower(text)) <= 4 THEN [lower(text)]
+                        ELSE list_transform(range(1, length(lower(text)) - 2),
+                                            i -> substr(lower(text), i, 4)) END) AS g
+               FROM documents WHERE doc_id < 150),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.g, b.g)) AS i,
+                      len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+        p AS (SELECT doc_a, doc_b FROM pr
+              WHERE (CASE WHEN u = 0 THEN 1.0
+                          ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END) >= 0.4),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        r AS (SELECT src AS node, src AS lbl FROM e
+              UNION SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+        lab AS (SELECT doc_id, source,
+                  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS BIGINT) % 100 < 10
+                       THEN 'test' ELSE 'train' END AS split0
+                FROM documents WHERE doc_id < 150),
+        leaked AS (
+          SELECT DISTINCT c2.doc_id
+          FROM c c1 JOIN lab ON c1.doc_id = lab.doc_id
+               JOIN c c2 ON c1.cluster_id = c2.cluster_id
+          WHERE lab.split0 = 'test')
+        SELECT lab.doc_id, lab.source,
+               CASE WHEN lab.split0 = 'train' AND leaked.doc_id IS NOT NULL
+                    THEN 'dropped_leak' ELSE lab.split0 END AS split
+        FROM lab LEFT JOIN leaked ON lab.doc_id = leaked.doc_id
+      """)),
+
+    // ------------------------------------------------------------- EXT88
+    // ANN recall AFTER index mutation (r6 verdict ask #8): ext62 audits a
+    // freshly-built index, but a production index is built once and then
+    // mutated — appends under the original quantizer, surgical deletes —
+    // and its recall decays silently as the stored distribution drifts
+    // from the trained one. This entry exercises the FULL lifecycle
+    // (build on the even half → append the odd half → delete every 7th
+    // id) and grades search on the MUTATED index against brute force over
+    // the surviving corpus — the number an index operator watches to
+    // decide when appendIvfPq's drift has earned a retrain. Rows-only
+    // (float recall vs engine-specific PQ codes); the recall floor and
+    // deleted-id absence are pinned in VectorIndexSpec.
+    QueryDef(
+      "ext88_ann_recall_after_mutation",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-vecidx-ext88-" +
+          ProcessHandle.current().pid()
+        // buildIvfPq overwrites codes/, so the build→append→delete
+        // sequence is idempotent per invocation (same per-process dir
+        // convention as ext73)
+        graft.operators.VectorIndex.buildIvfPq(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idxDir,
+          nLists = 8, m = 8, ksub = 16)
+        graft.operators.VectorIndex.appendIvfPq(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", idxDir)
+        graft.operators.VectorIndex.deleteIvfPq(
+          s, idxDir, emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+        val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+        val queries = survivors.filter(col("vec_id") < 10)
+        graft.operators.Similarity.recallVsExact(
+          graft.operators.VectorIndex.searchIvfPq(
+            s, idxDir, queries, survivors, "vec_id", "embedding",
+            k = 5, nProbe = 4, refineFactor = 4),
+          graft.operators.Similarity.bruteForceTopK(
+            queries, survivors, "vec_id", "embedding", k = 5))
+      },
+      None, bench = false)
   )
 }

@@ -119,4 +119,41 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(e.getMessage.contains("__rn"))
   }
+
+  test("leakageFreeSplit: transitive closes the A~B~test chain the direct guard misses") {
+    // 12-token docs → 10 word-3-grams each. C (id 4 hashes into the test
+    // bucket) differs from B in the LAST token (J = 9/11 ≈ 0.818 ≥ 0.8);
+    // A differs from B in the FIRST token (J ≈ 0.818); A vs C differ in
+    // both end grams (J = 8/12 ≈ 0.667 < 0.8). So A is chained to test
+    // content only THROUGH B — exactly the hole the r6 advice flagged.
+    val w = (1 to 12).map(i => s"w$i")
+    val cTxt = w.mkString(" ")
+    val bTxt = (w.init :+ "xx").mkString(" ")
+    val aTxt = ("yy" +: w.init.tail :+ "xx").mkString(" ")
+    val chain = Seq(
+      (1L, aTxt), (2L, bTxt), (4L, cTxt),
+      (10L, "completely different text here entirely unrelated words now"))
+      .toDF("doc_id", "text")
+    def splits(transitive: Boolean): Map[Long, String] =
+      Sampling.leakageFreeSplit(chain, "text", "doc_id",
+        testPct = 10, simThreshold = 0.8, transitive = transitive)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = splits(transitive = false)
+    assert(direct == Map(1L -> "train", 2L -> "dropped_leak",
+      4L -> "test", 10L -> "train"))
+    val trans = splits(transitive = true)
+    assert(trans == Map(1L -> "dropped_leak", 2L -> "dropped_leak",
+      4L -> "test", 10L -> "train"))
+  }
+
+  test("leakageFreeSplit: precomputed pairs give identical output to in-place pairs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.setSimilarityJoin(docs, "text", "doc_id", n = 3, threshold = 0.8)
+    val inPlace = Sampling.leakageFreeSplit(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val precomp = Sampling.leakageFreeSplit(docs, "text", "doc_id",
+        precomputedPairs = Some(pairs))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inPlace == precomp)
+  }
 }

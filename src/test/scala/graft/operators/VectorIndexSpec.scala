@@ -91,6 +91,36 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
       "deleted ids must never surface as neighbors")
   }
 
+  test("recall after build→append→delete stays above the fresh-index floor; deleted ids absent") {
+    // the ext88 lifecycle: half-trained quantizer, appended other half,
+    // every 7th id deleted — recall on the MUTATED index must stay usable
+    // (the drift between trained and stored distributions is real but
+    // bounded on this fixture) and deleted ids must never surface
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-mut").toString
+    VectorIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dir, nLists = 8, m = 8, ksub = 16)
+    VectorIndex.appendIvfPq(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", dir)
+    val victims = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    VectorIndex.deleteIvfPq(spark, dir, victims, "vec_id")
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    val q = survivors.filter(col("vec_id") < 10)
+    val approx = VectorIndex.searchIvfPq(spark, dir, q, survivors,
+      "vec_id", "embedding", k = 5, nProbe = 4, refineFactor = 4)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    assert(approx.collect().map(_.getLong(1)).toSet.intersect(victimIds).isEmpty,
+      "deleted ids surfaced from the mutated index")
+    val recalls = Similarity.recallVsExact(approx,
+        Similarity.bruteForceTopK(q, survivors, "vec_id", "embedding", k = 5))
+      .select("recall").collect().map(_.getDouble(0))
+    assert(recalls.nonEmpty)
+    val mean = recalls.sum / recalls.length
+    // measured on this fixture: 0.60 fresh / 0.42 mutated at nProbe=4 —
+    // the decay the audit exists to surface; the floor catches a collapse
+    // (broken append encoding, probe misrouting), not the drift itself
+    assert(mean >= 0.3, f"mean recall after mutation $mean%.3f below floor 0.3")
+  }
+
   test("the persisted model round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 4, m = 4, ksub = 8)

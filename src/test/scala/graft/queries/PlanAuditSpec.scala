@@ -39,6 +39,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // bounded by poolK); ext62: the recall harness's exact side is
     // bruteForceTopK — the IVF-PQ side itself joins equi on list/id
     "ext60_hard_negatives", "ext64_mmr_diversify", "ext62_ann_ivfpq_recall",
+    // ext88: ext62's recall-harness shape on the mutated index — the exact
+    // side is bruteForceTopK (broadcast ≤|Q| queries × corpus), the
+    // IVF-PQ side joins equi on list/id
+    "ext88_ann_recall_after_mutation",
     // ext70: two 1-row scalar cross joins (corpus totals + weight
     // normalizer) — always broadcast-safe
     "ext70_doremi_weights",

@@ -366,4 +366,31 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(pf.contains("camera_id") && pf.contains("day"))
     assert(q.count() == 2)
   }
+
+  test("setsim candidate fanout stays bounded at both SFs (prefix+size-band prune holds)") {
+    import graft.sources.Tables
+    import graft.operators.Dedup
+    // measured: 28 (sf0.001) / 25 (sf0.01) candidates for ~25 true pairs —
+    // the prune is within ~2× of the answer; the bound catches a silent
+    // fanout regression (a broken rarity order degrades toward all-pairs,
+    // 124k at sf0.01) while leaving room for corpus drift
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, dir)
+      val n = Dedup.setSimCandidates(docs, "text", "doc_id", 3, 0.8).count()
+      assert(n <= 500, s"$dir: word-3-gram t=0.8 candidates=$n (expected ≤ 500)")
+    }
+    // ext87's char-4-gram t=0.4 substrate is template-dense, so its prefix
+    // prune is inherently weak (measured ~9.5k of the 11,175 all-pairs cap
+    // within the doc_id<150 bound) — the BOUND is what keeps it constant
+    // cost at every SF; assert both the corpus bound and the cap
+    val docs150 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 150)
+    val charCands = Dedup.setSimCandidatesOnSets(
+      docs150.select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        graft.functions.TextFunctions.charNgramSetFast(
+          org.apache.spark.sql.functions.col("text"), 4).as("toks"))
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("toks")) > 0), 0.4).count()
+    assert(charCands <= 150L * 149 / 2, s"char-4-gram candidates=$charCands exceed all-pairs cap")
+  }
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.Dedup
+
+/** Streaming-vs-batch near-dup POLICY parity (r6 verdict ask #7): the
+  * stream suppressor ([[NearDupIngest]]) decides on ESTIMATED Jaccard
+  * (MinHash agreement, 64 perms) while the batch guard
+  * ([[Dedup.setSimilarityJoin]], ext82/ext86) is lossless on TRUE Jaccard —
+  * so a doc can be admitted by the stream but excluded by a later batch
+  * sweep (estimator undershoot) or vice versa (overshoot). That divergence
+  * is a bounded ESTIMATOR property, not a bug, but it must be visible:
+  * this spec runs both policies over the same seeded corpus, materializes
+  * the disagreement set WITH the true Jaccard of each disagreeing doc's
+  * strongest earlier partner, and pins the bound — every disagreement is
+  * borderline (true J within the estimator's noise band of the threshold),
+  * never an egregious miss of a real duplicate or a drop of a clearly
+  * distinct doc.
+  */
+class StreamBatchParitySpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  /** Seeded corpus with planted near-dups (same shape as DedupFuzzSpec's):
+    * every third doc mutates an earlier one, giving a spread of true
+    * Jaccard values around the 0.8 threshold.
+    */
+  private def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val base = (0 until nDocs).map { _ =>
+      Vector.fill(6 + rnd.nextInt(22))(vocab(rnd.nextInt(vocab.size)))
+    }
+    base.zipWithIndex.map { case (words, i) =>
+      val text =
+        if (i % 3 == 2 && i > 0) {
+          val src = base(rnd.nextInt(i)).toBuffer
+          rnd.nextInt(3) match {
+            case 0 if src.length > 4 => src.remove(rnd.nextInt(src.length)): Unit
+            case 1 => src(rnd.nextInt(src.length)) = vocab(rnd.nextInt(vocab.size))
+            case _ => src.append(vocab(rnd.nextInt(vocab.size))): Unit
+          }
+          src.mkString(" ")
+        } else words.mkString(" ")
+      (i.toLong, text)
+    }
+  }
+
+  test("stream suppressor vs batch lossless guard: disagreements exist, are borderline, and are bounded") {
+    val threshold = 0.8
+    val docs = corpus(7L, 60)
+    val df = docs.toDF("doc_id", "text")
+
+    // ---- stream policy: docs arrive in id order (ts follows id), one run
+    val base = Files.createTempDirectory("parity").toString
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val t0 = 1700000000L
+    stream.addData(docs.map { case (id, text) =>
+      s"""{"doc_id":$id,"text":"$text","source":"web","ingest_ts":"${
+        java.time.Instant.ofEpochSecond(t0 + id)}"}"""
+    }: _*)
+    NearDupIngest.writeNearDeduped(
+      CorpusIngest.parse(stream.toDF().toDF("value")),
+      s"$base/t", s"$base/c", threshold = threshold, watermarkDelay = "1 hours")
+      .awaitTermination()
+    val streamDropped = spark.read.parquet(s"$base/t_rejects")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // ---- batch policy on the SAME sequential semantics: a doc drops iff
+    // some EARLIER doc (stream state holds every seen signature, kept or
+    // dropped) is a true near-dup — i.e. it is doc_b of any lossless pair
+    val batchDropped = Dedup.setSimilarityJoin(df, "text", "doc_id", n = 3,
+        threshold = threshold)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+
+    // ---- disagreement set with true-Jaccard evidence (brute force — the
+    // corpus is spec-sized by construction)
+    val bestEarlier = Dedup.ngramWordJaccardBrute(df, "text", "doc_id",
+        n = 3, threshold = 0.0)
+      .groupBy(col("doc_b")).agg(max(col("jaccard")).as("best_j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val falseKeeps = (batchDropped -- streamDropped).toSeq.sorted // stream admitted, batch excludes
+    val falseDrops = (streamDropped -- batchDropped).toSeq.sorted // stream dropped, truly distinct
+    info(s"stream dropped ${streamDropped.size}, batch drops ${batchDropped.size}")
+    info(s"falseKeeps (admitted by stream, true J >= $threshold): " +
+      falseKeeps.map(d => s"$d(J=${bestEarlier(d)})").mkString(", "))
+    info(s"falseDrops (dropped by stream, true J < $threshold): " +
+      falseDrops.map(d => s"$d(J=${bestEarlier.getOrElse(d, 0.0)})").mkString(", "))
+
+    // the two policies must broadly agree…
+    val union = (streamDropped ++ batchDropped).size
+    assert(union > 0, "corpus planted no near-dups — parity check proves nothing")
+    assert((falseKeeps.size + falseDrops.size).toDouble / union <= 0.35,
+      "stream and batch policies diverge on more than a borderline fringe")
+    // …and every disagreement is BORDERLINE: a missed doc is never a
+    // near-exact duplicate (est std at J=0.98 is ~0.017 — missing one
+    // would mean broken signature arithmetic), and a false drop is never
+    // a clearly-distinct doc (est >= 0.8 at true J < 0.45 is > 5 sigma
+    // for 64 perms)
+    falseKeeps.foreach { d =>
+      assert(bestEarlier(d) < 0.98, s"stream admitted a near-exact dup $d (J=${bestEarlier(d)})")
+    }
+    falseDrops.foreach { d =>
+      assert(bestEarlier.getOrElse(d, 0.0) >= 0.45,
+        s"stream dropped a clearly-distinct doc $d (J=${bestEarlier.getOrElse(d, 0.0)})")
+    }
+  }
+}
