@@ -76,25 +76,45 @@ object Bench {
     val (fpsE2e, fpsE2eMedian) = streamingFpsE2e(spark)
 
     val failed = Seq.newBuilder[String]
-    val results = headline.map { q =>
+    def timed(q: queries.QueryDef): Double = {
       val t0 = System.nanoTime()
       try q.build(spark, staged).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Pass 1 times every query once; the TOP-30 by that pass then get two
+    // more timed passes and report their MIN (r6 verdict: single-pass
+    // numbers on this box cannot distinguish neighbor-VM noise from a real
+    // 2× regression — q01 printed 5.7 s vs its own 0.78 s r3 number; the
+    // min-of-3 is the same least-interference discipline the streaming
+    // headline already uses, applied where the absolute seconds make noise
+    // visible). The pairs cache is cleared before each pass so repeats
+    // measure the query, not the previous pass's materialization; catalog
+    // order within a pass keeps ext82 materializing before ext84/86, the
+    // same one-pairs-job-many-consumers shape as production.
+    graft.operators.MaterializedPairs.clear()
+    val pass1 = headline.map(q => q.name -> timed(q))
+    val top = pass1.sortBy(-_._2).take(30).map(_._1).toSet
+    val repeats = (1 to 2).map { _ =>
+      graft.operators.MaterializedPairs.clear()
+      headline.filter(q => top(q.name)).map(q => q.name -> timed(q)).toMap
+    }
+    val results = pass1.map { case (name, t) =>
+      name -> (t +: repeats.flatMap(_.get(name))).min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failures are surfaced in the JSON line itself — a fast-failing query
     // must not read as a good number
-    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline fps = best-of-5 (min-interference run, JMH/hyperfine
     // discipline — see streamingFps); the medians ride along so the
     // estimator choice is auditable, not hidden
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30","queries":$qs,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // The single JSON line overflows tail-style log captures once the query
     // map is large (r5 lost its relational timings that way) — persist the
@@ -184,7 +204,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     run("warm")
-    val secs = (1 to 5).map(i => run(s"timed-$i")).sorted
+    // settle between runs (r6 ask: the e2e MEDIAN sat at 99 fps while
+    // best-of-5 did 220 — give each run a GC'd heap and let state-store /
+    // sink file handles quiesce so mid-sequence runs aren't paying the
+    // previous run's tail)
+    val secs = (1 to 5).map { i =>
+      System.gc()
+      Thread.sleep(500)
+      run(s"timed-$i")
+    }.sorted
     deleteRecursively(base.toFile)
     (nCams * perCam / secs.head, nCams * perCam / secs(secs.length / 2))
   }
