@@ -2730,6 +2730,130 @@ object ExtensionQueries {
           graft.operators.Similarity.bruteForceTopK(
             queries, survivors, "vec_id", "embedding", k = 5))
       },
-      None, bench = false)
+      None, bench = false),
+
+    // ------------------------------------------------------------- EXT89
+    // Per-source unigram KL divergence to the corpus mixture — the
+    // distribution-shift dial next to ext52's DSIR weights: "how far does
+    // each source's token distribution sit from the blend we're training
+    // on" (the number a mixture re-weighting decision starts from).
+    // Hashed to 1024 buckets (ext52's trick): the per-source state is
+    // ≤ 1024 (bucket, term) entries BY CONSTRUCTION regardless of
+    // vocabulary size, so the sorted per-source fold — the ext51
+    // convention making a float sum engine-portable — is bounded at any
+    // corpus scale. No smoothing needed: a source's buckets are a subset
+    // of the corpus's, so q > 0 wherever p > 0. Exact integer counts
+    // everywhere; doubles only in the final ratio/ln/fold.
+    QueryDef(
+      "ext89_source_kl",
+      (s, dir) => {
+        val buckets = 1024
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .withColumn("bucket", graft.operators.Sampling.hashBucket(col("tok"), buckets))
+        val sb = toks.groupBy("source", "bucket").agg(count(lit(1)).as("n_sb"))
+        val cb = toks.groupBy("bucket").agg(count(lit(1)).as("n_b"))
+        val st = sb.groupBy("source").agg(sum("n_sb").as("n_s"))
+        val tot = cb.agg(sum("n_b").as("n_total"))
+        val terms = sb
+          .join(broadcast(cb), "bucket").join(broadcast(st), "source")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("bucket"), col("n_s"),
+            ((col("n_sb").cast("double") / col("n_s").cast("double")) *
+              log((col("n_sb").cast("double") * col("n_total").cast("double")) /
+                (col("n_s").cast("double") * col("n_b").cast("double")))).as("term"))
+        terms.groupBy("source")
+          .agg(max(col("n_s")).as("n_tokens"),
+            count(lit(1)).as("n_buckets"),
+            sort_array(collect_list(struct(col("bucket"), col("term")))).as("arr"))
+          .select(col("source"), col("n_tokens"), col("n_buckets"),
+            round(aggregate(col("arr"), lit(0.0),
+              (acc, x) => acc + x.getField("term")) + lit(0.0), 6).as("kl_to_corpus"))
+      },
+      Some("""
+        WITH toks AS (SELECT source,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS tok
+                      FROM documents),
+        b AS (SELECT source,
+                     CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 1024 AS bucket
+              FROM toks),
+        sb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_sb FROM b GROUP BY 1, 2),
+        cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b),
+        st AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+        terms AS (SELECT source, bucket, n_s,
+            (CAST(n_sb AS DOUBLE) / CAST(n_s AS DOUBLE))
+            * ln((CAST(n_sb AS DOUBLE) * CAST(n_total AS DOUBLE))
+                 / (CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE))) AS term
+          FROM sb JOIN cb USING (bucket) JOIN st USING (source) CROSS JOIN tot)
+        SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               ROUND(list_sum(list(term ORDER BY bucket)) + 0.0, 6) AS kl_to_corpus
+        FROM terms GROUP BY source
+      """)),
+
+    // ------------------------------------------------------------- EXT90
+    // Embedding-distribution drift (PSI) between two corpus snapshots —
+    // the retrain-trigger dial ext88's recall audit pairs with: recall
+    // tells you the index decayed, PSI tells you the DATA moved. Snapshots
+    // = even/odd vec_id halves; buckets = the 8 sign-octants of the first
+    // three embedding dims (deterministic, engine-portable — no trained
+    // quantizer in the loop, so the dial is pure data). Laplace +1 keeps
+    // every bucket finite at any SF; counts exact, doubles only at the
+    // ratio/ln, total folded in sorted bucket order (ext51 convention).
+    // Per-bucket terms AND the corpus-level PSI in one output.
+    QueryDef(
+      "ext90_embedding_drift",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val b = emb.select((col("vec_id") % 2 === 0).as("old"),
+          (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0) +
+            when(element_at(col("embedding"), 2) > 0, 2).otherwise(0) +
+            when(element_at(col("embedding"), 3) > 0, 1).otherwise(0))
+            .cast("long").as("bucket"))
+        val counts = b.groupBy("bucket").agg(
+          sum(when(col("old"), 1L).otherwise(0L)).as("n_old"),
+          sum(when(!col("old"), 1L).otherwise(0L)).as("n_new"))
+        val tot = counts.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"),
+          count(lit(1)).as("n_buckets"))
+        val terms = counts.crossJoin(broadcast(tot))
+          .withColumn("p",
+            (col("n_old") + 1).cast("double") / (col("t_old") + col("n_buckets")).cast("double"))
+          .withColumn("q",
+            (col("n_new") + 1).cast("double") / (col("t_new") + col("n_buckets")).cast("double"))
+          .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+        val psi = terms
+          .agg(sort_array(collect_list(struct(col("bucket"), col("term")))).as("arr"))
+          .select(round(aggregate(col("arr"), lit(0.0),
+            (acc, x) => acc + x.getField("term")) + lit(0.0), 6).as("psi_total"))
+        terms.select(col("bucket"), col("n_old"), col("n_new"),
+            round(col("term") + lit(0.0), 6).as("psi_term"))
+          .crossJoin(broadcast(psi))
+      },
+      Some("""
+        WITH b AS (SELECT (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                           + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                           + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket,
+                          vec_id % 2 = 0 AS old
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        c AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                     CAST(SUM(CASE WHEN NOT old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+              FROM b GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+                     CAST(SUM(n_new) AS BIGINT) AS t_new,
+                     CAST(COUNT(*) AS BIGINT) AS n_buckets
+              FROM c),
+        terms AS (SELECT bucket, n_old, n_new,
+            CAST(n_old + 1 AS DOUBLE) / CAST(t_old + n_buckets AS DOUBLE) AS p,
+            CAST(n_new + 1 AS DOUBLE) / CAST(t_new + n_buckets AS DOUBLE) AS q
+          FROM c CROSS JOIN t),
+        scored AS (SELECT bucket, n_old, n_new, (p - q) * ln(p / q) AS term FROM terms),
+        tot AS (SELECT ROUND(list_sum(list(term ORDER BY bucket)) + 0.0, 6) AS psi_total
+                FROM scored)
+        SELECT bucket, n_old, n_new, ROUND(term + 0.0, 6) AS psi_term, psi_total
+        FROM scored CROSS JOIN tot
+      """))
   )
 }

@@ -48,7 +48,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ext70_doremi_weights",
     // ext78/ext79: the retrieval-eval harnesses rank ext02's
     // broadcast-query brute-force top-k
-    "ext78_retrieval_eval", "ext79_ndcg")
+    "ext78_retrieval_eval", "ext79_ndcg",
+    // ext89/ext90: 1-row scalar sides (corpus token total / snapshot
+    // totals + the folded PSI scalar) — always broadcast-safe
+    "ext89_source_kl", "ext90_embedding_drift")
 
   // NOTE: building a catalog entry is not always free — iterative operators
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
