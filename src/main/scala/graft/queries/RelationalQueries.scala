@@ -1796,6 +1796,39 @@ object RelationalQueries {
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                  AS acf
         FROM s
+      """)),
+
+    // ---------------------------------------------------------------- q58
+    // GROUP BY ALL / ORDER BY ALL (the Spark-4 analyst-SQL sugar both
+    // engines now share): grouping keys inferred from the non-aggregate
+    // projection, ordering over the whole output row left-to-right. The
+    // RESOLUTION is the surface under test — a column the inference
+    // wrongly pulls into (or drops from) the grouping set changes the
+    // row count and fails the hash — while the aggregates themselves
+    // follow the q53 convention (integral quantity sums as BIGINT, no
+    // decimal output columns).
+    QueryDef(
+      "q58_group_by_all",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q58")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+          FROM lineitem_q58
+          WHERE l_shipdate <= DATE '1998-09-02'
+          GROUP BY ALL
+          ORDER BY ALL
+        """)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY ALL
+        ORDER BY ALL
       """))
   )
 }

@@ -97,6 +97,35 @@ object StreamOps {
       .select("user_id", "error_id", "purchase_id", "err_ts", "pur_ts")
   }
 
+  /** LEFT OUTER variant of [[streamConversions]] — the "which errors did
+    * NOT convert" stream, the question the inner join cannot answer. The
+    * semantics are the subtle part: an unmatched error row is held in
+    * state and emits its null-padded result only once the watermark passes
+    * `err_ts + horizonSeconds` (before that, a matching purchase could
+    * still arrive), so the output is eventually-complete and the state
+    * stays bounded by exactly the same eviction rule as the inner join.
+    * Spec-pinned in StreamOpsSpec: no premature null row, the null row
+    * appears after the watermark crosses the horizon, and a matched error
+    * never emits a null twin.
+    */
+  def streamConversionsOuter(
+      events: DataFrame,
+      horizonSeconds: Int = 3600,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermarkDelay)
+    val pur = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("event_id").as("purchase_id"), col("ts").as("pur_ts"))
+      .withWatermark("pur_ts", watermarkDelay)
+    err.join(pur,
+      col("user_id") === col("u2") &&
+        col("pur_ts") > col("err_ts") &&
+        col("pur_ts") <= col("err_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"),
+      "left_outer")
+      .select("user_id", "error_id", "purchase_id", "err_ts", "pur_ts")
+  }
+
   /** Watermark-bounded streaming dedup on (camId, timestamp) — the remedy
     * for the at-least-once duplicate rows the reference's random-UUID sink
     * produces under replay (VideoProcessor.java:189, SURVEY.md §7). State is

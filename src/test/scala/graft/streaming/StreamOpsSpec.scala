@@ -128,6 +128,53 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq((1L, 10L, 11L)))
   }
 
+  test("outer stream-stream join: unmatched error emits null-padded ONLY after the watermark passes the horizon") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(u: Long, id: Long, t: String, ms: Long) = StreamEv(u, id, t, new java.sql.Timestamp(ms))
+
+    val stream = MemoryStream[StreamEv]
+    val sink = s"sink_${System.nanoTime()}"
+    // short watermark delay so the test can advance past err_ts + horizon
+    val q = StreamOps.streamConversionsOuter(stream.toDF(),
+        horizonSeconds = 3600, watermarkDelay = "1 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table(sink).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("error_id"),
+        Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong)))
+
+    // batch 1: two errors; user 1's converts in batch 2, user 3's never does
+    stream.addData(ev(1, 10, "error", t0), ev(3, 30, "error", t0))
+    q.processAllAvailable()
+    stream.addData(ev(1, 11, "purchase", t0 + 30 * 60 * 1000))
+    q.processAllAvailable()
+    val mid = rows()
+    assert(mid.toSet == Set((1L, 10L, Some(11L))),
+      s"user 3's error must NOT emit a null twin while a purchase could still arrive (got ${mid.toSeq})")
+
+    // advance the watermark past err_ts + horizon + delay with far-future
+    // rows on BOTH sides (the global watermark is the MIN across the two
+    // watermarked inputs — advancing only the purchase side would hold the
+    // join watermark at the last error): the unmatched error is now
+    // provably unmatched and must emit
+    stream.addData(ev(9, 90, "purchase", t0 + 3 * 3600 * 1000),
+      ev(9, 92, "error", t0 + 3 * 3600 * 1000))
+    q.processAllAvailable()
+    // one more batch so the watermark update (computed at batch END) is
+    // applied to the join state eviction
+    stream.addData(ev(9, 91, "purchase", t0 + 3 * 3600 * 1000 + 1000),
+      ev(9, 93, "error", t0 + 3 * 3600 * 1000 + 1000))
+    q.processAllAvailable()
+    q.stop()
+
+    val fin = rows()
+    assert(fin.toSet.contains((3L, 30L, None)),
+      s"unmatched error must emit null-padded after the horizon (got ${fin.toSeq})")
+    assert(!fin.toSet.contains((1L, 10L, None)),
+      "a matched error must never also emit a null twin")
+  }
+
   test("stateful ops run on the RocksDB state store (the at-scale provider)") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
