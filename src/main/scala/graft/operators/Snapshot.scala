@@ -41,4 +41,48 @@ object Snapshot {
     diff(oldDf, newDf, idCol, contentCol, groupCol)
       .groupBy(col("group").as(groupCol), col("status"))
       .agg(count(lit(1)).as("n"))
+
+  /** Apply a versioned changelog to a base snapshot — the INVERSE of
+    * [[diff]], i.e. MERGE-INTO / CDC-apply semantics: per id the
+    * HIGHEST-version change wins; `op = 'upsert'` replaces (or inserts)
+    * the row, `op = 'delete'` removes the id, ids without changes pass
+    * through. At EQUAL version, delete beats upsert — erasure-biased on
+    * conflicting deliveries (the GDPR-safe tie), and deterministic on both
+    * engines (plain lexicographic op order). A delete of an absent id is a
+    * no-op. Any other `op` value throws AT EXECUTION (inside the
+    * projection, so column pruning cannot drop the guard).
+    *
+    * `changes` must carry (`idCol`, `versionCol`, `opCol`) plus every
+    * non-id column of `base` (payload values for upserts; ignored for
+    * deletes). Output has exactly `base`'s schema.
+    *
+    * Scale shape: latest-change selection is a per-id top-1 window
+    * (WindowGroupLimit — partial per-partition top-k, never a full sort),
+    * then ONE full-outer equi join on the id. The changelog is typically
+    * ≪ base, and the base payload crosses the shuffle once.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      idCol: String, versionCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == idCol)
+    val missing = (payload :+ idCol).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"applyChangelog: changes is missing base columns: ${missing.mkString(", ")}")
+    val opGuard = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyChangelog: $opCol must be upsert|delete, got "),
+        coalesce(col(opCol), lit("NULL")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(versionCol).desc, col(opCol))
+    val latest = changes
+      .withColumn("__op", opGuard)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol) +:
+        (payload.map(p => col(p).as(s"__c_$p")).toSeq :+ col("__op")): _*)
+    base.select(col(idCol) +: payload.map(p => col(p).as(s"__b_$p")).toSeq: _*)
+      .join(latest, Seq(idCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") === "upsert")
+      .select(col(idCol) +: payload.map(p =>
+        when(col("__op") === "upsert", col(s"__c_$p"))
+          .otherwise(col(s"__b_$p")).as(p)).toSeq: _*)
+  }
 }

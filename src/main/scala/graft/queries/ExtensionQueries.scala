@@ -2854,6 +2854,76 @@ object ExtensionQueries {
                 FROM scored)
         SELECT bucket, n_old, n_new, ROUND(term + 0.0, 6) AS psi_term, psi_total
         FROM scored CROSS JOIN tot
+      """)),
+
+    // ------------------------------------------------------------- EXT91
+    // Changelog APPLY (MERGE-INTO / CDC semantics) — the inverse of
+    // ext66's snapshot diff: a base corpus + a versioned delivery of
+    // upserts/deletes → the merged state. Every merge path is live at
+    // gate SF from the deterministic synthesized changelog: plain upsert,
+    // SUPERSEDED upsert (v2 beats v1), delete, insert of a new id,
+    // delete-of-absent-id no-op, and the equal-version upsert-vs-delete
+    // conflict (delete wins — erasure-biased, see applyChangelog).
+    // Exact strings/ints end to end; the oracle restates the same
+    // window + full-outer merge.
+    QueryDef(
+      "ext91_changelog_apply",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        def ch(filter: org.apache.spark.sql.Column, version: Long, op: String,
+            lang: org.apache.spark.sql.Column, idShift: Long = 0L) =
+          docs.filter(filter).select(
+            (col("doc_id") + idShift).as("doc_id"), lit(version).as("version"),
+            lit(op).as("op"), lang.as("lang"), col("source"),
+            (col("n_chars") + version).as("n_chars"))
+        val changes =
+          ch(col("doc_id") % 10 === 5, 1L, "upsert", lit("rev1"))
+            .unionAll(ch(col("doc_id") % 20 === 5, 2L, "upsert", lit("rev2")))
+            .unionAll(ch(col("doc_id") % 10 === 0, 1L, "delete", lit(null).cast("string")))
+            .unionAll(ch(col("doc_id") % 25 === 7, 1L, "upsert", lit("new"), idShift = 100000L))
+            .unionAll(ch(col("doc_id") % 25 === 7, 1L, "delete", lit(null).cast("string"), idShift = 200000L))
+            .unionAll(ch(col("doc_id") % 100 === 13, 3L, "upsert", lit("conflict")))
+            .unionAll(ch(col("doc_id") % 100 === 13, 3L, "delete", lit(null).cast("string")))
+        graft.operators.Snapshot.applyChangelog(
+          base, changes, "doc_id", "version", "op")
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        changes AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS version, 'upsert' AS op,
+                 'rev1' AS lang, source, n_chars + 1 AS n_chars
+          FROM documents WHERE doc_id % 10 = 5
+          UNION ALL
+          SELECT doc_id, 2, 'upsert', 'rev2', source, n_chars + 2
+          FROM documents WHERE doc_id % 20 = 5
+          UNION ALL
+          SELECT doc_id, 1, 'delete', NULL, source, n_chars + 1
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 100000, 1, 'upsert', 'new', source, n_chars + 1
+          FROM documents WHERE doc_id % 25 = 7
+          UNION ALL
+          SELECT doc_id + 200000, 1, 'delete', NULL, source, n_chars + 1
+          FROM documents WHERE doc_id % 25 = 7
+          UNION ALL
+          SELECT doc_id, 3, 'upsert', 'conflict', source, n_chars + 3
+          FROM documents WHERE doc_id % 100 = 13
+          UNION ALL
+          SELECT doc_id, 3, 'delete', NULL, source, n_chars + 3
+          FROM documents WHERE doc_id % 100 = 13),
+        latest AS (
+          SELECT * FROM (
+            SELECT doc_id, op, lang, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY version DESC, op) AS rn
+            FROM changes) WHERE rn = 1)
+        SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+               CASE WHEN c.op = 'upsert' THEN c.lang ELSE b.lang END AS lang,
+               CASE WHEN c.op = 'upsert' THEN c.source ELSE b.source END AS source,
+               CASE WHEN c.op = 'upsert' THEN c.n_chars ELSE b.n_chars END AS n_chars
+        FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
+        WHERE c.op IS NULL OR c.op = 'upsert'
       """))
   )
 }

@@ -46,4 +46,43 @@ class SnapshotSpec extends AnyFunSuite with SparkTestSession {
       ("a", "removed") -> 1L, ("a", "unchanged") -> 1L,
       ("b", "changed") -> 1L, ("b", "added") -> 1L))
   }
+
+  test("applyChangelog: latest wins, equal-version delete beats upsert, insert and no-op delete") {
+    val base = Seq((1L, "alpha", "a"), (2L, "beta", "a"), (3L, "gamma", "b"),
+      (4L, "delta", "b")).toDF("id", "text", "src")
+    val changes = Seq(
+      (2L, 1L, "upsert", "beta v1", "a"),   // superseded by v2
+      (2L, 2L, "upsert", "beta v2", "a"),   // latest wins
+      (3L, 1L, "delete", null, "b"),        // removes id 3
+      (4L, 5L, "upsert", "delta v5", "b"),  // conflict pair at v5…
+      (4L, 5L, "delete", null, "b"),        // …delete wins the tie
+      (9L, 1L, "upsert", "new nine", "c"),  // insert of an absent id
+      (8L, 1L, "delete", null, "c"))        // delete of an absent id: no-op
+      .toDF("id", "version", "op", "text", "src")
+    val got = Snapshot.applyChangelog(base, changes, "id", "version", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "alpha", "a"),       // untouched base row passes through
+      (2L, "beta v2", "a"),
+      (9L, "new nine", "c")))
+  }
+
+  test("applyChangelog rejects an unknown op at execution") {
+    val base = Seq((1L, "alpha")).toDF("id", "text")
+    val changes = Seq((1L, 1L, "replace", "x")).toDF("id", "version", "op", "text")
+    val e = intercept[Exception] {
+      Snapshot.applyChangelog(base, changes, "id", "version", "op").collect()
+    }
+    assert(e.getMessage.contains("upsert|delete") ||
+      Option(e.getCause).exists(_.getMessage.contains("upsert|delete")))
+  }
+
+  test("applyChangelog requires the changelog to carry every base column") {
+    val base = Seq((1L, "alpha", "a")).toDF("id", "text", "src")
+    val changes = Seq((1L, 1L, "upsert", "x")).toDF("id", "version", "op", "text")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.applyChangelog(base, changes, "id", "version", "op")
+    }
+    assert(e.getMessage.contains("src"))
+  }
 }
