@@ -1829,6 +1829,40 @@ object RelationalQueries {
         WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY ALL
         ORDER BY ALL
+      """)),
+
+    // ---------------------------------------------------------------- q59
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — the top-k-per-
+    // group shape written the analyst way (q04's window restated as a
+    // lateral): for each nation, its two richest customers. The surface
+    // under test is the DECORRELATION of a limit-bearing lateral (a naive
+    // plan re-runs the inner query per outer row; nation's 25-row bound
+    // keeps even that harmless, but the hash check pins the semantics —
+    // per-group ordering, tie-break, inner-join drop of empty groups).
+    // acctbal leaves as exact integer cents (no float output column).
+    QueryDef(
+      "q59_lateral_topk",
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("nation_q59")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_q59")
+        s.sql("""
+          SELECT n_name, t.c_custkey,
+                 CAST(ROUND(t.c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+          FROM nation_q59 n,
+          LATERAL (SELECT c_custkey, c_acctbal
+                   FROM customer_q59
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """)
+      },
+      Some("""
+        SELECT n_name, t.c_custkey,
+               CAST(ROUND(t.c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal
+                 FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       """))
   )
 }

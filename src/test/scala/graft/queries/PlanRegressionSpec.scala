@@ -367,6 +367,14 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(q.count() == 2)
   }
 
+  test("q59 lateral top-k decorrelates to WindowGroupLimit + hash join (never per-row re-execution)") {
+    val p = plan("q59_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), "limit-bearing lateral must become a partial top-k")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "lateral must not plan as a nested-loop re-execution")
+  }
+
   test("setsim candidate fanout stays bounded at both SFs (prefix+size-band prune holds)") {
     import graft.sources.Tables
     import graft.operators.Dedup
