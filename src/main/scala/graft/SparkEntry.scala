@@ -8,7 +8,7 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
   * (q01–q51 + q31b relational/TPC-H/event-analytics shapes, incl. the
   * recursive-CTE calendar fill) and [[graft.queries.ExtensionQueries]]
-  * (ext01–ext91 + ext40b dedup / similarity / text / TF-IDF / ANN-recall /
+  * (ext01–ext92 + ext40b dedup / similarity / text / TF-IDF / ANN-recall /
   * packing / mixing / indexing / chunking / quantization / heavy-hitter /
   * contamination / PCA / LM-score / BPE-tokenizer / IVF-PQ / MMR /
   * classifier-training / layout / versioning / FIM / reweighting / privacy

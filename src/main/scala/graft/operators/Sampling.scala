@@ -97,6 +97,47 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < pct)
   }
 
+  /** WEIGHTED sample without replacement, k rows per stratum
+    * (Efraimidis–Spirakis A-Res, 2006): row i is selected iff its key
+    * u_i^(1/w_i) ranks in the stratum's top k, with u_i a deterministic
+    * md5-derived uniform — the weighted counterpart of [[stratifiedExact]]
+    * ("sample documents proportional to length/quality, reproducibly").
+    * Hash-keyed determinism keeps every property the uniform samplers
+    * have: re-runs agree, the oracle agrees, and membership is per-row
+    * stable. The comparison uses ln(u)/w (monotone in u^(1/w)) computed
+    * from exact integers — and because selection is COMPARE-based, not
+    * sum-based, there is no float-accumulation ordering to diverge on;
+    * ties (astronomically unlikely) break on the id. Weights must be
+    * strictly positive — enforced at execution inside the key expression.
+    *
+    * Scale shape: one window shuffle on the stratum key with a partial
+    * per-partition top-k (WindowGroupLimit), per-stratum state is a
+    * counter — [[tokenBudget]]'s contract with a weighted dial.
+    */
+  def weightedSample(df: DataFrame, strataCol: String, weightCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"weightedSample: k must be >= 0, got $k")
+    // 13 hex digits = 52 bits: exactly representable in a double, so
+    // u ∈ (0, 1] is identical on every engine that has md5
+    val guardedW = when(col(weightCol).isNotNull && col(weightCol) > 0,
+        col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: $weightCol must be non-null and > 0, got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL")))).cast("double"))
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + 1.0) / math.pow(16, 13)
+    val key = log(u) / guardedW
+    Seq("__wkey", "__rn").foreach { c =>
+      require(!df.columns.contains(c),
+        s"weightedSample uses temp column $c; input already has a column named $c")
+    }
+    val w = Window.partitionBy(strataCol).orderBy(col("__wkey").desc, col(idCol))
+    df.withColumn("__wkey", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__wkey", "__rn")
+  }
+
   /** EXACT stratified sample: ceil(fraction·|stratum|) rows per stratum,
     * chosen deterministically by hash order (tie-broken by id). One
     * window shuffle on the stratum key; per-stratum state is a counter, so

@@ -2924,6 +2924,34 @@ object ExtensionQueries {
                CASE WHEN c.op = 'upsert' THEN c.n_chars ELSE b.n_chars END AS n_chars
         FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
         WHERE c.op IS NULL OR c.op = 'upsert'
+      """)),
+
+    // ------------------------------------------------------------- EXT92
+    // Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res): top-5
+    // docs per source sampled proportional to n_chars — the "prefer long
+    // documents, reproducibly" dial the uniform ext27/ext48 samplers
+    // don't have. Selection is COMPARE-based (ln(u)/w keys from exact
+    // md5-derived integers), so unlike a float SUM there is no ordering
+    // to diverge on and the whole sample is oracle-checkable; the plan is
+    // one stratum window with a partial top-k (WindowGroupLimit).
+    QueryDef(
+      "ext92_weighted_sample",
+      (s, dir) => graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir).filter(col("n_chars") > 0)
+          .select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", k = 5),
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                          AS BIGINT) + 1.0) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS wkey
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY wkey DESC, doc_id) AS rn
+          FROM keyed) WHERE rn <= 5
       """))
   )
 }

@@ -120,6 +120,37 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("__rn"))
   }
 
+  test("weightedSample: deterministic, k per stratum, heavy weights dominate, bad weights throw") {
+    val d = (0L until 1000L).map(i =>
+      (i, if (i < 500) "light" else "heavy", if (i < 500) 1L else 100L))
+      .toDF("doc_id", "grp", "w")
+      .withColumn("stratum", lit("all"))
+    val pick = Sampling.weightedSample(d, "stratum", "w", "doc_id", k = 100)
+    val rows = pick.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 100)
+    // A-Res: inclusion odds scale with weight — the w=100 half must
+    // dominate a 100-of-1000 sample (E[heavy] ≈ 99 under exact A-Res;
+    // the bound is loose so the assertion tests the MECHANISM, not noise)
+    val heavy = rows.count(_._2 == "heavy")
+    assert(heavy > 80, s"heavy-weight rows underrepresented: $heavy/100")
+    // deterministic: same input, same sample
+    val again = Sampling.weightedSample(d, "stratum", "w", "doc_id", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_._1).toSet)
+    // per-stratum k: two strata each cap at k
+    val strat = Sampling.weightedSample(
+      d.withColumn("stratum", col("grp")), "stratum", "w", "doc_id", k = 7)
+    assert(strat.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("light" -> 7L, "heavy" -> 7L))
+    // weights must be strictly positive, enforced at execution
+    val bad = Seq((1L, "a", 0L)).toDF("doc_id", "stratum", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, "stratum", "w", "doc_id", k = 1).collect()
+    }
+    assert(e.getMessage.contains("must be non-null and > 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("must be non-null and > 0")))
+  }
+
   test("leakageFreeSplit: transitive closes the A~B~test chain the direct guard misses") {
     // 12-token docs → 10 word-3-grams each. C (id 4 hashes into the test
     // bucket) differs from B in the LAST token (J = 9/11 ≈ 0.818 ≥ 0.8);
