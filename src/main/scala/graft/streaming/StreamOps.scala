@@ -126,6 +126,57 @@ object StreamOps {
       .select("user_id", "error_id", "purchase_id", "err_ts", "pur_ts")
   }
 
+  /** One camera's liveness state: the latest frame event time seen. */
+  final case class CamSeen(lastSeenMs: Long)
+
+  /** Camera-offline detector — TIMER-DRIVEN emission, the one stateful
+    * shape the rest of the streaming surface doesn't exercise: every other
+    * operator here emits when DATA arrives, but "camera went dark" is an
+    * alert about data that did NOT arrive, so the row must be produced by
+    * the state timeout itself (Flink's onTimer analog; the watch half of
+    * the reference's camera registry, TopicScaler.java's reconcile loop,
+    * restated as event-time semantics). Keyed by camera: each frame
+    * re-arms an event-time timeout at lastSeen + `silence`; when the
+    * WATERMARK (not wall clock — replays behave identically) passes that
+    * deadline with no new frame, one alert row
+    * (camera_id, last_seen, silence_ms) emits and the state clears, so a
+    * returning camera starts a fresh liveness cycle and can alert again.
+    * State is one timestamp per camera — bounded by the fleet size.
+    */
+  def cameraOfflineAlerts(
+      frames: Dataset[VideoFrameData],
+      silence: String = "30 seconds",
+      watermarkDelay: String = "5 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val silenceMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(silence))
+      require(iv.months == 0, "silence must not use month units")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    def transition(cam: String, rows: Iterator[VideoFrameData],
+        state: GroupState[CamSeen]): Iterator[(String, java.sql.Timestamp, Long)] =
+      if (state.hasTimedOut) {
+        val lastSeen = state.get.lastSeenMs
+        state.remove()
+        Iterator((cam, new java.sql.Timestamp(lastSeen), silenceMs))
+      } else {
+        val newest = rows.map(_.timestamp.getTime).max
+        val lastSeen = state.getOption.map(_.lastSeenMs.max(newest)).getOrElse(newest)
+        state.update(CamSeen(lastSeen))
+        state.setTimeoutTimestamp(lastSeen + silenceMs)
+        Iterator.empty
+      }
+    frames
+      .withWatermark("timestamp", watermarkDelay)
+      .groupByKey(_.camId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        transition)
+      .toDF("camera_id", "last_seen", "silence_ms")
+  }
+
   /** Watermark-bounded streaming dedup on (camId, timestamp) — the remedy
     * for the at-least-once duplicate rows the reference's random-UUID sink
     * produces under replay (VideoProcessor.java:189, SURVEY.md §7). State is

@@ -175,6 +175,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       "a matched error must never also emit a null twin")
   }
 
+  test("cameraOfflineAlerts: alert emits on the TIMEOUT (no data), clears, and re-arms on return") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = StreamOps.cameraOfflineAlerts(
+        MotionPipeline.parseFrames(stream.toDF().toDF("value")),
+        silence = "30 seconds", watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    def alerts() = spark.table(sink).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSeq
+
+    // camA sends two frames, then goes dark; camB keeps the watermark moving
+    stream.addData(frame("camA", t0), frame("camA", t0 + 2000), frame("camB", t0 + 1000))
+    q.processAllAvailable()
+    assert(alerts().isEmpty, "no alert while the watermark is before lastSeen + silence")
+    // camB frame far enough ahead that watermark (maxEvent - 5 s) passes
+    // camA's deadline (t0 + 2 s + 30 s); one more batch applies the new
+    // watermark to the timeout evaluation
+    stream.addData(frame("camB", t0 + 60000))
+    q.processAllAvailable()
+    stream.addData(frame("camB", t0 + 61000))
+    q.processAllAvailable()
+    val a1 = alerts()
+    assert(a1 == Seq(("camA", t0 + 2000)),
+      s"exactly one offline alert for camA with its true last_seen (got $a1)")
+
+    // camA returns: fresh liveness cycle → a second dark period alerts again
+    stream.addData(frame("camA", t0 + 70000))
+    q.processAllAvailable()
+    stream.addData(frame("camB", t0 + 120000))
+    q.processAllAvailable()
+    stream.addData(frame("camB", t0 + 121000))
+    q.processAllAvailable()
+    q.stop()
+    val a2 = alerts()
+    assert(a2.toSet == Set(("camA", t0 + 2000L), ("camA", t0 + 70000L)),
+      s"returning camera must re-arm and alert again (got $a2)")
+  }
+
   test("stateful ops run on the RocksDB state store (the at-scale provider)") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
