@@ -2952,6 +2952,126 @@ object ExtensionQueries {
                  ROW_NUMBER() OVER (PARTITION BY source
                                     ORDER BY wkey DESC, doc_id) AS rn
           FROM keyed) WHERE rn <= 5
-      """))
+      """)),
+
+    // ------------------------------------------------------------- EXT93
+    // BM25 top-k retrieval — the ranked-retrieval primitive for
+    // decontamination-by-retrieval and eval-set mining. Fully
+    // oracle-checked: exact BIGINT tf/df/dl/corpus totals, term scores in
+    // an op-order-pinned double expression, per-(query,doc) sum folded in
+    // sorted term order (bounded by |query| by construction), rank on the
+    // ROUNDED score with doc_id tie-break. 'dup' (df 25/500) vs the ~390-df
+    // background terms keeps the idf dial live at gate SF.
+    QueryDef(
+      "ext93_bm25_topk",
+      (s, dir) => {
+        val q = s.createDataFrame(Seq(
+          (1L, "dup"), (1L, "hash"),
+          (2L, "stream"), (2L, "window"), (2L, "join"),
+          (3L, "spark"), (3L, "fast"), (3L, "scan")))
+          .toDF("query_id", "term")
+        graft.operators.Retrieval.bm25TopK(
+          Tables.documents(s, dir), q, "text", "doc_id", "query_id", "term",
+          k = 5)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tfv
+               FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM toks WHERE term <> '' GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS tot_len FROM dl),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        q(query_id, term) AS (VALUES (1,'dup'),(1,'hash'),
+                                     (2,'stream'),(2,'window'),(2,'join'),
+                                     (3,'spark'),(3,'fast'),(3,'scan')),
+        scored AS (
+          SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id, tf.term,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (CAST(tfv AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                   / (CAST(tfv AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                      * (1.0 - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE)
+                           * (CAST(dl AS DOUBLE) * n_docs / tot_len))) AS tscore
+          FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+                  JOIN dfreq USING (term) CROSS JOIN stats),
+        folded AS (
+          SELECT query_id, doc_id,
+                 ROUND(list_sum(list(tscore ORDER BY term)) + 0.0, 6) AS score
+          FROM scored GROUP BY query_id, doc_id)
+        SELECT query_id, rn, doc_id, score FROM (
+          SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rn
+          FROM folded) WHERE rn <= 5
+      """)),
+
+    // ------------------------------------------------------------- EXT94
+    // PageRank centrality on the supplier→customer trade graph (distinct
+    // (l_suppkey, o_custkey) pairs), 8 damped iterations — the
+    // source-importance dial for link-structure-aware curation. Fully
+    // ORACLE-checked (rare for float PageRank): ranks iterate as
+    // DECIMAL(28,12) with exact decimal sums for in-flows and dangling
+    // mass (order-free — legal at ANY in-degree, unlike sorted folds),
+    // per-row double arithmetic op-order-pinned and re-rounded to 12 dp
+    // each step; the DuckDB side unrolls the same 8 iterations as chained
+    // CTEs. Final projection DOUBLE per catalog convention; rank order is
+    // taken on the exact decimal before the cast.
+    QueryDef(
+      "ext94_pagerank",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("c"), col("o_custkey")).as("dst"))
+          .distinct()
+        val pr = graft.operators.Centrality.pageRank(edges, damping = 0.85, iters = 8)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("r").desc, col("node"))
+        pr.withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
+          .select(col("rn").cast("long").as("rn"), col("node"),
+            round(col("r").cast("double") + lit(0.0), 9).as("rank"))
+      },
+      Some {
+        val iterCtes = (0 until 8).map { i =>
+          s"""
+        dang$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(38,12)) AS dangle
+                   FROM r$i LEFT JOIN outd USING (node) WHERE outdeg IS NULL),
+        contrib$i AS (SELECT e.dst AS node,
+                             CAST(SUM(CAST(ROUND(CAST(a.r AS DOUBLE) / o.outdeg, 12)
+                                           AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS in_sum
+                      FROM r$i a JOIN outd o USING (node)
+                                 JOIN edges e ON e.src = a.node
+                      GROUP BY e.dst),
+        r${i + 1} AS (SELECT nd.node,
+                 CAST(ROUND((1.0 - CAST(0.85 AS DOUBLE)) / n_nodes
+                      + CAST(0.85 AS DOUBLE)
+                        * (CAST(COALESCE(c.in_sum, 0) AS DOUBLE)
+                           + CAST(d.dangle AS DOUBLE) / n_nodes), 12)
+                      AS DECIMAL(28,12)) AS r
+               FROM nodes nd CROSS JOIN n CROSS JOIN dang$i d
+                    LEFT JOIN contrib$i c ON c.node = nd.node)"""
+        }.mkString(",")
+        s"""
+        WITH edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        outd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+                 FROM edges GROUP BY src),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        r0 AS (SELECT node, CAST(ROUND(1.0 / n_nodes, 12) AS DECIMAL(28,12)) AS r
+               FROM nodes CROSS JOIN n),$iterCtes
+        SELECT rn, node, rank FROM (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS rn,
+                 node, ROUND(CAST(r AS DOUBLE) + 0.0, 9) AS rank
+          FROM r8) WHERE rn <= 25
+      """
+      })
   )
 }

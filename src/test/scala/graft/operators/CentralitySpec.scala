@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantics of the PageRank fixed-point: parity with an independent
+  * in-memory reference that applies the SAME rounding discipline
+  * (12-dp decimal iterates), mass conservation, and the dangling-mass
+  * redistribution path.
+  */
+class CentralitySpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  /** Plain-Scala mirror of Centrality.pageRank's arithmetic: doubles with
+    * round-to-12dp at the same points, exact BigDecimal sums.
+    */
+  private def referencePageRank(edges: Seq[(String, String)], damping: Double,
+      iters: Int): Map[String, BigDecimal] = {
+    def r12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val inbound = edges.groupBy(_._2)
+    var r: Map[String, BigDecimal] = nodes.map(_ -> r12(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val dangle = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map { v =>
+        val inSum = inbound.getOrElse(v, Nil)
+          .map { case (s, _) => r12(r(s).toDouble / outdeg(s)) }.sum
+        v -> r12((1.0 - damping) / n
+          + damping * (inSum.toDouble + dangle.toDouble / n))
+      }.toMap
+    }
+    r
+  }
+
+  private val edges = Seq(
+    ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "a"))
+  // d is dangling (no out-edges) → exercises the dangling-mass path.
+
+  test("pageRank matches the independent reference to the last decimal digit") {
+    val got = Centrality.pageRank(edges.toDF("src", "dst"), 0.85, iters = 8)
+      .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val want = referencePageRank(edges, 0.85, iters = 8)
+    assert(got.keySet == want.keySet)
+    for (v <- want.keySet)
+      assert((got(v) - want(v)).abs < BigDecimal("1e-12"),
+        s"node $v: got ${got(v)}, want ${want(v)}")
+  }
+
+  test("rank mass is conserved and the hub outranks the dangling sink's peers") {
+    val got = Centrality.pageRank(edges.toDF("src", "dst"), 0.85, iters = 8)
+      .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert((got.values.sum - 1).abs < BigDecimal("1e-8"))
+    // 'a' receives from b AND c; 'd' only from a's split — a must dominate d.
+    assert(got("a") > got("d"))
+  }
+
+  test("a dangling-only graph degenerates to the uniform distribution") {
+    // one edge x→y, then y dangles: mass cycles but symmetry across iters
+    // keeps ranks strictly positive and summing to 1.
+    val got = Centrality.pageRank(Seq(("x", "y")).toDF("src", "dst"), 0.85, 8)
+      .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(got.size == 2)
+    assert((got.values.sum - 1).abs < BigDecimal("1e-8"))
+    assert(got.values.forall(_ > 0))
+  }
+}

@@ -51,7 +51,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ext78_retrieval_eval", "ext79_ndcg",
     // ext89/ext90: 1-row scalar sides (corpus token total / snapshot
     // totals + the folded PSI scalar) — always broadcast-safe
-    "ext89_source_kl", "ext90_embedding_drift")
+    "ext89_source_kl", "ext90_embedding_drift",
+    // ext93: 1-row corpus-stats scalar (N, total length) cross-joined onto
+    // the scored postings; ext94: 1-row node-count + dangling-mass scalars
+    // cross-joined onto the rank frame each iteration — always
+    // broadcast-safe
+    "ext93_bm25_topk", "ext94_pagerank")
 
   // NOTE: building a catalog entry is not always free — iterative operators
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
