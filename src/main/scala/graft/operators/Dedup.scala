@@ -250,19 +250,23 @@ object Dedup {
       df.select(col(idCol).as("id"),
           graft.functions.TextFunctions.charNgramSetFast(col(textCol), n).as("toks"))
         .filter(size(col("toks")) > 0),
-      threshold)
+      threshold, metricName = "setsim_candidates_char")
 
   /** The representation-agnostic core of [[setSimilarityJoin]]: candidates
     * ([[setSimCandidatesOnSets]]) verified by exact Jaccard over the same
     * `sets` frame ((id, toks), toks non-empty).
     */
-  def setSimilarityJoinOnSets(sets: DataFrame, threshold: Double): DataFrame = {
+  def setSimilarityJoinOnSets(sets: DataFrame, threshold: Double,
+      metricName: String = "setsim_candidates"): DataFrame = {
     val cands = setSimCandidatesOnSets(sets, threshold)
       // fanout visibility (VERDICT r6): the candidate count is THE number
       // that decides whether this join survives a skewed corpus — surface
       // it as an observed metric every execution reports (readable via
-      // QueryExecutionListener; PlanRegressionSpec bounds it at two SFs)
-      .observe("setsim_candidates", count(lit(1)).as("n_candidates"))
+      // QueryExecutionListener; PlanRegressionSpec bounds it at two SFs).
+      // `metricName` must be unique per plan: a query combining the word-
+      // and char-gram joins (ext95) would otherwise register the same
+      // observation twice, which Spark rejects.
+      .observe(metricName, count(lit(1)).as("n_candidates"))
     cands
       .join(sets.select(col("id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(sets.select(col("id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))

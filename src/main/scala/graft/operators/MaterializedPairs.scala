@@ -28,16 +28,32 @@ object MaterializedPairs {
     * stopped SparkSession are never returned.
     */
   def setSimPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double, key: String): DataFrame = {
-    val full = Seq(System.identityHashCode(docs.sparkSession), key,
+      n: Int, threshold: Double, key: String): DataFrame =
+    memoized(docs, "word", textCol, idCol, n, threshold, key)(
+      Dedup.setSimilarityJoin(docs, textCol, idCol, n, threshold))
+
+  /** [[Dedup.charSetSimilarityJoin]] (CHAR-n-gram template-level pairs)
+    * memoized under the same discipline — shared by the transitive leakage
+    * guard (ext87) and the record linker's blocking stage (ext95), which
+    * read the same bounded template-pair table instead of each paying the
+    * char-gram prefix-filter join.
+    */
+  def charSetSimPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, key: String): DataFrame =
+    memoized(docs, "char", textCol, idCol, n, threshold, key)(
+      Dedup.charSetSimilarityJoin(docs, textCol, idCol, n, threshold))
+
+  private def memoized(docs: DataFrame, kind: String, textCol: String,
+      idCol: String, n: Int, threshold: Double, key: String)(
+      build: => DataFrame): DataFrame = {
+    val full = Seq(System.identityHashCode(docs.sparkSession), kind, key,
       textCol, idCol, n, threshold).mkString("|")
     memo.computeIfAbsent(full, _ => {
-      val pairs = Dedup.setSimilarityJoin(docs, textCol, idCol, n, threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = build.persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val nPairs = pairs.count()
       System.err.println(
-        f"[graft] materialized setsim pairs: key=$key n=$n t=$threshold " +
+        f"[graft] materialized $kind setsim pairs: key=$key n=$n t=$threshold " +
           f"pairs=$nPairs build=${(System.nanoTime() - t0) / 1e9}%.1fs")
       pairs
     })

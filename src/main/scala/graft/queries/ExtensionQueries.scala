@@ -54,6 +54,17 @@ object ExtensionQueries {
     graft.operators.MaterializedPairs.setSimPairs(
       Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.8, key = dir)
 
+  /** The bounded CHAR-4-gram template-pair table (J ≥ 0.4, doc_id < 150 —
+    * the ext87 substrate where template chains are live), materialized once
+    * per session and shared by ext87 (transitive leakage) and ext95 (record
+    * linkage blocking): one char-gram prefix-filter join feeding both.
+    */
+  private def sharedCharTemplatePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaterializedPairs.charSetSimPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 150),
+      "text", "doc_id", n = 4, threshold = 0.4, key = s"$dir|lt150")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------- EXT1
@@ -2649,8 +2660,7 @@ object ExtensionQueries {
       "ext87_leakage_transitive",
       (s, dir) => {
         val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
-        val pairs = Dedup.charSetSimilarityJoin(
-          docs, "text", "doc_id", n = 4, threshold = 0.4)
+        val pairs = sharedCharTemplatePairs(s, dir)
         docs.select(col("doc_id"), col("source"))
           .join(graft.operators.Sampling.leakageFreeSplit(
             docs, "text", "doc_id", testPct = 10, simThreshold = 0.4,
@@ -3072,6 +3082,103 @@ object ExtensionQueries {
                  node, ROUND(CAST(r AS DOUBLE) + 0.0, 9) AS rank
           FROM r8) WHERE rn <= 25
       """
-      })
+      }),
+
+    // ------------------------------------------------------------- EXT95
+    // Fellegi–Sunter record linkage across two "sources" (even vs odd
+    // doc_ids): blocking = the SHARED lossless char-4-gram template-pair
+    // table (J ≥ 0.4, doc_id < 150 — ext87's substrate, materialized
+    // once); fields = word-3-gram near-dup membership (the corpus-wide
+    // materialized J ≥ 0.8 pair table), length band ≤ 16, identical
+    // 32-char prefix; rational-literal log weights summed in field order
+    // → match / possible / non_match. All three classes live at the gate
+    // SF (1 / 2 / 15). Oracle brute-forces the same bounded universe.
+    QueryDef(
+      "ext95_record_linkage",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        val cand = sharedCharTemplatePairs(s, dir)
+          .filter((col("doc_a") % 2) =!= (col("doc_b") % 2))
+          .select(
+            when(col("doc_a") % 2 === 0, col("doc_a")).otherwise(col("doc_b"))
+              .as("a_id"),
+            when(col("doc_a") % 2 === 0, col("doc_b")).otherwise(col("doc_a"))
+              .as("b_id"),
+            col("jaccard").as("block_sim"))
+        val strong = sharedSetSimPairs(s, dir)
+          .filter(col("doc_a") < 150 && col("doc_b") < 150)
+          .select(col("doc_a").as("w_a"), col("doc_b").as("w_b"),
+            lit(true).as("w_hit"))
+        val meta = docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          substring(col("text"), 1, 32).as("pfx"))
+        val enriched = cand
+          .join(strong,
+            least(col("a_id"), col("b_id")) === col("w_a") &&
+              greatest(col("a_id"), col("b_id")) === col("w_b"), "left")
+          .join(meta.select(col("doc_id").as("a_id"), col("len").as("len_a"),
+            col("pfx").as("pfx_a")), Seq("a_id"))
+          .join(meta.select(col("doc_id").as("b_id"), col("len").as("len_b"),
+            col("pfx").as("pfx_b")), Seq("b_id"))
+        graft.operators.Linkage.fellegiSunter(enriched, Seq(
+          graft.operators.Linkage.FieldSpec("word",
+            coalesce(col("w_hit"), lit(false)), 6.5, -3.25),
+          graft.operators.Linkage.FieldSpec("len",
+            abs(col("len_a") - col("len_b")) <= 16, 2.4, -3.7),
+          graft.operators.Linkage.FieldSpec("prefix",
+            col("pfx_a") === col("pfx_b"), 8.6, -2.3)),
+          matchThreshold = 4.0, possibleThreshold = -4.0)
+          .select(col("a_id"), col("b_id"), col("block_sim"),
+            col("agree_word"), col("agree_len"), col("agree_prefix"),
+            col("score"), col("cls"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+                   FROM documents WHERE doc_id < 150),
+        c AS (SELECT doc_id, text,
+                list_distinct(
+                  CASE WHEN length(lower(text)) <= 4 THEN [lower(text)]
+                       ELSE list_transform(range(1, length(lower(text)) - 2),
+                                           i -> substr(lower(text), i, 4)) END) AS c4,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))
+                ELSE [] END AS g3
+              FROM d),
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CASE WHEN len(a.c4)+len(b.c4)-len(list_intersect(a.c4,b.c4)) = 0
+                      THEN 1.0
+                      ELSE ROUND(CAST(len(list_intersect(a.c4,b.c4)) AS DOUBLE) /
+                        (len(a.c4)+len(b.c4)-len(list_intersect(a.c4,b.c4))), 6)
+                 END AS block_sim,
+                 CASE WHEN len(a.g3) = 0 OR len(b.g3) = 0 THEN 0.0
+                      WHEN len(a.g3)+len(b.g3)-len(list_intersect(a.g3,b.g3)) = 0
+                      THEN 1.0
+                      ELSE ROUND(CAST(len(list_intersect(a.g3,b.g3)) AS DOUBLE) /
+                        (len(a.g3)+len(b.g3)-len(list_intersect(a.g3,b.g3))), 6)
+                 END AS wj,
+                 abs(length(a.text) - length(b.text)) AS lendiff,
+                 (substr(a.text, 1, 32) = substr(b.text, 1, 32)) AS pfxeq
+          FROM c a JOIN c b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        scored AS (
+          SELECT a_id, b_id, block_sim,
+                 (wj >= 0.8) AS agree_word,
+                 (lendiff <= 16) AS agree_len,
+                 pfxeq AS agree_prefix,
+                 ROUND((CASE WHEN wj >= 0.8 THEN 6.5 ELSE -3.25 END
+                       + CASE WHEN lendiff <= 16 THEN 2.4 ELSE -3.7 END
+                       + CASE WHEN pfxeq THEN 8.6 ELSE -2.3 END) + 0.0, 6)
+                   AS score
+          FROM cand WHERE block_sim >= 0.4)
+        SELECT a_id, b_id, block_sim, agree_word, agree_len, agree_prefix,
+               score,
+               CASE WHEN score >= 4.0 THEN 'match'
+                    WHEN score >= -4.0 THEN 'possible'
+                    ELSE 'non_match' END AS cls
+        FROM scored
+      """))
   )
 }
