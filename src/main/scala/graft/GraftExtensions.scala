@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
-import graft.expressions.{MotionRegionCount, RegexpCount, SigAgreement, VectorDot}
+import graft.expressions.{DeflateLen, MotionRegionCount, RegexpCount, SigAgreement, VectorDot}
 
 /** Engine SQL surface registration.
   *
@@ -64,6 +64,15 @@ object GraftFunctions {
           if (e.dataType == org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)) e
           else Cast(e, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
         SigAgreement(arr(args(0)), arr(args(1)))
+      }),
+    (new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"deflate_len expects 1 argument, got ${args.length}")
+        def str(e: Expression) =
+          if (e.dataType == org.apache.spark.sql.types.StringType) e
+          else Cast(e, org.apache.spark.sql.types.StringType)
+        DeflateLen(str(args(0)))
       }))
 
   /** Register all engine functions on an existing session. */

@@ -304,6 +304,16 @@ object TextFunctions {
       ColumnGlue.expression(transform(elems, e => xxhash64(e))), num))
   }
 
+  /** DEFLATE-compressed length of the string's UTF-8 bytes (codegen'd
+    * [[graft.expressions.DeflateLen]]) — divide by the raw length for the
+    * compression-ratio quality signal (low ratio = repetitive/boilerplate,
+    * the Gopher §A.1.1 filter).
+    */
+  def deflateLen(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnGlue
+    ColumnGlue.column(graft.expressions.DeflateLen(ColumnGlue.expression(text)))
+  }
+
   /** Reference composed-column MinHash (`num` array traversals — identical
     * arithmetic to [[minHashSignature]]'s one-pass expression; kept for the
     * cross-check spec).

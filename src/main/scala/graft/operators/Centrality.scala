@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank (Page et al. 1999) as an iterative DataFrame
@@ -65,5 +65,53 @@ object Centrality {
         .localCheckpoint(false)
     }
     r
+  }
+
+  /** `iters` rounds of HITS (Kleinberg, JACM 1999) over `edges(src, dst)`:
+    * authority(v) = Σ hub(u) over in-edges, hub(u) = Σ authority(v) over
+    * out-edges, each half-step L1-normalized. L1 (sum) normalization
+    * replaces the textbook L2 — a deliberate variant choice: it preserves
+    * the ranking fixed point while keeping every cross-row reduction an
+    * EXACT decimal sum (an L2 norm's sqrt would force float reduction
+    * order into the iterate and break oracle-checkability). Scores live as
+    * DECIMAL(28,12); the normalize step divides doubles with a pinned op
+    * order and re-rounds to 12 dp, exactly the [[pageRank]] discipline.
+    * Per half-step topology: one equi-join + one hash agg + a broadcast
+    * 1-row norm scalar; lazy localCheckpoint truncates lineage per round.
+    *
+    * Returns (node, auth DECIMAL(28,12), hub DECIMAL(28,12)); nodes with
+    * no in-edges (resp. out-edges) carry authority (resp. hub) 0.
+    */
+  def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var h = nodes
+      .select(col("node"), lit(1).cast("decimal(28,12)").as("h"))
+      .localCheckpoint(false)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = halfStep(nodes, h, "h", edges, col("src"), col("dst"), "a")
+      h = halfStep(nodes, a, "a", edges, col("dst"), col("src"), "h")
+    }
+    nodes.join(a, Seq("node")).join(h, Seq("node"))
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+  }
+
+  /** One HITS half-step: propagate `scoreCol` of `from` across `edges`
+    * from side `fromEnd` to side `toEnd`, L1-normalize, emit as `outCol`. */
+  private def halfStep(nodes: DataFrame, from: DataFrame, scoreCol: String,
+      edges: DataFrame, fromEnd: Column, toEnd: Column,
+      outCol: String): DataFrame = {
+    val raw = from.join(edges, col("node") === fromEnd)
+      .groupBy(toEnd.as("tnode"))
+      .agg(sum(col(scoreCol)).cast("decimal(38,12)").as("raw"))
+    val norm = raw.agg(sum(col("raw")).cast("decimal(38,12)").as("s"))
+    nodes.join(raw, col("node") === col("tnode"), "left")
+      .crossJoin(broadcast(norm))
+      .select(col("node"),
+        round(coalesce(col("raw"), lit(0)).cast("double")
+            / col("s").cast("double"), 12)
+          .cast("decimal(28,12)").as(outCol))
+      .localCheckpoint(false)
   }
 }

@@ -3048,15 +3048,15 @@ object ExtensionQueries {
       Some {
         val iterCtes = (0 until 8).map { i =>
           s"""
-        dang$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(38,12)) AS dangle
+        dang$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(38,12)) AS dangle
                    FROM r$i LEFT JOIN outd USING (node) WHERE outdeg IS NULL),
-        contrib$i AS (SELECT e.dst AS node,
+        contrib$i AS MATERIALIZED (SELECT e.dst AS node,
                              CAST(SUM(CAST(ROUND(CAST(a.r AS DOUBLE) / o.outdeg, 12)
                                            AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS in_sum
                       FROM r$i a JOIN outd o USING (node)
                                  JOIN edges e ON e.src = a.node
                       GROUP BY e.dst),
-        r${i + 1} AS (SELECT nd.node,
+        r${i + 1} AS MATERIALIZED (SELECT nd.node,
                  CAST(ROUND((1.0 - CAST(0.85 AS DOUBLE)) / n_nodes
                       + CAST(0.85 AS DOUBLE)
                         * (CAST(COALESCE(c.in_sum, 0) AS DOUBLE)
@@ -3066,16 +3066,16 @@ object ExtensionQueries {
                     LEFT JOIN contrib$i c ON c.node = nd.node)"""
         }.mkString(",")
         s"""
-        WITH edges AS (
+        WITH edges AS MATERIALIZED (
           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
                           'c' || CAST(o_custkey AS VARCHAR) AS dst
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        nodes AS (SELECT src AS node FROM edges
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges
                   UNION SELECT dst FROM edges),
-        outd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+        outd AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
                  FROM edges GROUP BY src),
-        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
-        r0 AS (SELECT node, CAST(ROUND(1.0 / n_nodes, 12) AS DECIMAL(28,12)) AS r
+        n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, CAST(ROUND(1.0 / n_nodes, 12) AS DECIMAL(28,12)) AS r
                FROM nodes CROSS JOIN n),$iterCtes
         SELECT rn, node, rank FROM (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS rn,
@@ -3179,6 +3179,90 @@ object ExtensionQueries {
                     WHEN score >= -4.0 THEN 'possible'
                     ELSE 'non_match' END AS cls
         FROM scored
-      """))
+      """)),
+
+    // ------------------------------------------------------------- EXT96
+    // HITS hubs & authorities (Kleinberg 1999) on the supplier→customer
+    // trade graph — the complementary centrality to ext94's PageRank
+    // (who CONFERS importance vs who HOLDS it), with the same
+    // oracle-checkable decimal fixed-point discipline: L1-normalized
+    // half-steps (sum norm keeps every reduction an exact decimal sum;
+    // an L2 sqrt would break engine parity), 12-dp re-round per step,
+    // DuckDB unrolls the 8 iterations as chained CTEs. Top-25 by
+    // authority on the EXACT decimal, DOUBLE final projection.
+    QueryDef(
+      "ext96_hits",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("c"), col("o_custkey")).as("dst"))
+          .distinct()
+        val hs = graft.operators.Centrality.hits(edges, iters = 8)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("auth").desc, col("node"))
+        hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
+          .select(col("rn").cast("long").as("rn"), col("node"),
+            round(col("auth").cast("double") + lit(0.0), 9).as("auth"),
+            round(col("hub").cast("double") + lit(0.0), 9).as("hub"))
+      },
+      Some {
+        val iterCtes = (0 until 8).map { i =>
+          s"""
+        ar$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(h.h) AS DECIMAL(38,12)) AS raw
+                 FROM h$i h JOIN edges e ON e.src = h.node GROUP BY e.dst),
+        an$i AS MATERIALIZED (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS s FROM ar$i),
+        a$i AS MATERIALIZED (SELECT nd.node,
+                  CAST(ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+                             / CAST(n.s AS DOUBLE), 12) AS DECIMAL(28,12)) AS a
+                FROM nodes nd LEFT JOIN ar$i r USING (node) CROSS JOIN an$i n),
+        hr$i AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(a.a) AS DECIMAL(38,12)) AS raw
+                 FROM a$i a JOIN edges e ON e.dst = a.node GROUP BY e.src),
+        hn$i AS MATERIALIZED (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS s FROM hr$i),
+        h${i + 1} AS MATERIALIZED (SELECT nd.node,
+                  CAST(ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+                             / CAST(n.s AS DOUBLE), 12) AS DECIMAL(28,12)) AS h
+                FROM nodes nd LEFT JOIN hr$i r USING (node) CROSS JOIN hn$i n)"""
+        }.mkString(",")
+        s"""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        h0 AS (SELECT node, CAST(1 AS DECIMAL(28,12)) AS h FROM nodes),$iterCtes
+        SELECT rn, node, auth, hub FROM (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY a.a DESC, nd.node) AS BIGINT)
+                   AS rn,
+                 nd.node,
+                 ROUND(CAST(a.a AS DOUBLE) + 0.0, 9) AS auth,
+                 ROUND(CAST(h.h AS DOUBLE) + 0.0, 9) AS hub
+          FROM nodes nd JOIN a7 a USING (node) JOIN h8 h USING (node))
+        WHERE rn <= 25
+      """
+      }),
+
+    // ------------------------------------------------------------- EXT97
+    // Compression-ratio quality filter (Gopher/MassiveText §A.1.1): a
+    // doc whose UTF-8 bytes DEFLATE far below its raw size is repetitive
+    // boilerplate. deflate_len is the codegen'd [[graft.expressions
+    // .DeflateLen]] — one zlib pass per row, map-side only, no shuffle
+    // before the per-source rollup. Rows-only at the gate (no deflate in
+    // DuckDB); byte semantics pinned by DeflateLenSpec against an
+    // independent java.util.zip recomputation, flag threshold liveness
+    // asserted in the spec at gate SF.
+    QueryDef(
+      "ext97_compression_quality",
+      (s, dir) => {
+        val raw = length(col("text")).cast("long")
+        val defl = TextFunctions.deflateLen(col("text")).cast("long")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), raw.as("raw_len"),
+            defl.as("deflate_len"),
+            round(defl.cast("double") / raw, 6).as("ratio"))
+          .withColumn("is_repetitive", col("ratio") < 0.4)
+      },
+      None)
   )
 }

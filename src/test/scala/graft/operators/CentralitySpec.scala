@@ -59,6 +59,57 @@ class CentralitySpec extends AnyFunSuite with SparkTestSession {
     assert(got("a") > got("d"))
   }
 
+  /** Plain-Scala mirror of Centrality.hits: L1-normalized half-steps with
+    * the same 12-dp rounding points.
+    */
+  private def referenceHits(edges: Seq[(String, String)],
+      iters: Int): Map[String, (BigDecimal, BigDecimal)] = {
+    def r12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val in = edges.groupBy(_._2)
+    val out = edges.groupBy(_._1)
+    var h: Map[String, BigDecimal] = nodes.map(_ -> BigDecimal(1)).toMap
+    var a: Map[String, BigDecimal] = Map.empty
+    for (_ <- 1 to iters) {
+      val araw = nodes.map(v =>
+        v -> in.getOrElse(v, Nil).map { case (s, _) => h(s) }.sum).toMap
+      val as = araw.values.sum
+      a = nodes.map(v => v -> r12(araw(v).toDouble / as.toDouble)).toMap
+      val hraw = nodes.map(v =>
+        v -> out.getOrElse(v, Nil).map { case (_, d) => a(d) }.sum).toMap
+      val hsum = hraw.values.sum
+      h = nodes.map(v => v -> r12(hraw(v).toDouble / hsum.toDouble)).toMap
+    }
+    nodes.map(v => v -> ((a(v), h(v)))).toMap
+  }
+
+  test("hits matches the independent reference to the last decimal digit") {
+    val got = Centrality.hits(edges.toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getString(0) ->
+        ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2))))).toMap
+    val want = referenceHits(edges, iters = 8)
+    assert(got.keySet == want.keySet)
+    for (v <- want.keySet) {
+      assert((got(v)._1 - want(v)._1).abs < BigDecimal("1e-12"),
+        s"auth $v: got ${got(v)._1}, want ${want(v)._1}")
+      assert((got(v)._2 - want(v)._2).abs < BigDecimal("1e-12"),
+        s"hub $v: got ${got(v)._2}, want ${want(v)._2}")
+    }
+  }
+
+  test("hits: both L1 norms are 1 and the pure sink is authority-only") {
+    // a→b, c→b: b is the sole authority; a and c are symmetric hubs.
+    val got = Centrality.hits(
+      Seq(("a", "b"), ("c", "b")).toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getString(0) ->
+        ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2))))).toMap
+    assert((got.values.map(_._1).sum - 1).abs < BigDecimal("1e-8"))
+    assert((got.values.map(_._2).sum - 1).abs < BigDecimal("1e-8"))
+    assert(got("b")._1 == BigDecimal(1).setScale(12) && got("b")._2 == BigDecimal(0).setScale(12))
+    assert(got("a")._2 == got("c")._2 && got("a")._2 > 0)
+  }
+
   test("a dangling-only graph degenerates to the uniform distribution") {
     // one edge x→y, then y dangles: mass cycles but symmetry across iters
     // keeps ranks strictly positive and summing to 1.

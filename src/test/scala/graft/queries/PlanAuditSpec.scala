@@ -53,10 +53,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // totals + the folded PSI scalar) — always broadcast-safe
     "ext89_source_kl", "ext90_embedding_drift",
     // ext93: 1-row corpus-stats scalar (N, total length) cross-joined onto
-    // the scored postings; ext94: 1-row node-count + dangling-mass scalars
-    // cross-joined onto the rank frame each iteration — always
-    // broadcast-safe
-    "ext93_bm25_topk", "ext94_pagerank")
+    // the scored postings; ext94/ext96: 1-row node-count / dangling-mass /
+    // L1-norm scalars cross-joined onto the score frame each iteration —
+    // always broadcast-safe
+    "ext93_bm25_topk", "ext94_pagerank", "ext96_hits")
 
   // NOTE: building a catalog entry is not always free — iterative operators
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
