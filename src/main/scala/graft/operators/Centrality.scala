@@ -33,10 +33,18 @@ object Centrality {
     * uniformly. Returns (node, r DECIMAL(28,12)) summing to ~1.
     */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 8): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val outd = edges.groupBy(col("src").as("node"))
+    // The graph is consumed in EVERY iteration (edges by the contribution
+    // join, nodes/outd up to 3× per round) — checkpoint all three once so
+    // the upstream build (a distinct over a fact-table join in ext94's
+    // case) runs once, not once per reference. Same lazy-localCheckpoint
+    // discipline as the rank frame below.
+    val e = edges.localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val outd = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
 
     var r = nodes.crossJoin(broadcast(n))
@@ -46,17 +54,17 @@ object Centrality {
 
     val base = lit(1.0 - damping)
     for (_ <- 1 to iters) {
-      val dang = r.join(outd, Seq("node"), "left")
+      val dang = r.join(broadcast(outd), Seq("node"), "left")
         .filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0)).cast("decimal(38,12)").as("dangle"))
-      val contrib = r.join(outd, "node")
-        .join(edges, col("node") === col("src"))
+      val contrib = broadcast(r.join(outd, "node"))
+        .join(e, col("node") === col("src"))
         .groupBy("dst")
         .agg(sum(round(col("r").cast("double") / col("outdeg"), 12)
           .cast("decimal(28,12)")).cast("decimal(38,12)").as("in_sum"))
         .withColumnRenamed("dst", "node")
       r = nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dang))
-        .join(contrib, Seq("node"), "left")
+        .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           round(base / col("n_nodes")
               + lit(damping) * (coalesce(col("in_sum"), lit(0)).cast("double")
@@ -83,35 +91,100 @@ object Centrality {
     * no in-edges (resp. out-edges) carry authority (resp. hub) 0.
     */
   def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // Checkpoint the graph once — 2 references per half-step × 2
+    // half-steps × iters would otherwise rebuild the edge derivation
+    // 30+ times (see pageRank).
+    val e = edges.localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     var h = nodes
       .select(col("node"), lit(1).cast("decimal(28,12)").as("h"))
       .localCheckpoint(false)
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      a = halfStep(nodes, h, "h", edges, col("src"), col("dst"), "a")
-      h = halfStep(nodes, a, "a", edges, col("dst"), col("src"), "h")
+      a = halfStep(nodes, h, "h", e, col("src"), col("dst"), "a")
+      h = halfStep(nodes, a, "a", e, col("dst"), col("src"), "h")
     }
-    nodes.join(a, Seq("node")).join(h, Seq("node"))
-      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+    nodes.join(broadcast(a), Seq("node"), "left")
+      .join(broadcast(h), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("a"), lit(0)).cast("decimal(28,12)").as("auth"),
+        coalesce(col("h"), lit(0)).cast("decimal(28,12)").as("hub"))
+  }
+
+  /** Exact triangle counts + local clustering coefficient per node over an
+    * undirected graph (Suri & Vassilvitskii, WWW 2011 node-iterator with
+    * degree-ordered orientation — the MapReduce-era shape that still wins
+    * on Spark): orient every edge from its (degree, id)-smaller endpoint,
+    * so wedge enumeration fans out from each node's ORIENTED out-list —
+    * bounded by O(√m) amortized on any graph, which is what keeps the
+    * self-join alive on a skewed 100 TB edge set where a naive
+    * neighbor-list explode dies on the highest-degree node. Each triangle
+    * is counted exactly once (at its orientation-minimal wedge) and then
+    * credited to all three corners.
+    *
+    * Topology: two hash aggs (canonicalize + degrees), one equi self-join
+    * on the wedge pivot, one equi join against the oriented closing edge,
+    * one explode + hash agg — every stage keyed, no cartesian anywhere.
+    *
+    * Returns (node, degree, triangles, clustering) with clustering =
+    * 2T / deg(deg−1) rounded to 6 dp (0.0 for degree < 2) — exact-integer
+    * arithmetic until the single pinned double division, so the whole
+    * output is oracle-checkable.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("degree").as("dega")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("degb")), Seq("b"))
+      .select(
+        when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") =!= col("y"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri"), lit(0)).cast("long").as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("tri"), lit(0))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
   }
 
   /** One HITS half-step: propagate `scoreCol` of `from` across `edges`
-    * from side `fromEnd` to side `toEnd`, L1-normalize, emit as `outCol`. */
+    * from side `fromEnd` to side `toEnd`, L1-normalize, emit as `outCol`.
+    * Nodes receiving nothing are simply ABSENT (score 0) rather than
+    * completed against the node list each step — zeros contribute nothing
+    * to the next propagation, so completion happens once at the end; that
+    * saves one join per half-step. `raw` is checkpointed before the norm
+    * aggregate so the propagate-join runs once, not once per consumer. */
   private def halfStep(nodes: DataFrame, from: DataFrame, scoreCol: String,
       edges: DataFrame, fromEnd: Column, toEnd: Column,
       outCol: String): DataFrame = {
-    val raw = from.join(edges, col("node") === fromEnd)
-      .groupBy(toEnd.as("tnode"))
+    val raw = broadcast(from).join(edges, col("node") === fromEnd)
+      .groupBy(toEnd.as("node"))
       .agg(sum(col(scoreCol)).cast("decimal(38,12)").as("raw"))
-    val norm = raw.agg(sum(col("raw")).cast("decimal(38,12)").as("s"))
-    nodes.join(raw, col("node") === col("tnode"), "left")
-      .crossJoin(broadcast(norm))
-      .select(col("node"),
-        round(coalesce(col("raw"), lit(0)).cast("double")
-            / col("s").cast("double"), 12)
-          .cast("decimal(28,12)").as(outCol))
       .localCheckpoint(false)
+    val norm = raw.agg(sum(col("raw")).cast("decimal(38,12)").as("s"))
+    raw.crossJoin(broadcast(norm))
+      .select(col("node"),
+        round(col("raw").cast("double") / col("s").cast("double"), 12)
+          .cast("decimal(28,12)").as(outCol))
   }
 }

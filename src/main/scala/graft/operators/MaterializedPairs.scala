@@ -43,6 +43,20 @@ object MaterializedPairs {
     memoized(docs, "char", textCol, idCol, n, threshold, key)(
       Dedup.charSetSimilarityJoin(docs, textCol, idCol, n, threshold))
 
+  /** Generic session-scoped materialized-frame memo under the same
+    * discipline (persist + eager count + logged row count): for shared
+    * inputs that are not similarity-pair tables — e.g. the trade-graph
+    * edge list ext94 (PageRank) and ext96 (HITS) both iterate over. The
+    * caller owns key hygiene (include the context identity + input dir).
+    */
+  def frame(key: String)(build: => DataFrame): DataFrame =
+    memo.computeIfAbsent(key, _ => {
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = df.count()
+      System.err.println(s"[graft] materialized frame: key=$key rows=$n")
+      df
+    })
+
   private def memoized(docs: DataFrame, kind: String, textCol: String,
       idCol: String, n: Int, threshold: Double, key: String)(
       build: => DataFrame): DataFrame = {

@@ -54,6 +54,42 @@ object ExtensionQueries {
     graft.operators.MaterializedPairs.setSimPairs(
       Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.8, key = dir)
 
+  /** A conf-isolated sibling session with AQE disabled, for the iterative
+    * graph fixed-points (ext94/ext96): AQE inserts a materialization +
+    * re-optimization barrier at EVERY shuffle, which costs ~1.4 s/round on
+    * rank frames of a few thousand rows (measured at sf0.1: PageRank 8
+    * iters 17.7 s with AQE, 7.2 s without) while having nothing to adapt —
+    * the iteration's stage sizes are known and tiny. `newSession()` shares
+    * the SparkContext but owns its SQLConf, so concurrently-running
+    * catalog queries keep their AQE. This is the standard production
+    * setting for iterative Spark jobs, not a local-mode hack.
+    */
+  private def noAqeSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
+
+  /** The supplier→customer trade-graph edge list (distinct pairs), built
+    * ONCE per (context, dir) inside an AQE-off sibling session and shared
+    * by ext94 (PageRank) and ext96 (HITS) — the edge derivation is a
+    * fact-table join + distinct that neither iterative consumer should
+    * re-pay. The returned frame is bound to the AQE-off session, so every
+    * query built on it executes with static plans (see [[noAqeSession]]).
+    */
+  private def sharedTradeEdges(s0: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaterializedPairs.frame(
+      s"${System.identityHashCode(s0.sparkContext)}|tradegraph|$dir") {
+      val s = noAqeSession(s0)
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+        .distinct()
+    }
+
   /** The bounded CHAR-4-gram template-pair table (J ≥ 0.4, doc_id < 150 —
     * the ext87 substrate where template chains are live), materialized once
     * per session and shared by ext87 (transitive leakage) and ext95 (record
@@ -3032,12 +3068,8 @@ object ExtensionQueries {
     // taken on the exact decimal before the cast.
     QueryDef(
       "ext94_pagerank",
-      (s, dir) => {
-        val edges = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("s"), col("l_suppkey")).as("src"),
-            concat(lit("c"), col("o_custkey")).as("dst"))
-          .distinct()
+      (s0, dir) => {
+        val edges = sharedTradeEdges(s0, dir)
         val pr = graft.operators.Centrality.pageRank(edges, damping = 0.85, iters = 8)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("r").desc, col("node"))
@@ -3192,12 +3224,8 @@ object ExtensionQueries {
     // authority on the EXACT decimal, DOUBLE final projection.
     QueryDef(
       "ext96_hits",
-      (s, dir) => {
-        val edges = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("s"), col("l_suppkey")).as("src"),
-            concat(lit("c"), col("o_custkey")).as("dst"))
-          .distinct()
+      (s0, dir) => {
+        val edges = sharedTradeEdges(s0, dir)
         val hs = graft.operators.Centrality.hits(edges, iters = 8)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("auth").desc, col("node"))
@@ -3263,6 +3291,57 @@ object ExtensionQueries {
             round(defl.cast("double") / raw, 6).as("ratio"))
           .withColumn("is_repetitive", col("ratio") < 0.4)
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------- EXT98
+    // Exact triangle counting + local clustering coefficient on the
+    // template-similarity graph (the SHARED char-pair table, third
+    // consumer) — the graph-density signal that separates boilerplate
+    // CLIQUES (near-dup families, clustering → 1) from template CHAINS
+    // (sequential edits, clustering → 0), i.e. which near-dup
+    // neighborhoods are worth collapsing wholesale. Degree-ordered
+    // orientation bounds the wedge self-join (Suri–Vassilvitskii); exact
+    // integers until one pinned double division → fully oracle-checked
+    // (5 triangles over 38 edges live at gate SF).
+    QueryDef(
+      "ext98_triangles",
+      (s, dir) => {
+        val edges = sharedCharTemplatePairs(s, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        graft.operators.Centrality.triangleStats(edges)
+          .select(col("node").as("doc_id"), col("degree"),
+            col("triangles"), col("clustering"))
+      },
+      Some("""
+        WITH c AS (SELECT doc_id,
+                list_distinct(
+                  CASE WHEN length(lower(text)) <= 4 THEN [lower(text)]
+                       ELSE list_transform(range(1, length(lower(text)) - 2),
+                                           i -> substr(lower(text), i, 4)) END) AS c4
+              FROM documents WHERE doc_id < 150),
+        p AS (SELECT a.doc_id AS da, b.doc_id AS db
+              FROM c a JOIN c b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(a.c4)+len(b.c4)-len(list_intersect(a.c4,b.c4)) = 0
+                          THEN 1.0
+                          ELSE ROUND(CAST(len(list_intersect(a.c4,b.c4)) AS DOUBLE) /
+                            (len(a.c4)+len(b.c4)-len(list_intersect(a.c4,b.c4))), 6)
+                     END) >= 0.4),
+        sym AS (SELECT da AS node FROM p UNION ALL SELECT db FROM p),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM sym GROUP BY node),
+        tri AS (SELECT e1.da AS x, e1.db AS y, e2.db AS z
+                FROM p e1 JOIN p e2 ON e2.da = e1.db
+                     JOIN p e3 ON e3.da = e1.da AND e3.db = e2.db),
+        tn AS (SELECT unnest([x, y, z]) AS node FROM tri),
+        tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+               FROM tn GROUP BY node)
+        SELECT d.node AS doc_id, d.degree,
+               COALESCE(tc.triangles, 0) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN ROUND(2.0 * COALESCE(tc.triangles, 0)
+                               / (d.degree * (d.degree - 1)), 6)
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN tc USING (node)
+      """))
   )
 }

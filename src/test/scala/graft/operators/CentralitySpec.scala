@@ -110,6 +110,38 @@ class CentralitySpec extends AnyFunSuite with SparkTestSession {
     assert(got("a")._2 == got("c")._2 && got("a")._2 > 0)
   }
 
+  private def triMap(edges: Seq[(String, String)]) =
+    Centrality.triangleStats(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("triangleStats: K4 is all-triangles, a path has none") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    val got = triMap(k4)
+    assert(got.values.forall(_ == ((3L, 3L, 1.0))), got.toString)
+    val path = triMap(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(path.values.forall(v => v._2 == 0L && v._3 == 0.0))
+    assert(path("b")._1 == 2L && path("a")._1 == 1L)
+  }
+
+  test("triangleStats: triangle + pendant credits corners, not the pendant") {
+    val got = triMap(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")))
+    assert(got("a") == ((3L, 1L, 0.333333)))
+    assert(got("b") == ((2L, 1L, 1.0)) && got("c") == ((2L, 1L, 1.0)))
+    assert(got("d") == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleStats canonicalizes duplicate, reversed and self edges") {
+    val got = triMap(Seq(
+      ("a", "b"), ("b", "a"), ("a", "b"), // one undirected edge
+      ("b", "c"), ("c", "a"), ("a", "a"))) // self-loop dropped
+    assert(got("a") == ((2L, 1L, 1.0)))
+    assert(got.values.map(_._2).sum == 3L) // one triangle, three credits
+  }
+
   test("a dangling-only graph degenerates to the uniform distribution") {
     // one edge x→y, then y dangles: mass cycles but symmetry across iters
     // keeps ranks strictly positive and summing to 1.
