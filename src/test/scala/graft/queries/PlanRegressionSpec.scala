@@ -401,4 +401,38 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
           org.apache.spark.sql.functions.col("toks")) > 0), 0.4).count()
     assert(charCands <= 150L * 149 / 2, s"char-4-gram candidates=$charCands exceed all-pairs cap")
   }
+
+  test("ext93 bm25: query terms + corpus stats broadcast; top-k keeps the partial WindowGroupLimit") {
+    val p = plan("ext93_bm25_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must plan the partial group limit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "query-term and df joins must broadcast, not shuffle the postings")
+  }
+
+  test("ext98 triangles: wedge and closing joins are equi (hash), never nested-loop") {
+    val p = plan("ext98_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join leaked into the triangle plan:\n$p")
+  }
+
+  test("ext98 triangles match the brute-force triple join at both SFs") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val edges = graft.operators.Dedup.charSetSimilarityJoin(
+        Tables.documents(spark, dir).filter(col("doc_id") < 150),
+        "text", "doc_id", n = 4, threshold = 0.4)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val total = graft.operators.Centrality.triangleStats(edges)
+        .selectExpr("coalesce(sum(triangles), 0)").collect()(0).getLong(0) / 3
+      // brute force: canonical a<b edges, triple equi-join x<y<z
+      val p = edges.select(col("src").as("a"), col("dst").as("b")).distinct()
+      val brute = p.select(col("a").as("x"), col("b").as("y"))
+        .join(p.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+        .join(p.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+        .count()
+      assert(total == brute, s"$dir: oriented count $total != brute $brute")
+    }
+  }
 }
