@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-contract auditing ("unit tests for data", Schelter et al., VLDB
+  * 2018 — the Deequ design): a declarative rule set over a table compiles
+  * into as few passes as the rule classes allow, and the audit emits one
+  * row per rule with the violation count — the gate a production pipeline
+  * runs between ingest and publish.
+  *
+  * Scale shape (the part worth copying from the paper): every ROW-LOCAL
+  * rule — not-null, range, regex, uniqueness-by-count-distinct — folds
+  * into ONE aggregation over ONE scan of the table, no matter how many
+  * rules there are; only referential rules (subset-of) pay their own
+  * anti-join. Nothing is collected; the audit result is itself a frame.
+  *
+  * Semantics: NULLs violate only `notNull` — `inRange`/`matches` skip
+  * them (completeness and validity are separate dials, per the paper);
+  * `unique` counts the surplus rows beyond the distinct value count.
+  */
+object Contracts {
+
+  sealed trait Rule { def name: String }
+
+  /** Column (or expression) must never be NULL. */
+  final case class NotNull(column: String) extends Rule {
+    val name = s"not_null($column)"
+  }
+
+  /** Non-null values of `column` (any SQL expression) must lie in
+    * [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Rule {
+    val name = s"in_range($column)"
+  }
+
+  /** Non-null values must match `regex` (Spark RLIKE / partial match —
+    * anchor explicitly for full-match semantics). */
+  final case class Matches(column: String, regex: String) extends Rule {
+    val name = s"matches($column)"
+  }
+
+  /** `expr` must be unique across rows; violations = rows beyond one per
+    * distinct value. */
+  final case class Unique(column: String) extends Rule {
+    val name = s"unique($column)"
+  }
+
+  /** Every non-null value of `column` must exist in `refColumn` of `ref`
+    * (referential integrity). Pays one left-anti join. */
+  final case class SubsetOf(column: String, ref: DataFrame,
+      refColumn: String) extends Rule {
+    val name = s"subset_of($column)"
+  }
+
+  /** Audit `df` (labelled `table`) against `rules`. Returns one row per
+    * rule: (tbl, rule, total, violations, passed), in rule order.
+    */
+  def audit(df: DataFrame, table: String, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val rowLocal = rules.filter(!_.isInstanceOf[SubsetOf])
+    val referential = rules.collect { case r: SubsetOf => r }
+
+    val localFrame: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = rowLocal.zipWithIndex.map {
+          case (NotNull(c), i) =>
+            sum(when(expr(c).isNull, 1L).otherwise(0L)).as(s"v$i")
+          case (InRange(c, lo, hi), i) =>
+            sum(when(expr(c).isNotNull &&
+              (expr(c) < lit(lo) || expr(c) > lit(hi)), 1L)
+              .otherwise(0L)).as(s"v$i")
+          case (Matches(c, re), i) =>
+            sum(when(expr(c).isNotNull && !expr(c).rlike(re), 1L)
+              .otherwise(0L)).as(s"v$i")
+          case (Unique(c), i) =>
+            (count(lit(1)) - countDistinct(expr(c))).as(s"v$i")
+          case (r, _) => throw new MatchError(r)
+        }
+        val one = df.agg(count(lit(1)).as("total"), aggs: _*)
+        val pairs = rowLocal.zipWithIndex.map { case (r, i) =>
+          struct(lit(r.name).as("rule"), col(s"v$i").as("violations"))
+        }
+        Some(one.select(col("total"),
+          explode(array(pairs: _*)).as("p"))
+          .select(col("p.rule"), col("total"), col("p.violations")))
+      }
+
+    val refFrames = referential.map { r =>
+      val viol = df.select(expr(r.column).as("k")).filter(col("k").isNotNull)
+        .join(r.ref.select(col(r.refColumn).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      df.agg(count(lit(1)).as("total")).crossJoin(viol)
+        .select(lit(r.name).as("rule"), col("total"), col("violations"))
+    }
+
+    (localFrame.toSeq ++ refFrames)
+      .reduceLeft(_ unionAll _)
+      .select(lit(table).as("tbl"), col("rule"),
+        col("total").cast("long").as("total"),
+        col("violations").cast("long").as("violations"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+}

@@ -3342,6 +3342,69 @@ object ExtensionQueries {
                                / (d.degree * (d.degree - 1)), 6)
                     ELSE 0.0 END AS clustering
         FROM deg d LEFT JOIN tc USING (node)
+      """)),
+
+    // ------------------------------------------------------------- EXT99
+    // Data-contract audit (Deequ, VLDB 2018) over the corpus + event
+    // tables — the ingest→publish gate: every row-local rule (not-null,
+    // range, regex, unique) folds into ONE aggregation over ONE scan per
+    // table regardless of rule count; referential rules pay one anti-join.
+    // Rules chosen so BOTH verdicts are live at gate SF: length/value
+    // ranges and prefix-32 uniqueness FAIL (template families share
+    // prefixes), null/lang/event-id/referential PASS. Fully
+    // oracle-checked.
+    QueryDef(
+      "ext99_data_contract",
+      (s, dir) => {
+        import graft.operators.Contracts._
+        val docs = audit(Tables.documents(s, dir), "documents", Seq(
+          NotNull("text"),
+          InRange("length(text)", 1, 300),
+          Unique("substring(text, 1, 32)"),
+          Matches("lang", "^(en|de|es|fr|zh)$")))
+        val events = audit(Tables.events(s, dir), "events", Seq(
+          InRange("value", 0.0, 400.0),
+          Unique("event_id"),
+          SubsetOf("user_id", Tables.customer(s, dir), "c_custkey")))
+        docs.unionAll(events)
+      },
+      Some("""
+        WITH dt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+        et AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+        SELECT tbl, rule, total, violations, (violations = 0) AS passed
+        FROM (
+          SELECT 'documents' AS tbl, 'not_null(text)' AS rule, dt.total,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE text IS NULL) AS violations FROM dt
+          UNION ALL
+          SELECT 'documents', 'in_range(length(text))', dt.total,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE length(text) IS NOT NULL
+                    AND (length(text) < 1 OR length(text) > 300)) FROM dt
+          UNION ALL
+          SELECT 'documents', 'unique(substring(text, 1, 32))', dt.total,
+                 (SELECT CAST(COUNT(*) - COUNT(DISTINCT substring(text, 1, 32))
+                              AS BIGINT) FROM documents) FROM dt
+          UNION ALL
+          SELECT 'documents', 'matches(lang)', dt.total,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE lang IS NOT NULL
+                    AND NOT regexp_matches(lang, '^(en|de|es|fr|zh)$')) FROM dt
+          UNION ALL
+          SELECT 'events', 'in_range(value)', et.total,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                  WHERE value IS NOT NULL
+                    AND (value < 0.0 OR value > 400.0)) FROM et
+          UNION ALL
+          SELECT 'events', 'unique(event_id)', et.total,
+                 (SELECT CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+                  FROM events) FROM et
+          UNION ALL
+          SELECT 'events', 'subset_of(user_id)', et.total,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+                  LEFT JOIN customer c ON e.user_id = c.c_custkey
+                  WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) FROM et
+        )
       """))
   )
 }

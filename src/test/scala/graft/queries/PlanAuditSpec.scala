@@ -56,7 +56,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // the scored postings; ext94/ext96: 1-row node-count / dangling-mass /
     // L1-norm scalars cross-joined onto the score frame each iteration —
     // always broadcast-safe
-    "ext93_bm25_topk", "ext94_pagerank", "ext96_hits")
+    "ext93_bm25_topk", "ext94_pagerank", "ext96_hits",
+    // ext99: each referential rule joins its table's 1-row total with the
+    // 1-row anti-join violation count — always broadcast-safe
+    "ext99_data_contract")
 
   // NOTE: building a catalog entry is not always free — iterative operators
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
