@@ -63,30 +63,7 @@ object Contracts {
     val referential = rules.collect { case r: SubsetOf => r }
 
     val localFrame: Option[DataFrame] =
-      if (rowLocal.isEmpty) None
-      else {
-        val aggs = rowLocal.zipWithIndex.map {
-          case (NotNull(c), i) =>
-            sum(when(expr(c).isNull, 1L).otherwise(0L)).as(s"v$i")
-          case (InRange(c, lo, hi), i) =>
-            sum(when(expr(c).isNotNull &&
-              (expr(c) < lit(lo) || expr(c) > lit(hi)), 1L)
-              .otherwise(0L)).as(s"v$i")
-          case (Matches(c, re), i) =>
-            sum(when(expr(c).isNotNull && !expr(c).rlike(re), 1L)
-              .otherwise(0L)).as(s"v$i")
-          case (Unique(c), i) =>
-            (count(lit(1)) - countDistinct(expr(c))).as(s"v$i")
-          case (r, _) => throw new MatchError(r)
-        }
-        val one = df.agg(count(lit(1)).as("total"), aggs: _*)
-        val pairs = rowLocal.zipWithIndex.map { case (r, i) =>
-          struct(lit(r.name).as("rule"), col(s"v$i").as("violations"))
-        }
-        Some(one.select(col("total"),
-          explode(array(pairs: _*)).as("p"))
-          .select(col("p.rule"), col("total"), col("p.violations")))
-      }
+      if (rowLocal.isEmpty) None else Some(rowLocalAudit(df, rowLocal))
 
     val refFrames = referential.map { r =>
       val viol = df.select(expr(r.column).as("k")).filter(col("k").isNotNull)
@@ -102,5 +79,50 @@ object Contracts {
         col("total").cast("long").as("total"),
         col("violations").cast("long").as("violations"))
       .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Streaming contract audit: the SAME single-aggregation compilation
+    * over a streaming frame — write with `outputMode("complete")` and each
+    * trigger emits the cumulative (rule, total, violations, passed) rows,
+    * the live ingest-gate dashboard. Row-local rules only: a referential
+    * rule would need a stream-static anti join plus a second streaming
+    * aggregate, and `Unique` a distinct aggregate — neither composes in
+    * Structured Streaming; run [[audit]] on the landed batch for those.
+    */
+  def auditStream(df: DataFrame, table: String, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(!rules.exists(r =>
+      r.isInstanceOf[SubsetOf] || r.isInstanceOf[Unique]),
+      "referential/unique rules are not streamable — audit the landed batch")
+    rowLocalAudit(df, rules)
+      .select(lit(table).as("tbl"), col("rule"),
+        col("total").cast("long").as("total"),
+        col("violations").cast("long").as("violations"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** All row-local rules folded into ONE aggregation over ONE scan:
+    * (rule, total, violations), one row per rule in declaration order. */
+  private def rowLocalAudit(df: DataFrame, rowLocal: Seq[Rule]): DataFrame = {
+    val aggs = rowLocal.zipWithIndex.map {
+      case (NotNull(c), i) =>
+        sum(when(expr(c).isNull, 1L).otherwise(0L)).as(s"v$i")
+      case (InRange(c, lo, hi), i) =>
+        sum(when(expr(c).isNotNull &&
+          (expr(c) < lit(lo) || expr(c) > lit(hi)), 1L)
+          .otherwise(0L)).as(s"v$i")
+      case (Matches(c, re), i) =>
+        sum(when(expr(c).isNotNull && !expr(c).rlike(re), 1L)
+          .otherwise(0L)).as(s"v$i")
+      case (Unique(c), i) =>
+        (count(lit(1)) - countDistinct(expr(c))).as(s"v$i")
+      case (r, _) => throw new MatchError(r)
+    }
+    val one = df.agg(count(lit(1)).as("total"), aggs: _*)
+    val pairs = rowLocal.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"v$i").as("violations"))
+    }
+    one.select(col("total"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.rule"), col("total"), col("p.violations"))
   }
 }

@@ -59,4 +59,40 @@ class ContractsSpec extends AnyFunSuite with SparkTestSession {
   test("an empty rule set is rejected") {
     intercept[IllegalArgumentException] { audit(df, "t", Seq.empty) }
   }
+
+  test("auditStream emits cumulative verdicts per trigger (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val sink = s"contracts_${System.nanoTime()}"
+    val q = auditStream(stream.toDF().toDF("id", "v"), "s",
+      Seq(InRange("v", 0.0, 100.0), NotNull("id")))
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .start()
+    try {
+      stream.addData((1L, 10.0), (2L, 50.0))
+      q.processAllAvailable()
+      val r1 = spark.table(sink).collect()
+        .map(r => r.getString(1) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      assert(r1("in_range(v)") == ((0L, true)) && r1("not_null(id)") == ((0L, true)))
+
+      stream.addData((2L, 500.0)) // out of range
+      q.processAllAvailable()
+      val r2 = spark.table(sink).collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(r2("in_range(v)") == ((3L, 1L, false)),
+        "cumulative range violation must surface after batch 2")
+      assert(r2("not_null(id)") == ((3L, 0L, true)))
+    } finally q.stop()
+  }
+
+  test("auditStream refuses referential and unique rules") {
+    intercept[IllegalArgumentException] {
+      auditStream(df, "t", Seq(SubsetOf("id", df, "id")))
+    }
+    intercept[IllegalArgumentException] {
+      auditStream(df, "t", Seq(Unique("id")))
+    }
+  }
 }
