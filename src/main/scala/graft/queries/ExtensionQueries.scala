@@ -3405,6 +3405,112 @@ object ExtensionQueries {
                   LEFT JOIN customer c ON e.user_id = c.c_custkey
                   WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) FROM et
         )
+      """)),
+
+    // ------------------------------------------------------------ EXT100
+    // The END-TO-END curation funnel — the composition statement: validity
+    // gate (ext99's rules as row filters) → near-dup cluster survivor (the
+    // corpus-wide MATERIALIZED pair table + transitive clusters, min-id
+    // among stage survivors) → decontamination vs the doc_id<20 eval
+    // holdout (ext26 semantics) → quality gate (ext05's distinct_ratio).
+    // Emits the per-stage funnel accounting every corpus owner reads
+    // before publishing a training set. Every stage drop is LIVE at gate
+    // SF (480→236→223→213→~129). Stage counts assemble via 1-row cross
+    // joins (declared); the pair/cluster substrate is shared, not re-run.
+    QueryDef(
+      "ext100_curation_funnel",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        val universe = all.filter(col("doc_id") >= 20)
+        val valid = universe.filter(length(col("text")) <= 300 &&
+          col("lang").rlike("^(en|de|es|fr|zh)$"))
+        val clusters = Dedup.clusterPairs(sharedSetSimPairs(s, dir))
+        val labeled = valid.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("doc_id")
+        val dedup = labeled.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+        val contaminated = graft.operators.Decontaminate.overlaps(
+          all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20),
+          "text", "doc_id", n = 4).select("doc_id")
+        val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+        val feats = TextFunctions.qualityFeatures(col("text")).toMap
+        val kept = clean.select(col("doc_id"),
+          feats("distinct_ratio").as("dr")).filter(col("dr") >= 0.55)
+
+        val stages = Seq("universe" -> universe, "valid" -> valid,
+          "neardup_cluster" -> dedup, "decontaminate" -> clean,
+          "quality" -> kept)
+        val oneRow = stages.map { case (n, df) =>
+          df.agg(count(lit(1)).as(s"c_$n"))
+        }.reduceLeft(_ crossJoin _)
+        val names = stages.map(_._1)
+        val entries = (1 until names.size).map { k =>
+          struct(lit(k.toLong).as("stage"), lit(names(k)).as("name"),
+            col(s"c_${names(k - 1)}").as("docs_in"),
+            col(s"c_${names(k)}").as("docs_out"))
+        }
+        oneRow.select(explode(array(entries: _*)).as("p"))
+          .select(col("p.stage"), col("p.name"), col("p.docs_in"),
+            col("p.docs_out"),
+            (col("p.docs_in") - col("p.docs_out")).as("dropped"))
+      },
+      Some("""
+        WITH RECURSIVE
+        universe AS (SELECT * FROM documents WHERE doc_id >= 20),
+        valid AS (SELECT * FROM universe WHERE length(text) <= 300
+                  AND regexp_matches(lang, '^(en|de|es|fr|zh)$')),
+        d AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS toks
+              FROM documents),
+        g3 AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS g
+               FROM d WHERE len(toks) >= 3),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM g3 a JOIN g3 b ON a.doc_id < b.doc_id
+               WHERE (CASE WHEN len(a.g)+len(b.g)-len(list_intersect(a.g,b.g)) = 0
+                           THEN 1.0
+                           ELSE ROUND(CAST(len(list_intersect(a.g,b.g)) AS DOUBLE) /
+                             (len(a.g)+len(b.g)-len(list_intersect(a.g,b.g))), 6)
+                      END) >= 0.8),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+              UNION SELECT doc_b AS src, doc_a AS dst FROM pr),
+        r AS (SELECT src AS node, src AS lbl FROM e
+              UNION SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+        lab AS (SELECT v.doc_id, COALESCE(c.cluster_id, v.doc_id) AS cid
+                FROM valid v LEFT JOIN c USING (doc_id)),
+        dedup AS (SELECT doc_id FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER
+                      (PARTITION BY cid ORDER BY doc_id) AS rk FROM lab)
+                  WHERE rk = 1),
+        sh AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                   i -> list_aggregate(toks[i:i+3], 'string_agg', ' ')))) AS g4
+               FROM d),
+        contam AS (SELECT DISTINCT c2.doc_id FROM sh c2 JOIN sh ev ON c2.g4 = ev.g4
+                   WHERE ev.doc_id < 20 AND c2.doc_id >= 20),
+        clean AS (SELECT doc_id FROM dedup
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        q AS (SELECT cl.doc_id FROM clean cl JOIN d USING (doc_id)
+              WHERE len(d.toks) > 0
+                AND ROUND(CAST(len(list_distinct(d.toks)) AS DOUBLE)
+                          / len(d.toks), 6) >= 0.55),
+        n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM universe) AS c0,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM valid) AS c1,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup) AS c2,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS c3,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS c4)
+        SELECT stage, name, docs_in, docs_out, docs_in - docs_out AS dropped
+        FROM (
+          SELECT CAST(1 AS BIGINT) AS stage, 'valid' AS name,
+                 c0 AS docs_in, c1 AS docs_out FROM n
+          UNION ALL SELECT 2, 'neardup_cluster', c1, c2 FROM n
+          UNION ALL SELECT 3, 'decontaminate', c2, c3 FROM n
+          UNION ALL SELECT 4, 'quality', c3, c4 FROM n)
       """))
   )
 }

@@ -58,8 +58,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // always broadcast-safe
     "ext93_bm25_topk", "ext94_pagerank", "ext96_hits",
     // ext99: each referential rule joins its table's 1-row total with the
-    // 1-row anti-join violation count — always broadcast-safe
-    "ext99_data_contract")
+    // 1-row anti-join violation count; ext100: the funnel assembles five
+    // 1-row stage counts into one row — always broadcast-safe
+    "ext99_data_contract", "ext100_curation_funnel")
 
   // NOTE: building a catalog entry is not always free — iterative operators
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
