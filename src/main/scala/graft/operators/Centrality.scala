@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * list (shuffle keyed by node), one hash agg of contributions keyed by
   * destination, and a 1-row dangling-mass aggregate that is broadcast —
   * the textbook distributed-PageRank topology that holds at any node count.
+  * Join discipline under the AQE-off iteration session: every join whose
+  * build side is O(|nodes|) (rank⋈out-degrees, rank⋈edges, new-rank⋈contrib)
+  * carries a `shuffle_hash` hint — co-partitioned hash join on `node`, no
+  * per-round sort (the SMJ tax the hint exists to avoid) and, critically,
+  * NO size ceiling: a broadcast hint here would force driver-side collection
+  * of the whole rank vector and die on any graph whose ranks exceed the
+  * broadcast limit. Only true 1-row scalars (node count, dangling mass,
+  * L1 norm) are `broadcast()`.
   * The rank frame is `localCheckpoint(eager = false)`-truncated each round
   * (the clusterPairs discipline): without it each of the three consumers of
   * round i's ranks (dangling agg, contribution join, carry-through) would
@@ -52,27 +60,37 @@ object Centrality {
         round(lit(1.0) / col("n_nodes"), 12).cast("decimal(28,12)").as("r"))
       .localCheckpoint(false)
 
-    val base = lit(1.0 - damping)
-    for (_ <- 1 to iters) {
-      val dang = r.join(broadcast(outd), Seq("node"), "left")
-        .filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0)).cast("decimal(38,12)").as("dangle"))
-      val contrib = broadcast(r.join(outd, "node"))
-        .join(e, col("node") === col("src"))
-        .groupBy("dst")
-        .agg(sum(round(col("r").cast("double") / col("outdeg"), 12)
-          .cast("decimal(28,12)")).cast("decimal(38,12)").as("in_sum"))
-        .withColumnRenamed("dst", "node")
-      r = nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dang))
-        .join(broadcast(contrib), Seq("node"), "left")
-        .select(col("node"),
-          round(base / col("n_nodes")
-              + lit(damping) * (coalesce(col("in_sum"), lit(0)).cast("double")
-                + col("dangle").cast("double") / col("n_nodes")), 12)
-            .cast("decimal(28,12)").as("r"))
-        .localCheckpoint(false)
-    }
+    for (_ <- 1 to iters)
+      r = pageRankStep(nodes, outd, e, n, r, damping).localCheckpoint(false)
     r
+  }
+
+  /** One damped-PageRank round: the next rank frame from the previous one.
+    * Package-visible (not public API) so the plan spec can pin the join
+    * strategy of a single UN-checkpointed round — the iteration loop's
+    * lazy localCheckpoint truncates lineage, so the per-round joins are
+    * invisible in the returned frame's executed plan.
+    */
+  private[graft] def pageRankStep(nodes: DataFrame, outd: DataFrame,
+      e: DataFrame, n: DataFrame, r: DataFrame, damping: Double): DataFrame = {
+    val base = lit(1.0 - damping)
+    val dang = r.join(outd.hint("shuffle_hash"), Seq("node"), "left")
+      .filter(col("outdeg").isNull)
+      .agg(coalesce(sum(col("r")), lit(0)).cast("decimal(38,12)").as("dangle"))
+    val contrib = r.join(outd.hint("shuffle_hash"), "node")
+      .hint("shuffle_hash")
+      .join(e, col("node") === col("src"))
+      .groupBy("dst")
+      .agg(sum(round(col("r").cast("double") / col("outdeg"), 12)
+        .cast("decimal(28,12)")).cast("decimal(38,12)").as("in_sum"))
+      .withColumnRenamed("dst", "node")
+    nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dang))
+      .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"),
+        round(base / col("n_nodes")
+            + lit(damping) * (coalesce(col("in_sum"), lit(0)).cast("double")
+              + col("dangle").cast("double") / col("n_nodes")), 12)
+          .cast("decimal(28,12)").as("r"))
   }
 
   /** `iters` rounds of HITS (Kleinberg, JACM 1999) over `edges(src, dst)`:
@@ -106,8 +124,8 @@ object Centrality {
       a = halfStep(nodes, h, "h", e, col("src"), col("dst"), "a")
       h = halfStep(nodes, a, "a", e, col("dst"), col("src"), "h")
     }
-    nodes.join(broadcast(a), Seq("node"), "left")
-      .join(broadcast(h), Seq("node"), "left")
+    nodes.join(a.hint("shuffle_hash"), Seq("node"), "left")
+      .join(h.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("a"), lit(0)).cast("decimal(28,12)").as("auth"),
         coalesce(col("h"), lit(0)).cast("decimal(28,12)").as("hub"))
@@ -174,12 +192,10 @@ object Centrality {
     * to the next propagation, so completion happens once at the end; that
     * saves one join per half-step. `raw` is checkpointed before the norm
     * aggregate so the propagate-join runs once, not once per consumer. */
-  private def halfStep(nodes: DataFrame, from: DataFrame, scoreCol: String,
+  private[graft] def halfStep(nodes: DataFrame, from: DataFrame, scoreCol: String,
       edges: DataFrame, fromEnd: Column, toEnd: Column,
       outCol: String): DataFrame = {
-    val raw = broadcast(from).join(edges, col("node") === fromEnd)
-      .groupBy(toEnd.as("node"))
-      .agg(sum(col(scoreCol)).cast("decimal(38,12)").as("raw"))
+    val raw = propagate(from, scoreCol, edges, fromEnd, toEnd)
       .localCheckpoint(false)
     val norm = raw.agg(sum(col("raw")).cast("decimal(38,12)").as("s"))
     raw.crossJoin(broadcast(norm))
@@ -187,4 +203,15 @@ object Centrality {
         round(col("raw").cast("double") / col("s").cast("double"), 12)
           .cast("decimal(28,12)").as(outCol))
   }
+
+  /** The HITS propagate join+agg, UN-checkpointed — the O(|nodes|) score
+    * frame carries a `shuffle_hash` hint (never a broadcast: see the class
+    * doc's join discipline). Package-visible so the plan spec can pin the
+    * strategy, since [[halfStep]]'s lazy checkpoint hides it.
+    */
+  private[graft] def propagate(from: DataFrame, scoreCol: String,
+      edges: DataFrame, fromEnd: Column, toEnd: Column): DataFrame =
+    from.hint("shuffle_hash").join(edges, col("node") === fromEnd)
+      .groupBy(toEnd.as("node"))
+      .agg(sum(col(scoreCol)).cast("decimal(38,12)").as("raw"))
 }

@@ -16,23 +16,41 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table is written with parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the
-    * nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
+  /** The `events` table's `ts` column has shipped in two physical layouts
+    * across driver testdata generations: parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]), so it is
+    * read as a raw nanos long via `spark.sql.legacy.parquet.nanosAsLong` —
+    * and parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+    * reads natively as TIMESTAMP_NTZ. This loader adapts on the scanned
+    * schema and exposes an identical surface for both:
+    *   - `ts_ns`  nanoseconds-since-epoch (long);
     *   - `ts_us`  microseconds-since-epoch (long) — the canonical event time
-    *     used by every query (DuckDB also truncates parquet ns → µs, so µs is
-    *     the common precision of both engines);
+    *     used by every query (DuckDB also reads parquet event time at µs, so
+    *     µs is the common precision of both engines);
     *   - `ts`     TimestampType at µs for date/window functions.
+    * The session timezone is pinned UTC (GraftSession), so the NTZ→TZ cast
+    * below is the identity on the stored micros — exactly DuckDB's
+    * `epoch_us(ts)` on the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // NOTE session-wide effect, deliberately not restored: the conf must
     // still hold when the lazy plan executes, and any nanos-parquet read in
     // a graft session is this table. Declared here AND in GraftSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ => // TIMESTAMP(MICROS): TIMESTAMP_NTZ (or TIMESTAMP if adjusted)
+        val cols = raw.columns.map(c => if (c == "ts") "ts_ns" else c) ++
+          Seq("ts_us", "ts") // keep the nanos-era column order
+        raw.withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+          .withColumn("ts", expr("timestamp_micros(ts_us)"))
+          .select(cols.head, cols.tail: _*)
+    }
   }
 
   /** CSV scan with header. Pass a schema to keep the scan single-pass;

@@ -435,4 +435,44 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
       assert(total == brute, s"$dir: oriented count $total != brute $brute")
     }
   }
+
+  test("ext94/ext96 iteration joins are shuffle-hash on node — the O(|nodes|) rank/score side is never force-broadcast") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Centrality
+    // AQE-off sibling session, matching the catalog's iteration session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val sq = s2.sqlContext
+    import sq.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst").localCheckpoint(false)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+    val outd = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(false)
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val r0 = nodes.crossJoin(broadcast(n)).select(col("node"),
+      round(lit(1.0) / col("n_nodes"), 12).cast("decimal(28,12)").as("r"))
+
+    val step = Centrality.pageRankStep(nodes, outd, edges, n, r0, 0.85)
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"pageRank round must join rank/outd/contrib via shuffled hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"an O(|nodes|) frame is force-broadcast inside the pageRank round:\n$p")
+
+    val h0 = nodes.select(col("node"), lit(1).cast("decimal(28,12)").as("h"))
+    val prop = Centrality.propagate(h0, "h", edges, col("src"), col("dst"))
+    val hp = prop.queryExecution.executedPlan.toString
+    assert(hp.contains("ShuffledHashJoin") && !hp.contains("BroadcastHashJoin"),
+      s"HITS propagate must shuffle-hash the score frame, never broadcast it:\n$hp")
+  }
+
+  test("ext100 funnel counts read materialized stages — no window or parquet scan is re-derived per count subtree") {
+    val p = plan("ext100_curation_funnel")
+    assert(!p.contains("Window"),
+      s"a stage window is re-evaluated inside the funnel count plan:\n$p")
+    assert(!p.contains("FileScan"),
+      s"a stage re-scans parquet inside the funnel count plan:\n$p")
+  }
 }
