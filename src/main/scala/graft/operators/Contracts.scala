@@ -65,11 +65,16 @@ object Contracts {
     val localFrame: Option[DataFrame] =
       if (rowLocal.isEmpty) None else Some(rowLocalAudit(df, rowLocal))
 
+    // ONE total-count scan shared by every referential rule (lazily
+    // checkpointed so each union branch reads the materialized 1-row
+    // frame instead of re-running the count aggregate per rule).
+    lazy val totalDf =
+      df.agg(count(lit(1)).as("total")).localCheckpoint(false)
     val refFrames = referential.map { r =>
       val viol = df.select(expr(r.column).as("k")).filter(col("k").isNotNull)
         .join(r.ref.select(col(r.refColumn).as("k")), Seq("k"), "left_anti")
         .agg(count(lit(1)).as("violations"))
-      df.agg(count(lit(1)).as("total")).crossJoin(viol)
+      totalDf.crossJoin(viol)
         .select(lit(r.name).as("rule"), col("total"), col("violations"))
     }
 
@@ -101,28 +106,69 @@ object Contracts {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** Windowed streaming audit — per-event-time-window verdicts instead of
+    * [[auditStream]]'s cumulative complete-mode rows: the shape an ingest
+    * dashboard wants ("did the 14:05 window pass?"). Same single-aggregation
+    * rule compilation, grouped by a tumbling window over `timeCol` with a
+    * watermark of `delay`, so state is bounded and windows finalize. Write
+    * with `outputMode("update")` for live per-trigger revisions of open
+    * windows, or `"append"` for exactly-one final verdict per closed window.
+    * Emits (tbl, window_start, window_end, rule, total, violations, passed).
+    * Row-local rules only, as in [[auditStream]].
+    */
+  def auditStreamWindowed(df: DataFrame, table: String, rules: Seq[Rule],
+      timeCol: String, windowDuration: String, delay: String): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(!rules.exists(r =>
+      r.isInstanceOf[SubsetOf] || r.isInstanceOf[Unique]),
+      "referential/unique rules are not streamable — audit the landed batch")
+    val one = df.withWatermark(timeCol, delay)
+      .groupBy(window(col(timeCol), windowDuration))
+      .agg(count(lit(1)).as("total"), ruleAggs(rules): _*)
+    one.select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("total"), explode(rulePairs(rules)).as("p"))
+      .select(lit(table).as("tbl"),
+        col("window_start"), col("window_end"), col("p.rule"),
+        col("total").cast("long").as("total"),
+        col("p.violations").cast("long").as("violations"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
   /** All row-local rules folded into ONE aggregation over ONE scan:
     * (rule, total, violations), one row per rule in declaration order. */
   private def rowLocalAudit(df: DataFrame, rowLocal: Seq[Rule]): DataFrame = {
-    val aggs = rowLocal.zipWithIndex.map {
+    val one = df.agg(count(lit(1)).as("total"), ruleAggs(rowLocal): _*)
+    one.select(col("total"), explode(rulePairs(rowLocal)).as("p"))
+      .select(col("p.rule"), col("total"), col("p.violations"))
+  }
+
+  /** The per-rule violation aggregates. Sum-based counters are coalesced to
+    * 0: over zero rows SUM is NULL, which would otherwise surface as a NULL
+    * `violations` / NULL `passed` on an empty table or an empty first
+    * streaming window — an empty input trivially passes every rule. */
+  private def ruleAggs(
+      rowLocal: Seq[Rule]): Seq[org.apache.spark.sql.Column] =
+    rowLocal.zipWithIndex.map {
       case (NotNull(c), i) =>
-        sum(when(expr(c).isNull, 1L).otherwise(0L)).as(s"v$i")
+        coalesce(sum(when(expr(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"v$i")
       case (InRange(c, lo, hi), i) =>
-        sum(when(expr(c).isNotNull &&
+        coalesce(sum(when(expr(c).isNotNull &&
           (expr(c) < lit(lo) || expr(c) > lit(hi)), 1L)
-          .otherwise(0L)).as(s"v$i")
+          .otherwise(0L)), lit(0L)).as(s"v$i")
       case (Matches(c, re), i) =>
-        sum(when(expr(c).isNotNull && !expr(c).rlike(re), 1L)
-          .otherwise(0L)).as(s"v$i")
+        coalesce(sum(when(expr(c).isNotNull && !expr(c).rlike(re), 1L)
+          .otherwise(0L)), lit(0L)).as(s"v$i")
       case (Unique(c), i) =>
         (count(lit(1)) - countDistinct(expr(c))).as(s"v$i")
       case (r, _) => throw new MatchError(r)
     }
-    val one = df.agg(count(lit(1)).as("total"), aggs: _*)
-    val pairs = rowLocal.zipWithIndex.map { case (r, i) =>
+
+  /** The (rule, violations) structs matching [[ruleAggs]]'s output names. */
+  private def rulePairs(
+      rowLocal: Seq[Rule]): org.apache.spark.sql.Column =
+    array(rowLocal.zipWithIndex.map { case (r, i) =>
       struct(lit(r.name).as("rule"), col(s"v$i").as("violations"))
-    }
-    one.select(col("total"), explode(array(pairs: _*)).as("p"))
-      .select(col("p.rule"), col("total"), col("p.violations"))
-  }
+    }: _*)
 }

@@ -3417,13 +3417,23 @@ object ExtensionQueries {
     // before publishing a training set. Every stage drop is LIVE at gate
     // SF (480→236→223→213→~129). Stage counts assemble via 1-row cross
     // joins (declared); the pair/cluster substrate is shared, not re-run.
+    // Each stage frame is lazily localCheckpoint'ed (column-trimmed to
+    // what later stages read), so the validity filter, the dedup window
+    // and the decontamination anti-join each evaluate ONCE — the five
+    // funnel counts and every downstream stage scan the materialized
+    // stage output instead of re-deriving the whole prefix per subtree
+    // (at corpus scale each re-derivation is a full scan+window). This is
+    // the staged-materialization shape a production funnel runs anyway;
+    // PlanRegressionSpec pins it (zero Window / parquet scans in the
+    // final count plan).
     QueryDef(
       "ext100_curation_funnel",
       (s, dir) => {
         val all = Tables.documents(s, dir)
         val universe = all.filter(col("doc_id") >= 20)
+          .select("doc_id", "text", "lang").localCheckpoint(false)
         val valid = universe.filter(length(col("text")) <= 300 &&
-          col("lang").rlike("^(en|de|es|fr|zh)$"))
+          col("lang").rlike("^(en|de|es|fr|zh)$")).localCheckpoint(false)
         val clusters = Dedup.clusterPairs(sharedSetSimPairs(s, dir))
         val labeled = valid.join(clusters, Seq("doc_id"), "left")
           .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
@@ -3431,10 +3441,12 @@ object ExtensionQueries {
           .partitionBy("cid").orderBy("doc_id")
         val dedup = labeled.withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
+          .select("doc_id", "text").localCheckpoint(false)
         val contaminated = graft.operators.Decontaminate.overlaps(
           all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20),
           "text", "doc_id", n = 4).select("doc_id")
         val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
         val feats = TextFunctions.qualityFeatures(col("text")).toMap
         val kept = clean.select(col("doc_id"),
           feats("distinct_ratio").as("dr")).filter(col("dr") >= 0.55)

@@ -87,6 +87,68 @@ class ContractsSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("an empty input trivially passes every rule — violations 0, never NULL") {
+    val empty = df.filter(org.apache.spark.sql.functions.lit(false))
+    val ref = Seq(1L).toDF("k")
+    val got = audit(empty, "t",
+      Seq(NotNull("name"), InRange("v", 0, 1), Matches("name", "x"),
+        Unique("id"), SubsetOf("id", ref, "k"))).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) == 0L,
+        s"${r.getString(1)}: violations must be 0 on empty input, got $r")
+      assert(!r.isNullAt(4) && r.getBoolean(4),
+        s"${r.getString(1)}: empty input must pass, got $r")
+    }
+  }
+
+  test("two referential rules share one total-count (single materialized total)") {
+    val ref = Seq(1L, 2L, 3L).toDF("k")
+    val got = counts(Seq(SubsetOf("id", ref, "k"), SubsetOf("v", ref, "k")))
+    assert(got("subset_of(id)") == ((5L, 1L, false)))
+    assert(got("subset_of(v)")._1 == 5L)
+  }
+
+  test("auditStreamWindowed emits per-window verdicts under a watermark (update mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sink = s"contracts_w_${System.nanoTime()}"
+    val q = auditStreamWindowed(stream.toDF().toDF("ts", "id", "v"), "s",
+      Seq(InRange("v", 0.0, 100.0), NotNull("id")),
+      "ts", "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName(sink).outputMode("update")
+      .start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    try {
+      stream.addData((t(5), 1L, 10.0), (t(7), 2L, 500.0), (t(15), 3L, 50.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink).collect().map(r =>
+        (r.getTimestamp(1).getTime / 1000, r.getString(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+      assert(rows.contains((0L, "in_range(v)", 2L, 1L, false)),
+        s"window [0,10) must fail in_range: $rows")
+      assert(rows.contains((10L, "in_range(v)", 1L, 0L, true)),
+        s"window [10,20) must pass in_range: $rows")
+      assert(rows.contains((0L, "not_null(id)", 2L, 0L, true)))
+
+      // a second trigger UPDATES the open [0,10) window cumulatively
+      stream.addData((t(8), 4L, -3.0))
+      q.processAllAvailable()
+      val r2 = spark.table(sink).collect().map(r =>
+        (r.getTimestamp(1).getTime / 1000, r.getString(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+      assert(r2.contains((0L, "in_range(v)", 3L, 2L, false)),
+        s"the [0,10) verdict must revise to 2 violations of 3 rows: $r2")
+    } finally q.stop()
+  }
+
+  test("auditStreamWindowed refuses referential and unique rules") {
+    intercept[IllegalArgumentException] {
+      auditStreamWindowed(df, "t", Seq(Unique("id")), "v", "10 seconds", "0 seconds")
+    }
+  }
+
   test("auditStream refuses referential and unique rules") {
     intercept[IllegalArgumentException] {
       auditStream(df, "t", Seq(SubsetOf("id", df, "id")))
