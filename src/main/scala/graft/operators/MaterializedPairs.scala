@@ -49,18 +49,42 @@ object MaterializedPairs {
     * edge list ext94 (PageRank) and ext96 (HITS) both iterate over. The
     * caller owns key hygiene (include the context identity + input dir).
     */
-  def frame(key: String)(build: => DataFrame): DataFrame =
+  def frame(key: String)(build: => DataFrame): DataFrame = {
+    evictStopped()
     memo.computeIfAbsent(key, _ => {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       val n = df.count()
       System.err.println(s"[graft] materialized frame: key=$key rows=$n")
       df
     })
+  }
+
+  /** The session component of every memo key: applicationId (changes when
+    * a context stops and a new one starts, so a recycled identityHashCode
+    * after GC can never alias a dead session's entry) plus the session's
+    * identity hash (distinguishes `newSession()` siblings sharing one
+    * context — each owns its SQLConf, so their frames must not be shared).
+    */
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}"
+
+  /** Drop entries whose backing context has stopped: their frames can
+    * never be served again (the key embeds the applicationId), so holding
+    * them is unbounded growth across session restarts in one JVM. */
+  private def evictStopped(): Unit =
+    memo.entrySet().removeIf { e =>
+      val dead =
+        try e.getValue.sparkSession.sparkContext.isStopped
+        catch { case _: Throwable => true }
+      if (dead) { try e.getValue.unpersist() catch { case _: Throwable => () } }
+      dead
+    }
 
   private def memoized(docs: DataFrame, kind: String, textCol: String,
       idCol: String, n: Int, threshold: Double, key: String)(
       build: => DataFrame): DataFrame = {
-    val full = Seq(System.identityHashCode(docs.sparkSession), kind, key,
+    evictStopped()
+    val full = Seq(sessionKey(docs.sparkSession), kind, key,
       textCol, idCol, n, threshold).mkString("|")
     memo.computeIfAbsent(full, _ => {
       val pairs = build.persist(StorageLevel.MEMORY_AND_DISK)

@@ -81,7 +81,8 @@ object ExtensionQueries {
   private def sharedTradeEdges(s0: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.operators.MaterializedPairs.frame(
-      s"${System.identityHashCode(s0.sparkContext)}|tradegraph|$dir") {
+      s"${s0.sparkContext.applicationId}#" +
+        s"${System.identityHashCode(s0.sparkContext)}|tradegraph|$dir") {
       val s = noAqeSession(s0)
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -3279,17 +3280,21 @@ object ExtensionQueries {
     // before the per-source rollup. Rows-only at the gate (no deflate in
     // DuckDB); byte semantics pinned by DeflateLenSpec against an
     // independent java.util.zip recomputation, flag threshold liveness
-    // asserted in the spec at gate SF.
+    // asserted in the spec at gate SF. The ratio is BYTES/BYTES
+    // (octet_length, the Gopher definition — length() would count
+    // characters and inflate ratios for non-ASCII docs); an empty doc has
+    // no ratio (NULL via nullif, not Infinity) and is never flagged.
     QueryDef(
       "ext97_compression_quality",
       (s, dir) => {
-        val raw = length(col("text")).cast("long")
+        val raw = octet_length(col("text")).cast("long")
         val defl = TextFunctions.deflateLen(col("text")).cast("long")
         Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), raw.as("raw_len"),
             defl.as("deflate_len"),
-            round(defl.cast("double") / raw, 6).as("ratio"))
-          .withColumn("is_repetitive", col("ratio") < 0.4)
+            round(defl.cast("double") / nullif(raw, lit(0L)), 6).as("ratio"))
+          .withColumn("is_repetitive",
+            coalesce(col("ratio") < 0.4, lit(false)))
       },
       None),
 
