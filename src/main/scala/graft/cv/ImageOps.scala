@@ -82,6 +82,31 @@ object ImageOps {
     out
   }
 
+  /** 64-bit difference hash (dHash, the standard perceptual image
+    * fingerprint): grayscale → bilinear resize to 9×8 → one bit per
+    * horizontally-adjacent luma pair (left > right). Robust to re-encoding,
+    * small noise and resizing; Hamming distance between hashes ≈ visual
+    * difference. Pure JVM, O(pixels) per image, map-side only.
+    */
+  def dHash64(img: DecodedImage): Long = {
+    val gray = Kernels.grayscale(img.px, img.rows, img.cols, img.channels)
+    val small = resizeBilinear(gray, img.rows, img.cols, 1, 8, 9)
+    var h = 0L
+    var bit = 0
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if ((small(r * 9 + c) & 0xff) > (small(r * 9 + c + 1) & 0xff))
+          h |= 1L << bit
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   /** Cheap content features for a decoded frame: mean luma, luma stddev, and
     * edge density (fraction of pixels whose horizontal gradient exceeds 32) —
     * the shape of a feature-extraction stage in a training-data pipeline.

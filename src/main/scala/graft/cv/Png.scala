@@ -35,6 +35,16 @@ object Png {
     img
   }
 
+  /** Interleaved bytes → encoded PNG bytes (the binary-column form a
+    * multimodal pipeline carries through parquet / binaryFile sources).
+    * Lossless, so decode(encodeBytes(px)) round-trips the pixels exactly.
+    */
+  def encodeBytes(px: Array[Byte], rows: Int, cols: Int, channels: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(toImage(px, rows, cols, channels), "png", bos)
+    bos.toByteArray
+  }
+
   /** camId comes off the untrusted wire; keep it a flat filename component
     * (no separators / traversal) before it reaches the filesystem.
     */

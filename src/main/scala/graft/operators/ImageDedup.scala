@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.cv.ImageOps
+
+/** Perceptual near-duplicate detection over IMAGE binary columns — the
+  * multimodal sibling of the text/embedding dedup family (closes the
+  * "dedup is text-only" gap): dHash fingerprints + a Hamming-banded
+  * self-join, so candidate generation is an equi-join on band values and
+  * NEVER all-pairs.
+  *
+  * Scale shape (the ext08 band trick transplanted to Hamming space):
+  *  - hashing is one map-side pass per image (decode → 9×8 luma grid →
+  *    64-bit dHash), no shuffle;
+  *  - the 64-bit hash is cut into `maxDist + 1` contiguous bit-slices; by
+  *    pigeonhole, two hashes within Hamming distance `maxDist` agree on at
+  *    least one slice EXACTLY, so an equi-join on (slice index, slice
+  *    value) has perfect recall at the threshold. Each image emits
+  *    `maxDist + 1` rows — linear fanout, shuffle keyed by slice value;
+  *  - verification is `bit_count(a XOR b) <= maxDist` per candidate —
+  *    codegen'd integer ops, no second look at pixels.
+  * A near-identical image cluster all lands in one band bucket: the skew
+  * story is identical to MinHash-LSH band buckets (AQE skew-join splits
+  * apply), and the candidate count is observable via the returned frame.
+  *
+  * Undecodable blobs hash to NULL and are dropped from pairing (they can
+  * never be perceptual duplicates of anything); count them upstream with a
+  * contract rule if ingest quality matters.
+  */
+object ImageDedup {
+
+  /** Encoded image bytes (PNG/BMP/GIF — whatever `ImageOps.decode` reads)
+    * → 64-bit dHash, NULL if undecodable. A Scala UDF is the sanctioned
+    * tool here: no built-in expression decodes images, and the work is
+    * genuinely per-row imperative pixel math (SURVEY §2 UDF policy).
+    */
+  private val dHashUdf = udf { bytes: Array[Byte] =>
+    if (bytes == null) None
+    else ImageOps.decode(bytes).map(ImageOps.dHash64)
+  }
+
+  /** dHash column for an encoded-image column. */
+  def dHash(imageCol: Column): Column = dHashUdf(imageCol)
+
+  /** (id, phash) for every decodable image. */
+  def hashes(images: DataFrame, imageCol: String, idCol: String): DataFrame =
+    images.select(col(idCol).as("id"), dHash(col(imageCol)).as("phash"))
+      .filter(col("phash").isNotNull)
+
+  /** Verified near-duplicate image pairs (id_a < id_b, Hamming `dist`
+    * <= `maxDist`) via the banded candidate join. `maxDist` must be in
+    * [0, 31] (banding needs at least 2 bits per slice to stay selective;
+    * in practice dHash duplicates sit at dist <= 10).
+    */
+  def nearDupPairs(images: DataFrame, imageCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 31, s"maxDist=$maxDist out of [0,31]")
+    val nBands = maxDist + 1
+    // contiguous bit-slices of near-equal width covering all 64 bits
+    val slices = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      (b, lo, hi - lo)
+    }
+    val h = hashes(images, imageCol, idCol).localCheckpoint(false)
+    val banded = h.select(col("id"), col("phash"),
+      explode(array(slices.map { case (b, lo, w) =>
+        struct(lit(b).as("b"),
+          // unsigned shift then mask w bits; w == 64 would overflow the
+          // mask literal, but nBands >= 1 caps w at 64 only when maxDist=0
+          (if (w >= 64) col("phash")
+           else shiftrightunsigned(col("phash"), lo)
+             .bitwiseAND(lit((1L << w) - 1))).as("v"))
+      }: _*)).as("s"))
+      .select(col("id"), col("phash"), col("s.b"), col("s.v"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.phash").as("h_a"), col("y.phash").as("h_b"))
+      .distinct() // a pair may agree on several bands
+    cands
+      .withColumn("dist",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

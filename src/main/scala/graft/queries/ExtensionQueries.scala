@@ -3528,6 +3528,30 @@ object ExtensionQueries {
           UNION ALL SELECT 2, 'neardup_cluster', c1, c2 FROM n
           UNION ALL SELECT 3, 'decontaminate', c2, c3 FROM n
           UNION ALL SELECT 4, 'quality', c3, c4 FROM n)
-      """))
+      """)),
+
+    // ------------------------------------------------------------ EXT101
+    // IMAGE-column perceptual near-dup — the multimodal dedup gap closed:
+    // dHash fingerprints over encoded PNG binaries + a Hamming-banded
+    // self-join (the ext08 band trick in Hamming space — equi-join on
+    // 16-bit hash slices, never all-pairs; pigeonhole gives perfect
+    // recall at Hamming ≤ 3). The corpus is the deterministic synthetic
+    // PNG stand-in for the engine's own A10 side-outputs
+    // ([[graft.sources.ImageCorpus]]: families of 3 near-identical
+    // variants per doc_id/3) — the encode → binary column → decode →
+    // hash → banded-join plumbing is the real multimodal path. Rows-only
+    // (DuckDB has no image stack); semantics pinned by ImageDedupSpec
+    // (identical + perturbed caught, disjoint not, banded candidates ==
+    // brute-force recall, binaryFile round-trip).
+    QueryDef(
+      "ext101_image_neardup",
+      (s, dir) => {
+        val imgs = graft.sources.ImageCorpus.forIds(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+        graft.operators.ImageDedup
+          .nearDupPairs(imgs, "png", "doc_id", maxDist = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None)
   )
 }

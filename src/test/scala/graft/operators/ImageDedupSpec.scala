@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.cv.{ImageOps, Png}
+import graft.sources.ImageCorpus
+
+/** Perceptual image-dedup semantics: hash stability under re-encode and
+  * small perturbation, family separation, the banded join's recall
+  * guarantee vs brute force, and the real binaryFile-source path.
+  */
+class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+  private def hashOf(bytes: Array[Byte]): Long =
+    ImageOps.dHash64(ImageOps.decode(bytes).get)
+
+  test("dHash is stable under PNG re-encode and single-pixel perturbation") {
+    val base = ImageCorpus.render(0L) // family 0, variant 0
+    val again = ImageCorpus.render(0L)
+    assert(hashOf(base) == hashOf(again), "render is deterministic")
+    // variants 1 and 2 perturb 1 and 2 pixels — far below dHash resolution
+    for (v <- 1L to 2L)
+      assert(hamming(hashOf(base), hashOf(ImageCorpus.render(v))) <= 3,
+        s"variant $v drifted past the near-dup threshold")
+  }
+
+  test("different families are uncorrelated in Hamming space") {
+    val h = (0 until 12).map(f => hashOf(ImageCorpus.render(f * 3L)))
+    for (i <- h.indices; j <- i + 1 until h.size)
+      assert(hamming(h(i), h(j)) > 10,
+        s"families $i/$j collide at dist ${hamming(h(i), h(j))}")
+  }
+
+  test("nearDupPairs catches exactly the family pairs on the synthetic corpus") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val imgs = ImageCorpus.forIds(ids, "doc_id")
+    val pairs = ImageDedup.nearDupPairs(imgs, "png", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).flatMap { f =>
+      val m = Seq(f * 3, f * 3 + 1, f * 3 + 2)
+      for (i <- m; j <- m if i < j) yield (i, j)
+    }.toSet
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
+  }
+
+  test("banded candidates have perfect recall vs brute force at the threshold") {
+    val ids = (0L until 45L).toDF("doc_id")
+    val imgs = ImageCorpus.forIds(ids, "doc_id")
+    val hs = ImageDedup.hashes(imgs, "png", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && hamming(ha, hb) <= 3
+    } yield (ia, ib, hamming(ha, hb).toLong)).toSet
+    val banded = ImageDedup.nearDupPairs(imgs, "png", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded join diverged from brute force: " +
+      s"missing=${brute -- banded} spurious=${banded -- brute}")
+  }
+
+  test("undecodable blobs are dropped, not crashed on") {
+    val rows = Seq(
+      (1L, ImageCorpus.render(1L)),
+      (2L, Array[Byte](1, 2, 3)), // not an image
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("doc_id", "png")
+    assert(ImageDedup.hashes(df, "png", "doc_id").count() == 1)
+    assert(ImageDedup.nearDupPairs(df, "png", "doc_id").count() == 0)
+  }
+
+  test("the binaryFile source path: engine-written PNGs dedup end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toString
+    // two near-identical frames (same family) + one unrelated, written by
+    // the engine's own PNG sink path
+    for (id <- Seq(0L, 1L, 30L)) {
+      val px = ImageOps.decode(ImageCorpus.render(id)).get
+      Png.saveFrame(px.px, px.rows, px.cols, px.channels,
+        camId = s"cam$id", epochMillis = 1700000000000L + id, outputDir = dir)
+    }
+    val bin = spark.read.format("binaryFile").load(dir)
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("path"), "cam(\\d+)-T-", 1)
+          .cast("long").as("img_id"),
+        org.apache.spark.sql.functions.col("content"))
+    val pairs = ImageDedup.nearDupPairs(bin, "content", "img_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
+  test("the candidate join is equi — no cartesian in the plan") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val p = ImageDedup.nearDupPairs(
+      ImageCorpus.forIds(ids, "doc_id"), "png", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded self-join degenerated to all-pairs:\n$p")
+  }
+}
