@@ -37,10 +37,9 @@ object Bench {
     * directory, not hard-coded, so a fixture table added later is staged
     * automatically instead of failing its query with a confusing
     * path-not-found. `spark.read.parquet` treats the directory exactly like
-    * the original file, so query code is unchanged. events' TIMESTAMP(NANOS)
-    * column round-trips as the same int64 nanos value
-    * ([[graft.sources.Tables.events]] reads it with `nanosAsLong` either
-    * way).
+    * the original file, so query code is unchanged. events' event-time
+    * column round-trips unchanged ([[graft.sources.Tables.events]] adapts
+    * to either the nanos-long or the micros-timestamp physical layout).
     */
   private[graft] def stage(spark: SparkSession, sfDir: String, splits: Int): String = {
     val out = java.nio.file.Files.createTempDirectory("bench-sf").toString
@@ -54,6 +53,25 @@ object Bench {
     out
   }
 
+  /** Cumulative shuffle-volume tally over every completed task. Seconds at
+    * gate SF cannot see a 100×-fatal shuffle (a full-corpus re-shuffle of
+    * 60k rows costs milliseconds); BYTES can — per-query shuffle volume is
+    * the plan-shape number that scales with the data. Read covers local +
+    * remote fetch; write is the exchange volume produced.
+    */
+  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,6 +79,8 @@ object Bench {
       .builder(s"local[$cpus]", cpus.toInt, appName = "graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
 
     val headline = SparkEntry.all.filter(_.bench)
     val staged = stage(spark, sfDir, splits = cpus.toInt)
@@ -76,14 +96,26 @@ object Bench {
     val (fpsE2e, fpsE2eMedian) = streamingFpsE2e(spark)
 
     val failed = Seq.newBuilder[String]
-    def timed(q: queries.QueryDef): Double = {
+    val shuffleRead = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val shuffleWrite = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed(q: queries.QueryDef, dir: String = staged,
+        captureShuffle: Boolean = false): Double = {
+      val (r0, w0) = (tally.read.get(), tally.write.get())
       val t0 = System.nanoTime()
-      try q.build(spark, staged).write.format("noop").mode("overwrite").save()
+      try q.build(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (captureShuffle) {
+        // listener events drain asynchronously; a short pause after the
+        // action bounds the attribution error to the bus lag, not a stage
+        Thread.sleep(50)
+        shuffleRead(q.name) = (tally.read.get() - r0) / 1e6
+        shuffleWrite(q.name) = (tally.write.get() - w0) / 1e6
+      }
+      secs
     }
     // Pass 1 times every query once; the TOP-30 by that pass then get two
     // more timed passes and report their MIN (r6 verdict: single-pass
@@ -96,25 +128,74 @@ object Bench {
     // order within a pass keeps ext82 materializing before ext84/86, the
     // same one-pairs-job-many-consumers shape as production.
     graft.operators.MaterializedPairs.clear()
-    val pass1 = headline.map(q => q.name -> timed(q))
+    val pass1 = headline.map(q => q.name -> timed(q, captureShuffle = true))
     val top = pass1.sortBy(-_._2).take(30).map(_._1).toSet
+    // repeat passes run ext82 FIRST so the shared pairs materialization is
+    // consistently attributed to the query that owns it (ADVICE r7) — the
+    // rest keep catalog order (stable sort)
+    val repeatOrder = headline.filter(q => top(q.name))
+      .sortBy(q => if (q.name == "ext82_setsim_join") 0 else 1)
     val repeats = (1 to 2).map { _ =>
       graft.operators.MaterializedPairs.clear()
-      headline.filter(q => top(q.name)).map(q => q.name -> timed(q)).toMap
+      repeatOrder.map(q => q.name -> timed(q)).toMap
     }
     val results = pass1.map { case (name, t) =>
       name -> (t +: repeats.flatMap(_.get(name))).min
     }
+
+    // Scaling curve (r7 ask #5): re-time the top-20 at the sibling sf0.01
+    // dir and report big/small ratios — accidental super-linear work shows
+    // here when no single-SF number or plan string exposes it. 10× data on
+    // 32 fixed cores ⇒ linear work ≈ ratio ≤ ~12 (noise floor 0.3 s).
+    val smallRaw = sfDir.replace("sf0.1", "sf0.01")
+    val scalingJson: Option[(String, String)] =
+      if (smallRaw == sfDir || !new java.io.File(smallRaw).isDirectory) None
+      else {
+        val top20 = results.sortBy(-_._2).take(20).map(_._1).toSet
+        val stagedSmall = stage(spark, smallRaw, splits = cpus.toInt)
+        val byName = headline.filter(q => top20(q.name))
+        graft.operators.MaterializedPairs.clear()
+        val tSmall = byName.map(q => q.name -> timed(q, dir = stagedSmall)).toMap
+        graft.operators.MaterializedPairs.clear()
+        val tSmall2 = byName.map(q => q.name -> timed(q, dir = stagedSmall)).toMap
+        deleteRecursively(new java.io.File(stagedSmall))
+        val bigByName = results.toMap
+        val entries = byName.map { q =>
+          val s = math.min(tSmall(q.name), tSmall2(q.name))
+          val b = bigByName(q.name)
+          val ratio = if (s > 0) b / s else 0.0
+          (q.name, s, b, ratio)
+        }
+        val mapJson = entries.map { case (n, s, b, r) =>
+          "\"" + n + f"""\":{"small":$s%.3f,"big":$b%.3f,"ratio":$r%.1f}"""
+        }.mkString("{", ",", "}")
+        val flags = entries.filter { case (_, s, b, r) => r > 12 && b > 0.3 }
+          .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+        Some((mapJson, flags))
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def mbJson(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
     // failures are surfaced in the JSON line itself — a fast-failing query
     // must not read as a good number
     val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the full measurement protocol rides in the artifact (ADVICE r7: the
+    // settle/GC discipline must be disclosed where the numbers are read,
+    // not only in source comments)
+    val protocol = "\"protocol\":{" +
+      "\"streaming\":\"untimed warm pass; 5 timed runs each preceded by System.gc()+500ms settle; best and median reported\"," +
+      "\"relational\":\"pass1 times all queries once (per-query shuffle bytes captured); top-30 re-timed twice, pairs cache cleared per pass, ext82 first; min of 3 reported\"," +
+      "\"scaling\":\"top-20 re-timed at sf0.01, min of 2, pairs cache cleared per pass\"}"
     // headline fps = best-of-5 (min-interference run, JMH/hyperfine
     // discipline — see streamingFps); the medians ride along so the
     // estimator choice is auditable, not hidden
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30","queries":$qs,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
+    val scalingPart = scalingJson
+      .map { case (m, f) => s""","scaling":$m,"scaling_flags":$f""" }
+      .getOrElse("")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,"queries":$qs,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // The single JSON line overflows tail-style log captures once the query
     // map is large (r5 lost its relational timings that way) — persist the

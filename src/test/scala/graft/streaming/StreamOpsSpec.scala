@@ -216,6 +216,101 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       s"returning camera must re-arm and alert again (got $a2)")
   }
 
+  test("cameraOfflineAlertsTws: the registerTimer variant fires, clears, and re-arms identically") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevConf = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[String]
+      val sink = s"sink_${System.nanoTime()}"
+      val q = StreamOps.cameraOfflineAlertsTws(
+          MotionPipeline.parseFrames(stream.toDF().toDF("value")),
+          silence = "30 seconds", watermarkDelay = "5 seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      def alerts() = spark.table(sink).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSeq
+
+      stream.addData(frame("camA", t0), frame("camA", t0 + 2000), frame("camB", t0 + 1000))
+      q.processAllAvailable()
+      assert(alerts().isEmpty, "no alert while the watermark is before lastSeen + silence")
+      stream.addData(frame("camB", t0 + 60000))
+      q.processAllAvailable()
+      stream.addData(frame("camB", t0 + 61000))
+      q.processAllAvailable()
+      val a1 = alerts()
+      assert(a1 == Seq(("camA", t0 + 2000)),
+        s"exactly one offline alert for camA with its true last_seen (got $a1)")
+
+      stream.addData(frame("camA", t0 + 70000))
+      q.processAllAvailable()
+      stream.addData(frame("camB", t0 + 120000))
+      q.processAllAvailable()
+      stream.addData(frame("camB", t0 + 121000))
+      q.processAllAvailable()
+      q.stop()
+      val a2 = alerts()
+      assert(a2.toSet == Set(("camA", t0 + 2000L), ("camA", t0 + 70000L)),
+        s"returning camera must re-arm and alert again (got $a2)")
+    } finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  for ((label, build) <- Seq[(String,
+      org.apache.spark.sql.Dataset[graft.model.VideoFrameData] =>
+        org.apache.spark.sql.DataFrame)](
+    "flatMapGroupsWithState" ->
+      (f => StreamOps.cameraOfflineAlerts(f, "30 seconds", "5 seconds")),
+    "transformWithState" ->
+      (f => StreamOps.cameraOfflineAlertsTws(f, "30 seconds", "5 seconds"))))
+  test(s"camera-offline alerts survive a checkpoint restart ($label)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevConf = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val table = java.nio.file.Files.createTempDirectory(s"oa-$label-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"oa-$label-ckpt").toString
+      val stream = MemoryStream[String]
+      // a NEW query per run, recovered from the same checkpoint: liveness
+      // state, the armed timer AND the watermark must all carry over
+      def runOnce(): Unit =
+        build(MotionPipeline.parseFrames(stream.toDF().toDF("value")))
+          .writeStream.format("parquet").option("path", table)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      def alerts() = spark.read.parquet(table).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSeq
+
+      stream.addData(frame("camA", t0), frame("camA", t0 + 2000), frame("camB", t0 + 1000))
+      runOnce()
+      assert(alerts().isEmpty, "no alert before the deadline")
+      stream.addData(frame("camB", t0 + 60000)) // advances the watermark…
+      runOnce()
+      stream.addData(frame("camB", t0 + 61000)) // …which this run applies
+      runOnce()
+      val a1 = alerts()
+      assert(a1 == Seq(("camA", t0 + 2000)),
+        s"$label: the restored timer must fire across restarts (got $a1)")
+
+      stream.addData(frame("camA", t0 + 70000)) // camA returns, re-arms
+      runOnce()
+      stream.addData(frame("camB", t0 + 120000))
+      runOnce()
+      stream.addData(frame("camB", t0 + 121000))
+      runOnce()
+      val a2 = alerts()
+      assert(a2.toSet == Set(("camA", t0 + 2000L), ("camA", t0 + 70000L)),
+        s"$label: fresh cycle after return must alert again across restarts (got $a2)")
+    } finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("stateful ops run on the RocksDB state store (the at-scale provider)") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
