@@ -110,6 +110,46 @@ object AudioOps {
     (math.sqrt(sumSq / n), peak, crossings.toDouble / n)
   }
 
+  /** 64-bit temporal energy fingerprint — dHash transplanted to audio:
+    * downmix to mono, split into 65 proportional time segments, one bit
+    * per adjacent-segment RMS comparison (rms[i+1] > rms[i]). Invariant to
+    * amplitude scaling (comparisons are monotone), to resampling and to
+    * duration changes (segments are PROPORTIONAL, not fixed-length), and
+    * robust to low-level noise (segment RMS over many samples). Hamming
+    * distance between fingerprints ≈ energy-envelope difference — the
+    * dependency-free analog of a chromaprint-style fingerprint (no FFT
+    * offline; a spectral front-end would slot in before the same 65-grid).
+    */
+  def audioHash64(a: DecodedAudio): Long = {
+    val seg = 65
+    val frames = a.samples.length / math.max(1, a.channels)
+    val rms = new Array[Double](seg)
+    var s = 0
+    while (s < seg) {
+      val lo = (s.toLong * frames / seg).toInt
+      val hi = ((s + 1).toLong * frames / seg).toInt
+      var acc = 0.0
+      var i = lo
+      while (i < hi) {
+        var m = 0.0
+        var c = 0
+        while (c < a.channels) { m += a.samples(i * a.channels + c); c += 1 }
+        m /= a.channels
+        acc += m * m
+        i += 1
+      }
+      rms(s) = if (hi > lo) math.sqrt(acc / (hi - lo)) else 0.0
+      s += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (rms(b + 1) > rms(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   /** Nearest-neighbor resample to `outRate` (linear would also be fine for
     * features; NN keeps it exactly invertible for rate multiples).
     */

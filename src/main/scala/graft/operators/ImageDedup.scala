@@ -50,12 +50,20 @@ object ImageDedup {
       .filter(col("phash").isNotNull)
 
   /** Verified near-duplicate image pairs (id_a < id_b, Hamming `dist`
-    * <= `maxDist`) via the banded candidate join. `maxDist` must be in
-    * [0, 31] (banding needs at least 2 bits per slice to stay selective;
-    * in practice dHash duplicates sit at dist <= 10).
+    * <= `maxDist`) via [[hammingNearDupPairs]] over the dHash column.
+    * `maxDist` in [0, 31] (in practice dHash duplicates sit at dist <= 10).
     */
   def nearDupPairs(images: DataFrame, imageCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    hammingNearDupPairs(hashes(images, imageCol, idCol), maxDist)
+
+  /** The modality-agnostic core: verified pairs within Hamming `maxDist`
+    * over any (id, phash LONG) frame — images (dHash), audio
+    * ([[AudioDedup]]'s temporal fingerprint), or any other 64-bit
+    * perceptual hash. Banding, recall guarantee and verification exactly
+    * as in the class doc.
+    */
+  def hammingNearDupPairs(hashFrame: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31, s"maxDist=$maxDist out of [0,31]")
     val nBands = maxDist + 1
     // contiguous bit-slices of near-equal width covering all 64 bits
@@ -64,7 +72,7 @@ object ImageDedup {
       val hi = (b + 1) * 64 / nBands
       (b, lo, hi - lo)
     }
-    val h = hashes(images, imageCol, idCol).localCheckpoint(false)
+    val h = hashFrame.select(col("id"), col("phash")).localCheckpoint(false)
     val banded = h.select(col("id"), col("phash"),
       explode(array(slices.map { case (b, lo, w) =>
         struct(lit(b).as("b"),

@@ -3552,6 +3552,53 @@ object ExtensionQueries {
           .nearDupPairs(imgs, "png", "doc_id", maxDist = 3)
           .orderBy("id_a", "id_b")
       },
+      None),
+
+    // ------------------------------------------------------------ EXT102
+    // AUDIO-column perceptual near-dup — third modality on the SAME
+    // Hamming-banded core as ext101: RIFF/WAV parse → 65-segment energy
+    // envelope → 64-bit temporal fingerprint (amplitude/resample/duration
+    // invariant, AudioOps.audioHash64), then the shared bit-slice
+    // candidate join + bit_count verification. Corpus = deterministic
+    // synthetic WAV families ([[graft.sources.AudioCorpus]]). Rows-only
+    // (no audio stack in DuckDB); AudioDedupSpec pins invariances,
+    // family recall vs brute force, and undecodable-drop.
+    QueryDef(
+      "ext102_audio_neardup",
+      (s, dir) => {
+        val clips = graft.sources.AudioCorpus.forIds(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+        graft.operators.AudioDedup
+          .nearDupPairs(clips, "wav", "doc_id", maxDist = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ------------------------------------------------------------ EXT103
+    // CROSS-MODAL near-dup agreement — the composition statement for the
+    // multimodal family: a pair is a verified MULTIMODAL duplicate only
+    // when its image fingerprints AND its audio fingerprints both sit
+    // within threshold (the and-of-modalities gate a scraped A/V corpus
+    // dedups on — either modality alone over-merges: same thumbnail with
+    // different audio, same jingle with different video). One equi-join
+    // of the two modality pair tables on (id_a, id_b); each side is the
+    // banded join, so nothing here is ever all-pairs. Rows-only;
+    // multimodal agreement spec-pinned in AudioDedupSpec.
+    QueryDef(
+      "ext103_multimodal_neardup",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val img = graft.operators.ImageDedup.nearDupPairs(
+          graft.sources.ImageCorpus.forIds(ids, "doc_id"),
+          "png", "doc_id", maxDist = 3)
+          .withColumnRenamed("dist", "img_dist")
+        val aud = graft.operators.AudioDedup.nearDupPairs(
+          graft.sources.AudioCorpus.forIds(ids, "doc_id"),
+          "wav", "doc_id", maxDist = 3)
+          .withColumnRenamed("dist", "audio_dist")
+        img.join(aud, Seq("id_a", "id_b"))
+          .orderBy("id_a", "id_b")
+      },
       None)
   )
 }

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cv.AudioOps
+
+/** Deterministic synthetic WAV corpus keyed by document id — the audio
+  * sibling of [[ImageCorpus]]: no real audio dataset ships offline, so the
+  * multimodal entries render one ~1 s PCM-16 WAV per id with KNOWN
+  * near-duplicate structure and drive the real binary-column plumbing
+  * (encode → binary column → RIFF parse → fingerprint) end to end.
+  *
+  * Structure mirrors ImageCorpus: families of three (`id / 3`) share an
+  * energy envelope (65 amplitude steps from a splitmix-style hash of
+  * (family, segment), aligned with [[AudioOps.audioHash64]]'s segment
+  * grid) carried on a 440 Hz tone; the member index adds that many
+  * single-sample clicks — inaudible against segment RMS, so fingerprints
+  * agree within a family and are uncorrelated across families. Pure
+  * function of the id: identical corpus at every SF.
+  */
+object AudioCorpus {
+
+  val SampleRate = 8000
+  val NSamples = 8190 // 65 segments × 126 samples
+
+  /** One WAV per input id: (doc_id, wav BINARY), rendered map-side. */
+  def forIds(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("wav", renderUdf(col("doc_id")))
+
+  private val renderUdf = udf { id: Long => render(id) }
+
+  /** Deterministic mono PCM-16 WAV for `id`. */
+  def render(id: Long): Array[Byte] = {
+    val family = id / 3
+    val variant = (id % 3).toInt
+    val samples = new Array[Short](NSamples)
+    var i = 0
+    while (i < NSamples) {
+      val seg = (i.toLong * 65 / NSamples).toInt
+      val amp = 1000 + (mix(family, seg) & 0x3fffL) // 1000..17383
+      samples(i) =
+        (amp * math.sin(2 * math.Pi * 440.0 * i / SampleRate)).toShort
+      i += 1
+    }
+    // variant-many single-sample clicks (+50): ~0.1% of a segment's RMS,
+    // far below the adjacent-segment energy gaps the fingerprint compares
+    var k = 0
+    while (k < variant) {
+      val pos = ((mix(family, 2000L + k) & 0x7fffffffL) % NSamples).toInt
+      samples(pos) =
+        math.min(32767, samples(pos) + 50).toShort
+      k += 1
+    }
+    AudioOps.encodeWav(SampleRate, 1, samples)
+  }
+
+  /** splitmix64-style stateless mix — same public-domain constant schedule
+    * as [[ImageCorpus]]. */
+  private def mix(a: Long, b: Long): Long = {
+    var z = a * 0x9e3779b97f4a7c15L + b
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

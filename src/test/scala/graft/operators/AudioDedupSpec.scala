@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.cv.AudioOps
+import graft.sources.AudioCorpus
+
+/** Audio-fingerprint dedup semantics: the invariances the hash claims
+  * (amplitude, resampling), family recall vs brute force through the
+  * shared banded join, undecodable handling, and the cross-modal
+  * agreement gate (ext103).
+  */
+class AudioDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+  private def hashOf(bytes: Array[Byte]): Long =
+    AudioOps.audioHash64(AudioOps.decodeWav(bytes).get)
+
+  test("fingerprint is invariant to amplitude scaling and resampling") {
+    val a = AudioOps.decodeWav(AudioCorpus.render(0L)).get
+    val h0 = AudioOps.audioHash64(a)
+    // halve the amplitude: every RMS comparison is monotone-preserved
+    val quiet = a.copy(samples = a.samples.map(s => (s / 2).toShort))
+    assert(AudioOps.audioHash64(quiet) == h0, "amplitude scaling changed the hash")
+    // resample 8 kHz → 4 kHz: proportional segments see the same envelope
+    val down = AudioOps.resample(a, 4000)
+    assert(hamming(AudioOps.audioHash64(down), h0) <= 3,
+      "resampling drifted past the near-dup threshold")
+  }
+
+  test("family variants agree; different families are uncorrelated") {
+    val base = hashOf(AudioCorpus.render(0L))
+    for (v <- 1L to 2L)
+      assert(hamming(base, hashOf(AudioCorpus.render(v))) <= 3,
+        s"variant $v drifted past the threshold")
+    val fams = (0 until 12).map(f => hashOf(AudioCorpus.render(f * 3L)))
+    for (i <- fams.indices; j <- i + 1 until fams.size)
+      assert(hamming(fams(i), fams(j)) > 10,
+        s"families $i/$j collide at dist ${hamming(fams(i), fams(j))}")
+  }
+
+  test("nearDupPairs catches exactly the family pairs; banded == brute force") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val clips = AudioCorpus.forIds(ids, "doc_id")
+    val pairs = AudioDedup.nearDupPairs(clips, "wav", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).flatMap { f =>
+      val m = Seq(f * 3, f * 3 + 1, f * 3 + 2)
+      for (i <- m; j <- m if i < j) yield (i, j)
+    }.toSet
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
+
+    val hs = AudioDedup.hashes(clips, "wav", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && hamming(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == brute, "banded join diverged from brute force")
+  }
+
+  test("undecodable blobs are dropped, not crashed on") {
+    val rows = Seq(
+      (1L, AudioCorpus.render(1L)),
+      (2L, Array[Byte](82, 73, 70, 70)), // truncated RIFF
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("doc_id", "wav")
+    assert(AudioDedup.hashes(df, "wav", "doc_id").count() == 1)
+    assert(AudioDedup.nearDupPairs(df, "wav", "doc_id").count() == 0)
+  }
+
+  test("ext103 cross-modal gate: pairs must match in BOTH modalities") {
+    val q = graft.queries.ExtensionQueries.defs
+      .find(_.name == "ext103_multimodal_neardup").get
+    val out = q.build(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty, "family pairs must agree cross-modally")
+    // every emitted pair sits within threshold in both modalities, and the
+    // pair set is exactly the (aligned) family structure
+    assert(out.forall(r => r.getLong(2) <= 3 && r.getLong(3) <= 3))
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fams = pairs.groupBy(_._1 / 3)
+    assert(fams.forall { case (f, ps) =>
+      ps.forall { case (a, b) => a / 3 == f && b / 3 == f } })
+  }
+}
