@@ -3599,6 +3599,29 @@ object ExtensionQueries {
         img.join(aud, Seq("id_a", "id_b"))
           .orderBy("id_a", "id_b")
       },
+      None),
+
+    // ------------------------------------------------------------ EXT104
+    // VIDEO-column perceptual near-dup — the modality triad closed
+    // (images ext101, audio ext102, video here), composed from existing
+    // pieces: GVID decode (the stubbed codec boundary, sources/Video) →
+    // every-2nd-frame sampling → per-sampled-frame dHash on the raw plane
+    // (no PNG round-trip) → the SAME Hamming-banded core at FRAME level →
+    // video-level vote (≥60% of the shorter side's sampled frames match
+    // within Hamming ≤ 3). Robust to re-encodes, intro/outro edits and
+    // frame jitter (any-frame-to-any-frame matching via band buckets, not
+    // index-aligned). Rows-only; VideoDedupSpec pins family recall, the
+    // splice threshold (8/12 borrowed frames caught, 4/12 not), and
+    // undecodable-drop.
+    QueryDef(
+      "ext104_video_neardup",
+      (s, dir) => {
+        val vids = graft.sources.VideoCorpus.forIds(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+        graft.operators.VideoDedup.nearDupPairs(
+          vids, "gvid", "doc_id", everyNth = 2, maxDist = 3, minOverlap = 0.6)
+          .orderBy("vid_a", "vid_b")
+      },
       None)
   )
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic GVID corpus keyed by document id — the video
+  * sibling of [[ImageCorpus]]/[[AudioCorpus]]: families of three (`id / 3`)
+  * share a 12-frame 32×32 block-noise sequence (every frame's pattern is a
+  * splitmix-style hash of (family, frame, block)); the member index
+  * perturbs that many single pixels PER FRAME — below dHash resolution, so
+  * family members' frame hashes agree while families are uncorrelated.
+  * Pure function of the id.
+  */
+object VideoCorpus {
+
+  val Side = 32
+  val NFrames = 12
+  // 4-px blocks → an 8×8 block grid, aligned with dHash's 9×8 sample grid:
+  // every adjacent-sample comparison crosses a block boundary, so the full
+  // 64 bits carry entropy (8-px blocks on a 32-px frame leave most bits
+  // structurally zero — hash slices then collapse into giant band buckets
+  // and the candidate join degenerates toward all-pairs)
+  private val Block = 4
+
+  /** One GVID per input id: (doc_id, gvid BINARY), rendered map-side. */
+  def forIds(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("gvid", renderUdf(col("doc_id")))
+
+  private val renderUdf = udf { id: Long => render(id) }
+
+  /** Deterministic 12-frame 32×32 BGR GVID for `id`. */
+  def render(id: Long): Array[Byte] = {
+    val family = id / 3
+    val variant = (id % 3).toInt
+    val frames = (0 until NFrames).map { f =>
+      val px = new Array[Byte](Side * Side * 3)
+      var r = 0
+      while (r < Side) {
+        var c = 0
+        while (c < Side) {
+          val v = (mix(family, f.toLong * 1009 +
+            (r / Block).toLong * 31 + (c / Block)) & 0xffL).toInt
+          val o = (r * Side + c) * 3
+          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+          c += 1
+        }
+        r += 1
+      }
+      var k = 0
+      while (k < variant) {
+        val pos = ((mix(family, 3000L + f * 7 + k) & 0x7fffffffL)
+          % (Side * Side)).toInt
+        val o = pos * 3
+        val bumped = math.min(255, (px(o) & 0xff) + 6)
+        px(o) = bumped.toByte; px(o + 1) = bumped.toByte; px(o + 2) = bumped.toByte
+        k += 1
+      }
+      px
+    }
+    Video.encode(Side, Side, 3, fps = 10, frames)
+  }
+
+  /** splitmix64-style stateless mix — same public-domain constant schedule
+    * as [[ImageCorpus]]. */
+  private def mix(a: Long, b: Long): Long = {
+    var z = a * 0x9e3779b97f4a7c15L + b
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.{Video, VideoCorpus}
+
+/** Video-fingerprint dedup semantics: family recall through the frame-level
+  * banded join, the overlap-vote threshold under partial splices, and
+  * undecodable handling.
+  */
+class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("family variants are caught; different families are not") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val vids = VideoCorpus.forIds(ids, "doc_id")
+    val pairs = VideoDedup.nearDupPairs(vids, "gvid", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).flatMap { f =>
+      val m = Seq(f * 3, f * 3 + 1, f * 3 + 2)
+      for (i <- m; j <- m if i < j) yield (i, j)
+    }.toSet
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
+  }
+
+  test("splice threshold: 8/12 borrowed frames match (0.67 >= 0.6), 4/12 do not") {
+    val a = Video.decodeFrames(VideoCorpus.render(0L)).get
+    val z = Video.decodeFrames(VideoCorpus.render(30L)).get // unrelated family
+    def splice(nFromA: Int): Array[Byte] =
+      Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, fps = 10,
+        a._5.take(nFromA) ++ z._5.take(VideoCorpus.NFrames - nFromA))
+    val df = Seq(
+      (0L, VideoCorpus.render(0L)),
+      (100L, splice(8)),  // samples 0,2,4,6 from A → 4/6 = 0.67
+      (200L, splice(4)))  // samples 0,2 from A → 2/6 = 0.33
+      .toDF("doc_id", "gvid")
+    val pairs = VideoDedup.nearDupPairs(df, "gvid", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.contains((0L, 100L)),
+      s"the 8-frame splice must be caught (got $pairs)")
+    assert(pairs((0L, 100L)) >= 0.6 && pairs((0L, 100L)) < 1.0)
+    assert(!pairs.contains((0L, 200L)),
+      s"the 4-frame splice must fall under the vote threshold (got $pairs)")
+  }
+
+  test("a clip contained in a longer video scores on the SHORTER side") {
+    val a = Video.decodeFrames(VideoCorpus.render(0L)).get
+    val clip = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, fps = 10,
+      a._5.take(6)) // first half of video 0
+    val df = Seq((0L, VideoCorpus.render(0L)), (300L, clip))
+      .toDF("doc_id", "gvid")
+    val pairs = VideoDedup.nearDupPairs(df, "gvid", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.get((0L, 300L)).contains(1.0),
+      s"containment must score 1.0 on the clip's own frames (got $pairs)")
+  }
+
+  test("undecodable blobs are dropped, not crashed on") {
+    val df = Seq(
+      (1L, VideoCorpus.render(1L)),
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "gvid")
+    assert(VideoDedup.frameHashes(df, "gvid", "doc_id").select("id")
+      .distinct().count() == 1)
+    assert(VideoDedup.nearDupPairs(df, "gvid", "doc_id").count() == 0)
+  }
+
+  test("the frame-level candidate join is equi — no cartesian in the plan") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val p = VideoDedup.nearDupPairs(
+      VideoCorpus.forIds(ids, "doc_id"), "gvid", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded frame join degenerated to all-pairs:\n$p")
+  }
+}
