@@ -3582,8 +3582,13 @@ object ExtensionQueries {
     // dedups on — either modality alone over-merges: same thumbnail with
     // different audio, same jingle with different video). One equi-join
     // of the two modality pair tables on (id_a, id_b); each side is the
-    // banded join, so nothing here is ever all-pairs. Rows-only;
-    // multimodal agreement spec-pinned in AudioDedupSpec.
+    // banded join, so nothing here is ever all-pairs. The gate is made
+    // DISCRIMINATING by construction: every doc with doc_id % 30 == 2
+    // (one member of every 10th family) carries DIVERGENT audio (rendered
+    // from a remapped content id), so its image-duplicate pairs fail the
+    // audio side and the AND gate visibly drops them — at gate SF the
+    // output is strictly smaller than ext101's pair table. Rows-only;
+    // the drop set is spec-pinned in AudioDedupSpec.
     QueryDef(
       "ext103_multimodal_neardup",
       (s, dir) => {
@@ -3592,9 +3597,12 @@ object ExtensionQueries {
           graft.sources.ImageCorpus.forIds(ids, "doc_id"),
           "png", "doc_id", maxDist = 3)
           .withColumnRenamed("dist", "img_dist")
+        val clips = ids.select(col("doc_id"),
+          graft.sources.AudioCorpus.wavFor(
+            when(col("doc_id") % 30 === 2, col("doc_id") + 999999L)
+              .otherwise(col("doc_id"))).as("wav"))
         val aud = graft.operators.AudioDedup.nearDupPairs(
-          graft.sources.AudioCorpus.forIds(ids, "doc_id"),
-          "wav", "doc_id", maxDist = 3)
+          clips, "wav", "doc_id", maxDist = 3)
           .withColumnRenamed("dist", "audio_dist")
         img.join(aud, Seq("id_a", "id_b"))
           .orderBy("id_a", "id_b")

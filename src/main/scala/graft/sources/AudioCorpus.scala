@@ -27,7 +27,14 @@ object AudioCorpus {
   /** One WAV per input id: (doc_id, wav BINARY), rendered map-side. */
   def forIds(ids: DataFrame, idCol: String): DataFrame =
     ids.select(col(idCol).cast("long").as("doc_id"))
-      .withColumn("wav", renderUdf(col("doc_id")))
+      .withColumn("wav", wavFor(col("doc_id")))
+
+  /** WAV bytes column rendered from an arbitrary id expression — lets a
+    * caller decouple the CONTENT id from the row's label (ext103 renders
+    * divergent audio for a deterministic doc subset this way, so the
+    * cross-modal AND gate has pairs to discriminate on). */
+  def wavFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    renderUdf(id)
 
   private val renderUdf = udf { id: Long => render(id) }
 

@@ -74,17 +74,27 @@ class AudioDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(AudioDedup.nearDupPairs(df, "wav", "doc_id").count() == 0)
   }
 
-  test("ext103 cross-modal gate: pairs must match in BOTH modalities") {
+  test("ext103 cross-modal gate DISCRIMINATES: divergent-audio docs drop despite matching images") {
     val q = graft.queries.ExtensionQueries.defs
       .find(_.name == "ext103_multimodal_neardup").get
     val out = q.build(spark, "/root/testdata/sf0.001").collect()
-    assert(out.nonEmpty, "family pairs must agree cross-modally")
-    // every emitted pair sits within threshold in both modalities, and the
-    // pair set is exactly the (aligned) family structure
-    assert(out.forall(r => r.getLong(2) <= 3 && r.getLong(3) <= 3))
+    assert(out.forall(r => r.getLong(2) <= 3 && r.getLong(3) <= 3),
+      "every surviving pair must sit within threshold in BOTH modalities")
     val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fams = pairs.groupBy(_._1 / 3)
-    assert(fams.forall { case (f, ps) =>
-      ps.forall { case (a, b) => a / 3 == f && b / 3 == f } })
+    // expected = the aligned family pairs over the ACTUAL doc_id set, minus
+    // every pair touching a divergent-audio doc (doc_id % 30 == 2)
+    import spark.implicits._
+    val ids: Seq[Long] = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id").as[Long].collect().toSeq
+    val expected: Set[(Long, Long)] = ids.groupBy(_ / 3).values.toSeq
+      .flatMap { m =>
+        val s = m.sorted
+        for (i <- s; j <- s if i < j) yield (i, j)
+      }.toSet
+      .filterNot { case (a, b) => a % 30 == 2 || b % 30 == 2 }
+    assert(expected.nonEmpty && pairs.nonEmpty)
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} spurious=${pairs -- expected}")
   }
 }
