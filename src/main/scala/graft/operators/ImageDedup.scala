@@ -63,25 +63,31 @@ object ImageDedup {
     * perceptual hash. Banding, recall guarantee and verification exactly
     * as in the class doc.
     */
-  def hammingNearDupPairs(hashFrame: DataFrame, maxDist: Int): DataFrame = {
+  /** The (band index, slice value) structs for a 64-bit hash column under
+    * `maxDist` banding — ONE definition shared by the batch pair join and
+    * the streaming suppressor ([[graft.streaming.ImageIngest]]), so batch
+    * and stream agree bit-for-bit on which bucket a hash lands in.
+    */
+  def bandSlices(hash: Column, maxDist: Int): Column = {
     require(maxDist >= 0 && maxDist <= 31, s"maxDist=$maxDist out of [0,31]")
     val nBands = maxDist + 1
     // contiguous bit-slices of near-equal width covering all 64 bits
-    val slices = (0 until nBands).map { b =>
+    array((0 until nBands).map { b =>
       val lo = b * 64 / nBands
-      val hi = (b + 1) * 64 / nBands
-      (b, lo, hi - lo)
-    }
+      val w = (b + 1) * 64 / nBands - lo
+      struct(lit(b).as("b"),
+        // unsigned shift then mask w bits; w == 64 would overflow the
+        // mask literal, but nBands >= 1 caps w at 64 only when maxDist=0
+        (if (w >= 64) hash
+         else shiftrightunsigned(hash, lo)
+           .bitwiseAND(lit((1L << w) - 1))).as("v"))
+    }: _*)
+  }
+
+  def hammingNearDupPairs(hashFrame: DataFrame, maxDist: Int): DataFrame = {
     val h = hashFrame.select(col("id"), col("phash")).localCheckpoint(false)
     val banded = h.select(col("id"), col("phash"),
-      explode(array(slices.map { case (b, lo, w) =>
-        struct(lit(b).as("b"),
-          // unsigned shift then mask w bits; w == 64 would overflow the
-          // mask literal, but nBands >= 1 caps w at 64 only when maxDist=0
-          (if (w >= 64) col("phash")
-           else shiftrightunsigned(col("phash"), lo)
-             .bitwiseAND(lit((1L << w) - 1))).as("v"))
-      }: _*)).as("s"))
+      explode(bandSlices(col("phash"), maxDist)).as("s"))
       .select(col("id"), col("phash"), col("s.b"), col("s.v"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&

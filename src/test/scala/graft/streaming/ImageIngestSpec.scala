@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.ImageCorpus
+
+/** Streaming image near-dup suppression: a perturbed redelivery must drop
+  * (the case a byte digest cannot catch), distinct images must pass, state
+  * must survive a restart and must NOT outlive the watermark — the
+  * NearDupIngest contract, image modality.
+  */
+class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  private def runBatches(
+      table: String, ckpt: String, delay: String)(
+      batches: Seq[Seq[(Long, String, java.sql.Timestamp, Array[Byte])]]): Unit = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    batches.foreach { b =>
+      stream.addData(b: _*)
+      // a NEW query per batch group: restart-resilience is part of the test
+      ImageIngest.writeDeduped(
+        stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+        table, ckpt, maxDist = 3, watermarkDelay = delay)
+        .awaitTermination()
+    }
+  }
+
+  test("perturbed redelivery drops across a restart; distinct image passes; evidence lands") {
+    val base = Files.createTempDirectory("imgingest").toString
+    val t0 = 1700000000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((1L, "camA", ts(t0), ImageCorpus.render(0L))),
+      Seq( // batch 2, next query restart: state must carry over
+        (2L, "camA", ts(t0 + 60), ImageCorpus.render(1L)), // variant of 0 → drop
+        (3L, "camB", ts(t0 + 60), ImageCorpus.render(30L))))) // other family → keep
+    val kept = spark.read.parquet(s"$base/t")
+    assert(kept.select("img_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(kept.filter("png IS NULL").count() == 0, "kept rows carry the blob")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 2L)
+    assert(rej.head.getAs[Long]("matched_img") == 1L, "evidence names the survivor")
+    assert(rej.head.getAs[Long]("min_dist") <= 3L)
+  }
+
+  test("same-batch exact duplicate keeps the earliest, rejects at distance 0") {
+    val base = Files.createTempDirectory("imgingest-exact").toString
+    val t0 = 1700100000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((10L, "camA", ts(t0), ImageCorpus.render(3L)),
+        (11L, "camA", ts(t0 + 1), ImageCorpus.render(3L)))))
+    val kept = spark.read.parquet(s"$base/t").collect()
+    assert(kept.map(_.getAs[Long]("img_id")).toSeq == Seq(10L), "earlier ts survives")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 11L)
+    assert(rej.head.getAs[Long]("min_dist") == 0L)
+  }
+
+  test("state does not outlive the watermark: a re-arrival past the horizon is kept") {
+    val base = Files.createTempDirectory("imgingest-evict").toString
+    val t0 = 1700200000L
+    runBatches(s"$base/t", s"$base/c", delay = "1 minutes")(Seq(
+      Seq((20L, "camA", ts(t0), ImageCorpus.render(6L))),
+      // advance the watermark far past t0 + delay with an unrelated image
+      Seq((21L, "camA", ts(t0 + 3600), ImageCorpus.render(60L))),
+      // same image again, an hour later: the bucket was evicted → kept
+      Seq((22L, "camA", ts(t0 + 3700), ImageCorpus.render(6L)))))
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(20L, 21L, 22L),
+      "the evicted bucket must not suppress a post-horizon re-arrival")
+  }
+
+  test("undecodable blobs are dropped map-side, not landed and not crashed on") {
+    val base = Files.createTempDirectory("imgingest-junk").toString
+    val t0 = 1700300000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((30L, "camA", ts(t0), ImageCorpus.render(9L)),
+        (31L, "camA", ts(t0), Array[Byte](1, 2, 3)))))
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(30L))
+    // the sink writes the (empty) rejects partition eagerly — the contract
+    // is zero reject ROWS, not a missing directory
+    if (new java.io.File(s"$base/t_rejects").exists())
+      assert(spark.read.parquet(s"$base/t_rejects").count() == 0,
+        "an undecodable blob is not a duplicate — nothing lands in rejects")
+  }
+}
