@@ -78,6 +78,29 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       "the evicted bucket must not suppress a post-horizon re-arrival")
   }
 
+  test("stream/batch parity is EXACT: streaming keep set == batch pair-table survivors") {
+    // Unlike the text path (estimated vs true Jaccard, bounded
+    // disagreement — StreamBatchParitySpec), the image path uses the SAME
+    // dHash + banding + Hamming threshold on both sides, so parity is
+    // strict equality: an image drops in the stream iff it is the LATER
+    // side of some batch pair (both policies add every arrival to state).
+    import spark.implicits._
+    val ids = 0L until 30L
+    val batchPairs = graft.operators.ImageDedup.nearDupPairs(
+      ImageCorpus.forIds(ids.toDF("doc_id"), "doc_id"),
+      "png", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedKeep = ids.toSet -- batchPairs.map(_._2).toSet
+    val base = Files.createTempDirectory("imgingest-parity").toString
+    val t0 = 1700400000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      ids.map(i => (i, "cam", ts(t0 + i), ImageCorpus.render(i)))))
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expectedKeep,
+      s"missing=${expectedKeep -- kept} spurious=${kept -- expectedKeep}")
+  }
+
   test("undecodable blobs are dropped map-side, not landed and not crashed on") {
     val base = Files.createTempDirectory("imgingest-junk").toString
     val t0 = 1700300000L
