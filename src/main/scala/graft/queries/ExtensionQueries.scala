@@ -3630,6 +3630,42 @@ object ExtensionQueries {
           vids, "gvid", "doc_id", everyNth = 2, maxDist = 3, minOverlap = 0.6)
           .orderBy("vid_a", "vid_b")
       },
+      None),
+
+    // ------------------------------------------------------------ EXT105
+    // Image dedup RETENTION accounting — the proof that the
+    // pairs → transitive clusters → min-id survivor → per-source
+    // accounting chain (ext29/ext84's text shape) is MODALITY-GENERIC:
+    // the pair table is ext101's Hamming-banded dHash join, the cluster
+    // step is the same pointer-jumped clusterPairs, the survivor policy
+    // the same min-id-per-cluster window, and the rollup joins the
+    // documents table's source column back on — per source: images_total,
+    // images_kept, dropped, dup_ratio. Rows-only (hash-derived);
+    // ImageDedupSpec pins the per-source accounting against the known
+    // family structure.
+    QueryDef(
+      "ext105_image_retention",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source")
+        val pairs = graft.operators.ImageDedup.nearDupPairs(
+          graft.sources.ImageCorpus.forIds(docs, "doc_id"),
+          "png", "doc_id", maxDist = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val clusters = graft.operators.Dedup.clusterPairs(pairs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("doc_id")
+        docs.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("is_kept", row_number().over(w) === 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("images_total"),
+            sum(when(col("is_kept"), 1L).otherwise(0L)).as("images_kept"))
+          .select(col("source"), col("images_total"), col("images_kept"),
+            (col("images_total") - col("images_kept")).as("dropped"),
+            round((col("images_total") - col("images_kept"))
+              .cast("double") / col("images_total"), 6).as("dup_ratio"))
+          .orderBy("source")
+      },
       None)
   )
 }

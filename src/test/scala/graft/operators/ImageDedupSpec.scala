@@ -94,6 +94,28 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((0L, 1L)), s"got $pairs")
   }
 
+  test("ext105 per-source retention matches the known family structure") {
+    val out = graft.queries.ExtensionQueries.defs
+      .find(_.name == "ext105_image_retention").get
+      .build(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // expected: survivors are exactly the min doc_id of each id/3 family
+    import spark.implicits._
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val famMin = docs.map(_._1).groupBy(_ / 3)
+      .map { case (_, m) => m.min }.toSet
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val total = rows.length.toLong
+      val kept = rows.count(r => famMin(r._1)).toLong
+      src -> ((total, kept, total - kept))
+    }
+    assert(out == expected, s"got $out expected $expected")
+    assert(out.values.map(_._3).sum > 0, "duplicate drops must be live")
+  }
+
   test("the candidate join is equi — no cartesian in the plan") {
     val ids = (0L until 12L).toDF("doc_id")
     val p = ImageDedup.nearDupPairs(
