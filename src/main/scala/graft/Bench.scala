@@ -100,6 +100,9 @@ object Bench {
     val shuffleWrite = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(q: queries.QueryDef, dir: String = staged,
         captureShuffle: Boolean = false): Double = {
+      // drain BEFORE the baseline read too: the warm pass (and any prior
+      // non-capturing work) may still have task-end events in flight
+      if (captureShuffle) org.apache.spark.graft.ListenerGlue.drain(spark.sparkContext)
       val (r0, w0) = (tally.read.get(), tally.write.get())
       val t0 = System.nanoTime()
       try q.build(spark, dir).write.format("noop").mode("overwrite").save()
@@ -109,9 +112,11 @@ object Bench {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       if (captureShuffle) {
-        // listener events drain asynchronously; a short pause after the
-        // action bounds the attribution error to the bus lag, not a stage
-        Thread.sleep(50)
+        // listener events drain asynchronously; drain the bus
+        // DETERMINISTICALLY so a loaded bus can't attribute query N's last
+        // task-end events to query N+1 (the fixed 50 ms sleep this replaces
+        // was unbounded-error under load)
+        org.apache.spark.graft.ListenerGlue.drain(spark.sparkContext)
         shuffleRead(q.name) = (tally.read.get() - r0) / 1e6
         shuffleWrite(q.name) = (tally.write.get() - w0) / 1e6
       }

@@ -46,7 +46,17 @@ object Centrality {
     // the upstream build (a distinct over a fact-table join in ext94's
     // case) runs once, not once per reference. Same lazy-localCheckpoint
     // discipline as the rank frame below.
-    val e = edges.localCheckpoint(false)
+    //
+    // The edge list is REPARTITIONED ON ITS JOIN KEY (src) before the
+    // checkpoint: localCheckpoint preserves outputPartitioning, so every
+    // round's contribution join finds the (by far largest) edge side
+    // already clustered and re-shuffles nothing. nodes/outd inherit
+    // hash(node) partitioning from their distinct/groupBy builds, and the
+    // rank frame leaves each round partitioned by node (its closing join
+    // key) — so under the AQE-off iteration session the ONLY per-round
+    // shuffle left is the contribution groupBy(dst), which is the
+    // irreducible routing step of distributed PageRank.
+    val e = edges.repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
@@ -111,18 +121,25 @@ object Centrality {
   def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
     // Checkpoint the graph once — 2 references per half-step × 2
     // half-steps × iters would otherwise rebuild the edge derivation
-    // 30+ times (see pageRank).
-    val e = edges.localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // 30+ times (see pageRank). HITS propagates in BOTH directions, so it
+    // keeps TWO pre-clustered copies of the edge list — src-keyed for the
+    // authority half-step, dst-keyed for the hub half-step (one extra
+    // one-time shuffle; localCheckpoint preserves the partitioning) — and
+    // each half-step's propagate join then re-shuffles neither side: the
+    // score frame exits the previous half-step partitioned by node. Only
+    // the propagate groupBy(toEnd) shuffles per half-step.
+    val eSrc = edges.repartition(col("src")).localCheckpoint(false)
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint(false)
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
     var h = nodes
       .select(col("node"), lit(1).cast("decimal(28,12)").as("h"))
       .localCheckpoint(false)
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      a = halfStep(nodes, h, "h", e, col("src"), col("dst"), "a")
-      h = halfStep(nodes, a, "a", e, col("dst"), col("src"), "h")
+      a = halfStep(nodes, h, "h", eSrc, col("src"), col("dst"), "a")
+      h = halfStep(nodes, a, "a", eDst, col("dst"), col("src"), "h")
     }
     nodes.join(a.hint("shuffle_hash"), Seq("node"), "left")
       .join(h.hint("shuffle_hash"), Seq("node"), "left")

@@ -25,13 +25,32 @@ object Time {
         graft.Bench.stage(spark, rawDir, splits = cpus.toInt)
       else rawDir
     require(args.nonEmpty, "usage: Time <query-name> [<query-name> ...]")
+    // per-query shuffle tally (same listener shape as Bench) so a plan
+    // change's shuffle-volume effect is visible without a full bench pass
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            write.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          }
+        }
+      })
     args.foreach { n =>
       val run = () => SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       run() // warm: codegen + classload, untimed
+      org.apache.spark.graft.ListenerGlue.drain(spark.sparkContext)
+      val (r0, w0) = (read.get(), write.get())
       val t0 = System.nanoTime()
       run()
-      println(f"[time] $n: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerGlue.drain(spark.sparkContext)
+      println(f"[time] $n: $secs%.3f s  shuffle_write=${(write.get() - w0) / 1e6}%.1f MB  shuffle_read=${(read.get() - r0) / 1e6}%.1f MB")
     }
     spark.stop()
   }

@@ -468,6 +468,42 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
       s"HITS propagate must shuffle-hash the score frame, never broadcast it:\n$hp")
   }
 
+  test("ext94/ext96 pre-partitioned iteration state: one data exchange per round — edge list never reshuffles") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Centrality
+    // mirrors the loop-invariant state pageRank/hits build once: edges
+    // repartitioned on the join key, nodes/outd carrying their agg
+    // partitioning, rank frame partitioned by node — all localCheckpoint'd
+    // (which preserves outputPartitioning). The r9 shuffle-halving contract:
+    // the only per-round hash exchange left is the contribution groupBy.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val sq = s2.sqlContext
+    import sq.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst").repartition(col("src")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+    val outd = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(false)
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val r0 = nodes.crossJoin(broadcast(n)).select(col("node"),
+      round(lit(1.0) / col("n_nodes"), 12).cast("decimal(28,12)").as("r"))
+      .localCheckpoint(false)
+
+    val p = Centrality.pageRankStep(nodes, outd, e, n, r0, 0.85)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"a pageRank round must shuffle ONLY the contribution groupBy(dst):\n$p")
+
+    val h0 = nodes.select(col("node"), lit(1).cast("decimal(28,12)").as("h"))
+      .localCheckpoint(false)
+    val hp = Centrality.propagate(h0, "h", e, col("src"), col("dst"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(hp).size == 1,
+      s"a HITS half-step must shuffle ONLY the propagate groupBy:\n$hp")
+  }
+
   test("ext100 funnel counts read materialized stages — no window or parquet scan is re-derived per count subtree") {
     val p = plan("ext100_curation_funnel")
     assert(!p.contains("Window"),
