@@ -150,6 +150,126 @@ object AudioOps {
     h
   }
 
+  /** Log-spaced Goertzel band centers (Hz) for [[spectralHash64]] — 8
+    * bands covering 200..2700 Hz, the speech/music fundamental range.
+    * Absolute frequencies (not bin indices) make the bank RESAMPLE-
+    * INVARIANT: the same physical band is evaluated whatever the clip's
+    * sample rate; bands at or above Nyquist are skipped.
+    */
+  private val SpectralBands: Array[Double] =
+    Array(200.0, 290.0, 420.0, 610.0, 885.0, 1283.0, 1860.0, 2697.0)
+
+  /** Weight of the log-frequency centroid (octaves) against the
+    * log-energy term in [[spectralHash64]]'s per-segment scalar: 2.0 per
+    * octave means a one-octave per-segment pitch move outweighs the
+    * typical adjacent-segment energy gap (|Δln rms| ~ O(1)), while the
+    * ≤ 0.05-octave centroid jitter from clicks/requantization stays far
+    * below comparison margins.
+    */
+  private val CentroidWeight = 2.0
+
+  /** Goertzel power of `mono(lo until hi)` at absolute frequency `freq`
+    * (Hz) for `rate` (Hz) — the O(n) single-bin DFT (Goertzel 1958), the
+    * standard dependency-free way to evaluate a small fixed band bank
+    * without an FFT.
+    */
+  private def goertzelPower(mono: Array[Double], lo: Int, hi: Int,
+      freq: Double, rate: Double): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * freq / rate)
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = lo
+    while (i < hi) {
+      val s0 = mono(i) + coeff * s1 - s2
+      s2 = s1
+      s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** 64-bit SPECTRAL fingerprint — [[audioHash64]]'s comparison grid fed
+    * by a spectral front-end (the r8 verdict's depth item: the energy
+    * envelope alone cannot hear PITCH — two clips with identical loudness
+    * curves but different tonal content hash identically).
+    *
+    * Per time segment (same 65-segment proportional grid as
+    * [[audioHash64]], so every downstream consumer — banding, thresholds,
+    * corpora — is untouched) the scalar compared across adjacent segments
+    * is  g(s) = ln(rms) + [[CentroidWeight]] · centroid(s), where
+    * centroid(s) is the log2-frequency (octave) centroid of the
+    * [[SpectralBands]] Goertzel energies. Properties:
+    *  - constant-pitch content: the centroid term is constant, adjacent
+    *    comparisons reduce to the energy comparisons — full bit entropy
+    *    on envelope-coded corpora is preserved (a dedicated "pitch bit"
+    *    region would be near-constant corpus-wide and blow up the banded
+    *    join's bucket sizes);
+    *  - per-segment pitch movement swings g by ±CentroidWeight per
+    *    octave, flipping bits no energy comparison can see;
+    *  - amplitude scaling: ln turns it into a constant shift (comparisons
+    *    invariant), the centroid is a ratio (invariant);
+    *  - resampling: proportional segments + absolute-frequency Goertzel
+    *    bands (bands ≥ Nyquist skipped — their leakage-level energies
+    *    perturb the centroid ~1e-3 octaves, far under margins).
+    * Clicks/requantization perturb only the touched segment's rms and
+    * centroid by ≲1e-2 of the comparison margins — the family-variant
+    * robustness contract of the energy hash carries over.
+    */
+  def spectralHash64(a: DecodedAudio): Long = {
+    val seg = 65
+    val ch = math.max(1, a.channels)
+    val frames = a.samples.length / ch
+    val mono = new Array[Double](frames)
+    var peak = 0.0
+    var f = 0
+    while (f < frames) {
+      var m = 0.0
+      var c = 0
+      while (c < ch) { m += a.samples(f * ch + c); c += 1 }
+      mono(f) = m / ch
+      if (math.abs(mono(f)) > peak) peak = math.abs(mono(f))
+      f += 1
+    }
+    val bands = SpectralBands.filter(_ < a.sampleRate / 2.0)
+    val midOctave =
+      if (bands.isEmpty) 0.0
+      else bands.map(b => math.log(b) / math.log(2.0)).sum / bands.length
+    val g = new Array[Double](seg)
+    var s = 0
+    while (s < seg) {
+      val lo = (s.toLong * frames / seg).toInt
+      val hi = ((s + 1).toLong * frames / seg).toInt
+      var acc = 0.0
+      var i = lo
+      while (i < hi) { acc += mono(i) * mono(i); i += 1 }
+      val rms = if (hi > lo) math.sqrt(acc / (hi - lo)) else 0.0
+      var eSum = 0.0
+      var cSum = 0.0
+      var k = 0
+      while (k < bands.length) {
+        val e = goertzelPower(mono, lo, hi, bands(k), a.sampleRate.toDouble)
+        eSum += e
+        cSum += e * (math.log(bands(k)) / math.log(2.0))
+        k += 1
+      }
+      // silent/degenerate segments take the mid-bank octave so the
+      // centroid term cancels in their comparisons
+      val centroid = if (eSum > 0.0) cSum / eSum else midOctave
+      // relative floor keeps ln defined AND amplitude-scale-invariant
+      // (peak scales with the signal); the absolute 1e-12 only matters for
+      // all-zero clips, where every g is equal and the hash is 0
+      g(s) = math.log(rms + 1e-9 * peak + 1e-12) + CentroidWeight * centroid
+      s += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (g(b + 1) > g(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   /** Nearest-neighbor resample to `outRate` (linear would also be fine for
     * features; NN keeps it exactly invertible for rate multiples).
     */

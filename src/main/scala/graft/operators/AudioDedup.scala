@@ -8,8 +8,11 @@ import graft.cv.AudioOps
 /** Perceptual near-duplicate detection over AUDIO binary columns — the
   * third modality of the dedup family (text → embeddings → images →
   * audio), built on the SAME Hamming-banded core as [[ImageDedup]]: one
-  * map-side fingerprint pass (RIFF/WAV parse → 65-segment energy envelope
-  * → 64-bit temporal hash, [[AudioOps.audioHash64]]), then
+  * map-side fingerprint pass (RIFF/WAV parse → 65-segment SPECTRAL
+  * fingerprint, [[AudioOps.spectralHash64]]: per-segment log-energy +
+  * Goertzel-bank log-frequency centroid, so pitch movement is audible to
+  * the hash, not just loudness — the energy-only [[AudioOps.audioHash64]]
+  * remains available for envelope-only matching), then
   * [[ImageDedup.hammingNearDupPairs]] for candidates (equi-join on hash
   * bit-slices, pigeonhole recall guarantee, never all-pairs) and
   * `bit_count(XOR)` verification. Undecodable blobs hash to NULL and drop
@@ -17,13 +20,13 @@ import graft.cv.AudioOps
   */
 object AudioDedup {
 
-  /** WAV bytes → 64-bit temporal fingerprint, NULL if undecodable. A Scala
+  /** WAV bytes → 64-bit spectral fingerprint, NULL if undecodable. A Scala
     * UDF is the sanctioned tool (no built-in parses RIFF; per-row
     * imperative sample math — SURVEY §2 UDF policy).
     */
   private val hashUdf = udf { bytes: Array[Byte] =>
     if (bytes == null) None
-    else AudioOps.decodeWav(bytes).map(AudioOps.audioHash64)
+    else AudioOps.decodeWav(bytes).map(AudioOps.spectralHash64)
   }
 
   /** Fingerprint column for an encoded-WAV column. */

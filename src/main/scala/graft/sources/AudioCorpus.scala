@@ -14,10 +14,13 @@ import graft.cv.AudioOps
   * Structure mirrors ImageCorpus: families of three (`id / 3`) share an
   * energy envelope (65 amplitude steps from a splitmix-style hash of
   * (family, segment), aligned with [[AudioOps.audioHash64]]'s segment
-  * grid) carried on a 440 Hz tone; the member index adds that many
-  * single-sample clicks — inaudible against segment RMS, so fingerprints
-  * agree within a family and are uncorrelated across families. Pure
-  * function of the id: identical corpus at every SF.
+  * grid) carried on a FAMILY-DEPENDENT tone (300..1323 Hz — inside the
+  * spectral bank's range and under every resample target's Nyquist, so
+  * the corpus exercises the pitch axis of
+  * [[AudioOps.spectralHash64]], not just the envelope); the member index
+  * adds that many single-sample clicks — inaudible against segment RMS,
+  * so fingerprints agree within a family and are uncorrelated across
+  * families. Pure function of the id: identical corpus at every SF.
   */
 object AudioCorpus {
 
@@ -42,13 +45,14 @@ object AudioCorpus {
   def render(id: Long): Array[Byte] = {
     val family = id / 3
     val variant = (id % 3).toInt
+    val freq = 300.0 + (mix(family, 777L) & 0x3ffL) // 300..1323 Hz per family
     val samples = new Array[Short](NSamples)
     var i = 0
     while (i < NSamples) {
       val seg = (i.toLong * 65 / NSamples).toInt
       val amp = 1000 + (mix(family, seg) & 0x3fffL) // 1000..17383
       samples(i) =
-        (amp * math.sin(2 * math.Pi * 440.0 * i / SampleRate)).toShort
+        (amp * math.sin(2 * math.Pi * freq * i / SampleRate)).toShort
       i += 1
     }
     // variant-many single-sample clicks (+50): ~0.1% of a segment's RMS,

@@ -18,9 +18,9 @@ class AudioDedupSpec extends AnyFunSuite with SparkTestSession {
   private def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
 
   private def hashOf(bytes: Array[Byte]): Long =
-    AudioOps.audioHash64(AudioOps.decodeWav(bytes).get)
+    AudioOps.spectralHash64(AudioOps.decodeWav(bytes).get)
 
-  test("fingerprint is invariant to amplitude scaling and resampling") {
+  test("energy fingerprint is invariant to amplitude scaling and resampling") {
     val a = AudioOps.decodeWav(AudioCorpus.render(0L)).get
     val h0 = AudioOps.audioHash64(a)
     // halve the amplitude: every RMS comparison is monotone-preserved
@@ -30,6 +30,48 @@ class AudioDedupSpec extends AnyFunSuite with SparkTestSession {
     val down = AudioOps.resample(a, 4000)
     assert(hamming(AudioOps.audioHash64(down), h0) <= 3,
       "resampling drifted past the near-dup threshold")
+  }
+
+  test("spectral fingerprint is invariant to amplitude scaling and resampling") {
+    val a = AudioOps.decodeWav(AudioCorpus.render(0L)).get
+    val h0 = AudioOps.spectralHash64(a)
+    // ln(rms) turns scaling into a constant shift; the centroid is a ratio —
+    // requantization (integer truncation) may graze a borderline comparison
+    val quiet = a.copy(samples = a.samples.map(s => (s / 2).toShort))
+    assert(hamming(AudioOps.spectralHash64(quiet), h0) <= 1,
+      "amplitude scaling drifted the spectral hash")
+    // absolute-frequency Goertzel bands see the same physical bands at 4 kHz
+    val down = AudioOps.resample(a, 4000)
+    assert(hamming(AudioOps.spectralHash64(down), h0) <= 3,
+      "resampling drifted past the near-dup threshold")
+  }
+
+  test("spectral hash hears pitch the energy hash cannot") {
+    // two clips with the IDENTICAL per-segment amplitude schedule; one holds
+    // 440 Hz throughout, the other alternates 300/1200 Hz per segment — the
+    // energy envelopes match sample-for-sample in RMS, so the energy hash
+    // scores them as duplicates, while the spectral centroid swings ~2
+    // octaves per segment and separates them decisively
+    val n = AudioCorpus.NSamples
+    val rate = AudioCorpus.SampleRate
+    def render(freqOf: Int => Double): Array[Byte] = {
+      val s = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val seg = (i.toLong * 65 / n).toInt
+        val amp = 1000 + (seg * 251 % 16384)
+        s(i) = (amp * math.sin(2 * math.Pi * freqOf(seg) * i / rate)).toShort
+        i += 1
+      }
+      AudioOps.encodeWav(rate, 1, s)
+    }
+    val flat = AudioOps.decodeWav(render(_ => 440.0)).get
+    val warble = AudioOps.decodeWav(
+      render(seg => if (seg % 2 == 0) 300.0 else 1200.0)).get
+    assert(hamming(AudioOps.audioHash64(flat), AudioOps.audioHash64(warble)) <= 3,
+      "fixture invalid: envelopes must match under the energy hash")
+    assert(hamming(AudioOps.spectralHash64(flat), AudioOps.spectralHash64(warble)) > 10,
+      "spectral hash failed to separate same-envelope different-pitch clips")
   }
 
   test("family variants agree; different families are uncorrelated") {
