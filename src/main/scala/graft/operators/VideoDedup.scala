@@ -53,10 +53,29 @@ object VideoDedup {
         col("f._2").as("phash"), col("n_sampled"))
 
   /** Verified near-duplicate video pairs: (id_a < id_b, matched_frames,
-    * overlap_ratio) where matched_frames counts A-side sampled frames with
-    * at least one ≤-`maxDist` match in B, and overlap_ratio divides by the
-    * SMALLER sampled-frame count (a clip contained in a longer video still
-    * scores 1.0). Pairs with overlap_ratio >= `minOverlap` survive.
+    * overlap_ratio).
+    *
+    * Overlap contract: both numerator and denominator count frames that
+    * SURVIVE the low-information filter below (r8 ADVICE: a pre-filter
+    * denominator made a duplicate dominated by near-uniform frames
+    * unreachable, since filtered frames can never match). `matched_frames`
+    * counts distinct matched frames on the SMALLER (post-filter) side —
+    * counting the larger side could exceed the denominator when many of
+    * its frames match few of the other's (static scenes).
+    *
+    * TEMPORAL ALIGNMENT (r8 ask #4): `overlap_ratio` is the largest
+    * single-alignment support — matched frame pairs are histogrammed by
+    * their frame-index offset (fa − fb) and only the best ±`everyNth`
+    * offset window (one original frame of jitter either side) counts, so a
+    * shuffled MONTAGE of A's frames no longer scores like a re-encode of A
+    * (its matches are real but scattered across offsets), while re-encodes,
+    * splices, contained clips and uniformly time-shifted copies all
+    * concentrate their matches at one offset and keep their scores. The
+    * window max is computed with a RANGE frame over the offset axis — one
+    * window pass per pair, no self-join. Capped at 1.0 (a static-scene
+    * duplicate matches every frame at every offset; its best window
+    * over-counts the same frames at neighboring offsets).
+    * Pairs with overlap_ratio >= `minOverlap` survive.
     */
   def nearDupPairs(videos: DataFrame, videoCol: String, idCol: String,
       everyNth: Int = 2, maxDist: Int = 3,
@@ -76,24 +95,42 @@ object VideoDedup {
     val framePairs = ImageDedup.hammingNearDupPairs(
       fh.select(struct(col("id"), col("frame_idx")).as("id"), col("phash")),
       maxDist)
-      .select(col("id_a.id").as("vid_a"), col("id_a.frame_idx").as("fa"),
-        col("id_b.id").as("vid_b"), col("id_b.frame_idx").as("fb"))
-      .filter(col("vid_a") =!= col("vid_b"))
+      .select(col("id_a.id").as("va0"), col("id_a.frame_idx").as("fa0"),
+        col("id_b.id").as("vb0"), col("id_b.frame_idx").as("fb0"))
+      .filter(col("va0") =!= col("vb0"))
       // canonicalize: the struct ordering above sorts (id, frame_idx)
-      // lexicographically, so a pair can arrive either way around
+      // lexicographically, so a pair can arrive either way around — keep
+      // BOTH frame indices aligned with their canonical sides
       .select(
-        least(col("vid_a"), col("vid_b")).as("vid_a"),
-        when(col("vid_a") <= col("vid_b"), col("fa")).otherwise(col("fb")).as("fa"),
-        greatest(col("vid_a"), col("vid_b")).as("vid_b"))
-    val counts = fh.select(col("id"), col("n_sampled")).distinct()
-    framePairs
-      .groupBy("vid_a", "vid_b")
-      .agg(countDistinct(col("fa")).as("matched_frames"))
-      .join(counts.select(col("id").as("vid_a"), col("n_sampled").as("na")), Seq("vid_a"))
-      .join(counts.select(col("id").as("vid_b"), col("n_sampled").as("nb")), Seq("vid_b"))
+        least(col("va0"), col("vb0")).as("vid_a"),
+        greatest(col("va0"), col("vb0")).as("vid_b"),
+        when(col("va0") <= col("vb0"), col("fa0")).otherwise(col("fb0")).as("fa"),
+        when(col("va0") <= col("vb0"), col("fb0")).otherwise(col("fa0")).as("fb"))
+    // POST-FILTER per-video frame counts — the denominator must count only
+    // frames that are allowed to match
+    val counts = fh.groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
+    val withCounts = framePairs
+      .join(counts.select(col("id").as("vid_a"), col("n_kept").as("na")), Seq("vid_a"))
+      .join(counts.select(col("id").as("vid_b"), col("n_kept").as("nb")), Seq("vid_b"))
+      .withColumn("small_f", when(col("na") <= col("nb"), col("fa")).otherwise(col("fb")))
+      .withColumn("off", col("fa") - col("fb"))
+      .localCheckpoint(false) // consumed by both aggs below
+    val matched = withCounts.groupBy("vid_a", "vid_b")
+      .agg(countDistinct(col("small_f")).as("matched_frames"))
+    val perOffset = withCounts
+      .groupBy(col("vid_a"), col("vid_b"), col("na"), col("nb"), col("off"))
+      .agg(countDistinct(col("small_f")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_a", "vid_b").orderBy("off")
+      .rangeBetween(-everyNth, everyNth)
+    val aligned = perOffset
+      .withColumn("win", sum(col("cnt")).over(w))
+      .groupBy("vid_a", "vid_b", "na", "nb")
+      .agg(max(col("win")).as("aligned_frames"))
+    aligned.join(matched, Seq("vid_a", "vid_b"))
       .select(col("vid_a"), col("vid_b"), col("matched_frames"),
-        round(col("matched_frames").cast("double") /
-          least(col("na"), col("nb")), 6).as("overlap_ratio"))
+        least(lit(1.0), round(col("aligned_frames").cast("double") /
+          least(col("na"), col("nb")), 6)).as("overlap_ratio"))
       .filter(col("overlap_ratio") >= minOverlap)
   }
 }

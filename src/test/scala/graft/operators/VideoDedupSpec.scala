@@ -58,6 +58,50 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
       s"containment must score 1.0 on the clip's own frames (got $pairs)")
   }
 
+  test("a shuffled montage of A's frames is rejected by the alignment vote; a time-shifted copy is not") {
+    val a = Video.decodeFrames(VideoCorpus.render(0L)).get
+    // reversed frame order: every sampled montage frame matches SOME frame
+    // of A (raw match count = 6/6, the pre-r9 vote would score 1.0), but the
+    // offsets 2i-11 are spaced 4 apart — wider than the ±2 alignment window,
+    // so no single alignment explains more than one match
+    val montage = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, fps = 10,
+      a._5.reverse)
+    // rotation by two frames: a uniformly time-shifted copy — all matches
+    // concentrate at one offset and the vote must keep it (shift by an EVEN
+    // amount: an odd shift puts every-2nd sampling on the off-grid frames,
+    // which is a sampling-density question, not an alignment one)
+    val shifted = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, fps = 10,
+      a._5.drop(2) ++ a._5.take(2))
+    val df = Seq(
+      (0L, VideoCorpus.render(0L)),
+      (400L, montage),
+      (500L, shifted))
+      .toDF("doc_id", "gvid")
+    val pairs = VideoDedup.nearDupPairs(df, "gvid", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(!pairs.contains((0L, 400L)),
+      s"the shuffled montage must fail the alignment vote (got $pairs)")
+    assert(pairs.get((0L, 500L)).exists(_ >= 0.6),
+      s"a time-shifted copy concentrates at one offset and must survive (got $pairs)")
+  }
+
+  test("overlap denominator counts only frames that survive the low-info filter") {
+    val a = Video.decodeFrames(VideoCorpus.render(0L)).get
+    // half informative frames (from A), half black frames: the black frames
+    // are filtered before pairing, so they must not inflate the denominator —
+    // with a pre-filter denominator this duplicate scored 3/6 < 0.6 and was
+    // unreachable (r8 ADVICE)
+    val black = new Array[Byte](VideoCorpus.Side * VideoCorpus.Side * 3)
+    val dilute = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, fps = 10,
+      a._5.take(6) ++ Array.fill(6)(black.clone()))
+    val df = Seq((0L, VideoCorpus.render(0L)), (600L, dilute))
+      .toDF("doc_id", "gvid")
+    val pairs = VideoDedup.nearDupPairs(df, "gvid", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.get((0L, 600L)).contains(1.0),
+      s"post-filter denominator must score the surviving half 3/3 (got $pairs)")
+  }
+
   test("undecodable blobs are dropped, not crashed on") {
     val df = Seq(
       (1L, VideoCorpus.render(1L)),
