@@ -107,6 +107,101 @@ object ImageOps {
     h
   }
 
+  /** 32-point DCT-II basis (orthonormal), row u = the u-th cosine evaluated
+    * at the 32 sample centers — precomputed once for [[pHash64]]'s
+    * separable transform.
+    */
+  private val Dct32: Array[Array[Double]] = Array.tabulate(32, 32) { (u, x) =>
+    (if (u == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)) *
+      math.cos((2 * x + 1) * u * math.Pi / 64)
+  }
+
+  /** The low-frequency 8×8 block of the 2D DCT-II of the 32×32 grayscale
+    * thumbnail — separable (rows then columns), O(32·32·8·2) multiplies,
+    * and only the 8×8 corner is ever materialized.
+    */
+  private def lowFreqDct(img: DecodedImage): Array[Array[Double]] = {
+    val gray = Kernels.grayscale(img.px, img.rows, img.cols, img.channels)
+    val small = resizeBilinear(gray, img.rows, img.cols, 1, 32, 32)
+    // tmp(x)(v) = Σ_y g(x,y)·D(v,y)  (column transform, keep v < 8)
+    val tmp = Array.ofDim[Double](32, 8)
+    var x = 0
+    while (x < 32) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 32) { acc += (small(x * 32 + y) & 0xff) * Dct32(v)(y); y += 1 }
+        tmp(x)(v) = acc
+        v += 1
+      }
+      x += 1
+    }
+    // c(u)(v) = Σ_x D(u,x)·tmp(x)(v)  (row transform, keep u < 8)
+    val c = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var x2 = 0
+        while (x2 < 32) { acc += Dct32(u)(x2) * tmp(x2)(v); x2 += 1 }
+        c(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    c
+  }
+
+  /** 64 bits from an 8×8 DCT block: bit(u,v) = coeff > median of the 64.
+    * Median thresholding BALANCES the hash (~32 set bits) — what keeps the
+    * Hamming band buckets of [[graft.operators.ImageDedup]] near-uniform
+    * (an unbalanced threshold concentrates hashes in few band values and
+    * the candidate join degenerates).
+    */
+  private def hashFromDctBlock(c: Array[Array[Double]]): Long = {
+    val flat = new Array[Double](64)
+    var i = 0
+    while (i < 64) { flat(i) = c(i / 8)(i % 8); i += 1 }
+    val sorted = flat.clone()
+    java.util.Arrays.sort(sorted)
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (flat(i) > median) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit DCT perceptual hash (pHash — the classic pHash.org recipe):
+    * grayscale → 32×32 → 2D DCT-II → low-frequency 8×8 block → bits by
+    * median threshold. Compared to [[dHash64]] it keys on the image's
+    * global low-frequency STRUCTURE rather than local gradient signs, so
+    * it survives stronger re-encoding/blur; Hamming distance ≈ structural
+    * difference. Pure JVM, map-side only.
+    */
+  def pHash64(img: DecodedImage): Long = hashFromDctBlock(lowFreqDct(img))
+
+  /** MIRROR-CANONICAL pHash: min(pHash(img), pHash(hflip(img))) — a
+    * horizontally mirrored re-post (the most common image-dedup evasion in
+    * scraped corpora) hashes IDENTICALLY to its original, so the banded
+    * join catches it like any re-encode. The mirror hash costs no second
+    * DCT: flipping columns of a DCT-II input only flips the sign of odd
+    * column frequencies (C'(u,v) = (−1)^v·C(u,v)), and for the 64→32
+    * bilinear resize flip-then-resize equals resize-then-flip exactly
+    * (scale 2, center-aligned sampling never clamps), so the identity is
+    * exact end-to-end, not approximate.
+    */
+  def pHash64MirrorCanonical(img: DecodedImage): Long = {
+    val c = lowFreqDct(img)
+    val h = hashFromDctBlock(c)
+    val m = Array.tabulate(8, 8)((u, v) => if (v % 2 == 1) -c(u)(v) else c(u)(v))
+    math.min(h, hashFromDctBlock(m))
+  }
+
   /** Cheap content features for a decoded frame: mean luma, luma stddev, and
     * edge density (fraction of pixels whose horizontal gradient exceeds 32) —
     * the shape of a feature-extraction stage in a training-data pipeline.

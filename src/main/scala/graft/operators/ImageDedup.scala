@@ -44,9 +44,26 @@ object ImageDedup {
   /** dHash column for an encoded-image column. */
   def dHash(imageCol: Column): Column = dHashUdf(imageCol)
 
+  /** Encoded image bytes → MIRROR-CANONICAL DCT pHash
+    * ([[ImageOps.pHash64MirrorCanonical]]), NULL if undecodable — the
+    * dedup family's fingerprint since r9: a horizontally mirrored re-post
+    * (the most common image-dedup evasion in scraped corpora) hashes
+    * identically to its original, and the DCT base survives stronger
+    * re-encoding than the gradient-sign dHash. */
+  private val fingerprintUdf = udf { bytes: Array[Byte] =>
+    if (bytes == null) None
+    else ImageOps.decode(bytes).map(ImageOps.pHash64MirrorCanonical)
+  }
+
+  /** The dedup fingerprint column for an encoded-image column — used by
+    * BOTH the batch pair join ([[hashes]]) and the streaming suppressor
+    * ([[graft.streaming.ImageIngest]]), so batch and stream agree
+    * bit-for-bit on hashes AND band buckets. */
+  def fingerprint(imageCol: Column): Column = fingerprintUdf(imageCol)
+
   /** (id, phash) for every decodable image. */
   def hashes(images: DataFrame, imageCol: String, idCol: String): DataFrame =
-    images.select(col(idCol).as("id"), dHash(col(imageCol)).as("phash"))
+    images.select(col(idCol).as("id"), fingerprint(col(imageCol)).as("phash"))
       .filter(col("phash").isNotNull)
 
   /** Verified near-duplicate image pairs (id_a < id_b, Hamming `dist`

@@ -12,7 +12,8 @@ import graft.operators.ImageDedup
   * watermark horizon, so a re-encoded or lightly-perturbed redelivery
   * (the case a byte digest cannot catch) stays out of the landing table.
   *
-  * Batch/stream agreement: the fingerprint is [[ImageDedup.dHash]] and the
+  * Batch/stream agreement: the fingerprint is [[ImageDedup.fingerprint]]
+  * (mirror-canonical DCT pHash since r9) and the
   * bucket keys are [[ImageDedup.bandSlices]] — the EXACT arithmetic of the
   * batch pair join (ext101), so both sides agree on what "near-duplicate"
   * means and which band bucket a hash lands in (pigeonhole recall at the
@@ -49,7 +50,7 @@ object ImageIngest {
     val spark = images.sparkSession
     import spark.implicits._
     images
-      .withColumn("phash", ImageDedup.dHash(col("png")))
+      .withColumn("phash", ImageDedup.fingerprint(col("png")))
       .filter(col("phash").isNotNull)
       .withWatermark("ingest_ts", watermarkDelay)
       .select(col("img_id"), col("source"), col("ingest_ts"), col("phash"),

@@ -64,6 +64,43 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
       s"missing=${brute -- banded} spurious=${banded -- brute}")
   }
 
+  test("pHash: stable within families, uncorrelated across them, balanced bits") {
+    def p(id: Long) = ImageOps.pHash64(ImageOps.decode(ImageCorpus.render(id)).get)
+    for (v <- 1L to 2L)
+      assert(hamming(p(0L), p(v)) <= 3, s"variant $v drifted under pHash")
+    val h = (0 until 12).map(f => p(f * 3L))
+    for (i <- h.indices; j <- i + 1 until h.size)
+      assert(hamming(h(i), h(j)) > 10, s"families $i/$j collide under pHash")
+    // median threshold balances the bits — the band-bucket health property
+    h.foreach(x => assert(math.abs(java.lang.Long.bitCount(x) - 32) <= 4,
+      s"pHash bits unbalanced: ${java.lang.Long.bitCount(x)} set"))
+  }
+
+  test("a horizontally mirrored re-post hashes identically and is caught at the same banding") {
+    val base = ImageCorpus.render(0L)
+    val img = ImageOps.decode(base).get
+    // flip columns of the raw plane, re-encode through the engine's PNG path
+    val flipped = new Array[Byte](img.px.length)
+    for (r <- 0 until img.rows; c <- 0 until img.cols; k <- 0 until img.channels)
+      flipped((r * img.cols + c) * img.channels + k) =
+        img.px((r * img.cols + (img.cols - 1 - c)) * img.channels + k)
+    val mirrorPng = Png.encodeBytes(flipped, img.rows, img.cols, img.channels)
+    // the DCT sign trick + exact flip/resize commutation ⇒ identical hash
+    assert(ImageOps.pHash64MirrorCanonical(img) ==
+      ImageOps.pHash64MirrorCanonical(ImageOps.decode(mirrorPng).get),
+      "mirror canonicalization must be exact for even-sized frames")
+    // and the plain pHashes differ — the mirror pair is invisible without
+    // canonicalization (guards against the fixture being trivially symmetric)
+    assert(hamming(ImageOps.pHash64(img),
+      ImageOps.pHash64(ImageOps.decode(mirrorPng).get)) > 3,
+      "fixture invalid: the mirrored image must not match un-canonicalized")
+    val df = Seq((0L, base), (1000L, mirrorPng)).toDF("doc_id", "png")
+    val pairs = ImageDedup.nearDupPairs(df, "png", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((0L, 1000L)).contains(0L),
+      s"mirrored re-post must be caught at distance 0 (got $pairs)")
+  }
+
   test("undecodable blobs are dropped, not crashed on") {
     val rows = Seq(
       (1L, ImageCorpus.render(1L)),
