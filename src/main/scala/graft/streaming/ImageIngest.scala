@@ -82,8 +82,14 @@ object ImageIngest {
         var best = 64L
         var bestImg = -1L
         entries.foreach { e =>
-          val d = java.lang.Long.bitCount(r.phash ^ e.phash).toLong
-          if (d < best) { best = d; bestImg = e.imgId }
+          // skip SELF-matches: a same-batch redelivery carrying the SAME
+          // img id would otherwise collapse into one rollup group whose
+          // min_dist=0 rejects BOTH copies — the earliest copy of an
+          // identical-id redelivery must still land (r8 ADVICE)
+          if (e.imgId != r.imgId) {
+            val d = java.lang.Long.bitCount(r.phash ^ e.phash).toLong
+            if (d < best) { best = d; bestImg = e.imgId }
+          }
         }
         out += ImgBandVerdict(r.imgId, r.source, tsMillis, r.band,
           best, bestImg, r.png)

@@ -107,8 +107,12 @@ object NearDupIngest {
         var best = 0.0
         var bestDoc = -1L
         entries.foreach { e =>
-          val a = agreement(r.sig, e.sig)
-          if (a > best || (a == best && bestDoc == -1L)) { best = a; bestDoc = e.docId }
+          // skip SELF-matches — same-id redelivery must not reject itself
+          // through the per-doc rollup (see ImageIngest.processBucket)
+          if (e.docId != r.docId) {
+            val a = agreement(r.sig, e.sig)
+            if (a > best || (a == best && bestDoc == -1L)) { best = a; bestDoc = e.docId }
+          }
         }
         out += BandVerdict(r.docId, r.source, tsMillis, r.band,
           math.rint(best * 1e6) / 1e6, bestDoc, r.text)

@@ -18,10 +18,20 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
 
   private def runBatches(
-      table: String, ckpt: String, delay: String)(
+      table: String, ckpt: String, delay: String, rocksDb: Boolean = false)(
       batches: Seq[Seq[(Long, String, java.sql.Timestamp, Array[Byte])]]): Unit = {
-    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    // rocksDb = true runs the suppressor on the production state store
+    // (GraftSession's default provider) in a conf-isolated sibling session —
+    // at 100 TB ingest the HDFS-backed store's in-heap state is the
+    // bottleneck, so both providers need green restart coverage
+    val s = if (!rocksDb) spark else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2
+    }
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
     val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
     batches.foreach { b =>
       stream.addData(b: _*)
@@ -48,6 +58,40 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 2L)
     assert(rej.head.getAs[Long]("matched_img") == 1L, "evidence names the survivor")
     assert(rej.head.getAs[Long]("min_dist") <= 3L)
+  }
+
+  test("perturbed redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
+    // the same scenario as above, on the provider a production session runs
+    // (GraftSession defaults to RocksDB): state must round-trip RocksDB's
+    // serialization across the query restart with identical verdicts
+    val base = Files.createTempDirectory("imgingest-rocks").toString
+    val t0 = 1700500000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes", rocksDb = true)(Seq(
+      Seq((1L, "camA", ts(t0), ImageCorpus.render(0L))),
+      Seq(
+        (2L, "camA", ts(t0 + 60), ImageCorpus.render(1L)),
+        (3L, "camB", ts(t0 + 60), ImageCorpus.render(30L)))))
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 2L)
+  }
+
+  test("an identical-id redelivery in one batch lands exactly once, not zero times") {
+    // both copies carry img_id 40; without the self-match skip the rollup
+    // group's min_dist=0 rejected BOTH and the image never landed (r8 ADVICE)
+    val base = Files.createTempDirectory("imgingest-selfid").toString
+    val t0 = 1700600000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((40L, "camA", ts(t0), ImageCorpus.render(12L)),
+        (40L, "camA", ts(t0 + 1), ImageCorpus.render(12L)))))
+    val kept = spark.read.parquet(s"$base/t").collect()
+    assert(kept.map(_.getAs[Long]("img_id")).toSeq == Seq(40L),
+      "the redelivered image must land exactly once")
+    if (new java.io.File(s"$base/t_rejects").exists())
+      assert(spark.read.parquet(s"$base/t_rejects").count() == 0,
+        "a self-redelivery is not a duplicate of another image")
   }
 
   test("same-batch exact duplicate keeps the earliest, rejects at distance 0") {

@@ -20,10 +20,19 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
       java.time.Instant.ofEpochSecond(tsSec)}"}"""
 
   private def runBatches(
-      table: String, ckpt: String, threshold: Double, delay: String)(
+      table: String, ckpt: String, threshold: Double, delay: String,
+      rocksDb: Boolean = false)(
       batches: Seq[Seq[String]]): Unit = {
-    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    // rocksDb = true: conf-isolated sibling session on the production
+    // provider (see ImageIngestSpec.runBatches)
+    val s = if (!rocksDb) spark else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2
+    }
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
     val stream = MemoryStream[String]
     batches.foreach { b =>
       stream.addData(b: _*)
@@ -52,6 +61,34 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(r.length == 1 && r.head.getAs[Long]("doc_id") == 2L)
     assert(r.head.getAs[Long]("matched_doc") == 1L, "evidence names the matched survivor")
     assert(r.head.getAs[Double]("max_est") >= 0.9)
+  }
+
+  test("edited redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
+    val base = Files.createTempDirectory("neardup-rocks").toString
+    val t0 = 1700500000L
+    runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes",
+      rocksDb = true)(Seq(
+      Seq(jsonl(1, body, t0)),
+      Seq(jsonl(2, body + " appended tail", t0 + 60),
+        jsonl(3, (200 to 280).map(i => s"other$i").mkString(" "), t0 + 60))))
+    val kept = spark.read.parquet(s"$base/t").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("doc_id") == 2L)
+  }
+
+  test("an identical-id redelivery in one batch lands exactly once, not zero times") {
+    val base = Files.createTempDirectory("neardup-selfid").toString
+    val t0 = 1700600000L
+    runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
+      Seq(jsonl(50, body, t0), jsonl(50, body, t0 + 1))))
+    val kept = spark.read.parquet(s"$base/t").collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(50L),
+      "the redelivered doc must land exactly once")
+    if (new java.io.File(s"$base/t_rejects").exists())
+      assert(spark.read.parquet(s"$base/t_rejects").count() == 0,
+        "a self-redelivery is not a duplicate of another doc")
   }
 
   test("exact duplicate estimates 1.0 and same-batch ties keep the earliest") {
