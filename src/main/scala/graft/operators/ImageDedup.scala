@@ -22,8 +22,15 @@ import graft.cv.ImageOps
   *  - verification is `bit_count(a XOR b) <= maxDist` per candidate —
   *    codegen'd integer ops, no second look at pixels.
   * A near-identical image cluster all lands in one band bucket: the skew
-  * story is identical to MinHash-LSH band buckets (AQE skew-join splits
-  * apply), and the candidate count is observable via the returned frame.
+  * story is identical to MinHash-LSH band buckets. AQE's OptimizeSkewedJoin
+  * splits such a bucket's reducer partition when its shuffle bytes exceed
+  * BOTH `spark.sql.adaptive.skewJoin.skewedPartitionFactor` (default 5)
+  * × the median partition AND `…skewedPartitionThresholdInBytes` (default
+  * 256 MB), re-planning it as partial-partition sub-joins sized by
+  * `spark.sql.adaptive.advisoryPartitionSizeInBytes` — demonstrated, with
+  * exactness preserved, by ImageDedupSpec's hot-bucket test (thresholds
+  * scaled to spec bytes; the same code path governs at 256 MB). The
+  * candidate count stays observable via the returned frame.
   *
   * Undecodable blobs hash to NULL and are dropped from pairing (they can
   * never be perceptual duplicates of anything); count them upstream with a

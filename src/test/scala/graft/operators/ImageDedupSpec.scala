@@ -101,6 +101,50 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
       s"mirrored re-post must be caught at distance 0 (got $pairs)")
   }
 
+  test("AQE splits a deliberately hot band bucket — and the split preserves exact results") {
+    // The band-join skew story ("AQE skew-join splits apply") demonstrated,
+    // not asserted: thousands of hashes share ONE 16-bit band slice (the
+    // shape a viral near-identical image cluster produces), so one reducer
+    // partition dwarfs the median. At production sizes the default
+    // skewedPartitionThresholdInBytes (256 MB) / advisoryPartitionSize
+    // (64 MB) govern; here both are scaled to spec bytes so the same
+    // OptimizeSkewedJoin path fires on ~100 KB partitions.
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    // 32 reducers (the production default) so the non-hot band rows spread
+    // thin and the hot bucket dwarfs the MEDIAN partition, as it would on a
+    // cluster — at the test session's 4 partitions the background dilutes
+    // the ratio below the skew factor
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sq = s2.sqlContext
+    import sq.implicits._
+    // hot: slice 0 (bits 0..15) identical, upper bits spread the ids;
+    // background: fully distinct hashes establishing the median bucket size
+    val hot = (0L until 4000L).map(i => (i, 0xAAAAL | (i << 16)))
+    val bg = (10000L until 10200L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+    val hashFrame = (hot ++ bg).toDF("id", "phash")
+    val result = ImageDedup.hammingNearDupPairs(hashFrame, maxDist = 3)
+    val got = result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("skewed"),
+      s"the hot band bucket must trigger an AQE skew split:\n$plan")
+    // exactness under the split: same pairs as driver-side brute force
+    val all = (hot ++ bg).toArray
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute,
+      s"skew-split changed results: missing=${(brute -- got).size} spurious=${(got -- brute).size}")
+  }
+
   test("undecodable blobs are dropped, not crashed on") {
     val rows = Seq(
       (1L, ImageCorpus.render(1L)),
