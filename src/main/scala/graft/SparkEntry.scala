@@ -6,14 +6,17 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The declared query inventory lives in [[graft.queries.RelationalQueries]]
-  * (q01–q51 + q31b relational/TPC-H/event-analytics shapes, incl. the
-  * recursive-CTE calendar fill) and [[graft.queries.ExtensionQueries]]
-  * (ext01–ext92 + ext40b dedup / similarity / text / TF-IDF / ANN-recall /
+  * (q01–q59 + q13b/q31b relational/TPC-H/event-analytics shapes, incl. the
+  * recursive-CTE calendar fill and the Spark-4 SQL surfaces) and
+  * [[graft.queries.ExtensionQueries]]
+  * (ext01–ext105 + ext40b dedup / similarity / text / TF-IDF / ANN-recall /
   * packing / mixing / indexing / chunking / quantization / heavy-hitter /
   * contamination / PCA / LM-score / BPE-tokenizer / IVF-PQ / MMR /
-  * classifier-training / layout / versioning / FIM / reweighting / privacy
-  * extensions); this object just flattens the catalog into the driver's
-  * Map shape.
+  * classifier-training / layout / versioning / FIM / reweighting / privacy /
+  * graph-centrality / monitoring / curation-funnel extensions plus the
+  * multimodal perceptual-dedup family ext101–ext105: image, audio, video,
+  * cross-modal gate, retention accounting — 167 catalog entries total);
+  * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {
 
