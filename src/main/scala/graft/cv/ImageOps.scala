@@ -185,6 +185,34 @@ object ImageOps {
     */
   def pHash64(img: DecodedImage): Long = hashFromDctBlock(lowFreqDct(img))
 
+  /** Horizontal flip (column reversal) of an interleaved frame. */
+  def hflip(img: DecodedImage): DecodedImage = {
+    val out = new Array[Byte](img.px.length)
+    var r = 0
+    while (r < img.rows) {
+      var c = 0
+      while (c < img.cols) {
+        val src = (r * img.cols + (img.cols - 1 - c)) * img.channels
+        val dst = (r * img.cols + c) * img.channels
+        var k = 0
+        while (k < img.channels) { out(dst + k) = img.px(src + k); k += 1 }
+        c += 1
+      }
+      r += 1
+    }
+    DecodedImage(img.rows, img.cols, img.channels, out)
+  }
+
+  /** MIRROR-CANONICAL dHash: min(dHash(img), dHash(hflip(img))) — the
+    * cheap-hash counterpart of [[pHash64MirrorCanonical]] for callers that
+    * hash RAW planes in bulk (video frame voting: two decodes of every
+    * frame would double the dominant cost, two dHashes of an
+    * already-decoded plane are nearly free). Flip runs on the full-res
+    * plane, so the canonicalization is exact regardless of frame geometry.
+    */
+  def dHash64MirrorCanonical(img: DecodedImage): Long =
+    math.min(dHash64(img), dHash64(hflip(img)))
+
   /** MIRROR-CANONICAL pHash: min(pHash(img), pHash(hflip(img))) — a
     * horizontally mirrored re-post (the most common image-dedup evasion in
     * scraped corpora) hashes IDENTICALLY to its original, so the banded

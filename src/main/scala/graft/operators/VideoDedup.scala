@@ -27,12 +27,18 @@ import graft.sources.Video
   */
 object VideoDedup {
 
-  /** GVID bytes → sampled frame hashes, NULL if undecodable. */
+  /** GVID bytes → sampled frame hashes, NULL if undecodable. Frame hashes
+    * are MIRROR-CANONICAL ([[ImageOps.dHash64MirrorCanonical]]) so a
+    * horizontally mirrored re-upload matches its original frame-for-frame —
+    * the same evasion the image path canonicalizes away; the temporal
+    * alignment vote is untouched (mirroring is spatial, frame indices keep
+    * their offsets).
+    */
   private def sampleHashUdf(everyNth: Int) = udf { bytes: Array[Byte] =>
     if (bytes == null) None
     else Video.decodeFrames(bytes).map { case (rows, cols, ch, _, frames) =>
       frames.zipWithIndex.collect { case (px, i) if i % everyNth == 0 =>
-        (i, ImageOps.dHash64(ImageOps.DecodedImage(rows, cols, ch, px)))
+        (i, ImageOps.dHash64MirrorCanonical(ImageOps.DecodedImage(rows, cols, ch, px)))
       }
     }
   }

@@ -102,6 +102,21 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
       s"post-filter denominator must score the surviving half 3/3 (got $pairs)")
   }
 
+  test("a horizontally mirrored re-upload is caught frame-for-frame") {
+    val a = Video.decodeFrames(VideoCorpus.render(0L)).get
+    val mirrored = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, fps = 10,
+      a._5.map { px =>
+        graft.cv.ImageOps.hflip(
+          graft.cv.ImageOps.DecodedImage(VideoCorpus.Side, VideoCorpus.Side, 3, px)).px
+      })
+    val df = Seq((0L, VideoCorpus.render(0L)), (700L, mirrored))
+      .toDF("doc_id", "gvid")
+    val pairs = VideoDedup.nearDupPairs(df, "gvid", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.get((0L, 700L)).contains(1.0),
+      s"mirror-canonical frame hashes must catch the flipped re-upload (got $pairs)")
+  }
+
   test("undecodable blobs are dropped, not crashed on") {
     val df = Seq(
       (1L, VideoCorpus.render(1L)),
