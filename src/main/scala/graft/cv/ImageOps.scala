@@ -88,17 +88,32 @@ object ImageOps {
     * small noise and resizing; Hamming distance between hashes ≈ visual
     * difference. Pure JVM, O(pixels) per image, map-side only.
     */
-  def dHash64(img: DecodedImage): Long = {
+  def dHash64(img: DecodedImage): Long =
+    dHashFromThumb(lumaThumb9x8(img), mirrored = false)
+
+  /** The 9×8 luma thumbnail both dHash variants read. */
+  private def lumaThumb9x8(img: DecodedImage): Array[Byte] = {
     val gray = Kernels.grayscale(img.px, img.rows, img.cols, img.channels)
-    val small = resizeBilinear(gray, img.rows, img.cols, 1, 8, 9)
+    resizeBilinear(gray, img.rows, img.cols, 1, 8, 9)
+  }
+
+  /** dHash bits from a 9×8 thumbnail; `mirrored` reads the columns
+    * right-to-left, which equals hashing the horizontally flipped image
+    * whenever the resize samples without edge clamping (every downscale —
+    * center-aligned sampling keeps source coordinates strictly interior),
+    * so the mirror hash costs 64 extra comparisons, not a second
+    * grayscale+resize pass.
+    */
+  private def dHashFromThumb(small: Array[Byte], mirrored: Boolean): Long = {
     var h = 0L
     var bit = 0
     var r = 0
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        if ((small(r * 9 + c) & 0xff) > (small(r * 9 + c + 1) & 0xff))
-          h |= 1L << bit
+        val a = if (mirrored) small(r * 9 + (8 - c)) & 0xff else small(r * 9 + c) & 0xff
+        val b = if (mirrored) small(r * 9 + (7 - c)) & 0xff else small(r * 9 + c + 1) & 0xff
+        if (a > b) h |= 1L << bit
         bit += 1
         c += 1
       }
@@ -203,15 +218,17 @@ object ImageOps {
     DecodedImage(img.rows, img.cols, img.channels, out)
   }
 
-  /** MIRROR-CANONICAL dHash: min(dHash(img), dHash(hflip(img))) — the
+  /** MIRROR-CANONICAL dHash: min(dHash(img), dHash(mirror)) — the
     * cheap-hash counterpart of [[pHash64MirrorCanonical]] for callers that
-    * hash RAW planes in bulk (video frame voting: two decodes of every
-    * frame would double the dominant cost, two dHashes of an
-    * already-decoded plane are nearly free). Flip runs on the full-res
-    * plane, so the canonicalization is exact regardless of frame geometry.
+    * hash RAW planes in bulk (video frame voting). ONE grayscale+resize
+    * pass: the mirror hash reads the same 9×8 thumbnail right-to-left
+    * (see [[dHashFromThumb]] — a full-plane hflip + second pass measured
+    * ~2× the whole ext104 map phase for identical bits).
     */
-  def dHash64MirrorCanonical(img: DecodedImage): Long =
-    math.min(dHash64(img), dHash64(hflip(img)))
+  def dHash64MirrorCanonical(img: DecodedImage): Long = {
+    val t = lumaThumb9x8(img)
+    math.min(dHashFromThumb(t, mirrored = false), dHashFromThumb(t, mirrored = true))
+  }
 
   /** MIRROR-CANONICAL pHash: min(pHash(img), pHash(hflip(img))) — a
     * horizontally mirrored re-post (the most common image-dedup evasion in
