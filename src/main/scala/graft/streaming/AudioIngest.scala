@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.AudioDedup
+
+/** Streaming AUDIO near-duplicate suppression — the audio instantiation of
+  * the modality-generic [[PerceptualIngest]] core, completing streaming
+  * parity with the batch dedup family (text [[NearDupIngest]], image
+  * [[ImageIngest]], audio here): an arriving clip is dropped when its
+  * spectral fingerprint ([[AudioDedup.fingerprint]] — the EXACT arithmetic
+  * of the batch pair join ext102, bucket keys via the shared band slices)
+  * sits within Hamming `maxDist` of ANY clip seen inside the watermark
+  * horizon, so a re-encoded, volume-normalized or resampled redelivery
+  * stays out of the landing table. See [[PerceptualIngest]] for the
+  * state/eviction/rollup contract.
+  */
+object AudioIngest {
+
+  /** End-to-end: (clip_id, source, ingest_ts, wav) stream → near-deduped
+    * landing table (kept clips, partitioned by source) + `<table>_rejects`
+    * with match evidence. */
+  def writeDeduped(
+      clips: DataFrame, table: String, checkpoint: String,
+      maxDist: Int = 3, watermarkDelay: String = "10 minutes",
+      maxPerBucket: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    PerceptualIngest.writeDeduped(
+      clips, AudioDedup.fingerprint, idCol = "clip_id", payloadCol = "wav",
+      table = table, checkpoint = checkpoint, maxDist = maxDist,
+      watermarkDelay = watermarkDelay, maxPerBucket = maxPerBucket,
+      rename = Map("item_id" -> "clip_id", "payload" -> "wav",
+        "matched_item" -> "matched_clip"))
+}

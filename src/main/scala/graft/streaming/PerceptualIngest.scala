@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.ImageDedup
+
+/** The MODALITY-GENERIC streaming perceptual near-duplicate suppressor —
+  * the Hamming-banded core of [[ImageIngest]] factored over any
+  * (id, 64-bit perceptual hash, binary payload): an arriving item is
+  * dropped when its fingerprint sits within Hamming `maxDist` of ANY item
+  * seen inside the watermark horizon. [[ImageIngest]] (mirror-canonical
+  * DCT pHash) and [[AudioIngest]] (spectral Goertzel fingerprint) are thin
+  * adapters over this object; a video adapter would pass a frame-vote
+  * fingerprint the same way.
+  *
+  * Batch/stream agreement: the caller supplies the SAME fingerprint column
+  * used by its batch pair join, and the bucket keys are
+  * [[ImageDedup.bandSlices]] — the exact arithmetic of the batch side, so
+  * both agree on what "near-duplicate" means and which band bucket a hash
+  * lands in (pigeonhole recall at the threshold holds per bucket exactly
+  * as in batch). One stateful operator keyed by (band, slice value);
+  * per-bucket state is watermark-evicted AND capped (`maxPerBucket`,
+  * oldest-out — the documented recall trade). An item's verdict rows all
+  * travel in its own micro-batch, so the per-item any-band rollup is plain
+  * batch work in the sink, exactly the [[NearDupIngest]] division of labor.
+  */
+object PerceptualIngest {
+
+  /** One band row; the binary payload rides ONCE (band 0) so the explode
+    * does not multiply the blob. */
+  final case class BandRow(
+      band: Int, key: Long, itemId: Long, source: String,
+      ts: java.sql.Timestamp, phash: Long, payload: Array[Byte])
+
+  final case class Entry(tsMillis: Long, itemId: Long, phash: Long)
+  final case class BucketState(entries: Seq[Entry])
+
+  /** Per-(item, band) verdict: the closest hash this band's bucket held —
+    * `dist` 64 (sentinel, farther than any threshold) when the bucket was
+    * empty; payload non-null only on band 0. */
+  final case class BandVerdict(
+      item_id: Long, source: String, ts_millis: Long, band: Int,
+      dist: Long, matched_item: Long, payload: Array[Byte])
+
+  /** Explode (`idCol`, source, ingest_ts, `payloadCol`) into watermarked
+    * band rows under `fingerprint` (NULL-hashing rows — undecodable blobs —
+    * are dropped map-side: they can duplicate nothing).
+    */
+  def bandRows(items: DataFrame, fingerprint: Column => Column,
+      idCol: String, payloadCol: String, watermarkDelay: String,
+      maxDist: Int = 3): Dataset[BandRow] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .withColumn("phash", fingerprint(col(payloadCol)))
+      .filter(col("phash").isNotNull)
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col(idCol), col("source"), col("ingest_ts"), col("phash"),
+        explode(ImageDedup.bandSlices(col("phash"), maxDist)).as("s"),
+        col(payloadCol))
+      .select(col("s.b").as("band"), col("s.v").as("key"),
+        col(idCol).as("itemId"), col("source"),
+        col("ingest_ts").as("ts"), col("phash"),
+        when(col("s.b") === 0, col(payloadCol)).as("payload"))
+      .as[BandRow]
+  }
+
+  /** The keyed state transition — rows in (ts, itemId) order so same-batch
+    * duplicates resolve deterministically (earliest survives). Self-id
+    * entries are skipped in the distance scan so an identical-id
+    * redelivery cannot reject itself through the rollup. */
+  private[streaming] def processBucket(ttlMillis: Long, maxPerBucket: Int)(
+      key: (Int, Long),
+      rows: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[BandVerdict] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val horizon = state.getCurrentWatermarkMs() - ttlMillis
+      var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+        .filter(_.tsMillis >= horizon)
+      val out = Seq.newBuilder[BandVerdict]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.itemId)).foreach { r =>
+        val tsMillis = r.ts.getTime
+        var best = 64L
+        var bestItem = -1L
+        entries.foreach { e =>
+          if (e.itemId != r.itemId) {
+            val d = java.lang.Long.bitCount(r.phash ^ e.phash).toLong
+            if (d < best) { best = d; bestItem = e.itemId }
+          }
+        }
+        out += BandVerdict(r.itemId, r.source, tsMillis, r.band,
+          best, bestItem, r.payload)
+        entries = (entries :+ Entry(tsMillis, r.itemId, r.phash))
+          .sortBy(e => (e.tsMillis, e.itemId)).takeRight(maxPerBucket)
+      }
+      if (entries.isEmpty) state.remove()
+      else {
+        state.update(BucketState(entries))
+        state.setTimeoutTimestamp(math.max(
+          entries.map(_.tsMillis).max + ttlMillis,
+          state.getCurrentWatermarkMs() + 1))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Band rows → per-(item, band) verdicts through the keyed state store. */
+  def verdicts(rows: Dataset[BandRow], ttlMillis: Long,
+      maxPerBucket: Int = 256): Dataset[BandVerdict] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        processBucket(ttlMillis, maxPerBucket))(
+        Encoders.product[BucketState], Encoders.product[BandVerdict])
+  }
+
+  /** Per-item rollup of one micro-batch's verdicts: keep iff the CLOSEST
+    * match across all bands stays beyond `maxDist`. Output: (item_id,
+    * source, ingest_ts, payload, min_dist, matched_item, keep). */
+  def rollup(batch: DataFrame, maxDist: Int): DataFrame =
+    batch.groupBy(col("item_id"))
+      .agg(
+        first(col("source")).as("source"),
+        timestamp_millis(first(col("ts_millis"))).as("ingest_ts"),
+        first(col("payload"), ignoreNulls = true).as("payload"),
+        min(col("dist")).as("min_dist"),
+        // tie-break the evidence item deterministically
+        min_by(col("matched_item"), struct(col("dist"), col("matched_item")))
+          .as("matched_item"))
+      .withColumn("keep", col("min_dist") > maxDist)
+
+  /** End-to-end: (`idCol`, source, ingest_ts, `payloadCol`) stream →
+    * near-deduped landing table (kept items, partitioned by source) +
+    * `<table>_rejects` with match evidence. `rename` maps the neutral
+    * output columns back to the adapter's modality vocabulary
+    * (e.g. item_id → img_id) so each modality's tables keep their natural
+    * schema. */
+  def writeDeduped(
+      items: DataFrame, fingerprint: Column => Column,
+      idCol: String, payloadCol: String,
+      table: String, checkpoint: String,
+      maxDist: Int = 3, watermarkDelay: String = "10 minutes",
+      maxPerBucket: Int = 256,
+      rename: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    require(iv.months == 0, "watermarkDelay must not use month units")
+    val ttlMillis = iv.days * 86400000L + iv.microseconds / 1000L
+    verdicts(bandRows(items, fingerprint, idCol, payloadCol, watermarkDelay,
+      maxDist), ttlMillis, maxPerBucket)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val renamed = rename.foldLeft(rollup(batch, maxDist)) {
+          case (df, (from, to)) => df.withColumnRenamed(from, to)
+        }
+        val r = renamed.cache()
+        try {
+          r.filter(col("keep")).drop("keep")
+            .repartition(col("source"))
+            .write.mode("append").partitionBy("source").parquet(table)
+          r.filter(!col("keep")).drop("keep")
+            .write.mode("append").parquet(s"${table}_rejects")
+        } finally { r.unpersist(); () }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.cv.AudioOps
+import graft.sources.AudioCorpus
+
+/** Streaming audio near-dup suppression through the modality-generic
+  * PerceptualIngest core: a volume-normalized redelivery must drop across
+  * a restart (the case a byte digest cannot catch), the streaming keep set
+  * must equal the batch pair-table survivors exactly (same fingerprint +
+  * banding on both sides), and undecodable blobs must drop map-side.
+  */
+class AudioIngestSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  private def runBatches(
+      table: String, ckpt: String, delay: String)(
+      batches: Seq[Seq[(Long, String, java.sql.Timestamp, Array[Byte])]]): Unit = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    batches.foreach { b =>
+      stream.addData(b: _*)
+      // a NEW query per batch group: restart-resilience is part of the test
+      AudioIngest.writeDeduped(
+        stream.toDF().toDF("clip_id", "source", "ingest_ts", "wav"),
+        table, ckpt, maxDist = 3, watermarkDelay = delay)
+        .awaitTermination()
+    }
+  }
+
+  test("volume-normalized redelivery drops across a restart; distinct clip passes") {
+    // halve the amplitude: the spectral fingerprint is invariant under ln,
+    // so the redelivery sits at Hamming ~0 of the original
+    val a = AudioOps.decodeWav(AudioCorpus.render(0L)).get
+    val quiet = AudioOps.encodeWav(a.sampleRate, a.channels,
+      a.samples.map(s => (s / 2).toShort))
+    val base = Files.createTempDirectory("audingest").toString
+    val t0 = 1700000000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((1L, "podA", ts(t0), AudioCorpus.render(0L))),
+      Seq( // batch 2, next query restart: state must carry over
+        (2L, "podA", ts(t0 + 60), quiet), // normalized copy → drop
+        (3L, "podB", ts(t0 + 60), AudioCorpus.render(30L))))) // other family → keep
+    val kept = spark.read.parquet(s"$base/t")
+    assert(kept.select("clip_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(kept.filter("wav IS NULL").count() == 0, "kept rows carry the blob")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("clip_id") == 2L)
+    assert(rej.head.getAs[Long]("matched_clip") == 1L, "evidence names the survivor")
+    assert(rej.head.getAs[Long]("min_dist") <= 3L)
+  }
+
+  test("stream/batch parity is EXACT: streaming keep set == batch pair-table survivors") {
+    import spark.implicits._
+    val ids = 0L until 30L
+    val batchPairs = graft.operators.AudioDedup.nearDupPairs(
+      AudioCorpus.forIds(ids.toDF("doc_id"), "doc_id"),
+      "wav", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedKeep = ids.toSet -- batchPairs.map(_._2).toSet
+    val base = Files.createTempDirectory("audingest-parity").toString
+    val t0 = 1700400000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      ids.map(i => (i, "pod", ts(t0 + i), AudioCorpus.render(i)))))
+    val kept = spark.read.parquet(s"$base/t").select("clip_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expectedKeep,
+      s"missing=${expectedKeep -- kept} spurious=${kept -- expectedKeep}")
+  }
+
+  test("undecodable blobs are dropped map-side, not landed and not crashed on") {
+    val base = Files.createTempDirectory("audingest-junk").toString
+    val t0 = 1700300000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((30L, "podA", ts(t0), AudioCorpus.render(9L)),
+        (31L, "podA", ts(t0), Array[Byte](82, 73, 70, 70))))) // truncated RIFF
+    val kept = spark.read.parquet(s"$base/t").select("clip_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(30L))
+    if (new java.io.File(s"$base/t_rejects").exists())
+      assert(spark.read.parquet(s"$base/t_rejects").count() == 0,
+        "an undecodable blob is not a duplicate — nothing lands in rejects")
+  }
+}
