@@ -54,7 +54,8 @@ object ExtensionQueries {
     graft.operators.MaterializedPairs.setSimPairs(
       Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.8, key = dir)
 
-  /** The IMAGE near-dup pair table (standard synthetic corpus, dHash,
+  /** The IMAGE near-dup pair table (standard synthetic corpus, mirror-
+    * canonical DCT pHash,
     * Hamming ≤ 3) materialized once per session and shared by ext101 (the
     * pairs), ext103 (the cross-modal AND gate's image side) and ext105
     * (retention accounting) — the same one-pairs-job-many-consumers shape
@@ -3567,7 +3568,8 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------ EXT101
     // IMAGE-column perceptual near-dup — the multimodal dedup gap closed:
-    // dHash fingerprints over encoded PNG binaries + a Hamming-banded
+    // mirror-canonical DCT pHash fingerprints (a horizontally mirrored
+    // re-post hashes identically) over encoded PNG binaries + a Hamming-banded
     // self-join (the ext08 band trick in Hamming space — equi-join on
     // 16-bit hash slices, never all-pairs; pigeonhole gives perfect
     // recall at Hamming ≤ 3). The corpus is the deterministic synthetic
@@ -3585,9 +3587,10 @@ object ExtensionQueries {
 
     // ------------------------------------------------------------ EXT102
     // AUDIO-column perceptual near-dup — third modality on the SAME
-    // Hamming-banded core as ext101: RIFF/WAV parse → 65-segment energy
-    // envelope → 64-bit temporal fingerprint (amplitude/resample/duration
-    // invariant, AudioOps.audioHash64), then the shared bit-slice
+    // Hamming-banded core as ext101: RIFF/WAV parse → 65-segment SPECTRAL
+    // fingerprint (ln(rms) + Goertzel-bank log-frequency centroid —
+    // amplitude/resample/duration invariant AND pitch-sensitive,
+    // AudioOps.spectralHash64), then the shared bit-slice
     // candidate join + bit_count verification. Corpus = deterministic
     // synthetic WAV families ([[graft.sources.AudioCorpus]]). Rows-only
     // (no audio stack in DuckDB); AudioDedupSpec pins invariances,
@@ -3639,7 +3642,8 @@ object ExtensionQueries {
     // VIDEO-column perceptual near-dup — the modality triad closed
     // (images ext101, audio ext102, video here), composed from existing
     // pieces: GVID decode (the stubbed codec boundary, sources/Video) →
-    // every-2nd-frame sampling → per-sampled-frame dHash on the raw plane
+    // every-2nd-frame sampling → per-sampled-frame mirror-canonical dHash
+    // on the raw plane
     // (no PNG round-trip) → the SAME Hamming-banded core at FRAME level →
     // video-level vote (≥60% of the shorter side's sampled frames match
     // within Hamming ≤ 3). Robust to re-encodes, intro/outro edits and
@@ -3662,7 +3666,7 @@ object ExtensionQueries {
     // Image dedup RETENTION accounting — the proof that the
     // pairs → transitive clusters → min-id survivor → per-source
     // accounting chain (ext29/ext84's text shape) is MODALITY-GENERIC:
-    // the pair table is ext101's Hamming-banded dHash join, the cluster
+    // the pair table is ext101's memoized Hamming-banded pHash join, the cluster
     // step is the same pointer-jumped clusterPairs, the survivor policy
     // the same min-id-per-cluster window, and the rollup joins the
     // documents table's source column back on — per source: images_total,
