@@ -374,9 +374,14 @@ object Dedup {
     * cluster_id = the component's minimum doc id.
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // pre-partition the (persisted) edge frame on its per-round join key —
+    // the cached InMemoryRelation then carries hash(dst) partitioning into
+    // EVERY round's neighbor join, so only the label frame reshuffles per
+    // round (the Centrality r9 discipline; the edge side is the larger one
+    // on any real dup graph)
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("dst")).persist()
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     // LAZY localCheckpoint: the lblSum convergence probe is then the single
