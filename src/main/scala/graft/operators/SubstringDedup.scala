@@ -156,6 +156,77 @@ object SubstringDedup {
     * [[samplingRecallAudit]]: audit tooling — run on a slice at corpus
     * scale. Output: (doc_id, n_chars, n_islands, dup_chars, dup_fraction).
     */
+  /** REMEDIATION for cross-document duplicated text — the step Lee et al.
+    * 2022 actually apply after detection: EXCISE every duplicated span from
+    * every document except one canonical copy, rather than dropping whole
+    * documents (doc-level dedup loses the unique text around boilerplate;
+    * span removal keeps it). Policy: for each duplicated window text the
+    * occurrence(s) in the LOWEST doc_id survive; every other document's
+    * occurrences are cut. Overlapping removable windows merge into maximal
+    * char intervals first (the [[duplicatedCoverage]] island step, so
+    * nothing is double-cut), then each document's surviving text is the
+    * ordered concatenation of its uncut segments — rebuilt with built-in
+    * `aggregate`/`substring` over the per-doc sorted cut list, no UDF on
+    * the rebuild path.
+    *
+    * Scale shape: detection here is the exact window enumeration (audit
+    * tier, like [[duplicatedCoverage]] — at corpus scale the cut list
+    * comes from [[duplicatedSpans]]' content-sampled windows instead; the
+    * excision stage is detector-agnostic, it only consumes (doc_id, s, e)
+    * intervals). The per-doc cut list is bounded by n_chars/window — each
+    * island spans ≥ `window` chars and islands are disjoint — so the
+    * collect is as bounded as holding the document itself.
+    *
+    * Output, every document present (untouched docs keep their full text):
+    * (doc_id, n_chars, n_spans, removed_chars, kept_chars, cleaned_digest)
+    * where kept_chars = length of the rebuilt text (≡ n_chars −
+    * removed_chars, a hash-checked invariant) and cleaned_digest = md5 of
+    * the rebuilt text — the digest makes the oracle verify the
+    * RECONSTRUCTION, not just the arithmetic.
+    */
+  def spanRemoval(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byDoc = W.partitionBy("doc_id").orderBy("pos")
+    val spans = duplicatedSpans(docs, textCol, idCol, window, hexPrefix = "")
+    // canonical copy per duplicated window text = lowest doc_id holding it
+    val keepers = spans.groupBy("h").agg(min(col("doc_id")).as("keep_doc"))
+    val removable = spans.join(keepers, "h")
+      .where(col("doc_id") =!= col("keep_doc"))
+      .select("doc_id", "pos").distinct()
+    val cuts = removable
+      .withColumn("newgrp",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= window - 1, 0L)
+          .otherwise(1L))
+      .withColumn("grp", sum(col("newgrp"))
+        .over(byDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (window - 1)).as("e"))
+    val perDoc = cuts.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("removed_chars"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("cleaned",
+        when(col("cuts").isNull, col("text")).otherwise(expr(
+          """aggregate(cuts,
+               struct(cast('' as string) as acc, 1L as cur),
+               (a, c) -> struct(
+                 concat(a.acc,
+                   substring(text, cast(a.cur as int), cast(c.s - a.cur as int))),
+                 c.e + 1L),
+               a -> concat(a.acc,
+                 substring(text, cast(a.cur as int),
+                   length(text) - cast(a.cur as int) + 1)))""")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(col("cleaned")).cast("long").as("kept_chars"),
+        md5(col("cleaned")).as("cleaned_digest"))
+  }
+
   def duplicatedCoverage(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}

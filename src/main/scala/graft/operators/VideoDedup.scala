@@ -27,6 +27,18 @@ import graft.sources.Video
   */
 object VideoDedup {
 
+  /** Low-information frame band: a sampled frame's mirror-canonical dHash
+    * participates in pairing only when its popcount sits in
+    * [LowInfoMinBits, LowInfoMaxBits] — shared with [[graft.streaming.VideoIngest]]
+    * so batch and stream agree bit-for-bit on which frames carry identity. */
+  val LowInfoMinBits = 4
+  val LowInfoMaxBits = 60
+
+  def informativeHash(h: Long): Boolean = {
+    val b = java.lang.Long.bitCount(h)
+    b >= LowInfoMinBits && b <= LowInfoMaxBits
+  }
+
   /** GVID bytes → sampled frame hashes, NULL if undecodable. Frame hashes
     * are MIRROR-CANONICAL ([[ImageOps.dHash64MirrorCanonical]]) so a
     * horizontally mirrored re-upload matches its original frame-for-frame —
@@ -93,8 +105,8 @@ object VideoDedup {
       // the CORPUS, not the content — the one skew source the banded join
       // cannot bound. Standard fingerprinting practice (same reason
       // audio fingerprints skip silence).
-      .filter(bit_count(col("phash")) >= lit(4) &&
-        bit_count(col("phash")) <= lit(60))
+      .filter(bit_count(col("phash")) >= lit(LowInfoMinBits) &&
+        bit_count(col("phash")) <= lit(LowInfoMaxBits))
       .localCheckpoint(false)
     // frame-level banded join on a composite key; same-video collisions
     // (static scenes) are dropped by the different-video filter

@@ -3694,6 +3694,118 @@ object ExtensionQueries {
               .cast("double") / col("images_total"), 6).as("dup_ratio"))
           .orderBy("source")
       },
+      None),
+
+    // ------------------------------------------------------------ EXT106
+    // Duplicated-SPAN REMOVAL — the remediation Lee et al. 2022 actually
+    // apply downstream of detection (ext42/ext80/ext81 find the spans;
+    // this entry CUTS them): every cross-document duplicated 64-char
+    // window is excised from every document except the lowest-doc_id
+    // canonical copy, overlapping windows merged into maximal intervals
+    // first so nothing is double-cut, and each document's surviving text
+    // is rebuilt as the ordered concatenation of its uncut segments
+    // (built-in aggregate/substring fold — no UDF on the rebuild path).
+    // The output carries md5(rebuilt text), so the oracle hash-checks the
+    // RECONSTRUCTION itself, not just the removed-char arithmetic. At
+    // corpus scale the cut list comes from the content-sampled detector
+    // (spanRemoval is detector-agnostic); the exact enumeration here is
+    // the same audit-tier discipline as ext80/ext81.
+    QueryDef(
+      "ext106_span_removal",
+      (s, dir) => graft.operators.SubstringDedup.spanRemoval(
+        Tables.documents(s, dir), "text", "doc_id", window = 64),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+        d AS (SELECT h, MIN(doc_id) AS keep_doc FROM w
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        rd AS (SELECT DISTINCT w.doc_id, w.pos
+               FROM w JOIN d USING (h) WHERE w.doc_id <> d.keep_doc),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           <= 63
+                      THEN 0 ELSE 1 END AS newgrp
+          FROM rd),
+        g AS (
+          SELECT doc_id, pos,
+                 SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl),
+        cuts AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 63 AS e
+          FROM g GROUP BY doc_id, grp),
+        seg AS (
+          SELECT doc_id, s, e,
+                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+          FROM cuts),
+        pieces AS (
+          SELECT sg.doc_id,
+                 string_agg(substr(dd.text, CAST(sg.pe + 1 AS INT),
+                                   CAST(GREATEST(sg.s - sg.pe - 1, 0) AS INT)),
+                            '' ORDER BY sg.s) AS head,
+                 MAX(sg.e) AS last_e,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(sg.e - sg.s + 1) AS BIGINT) AS removed_chars
+          FROM seg sg JOIN documents dd USING (doc_id)
+          GROUP BY sg.doc_id),
+        cl AS (
+          SELECT dd.doc_id,
+                 CAST(LENGTH(dd.text) AS BIGINT) AS n_chars,
+                 COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+                 COALESCE(p.removed_chars, CAST(0 AS BIGINT)) AS removed_chars,
+                 CASE WHEN p.doc_id IS NULL THEN dd.text
+                      ELSE p.head || substr(dd.text, CAST(p.last_e + 1 AS INT))
+                 END AS cleaned
+          FROM documents dd LEFT JOIN pieces p USING (doc_id))
+        SELECT doc_id, n_chars, n_spans, removed_chars,
+               CAST(LENGTH(cleaned) AS BIGINT) AS kept_chars,
+               md5(cleaned) AS cleaned_digest
+        FROM cl
+      """), bench = false), // audit-tier exact enumeration, like ext80/ext81
+
+    // ------------------------------------------------------------ EXT107
+    // EITHER-modality multimodal retention — the OR-gate dual of ext103's
+    // AND gate, closing the composition square: ext103 verifies a pair
+    // only when image AND audio agree (precision-biased — the dedup
+    // verdict); this entry drops a document when its TEXT OR its IMAGE
+    // near-duplicates a survivor (recall-biased — the conservative
+    // curation gate a mixed text+image corpus ships with, where EITHER
+    // channel repeating is enough to call the item redundant). Edge set =
+    // union of the corpus-wide word-3-gram J>=0.8 pair table and ext101's
+    // Hamming-banded image pair table — BOTH memoized via
+    // MaterializedPairs, so this entry pays zero new pair jobs — then the
+    // same pointer-jumped clusters / min-id survivor / per-source rollup
+    // as ext105. Text edges BRIDGE image families (and vice versa), so
+    // kept counts here are <= ext105's per source — the gap is the
+    // cross-modal signal. Rows-only (image side); the OR superset-of-
+    // either-modality drop containment is spec-pinned in ImageDedupSpec.
+    QueryDef(
+      "ext107_multimodal_retention_or",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source")
+        val textEdges = sharedSetSimPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+        val imageEdges = sharedImagePairs(s, dir)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val clusters = graft.operators.Dedup.clusterPairs(
+          textEdges.union(imageEdges).distinct())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("doc_id")
+        docs.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("is_kept", row_number().over(w) === 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("items_total"),
+            sum(when(col("is_kept"), 1L).otherwise(0L)).as("items_kept"))
+          .select(col("source"), col("items_total"), col("items_kept"),
+            (col("items_total") - col("items_kept")).as("dropped"),
+            round((col("items_total") - col("items_kept"))
+              .cast("double") / col("items_total"), 6).as("dup_ratio"))
+          .orderBy("source")
+      },
       None)
   )
 }

@@ -12,8 +12,9 @@ import graft.operators.ImageDedup
   * dropped when its fingerprint sits within Hamming `maxDist` of ANY item
   * seen inside the watermark horizon. [[ImageIngest]] (mirror-canonical
   * DCT pHash) and [[AudioIngest]] (spectral Goertzel fingerprint) are thin
-  * adapters over this object; a video adapter would pass a frame-vote
-  * fingerprint the same way.
+  * adapters over this object; [[VideoIngest]] rides the same core at FRAME
+  * granularity with a packed composite id and a clip-level alignment vote
+  * in its sink.
   *
   * Batch/stream agreement: the caller supplies the SAME fingerprint column
   * used by its batch pair join, and the bucket keys are
@@ -27,6 +28,16 @@ import graft.operators.ImageDedup
   * batch work in the sink, exactly the [[NearDupIngest]] division of labor.
   */
 object PerceptualIngest {
+
+  /** Watermark-delay string → state TTL in millis (day-time intervals only —
+    * month units have no fixed millis). Shared by every adapter's
+    * writeDeduped. */
+  private[streaming] def ttlMillisOf(watermarkDelay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    require(iv.months == 0, "watermarkDelay must not use month units")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 
   /** One band row; the binary payload rides ONCE (band 0) so the explode
     * does not multiply the blob. */
@@ -70,8 +81,13 @@ object PerceptualIngest {
   /** The keyed state transition — rows in (ts, itemId) order so same-batch
     * duplicates resolve deterministically (earliest survives). Self-id
     * entries are skipped in the distance scan so an identical-id
-    * redelivery cannot reject itself through the rollup. */
-  private[streaming] def processBucket(ttlMillis: Long, maxPerBucket: Int)(
+    * redelivery cannot reject itself through the rollup. `sameGroup`
+    * generalizes that skip for adapters whose items are FRAGMENTS of a
+    * larger unit ([[VideoIngest]]: itemId packs (video, frame), and a
+    * static scene's sibling frames must not shadow a true cross-video
+    * match) — default is plain id equality. */
+  private[streaming] def processBucket(ttlMillis: Long, maxPerBucket: Int,
+      sameGroup: (Long, Long) => Boolean = _ == _)(
       key: (Int, Long),
       rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[BandVerdict] = {
@@ -88,7 +104,7 @@ object PerceptualIngest {
         var best = 64L
         var bestItem = -1L
         entries.foreach { e =>
-          if (e.itemId != r.itemId) {
+          if (!sameGroup(e.itemId, r.itemId)) {
             val d = java.lang.Long.bitCount(r.phash ^ e.phash).toLong
             if (d < best) { best = d; bestItem = e.itemId }
           }
@@ -111,14 +127,15 @@ object PerceptualIngest {
 
   /** Band rows → per-(item, band) verdicts through the keyed state store. */
   def verdicts(rows: Dataset[BandRow], ttlMillis: Long,
-      maxPerBucket: Int = 256): Dataset[BandVerdict] = {
+      maxPerBucket: Int = 256,
+      sameGroup: (Long, Long) => Boolean = _ == _): Dataset[BandVerdict] = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows
       .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState[BucketState, BandVerdict](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        processBucket(ttlMillis, maxPerBucket))(
+        processBucket(ttlMillis, maxPerBucket, sameGroup))(
         Encoders.product[BucketState], Encoders.product[BandVerdict])
   }
 
@@ -150,10 +167,7 @@ object PerceptualIngest {
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
       maxPerBucket: Int = 256,
       rename: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
-    require(iv.months == 0, "watermarkDelay must not use month units")
-    val ttlMillis = iv.days * 86400000L + iv.microseconds / 1000L
+    val ttlMillis = ttlMillisOf(watermarkDelay)
     verdicts(bandRows(items, fingerprint, idCol, payloadCol, watermarkDelay,
       maxDist), ttlMillis, maxPerBucket)
       .toDF()

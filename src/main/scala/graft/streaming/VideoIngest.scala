@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.cv.ImageOps
+import graft.operators.{ImageDedup, VideoDedup}
+import graft.sources.Video
+
+/** Streaming VIDEO near-duplicate suppression — the third modality adapter
+  * over the [[PerceptualIngest]] core, completing the streaming triad
+  * (text [[NearDupIngest]], image [[ImageIngest]], audio [[AudioIngest]],
+  * video here). A video is not one hash but a BAG of sampled frame hashes,
+  * so the adapter fans each arriving clip into per-frame band rows
+  * (mirror-canonical dHash on every `everyNth` decoded frame, the EXACT
+  * arithmetic of the batch pair join ext104 — sampling stride,
+  * low-information filter band [[VideoDedup.LowInfoMinBits]] and banding
+  * [[ImageDedup.bandSlices]] all shared), routes them through the SAME
+  * (band, slice)-keyed watermark-evicted state, and votes at video level
+  * in the sink: the clip is rejected when ≥ `minOverlap` of its surviving
+  * sampled frames match ONE retained video at ONE temporal alignment
+  * (±`everyNth` frame-offset window — ext104's montage rejection, so a
+  * shuffled recut of retained footage does not count as a re-upload).
+  *
+  * Frame identity rides the core's Long itemId as a packed composite
+  * (video_id << 20 | frame_idx); the core's `sameGroup` skip compares the
+  * video prefix so a static scene's sibling frames can neither reject
+  * their own clip nor shadow a true cross-video match in the best-match
+  * scan.
+  *
+  * Streaming asymmetries vs the batch twin, stated: the overlap
+  * denominator is the ARRIVING clip's surviving frame count only (the
+  * retained side's count lives in evicted state, not in this batch) — the
+  * containment semantics of ext104's "shorter side" when the arriving
+  * clip is the shorter, conservative otherwise; and per (frame, band) the
+  * state reports the single closest retained frame, so when several
+  * retained near-dups share a bucket the per-video vote undercounts —
+  * suppression evidence is the best single alignment found, never a
+  * false merge. An all-low-information clip (every sampled frame filtered)
+  * carries no fingerprintable identity and is dropped like an undecodable
+  * blob — same contract as the batch path, which can never pair it.
+  */
+object VideoIngest {
+
+  /** Frame-index bits in the packed composite id: frame_idx < 2^20 (~1M
+    * sampled frames per clip) and video ids below 2^43 — enforced at
+    * pack time. */
+  val FrameBits = 20
+  private val FrameMask = (1L << FrameBits) - 1
+
+  /** gvid bytes → surviving sampled (frame_idx, mirror-canonical dHash):
+    * decode, stride-sample, hash, low-info filter — all one map-side pass,
+    * None when undecodable, empty when nothing informative survives. */
+  private def sampleUdf(everyNth: Int) = udf { bytes: Array[Byte] =>
+    if (bytes == null) None
+    else Video.decodeFrames(bytes).map { case (rows, cols, ch, _, frames) =>
+      frames.zipWithIndex.collect { case (px, i) if i % everyNth == 0 =>
+        (i, ImageOps.dHash64MirrorCanonical(ImageOps.DecodedImage(rows, cols, ch, px)))
+      }.filter { case (_, h) => VideoDedup.informativeHash(h) }
+    }
+  }
+
+  /** (`idCol`, source, ingest_ts, `videoCol`) stream → watermarked per-frame
+    * band rows under the packed composite id. The gvid payload rides exactly
+    * ONCE per clip (its first surviving frame's band-0 row), so neither the
+    * frame fan-out nor the band explode multiplies the blob.
+    */
+  def frameBandRows(videos: DataFrame, idCol: String, videoCol: String,
+      watermarkDelay: String, everyNth: Int = 2,
+      maxDist: Int = 3): Dataset[PerceptualIngest.BandRow] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos
+      .select(col(idCol).as("vid"), col("source"), col("ingest_ts"),
+        sampleUdf(everyNth)(col(videoCol)).as("fs"), col(videoCol).as("blob"))
+      .filter(col("fs").isNotNull && size(col("fs")) > 0)
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col("vid"), col("source"), col("ingest_ts"), col("blob"),
+        posexplode(col("fs")).as(Seq("p", "f")))
+      .withColumn("fid",
+        when(col("vid").between(0L, (1L << (63 - FrameBits)) - 1) &&
+          col("f._1") < (1 << FrameBits),
+          shiftleft(col("vid"), FrameBits).bitwiseOR(col("f._1").cast("long")))
+          .otherwise(raise_error(concat(lit("VideoIngest: id/frame out of "),
+            lit(s"packing range (id < 2^${63 - FrameBits}, frame < 2^$FrameBits)")))))
+      .select(explode(ImageDedup.bandSlices(col("f._2"), maxDist)).as("s"),
+        col("fid"), col("source"), col("ingest_ts"), col("f._2").as("phash"),
+        col("p"), col("blob"))
+      .select(col("s.b").as("band"), col("s.v").as("key"),
+        col("fid").as("itemId"), col("source"),
+        col("ingest_ts").as("ts"), col("phash"),
+        when(col("s.b") === 0 && col("p") === 0, col("blob")).as("payload"))
+      .as[PerceptualIngest.BandRow]
+  }
+
+  /** Per-clip vote over one micro-batch's frame-level verdicts (all of a
+    * clip's band rows share its micro-batch, so this is plain batch work —
+    * the [[PerceptualIngest]] division of labor): matched frames are
+    * histogrammed per (arriving clip, retained video, frame offset), the
+    * best ±`everyNth` offset window per retained video is the clip's
+    * aligned support, and the clip keeps iff its best support over ALL
+    * retained videos stays below `minOverlap` of its surviving frames.
+    * Output: (vid_id, source, ingest_ts, gvid, n_frames, matched_vid,
+    * overlap_ratio, keep).
+    */
+  def rollup(batch: DataFrame, maxDist: Int, everyNth: Int,
+      minOverlap: Double): DataFrame = {
+    val v = batch
+      .withColumn("vid_id", shiftright(col("item_id"), FrameBits))
+      .withColumn("own_f", col("item_id").bitwiseAND(lit(FrameMask)))
+    val base = v.groupBy(col("vid_id"))
+      .agg(first(col("source")).as("source"),
+        timestamp_millis(first(col("ts_millis"))).as("ingest_ts"),
+        first(col("payload"), ignoreNulls = true).as("gvid"),
+        countDistinct(col("own_f")).as("n_frames"))
+    val perOffset = v
+      .filter(col("dist") <= maxDist && col("matched_item") >= 0)
+      .withColumn("matched_vid", shiftright(col("matched_item"), FrameBits))
+      .withColumn("off",
+        col("own_f") - col("matched_item").bitwiseAND(lit(FrameMask)))
+      .groupBy(col("vid_id"), col("matched_vid"), col("off"))
+      .agg(countDistinct(col("own_f")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid_id", "matched_vid").orderBy("off")
+      .rangeBetween(-everyNth, everyNth)
+    val best = perOffset
+      .withColumn("win", sum(col("cnt")).over(w))
+      .groupBy(col("vid_id"), col("matched_vid"))
+      .agg(max(col("win")).as("aligned"))
+      // best single retained video per clip; ties → lower matched_vid
+      .groupBy(col("vid_id"))
+      .agg(max(struct(col("aligned"), (-col("matched_vid")).as("nm"))).as("b"))
+      .select(col("vid_id"), col("b.aligned").as("aligned_frames"),
+        (-col("b.nm")).as("matched_vid"))
+    base.join(best, Seq("vid_id"), "left")
+      .withColumn("overlap_ratio",
+        least(lit(1.0), round(coalesce(col("aligned_frames"), lit(0L))
+          .cast("double") / col("n_frames"), 6)))
+      .select(col("vid_id"), col("source"), col("ingest_ts"), col("gvid"),
+        col("n_frames"), col("matched_vid"), col("overlap_ratio"),
+        (col("overlap_ratio") < minOverlap).as("keep"))
+  }
+
+  /** End-to-end: (vid_id, source, ingest_ts, gvid) stream → near-deduped
+    * landing table (kept clips, partitioned by source) + `<table>_rejects`
+    * with (matched_vid, overlap_ratio, n_frames) match evidence. */
+  def writeDeduped(
+      videos: DataFrame, table: String, checkpoint: String,
+      everyNth: Int = 2, maxDist: Int = 3, minOverlap: Double = 0.6,
+      watermarkDelay: String = "10 minutes",
+      maxPerBucket: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ttlMillis = PerceptualIngest.ttlMillisOf(watermarkDelay)
+    PerceptualIngest.verdicts(
+      frameBandRows(videos, "vid_id", "gvid", watermarkDelay, everyNth, maxDist),
+      ttlMillis, maxPerBucket,
+      sameGroup = (a, b) => (a >> FrameBits) == (b >> FrameBits))
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = rollup(batch, maxDist, everyNth, minOverlap).cache()
+        try {
+          r.filter(col("keep")).drop("keep", "matched_vid", "overlap_ratio")
+            .repartition(col("source"))
+            .write.mode("append").partitionBy("source").parquet(table)
+          r.filter(!col("keep")).drop("keep", "gvid")
+            .write.mode("append").parquet(s"${table}_rejects")
+        } finally { r.unpersist(); () }
+      }
+      .start()
+  }
+}

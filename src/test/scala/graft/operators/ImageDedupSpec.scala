@@ -197,6 +197,58 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out.values.map(_._3).sum > 0, "duplicate drops must be live")
   }
 
+  test("ext107 OR-gate retention: union clusters match a reference union-find; kept <= ext105") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    // reference edge set: corpus-wide text pairs (the ext82 table) UNION
+    // the known image family structure (ImageCorpus: ids pair iff id/3)
+    val textPairs = MaterializedPairs.setSimPairs(
+      graft.sources.Tables.documents(spark, dir), "text", "doc_id",
+      n = 3, threshold = 0.8, key = dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(textPairs.nonEmpty, "the text side of the OR gate must be live")
+    val famPairs = docs.map(_._1).groupBy(_ / 3).values
+      .flatMap(m => m.sorted.combinations(2).map(p => (p(0), p(1))))
+    // reference union-find over the OR edge set
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    (textPairs ++ famPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val survivors = docs.map(_._1).groupBy(find).map { case (_, m) => m.min }.toSet
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val total = rows.length.toLong
+      val kept = rows.count(r => survivors(r._1)).toLong
+      src -> ((total, kept, total - kept))
+    }
+    val out = graft.queries.ExtensionQueries.defs
+      .find(_.name == "ext107_multimodal_retention_or").get
+      .build(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == expected, s"got $out expected $expected")
+    // coarsening can only shrink survivors: per-source kept_or <= kept_image
+    val img = graft.queries.ExtensionQueries.defs
+      .find(_.name == "ext105_image_retention").get
+      .build(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    out.foreach { case (src, (_, kept, _)) =>
+      assert(kept <= img(src), s"$src: OR kept $kept > image-only ${img(src)}")
+    }
+    // the cross-modal signal: iff a text edge BRIDGES image families, the
+    // OR gate must drop strictly more than the image-only gate
+    val bridges = textPairs.exists { case (a, b) => a / 3 != b / 3 }
+    val keptOr = out.values.map(_._2).sum
+    val keptImg = img.values.sum
+    if (bridges) assert(keptOr < keptImg,
+      "bridging text edges must merge image families and shrink the keep set")
+    else assert(keptOr == keptImg)
+  }
+
   test("the candidate join is equi — no cartesian in the plan") {
     val ids = (0L until 12L).toDF("doc_id")
     val p = ImageDedup.nearDupPairs(

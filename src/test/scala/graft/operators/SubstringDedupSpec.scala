@@ -127,6 +127,96 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  test("spanRemoval: the lowest-doc_id copy survives, the other is excised") {
+    val docs = Seq(
+      (1L, uniq(1) + " " + boiler), // canonical copy (min doc_id)
+      (2L, boiler + " " + uniq(2)), // loses its boiler span
+      (3L, uniq(3) + " " + uniq(4)) // untouched
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.spanRemoval(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    // doc 1 (canonical) and doc 3 (unique) keep their full text
+    val d1 = uniq(1) + " " + boiler
+    val d3 = uniq(3) + " " + uniq(4)
+    assert(out(1L) == ((d1.length.toLong, 0L, 0L, d1.length.toLong, md5hex(d1))))
+    assert(out(3L) == ((d3.length.toLong, 0L, 0L, d3.length.toLong, md5hex(d3))))
+    // doc 2: the shared-window island is exactly the boiler occupancy
+    // [1, boiler.length]; the rebuilt text is what follows it
+    val d2 = boiler + " " + uniq(2)
+    val expect2 = " " + uniq(2)
+    assert(out(2L) == ((d2.length.toLong, 1L, boiler.length.toLong,
+      expect2.length.toLong, md5hex(expect2))), s"got ${out(2L)}")
+  }
+
+  test("spanRemoval: an exact duplicate document is cut to the empty string") {
+    val docs = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val out = SubstringDedup.spanRemoval(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((0L, boiler.length.toLong, md5hex(boiler))))
+    assert(out(2L) == ((1L, 0L, md5hex(""))), "the non-canonical copy empties")
+  }
+
+  test("spanRemoval: disjoint cut islands leave exactly the unshared middle") {
+    // doc1/doc2 share runs P and Q around a substituted 1-char middle (the
+    // duplicatedCoverage fixture): doc2 loses both islands and keeps ONLY
+    // its middle char — the two-cut rebuild path, exercised end to end.
+    val p = "P" + boiler
+    val q = boiler.reverse + "Q"
+    val docs = Seq(
+      (1L, p + "x" + q),
+      (2L, p + "y" + q)).toDF("doc_id", "text")
+    val out = SubstringDedup.spanRemoval(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    val total = (p + "x" + q).length.toLong
+    assert(out(1L) == ((0L, 0L, total, md5hex(p + "x" + q))))
+    assert(out(2L) == ((2L, total - 1, 1L, md5hex("y"))), s"got ${out(2L)}")
+  }
+
+  test("spanRemoval: survivor policy is per-WINDOW-TEXT, not per-document") {
+    // run A shared by docs {1,2}: doc 1 keeps it. run B shared by docs
+    // {2,3}: doc 2 is B's canonical holder, so doc 2 keeps B while LOSING
+    // A — one document on both sides of the policy at once.
+    val runA = boiler
+    val runB = boiler.toUpperCase
+    val docs = Seq(
+      (1L, runA + " " + uniq(1)),
+      (2L, runA + " " + runB),
+      (3L, uniq(3) + " " + runB)).toDF("doc_id", "text")
+    val out = SubstringDedup.spanRemoval(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(5)))).toMap
+    assert(out(1L)._1 == 0L, "doc 1 holds A canonically")
+    // doc 2 loses the island of windows shared with doc 1 — the full common
+    // PREFIX "A + separator space" (windows overhanging A's end still match
+    // while both docs agree on the next chars) — but keeps B
+    assert(out(2L) == ((1L, md5hex(runB))), s"got ${out(2L)}")
+    // doc 3 loses the common-suffix island "space + B" and keeps its
+    // unique prefix
+    assert(out(3L) == ((1L, md5hex(uniq(3)))), s"got ${out(3L)}")
+  }
+
+  test("spanRemoval invariants on the sf0.001 corpus: arithmetic closed, drops live") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = SubstringDedup.spanRemoval(docs, "text", "doc_id").collect()
+    assert(out.length == docs.count().toInt, "every document present")
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3),
+        s"kept = n_chars - removed must hold for doc ${r.getLong(0)}")
+    }
+    val touched = out.count(_.getLong(2) > 0)
+    assert(touched > 0, "the corpus's duplicated runs must drive live cuts")
+    assert(touched < out.length, "clean documents must survive untouched")
+  }
+
   test("null text is skipped, not a crash or an all-null bucket") {
     val docs = Seq((1L, null: String), (2L, null: String), (3L, boiler))
       .toDF("doc_id", "text")
