@@ -125,4 +125,71 @@ object ImageDedup {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** TWO-SIDED Hamming banded join — for each left (id, phash), every
+    * right-side hash within `maxDist`: both sides band identically, so the
+    * pigeonhole recall guarantee of the self-join holds across frames, and
+    * candidates remain an equi-join on (band, slice value) — never
+    * all-pairs. This is the probe an INCREMENTAL pipeline runs: the left
+    * is today's delivery (freshly decoded), the right a persisted
+    * fingerprint table (8 bytes + id per image — the old corpus is never
+    * re-decoded, ext47's digest contract in Hamming space). Output:
+    * (id, match_id, dist), one row per qualifying cross pair.
+    */
+  def hammingJoinAgainst(left: DataFrame, right: DataFrame,
+      maxDist: Int): DataFrame = {
+    def banded(f: DataFrame, idAs: String, hashAs: String) =
+      f.select(col("id").as(idAs), col("phash").as(hashAs),
+        explode(bandSlices(col("phash"), maxDist)).as("s"))
+        .select(col(idAs), col(hashAs), col("s.b"), col("s.v"))
+    banded(left, "lid", "lhash").as("x")
+      .join(banded(right, "rid", "rhash").as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v"))
+      .select(col("x.lid").as("id"), col("y.rid").as("match_id"),
+        col("x.lhash").as("h_a"), col("y.rhash").as("h_b"))
+      .distinct() // a pair may agree on several bands
+      .withColumn("dist",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id"), col("match_id"), col("dist"))
+  }
+
+  /** INCREMENTAL perceptual dedup verdicts (ext47's incremental contract,
+    * image modality): a new delivery of hashes is deduped (a) WITHIN
+    * itself — banded pairs → transitive clusters → min-id survivor — and
+    * (b) against the EXISTING corpus's fingerprint table via
+    * [[hammingJoinAgainst]]. One verdict row per delivered id:
+    * (id, verdict, matched_id, dist) where verdict ∈ kept /
+    * dropped_within / dropped_existing; matched_id is the image the row
+    * defers to (its cluster's survivor for within-drops, the nearest
+    * existing image for existing-drops, NULL for kept) and dist is the
+    * Hamming distance of that existing match (NULL otherwise — cluster
+    * membership is transitive, not pairwise). Precedence: a non-survivor
+    * is dropped_within even if it also matches the old corpus (it defers
+    * inside its own delivery first, exactly ext47's dedupe-then-anti
+    * order); its survivor may then still drop against the old corpus.
+    */
+  def incrementalVerdicts(newHashes: DataFrame, existingHashes: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    val newH = newHashes.select(col("id"), col("phash")).localCheckpoint(false)
+    val clusters = Dedup.clusterPairs(
+      hammingNearDupPairs(newH, maxDist)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    val survivorOf = newH.select(col("id"))
+      .join(clusters, newH("id") === clusters("doc_id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("survivor"))
+    val existing = hammingJoinAgainst(newH, existingHashes, maxDist)
+      .groupBy(col("id"))
+      .agg(min_by(col("match_id"), struct(col("dist"), col("match_id")))
+        .as("nearest_existing"),
+        min(col("dist")).as("existing_dist"))
+    survivorOf.join(existing, Seq("id"), "left")
+      .select(col("id"),
+        when(col("survivor") =!= col("id"), lit("dropped_within"))
+          .when(col("nearest_existing").isNotNull, lit("dropped_existing"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("survivor") =!= col("id"), col("survivor"))
+          .otherwise(col("nearest_existing")).as("matched_id"),
+        when(col("survivor") === col("id"), col("existing_dist")).as("dist"))
+  }
 }

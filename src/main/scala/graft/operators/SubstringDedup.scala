@@ -169,13 +169,17 @@ object SubstringDedup {
     * `aggregate`/`substring` over the per-doc sorted cut list, no UDF on
     * the rebuild path.
     *
-    * Scale shape: detection here is the exact window enumeration (audit
-    * tier, like [[duplicatedCoverage]] — at corpus scale the cut list
-    * comes from [[duplicatedSpans]]' content-sampled windows instead; the
-    * excision stage is detector-agnostic, it only consumes (doc_id, s, e)
-    * intervals). The per-doc cut list is bounded by n_chars/window — each
-    * island spans ≥ `window` chars and islands are disjoint — so the
-    * collect is as bounded as holding the document itself.
+    * Scale shape: with the default `hexPrefix = ""` detection is the exact
+    * window enumeration (audit tier, like [[duplicatedCoverage]]); passing
+    * the production `hexPrefix = "0"` drives the SAME excision from the
+    * content-sampled detector — the at-scale path, which removes a subset
+    * of the exact cut set (sampling only ever loses windows, so sampled
+    * removal is conservative; the delta is ext80's recall erosion made
+    * concrete). The excision stage itself is detector-agnostic — it only
+    * consumes (doc_id, s, e) intervals. The per-doc cut list is bounded by
+    * n_chars/window — each island spans ≥ `window` chars and islands are
+    * disjoint — so the collect is as bounded as holding the document
+    * itself.
     *
     * Output, every document present (untouched docs keep their full text):
     * (doc_id, n_chars, n_spans, removed_chars, kept_chars, cleaned_digest)
@@ -185,10 +189,10 @@ object SubstringDedup {
     * RECONSTRUCTION, not just the arithmetic.
     */
   def spanRemoval(docs: DataFrame, textCol: String, idCol: String,
-      window: Int = 64): DataFrame = {
+      window: Int = 64, hexPrefix: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val byDoc = W.partitionBy("doc_id").orderBy("pos")
-    val spans = duplicatedSpans(docs, textCol, idCol, window, hexPrefix = "")
+    val spans = duplicatedSpans(docs, textCol, idCol, window, hexPrefix)
     // canonical copy per duplicated window text = lowest doc_id holding it
     val keepers = spans.groupBy("h").agg(min(col("doc_id")).as("keep_doc"))
     val removable = spans.join(keepers, "h")

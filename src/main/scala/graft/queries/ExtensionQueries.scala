@@ -63,15 +63,32 @@ object ExtensionQueries {
     * corpus is 3× the banded join, so recomputing it per consumer is the
     * dominant avoidable cost (r8 verdict finding #2).
     */
+  /** The IMAGE fingerprint table (doc_id, 64-bit mirror-canonical DCT
+    * pHash) — the session's ONE image decode+hash pass, memoized
+    * separately from the pair table because it has consumers of its own:
+    * the pair join below AND ext108's incremental probe (at scale this
+    * frame is the PERSISTED fingerprint table a daily ingest maintains —
+    * 8 bytes + id per image; consumers read it instead of re-decoding the
+    * corpus, exactly like ext73's persisted IVF-PQ index).
+    */
+  private def sharedImageHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaterializedPairs.frame(
+      s"${s.sparkContext.applicationId}#" +
+        s"${System.identityHashCode(s)}|imagehashes|$dir") {
+      graft.operators.ImageDedup.hashes(
+        graft.sources.ImageCorpus.forIds(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        "png", "doc_id")
+    }
+
   private def sharedImagePairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.operators.MaterializedPairs.frame(
       s"${s.sparkContext.applicationId}#" +
         s"${System.identityHashCode(s)}|imagepairs|$dir") {
-      graft.operators.ImageDedup.nearDupPairs(
-        graft.sources.ImageCorpus.forIds(
-          Tables.documents(s, dir).select("doc_id"), "doc_id"),
-        "png", "doc_id", maxDist = 3)
+      graft.operators.ImageDedup.hammingNearDupPairs(
+        sharedImageHashes(s, dir), maxDist = 3)
     }
 
   /** The standard-corpus AUDIO pair table under the same discipline (ext102;
@@ -3804,6 +3821,49 @@ object ExtensionQueries {
             (col("items_total") - col("items_kept")).as("dropped"),
             round((col("items_total") - col("items_kept"))
               .cast("double") / col("items_total"), 6).as("dup_ratio"))
+          .orderBy("source")
+      },
+      None),
+
+    // ------------------------------------------------------------ EXT108
+    // INCREMENTAL image dedup — ext47's incremental contract (dedupe the
+    // delivery within itself, then against the existing corpus WITHOUT
+    // re-shuffling or re-reading it) carried to the perceptual modality,
+    // where the old side cannot be a left-anti on digests (near-dup is
+    // Hamming, not equality): the newest 20% of images (the id tail — "the
+    // delivery") probes the older 80%'s FINGERPRINT table via the
+    // two-sided Hamming banded join. Only the delivery is decoded; the
+    // old corpus contributes 8 bytes + id per image from the session's
+    // memoized hash table (at scale: a persisted parquet fingerprint
+    // table, the ext73 lifecycle discipline). Within-delivery drops
+    // resolve through the same pointer-jumped clusters / min-id survivor
+    // as ext105; delivery-vs-existing drops through the banded probe.
+    // Output per source: delivered / kept / dropped_within /
+    // dropped_existing — all three verdict classes live at every SF (full
+    // families inside the tail yield within-drops and kept survivors; the
+    // family straddling the 80% boundary yields existing-drops). Rows-only
+    // (image side); ImageDedupSpec pins the verdicts against the known
+    // family structure and the two-sided join's recall against brute
+    // force.
+    QueryDef(
+      "ext108_image_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source")
+        val hashes = sharedImageHashes(s, dir)
+        val bound = hashes.agg(((max(col("id")) + 1L) * 4L / 5L).as("cut"))
+        val withCut = hashes.crossJoin(broadcast(bound))
+        val verdicts = graft.operators.ImageDedup.incrementalVerdicts(
+          withCut.filter(col("id") >= col("cut")).select("id", "phash"),
+          withCut.filter(col("id") < col("cut")).select("id", "phash"),
+          maxDist = 3)
+        verdicts.join(docs, verdicts("id") === docs("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("delivered"),
+            sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("kept"),
+            sum(when(col("verdict") === "dropped_within", 1L).otherwise(0L))
+              .as("dropped_within"),
+            sum(when(col("verdict") === "dropped_existing", 1L).otherwise(0L))
+              .as("dropped_existing"))
           .orderBy("source")
       },
       None)

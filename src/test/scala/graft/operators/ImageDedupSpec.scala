@@ -249,6 +249,86 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
     else assert(keptOr == keptImg)
   }
 
+  test("hammingJoinAgainst: two-sided banded probe has perfect recall vs brute force") {
+    import spark.implicits._
+    val ids = 0L until 24L
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds(ids.toDF("doc_id"), "doc_id"), "png", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // left: one member per family; right: everything else
+    val leftIds = ids.filter(_ % 3 == 0)
+    val rightIds = ids.filterNot(_ % 3 == 0)
+    val brute = (for {
+      a <- leftIds; b <- rightIds
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "family siblings must qualify")
+    val left = leftIds.map(i => (i, hashes(i))).toDF("id", "phash")
+    val right = rightIds.map(i => (i, hashes(i))).toDF("id", "phash")
+    val banded = ImageDedup.hammingJoinAgainst(left, right, maxDist = 3)
+      .select("id", "match_id").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"missing=${brute -- banded} spurious=${banded -- brute}")
+  }
+
+  test("incrementalVerdicts: within-drop precedence, existing probe, kept — all three classes") {
+    import spark.implicits._
+    // delivery = ids 14..17 against existing 0..13: family {12,13,14}
+    // straddles the boundary (14 → dropped_existing, nearest sibling in
+    // the old corpus), family {15,16,17} sits whole inside the delivery
+    // (15 kept as min-id survivor, 16/17 dropped_within deferring to 15)
+    val all = (0L until 18L)
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds(all.toDF("doc_id"), "doc_id"), "png", "doc_id")
+    val out = ImageDedup.incrementalVerdicts(
+      hashes.filter($"id" >= 14L), hashes.filter($"id" < 14L), maxDist = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out.keySet == Set(14L, 15L, 16L, 17L))
+    assert(out(14L)._1 == "dropped_existing" &&
+      Set(12L, 13L).contains(out(14L)._2.get),
+      s"straddling member must defer to an old sibling, got ${out(14L)}")
+    assert(out(15L) == (("kept", None)))
+    assert(out(16L) == (("dropped_within", Some(15L))))
+    assert(out(17L) == (("dropped_within", Some(15L))))
+  }
+
+  test("ext108 incremental accounting matches the family structure at sf0.001") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val n = docs.map(_._1).max + 1
+    val cut = (n * 4) / 5
+    // expected verdict per delivered id, assuming (as ext105 does) that
+    // near-dup pairs are exactly the id/3 families: the min DELIVERED
+    // member of each family survives within-dedup; it is then kept iff no
+    // family member sits in the old corpus
+    val expected = docs.filter(_._1 >= cut).groupBy(_._2).map { case (src, rows) =>
+      val verdicts = rows.map { case (id, _) =>
+        val fam = id / 3
+        val delivered = (fam * 3 until fam * 3 + 3).filter(m => m >= cut && m < n)
+        val hasOld = fam * 3 < cut
+        if (id != delivered.min) "dropped_within"
+        else if (hasOld) "dropped_existing"
+        else "kept"
+      }
+      src -> ((verdicts.length.toLong,
+        verdicts.count(_ == "kept").toLong,
+        verdicts.count(_ == "dropped_within").toLong,
+        verdicts.count(_ == "dropped_existing").toLong))
+    }
+    val out = graft.queries.ExtensionQueries.defs
+      .find(_.name == "ext108_image_incremental_dedup").get
+      .build(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == expected, s"got $out expected $expected")
+    val totals = out.values.reduce((a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    assert(totals._2 > 0 && totals._3 > 0 && totals._4 > 0,
+      s"all three verdict classes must be live at the gate fixture: $totals")
+  }
+
   test("the candidate join is equi — no cartesian in the plan") {
     val ids = (0L until 12L).toDF("doc_id")
     val p = ImageDedup.nearDupPairs(

@@ -217,6 +217,29 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(touched < out.length, "clean documents must survive untouched")
   }
 
+  test("spanRemoval under the production 1/16 sampled detector is a strict per-doc subset") {
+    // content sampling only ever LOSES windows (a hash self-selects
+    // everywhere or nowhere), so sampled cut intervals sit inside exact
+    // ones: removed_chars_sampled <= removed_chars_exact doc by doc, docs
+    // untouched by the exact pass stay untouched, and on this corpus the
+    // sampled pass still cuts (the production path is live, not a no-op)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def byDoc(hexPrefix: String) =
+      SubstringDedup.spanRemoval(docs, "text", "doc_id", 64, hexPrefix)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(5))).toMap
+    val exact = byDoc("")
+    val sampled = byDoc("0")
+    assert(exact.keySet == sampled.keySet)
+    exact.foreach { case (id, (removedExact, digestExact)) =>
+      val (removedSampled, digestSampled) = sampled(id)
+      assert(removedSampled <= removedExact, s"doc $id cut more under sampling")
+      if (removedExact == 0L)
+        assert(digestSampled == digestExact, s"doc $id: untouched must stay untouched")
+    }
+    val cutSampled = sampled.count(_._2._1 > 0)
+    assert(cutSampled > 0, "the sampled production path must stay live")
+  }
+
   test("null text is skipped, not a crash or an all-null bucket") {
     val docs = Seq((1L, null: String), (2L, null: String), (3L, boiler))
       .toDF("doc_id", "text")

@@ -60,7 +60,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // ext99: each referential rule joins its table's 1-row total with the
     // 1-row anti-join violation count; ext100: the funnel assembles five
     // 1-row stage counts into one row — always broadcast-safe
-    "ext99_data_contract", "ext100_curation_funnel")
+    "ext99_data_contract", "ext100_curation_funnel",
+    // ext108: the delivery/existing split point is a 1-row max-id
+    // aggregate cross-joined onto the fingerprint table — always
+    // broadcast-safe (the dedup joins themselves are banded equi-joins,
+    // pinned by ImageDedupSpec's recall tests)
+    "ext108_image_incremental_dedup")
 
   // NOTE: building a catalog entry is not always free — iterative operators
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
