@@ -59,7 +59,7 @@ object Bench {
     * the plan-shape number that scales with the data. Read covers local +
     * remote fetch; write is the exchange volume produced.
     */
-  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+  private[graft] final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(

@@ -382,8 +382,12 @@ object Dedup {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().repartition(col("dst")).persist()
+    // SUM over an empty frame is NULL — coalesce so a pair-free input (a
+    // clean delivery in the incremental path) converges to an empty label
+    // frame instead of NPE-ing on the convergence compare
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     // LAZY localCheckpoint: the lblSum convergence probe is then the single
     // action that both materializes the round's checkpoint and reads the
     // probe — one job per round instead of two (each saved action is a

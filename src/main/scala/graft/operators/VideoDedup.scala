@@ -39,21 +39,27 @@ object VideoDedup {
     b >= LowInfoMinBits && b <= LowInfoMaxBits
   }
 
-  /** GVID bytes → sampled frame hashes, NULL if undecodable. Frame hashes
-    * are MIRROR-CANONICAL ([[ImageOps.dHash64MirrorCanonical]]) so a
+  /** GVID bytes → sampled (frame_idx, hash), None if undecodable — THE
+    * sampler, shared with the streaming suppressor
+    * ([[graft.streaming.VideoIngest]]) so stride base and hash variant can
+    * never drift between batch and stream. Frame hashes are
+    * MIRROR-CANONICAL ([[ImageOps.dHash64MirrorCanonical]]) so a
     * horizontally mirrored re-upload matches its original frame-for-frame —
     * the same evasion the image path canonicalizes away; the temporal
     * alignment vote is untouched (mirroring is spatial, frame indices keep
     * their offsets).
     */
-  private def sampleHashUdf(everyNth: Int) = udf { bytes: Array[Byte] =>
+  def sampleFrameHashes(bytes: Array[Byte],
+      everyNth: Int): Option[Seq[(Int, Long)]] =
     if (bytes == null) None
     else Video.decodeFrames(bytes).map { case (rows, cols, ch, _, frames) =>
       frames.zipWithIndex.collect { case (px, i) if i % everyNth == 0 =>
         (i, ImageOps.dHash64MirrorCanonical(ImageOps.DecodedImage(rows, cols, ch, px)))
       }
     }
-  }
+
+  private def sampleHashUdf(everyNth: Int) =
+    udf { bytes: Array[Byte] => sampleFrameHashes(bytes, everyNth) }
 
   /** (id, frame_idx, phash, n_sampled) per sampled frame of each decodable
     * video — `n_sampled` rides along so the overlap denominator needs no

@@ -83,13 +83,17 @@ object ExtensionQueries {
     }
 
   private def sharedImagePairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the hash memo BEFORE entering the pair memo's computeIfAbsent
+    // — a memo nested inside another memo's builder is a reentrant update
+    // on the same map (ConcurrentHashMap throws "Recursive update")
+    val hashes = sharedImageHashes(s, dir)
     graft.operators.MaterializedPairs.frame(
       s"${s.sparkContext.applicationId}#" +
         s"${System.identityHashCode(s)}|imagepairs|$dir") {
-      graft.operators.ImageDedup.hammingNearDupPairs(
-        sharedImageHashes(s, dir), maxDist = 3)
+      graft.operators.ImageDedup.hammingNearDupPairs(hashes, maxDist = 3)
     }
+  }
 
   /** The standard-corpus AUDIO pair table under the same discipline (ext102;
     * ext103's audio side deliberately renders a DIVERGENT corpus — doc_id %

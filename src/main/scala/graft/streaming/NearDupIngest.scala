@@ -99,26 +99,31 @@ object NearDupIngest {
       Iterator.empty
     } else {
       val horizon = state.getCurrentWatermarkMs() - ttlMillis
-      var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+      val prior = state.getOption.map(_.entries).getOrElse(Seq.empty)
         .filter(_.tsMillis >= horizon)
+      var added = Seq.empty[BucketEntry]
       val out = Seq.newBuilder[BandVerdict]
       rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
         val tsMillis = r.ts.getTime
         var best = 0.0
         var bestDoc = -1L
-        entries.foreach { e =>
-          // skip SELF-matches — same-id redelivery must not reject itself
-          // through the per-doc rollup (see ImageIngest.processBucket)
-          if (e.docId != r.docId) {
-            val a = agreement(r.sig, e.sig)
-            if (a > best || (a == best && bestDoc == -1L)) { best = a; bestDoc = e.docId }
-          }
+        def scan(e: BucketEntry): Unit = {
+          val a = agreement(r.sig, e.sig)
+          if (a > best || (a == best && bestDoc == -1L)) { best = a; bestDoc = e.docId }
         }
+        // the self-match skip is BATCH-LOCAL (see PerceptualIngest
+        // .processBucket): a same-batch same-id redelivery must not reject
+        // itself through its shared rollup group, but a same-id entry
+        // CARRIED IN STATE means the doc already landed in a prior batch —
+        // that later-batch retry is exactly what the suppressor drops
+        prior.foreach(scan)
+        added.foreach { e => if (e.docId != r.docId) scan(e) }
         out += BandVerdict(r.docId, r.source, tsMillis, r.band,
           math.rint(best * 1e6) / 1e6, bestDoc, r.text)
-        entries = (entries :+ BucketEntry(tsMillis, r.docId, r.sig))
-          .sortBy(e => (e.tsMillis, e.docId)).takeRight(maxPerBucket)
+        added = added :+ BucketEntry(tsMillis, r.docId, r.sig)
       }
+      val entries = (prior ++ added)
+        .sortBy(e => (e.tsMillis, e.docId)).takeRight(maxPerBucket)
       if (entries.isEmpty) state.remove()
       else {
         state.update(BucketState(entries))

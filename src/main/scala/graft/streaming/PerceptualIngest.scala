@@ -79,13 +79,18 @@ object PerceptualIngest {
   }
 
   /** The keyed state transition — rows in (ts, itemId) order so same-batch
-    * duplicates resolve deterministically (earliest survives). Self-id
-    * entries are skipped in the distance scan so an identical-id
-    * redelivery cannot reject itself through the rollup. `sameGroup`
-    * generalizes that skip for adapters whose items are FRAGMENTS of a
-    * larger unit ([[VideoIngest]]: itemId packs (video, frame), and a
-    * static scene's sibling frames must not shadow a true cross-video
-    * match) — default is plain id equality. */
+    * duplicates resolve deterministically (earliest survives). The
+    * same-group skip is BATCH-LOCAL: entries added by THIS micro-batch are
+    * skipped when they share the row's group (a same-batch identical-id
+    * redelivery must not reject itself through its shared rollup group —
+    * r8 ADVICE — and [[VideoIngest]]'s sibling frames must not shadow a
+    * true cross-video match), but entries CARRIED IN STATE from earlier
+    * batches match regardless of group — a same-group state hit means the
+    * item already LANDED in a prior batch, which is exactly the
+    * redelivery a suppressor exists to drop (without this, a later-batch
+    * retry of an already-landed item would land a second time).
+    * `sameGroup` defaults to plain id equality; adapters whose items are
+    * fragments of a larger unit pass their grouping. */
   private[streaming] def processBucket(ttlMillis: Long, maxPerBucket: Int,
       sameGroup: (Long, Long) => Boolean = _ == _)(
       key: (Int, Long),
@@ -96,24 +101,26 @@ object PerceptualIngest {
       Iterator.empty
     } else {
       val horizon = state.getCurrentWatermarkMs() - ttlMillis
-      var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+      val prior = state.getOption.map(_.entries).getOrElse(Seq.empty)
         .filter(_.tsMillis >= horizon)
+      var added = Seq.empty[Entry]
       val out = Seq.newBuilder[BandVerdict]
       rows.toSeq.sortBy(r => (r.ts.getTime, r.itemId)).foreach { r =>
         val tsMillis = r.ts.getTime
         var best = 64L
         var bestItem = -1L
-        entries.foreach { e =>
-          if (!sameGroup(e.itemId, r.itemId)) {
-            val d = java.lang.Long.bitCount(r.phash ^ e.phash).toLong
-            if (d < best) { best = d; bestItem = e.itemId }
-          }
+        def scan(e: Entry): Unit = {
+          val d = java.lang.Long.bitCount(r.phash ^ e.phash).toLong
+          if (d < best) { best = d; bestItem = e.itemId }
         }
+        prior.foreach(scan) // prior landings match even within the group
+        added.foreach { e => if (!sameGroup(e.itemId, r.itemId)) scan(e) }
         out += BandVerdict(r.itemId, r.source, tsMillis, r.band,
           best, bestItem, r.payload)
-        entries = (entries :+ Entry(tsMillis, r.itemId, r.phash))
-          .sortBy(e => (e.tsMillis, e.itemId)).takeRight(maxPerBucket)
+        added = added :+ Entry(tsMillis, r.itemId, r.phash)
       }
+      val entries = (prior ++ added)
+        .sortBy(e => (e.tsMillis, e.itemId)).takeRight(maxPerBucket)
       if (entries.isEmpty) state.remove()
       else {
         state.update(BucketState(entries))

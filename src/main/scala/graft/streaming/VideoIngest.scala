@@ -4,9 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.cv.ImageOps
 import graft.operators.{ImageDedup, VideoDedup}
-import graft.sources.Video
 
 /** Streaming VIDEO near-duplicate suppression — the third modality adapter
   * over the [[PerceptualIngest]] core, completing the streaming triad
@@ -50,15 +48,13 @@ object VideoIngest {
   private val FrameMask = (1L << FrameBits) - 1
 
   /** gvid bytes → surviving sampled (frame_idx, mirror-canonical dHash):
-    * decode, stride-sample, hash, low-info filter — all one map-side pass,
-    * None when undecodable, empty when nothing informative survives. */
+    * [[VideoDedup.sampleFrameHashes]] — the batch path's sampler, shared so
+    * stride/hash arithmetic cannot drift — plus the shared low-info filter;
+    * one map-side pass, None when undecodable, empty when nothing
+    * informative survives. */
   private def sampleUdf(everyNth: Int) = udf { bytes: Array[Byte] =>
-    if (bytes == null) None
-    else Video.decodeFrames(bytes).map { case (rows, cols, ch, _, frames) =>
-      frames.zipWithIndex.collect { case (px, i) if i % everyNth == 0 =>
-        (i, ImageOps.dHash64MirrorCanonical(ImageOps.DecodedImage(rows, cols, ch, px)))
-      }.filter { case (_, h) => VideoDedup.informativeHash(h) }
-    }
+    VideoDedup.sampleFrameHashes(bytes, everyNth)
+      .map(_.filter { case (_, h) => VideoDedup.informativeHash(h) })
   }
 
   /** (`idCol`, source, ingest_ts, `videoCol`) stream → watermarked per-frame

@@ -25,21 +25,11 @@ object Time {
         graft.Bench.stage(spark, rawDir, splits = cpus.toInt)
       else rawDir
     require(args.nonEmpty, "usage: Time <query-name> [<query-name> ...]")
-    // per-query shuffle tally (same listener shape as Bench) so a plan
+    // per-query shuffle tally (Bench's listener, shared) so a plan
     // change's shuffle-volume effect is visible without a full bench pass
-    val read = new java.util.concurrent.atomic.AtomicLong
-    val write = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) {
-            read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-            write.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
-          }
-        }
-      })
+    val tally = new graft.Bench.ShuffleTally
+    val (read, write) = (tally.read, tally.write)
+    spark.sparkContext.addSparkListener(tally)
     args.foreach { n =>
       val run = () => SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

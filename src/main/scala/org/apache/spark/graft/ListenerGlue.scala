@@ -11,7 +11,12 @@ import org.apache.spark.SparkContext
 object ListenerGlue {
   /** Block until every event posted so far has been delivered to every
     * registered listener (bounded by `spark.sql.ui.retainedExecutions`-scale
-    * queues; returns immediately on an idle bus).
+    * queues; returns immediately on an idle bus). `waitUntilEmpty()` throws
+    * after its internal 10 s bound if some queue still lags — a drain
+    * exists to IMPROVE attribution, so a lagging bus degrades to the
+    * best-effort reading instead of aborting the whole bench run.
     */
-  def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+  def drain(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

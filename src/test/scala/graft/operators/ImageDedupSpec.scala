@@ -329,6 +329,70 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
       s"all three verdict classes must be live at the gate fixture: $totals")
   }
 
+  test("incrementalVerdicts fuzz: verdicts match a brute-force reference on random hash sets") {
+    // seed-deterministic random 64-bit hashes with planted near-neighbors
+    // (≤3 flipped bits) and far decoys (≥12): the operator's banded
+    // within-clusters + existing-probe verdicts must equal a brute-force
+    // union-find reference EXACTLY — including deliveries with no pairs at
+    // all (the clean-delivery path that once NPE'd in clusterPairs)
+    import spark.implicits._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (seed <- Seq(3, 17, 404)) {
+      val rnd = new scala.util.Random(seed)
+      def flip(h: Long, n: Int): Long =
+        (0 until n).foldLeft(h)((x, _) => x ^ (1L << rnd.nextInt(64)))
+      val base = (0 until 20).map(_ => rnd.nextLong())
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      base.foreach { h =>
+        hashes += h
+        if (rnd.nextBoolean()) hashes += flip(h, rnd.nextInt(4))   // near
+        if (rnd.nextBoolean()) hashes += flip(h, 12 + rnd.nextInt(20)) // far
+      }
+      val all = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toSeq
+      val cut = (all.size * 3) / 5
+      val newSide = all.filter(_._1 >= cut)
+      val oldSide = all.filter(_._1 < cut)
+      // reference: union-find over within-pairs, then existing probe
+      val parent = scala.collection.mutable.Map(newSide.map(x => x._1 -> x._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for { (a, ha) <- newSide; (b, hb) <- newSide if a < b && ham(ha, hb) <= 3 } {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = newSide.map { case (id, h) =>
+        val root = find(id)
+        if (root != id) id -> (("dropped_within", Some(root)))
+        else {
+          val hits = oldSide.filter(o => ham(o._2, h) <= 3)
+          if (hits.nonEmpty) {
+            val bestD = hits.map(o => ham(o._2, h)).min
+            val bestId = hits.filter(o => ham(o._2, h) == bestD).map(_._1).min
+            id -> (("dropped_existing", Some(bestId)))
+          } else id -> (("kept", None))
+        }
+      }.toMap
+      val out = ImageDedup.incrementalVerdicts(
+        newSide.toDF("id", "phash"), oldSide.toDF("id", "phash"), maxDist = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      assert(out == expected, s"seed=$seed: diff=${
+        (out.toSet -- expected.toSet) ++ (expected.toSet -- out.toSet)}")
+    }
+  }
+
+  test("incrementalVerdicts: a pair-free clean delivery keeps everything (no NPE)") {
+    import spark.implicits._
+    // mutually far hashes: no within pairs, no existing matches — the
+    // empty-edge clusterPairs path must return every id as kept
+    val far = Seq((100L, 0x0F0F0F0F0F0F0F0FL), (101L, 0xAAAA5555AAAA5555L))
+    val out = ImageDedup.incrementalVerdicts(
+      far.toDF("id", "phash"),
+      Seq((1L, 0x123456789ABCDEFL)).toDF("id", "phash"), maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(100L -> "kept", 101L -> "kept"))
+  }
+
   test("the candidate join is equi — no cartesian in the plan") {
     val ids = (0L until 12L).toDF("doc_id")
     val p = ImageDedup.nearDupPairs(

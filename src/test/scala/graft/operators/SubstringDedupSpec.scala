@@ -240,6 +240,84 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(cutSampled > 0, "the sampled production path must stay live")
   }
 
+  test("spanRemoval fuzz: rebuilt text matches a JVM reference excision, multibyte included") {
+    // seed-deterministic random corpora (DedupFuzzSpec convention — the
+    // offline cache has no scalatest-scalacheck bridge): docs assembled
+    // from unique filler plus PLANTED shared blocks at random offsets, a
+    // multibyte alphabet in the mix so the 1-based CODE-POINT positions in
+    // the operator, its islands, and Spark's substring all have to agree
+    // beyond ASCII. Reference = direct JVM excision on code points.
+    val w = 16
+    def md5hexOf(s: String): String = md5hex(s)
+    def referenceClean(docs: Seq[(Long, String)]): Map[Long, String] = {
+      val wins = for {
+        (id, t) <- docs
+        cps = t.codePointCount(0, t.length)
+        if cps >= w
+        offs = graft.functions.TextFunctions.codePointOffsets(t)
+        s <- 0 to cps - w
+      } yield (id, s + 1, md5hexOf(t.substring(offs(s), offs(s + w))))
+      val byHash = wins.groupBy(_._3)
+      val keepDoc = byHash.collect {
+        case (h, g) if g.map(_._1).distinct.size >= 2 => h -> g.map(_._1).min
+      }
+      val cutsByDoc = wins
+        .filter { case (id, _, h) => keepDoc.get(h).exists(_ != id) }
+        .groupBy(_._1)
+        .map { case (id, g) =>
+          val ps = g.map(_._2).distinct.sorted
+          // islands: merge positions ≤ w-1 apart, cover [s, maxpos + w - 1]
+          val islands = ps.foldLeft(Vector.empty[(Long, Long)]) {
+            case (acc, p) if acc.nonEmpty && p - (acc.last._2 - w + 1) <= w - 1 =>
+              acc.init :+ ((acc.last._1, p + w - 1))
+            case (acc, p) => acc :+ ((p, p + w - 1))
+          }
+          id -> islands
+        }
+      docs.map { case (id, t) =>
+        val offs = graft.functions.TextFunctions.codePointOffsets(t)
+        val cps = t.codePointCount(0, t.length)
+        val cleaned = cutsByDoc.get(id) match {
+          case None => t
+          case Some(islands) =>
+            val sb = new StringBuilder
+            var cur = 1L
+            islands.foreach { case (s, e) =>
+              sb.append(t.substring(offs((cur - 1).toInt), offs((s - 1).toInt)))
+              cur = e + 1
+            }
+            sb.append(t.substring(offs((cur - 1).toInt), offs(cps)))
+            sb.toString
+        }
+        id -> cleaned
+      }.toMap
+    }
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc déñ中xyz ".toCharArray
+      def rndText(n: Int) =
+        (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val blocks = (0 until 4).map(_ => rndText(w + rnd.nextInt(20)))
+      val docs = (0L until 12L).map { id =>
+        val parts = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          if (rnd.nextBoolean()) blocks(rnd.nextInt(blocks.length))
+          else rndText(10 + rnd.nextInt(30))
+        }
+        (id, parts.mkString(rndText(1 + rnd.nextInt(3))))
+      }
+      val expected = referenceClean(docs)
+      import spark.implicits._
+      val out = SubstringDedup.spanRemoval(docs.toDF("doc_id", "text"),
+        "text", "doc_id", window = w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+      docs.foreach { case (id, _) =>
+        val exp = expected(id)
+        assert(out(id) == ((exp.codePointCount(0, exp.length).toLong, md5hexOf(exp))),
+          s"seed=$seed doc=$id: got ${out(id)}, expected digest of <$exp>")
+      }
+    }
+  }
+
   test("null text is skipped, not a crash or an all-null bucket") {
     val docs = Seq((1L, null: String), (2L, null: String), (3L, boiler))
       .toDF("doc_id", "text")

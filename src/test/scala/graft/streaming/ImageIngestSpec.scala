@@ -94,6 +94,27 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
         "a self-redelivery is not a duplicate of another image")
   }
 
+  test("a LATER-batch same-id redelivery is suppressed — the item lands exactly once overall") {
+    // batch 1 lands img_id 45; batch 2 redelivers the same id+bytes (a
+    // producer retry after a timeout). The batch-local self-skip must NOT
+    // apply to state carried from the earlier batch: the state hit proves
+    // the image already landed, so the retry goes to rejects instead of
+    // appending a second landing row.
+    val base = Files.createTempDirectory("imgingest-crossbatch").toString
+    val t0 = 1700700000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((45L, "camA", ts(t0), ImageCorpus.render(15L))),
+      Seq((45L, "camA", ts(t0 + 60), ImageCorpus.render(15L)))))
+    val kept = spark.read.parquet(s"$base/t").collect()
+    assert(kept.map(_.getAs[Long]("img_id")).toSeq == Seq(45L),
+      "exactly one landing row across both batches")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 45L)
+    assert(rej.head.getAs[Long]("matched_img") == 45L &&
+      rej.head.getAs[Long]("min_dist") == 0L,
+      "the evidence names the prior landing of the same id")
+  }
+
   test("same-batch exact duplicate keeps the earliest, rejects at distance 0") {
     val base = Files.createTempDirectory("imgingest-exact").toString
     val t0 = 1700100000L

@@ -91,6 +91,25 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
         "a self-redelivery is not a duplicate of another doc")
   }
 
+  test("a LATER-batch same-id redelivery is suppressed — one landing row overall") {
+    // the batch-local self-skip must not blind the suppressor to a state
+    // entry of the SAME id from an earlier batch: that entry proves the
+    // doc already landed, so the retry routes to rejects (see
+    // PerceptualIngest.processBucket)
+    val base = Files.createTempDirectory("neardup-crossbatch").toString
+    val t0 = 1700800000L
+    runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
+      Seq(jsonl(60, body, t0)),
+      Seq(jsonl(60, body, t0 + 60))))
+    val kept = spark.read.parquet(s"$base/t").collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(60L),
+      "exactly one landing row across both batches")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("doc_id") == 60L)
+    assert(rej.head.getAs[Long]("matched_doc") == 60L,
+      "the evidence names the prior landing of the same id")
+  }
+
   test("exact duplicate estimates 1.0 and same-batch ties keep the earliest") {
     val base = Files.createTempDirectory("neardup-exact").toString
     val t0 = 1700100000L

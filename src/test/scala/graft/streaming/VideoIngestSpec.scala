@@ -81,6 +81,23 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
       "an identical re-upload aligns every sampled frame at offset 0")
   }
 
+  test("a LATER-batch same-id re-upload is suppressed; evidence names its own prior landing") {
+    // the sameGroup skip is batch-local: the clip's own frames in CARRIED
+    // state prove a prior landing, so a retry of vid_id 5 lands once
+    val base = Files.createTempDirectory("vidingest-crossbatch").toString
+    val t0 = 1710400000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
+      Seq((5L, "chan", ts(t0), VideoCorpus.render(21L))),
+      Seq((5L, "chan", ts(t0 + 60), VideoCorpus.render(21L)))))
+    val kept = spark.read.parquet(s"$base/t").collect()
+    assert(kept.map(_.getAs[Long]("vid_id")).toSeq == Seq(5L),
+      "exactly one landing row across both batches")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("vid_id") == 5L)
+    assert(rej.head.getAs[Long]("matched_vid") == 5L &&
+      rej.head.getAs[Double]("overlap_ratio") == 1.0)
+  }
+
   test("a contained clip is judged on its own shorter side and drops") {
     // first 6 frames of the retained clip: 3 sampled frames, all matching
     // at offset 0 → 3/3 = 1.0 on the arriving side (the streaming
