@@ -155,7 +155,11 @@ object ImageDedup {
   }
 
   /** INCREMENTAL perceptual dedup verdicts (ext47's incremental contract,
-    * image modality): a new delivery of hashes is deduped (a) WITHIN
+    * perceptual modality) — MODALITY-GENERIC like [[hammingNearDupPairs]]:
+    * any (id, 64-bit hash) frames work, so the same operator runs image
+    * deliveries against an image fingerprint table and audio deliveries
+    * against [[AudioDedup]]'s spectral hashes. A new delivery of hashes
+    * is deduped (a) WITHIN
     * itself — banded pairs → transitive clusters → min-id survivor — and
     * (b) against the EXISTING corpus's fingerprint table via
     * [[hammingJoinAgainst]]. One verdict row per delivered id:

@@ -19,10 +19,19 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
 
-  private def runBatches(table: String, ckpt: String, delay: String)(
+  private def runBatches(table: String, ckpt: String, delay: String,
+      rocksDb: Boolean = false)(
       batches: Seq[Seq[(Long, String, java.sql.Timestamp, Array[Byte])]]): Unit = {
-    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    // rocksDb = true: conf-isolated sibling session on the production
+    // provider (see ImageIngestSpec.runBatches)
+    val s = if (!rocksDb) spark else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2
+    }
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
     val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
     batches.foreach { b =>
       stream.addData(b: _*)
@@ -57,6 +66,24 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(rej.length == 1 && rej.head.getAs[Long]("vid_id") == 2L)
     assert(rej.head.getAs[Long]("matched_vid") == 1L, "evidence names the survivor")
     assert(rej.head.getAs[Double]("overlap_ratio") >= 0.6)
+  }
+
+  test("variant redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
+    // the frame-granular packed-id state (and its sameGroup scan) must
+    // round-trip RocksDB serialization across a query restart with
+    // identical verdicts — the provider a production GraftSession runs
+    val base = Files.createTempDirectory("vidingest-rocks").toString
+    val t0 = 1710500000L
+    runBatches(s"$base/t", s"$base/c", delay = "10 minutes", rocksDb = true)(Seq(
+      Seq((1L, "chanA", ts(t0), VideoCorpus.render(0L))),
+      Seq(
+        (2L, "chanA", ts(t0 + 60), VideoCorpus.render(1L)),
+        (3L, "chanB", ts(t0 + 60), VideoCorpus.render(30L)))))
+    val kept = spark.read.parquet(s"$base/t").select("vid_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("vid_id") == 2L)
   }
 
   test("an identical re-upload rejects at 1.0; a shuffled montage of the same frames lands") {
