@@ -270,6 +270,34 @@ object AudioOps {
     h
   }
 
+  /** Fixed-DURATION window spectral fingerprints — the sequence form of
+    * [[spectralHash64]] for clip-in-track CONTAINMENT matching
+    * ([[graft.operators.AudioContainment]]): the whole-clip hash's 65
+    * segments are PROPORTIONAL, which is exactly right for whole-clip
+    * duplicate detection (duration-invariant) and exactly wrong for
+    * containment (a 10 s clip inside a 60 s track lands on entirely
+    * different segment boundaries). Here the track is cut into
+    * consecutive `windowSec`-second windows (absolute TIME, so the grid is
+    * resample-invariant like the band bank) and each full window gets its
+    * own [[spectralHash64]] — a clip embedded at a window-aligned offset
+    * reproduces the standalone clip's window hashes exactly, whatever the
+    * relative durations. The partial tail window is dropped (its content
+    * differs between standalone and embedded renditions by construction).
+    * Returns (window index, hash) per full window.
+    */
+  def windowSpectralHashes(a: DecodedAudio,
+      windowSec: Double): Seq[(Int, Long)] = {
+    val ch = math.max(1, a.channels)
+    val frames = a.samples.length / ch
+    val win = math.max(1, math.round(windowSec * a.sampleRate).toInt)
+    val nWin = frames / win
+    (0 until nWin).map { w =>
+      val slice = new Array[Short](win * ch)
+      System.arraycopy(a.samples, w * win * ch, slice, 0, win * ch)
+      (w, spectralHash64(DecodedAudio(a.sampleRate, a.channels, slice)))
+    }
+  }
+
   /** Nearest-neighbor resample to `outRate` (linear would also be fine for
     * features; NN keeps it exactly invertible for rate multiples).
     */

@@ -88,15 +88,13 @@ object VideoDedup {
     * its frames match few of the other's (static scenes).
     *
     * TEMPORAL ALIGNMENT (r8 ask #4): `overlap_ratio` is the largest
-    * single-alignment support — matched frame pairs are histogrammed by
-    * their frame-index offset (fa − fb) and only the best ±`everyNth`
-    * offset window (one original frame of jitter either side) counts, so a
-    * shuffled MONTAGE of A's frames no longer scores like a re-encode of A
-    * (its matches are real but scattered across offsets), while re-encodes,
-    * splices, contained clips and uniformly time-shifted copies all
-    * concentrate their matches at one offset and keep their scores. The
-    * window max is computed with a RANGE frame over the offset axis — one
-    * window pass per pair, no self-join. Capped at 1.0 (a static-scene
+    * single-alignment support via the shared
+    * [[TemporalAlignment.alignedOverlap]] core (jitter = `everyNth`, one
+    * original frame either side), so a shuffled MONTAGE of A's frames no
+    * longer scores like a re-encode of A (its matches are real but
+    * scattered across offsets), while re-encodes, splices, contained clips
+    * and uniformly time-shifted copies all concentrate their matches at
+    * one offset and keep their scores. Capped at 1.0 (a static-scene
     * duplicate matches every frame at every offset; its best window
     * over-counts the same frames at neighboring offsets).
     * Pairs with overlap_ratio >= `minOverlap` survive.
@@ -111,8 +109,8 @@ object VideoDedup {
       // the CORPUS, not the content — the one skew source the banded join
       // cannot bound. Standard fingerprinting practice (same reason
       // audio fingerprints skip silence).
-      .filter(bit_count(col("phash")) >= lit(LowInfoMinBits) &&
-        bit_count(col("phash")) <= lit(LowInfoMaxBits))
+      .filter(TemporalAlignment.informative(col("phash"),
+        LowInfoMinBits, LowInfoMaxBits))
       .localCheckpoint(false)
     // frame-level banded join on a composite key; same-video collisions
     // (static scenes) are dropped by the different-video filter
@@ -126,34 +124,17 @@ object VideoDedup {
       // lexicographically, so a pair can arrive either way around — keep
       // BOTH frame indices aligned with their canonical sides
       .select(
-        least(col("va0"), col("vb0")).as("vid_a"),
-        greatest(col("va0"), col("vb0")).as("vid_b"),
-        when(col("va0") <= col("vb0"), col("fa0")).otherwise(col("fb0")).as("fa"),
-        when(col("va0") <= col("vb0"), col("fb0")).otherwise(col("fa0")).as("fb"))
+        least(col("va0"), col("vb0")).as("id_a"),
+        greatest(col("va0"), col("vb0")).as("id_b"),
+        when(col("va0") <= col("vb0"), col("fa0")).otherwise(col("fb0")).as("ta"),
+        when(col("va0") <= col("vb0"), col("fb0")).otherwise(col("fa0")).as("tb"))
     // POST-FILTER per-video frame counts — the denominator must count only
     // frames that are allowed to match
     val counts = fh.groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
-    val withCounts = framePairs
-      .join(counts.select(col("id").as("vid_a"), col("n_kept").as("na")), Seq("vid_a"))
-      .join(counts.select(col("id").as("vid_b"), col("n_kept").as("nb")), Seq("vid_b"))
-      .withColumn("small_f", when(col("na") <= col("nb"), col("fa")).otherwise(col("fb")))
-      .withColumn("off", col("fa") - col("fb"))
-      .localCheckpoint(false) // consumed by both aggs below
-    val matched = withCounts.groupBy("vid_a", "vid_b")
-      .agg(countDistinct(col("small_f")).as("matched_frames"))
-    val perOffset = withCounts
-      .groupBy(col("vid_a"), col("vid_b"), col("na"), col("nb"), col("off"))
-      .agg(countDistinct(col("small_f")).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vid_a", "vid_b").orderBy("off")
-      .rangeBetween(-everyNth, everyNth)
-    val aligned = perOffset
-      .withColumn("win", sum(col("cnt")).over(w))
-      .groupBy("vid_a", "vid_b", "na", "nb")
-      .agg(max(col("win")).as("aligned_frames"))
-    aligned.join(matched, Seq("vid_a", "vid_b"))
-      .select(col("vid_a"), col("vid_b"), col("matched_frames"),
-        least(lit(1.0), round(col("aligned_frames").cast("double") /
+    TemporalAlignment.alignedOverlap(framePairs, counts, jitter = everyNth)
+      .select(col("id_a").as("vid_a"), col("id_b").as("vid_b"),
+        col("matched_units").as("matched_frames"),
+        least(lit(1.0), round(col("aligned_units").cast("double") /
           least(col("na"), col("nb")), 6)).as("overlap_ratio"))
       .filter(col("overlap_ratio") >= minOverlap)
   }

@@ -111,6 +111,28 @@ object ExtensionQueries {
         "wav", "doc_id", maxDist = 3)
     }
 
+  /** The DECODED frame table of the scene-structured video corpus
+    * ((video_id, frame_idx, rows, cols, channels, fps, px) —
+    * [[graft.sources.Video.framesById]] over
+    * [[graft.sources.VideoCorpus.scenesFor]]), materialized once per
+    * session and shared by ext110 (shot segmentation, which hashes the
+    * frames) and ext111 (motion backfill, which runs the CV kernel over
+    * them) — the decode-once-analyze-many discipline: at scale the decode
+    * pass IS the cost of frame analytics, and every consumer reading one
+    * materialized frame table instead of re-decoding the corpus is the
+    * same shape as the image fingerprint memo feeding ext101/ext108.
+    */
+  private def sharedSceneFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaterializedPairs.frame(
+      s"${s.sparkContext.applicationId}#" +
+        s"${System.identityHashCode(s)}|sceneframes|$dir") {
+      graft.sources.Video.framesById(
+        graft.sources.VideoCorpus.scenesFor(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        "gvid", "doc_id")
+    }
+
   /** A conf-isolated sibling session with AQE disabled, for the iterative
     * graph fixed-points (ext94/ext96): AQE inserts a materialization +
     * re-optimization barrier at EVERY shuffle, which costs ~1.4 s/round on
@@ -3869,6 +3891,97 @@ object ExtensionQueries {
             sum(when(col("verdict") === "dropped_existing", 1L).otherwise(0L))
               .as("dropped_existing"))
           .orderBy("source")
+      },
+      None),
+
+    // ------------------------------------------------------------ EXT109
+    // AUDIO CLIP CONTAINMENT — "which tracks contain this clip, and
+    // where": the Shazam-shaped retrieval ext102's whole-clip fingerprint
+    // structurally cannot answer (its 65 segments are PROPORTIONAL to
+    // duration, so a jingle inside a longer track lands on different
+    // segment boundaries than the standalone jingle). Fixed-duration
+    // window spectral hashes (one spectralHash64 per 0.512 s window, one
+    // map-side decode pass) → silence windows dropped by the shared
+    // popcount band → the SAME Hamming-banded candidate core at WINDOW
+    // level → the SAME temporal-alignment vote as ext104 (matched windows
+    // histogrammed by offset; only the best ±1 alignment counts), whose
+    // winning offset IS the clip's start position in the track. Corpus =
+    // AudioCorpus.trackFor: variable-length tracks where every id%4==3
+    // track embeds clip id−3 at window offset 3, amplitude-scaled ×0.7 —
+    // so matching is perceptual (bytes differ), the expected pair set is
+    // known, and every reported offset is checkable. Rows-only (no audio
+    // stack in DuckDB); AudioContainmentSpec pins the pair set, offsets,
+    // coverage, the scattered-coincidence rejection and the
+    // silence-window drop.
+    QueryDef(
+      "ext109_audio_containment",
+      (s, dir) => {
+        val tracks = graft.sources.AudioCorpus.trackFor(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+        graft.operators.AudioContainment.containmentPairs(
+          tracks, "wav", "doc_id",
+          windowSec = graft.sources.AudioCorpus.TrackWindowSec,
+          maxDist = 2, minCoverage = 0.8)
+          .orderBy("clip_id", "track_id")
+      },
+      None),
+
+    // ------------------------------------------------------------ EXT110
+    // VIDEO SHOT-BOUNDARY SEGMENTATION — the temporal-segmentation dual
+    // of ext104's cross-video matching, and the sampling primitive a
+    // video curation pipeline runs before frame extraction (one frame per
+    // SHOT beats every-nth when shot lengths vary). Per-frame dHash (the
+    // shared ImageOps gradient-sign core, minus the dedup path's MIRROR
+    // canonicalization — a cross-video invariance whose min can flip
+    // sides between visually identical frames and manufacture fake cuts
+    // within a static scene) — then one per-video
+    // window pass: hash discontinuity > cutDist opens a shot, shot index
+    // = running cut count, rollup per (video, shot). No join anywhere;
+    // the frames come from the session's MATERIALIZED decoded-frame table
+    // (shared with ext111 — one decode pass feeds both analytics). Corpus
+    // = VideoCorpus.scenesFor (2–5 independent block-noise scenes of 4–7
+    // frames per video, in-scene jitter below both hash resolution and
+    // the motion threshold), so every video's expected segmentation is
+    // known. Rows-only; VideoShotsSpec pins segmentation == constructed
+    // scene lengths, the single-scene and everyNth cases, and
+    // undecodable-drop.
+    QueryDef(
+      "ext110_video_shots",
+      (s, dir) => graft.operators.VideoShots.shotsFromFrames(
+        sharedSceneFrames(s, dir), everyNth = 1, cutDist = 10)
+        .orderBy("video_id", "shot_idx"),
+      None),
+
+    // ------------------------------------------------------------ EXT111
+    // BATCH MOTION BACKFILL — the reference's LIVE motion pipeline
+    // (A5/A6: gray → 3×3 Gaussian → absdiff → threshold 20 → connected
+    // components ≥ 300 px) run over STORED video columns: the
+    // reprocess-the-archive job every video platform runs when detection
+    // logic or thresholds change, sharing the EXACT kernel entry point
+    // (Kernels.motionRegionCount via Video.withMotion) with the streaming
+    // path, so a backfill and the live detector can never disagree on
+    // what counts as motion. Reads the SAME materialized decoded-frame
+    // table as ext110 (zero extra decodes); one per-video lag window +
+    // one rollup: (video_id, n_frames, frames_with_motion, motion_ratio,
+    // total_regions). On the scene corpus the expected output is exact:
+    // in-scene jitter (+6 single pixels) sits below threshold 20, every
+    // scene cut is a full-frame change, so frames_with_motion == scenes−1
+    // — which makes ext110 and ext111 mutually checking: n_shots ==
+    // frames_with_motion + 1 for every video. Rows-only;
+    // VideoShotsSpec pins that cross-invariant and the per-video counts.
+    QueryDef(
+      "ext111_batch_motion",
+      (s, dir) => {
+        val motion = graft.sources.Video.withMotion(
+          sharedSceneFrames(s, dir), keyCol = "video_id")
+        motion.groupBy(col("video_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("n_regions") > 0, 1L).otherwise(0L))
+              .as("frames_with_motion"),
+            round(sum(when(col("n_regions") > 0, 1L).otherwise(0L)) /
+              count(lit(1)).cast("double"), 6).as("motion_ratio"),
+            sum(coalesce(col("n_regions"), lit(0))).as("total_regions"))
+          .orderBy("video_id")
       },
       None)
   )

@@ -67,6 +67,71 @@ object AudioCorpus {
     AudioOps.encodeWav(SampleRate, 1, samples)
   }
 
+  /** Window geometry of the CONTAINMENT corpus ([[trackFor]]): 4096
+    * samples per window at 8 kHz = 0.512 s — matches
+    * [[graft.operators.AudioContainment]]'s default `windowSec`, and
+    * leaves 63 samples per spectral sub-segment (65-grid) inside each
+    * window. */
+  val TrackWindowSamples = 4096
+  val TrackWindowSec: Double = TrackWindowSamples.toDouble / SampleRate
+
+  /** One WAV TRACK per input id with KNOWN clip-in-track containment
+    * structure — the fixture corpus for [[graft.operators.AudioContainment]]
+    * (the family corpus above is built for whole-clip duplicate detection;
+    * containment needs variable lengths and an embedded-copy axis):
+    *  - id % 4 == 0 → a 4-window CLIP;
+    *  - id % 4 == 3 → a 10-window track that EMBEDS clip (id − 3) at
+    *    window offset 3, amplitude-scaled by 0.7 (so matching is
+    *    perceptual — the embedded bytes differ from the clip's — while
+    *    the scale-invariant spectral hash still matches window-for-window);
+    *  - otherwise → a fresh 5–8-window track.
+    * Every window carries its own tone (300..1323 Hz from the id/window
+    * hash) under a 65-step random amplitude envelope, so window hashes are
+    * uncorrelated across (id, window) except for the embedded copies.
+    * Pure function of the id: identical corpus at every SF.
+    */
+  def trackFor(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("wav", trackUdf(col("doc_id")))
+
+  private val trackUdf = udf { id: Long => renderTrack(id) }
+
+  /** Number of full windows in track `id` (the containment corpus). */
+  def trackWindows(id: Long): Int =
+    if (id % 4 == 0) 4
+    else if (id % 4 == 3) 10
+    else 5 + (mix(id, 55L) & 0x3L).toInt
+
+  /** Deterministic mono PCM-16 WAV track for `id` (see [[trackFor]]). */
+  def renderTrack(id: Long): Array[Byte] = {
+    val nWin = trackWindows(id)
+    val samples = new Array[Short](nWin * TrackWindowSamples)
+    var w = 0
+    while (w < nWin) {
+      val embedded = id % 4 == 3 && w >= 3 && w < 7
+      val (srcId, srcWin, gain) =
+        if (embedded) (id - 3, w - 3, 0.7) else (id, w, 1.0)
+      renderWindowInto(srcId, srcWin, gain, samples, w * TrackWindowSamples)
+      w += 1
+    }
+    AudioOps.encodeWav(SampleRate, 1, samples)
+  }
+
+  /** One window of track content: a per-(id, window) tone under a 65-step
+    * amplitude envelope, written into `out` at `off`. */
+  private def renderWindowInto(id: Long, win: Int, gain: Double,
+      out: Array[Short], off: Int): Unit = {
+    val freq = 300.0 + (mix(id, 9000L + win) & 0x3ffL)
+    var i = 0
+    while (i < TrackWindowSamples) {
+      val seg = (i.toLong * 65 / TrackWindowSamples).toInt
+      val amp = 1000 + (mix(id, win.toLong * 1000 + seg) & 0x3fffL)
+      out(off + i) =
+        (gain * amp * math.sin(2 * math.Pi * freq * i / SampleRate)).toShort
+      i += 1
+    }
+  }
+
   /** splitmix64-style stateless mix — same public-domain constant schedule
     * as [[ImageCorpus]]. */
   private def mix(a: Long, b: Long): Long = {

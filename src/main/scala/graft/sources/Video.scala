@@ -90,6 +90,25 @@ object Video {
         col("f._5").as("fps"),
         col("f._6").as("px"))
 
+  /** [[frames]] for an id-keyed video COLUMN (doc-table corpora) instead
+    * of a binaryFile directory: one row per decoded frame, keyed by
+    * `idCol` as `video_id` — the same executor-side fan-out (by video,
+    * then by frame).
+    */
+  def framesById(videos: DataFrame, videoCol: String, idCol: String): DataFrame =
+    videos
+      .select(col(idCol).as("video_id"), explodeUdf(col(videoCol)).as("fs"))
+      .filter(col("fs").isNotNull)
+      .select(col("video_id"), explode(col("fs")).as("f"))
+      .select(
+        col("video_id"),
+        col("f._1").as("frame_idx"),
+        col("f._2").as("rows"),
+        col("f._3").as("cols"),
+        col("f._4").as("channels"),
+        col("f._5").as("fps"),
+        col("f._6").as("px"))
+
   /** Keep every nth frame (temporal subsampling before expensive work). */
   def sampleFrames(frameRows: DataFrame, everyNth: Int): DataFrame =
     frameRows.filter(col("frame_idx") % everyNth === 0)
@@ -104,11 +123,15 @@ object Video {
     })
 
   /** Per-frame motion vs the previous frame of the same video — the batch
-    * window-lag form of the streaming pipeline, applied to decoded files.
+    * window-lag form of the streaming pipeline, applied to decoded files
+    * (`keyCol` = "path") or to id-keyed corpora ([[framesById]],
+    * `keyCol` = "video_id"). Same kernel entry point and constants as the
+    * live pipeline, so a backfill over archived footage and the streaming
+    * detector can never disagree.
     */
-  def withMotion(frameRows: DataFrame): DataFrame = {
+  def withMotion(frameRows: DataFrame, keyCol: String = "path"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("path").orderBy("frame_idx")
+      .partitionBy(keyCol).orderBy("frame_idx")
     frameRows.withColumn("n_regions",
       motionUdf(lag("px", 1).over(w), col("px"),
         col("rows"), col("cols"), col("channels")))

@@ -61,6 +61,65 @@ object VideoCorpus {
     Video.encode(Side, Side, 3, fps = 10, frames)
   }
 
+  /** One SCENE-STRUCTURED GVID per input id — the fixture corpus for
+    * temporal video analytics ([[graft.operators.VideoShots]] shot
+    * segmentation, the batch motion summary): the family corpus above
+    * re-rolls its block noise EVERY frame (right for frame-hash dedup,
+    * where frames must be uncorrelated; useless for temporal structure —
+    * every frame would be a cut). Here each video is 2–5 scenes of 4–7
+    * frames (lengths from the id hash, [[sceneLengths]]); within a scene
+    * frames share ONE block-noise pattern plus two per-frame single-pixel
+    * +6 bumps (below both the dHash sample grid's resolution and the
+    * motion kernel's threshold 20), while scene patterns are independent
+    * (a full-frame change at every cut). Pure function of the id.
+    */
+  def scenesFor(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("gvid", scenesUdf(col("doc_id")))
+
+  private val scenesUdf = udf { id: Long => renderScenes(id) }
+
+  /** Scene lengths (frames) of video `id` in the scene corpus. */
+  def sceneLengths(id: Long): Seq[Int] = {
+    val n = 2 + (mix(id, 1L) & 0x3L).toInt
+    (0 until n).map(s => 4 + (mix(id, 100L + s) & 0x3L).toInt)
+  }
+
+  /** Deterministic scene-structured 32×32 BGR GVID for `id`. */
+  def renderScenes(id: Long): Array[Byte] = {
+    var globalF = 0
+    val frames = sceneLengths(id).zipWithIndex.flatMap { case (len, s) =>
+      (0 until len).map { _ =>
+        val px = new Array[Byte](Side * Side * 3)
+        var r = 0
+        while (r < Side) {
+          var c = 0
+          while (c < Side) {
+            val v = (mix(id, s.toLong * 7919 +
+              (r / Block).toLong * 31 + (c / Block)) & 0xffL).toInt
+            val o = (r * Side + c) * 3
+            px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+            c += 1
+          }
+          r += 1
+        }
+        var k = 0
+        while (k < 2) {
+          val pos = ((mix(id, 4000L + globalF.toLong * 17 + k) & 0x7fffffffL)
+            % (Side * Side)).toInt
+          val o = pos * 3
+          val bumped = math.min(255, (px(o) & 0xff) + 6)
+          px(o) = bumped.toByte; px(o + 1) = bumped.toByte
+          px(o + 2) = bumped.toByte
+          k += 1
+        }
+        globalF += 1
+        px
+      }
+    }
+    Video.encode(Side, Side, 3, fps = 10, frames)
+  }
+
   /** splitmix64-style stateless mix — same public-domain constant schedule
     * as [[ImageCorpus]]. */
   private def mix(a: Long, b: Long): Long = {
