@@ -9,7 +9,7 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * (q01–q59 + q13b/q31b relational/TPC-H/event-analytics shapes, incl. the
   * recursive-CTE calendar fill and the Spark-4 SQL surfaces) and
   * [[graft.queries.ExtensionQueries]]
-  * (ext01–ext111 + ext40b dedup / similarity / text / TF-IDF / ANN-recall /
+  * (ext01–ext112 + ext40b dedup / similarity / text / TF-IDF / ANN-recall /
   * packing / mixing / indexing / chunking / quantization / heavy-hitter /
   * contamination / PCA / LM-score / BPE-tokenizer / IVF-PQ / MMR /
   * classifier-training / layout / versioning / FIM / reweighting / privacy /
@@ -18,8 +18,8 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * retention dual ext107 and the incremental fingerprint-table probe
   * ext108: image, audio, video, cross-modal gates, retention accounting,
   * delivery-vs-index dedup — plus audio clip containment ext109,
-  * video shot segmentation ext110 and the batch motion backfill ext111
-  * — 173 catalog entries total);
+  * video shot segmentation ext110, the batch motion backfill ext111 and
+  * per-shot keyframe extraction ext112 — 174 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

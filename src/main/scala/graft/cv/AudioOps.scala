@@ -284,16 +284,27 @@ object AudioOps {
     * relative durations. The partial tail window is dropped (its content
     * differs between standalone and embedded renditions by construction).
     * Returns (window index, hash) per full window.
+    *
+    * `hopSec` < `windowSec` gives OVERLAPPING windows (indices are hop
+    * steps): the alignment granularity dial — an insertion misaligned to
+    * the window grid is invisible at hop = window (every embedded window
+    * straddles two source windows and hashes like neither) but caught at
+    * any hop that divides the insertion offset, at the standard cost of
+    * windowSec/hopSec× more rows. `hopSec` <= 0 means hop = window
+    * (non-overlapping, the default grid).
     */
-  def windowSpectralHashes(a: DecodedAudio,
-      windowSec: Double): Seq[(Int, Long)] = {
+  def windowSpectralHashes(a: DecodedAudio, windowSec: Double,
+      hopSec: Double = 0.0): Seq[(Int, Long)] = {
     val ch = math.max(1, a.channels)
     val frames = a.samples.length / ch
     val win = math.max(1, math.round(windowSec * a.sampleRate).toInt)
-    val nWin = frames / win
+    val hop =
+      if (hopSec > 0) math.max(1, math.round(hopSec * a.sampleRate).toInt)
+      else win
+    val nWin = if (frames < win) 0 else (frames - win) / hop + 1
     (0 until nWin).map { w =>
       val slice = new Array[Short](win * ch)
-      System.arraycopy(a.samples, w * win * ch, slice, 0, win * ch)
+      System.arraycopy(a.samples, w * hop * ch, slice, 0, win * ch)
       (w, spectralHash64(DecodedAudio(a.sampleRate, a.channels, slice)))
     }
   }

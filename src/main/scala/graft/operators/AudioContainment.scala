@@ -34,26 +34,37 @@ import graft.cv.AudioOps
   * the SHORTER side's surviving windows — clip-in-track containment when
   * lengths differ (the clip is the shorter side), full near-duplication
   * when they match. Window-aligned insertions are matched exactly; an
-  * insertion offset inside a window shifts every embedded window's
-  * content and needs the denser-hop variant (halve `windowSec` and accept
-  * 2× rows — the standard granularity/cost dial of landmark fingerprints).
+  * insertion offset INSIDE a window shifts every embedded window's
+  * content and is invisible at the default non-overlapping grid — pass
+  * `hopSec` < `windowSec` (overlapping windows) to catch any insertion
+  * offset the hop divides, at hop-ratio× more rows: the standard
+  * granularity/cost dial of landmark fingerprints, spec-demonstrated at
+  * hop = window/2.
   */
 object AudioContainment {
 
-  private def windowHashUdf(windowSec: Double) = udf { bytes: Array[Byte] =>
-    if (bytes == null) None
-    else AudioOps.decodeWav(bytes).map(AudioOps.windowSpectralHashes(_, windowSec))
-  }
+  // asNondeterministic is an OPTIMIZER FENCE, not a semantics claim: an
+  // expensive deterministic UDF left unfenced gets INLINED by
+  // CollapseProject into every reference and PUSHED into the parquet
+  // scan's row-level DataFilters by the inferred isnotnull/size>0
+  // generate filters — measured 3+ full decode+hash passes per row on
+  // this exact chain. The fence pins one evaluation in one Project.
+  private def windowHashUdf(windowSec: Double, hopSec: Double) =
+    udf { bytes: Array[Byte] =>
+      if (bytes == null) None
+      else AudioOps.decodeWav(bytes)
+        .map(AudioOps.windowSpectralHashes(_, windowSec, hopSec))
+    }.asNondeterministic()
 
   /** (id, win_idx, whash, n_windows) per full window of each decodable
     * track — `n_windows` rides along so no second pass over the blobs is
     * needed; undecodable blobs drop (the modality family's contract).
     */
   def windowHashes(tracks: DataFrame, audioCol: String, idCol: String,
-      windowSec: Double): DataFrame =
+      windowSec: Double, hopSec: Double = 0.0): DataFrame =
     tracks
       .select(col(idCol).as("id"),
-        windowHashUdf(windowSec)(col(audioCol)).as("ws"))
+        windowHashUdf(windowSec, hopSec)(col(audioCol)).as("ws"))
       .filter(col("ws").isNotNull)
       .select(col("id"), size(col("ws")).as("n_windows"),
         explode(col("ws")).as("w"))
@@ -71,10 +82,11 @@ object AudioContainment {
     */
   def containmentPairs(tracks: DataFrame, audioCol: String, idCol: String,
       windowSec: Double = 0.512, maxDist: Int = 2,
-      minCoverage: Double = 0.8): DataFrame = {
-    val wh = windowHashes(tracks, audioCol, idCol, windowSec)
+      minCoverage: Double = 0.8, hopSec: Double = 0.0): DataFrame = {
+    val hop = if (hopSec > 0) hopSec else windowSec
+    val wh = windowHashes(tracks, audioCol, idCol, windowSec, hopSec)
       .filter(TemporalAlignment.informative(col("whash")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val windowPairs = ImageDedup.hammingNearDupPairs(
       wh.select(struct(col("id"), col("win_idx")).as("id"),
         col("whash").as("phash")),
@@ -109,7 +121,7 @@ object AudioContainment {
         when(col("na") <= col("nb"), -col("best_off")).otherwise(col("best_off"))
           .as("offset_windows"),
         round(when(col("na") <= col("nb"), -col("best_off"))
-          .otherwise(col("best_off")) * windowSec, 6).as("offset_seconds"),
+          .otherwise(col("best_off")) * hop, 6).as("offset_seconds"),
         col("matched_units").as("matched_windows"),
         col("coverage"))
   }

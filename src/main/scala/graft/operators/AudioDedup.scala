@@ -27,7 +27,7 @@ object AudioDedup {
   private val hashUdf = udf { bytes: Array[Byte] =>
     if (bytes == null) None
     else AudioOps.decodeWav(bytes).map(AudioOps.spectralHash64)
-  }
+  }.asNondeterministic() // optimizer fence — see AudioContainment.windowHashUdf
 
   /** Fingerprint column for an encoded-WAV column. */
   def fingerprint(audioCol: Column): Column = hashUdf(audioCol)

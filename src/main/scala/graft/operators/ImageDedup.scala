@@ -43,10 +43,14 @@ object ImageDedup {
     * tool here: no built-in expression decodes images, and the work is
     * genuinely per-row imperative pixel math (SURVEY §2 UDF policy).
     */
+  // asNondeterministic on the decode UDFs is an optimizer fence (see
+  // AudioContainment.windowHashUdf): without it the decode+hash chain is
+  // inlined into the isNotNull filter and the projection — two to three
+  // full image decodes per row.
   private val dHashUdf = udf { bytes: Array[Byte] =>
     if (bytes == null) None
     else ImageOps.decode(bytes).map(ImageOps.dHash64)
-  }
+  }.asNondeterministic()
 
   /** dHash column for an encoded-image column. */
   def dHash(imageCol: Column): Column = dHashUdf(imageCol)
@@ -60,7 +64,7 @@ object ImageDedup {
   private val fingerprintUdf = udf { bytes: Array[Byte] =>
     if (bytes == null) None
     else ImageOps.decode(bytes).map(ImageOps.pHash64MirrorCanonical)
-  }
+  }.asNondeterministic()
 
   /** The dedup fingerprint column for an encoded-image column — used by
     * BOTH the batch pair join ([[hashes]]) and the streaming suppressor

@@ -58,8 +58,12 @@ object VideoDedup {
       }
     }
 
+  // optimizer fence — see AudioContainment.windowHashUdf: unfenced, the
+  // full GVID decode + per-frame hash runs once for the isNotNull filter,
+  // once for size() and once for the explode generator
   private def sampleHashUdf(everyNth: Int) =
     udf { bytes: Array[Byte] => sampleFrameHashes(bytes, everyNth) }
+      .asNondeterministic()
 
   /** (id, frame_idx, phash, n_sampled) per sampled frame of each decodable
     * video — `n_sampled` rides along so the overlap denominator needs no

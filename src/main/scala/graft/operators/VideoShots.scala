@@ -60,8 +60,12 @@ object VideoShots {
     * [[graft.sources.Video.framesById]]'s shape): the form a session with
     * a MATERIALIZED decoded-frames table uses, paying zero extra decodes.
     */
-  def shotsFromFrames(frameRows: DataFrame,
-      everyNth: Int = 1, cutDist: Int = 10): DataFrame = {
+  /** (id, frame_idx, shot_idx) per sampled frame — the per-frame shot
+    * assignment [[shotsFromFrames]] and [[keyframes]] both roll up from:
+    * one lag + one running sum over the per-video window.
+    */
+  private def shotAssignment(frameRows: DataFrame,
+      everyNth: Int, cutDist: Int): DataFrame = {
     val fh = graft.sources.Video.sampleFrames(frameRows, everyNth)
       .select(col("video_id").as("id"), col("frame_idx"),
         frameHashUdf(col("rows"), col("cols"), col("channels"), col("px"))
@@ -76,12 +80,38 @@ object VideoShots {
       .withColumn("shot_idx",
         sum(col("is_cut")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
+      .select(col("id"), col("frame_idx"), col("shot_idx"))
+  }
+
+  def shotsFromFrames(frameRows: DataFrame,
+      everyNth: Int = 1, cutDist: Int = 10): DataFrame =
+    shotAssignment(frameRows, everyNth, cutDist)
       .groupBy(col("id"), col("shot_idx"))
       .agg(min(col("frame_idx")).as("start_frame"),
         max(col("frame_idx")).as("end_frame"),
         count(lit(1)).as("n_frames"))
       .select(col("id").as("video_id"), col("shot_idx"),
         col("start_frame"), col("end_frame"), col("n_frames"))
+
+  /** ONE representative frame per shot — the extraction step the
+    * segmentation exists for (training-frame sampling: a static interview
+    * contributes one frame, a montage one per cut): the MIDDLE sampled
+    * frame of each shot (most shot-representative under a hard-cut model
+    * — first/last frames sit next to transitions; deterministic:
+    * ceil-middle of the sorted sampled frames). Output (video_id,
+    * shot_idx, keyframe_idx, shot_frames) — same window partitioning as
+    * the segmentation, one extra rank/count pass, still no join.
+    */
+  def keyframes(frameRows: DataFrame,
+      everyNth: Int = 1, cutDist: Int = 10): DataFrame = {
+    val ws = Window.partitionBy("id", "shot_idx").orderBy("frame_idx")
+    val wc = Window.partitionBy("id", "shot_idx")
+    shotAssignment(frameRows, everyNth, cutDist)
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2)) // SQL `/` is double
+      .select(col("id").as("video_id"), col("shot_idx"),
+        col("frame_idx").as("keyframe_idx"), col("cnt").as("shot_frames"))
   }
 
   /** Per-video shot summary: (video_id, n_shots, longest_shot_frames,

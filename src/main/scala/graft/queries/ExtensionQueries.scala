@@ -3983,6 +3983,25 @@ object ExtensionQueries {
             sum(coalesce(col("n_regions"), lit(0))).as("total_regions"))
           .orderBy("video_id")
       },
+      None),
+
+    // ------------------------------------------------------------ EXT112
+    // KEYFRAME EXTRACTION — the step ext110's segmentation exists for:
+    // one representative (middle) sampled frame per detected shot, the
+    // one-frame-per-shot training-data sampling that beats every-nth when
+    // shot lengths vary (a static interview contributes one frame, a
+    // montage one per cut). Same per-video window partitioning as the
+    // segmentation plus one rank/count pass — still zero joins — and the
+    // THIRD consumer of the session's materialized decoded-frame table
+    // (ext110 hashes it, ext111 runs the motion kernel over it, ext112
+    // picks representatives: decode once, analyze many). Rows-only;
+    // VideoShotsSpec pins keyframe == ceil-middle of every constructed
+    // scene and one-keyframe-per-shot totals.
+    QueryDef(
+      "ext112_keyframes",
+      (s, dir) => graft.operators.VideoShots.keyframes(
+        sharedSceneFrames(s, dir), everyNth = 1, cutDist = 10)
+        .orderBy("video_id", "shot_idx"),
       None)
   )
 }

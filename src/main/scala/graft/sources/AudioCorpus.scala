@@ -39,7 +39,7 @@ object AudioCorpus {
   def wavFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     renderUdf(id)
 
-  private val renderUdf = udf { id: Long => render(id) }
+  private val renderUdf = udf { id: Long => render(id) }.asNondeterministic()
 
   /** Deterministic mono PCM-16 WAV for `id`. */
   def render(id: Long): Array[Byte] = {
@@ -94,7 +94,7 @@ object AudioCorpus {
     ids.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("wav", trackUdf(col("doc_id")))
 
-  private val trackUdf = udf { id: Long => renderTrack(id) }
+  private val trackUdf = udf { id: Long => renderTrack(id) }.asNondeterministic()
 
   /** Number of full windows in track `id` (the containment corpus). */
   def trackWindows(id: Long): Int =

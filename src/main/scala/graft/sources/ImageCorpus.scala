@@ -34,7 +34,7 @@ object ImageCorpus {
     ids.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("png", renderUdf(col("doc_id")))
 
-  private val renderUdf = udf { id: Long => render(id) }
+  private val renderUdf = udf { id: Long => render(id) }.asNondeterministic()
 
   /** Deterministic 64×64 grayscale-as-BGR PNG for `id`. */
   def render(id: Long): Array[Byte] = {

@@ -67,10 +67,13 @@ object Video {
   def readVideoDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", "*.gvid").load(dir)
 
+  // optimizer fence — see AudioContainment.windowHashUdf: unfenced, the
+  // full-corpus decode runs once for the isNotNull filter and once for
+  // the explode generator
   private val explodeUdf = udf((bytes: Array[Byte]) =>
     decodeFrames(bytes).map { case (rows, cols, ch, fps, frames) =>
       frames.zipWithIndex.map { case (px, i) => (i, rows, cols, ch, fps, px) }
-    })
+    }).asNondeterministic()
 
   /** One row per frame: (path, frame_idx, rows, cols, channels, fps, px).
     * Undecodable blobs are dropped. The explode happens executor-side — a

@@ -27,7 +27,7 @@ object VideoCorpus {
     ids.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("gvid", renderUdf(col("doc_id")))
 
-  private val renderUdf = udf { id: Long => render(id) }
+  private val renderUdf = udf { id: Long => render(id) }.asNondeterministic()
 
   /** Deterministic 12-frame 32×32 BGR GVID for `id`. */
   def render(id: Long): Array[Byte] = {
@@ -77,7 +77,7 @@ object VideoCorpus {
     ids.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("gvid", scenesUdf(col("doc_id")))
 
-  private val scenesUdf = udf { id: Long => renderScenes(id) }
+  private val scenesUdf = udf { id: Long => renderScenes(id) }.asNondeterministic()
 
   /** Scene lengths (frames) of video `id` in the scene corpus. */
   def sceneLengths(id: Long): Seq[Int] = {

@@ -115,6 +115,37 @@ class AudioContainmentSpec extends AnyFunSuite with SparkTestSession {
       s"silence-padded containment not detected: ${pairs.mkString(", ")}")
   }
 
+  test("misaligned insertion: invisible at the default grid, caught at hop = window/2") {
+    val clip = AudioOps.decodeWav(AudioCorpus.renderTrack(0L)).get // 4 windows
+    val host = AudioOps.decodeWav(AudioCorpus.renderTrack(1L)).get // >= 5 windows
+    // embed the clip at sample offset Win/2 — a multiple of the half hop,
+    // NOT of the window, so every default-grid window straddles two clip
+    // windows and hashes like neither
+    val half = Win / 2
+    val out = new Array[Short](half + clip.samples.length + 3 * half)
+    System.arraycopy(host.samples, 0, out, 0, half)
+    System.arraycopy(clip.samples, 0, out, half, clip.samples.length)
+    System.arraycopy(host.samples, half, out, half + clip.samples.length, 3 * half)
+    val composite = AudioOps.encodeWav(clip.sampleRate, 1, out)
+    val df = Seq((5L, AudioCorpus.renderTrack(0L)), (9L, composite))
+      .toDF("doc_id", "wav")
+    assert(AudioContainment.containmentPairs(
+      df, "wav", "doc_id", windowSec = WinSec,
+      maxDist = 2, minCoverage = 0.8).count() == 0,
+      "default non-overlapping grid should not see the misaligned insertion")
+    val caught = AudioContainment.containmentPairs(
+      df, "wav", "doc_id", windowSec = WinSec,
+      maxDist = 2, minCoverage = 0.8, hopSec = WinSec / 2)
+      .collect()
+    assert(caught.length == 1, s"got ${caught.mkString(", ")}")
+    val r = caught.head
+    assert(r.getAs[Long]("clip_id") == 5L && r.getAs[Long]("track_id") == 9L)
+    assert(r.getAs[Int]("offset_windows") == 1,
+      s"offset ${r.getAs[Int]("offset_windows")}, expected 1 half-window hop")
+    assert(math.abs(r.getAs[Double]("offset_seconds") - WinSec / 2) < 1e-9)
+    assert(r.getAs[Double]("coverage") >= 0.99)
+  }
+
   test("undecodable blobs drop; query entry runs at sf0.001") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
       (2L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "wav")

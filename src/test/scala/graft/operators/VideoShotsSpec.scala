@@ -61,6 +61,30 @@ class VideoShotsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("keyframes: ceil-middle of every constructed scene, one per shot") {
+    val ids = (0L until 8L).toDF("doc_id")
+    val kf = VideoShots.keyframes(
+      Video.framesById(VideoCorpus.scenesFor(ids, "doc_id"), "gvid", "doc_id"),
+      everyNth = 1, cutDist = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("video_id"))
+    (0L until 8L).foreach { id =>
+      val lens = VideoCorpus.sceneLengths(id)
+      val rows = kf(id).sortBy(_.getAs[Long]("shot_idx"))
+      assert(rows.length == lens.size, s"video $id: ${rows.length} keyframes")
+      val bounds = lens.scanLeft(0)(_ + _)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        // ceil-middle of frames [bounds(i), bounds(i+1)): index (len+1)/2
+        // within the shot, 1-based → bounds(i) + (len+1)/2 - 1
+        val want = bounds(i) + (lens(i) + 1) / 2 - 1
+        assert(r.getAs[Int]("keyframe_idx") == want,
+          s"video $id shot $i: keyframe ${r.getAs[Int]("keyframe_idx")}, " +
+            s"expected $want")
+        assert(r.getAs[Long]("shot_frames") == lens(i).toLong)
+      }
+    }
+  }
+
   test("a cut-free video is one shot; undecodable blobs drop") {
     val still = Video.encode(32, 32, 3, fps = 10,
       Seq.fill(5)(Array.fill[Byte](32 * 32 * 3)(7)))
