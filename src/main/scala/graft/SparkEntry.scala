@@ -18,8 +18,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * retention dual ext107 and the incremental fingerprint-table probe
   * ext108: image, audio, video, cross-modal gates, retention accounting,
   * delivery-vs-index dedup — plus audio clip containment ext109,
-  * video shot segmentation ext110, the batch motion backfill ext111 and
-  * per-shot keyframe extraction ext112 — 174 catalog entries total);
+  * video shot segmentation ext110, the batch motion backfill ext111,
+  * per-shot keyframe extraction ext112, the multimodal quality gates
+  * ext113–ext115 (image / audio / per-video stats + verdicts) and the
+  * perceptual eval-decontamination guard ext116 — 178 catalog entries
+  * total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -177,6 +177,37 @@ object ImageDedup {
     * inside its own delivery first, exactly ext47's dedupe-then-anti
     * order); its survivor may then still drop against the old corpus.
     */
+  /** Perceptual EVAL-SET DECONTAMINATION verdicts — the multimodal analog
+    * of the text leakage guards (ext86/ext87's train⋈eval n-gram audits,
+    * Dodge et al. 2021's C4 benchmark-contamination methodology): for each
+    * held-out eval image, is a perceptual near-duplicate present in the
+    * training corpus? Equality-based decontamination misses re-encoded /
+    * resized / mirrored copies — exactly the forms scraped training sets
+    * contain — so the probe is [[hammingJoinAgainst]] over the two
+    * fingerprint tables: both sides band identically, pigeonhole recall at
+    * the threshold, candidates an equi-join, never all-pairs. MODALITY-
+    * GENERIC like the rest of the banded core (audio spectral hashes work
+    * unchanged). At scale both inputs are persisted fingerprint tables
+    * (8 bytes + id per item) — the audit never touches pixels.
+    *
+    * One verdict row per eval id: (eval_id, contaminated, nearest_train_id,
+    * dist) — nearest by (distance, id) so the evidence row is
+    * deterministic; clean rows carry NULLs.
+    */
+  def leakageVerdicts(evalHashes: DataFrame, trainHashes: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    val nearest = hammingJoinAgainst(evalHashes, trainHashes, maxDist)
+      .groupBy(col("id"))
+      .agg(min_by(col("match_id"), struct(col("dist"), col("match_id")))
+        .as("nearest_train_id"),
+        min(col("dist")).as("dist"))
+    evalHashes.select(col("id"))
+      .join(nearest, Seq("id"), "left")
+      .select(col("id").as("eval_id"),
+        col("nearest_train_id").isNotNull.as("contaminated"),
+        col("nearest_train_id"), col("dist"))
+  }
+
   def incrementalVerdicts(newHashes: DataFrame, existingHashes: DataFrame,
       maxDist: Int = 3): DataFrame = {
     val newH = newHashes.select(col("id"), col("phash")).localCheckpoint(false)

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cv.{AudioOps, ImageOps, Kernels}
+
+/** Per-item QUALITY SCORING for multimodal binary columns — the image /
+  * audio / video analog of the text quality gate (ext05's length /
+  * punctuation / stopword ratios): the filters a large-scale curation
+  * pipeline runs BEFORE dedup and sampling, since a flat gray thumbnail or
+  * a silent clip costs as much to store and train on as real content.
+  * Public precedent: LAION-5B filtered scraped images on size and
+  * image-level scores before CLIP filtering (Schuhmann et al. 2022), and
+  * the classic blur gate is variance-of-gradient/Laplacian (Pech-Pacheco
+  * et al., ICPR 2000) — the sharpness score here is that family's
+  * mean-absolute-gradient member.
+  *
+  * Scale shape: ONE map-side decode per item producing a fixed-width stats
+  * struct — no shuffle at all until whatever rollup the caller adds; the
+  * decode UDFs are `asNondeterministic()` optimizer fences like every
+  * expensive multimodal UDF in this codebase (one evaluation in one
+  * Project, never inlined into scan-level filters). Video stats ride the
+  * session's MATERIALIZED decoded-frame table (decode once, analyze many)
+  * and reduce per video with one window/agg pass partitioned by video_id —
+  * skew bounded by the longest single video, no join anywhere.
+  *
+  * Undecodable items are NOT dropped (unlike the dedup path, where they
+  * cannot pair anyway): quality scoring is exactly where a pipeline counts
+  * its corrupt blobs, so they surface as `decodable = false` rows with
+  * NULL stats and a failing verdict.
+  */
+object MediaQuality {
+
+  // ------------------------------------------------------------ images
+
+  /** Luma statistics of a decoded image: (mean, stddev, RMS neighbor
+    * gradient, 16-bin histogram entropy in bits). All on the 0..255 luma
+    * scale; entropy in [0, 4]. The sharpness score is ROOT-MEAN-SQUARE
+    * gradient, not mean-absolute: a step edge of height h contributes h²
+    * to gradient energy however it is positioned, but smoothing it into a
+    * ramp of width k divides the energy by k — so blur crushes the RMS
+    * score while the mean-absolute form (total variation) is nearly
+    * blur-invariant along each scan line and separates nothing.
+    */
+  private[graft] def imageLumaStats(
+      img: ImageOps.DecodedImage): (Double, Double, Double, Double) = {
+    val gray = Kernels.grayscale(img.px, img.rows, img.cols, img.channels)
+    val n = img.rows * img.cols
+    var sum = 0.0
+    var sumSq = 0.0
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val v = gray(i) & 0xff
+      sum += v
+      sumSq += v.toDouble * v
+      hist(v >> 4) += 1
+      i += 1
+    }
+    val mean = sum / n
+    val variance = math.max(0.0, sumSq / n - mean * mean)
+    // gradient ENERGY over all horizontal + vertical neighbor pairs —
+    // the blur gate (see class doc: RMS, not mean-absolute)
+    var gradSum = 0.0
+    var gradN = 0L
+    var r = 0
+    while (r < img.rows) {
+      var c = 0
+      val row = r * img.cols
+      while (c < img.cols) {
+        val v = gray(row + c) & 0xff
+        if (c + 1 < img.cols) {
+          val d = (gray(row + c + 1) & 0xff) - v
+          gradSum += d.toDouble * d; gradN += 1
+        }
+        if (r + 1 < img.rows) {
+          val d = (gray(row + img.cols + c) & 0xff) - v
+          gradSum += d.toDouble * d; gradN += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    var entropy = 0.0
+    var b = 0
+    while (b < 16) {
+      if (hist(b) > 0) {
+        val p = hist(b).toDouble / n
+        entropy -= p * math.log(p) / math.log(2.0)
+      }
+      b += 1
+    }
+    (mean, math.sqrt(variance),
+      if (gradN == 0) 0.0 else math.sqrt(gradSum / gradN), entropy)
+  }
+
+  private val imageStatsUdf = udf { bytes: Array[Byte] =>
+    if (bytes == null) None
+    else ImageOps.decode(bytes).map { img =>
+      val (mean, std, grad, ent) = imageLumaStats(img)
+      (img.cols, img.rows, mean, std, grad, ent)
+    }
+  }.asNondeterministic()
+
+  /** Per-image quality stats over an encoded-image binary column:
+    * (id, decodable, width, height, mean_luma, contrast, sharpness,
+    * entropy) — stats NULL when undecodable; doubles rounded to 6 dp so
+    * the output is stable across partitionings (all per-item math, no
+    * cross-row float reduction anywhere).
+    */
+  def imageStats(images: DataFrame, imageCol: String, idCol: String): DataFrame =
+    images
+      .select(col(idCol).as("id"), imageStatsUdf(col(imageCol)).as("s"))
+      .select(col("id"), col("s").isNotNull.as("decodable"),
+        col("s._1").as("width"), col("s._2").as("height"),
+        round(col("s._3"), 6).as("mean_luma"),
+        round(col("s._4"), 6).as("contrast"),
+        round(col("s._5"), 6).as("sharpness"),
+        round(col("s._6"), 6).as("entropy"))
+
+  /** Keep/drop verdict over [[imageStats]] output — the standard curation
+    * gate shape: reject undecodable, tiny, too-dark, near-uniform
+    * (contrast) and blurred (sharpness) images, with the failing reason
+    * (first failing rule in a FIXED order, so the output is deterministic;
+    * too_dark precedes the contrast/sharpness rules because darkening
+    * scales both scores down — a dark image should fail as dark, not as
+    * incidentally blurry): (…stats…, keep BOOL, reason STRING|NULL).
+    */
+  def imageVerdicts(stats: DataFrame, minSide: Int = 32,
+      minMeanLuma: Double = 20.0, minContrast: Double = 8.0,
+      minSharpness: Double = 8.0): DataFrame =
+    stats.withColumn("reason",
+        when(!col("decodable"), "undecodable")
+          .when(least(col("width"), col("height")) < minSide, "too_small")
+          .when(col("mean_luma") < minMeanLuma, "too_dark")
+          .when(col("contrast") < minContrast, "low_contrast")
+          .when(col("sharpness") < minSharpness, "blurred"))
+      .withColumn("keep", col("reason").isNull)
+
+  // ------------------------------------------------------------ audio
+
+  /** Silence-frame geometry: RMS is measured per 512-sample frame; a frame
+    * under [[SilenceRms]] (on the [-1, 1] scale) counts as silence.
+    */
+  val SilenceFrameSamples = 512
+  val SilenceRms = 0.005
+  /** |sample| at or above this (of 32767) counts as digitally clipped. */
+  val ClipLevel = 32700
+
+  private[graft] def audioQualityStats(
+      a: AudioOps.DecodedAudio): (Double, Double, Double, Double, Double) = {
+    val n = a.samples.length
+    if (n == 0) return (0.0, 0.0, 0.0, 0.0, 1.0)
+    val (rms, peak, _) = AudioOps.features(a)
+    var clipped = 0L
+    var i = 0
+    while (i < n) {
+      if (math.abs(a.samples(i).toInt) >= ClipLevel) clipped += 1
+      i += 1
+    }
+    // per-frame silence over the mono mix of each 512-sample span
+    var silent = 0L
+    var frames = 0L
+    var off = 0
+    while (off < n) {
+      val end = math.min(n, off + SilenceFrameSamples * a.channels)
+      var sumSq = 0.0
+      var j = off
+      while (j < end) {
+        val v = a.samples(j) / 32768.0
+        sumSq += v * v
+        j += 1
+      }
+      if (math.sqrt(sumSq / (end - off)) < SilenceRms) silent += 1
+      frames += 1
+      off = end
+    }
+    val durationSec =
+      n.toDouble / a.channels / a.sampleRate
+    (durationSec, rms, peak, clipped.toDouble / n, silent.toDouble / frames)
+  }
+
+  private val audioStatsUdf = udf { bytes: Array[Byte] =>
+    if (bytes == null) None
+    else AudioOps.decodeWav(bytes).map { a =>
+      val (dur, rms, peak, clip, sil) = audioQualityStats(a)
+      (dur, rms, peak, clip, sil)
+    }
+  }.asNondeterministic()
+
+  /** Per-track audio quality stats over a WAV binary column:
+    * (id, decodable, duration_sec, rms, peak, clipping_ratio,
+    * silence_ratio) — stats NULL when undecodable, doubles rounded to 6 dp
+    * (per-item math only, partition-order-independent).
+    */
+  def audioStats(tracks: DataFrame, audioCol: String, idCol: String): DataFrame =
+    tracks
+      .select(col(idCol).as("id"), audioStatsUdf(col(audioCol)).as("s"))
+      .select(col("id"), col("s").isNotNull.as("decodable"),
+        round(col("s._1"), 6).as("duration_sec"),
+        round(col("s._2"), 6).as("rms"),
+        round(col("s._3"), 6).as("peak"),
+        round(col("s._4"), 6).as("clipping_ratio"),
+        round(col("s._5"), 6).as("silence_ratio"))
+
+  /** Keep/drop verdict over [[audioStats]] — reject undecodable, too-short,
+    * near-silent, mostly-silent and clipped tracks (first failing rule in
+    * fixed order): (…stats…, keep BOOL, reason STRING|NULL).
+    */
+  def audioVerdicts(stats: DataFrame, minDurationSec: Double = 0.5,
+      minRms: Double = 0.01, maxSilenceRatio: Double = 0.5,
+      maxClippingRatio: Double = 0.01): DataFrame =
+    stats.withColumn("reason",
+        when(!col("decodable"), "undecodable")
+          .when(col("duration_sec") < minDurationSec, "too_short")
+          .when(col("rms") < minRms, "near_silent")
+          .when(col("silence_ratio") > maxSilenceRatio, "mostly_silent")
+          .when(col("clipping_ratio") > maxClippingRatio, "clipped"))
+      .withColumn("keep", col("reason").isNull)
+
+  // ------------------------------------------------------------ video
+
+  private val frameLumaUdf = udf {
+    (px: Array[Byte], rows: Int, cols: Int, channels: Int) =>
+      val gray = Kernels.grayscale(px, rows, cols, channels)
+      var sum = 0.0
+      var i = 0
+      while (i < gray.length) { sum += (gray(i) & 0xff); i += 1 }
+      if (gray.length == 0) 0.0 else sum / gray.length
+  }.asNondeterministic()
+
+  /** Per-video quality stats over a DECODED frame table
+    * ([[graft.sources.Video.framesById]] schema) — the fourth consumer of
+    * the materialized frame table (shots hash it, motion backfill kernels
+    * it, keyframes sample it, this summarizes it): per video,
+    * (video_id, n_frames, width, height, mean_luma, low_info_ratio,
+    * static_ratio) where low_info_ratio is the fraction of frames whose
+    * dHash popcount falls outside [[TemporalAlignment.informative]]'s
+    * band (black frames / title cards) and static_ratio is the fraction
+    * of frame TRANSITIONS whose dHash Hamming distance is <= `staticDist`
+    * (a 2-hour static interview scores ~1.0; a montage ~0.0). One
+    * window + one agg, both partitioned by video_id — no join.
+    */
+  def videoStats(frameRows: DataFrame, staticDist: Int = 2): DataFrame = {
+    val hashed = frameRows.withColumn("fh",
+      VideoShots.frameHash(col("px"), col("rows"), col("cols"), col("channels")))
+      .withColumn("luma",
+        frameLumaUdf(col("px"), col("rows"), col("cols"), col("channels")))
+    val w = Window.partitionBy("video_id").orderBy("frame_idx")
+    hashed
+      .withColumn("prev", lag(col("fh"), 1).over(w))
+      .groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        first(col("cols")).as("width"),
+        first(col("rows")).as("height"),
+        round(avg(col("luma")), 6).as("mean_luma"),
+        round(avg(when(TemporalAlignment.informative(col("fh")), 0.0)
+          .otherwise(1.0)), 6).as("low_info_ratio"),
+        round(coalesce(
+          avg(when(col("prev").isNotNull,
+            when(bit_count(col("prev").bitwiseXOR(col("fh"))) <= staticDist,
+              1.0).otherwise(0.0))), lit(0.0)), 6).as("static_ratio"))
+  }
+}

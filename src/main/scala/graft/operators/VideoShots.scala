@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,14 @@ object VideoShots {
       graft.cv.ImageOps.dHash64(
         graft.cv.ImageOps.DecodedImage(rows, cols, ch, px))
     }
+
+  /** The shot path's per-frame hash as a column, exposed package-wide so
+    * sibling frame-table analytics ([[MediaQuality.videoStats]]'s
+    * static/low-info ratios) measure frames with the SAME hash the
+    * segmentation cuts on — the two can then be cross-checked row for row.
+    */
+  private[graft] def frameHash(px: Column, rows: Column, cols: Column,
+      channels: Column): Column = frameHashUdf(rows, cols, channels, px)
 
   /** Per-shot segmentation: (video_id, shot_idx, start_frame, end_frame,
     * n_frames) — frame indices are ORIGINAL indices (sampling stride

@@ -4002,6 +4002,100 @@ object ExtensionQueries {
       (s, dir) => graft.operators.VideoShots.keyframes(
         sharedSceneFrames(s, dir), everyNth = 1, cutDist = 10)
         .orderBy("video_id", "shot_idx"),
+      None),
+
+    // ------------------------------------------------------------ EXT113
+    // IMAGE QUALITY GATE — the multimodal analog of ext05's text quality
+    // scoring, and the filter a curation pipeline runs BEFORE image dedup
+    // (a flat gray thumbnail costs as much to store and train on as real
+    // content; LAION filtered on size and image-level scores before CLIP
+    // scoring). One map-side decode per image producing (width, height,
+    // mean_luma, contrast, RMS-gradient sharpness, histogram entropy) +
+    // a fixed-order keep/reason verdict — no shuffle but the final sort.
+    // Corpus = ImageCorpus.gradedFor: id%5 grades clean / flat /
+    // blurred / dark / tiny, so every verdict class is live at every SF
+    // (the blurred grade keeps healthy contrast — the case separating the
+    // RMS gradient from the blur-invariant total-variation form).
+    // Rows-only (no image stack in DuckDB); MediaQualitySpec pins verdict
+    // == grade for the whole corpus, undecodable handling, and the
+    // blur/contrast separation on constructed fixtures.
+    QueryDef(
+      "ext113_image_quality",
+      (s, dir) => graft.operators.MediaQuality.imageVerdicts(
+        graft.operators.MediaQuality.imageStats(
+          graft.sources.ImageCorpus.gradedFor(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "png", "doc_id"))
+        .orderBy("id"),
+      None),
+
+    // ------------------------------------------------------------ EXT114
+    // AUDIO QUALITY GATE — ext113's audio sibling: one map-side WAV
+    // decode per track producing (duration, RMS, peak, clipping_ratio,
+    // frame-level silence_ratio) + the fixed-order verdict. The graded
+    // corpus (id%5: clean / near-silent / clipped / mostly-silent /
+    // too-short) keeps every failure class live; the mostly-silent grade
+    // passes whole-track RMS while failing frame-level silence — the case
+    // that justifies per-frame measurement. Rows-only; MediaQualitySpec
+    // pins verdict == grade, the silence/RMS separation, and stereo
+    // frame accounting.
+    QueryDef(
+      "ext114_audio_quality",
+      (s, dir) => graft.operators.MediaQuality.audioVerdicts(
+        graft.operators.MediaQuality.audioStats(
+          graft.sources.AudioCorpus.gradedFor(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "wav", "doc_id"))
+        .orderBy("id"),
+      None),
+
+    // ------------------------------------------------------------ EXT115
+    // VIDEO QUALITY SUMMARY — per-video corpus health over the DECODED
+    // frame table: n_frames, geometry, mean luma, low-information-frame
+    // ratio (the popcount band ext104 filters on, here REPORTED per
+    // video) and static-transition ratio (fraction of consecutive-frame
+    // dHash distances <= 2: a static interview scores ~1, a montage ~0 —
+    // the dial that decides every-nth vs per-shot frame sampling). The
+    // FOURTH consumer of the session's materialized frame table (shots
+    // hash it, motion kernels it, keyframes sample it, this summarizes
+    // it) — zero extra decodes, one window + one agg partitioned by
+    // video_id, no join. On the scene corpus static_ratio is exactly
+    // (n_frames-1 - cuts)/(n_frames-1), making ext115 mutually checking
+    // with ext110's shot count. Rows-only; MediaQualitySpec pins that
+    // cross-invariant and the static/low-info ratios on constructed
+    // fixtures.
+    QueryDef(
+      "ext115_video_quality",
+      (s, dir) => graft.operators.MediaQuality.videoStats(
+        sharedSceneFrames(s, dir))
+        .orderBy("video_id"),
+      None),
+
+    // ------------------------------------------------------------ EXT116
+    // PERCEPTUAL EVAL DECONTAMINATION — the multimodal analog of
+    // ext86/ext87's text leakage guards (Dodge et al. 2021): for each
+    // held-out eval image, is a perceptual near-duplicate in the training
+    // split? Equality-based decontamination misses re-encoded / mirrored
+    // copies — the forms scraped corpora actually contain — so the probe
+    // is the TWO-SIDED Hamming banded join over fingerprint tables (both
+    // sides band identically, pigeonhole recall, equi-join candidates,
+    // never all-pairs; at scale both sides are persisted 8-byte-per-item
+    // fingerprint tables — the audit never touches pixels). Split: whole
+    // families (floor(id/3)%5==4) go to eval AND scattered singles
+    // (id%7==3) leak family siblings into train — so contaminated
+    // (singles) and clean (whole families) verdicts are both live at
+    // every SF. Reads the session's MEMOIZED fingerprint table: zero new
+    // decode passes. Rows-only; ImageDedupSpec pins the verdict set
+    // against the family structure and the nearest-evidence determinism.
+    QueryDef(
+      "ext116_image_decontamination",
+      (s, dir) => {
+        val hashes = sharedImageHashes(s, dir)
+        val isEval = (floor(col("id") / 3) % 5 === 4) || (col("id") % 7 === 3)
+        graft.operators.ImageDedup.leakageVerdicts(
+          hashes.filter(isEval), hashes.filter(!isEval), maxDist = 3)
+          .orderBy("eval_id")
+      },
       None)
   )
 }

@@ -132,6 +132,49 @@ object AudioCorpus {
     }
   }
 
+  /** One GRADED WAV per input id — the audio QUALITY-GATE fixture corpus
+    * (the family corpus is uniformly healthy tone content; a quality gate
+    * needs live failure classes). Grade = id % 5:
+    *   - 0 → clean ~1 s tone, amplitude 8000 (keep; RMS ≈ 0.17);
+    *   - 1 → near-silent — the same tone at amplitude 100 (RMS ≈ 0.002,
+    *     fails the min-RMS rule);
+    *   - 2 → clipped — amplitude 60000 saturated into 16-bit range
+    *     (~60% of samples pinned at ±32767, fails the clipping rule);
+    *   - 3 → mostly silent — tone for the first 40%, digital zero for the
+    *     last 60% (silence_ratio ≈ 0.6 fails the silence rule while whole-
+    *     track RMS ≈ 0.11 still passes the min-RMS rule — the case that
+    *     needs FRAME-level silence, not track RMS);
+    *   - 4 → too short — 0.25 s of clean tone (fails the duration rule).
+    * Pure function of the id.
+    */
+  def gradedFor(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("wav", gradedUdf(col("doc_id")))
+
+  private val gradedUdf = udf { id: Long => renderGraded(id) }.asNondeterministic()
+
+  /** Deterministic graded WAV for `id` (see [[gradedFor]]). */
+  def renderGraded(id: Long): Array[Byte] = {
+    val grade = (id % 5).toInt
+    val freq = 300.0 + (mix(id, 4242L) & 0x3ffL)
+    val n = if (grade == 4) 2000 else NSamples
+    val amp = grade match {
+      case 1 => 100.0
+      case 2 => 60000.0
+      case _ => 8000.0
+    }
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val raw = amp * math.sin(2 * math.Pi * freq * i / SampleRate)
+      val v = math.max(-32767.0, math.min(32767.0, raw))
+      samples(i) =
+        if (grade == 3 && i >= (n * 0.4).toInt) 0 else v.toShort
+      i += 1
+    }
+    AudioOps.encodeWav(SampleRate, 1, samples)
+  }
+
   /** splitmix64-style stateless mix — same public-domain constant schedule
     * as [[ImageCorpus]]. */
   private def mix(a: Long, b: Long): Long = {

@@ -65,6 +65,66 @@ object ImageCorpus {
     Png.encodeBytes(px, Side, Side, 3)
   }
 
+  /** One GRADED PNG per input id — the QUALITY-GATE fixture corpus: the
+    * family corpus above is uniformly clean block noise (right for dedup,
+    * where only identity structure matters; useless for a quality gate,
+    * which needs live failure classes). Grade = id % 5:
+    *   - 0 → clean 64×64 block noise (keep);
+    *   - 1 → near-uniform flat gray (fails the contrast rule);
+    *   - 2 → blurred — the clean pattern point-sampled down to 4×4 and
+    *     bilinearly re-expanded, turning block edges into 16-px ramps
+    *     (fails the RMS-gradient sharpness rule while KEEPING healthy
+    *     contrast — the discriminating case for RMS-vs-total-variation);
+    *   - 3 → dark — the clean pattern at 1/8 luma (fails the mean-luma
+    *     rule; its contrast/sharpness also shrink 8×, which is why the
+    *     verdict order checks darkness first);
+    *   - 4 → tiny 16×16 (fails the min-side rule).
+    * Pure function of the id; per-id patterns (no family structure —
+    * quality is a per-item property).
+    */
+  def gradedFor(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("png", gradedUdf(col("doc_id")))
+
+  private val gradedUdf = udf { id: Long => renderGraded(id) }.asNondeterministic()
+
+  /** Deterministic graded PNG for `id` (see [[gradedFor]]). */
+  def renderGraded(id: Long): Array[Byte] = {
+    def noise(side: Int, block: Int, dim: Int): Array[Byte] = {
+      val px = new Array[Byte](side * side * 3)
+      var r = 0
+      while (r < side) {
+        var c = 0
+        while (c < side) {
+          val v = ((mix(id * 31 + 7, (r / block).toLong * 131 + (c / block))
+            & 0xffL).toInt) / dim
+          val o = (r * side + c) * 3
+          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+          c += 1
+        }
+        r += 1
+      }
+      px
+    }
+    (id % 5) match {
+      case 0 => Png.encodeBytes(noise(Side, Block, 1), Side, Side, 3)
+      case 1 =>
+        val px = new Array[Byte](Side * Side * 3)
+        java.util.Arrays.fill(px, 128.toByte)
+        // one off-gray pixel so the PNG isn't a degenerate single color
+        px(0) = 129.toByte; px(1) = 129.toByte; px(2) = 129.toByte
+        Png.encodeBytes(px, Side, Side, 3)
+      case 2 =>
+        val small = graft.cv.ImageOps.resizeBilinear(
+          noise(Side, Block, 1), Side, Side, 3, 4, 4)
+        val blurred = graft.cv.ImageOps.resizeBilinear(
+          small, 4, 4, 3, Side, Side)
+        Png.encodeBytes(blurred, Side, Side, 3)
+      case 3 => Png.encodeBytes(noise(Side, Block, 8), Side, Side, 3)
+      case _ => Png.encodeBytes(noise(16, 4, 1), 16, 16, 3)
+    }
+  }
+
   /** splitmix64-style stateless mix of (a, b) — public-domain constant
     * schedule (Steele et al., "Fast splittable pseudorandom number
     * generators", OOPSLA 2014). */

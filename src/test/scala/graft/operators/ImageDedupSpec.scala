@@ -402,4 +402,48 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
       !p.contains("BroadcastNestedLoopJoin"),
       s"banded self-join degenerated to all-pairs:\n$p")
   }
+
+  test("ext116 leakage verdicts match the eval/train family structure") {
+    val n = 90L
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until n).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(false)
+    def isEval(id: Long): Boolean = (id / 3) % 5 == 4 || id % 7 == 3
+    val got = ImageDedup.leakageVerdicts(
+      hashes.filter(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("id") / 3) % 5 === 4 ||
+        org.apache.spark.sql.functions.col("id") % 7 === 3),
+      hashes.filter(!(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("id") / 3) % 5 === 4 ||
+        org.apache.spark.sql.functions.col("id") % 7 === 3)),
+      maxDist = 3)
+      .collect().map(r => r.getAs[Long]("eval_id") ->
+        (r.getAs[Boolean]("contaminated"),
+          Option(r.getAs[java.lang.Long]("nearest_train_id")))).toMap
+    val evalIds = (0L until n).filter(isEval)
+    assert(got.keySet == evalIds.toSet)
+    val hashOf = hashes.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("phash")).toMap
+    def dist(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(hashOf(a) ^ hashOf(b))
+    // an eval image leaks iff a TRAIN member of its family sits within
+    // dist 3 (family hashes near-agree; cross-family ~32 bits apart)
+    var contaminated = 0
+    evalIds.foreach { id =>
+      val withinSibs = (id / 3 * 3 until id / 3 * 3 + 3).filter(s =>
+        s < n && !isEval(s) && dist(id, s) <= 3)
+      val (c, nearest) = got(id)
+      assert(c == withinSibs.nonEmpty,
+        s"eval $id: contaminated=$c, in-range train siblings $withinSibs")
+      if (c) contaminated += 1
+      // nearest evidence is deterministic: min by (dist, id)
+      if (withinSibs.nonEmpty)
+        assert(nearest.contains(
+          withinSibs.minBy(s => (dist(id, s), s)).longValue),
+          s"eval $id: nearest $nearest, " +
+            s"want ${withinSibs.minBy(s => (dist(id, s), s))}")
+    }
+    // both verdict classes are live on the split
+    assert(contaminated > 0 && contaminated < evalIds.size)
+  }
 }
