@@ -142,4 +142,64 @@ object VideoDedup {
           least(col("na"), col("nb")), 6)).as("overlap_ratio"))
       .filter(col("overlap_ratio") >= minOverlap)
   }
+
+  /** Verified CLIP-IN-VIDEO containment pairs — the video sibling of
+    * [[AudioContainment.containmentPairs]], answering "which videos
+    * contain this clip, and WHERE" (the retrieval [[nearDupPairs]]'s
+    * symmetric near-dup verdict does not localize): same frame hashes,
+    * same low-information filter, same Hamming-banded candidate core,
+    * same temporal-alignment vote — but coverage is measured over the
+    * SHORTER side's surviving frames and the winning alignment's offset
+    * is REPORTED as the clip's start frame in the track.
+    *
+    * `everyNth` defaults to 1 here (vs [[nearDupPairs]]'s 2):
+    * localization wants every frame — a stride of s quantizes the
+    * reported offset to multiples of s and halves vote support for
+    * embeds misaligned to the stride grid (the audio path's hop-dial
+    * argument, in frame units).
+    *
+    * Output: (clip_id, track_id, offset_frames, matched_frames,
+    * coverage) — clip_id is the side with fewer surviving frames (ties:
+    * smaller id), offset_frames the frame index in the track where the
+    * clip's frame 0 aligns (≥ 0 for a true containment; the sign carries
+    * through for partial head overlaps), coverage capped at 1.0. Pairs
+    * with coverage >= `minCoverage` survive.
+    */
+  def containmentPairs(videos: DataFrame, videoCol: String, idCol: String,
+      everyNth: Int = 1, maxDist: Int = 3,
+      minCoverage: Double = 0.8): DataFrame = {
+    val fh = frameHashes(videos, videoCol, idCol, everyNth)
+      .filter(TemporalAlignment.informative(col("phash"),
+        LowInfoMinBits, LowInfoMaxBits))
+      .localCheckpoint(false)
+    val framePairs = ImageDedup.hammingNearDupPairs(
+      fh.select(struct(col("id"), col("frame_idx")).as("id"), col("phash")),
+      maxDist)
+      .select(col("id_a.id").as("va0"), col("id_a.frame_idx").as("fa0"),
+        col("id_b.id").as("vb0"), col("id_b.frame_idx").as("fb0"))
+      .filter(col("va0") =!= col("vb0"))
+      .select(
+        least(col("va0"), col("vb0")).as("id_a"),
+        greatest(col("va0"), col("vb0")).as("id_b"),
+        when(col("va0") <= col("vb0"), col("fa0")).otherwise(col("fb0")).as("ta"),
+        when(col("va0") <= col("vb0"), col("fb0")).otherwise(col("fa0")).as("tb"))
+    val counts = fh.groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
+    TemporalAlignment.alignedOverlap(framePairs, counts, jitter = everyNth)
+      .withColumn("coverage",
+        least(lit(1.0), round(col("aligned_units").cast("double") /
+          least(col("na"), col("nb")), 6)))
+      .filter(col("coverage") >= minCoverage)
+      // the clip is the shorter surviving side; its start in the track is
+      // (track frame) − (clip frame) at the winning alignment: best_off
+      // is ta − tb, so the sign flips with which side is the clip
+      .select(
+        when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b"))
+          .as("clip_id"),
+        when(col("na") <= col("nb"), col("id_b")).otherwise(col("id_a"))
+          .as("track_id"),
+        when(col("na") <= col("nb"), -col("best_off")).otherwise(col("best_off"))
+          .as("offset_frames"),
+        col("matched_units").as("matched_frames"),
+        col("coverage"))
+  }
 }

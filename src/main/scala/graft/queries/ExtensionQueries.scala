@@ -4096,6 +4096,94 @@ object ExtensionQueries {
           hashes.filter(isEval), hashes.filter(!isEval), maxDist = 3)
           .orderBy("eval_id")
       },
+      None),
+
+    // ------------------------------------------------------------ EXT117
+    // VIDEO CLIP CONTAINMENT — closes the containment-family symmetry
+    // ext109 opened ("which tracks contain this clip" for audio): which
+    // VIDEOS contain this clip, and at which frame. ext104's symmetric
+    // near-dup verdict cannot localize; this runs the SAME frame hashes,
+    // low-information filter, Hamming-banded candidate core and
+    // temporal-alignment vote, but measures coverage over the SHORTER
+    // side's surviving frames and REPORTS the winning alignment's offset
+    // as the clip's start frame. everyNth=1 (vs the dedup path's 2):
+    // localization wants every frame — stride s quantizes the reported
+    // offset to multiples of s (the audio path's hop-dial argument, in
+    // frame units). Corpus = VideoCorpus.clipTracksFor: every id%4==3
+    // video embeds clip id−3 at frame 5 under a uniform +6 luma lift, so
+    // matching is perceptual (bytes differ; the gradient-sign dHash is
+    // shift-invariant away from the 255 clamp — isolated frames may flip
+    // their mirror-canonical winner, which the vote tolerates) and every
+    // reported offset is checkable. Rows-only; VideoDedupSpec pins the
+    // planted pair set with exact offsets (coverage >= threshold, >= 80%
+    // of pairs perfect), byte-divergence of the embedded copy, and
+    // scattered-montage rejection vs aligned-embed acceptance.
+    QueryDef(
+      "ext117_video_containment",
+      (s, dir) => graft.operators.VideoDedup.containmentPairs(
+        graft.sources.VideoCorpus.clipTracksFor(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        "gvid", "doc_id", everyNth = 1, maxDist = 3, minCoverage = 0.8)
+        .orderBy("clip_id", "track_id"),
+      None),
+
+    // ------------------------------------------------------------ EXT118
+    // IMAGE CURATION FUNNEL — ext100's composition statement carried to
+    // the image modality: decode gate → quality gate (ext113's verdicts)
+    // → perceptual dedup survivor (ext101's banded pairs + transitive
+    // clusters, min-id among QUALITY survivors) → eval decontamination
+    // (ext116's two-sided probe vs the ids≡3 (mod 7) benchmark slice of
+    // the session's MEMOIZED standard fingerprint table), rolled up per
+    // documents.source. Funnel economics are real: the stats decode runs
+    // over the full corpus ONCE (localCheckpoint'd, every stage flag
+    // reads it), and the HASH decode runs only over quality survivors —
+    // the gate pays for the dedup pass downstream of it, exactly why
+    // production funnels order stages this way. Corpus =
+    // ImageCorpus.funnelFor (family-keyed quality fates + corrupt ids +
+    // clean families bit-identical to the standard corpus), so every
+    // stage drop is live at every SF. Rows-only; ImageDedupSpec pins the
+    // per-source accounting against an operator-independent reference
+    // computed from the corpus structure.
+    QueryDef(
+      "ext118_image_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source")
+        val imgs = graft.sources.ImageCorpus.funnelFor(
+          docs.select("doc_id"), "doc_id")
+        val stats = graft.operators.MediaQuality.imageVerdicts(
+          graft.operators.MediaQuality.imageStats(imgs, "png", "doc_id"))
+          .select(col("id").as("doc_id"), col("decodable"), col("keep"))
+          .localCheckpoint(false)
+        val keptIds = stats.filter(col("keep"))
+          .select(col("doc_id").as("kid"))
+        // hash decode over quality survivors only
+        val h = graft.operators.ImageDedup.hashes(
+          imgs.join(keptIds, col("doc_id") === col("kid")).drop("kid"),
+          "png", "doc_id").localCheckpoint(false)
+        val clusters = graft.operators.Dedup.clusterPairs(
+          graft.operators.ImageDedup.hammingNearDupPairs(h, maxDist = 3)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        val unique = h.join(clusters, h("id") === clusters("doc_id"), "left")
+          .filter(coalesce(col("cluster_id"), col("id")) === col("id"))
+          .select(col("id"), col("phash")).localCheckpoint(false)
+        val bench = sharedImageHashes(s, dir).filter(col("id") % 7 === 3)
+        val leaks = graft.operators.ImageDedup.hammingJoinAgainst(
+          unique, bench, maxDist = 3).select(col("id")).distinct()
+        val clean = unique.select("id").join(leaks, Seq("id"), "left_anti")
+        docs
+          .join(stats, Seq("doc_id"), "left")
+          .join(unique.select(col("id").as("doc_id"),
+            lit(true).as("is_unique")), Seq("doc_id"), "left")
+          .join(clean.select(col("id").as("doc_id"),
+            lit(true).as("is_clean")), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("decodable"), 1L).otherwise(0L)).as("n_decodable"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("is_unique"), 1L).otherwise(0L)).as("n_unique"),
+            sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"))
+          .orderBy("source")
+      },
       None)
   )
 }

@@ -89,7 +89,15 @@ object ImageCorpus {
   private val gradedUdf = udf { id: Long => renderGraded(id) }.asNondeterministic()
 
   /** Deterministic graded PNG for `id` (see [[gradedFor]]). */
-  def renderGraded(id: Long): Array[Byte] = {
+  def renderGraded(id: Long): Array[Byte] = renderGrade(id, (id % 5).toInt)
+
+  /** The PNG of `id` rendered at an EXPLICIT grade (0 clean / 1 flat /
+    * 2 blurred / 3 dark / 4 tiny) — [[gradedFor]] keys the grade off the
+    * id; the funnel corpus ([[funnelFor]]) keys it off the FAMILY so whole
+    * families share a quality fate and the dedup stage downstream of the
+    * quality gate stays live.
+    */
+  def renderGrade(id: Long, grade: Int): Array[Byte] = {
     def noise(side: Int, block: Int, dim: Int): Array[Byte] = {
       val px = new Array[Byte](side * side * 3)
       var r = 0
@@ -106,7 +114,7 @@ object ImageCorpus {
       }
       px
     }
-    (id % 5) match {
+    grade match {
       case 0 => Png.encodeBytes(noise(Side, Block, 1), Side, Side, 3)
       case 1 =>
         val px = new Array[Byte](Side * Side * 3)
@@ -124,6 +132,39 @@ object ImageCorpus {
       case _ => Png.encodeBytes(noise(16, 4, 1), 16, 16, 3)
     }
   }
+
+  /** The image CURATION-FUNNEL corpus — every stage of an image funnel
+    * (decode gate → quality gate → perceptual dedup → eval
+    * decontamination) live in one corpus, which neither the family corpus
+    * (all clean: quality never fires) nor the graded corpus (per-id
+    * grades: a clean image's family siblings fail quality, so dedup never
+    * fires downstream of the gate) can provide:
+    *  - id % 41 == 11 → CORRUPT bytes (undecodable — the decode gate);
+    *  - else, quality fate is keyed off the FAMILY (`(id/3) % 4`):
+    *    0 → the standard family corpus image [[render]] (whole clean
+    *    families → the dedup stage drops siblings), 1 → flat, 2 →
+    *    blurred, 3 → dark ([[renderGrade]] per member — the quality
+    *    gate drops whole families).
+    * Clean images are bit-identical to the standard corpus's, so the
+    * session's MEMOIZED standard fingerprint table doubles as the eval
+    * benchmark for the decontamination stage (ids ≡ 3 mod 7, the ext116
+    * singles split): a surviving family leaks iff it contains a benchmark
+    * id. Pure function of the id.
+    */
+  def funnelFor(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("png", funnelUdf(col("doc_id")))
+
+  private val funnelUdf = udf { id: Long => renderFunnel(id) }.asNondeterministic()
+
+  /** Deterministic funnel-corpus PNG for `id` (see [[funnelFor]]);
+    * corrupt ids return bytes that fail to decode. */
+  def renderFunnel(id: Long): Array[Byte] =
+    if (id % 41 == 11) Array[Byte](0x42, 0x4f, 0x47, 0x55, 0x53)
+    else ((id / 3) % 4).toInt match {
+      case 0 => render(id)
+      case g => renderGrade(id, g)
+    }
 
   /** splitmix64-style stateless mix of (a, b) — public-domain constant
     * schedule (Steele et al., "Fast splittable pseudorandom number

@@ -120,6 +120,64 @@ object VideoCorpus {
     Video.encode(Side, Side, 3, fps = 10, frames)
   }
 
+  /** One VARIABLE-LENGTH GVID per input id with KNOWN clip-in-video
+    * containment structure — the video sibling of
+    * [[AudioCorpus.trackFor]], fixturing
+    * [[graft.operators.VideoDedup.containmentPairs]] (the dedup corpus
+    * has uniform lengths and no embedded-copy axis):
+    *  - id % 4 == 0 → a [[ClipFrames]]-frame CLIP;
+    *  - id % 4 == 3 → a [[TrackFrames]]-frame video that EMBEDS clip
+    *    (id − 3) at frame offset [[EmbedOffset]] with a uniform +6 luma
+    *    lift on every pixel — the embedded BYTES differ from the clip's,
+    *    but the gradient-sign dHash is shift-invariant (away from the
+    *    255 clamp), so matching is perceptual, frame-for-frame;
+    *  - otherwise → a fresh 8–14-frame video.
+    * Every non-embedded frame is independent block noise keyed by
+    * (id, frame), so frame hashes are uncorrelated except for the planted
+    * copies. Pure function of the id: identical corpus at every SF.
+    */
+  def clipTracksFor(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("gvid", clipTrackUdf(col("doc_id")))
+
+  private val clipTrackUdf = udf { id: Long => renderClipTrack(id) }.asNondeterministic()
+
+  val ClipFrames = 6
+  val TrackFrames = 20
+  val EmbedOffset = 5
+
+  /** Number of frames in video `id` of the containment corpus. */
+  def clipTrackFrames(id: Long): Int =
+    if (id % 4 == 0) ClipFrames
+    else if (id % 4 == 3) TrackFrames
+    else 8 + (mix(id, 66L) & 0x7L).toInt
+
+  /** Deterministic containment-corpus GVID for `id` (see [[clipTracksFor]]). */
+  def renderClipTrack(id: Long): Array[Byte] = {
+    val n = clipTrackFrames(id)
+    val frames = (0 until n).map { f =>
+      val embedded = id % 4 == 3 && f >= EmbedOffset && f < EmbedOffset + ClipFrames
+      val (srcId, srcF, lift) =
+        if (embedded) (id - 3, f - EmbedOffset, 6) else (id, f, 0)
+      val px = new Array[Byte](Side * Side * 3)
+      var r = 0
+      while (r < Side) {
+        var c = 0
+        while (c < Side) {
+          val v0 = (mix(srcId * 131 + 17, srcF.toLong * 1013 +
+            (r / Block).toLong * 31 + (c / Block)) & 0xffL).toInt
+          val v = math.min(255, v0 + lift)
+          val o = (r * Side + c) * 3
+          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+          c += 1
+        }
+        r += 1
+      }
+      px
+    }
+    Video.encode(Side, Side, 3, fps = 10, frames)
+  }
+
   /** splitmix64-style stateless mix — same public-domain constant schedule
     * as [[ImageCorpus]]. */
   private def mix(a: Long, b: Long): Long = {

@@ -446,4 +446,58 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
     // both verdict classes are live on the split
     assert(contaminated > 0 && contaminated < evalIds.size)
   }
+
+  test("ext118 funnel stages match an operator-independent reference") {
+    val n = 120L
+    val imgs = ImageCorpus.funnelFor((0L until n).toDF("doc_id"), "doc_id")
+    val stats = MediaQuality.imageVerdicts(
+      MediaQuality.imageStats(imgs, "png", "doc_id"))
+      .localCheckpoint(false)
+    // reference structure: corrupt ids undecodable; quality == clean
+    // family and decodable; unique == min quality id of its family;
+    // clean == unique and the family holds no benchmark (id%7==3) member
+    def corrupt(id: Long) = id % 41 == 11
+    def cleanFam(id: Long) = (id / 3) % 4 == 0
+    def quality(id: Long) = !corrupt(id) && cleanFam(id)
+    def unique(id: Long) = quality(id) &&
+      (id / 3 * 3 until id / 3 * 3 + 3).filter(s => s < n && quality(s)).min == id
+    def clean(id: Long) = unique(id) &&
+      !(id / 3 * 3 until id / 3 * 3 + 3).exists(s => s < n && s % 7 == 3)
+    val gotStats = stats.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Boolean]("decodable"), r.getAs[Boolean]("keep"))).toMap
+    (0L until n).foreach { id =>
+      assert(gotStats(id)._1 == !corrupt(id), s"decodable($id)")
+      assert(gotStats(id)._2 == quality(id),
+        s"quality($id): got ${gotStats(id)._2}, grade ${(id / 3) % 4}, " +
+          s"corrupt ${corrupt(id)}")
+    }
+    val keptIds = stats.filter($"keep").select($"id".as("doc_id"))
+    val h = ImageDedup.hashes(
+      imgs.join(keptIds, Seq("doc_id")), "png", "doc_id")
+      .localCheckpoint(false)
+    val clusters = Dedup.clusterPairs(
+      ImageDedup.hammingNearDupPairs(h, maxDist = 3)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+    val gotUnique = h.join(clusters, h("id") === clusters("doc_id"), "left")
+      .filter(org.apache.spark.sql.functions.coalesce($"cluster_id", $"id") === $"id")
+      .select($"id", $"phash").localCheckpoint(false)
+    assert(gotUnique.collect().map(_.getAs[Long]("id")).toSet ==
+      (0L until n).filter(unique).toSet)
+    val bench = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until n).toDF("doc_id"), "doc_id"),
+      "png", "doc_id")
+      .filter($"id" % 7 === 3)
+    val leaks = ImageDedup.hammingJoinAgainst(gotUnique, bench, maxDist = 3)
+      .select("id").distinct()
+    val gotClean = gotUnique.select("id")
+      .join(leaks, Seq("id"), "left_anti")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(gotClean == (0L until n).filter(clean).toSet)
+    // every stage actually drops something on this corpus
+    val c = Seq(n, (0L until n).count(!corrupt(_)).toLong,
+      (0L until n).count(quality).toLong, (0L until n).count(unique).toLong,
+      (0L until n).count(clean).toLong)
+    assert(c == c.sorted.reverse && c.distinct == c,
+      s"stages must strictly shrink: $c")
+  }
 }

@@ -137,4 +137,73 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
       !p.contains("BroadcastNestedLoopJoin"),
       s"banded frame join degenerated to all-pairs:\n$p")
   }
+
+  test("ext117: planted clip-in-video containments found with exact offsets") {
+    val ids = (0L until 41L).toDF("doc_id")
+    val got = VideoDedup.containmentPairs(
+      VideoCorpus.clipTracksFor(ids, "doc_id"), "gvid", "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("clip_id"), r.getAs[Long]("track_id")) ->
+        (r.getAs[Int]("offset_frames").toLong, r.getAs[Double]("coverage"))).toMap
+    val want = (0L until 41L).filter(c => c % 4 == 0 && c + 3 <= 40)
+      .map(c => (c, c + 3)).toSet
+    assert(got.keySet == want,
+      s"pairs ${got.keySet.toSeq.sorted} want ${want.toSeq.sorted}")
+    got.foreach { case ((c, t), (off, cov)) =>
+      assert(off == VideoCorpus.EmbedOffset.toLong,
+        s"clip $c in track $t: offset $off, want ${VideoCorpus.EmbedOffset}")
+      // the +6 luma lift can flip an isolated frame's mirror-canonical
+      // winner (the min(h, mirror(h)) hazard VideoShots documents) — the
+      // vote tolerates a lost frame, so pin >= threshold per pair and
+      // perfection for the large majority
+      assert(cov >= 0.8, s"clip $c in track $t: coverage $cov, want >= 0.8")
+    }
+    val perfect = got.values.count(_._2 == 1.0)
+    assert(perfect * 10 >= got.size * 8,
+      s"only $perfect/${got.size} planted pairs at coverage 1.0")
+  }
+
+  test("ext117: the embedded copy is perceptual, not byte-identical") {
+    val clip = Video.decodeFrames(VideoCorpus.renderClipTrack(0L)).get._5
+    val track = Video.decodeFrames(VideoCorpus.renderClipTrack(3L)).get._5
+    val emb = track.slice(VideoCorpus.EmbedOffset,
+      VideoCorpus.EmbedOffset + VideoCorpus.ClipFrames)
+    assert(clip.zip(emb).forall { case (a, b) => !a.sameElements(b) },
+      "embedded frames should differ byte-wise (uniform luma lift)")
+  }
+
+  test("ext117: a scattered montage of the clip's frames is rejected; an aligned embed lands") {
+    val (r, c, ch, fps, clipFrames) =
+      Video.decodeFrames(VideoCorpus.renderClipTrack(0L)).get
+    val noise = Video.decodeFrames(VideoCorpus.renderClipTrack(2L)).get._5
+    // aligned: clip's frames appended as a contiguous run after the noise
+    val aligned = Video.encode(r, c, ch, fps, noise ++ clipFrames)
+    // scattered: same frames, interleaved one per two noise frames in
+    // REVERSED order — every matched pair lands at a different offset
+    val scattered = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val rev = clipFrames.reverse
+      var i = 0
+      while (i < rev.length) {
+        buf += rev(i)
+        buf ++= noise.slice(i * 2, i * 2 + 2)
+        i += 1
+      }
+      Video.encode(r, c, ch, fps, buf.toSeq)
+    }
+    val clipBytes = VideoCorpus.renderClipTrack(0L)
+    val okPairs = VideoDedup.containmentPairs(
+      Seq((0L, clipBytes), (100L, aligned)).toDF("doc_id", "gvid"),
+      "gvid", "doc_id").collect()
+    assert(okPairs.length == 1 &&
+      okPairs.head.getAs[Long]("clip_id") == 0L &&
+      okPairs.head.getAs[Int]("offset_frames") == noise.length,
+      s"aligned embed should land at offset ${noise.length}: " +
+        okPairs.mkString(","))
+    val rejected = VideoDedup.containmentPairs(
+      Seq((0L, clipBytes), (100L, scattered)).toDF("doc_id", "gvid"),
+      "gvid", "doc_id").collect()
+    assert(rejected.isEmpty,
+      s"scattered montage must fail the alignment vote: ${rejected.mkString(",")}")
+  }
 }
