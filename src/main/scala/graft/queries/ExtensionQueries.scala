@@ -127,10 +127,19 @@ object ExtensionQueries {
     graft.operators.MaterializedPairs.frame(
       s"${s.sparkContext.applicationId}#" +
         s"${System.identityHashCode(s)}|sceneframes|$dir") {
+      // REPARTITIONED ON video_id before materialization (the Centrality
+      // edge-list discipline): every consumer's per-video window
+      // (segmentation lag, motion lag, keyframe rank, quality summary)
+      // requires hashpartitioning(video_id), and the cached plan's
+      // outputPartitioning satisfies it — so the RAW PIXEL ROWS, by far
+      // the widest frame in the suite, shuffle ONCE at build instead of
+      // once per consumer (4× at r9's consumer count; ext111 alone wrote
+      // 17.7 MB/run at sf0.1 before this).
       graft.sources.Video.framesById(
         graft.sources.VideoCorpus.scenesFor(
           Tables.documents(s, dir).select("doc_id"), "doc_id"),
         "gvid", "doc_id")
+        .repartition(col("video_id"))
     }
 
   /** A conf-isolated sibling session with AQE disabled, for the iterative

@@ -172,6 +172,29 @@ class MediaQualitySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("the image quality gate runs unchanged under Structured Streaming (stateless map-side)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    in.addData(0L until 10L: _*)
+    val q = MediaQuality.imageVerdicts(
+      MediaQuality.imageStats(
+        ImageCorpus.gradedFor(in.toDF.withColumnRenamed("value", "doc_id"),
+          "doc_id"),
+        "png", "doc_id"))
+      .writeStream.format("memory").queryName("mq_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("mq_stream").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("reason"))).toMap
+    assert(got.size == 10)
+    (0L until 10L).foreach { id =>
+      assert(got(id) == expectedImageReason(id),
+        s"stream verdict($id): got ${got(id)}")
+    }
+  }
+
   test("black frames count as low-information; identical frames as static") {
     // 4 black frames then 4 copies of one noise frame: low_info 4/8,
     // static transitions = 3 (black->black) + 3 (noise->noise) of 7

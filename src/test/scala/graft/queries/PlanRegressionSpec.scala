@@ -511,4 +511,48 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("FileScan"),
       s"a stage re-scans parquet inside the funnel count plan:\n$p")
   }
+
+  test("ext113/ext114 quality gates are scan → project → sort: no join, no aggregate exchange") {
+    Seq("ext113_image_quality", "ext114_audio_quality").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: a quality gate must not join:\n$p")
+      assert(!p.contains("HashAggregate"),
+        s"$q: a per-item gate must not aggregate:\n$p")
+    }
+  }
+
+  test("ext115 video summary is one window + one agg partitioned by video_id — no join") {
+    val p = plan("ext115_video_quality")
+    assert(!p.contains("Join"), s"per-video summary must not join:\n$p")
+    assert(p.contains("Window"), s"expected the lag window:\n$p")
+  }
+
+  test("frame-table consumers reuse the memo's hash(video_id) partitioning — no per-consumer pixel shuffle") {
+    // the decoded frame table (raw pixel rows — the widest frame in the
+    // suite) is repartitioned on video_id ONCE at materialization; every
+    // consumer's per-video window/agg must read the cached partitioning,
+    // not re-shuffle the pixels (ext111 alone wrote 17.7 MB/run before)
+    Seq("ext110_video_shots", "ext111_batch_motion",
+      "ext115_video_quality").foreach { q =>
+      val p = plan(q)
+      // the cached subtree legitimately shows the ONE build-time
+      // REPARTITION_BY_COL exchange; what must not appear is an
+      // ENSURE_REQUIREMENTS hash exchange — that would mean a consumer
+      // failed to reuse the cached partitioning and re-shuffled pixels
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") &&
+          l.contains("ENSURE_REQUIREMENTS")),
+        s"$q: a consumer re-shuffles the pre-partitioned frame table:\n$p")
+    }
+  }
+
+  test("ext116/ext117/ext118 banded probes stay equi — no cartesian anywhere") {
+    Seq("ext116_image_decontamination", "ext117_video_containment",
+      "ext118_image_funnel").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: a banded candidate join degenerated to all-pairs:\n$p")
+    }
+  }
 }
