@@ -309,6 +309,35 @@ object AudioOps {
     }
   }
 
+  /** Per-frame RMS over the mono mix: one value per `frameSamples`-frame
+    * span on the [-1, 1] scale (the final partial frame included, its RMS
+    * over its actual length) — the measurement grid for silence/voice
+    * segmentation and the frame-level silence ratio.
+    */
+  def frameRms(a: DecodedAudio, frameSamples: Int): Array[Double] = {
+    val ch = math.max(1, a.channels)
+    val n = a.samples.length
+    val span = frameSamples * ch
+    if (n == 0) return Array.empty
+    val nFrames = (n + span - 1) / span
+    val out = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val start = f * span
+      val end = math.min(n, start + span)
+      var sumSq = 0.0
+      var i = start
+      while (i < end) {
+        val v = a.samples(i) / 32768.0
+        sumSq += v * v
+        i += 1
+      }
+      out(f) = math.sqrt(sumSq / (end - start))
+      f += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resample to `outRate` (linear would also be fine for
     * features; NN keeps it exactly invertible for rate multiples).
     */

@@ -4193,6 +4193,31 @@ object ExtensionQueries {
             sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"))
           .orderBy("source")
       },
+      None),
+
+    // ------------------------------------------------------------ EXT119
+    // AUDIO SILENCE-GAP SEGMENTATION — the audio sibling of ext110's shot
+    // detection and the VAD-shaped primitive a speech-corpus pipeline
+    // runs before cutting training utterances (energy-threshold VAD, the
+    // classic pre-neural segmentation): one map-side decode exploding
+    // each track to 512-sample-frame RMS rows → voiced filter → one
+    // per-track lag window (gaps wider than the tolerated dropout open a
+    // segment) → per-(track, segment) rollup with start/end frames and
+    // duration. Same scale shape as ext110: NO join, skew bounded by the
+    // longest single track; the frame grid is shared with ext114's
+    // silence_ratio so the gate and the segmenter count the same frames.
+    // Corpus = AudioCorpus.segmentedFor (1–4 frame-aligned voiced spans
+    // with known gaps — exact expected segmentation). Rows-only;
+    // AudioSegmentationSpec pins segmentation == constructed spans,
+    // dropout-tolerance vs gap-split, amplitude invariance of the
+    // boundaries, and silence/undecodable emptiness.
+    QueryDef(
+      "ext119_audio_segments",
+      (s, dir) => graft.operators.AudioSegmentation.segments(
+        graft.sources.AudioCorpus.segmentedFor(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        "wav", "doc_id")
+        .orderBy("id", "seg_idx"),
       None)
   )
 }

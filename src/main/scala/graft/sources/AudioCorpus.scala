@@ -175,6 +175,52 @@ object AudioCorpus {
     AudioOps.encodeWav(SampleRate, 1, samples)
   }
 
+  /** One WAV per input id with KNOWN voiced/silence SEGMENT structure —
+    * the fixture corpus for [[graft.operators.AudioSegmentation]] (the
+    * family/track corpora have no silence axis): 1–4 voiced tone spans of
+    * 8–15 frames on the 512-sample segmentation grid, separated by
+    * silence gaps of 3–6 frames (wider than the segmenter's tolerated
+    * dropout), with a 0–3-frame leading gap and a 2-frame tail. Every
+    * span boundary is frame-aligned, so the expected segmentation
+    * ([[segmentSpans]]) is exact. Pure function of the id.
+    */
+  def segmentedFor(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("wav", segmentedUdf(col("doc_id")))
+
+  private val segmentedUdf = udf { id: Long => renderSegmented(id) }.asNondeterministic()
+
+  /** The voiced spans of track `id` as (start_frame, n_frames) on the
+    * 512-sample grid. */
+  def segmentSpans(id: Long): Seq[(Int, Int)] = {
+    val k = 1 + (mix(id, 31L) & 0x3L).toInt
+    var pos = (mix(id, 37L) & 0x3L).toInt
+    (0 until k).map { s =>
+      val len = 8 + (mix(id, 300L + s) & 0x7L).toInt
+      val start = pos
+      pos = start + len + 3 + (mix(id, 400L + s) & 0x3L).toInt
+      (start, len)
+    }
+  }
+
+  /** Deterministic segmented WAV for `id` (see [[segmentedFor]]). */
+  def renderSegmented(id: Long): Array[Byte] = {
+    val spans = segmentSpans(id)
+    val frame = graft.operators.AudioSegmentation.FrameSamples
+    val total = spans.last._1 + spans.last._2 + 2
+    val samples = new Array[Short](total * frame)
+    spans.zipWithIndex.foreach { case ((start, len), s) =>
+      val freq = 300.0 + (mix(id, 500L + s) & 0x3ffL)
+      var i = 0
+      while (i < len * frame) {
+        samples(start * frame + i) =
+          (8000 * math.sin(2 * math.Pi * freq * i / SampleRate)).toShort
+        i += 1
+      }
+    }
+    AudioOps.encodeWav(SampleRate, 1, samples)
+  }
+
   /** splitmix64-style stateless mix — same public-domain constant schedule
     * as [[ImageCorpus]]. */
   private def mix(a: Long, b: Long): Long = {
