@@ -23,8 +23,9 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * ext113–ext115 (image / audio / per-video stats + verdicts) and the
   * perceptual eval-decontamination guard ext116 — plus video clip
   * containment ext117 (the ext109 symmetry closed), the per-source
-  * image curation funnel ext118 and VAD-shaped audio silence
-  * segmentation ext119 — 181 catalog entries total);
+  * image curation funnel ext118, VAD-shaped audio silence
+  * segmentation ext119 and the band-bucket health audit ext120 — 182
+  * catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

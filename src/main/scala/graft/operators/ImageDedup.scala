@@ -177,6 +177,36 @@ object ImageDedup {
     * inside its own delivery first, exactly ext47's dedupe-then-anti
     * order); its survivor may then still drop against the old corpus.
     */
+  /** BAND-BUCKET HEALTH audit — the cost predictor an operator reads
+    * BEFORE launching any Hamming-banded join at corpus scale: bucket
+    * sizes under the exact production banding ([[bandSlices]], shared
+    * definition, so the audit predicts the join it guards), rolled into a
+    * log₂ size-class histogram per band with each class's candidate-pair
+    * contribution (Σ n·(n−1)/2 — the join's actual row cost). The
+    * banded-join scale story rests on bounded bucket fanout; this makes
+    * the bound OBSERVABLE: a corpus whose top size-class explodes (a viral
+    * meme, a default thumbnail, a black-frame flood) shows up here as a
+    * pairs_contrib spike before it becomes a hot reducer, and the
+    * AQE-skew-split + low-information-filter mitigations can be sized
+    * from the reported classes. Runs entirely on the 8-byte fingerprint
+    * table (two hash aggregations, no decode, no join).
+    *
+    * Output: (band, size_class, n_buckets, n_items, pairs_contrib) where
+    * size_class = floor(log₂ bucket size) — buckets of size 1 (class 0)
+    * contribute zero pairs but are reported: their count is the measure
+    * of hash entropy actually achieved.
+    */
+  def bandBucketHealth(hashFrame: DataFrame, maxDist: Int = 3): DataFrame =
+    hashFrame
+      .select(explode(bandSlices(col("phash"), maxDist)).as("s"))
+      .groupBy(col("s.b").as("band"), col("s.v"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"),
+        floor(log(2.0, col("sz"))).cast("long").as("size_class"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_items"),
+        sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("pairs_contrib"))
+
   /** Perceptual EVAL-SET DECONTAMINATION verdicts — the multimodal analog
     * of the text leakage guards (ext86/ext87's train⋈eval n-gram audits,
     * Dodge et al. 2021's C4 benchmark-contamination methodology): for each

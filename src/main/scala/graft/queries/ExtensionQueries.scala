@@ -4218,6 +4218,30 @@ object ExtensionQueries {
           Tables.documents(s, dir).select("doc_id"), "doc_id"),
         "wav", "doc_id")
         .orderBy("id", "seg_idx"),
+      None),
+
+    // ------------------------------------------------------------ EXT120
+    // BAND-BUCKET HEALTH — the observability dial for every Hamming-
+    // banded family (ext101/102/104/108/109/116/117/118 all rest on
+    // bounded bucket fanout): bucket sizes under the EXACT production
+    // banding (ImageDedup.bandSlices, the shared definition), rolled into
+    // a log2 size-class histogram per band with each class's candidate-
+    // pair contribution n(n-1)/2 — the banded join's actual row cost,
+    // readable BEFORE launching the join. A viral meme / default
+    // thumbnail / black-frame flood shows up as a pairs_contrib spike in
+    // the top class before it becomes a hot reducer; the AQE skew-split
+    // and low-info-filter mitigations are sized from these classes. Runs
+    // on the session's MEMOIZED 8-byte fingerprint table: two hash
+    // aggregations, zero decodes, no join — at corpus scale this audit
+    // costs less than one percent of the join it predicts. Rows-only;
+    // ImageDedupSpec pins the histogram against an independently-computed
+    // reference over the collected hashes (family buckets land in class
+    // >= 1; singleton count measures achieved hash entropy).
+    QueryDef(
+      "ext120_band_bucket_health",
+      (s, dir) => graft.operators.ImageDedup.bandBucketHealth(
+        sharedImageHashes(s, dir), maxDist = 3)
+        .orderBy("band", "size_class"),
       None)
   )
 }

@@ -447,6 +447,42 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(contaminated > 0 && contaminated < evalIds.size)
   }
 
+  test("ext120 band-bucket histogram matches an independent reference over the hashes") {
+    val n = 90L
+    val maxDist = 3
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until n).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(false)
+    val got = ImageDedup.bandBucketHealth(hashes, maxDist)
+      .collect()
+      .map(r => (r.getAs[Int]("band"), r.getAs[Long]("size_class")) ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_items"),
+          r.getAs[Long]("pairs_contrib"))).toMap
+    // independent banding arithmetic over the collected hashes
+    val hs = hashes.collect().map(_.getAs[Long]("phash"))
+    val nBands = maxDist + 1
+    val ref = scala.collection.mutable.Map
+      .empty[(Int, Long), (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    (0 until nBands).foreach { b =>
+      val lo = b * 64 / nBands
+      val w = (b + 1) * 64 / nBands - lo
+      val buckets = hs.groupBy(h => (h >>> lo) & ((1L << w) - 1))
+      buckets.values.foreach { bucket =>
+        val sz = bucket.length.toLong
+        val cls = (math.log(sz.toDouble) / math.log(2.0)).toLong
+        val (c, items, pairs) = ref((b, cls))
+        ref((b, cls)) = (c + 1, items + sz, pairs + sz * (sz - 1) / 2)
+      }
+    }
+    assert(got == ref.toMap, s"histogram mismatch:\n got=$got\n ref=${ref.toMap}")
+    // families land in class >= 1 on every band; total pair budget equals
+    // the brute-force banded candidate count
+    (0 until nBands).foreach { b =>
+      assert(got.keys.exists { case (band, cls) => band == b && cls >= 1 },
+        s"band $b: no multi-item bucket despite 30 families")
+    }
+  }
+
   test("ext118 funnel stages match an operator-independent reference") {
     val n = 120L
     val imgs = ImageCorpus.funnelFor((0L until n).toDF("doc_id"), "doc_id")
