@@ -83,6 +83,32 @@ class MediaQualityFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("decoders never throw on random or truncated bytes — they return None") {
+    val rnd = new scala.util.Random(83L)
+    // pure garbage
+    for (_ <- 1 to 60) {
+      val junk = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(junk)
+      ImageOps.decode(junk)
+      AudioOps.decodeWav(junk)
+      graft.sources.Video.decodeFrames(junk)
+    }
+    // valid media truncated at every kind of boundary — the realistic
+    // corrupt-blob case (a partial upload, a bad object-store read)
+    val png = graft.sources.ImageCorpus.render(7L)
+    val wav = graft.sources.AudioCorpus.render(7L)
+    val gvid = graft.sources.VideoCorpus.render(7L)
+    for (_ <- 1 to 40) {
+      def cut(b: Array[Byte]) = b.take(1 + rnd.nextInt(b.length - 1))
+      ImageOps.decode(cut(png))
+      AudioOps.decodeWav(cut(wav))
+      graft.sources.Video.decodeFrames(cut(gvid))
+    }
+    // flipped header magic must be rejected, not crash
+    val badWav = wav.clone(); badWav(0) = 'X'.toByte
+    assert(AudioOps.decodeWav(badWav).isEmpty)
+  }
+
   test("zeroing a larger suffix monotonically raises the silence ratio") {
     val rnd = new scala.util.Random(79L)
     for (i <- 1 to 20) {
