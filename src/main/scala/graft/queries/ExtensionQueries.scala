@@ -4242,6 +4242,44 @@ object ExtensionQueries {
       (s, dir) => graft.operators.ImageDedup.bandBucketHealth(
         sharedImageHashes(s, dir), maxDist = 3)
         .orderBy("band", "size_class"),
-      None)
+      None),
+
+    // ------------------------------------------------------------ EXT121
+    // PERSISTED FINGERPRINT-STORE LIFECYCLE — the concrete form of
+    // ext108's "at scale this is a parquet table maintained by ingest"
+    // parenthesis, the ext73 index-lifecycle discipline carried to the
+    // perceptual modality: init the store from the oldest 60% of the
+    // corpus's hashes (8 bytes + id per image, via the session's MEMOIZED
+    // fingerprint table — zero decodes here), then run TWO successive
+    // 20% deliveries through it. Each delivery dedupes within itself,
+    // probes the PERSISTED table through the two-sided banded join, and
+    // appends its survivors — so delivery 2's duplicates of delivery 1's
+    // KEPT images drop as dropped_existing against rows that were not in
+    // the store when the query began: the merge step is what this entry
+    // proves, beyond ext108's single-delivery probe. Verdicts are
+    // computed eagerly before each append (the probe never observes its
+    // own delivery). Per-process store dir + overwrite init, the ext73
+    // convention. Rows-only; FingerprintStoreSpec pins the cross-delivery
+    // verdict classes against family structure and the final store
+    // contents == init ∪ kept₁ ∪ kept₂.
+    QueryDef(
+      "ext121_fingerprint_store",
+      (s, dir) => {
+        val hashes = sharedImageHashes(s, dir).localCheckpoint(false)
+        val n = hashes.count()
+        val (c1, c2) = (n * 3 / 5, n * 4 / 5)
+        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-fpstore-ext121-" +
+          ProcessHandle.current().pid()
+        graft.operators.FingerprintStore.init(
+          hashes.filter(col("id") < c1), storeDir)
+        val v1 = graft.operators.FingerprintStore.ingest(
+          s, storeDir, hashes.filter(col("id") >= c1 && col("id") < c2))
+        val v2 = graft.operators.FingerprintStore.ingest(
+          s, storeDir, hashes.filter(col("id") >= c2))
+        v1.withColumn("delivery", lit(1L))
+          .unionByName(v2.withColumn("delivery", lit(2L)))
+          .orderBy("delivery", "id")
+      },
+      None, bench = false)
   )
 }
