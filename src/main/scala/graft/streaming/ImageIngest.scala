@@ -18,15 +18,23 @@ object ImageIngest {
 
   /** End-to-end: (img_id, source, ingest_ts, png) stream → near-deduped
     * landing table (kept images, partitioned by source) + `<table>_rejects`
-    * with match evidence — the audit trail the gate owes its operators. */
+    * with match evidence — the audit trail the gate owes its operators.
+    * `bootstrapFrom` = (persisted fingerprint table (id, phash), state
+    * timestamp): warm-starts the suppressor from
+    * [[graft.operators.FingerprintStore]]'s table so corpus
+    * near-duplicates reject from the FIRST micro-batch
+    * ([[PerceptualIngest.bootstrapState]]).
+    */
   def writeDeduped(
       images: DataFrame, table: String, checkpoint: String,
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
-      maxPerBucket: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+      maxPerBucket: Int = 256,
+      bootstrapFrom: Option[(DataFrame, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       images, ImageDedup.fingerprint, idCol = "img_id", payloadCol = "png",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
       watermarkDelay = watermarkDelay, maxPerBucket = maxPerBucket,
       rename = Map("item_id" -> "img_id", "payload" -> "png",
-        "matched_item" -> "matched_img"))
+        "matched_item" -> "matched_img"),
+      bootstrapFrom = bootstrapFrom)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, KeyValueGroupedDataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -132,18 +132,65 @@ object PerceptualIngest {
     }
   }
 
-  /** Band rows → per-(item, band) verdicts through the keyed state store. */
+  /** INITIAL bucket state from a persisted fingerprint table (id, phash)
+    * — the batch→stream handoff: a restarted ingest stream bootstrapped
+    * from [[graft.operators.FingerprintStore]]'s table rejects
+    * near-duplicates of the EXISTING corpus from its very first
+    * micro-batch, instead of starting blind and re-admitting items the
+    * batch path already holds. Bootstrapped entries carry
+    * `bootstrapTsMillis` (typically the stream's start time) and age out
+    * of each bucket exactly like arrived items — the suppressor remains a
+    * HORIZON guard; permanence stays with the batch probe (ext108/121).
+    * Buckets are capped to `maxPerBucket` up front, so resident initial
+    * state is bounded by the store slice and never grows on its own.
+    * Banding is [[ImageDedup.bandSlices]] — the same arithmetic as the
+    * live rows, so bootstrapped and arriving hashes meet in the same
+    * buckets.
+    */
+  def bootstrapState(hashes: DataFrame, bootstrapTsMillis: Long,
+      maxDist: Int = 3, maxPerBucket: Int = 256)
+      : KeyValueGroupedDataset[(Int, Long), BucketState] = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    hashes
+      .select(col("id").cast("long").as("id"), col("phash"),
+        explode(ImageDedup.bandSlices(col("phash"), maxDist)).as("s"))
+      .select(col("s.b").as("band"), col("s.v").as("key"), col("id"),
+        col("phash"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (k, it) =>
+        val entries = it
+          .map(r => Entry(bootstrapTsMillis, r._3, r._4)).toSeq
+          .sortBy(e => (e.tsMillis, e.itemId)).takeRight(maxPerBucket)
+        (k, BucketState(entries))
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+  }
+
+  /** Band rows → per-(item, band) verdicts through the keyed state store;
+    * `initial` optionally warm-starts the store ([[bootstrapState]]). */
   def verdicts(rows: Dataset[BandRow], ttlMillis: Long,
       maxPerBucket: Int = 256,
-      sameGroup: (Long, Long) => Boolean = _ == _): Dataset[BandVerdict] = {
+      sameGroup: (Long, Long) => Boolean = _ == _,
+      initial: Option[KeyValueGroupedDataset[(Int, Long), BucketState]] = None)
+      : Dataset[BandVerdict] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    rows
-      .groupByKey(r => (r.band, r.key))
-      .flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        processBucket(ttlMillis, maxPerBucket, sameGroup))(
-        Encoders.product[BucketState], Encoders.product[BandVerdict])
+    val grouped = rows.groupByKey(r => (r.band, r.key))
+    initial match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[BucketState, BandVerdict](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(), init)(
+          processBucket(ttlMillis, maxPerBucket, sameGroup))(
+          Encoders.product[BucketState], Encoders.product[BandVerdict])
+      case None =>
+        grouped.flatMapGroupsWithState[BucketState, BandVerdict](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+          processBucket(ttlMillis, maxPerBucket, sameGroup))(
+          Encoders.product[BucketState], Encoders.product[BandVerdict])
+    }
   }
 
   /** Per-item rollup of one micro-batch's verdicts: keep iff the CLOSEST
@@ -173,10 +220,14 @@ object PerceptualIngest {
       table: String, checkpoint: String,
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
       maxPerBucket: Int = 256,
-      rename: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
+      rename: Map[String, String] = Map.empty,
+      bootstrapFrom: Option[(DataFrame, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ttlMillis = ttlMillisOf(watermarkDelay)
+    val initial = bootstrapFrom.map { case (hashes, ts0) =>
+      bootstrapState(hashes, ts0, maxDist, maxPerBucket)
+    }
     verdicts(bandRows(items, fingerprint, idCol, payloadCol, watermarkDelay,
-      maxDist), ttlMillis, maxPerBucket)
+      maxDist), ttlMillis, maxPerBucket, initial = initial)
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append())

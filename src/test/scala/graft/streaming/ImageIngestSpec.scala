@@ -60,6 +60,48 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(rej.head.getAs[Long]("min_dist") <= 3L)
   }
 
+  test("a persisted fingerprint store warm-starts the suppressor: corpus near-dups reject in batch ONE") {
+    // the batch->stream handoff: bootstrap from FingerprintStore's table
+    // (ids 0..2 = one family, hashed but never streamed) and verify the
+    // very first micro-batch rejects a family variant with the CORPUS
+    // image as evidence - a blind-start suppressor would admit it
+    val base = Files.createTempDirectory("imgingest-boot").toString
+    val t0 = 1700900000L
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeHashes = graft.operators.ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 3L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    stream.addData(
+      (10L, "camA", ts(t0), ImageCorpus.render(1L)), // family-0 variant → reject
+      (11L, "camB", ts(t0), ImageCorpus.render(30L))) // fresh family → land
+    ImageIngest.writeDeduped(
+      stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+      s"$base/t", s"$base/c", maxDist = 3, watermarkDelay = "10 minutes",
+      bootstrapFrom = Some((storeHashes, t0 * 1000)))
+      .awaitTermination()
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L), s"kept $kept — bootstrap state missed")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 10L)
+    assert((0L until 3L).contains(rej.head.getAs[Long]("matched_img")),
+      "evidence must name a CORPUS image that was never streamed")
+    // batch 2 on a fresh query: bootstrapped state must have been
+    // persisted through the checkpoint like any other state
+    stream.addData((12L, "camA", ts(t0 + 60), ImageCorpus.render(2L)))
+    ImageIngest.writeDeduped(
+      stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+      s"$base/t", s"$base/c", maxDist = 3, watermarkDelay = "10 minutes",
+      bootstrapFrom = Some((storeHashes, t0 * 1000)))
+      .awaitTermination()
+    val rej2 = spark.read.parquet(s"$base/t_rejects").collect()
+      .map(_.getAs[Long]("img_id")).toSet
+    assert(rej2 == Set(10L, 12L),
+      s"restarted query must still hold the corpus state: $rej2")
+  }
+
   test("perturbed redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
     // the same scenario as above, on the provider a production session runs
     // (GraftSession defaults to RocksDB): state must round-trip RocksDB's
