@@ -19,15 +19,23 @@ object AudioIngest {
 
   /** End-to-end: (clip_id, source, ingest_ts, wav) stream → near-deduped
     * landing table (kept clips, partitioned by source) + `<table>_rejects`
-    * with match evidence. */
+    * with match evidence. `bootstrapFrom` = (persisted spectral
+    * fingerprint table (id, phash), state timestamp): warm-starts the
+    * suppressor ([[PerceptualIngest.bootstrapState]]; the store is
+    * modality-generic, so an audio fingerprint table works unchanged —
+    * [[VideoIngest]] stays bootstrap-less because its state keys pack
+    * composite (video, frame) ids that a whole-item store does not hold).
+    */
   def writeDeduped(
       clips: DataFrame, table: String, checkpoint: String,
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
-      maxPerBucket: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+      maxPerBucket: Int = 256,
+      bootstrapFrom: Option[(DataFrame, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       clips, AudioDedup.fingerprint, idCol = "clip_id", payloadCol = "wav",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
       watermarkDelay = watermarkDelay, maxPerBucket = maxPerBucket,
       rename = Map("item_id" -> "clip_id", "payload" -> "wav",
-        "matched_item" -> "matched_clip"))
+        "matched_item" -> "matched_clip"),
+      bootstrapFrom = bootstrapFrom)
 }
