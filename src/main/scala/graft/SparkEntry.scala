@@ -24,9 +24,9 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * perceptual eval-decontamination guard ext116 — plus video clip
   * containment ext117 (the ext109 symmetry closed), the per-source
   * image curation funnel ext118, VAD-shaped audio silence
-  * segmentation ext119, the band-bucket health audit ext120 and the
-  * persisted fingerprint-store lifecycle ext121 — 183 catalog entries
-  * total);
+  * segmentation ext119, the band-bucket health audit ext120, the
+  * persisted fingerprint-store lifecycle ext121 and the two-tier video
+  * prefilter recall audit ext122 — 184 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -103,10 +103,14 @@ object VideoDedup {
     * over-counts the same frames at neighboring offsets).
     * Pairs with overlap_ratio >= `minOverlap` survive.
     */
-  def nearDupPairs(videos: DataFrame, videoCol: String, idCol: String,
-      everyNth: Int = 2, maxDist: Int = 3,
-      minOverlap: Double = 0.6): DataFrame = {
-    val fh = frameHashes(videos, videoCol, idCol, everyNth)
+  /** The informative (post-low-info-filter) frame-hash table — the frame
+    * substrate [[nearDupPairs]] and [[prefilteredNearDupPairs]] both
+    * consume; expose it so a session can materialize ONE decode pass for
+    * all of them (the decoded-frame-table discipline).
+    */
+  def keptFrameHashes(videos: DataFrame, videoCol: String, idCol: String,
+      everyNth: Int = 2): DataFrame =
+    frameHashes(videos, videoCol, idCol, everyNth)
       // drop LOW-INFORMATION frames (black frames, title cards, uniform
       // scenes → dHash with almost no set bits): they match every video's
       // quiet frames, convey no identity, and their band buckets grow with
@@ -115,7 +119,17 @@ object VideoDedup {
       // audio fingerprints skip silence).
       .filter(TemporalAlignment.informative(col("phash"),
         LowInfoMinBits, LowInfoMaxBits))
-      .localCheckpoint(false)
+
+  def nearDupPairs(videos: DataFrame, videoCol: String, idCol: String,
+      everyNth: Int = 2, maxDist: Int = 3,
+      minOverlap: Double = 0.6): DataFrame =
+    nearDupPairsFromKept(
+      keptFrameHashes(videos, videoCol, idCol, everyNth).localCheckpoint(false),
+      everyNth, maxDist, minOverlap)
+
+  /** [[nearDupPairs]] over an already-built [[keptFrameHashes]] frame. */
+  def nearDupPairsFromKept(fh: DataFrame, everyNth: Int = 2,
+      maxDist: Int = 3, minOverlap: Double = 0.6): DataFrame = {
     // frame-level banded join on a composite key; same-video collisions
     // (static scenes) are dropped by the different-video filter
     val framePairs = ImageDedup.hammingNearDupPairs(
@@ -142,6 +156,132 @@ object VideoDedup {
           least(col("na"), col("nb")), 6)).as("overlap_ratio"))
       .filter(col("overlap_ratio") >= minOverlap)
   }
+
+  /** One 64-bit VIDEO-LEVEL signature per video: the per-bit MAJORITY
+    * vote over its informative frame hashes. The tiered-retrieval dial
+    * for corpus-scale video dedup: frame-level banding emits
+    * |frames|×(maxDist+1) band rows — at archive scale that candidate
+    * stream dwarfs the video count by 2–3 orders of magnitude — while the
+    * majority signature gives ONE row per video whose Hamming distance is
+    * small exactly when most frames agree (a re-encode votes identically;
+    * a family variant near-identically; an unrelated video ~32 bits
+    * away). Computed as one hash aggregation over the frame-hash table
+    * (64 codegen'd bit-sums, no UDF, no second decode).
+    */
+  def videoSignatures(frameHashFrame: DataFrame): DataFrame = {
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftrightunsigned(col("phash"), b).bitwiseAND(lit(1L))).as(s"b$b")
+    }
+    frameHashFrame
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("id"),
+        (0 until 64).map { b =>
+          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("phash"))
+  }
+
+  /** PREFILTERED near-dup pairs — the two-tier form of [[nearDupPairs]]
+    * for archive scale, the ANN playbook (coarse candidates → exact
+    * refine on the pool, ext61's IVF-PQ shape) applied to video:
+    *  1. candidate video pairs from a Hamming-banded join over the
+    *     [[videoSignatures]] (|videos| rows, not |frames|) at
+    *     `sigMaxDist`;
+    *  2. the SAME temporal-alignment vote as the full path, evaluated
+    *     per candidate pair over the two videos' collected frame-hash
+    *     lists — O(na·nb) per pair, bounded by item length, paid only
+    *     for candidates.
+    * APPROXIMATE BY DESIGN: duplicates sharing the FULL frame set
+    * (re-encodes, perturbed variants, mirrored or time-shifted copies —
+    * the overwhelming duplicate class in a scraped archive) vote
+    * near-identical signatures and always reach refine; a HEAVY SPLICE
+    * sharing only a fraction of its frames dilutes the majority vote
+    * past `sigMaxDist` and is never refined (spec-pinned as the miss
+    * class) — the documented recall trade every coarse tier makes,
+    * AUDITED against the exact path by ext122 exactly as
+    * ext16/ext17/ext62 audit the ANN tiers. `sigMaxDist` cannot simply
+    * be raised: banding at distance d needs d+1 slices, and past ~10 the
+    * slices get so narrow that bucket collisions regress the candidate
+    * join toward all-pairs. Verdict semantics on
+    * surviving candidates are bit-identical to [[nearDupPairs]]
+    * (spec-pinned parity).
+    */
+  def prefilteredNearDupPairs(videos: DataFrame, videoCol: String,
+      idCol: String, everyNth: Int = 2, maxDist: Int = 3,
+      minOverlap: Double = 0.6, sigMaxDist: Int = 10): DataFrame =
+    prefilteredNearDupPairsFromKept(
+      keptFrameHashes(videos, videoCol, idCol, everyNth).localCheckpoint(false),
+      everyNth, maxDist, minOverlap, sigMaxDist)
+
+  /** [[prefilteredNearDupPairs]] over an already-built
+    * [[keptFrameHashes]] frame. */
+  def prefilteredNearDupPairsFromKept(fh: DataFrame, everyNth: Int = 2,
+      maxDist: Int = 3, minOverlap: Double = 0.6,
+      sigMaxDist: Int = 10): DataFrame = {
+    val cands = ImageDedup.hammingNearDupPairs(videoSignatures(fh), sigMaxDist)
+      .select(col("id_a"), col("id_b"))
+    val lists = fh.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
+        .as("fs"))
+    val refined = cands
+      .join(lists.select(col("id").as("id_a"), col("fs").as("fa")), Seq("id_a"))
+      .join(lists.select(col("id").as("id_b"), col("fs").as("fb")), Seq("id_b"))
+      .select(col("id_a").as("vid_a"), col("id_b").as("vid_b"),
+        refineUdf(maxDist, everyNth)(col("fa"), col("fb")).as("r"))
+      .select(col("vid_a"), col("vid_b"),
+        col("r._1").as("matched_frames"),
+        col("r._2").as("overlap_ratio"))
+    refined.filter(col("overlap_ratio") >= minOverlap)
+  }
+
+  /** The alignment vote over two in-memory frame-hash lists — the refine
+    * step's per-pair kernel, mirroring [[TemporalAlignment.alignedOverlap]]
+    * semantics exactly (matched = distinct small-side units; best ±jitter
+    * offset window; ratio over the smaller side, capped). Kept
+    * package-visible so the parity spec can call it directly.
+    */
+  private[graft] def alignLists(fa: Seq[(Int, Long)], fb: Seq[(Int, Long)],
+      maxDist: Int, jitter: Int): (Long, Double) = {
+    val (small, large, smallIsA) =
+      if (fa.length <= fb.length) (fa, fb, true) else (fb, fa, false)
+    val matchedSmall = scala.collection.mutable.Set.empty[Int]
+    // per-offset distinct small-side units
+    val perOffset = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Int]]
+    fa.foreach { case (ta, ha) =>
+      fb.foreach { case (tb, hb) =>
+        if (java.lang.Long.bitCount(ha ^ hb) <= maxDist) {
+          val smallT = if (smallIsA) ta else tb
+          matchedSmall += smallT
+          perOffset.getOrElseUpdate(ta - tb,
+            scala.collection.mutable.Set.empty[Int]) += smallT
+        }
+      }
+    }
+    if (matchedSmall.isEmpty) return (0L, 0.0)
+    // best ±jitter window; ties -> smallest center offset (the DataFrame
+    // core's max_by(off, struct(win, -off)) tie-break)
+    val offs = perOffset.keys.toSeq.sorted
+    var bestWin = -1L
+    offs.foreach { off =>
+      val win = (off - jitter to off + jitter)
+        .map(o => perOffset.get(o).map(_.size.toLong).getOrElse(0L)).sum
+      if (win > bestWin) { bestWin = win }
+    }
+    // HALF_UP on the canonical decimal rendering — Spark's round() — so
+    // parity with the DataFrame core is exact to the last bit
+    val ratio = math.min(1.0,
+      java.math.BigDecimal.valueOf(bestWin.toDouble / small.length)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    (matchedSmall.size.toLong, ratio)
+  }
+
+  private def refineUdf(maxDist: Int, jitter: Int) =
+    udf { (fa: Seq[org.apache.spark.sql.Row], fb: Seq[org.apache.spark.sql.Row]) =>
+      alignLists(
+        fa.map(r => (r.getInt(0), r.getLong(1))),
+        fb.map(r => (r.getInt(0), r.getLong(1))),
+        maxDist, jitter)
+    }.asNondeterministic()
 
   /** Verified CLIP-IN-VIDEO containment pairs — the video sibling of
     * [[AudioContainment.containmentPairs]], answering "which videos

@@ -142,6 +142,25 @@ object ExtensionQueries {
         .repartition(col("video_id"))
     }
 
+  /** The informative FRAME-HASH table of the dedup video corpus
+    * ([[graft.operators.VideoDedup.keptFrameHashes]] over
+    * [[graft.sources.VideoCorpus.forIds]], stride 2), materialized once
+    * per session and shared by ext104 (the exact frame-level path) and
+    * ext122's two-tier recall audit (which runs BOTH the exact and the
+    * prefiltered path over it) — the decode pass is the cost; three
+    * consumers pay it once.
+    */
+  private def sharedDedupFrameHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaterializedPairs.frame(
+      s"${s.sparkContext.applicationId}#" +
+        s"${System.identityHashCode(s)}|dedupframehashes|$dir") {
+      graft.operators.VideoDedup.keptFrameHashes(
+        graft.sources.VideoCorpus.forIds(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        "gvid", "doc_id", everyNth = 2)
+    }
+
   /** A conf-isolated sibling session with AQE disabled, for the iterative
     * graph fixed-points (ext94/ext96): AQE inserts a materialization +
     * re-optimization barrier at EVERY shuffle, which costs ~1.4 s/round on
@@ -3705,13 +3724,10 @@ object ExtensionQueries {
     // undecodable-drop.
     QueryDef(
       "ext104_video_neardup",
-      (s, dir) => {
-        val vids = graft.sources.VideoCorpus.forIds(
-          Tables.documents(s, dir).select("doc_id"), "doc_id")
-        graft.operators.VideoDedup.nearDupPairs(
-          vids, "gvid", "doc_id", everyNth = 2, maxDist = 3, minOverlap = 0.6)
-          .orderBy("vid_a", "vid_b")
-      },
+      (s, dir) => graft.operators.VideoDedup.nearDupPairsFromKept(
+        sharedDedupFrameHashes(s, dir),
+        everyNth = 2, maxDist = 3, minOverlap = 0.6)
+        .orderBy("vid_a", "vid_b"),
       None),
 
     // ------------------------------------------------------------ EXT105
@@ -4280,6 +4296,43 @@ object ExtensionQueries {
           .unionByName(v2.withColumn("delivery", lit(2L)))
           .orderBy("delivery", "id")
       },
-      None, bench = false)
+      None, bench = false),
+
+    QueryDef(
+      "ext122_video_prefilter_recall",
+      (s, dir) => {
+        // TWO-TIER video dedup recall audit — the ANN-recall pattern
+        // (ext16/ext17/ext62) applied to the video prefilter: the pooled
+        // majority signature collapses each video to ONE 64-bit row, the
+        // banded join runs at |videos| instead of |frames|, and the exact
+        // alignment vote refines only candidates. Approximate by design
+        // (heavy splicing can push signatures past sigMaxDist), so the
+        // audit runs BOTH paths over the SAME memoized frame-hash table
+        // and reports the miss count — prefiltered ⊆ exact must hold
+        // (refine semantics are parity-pinned), so extras == 0 is an
+        // invariant the row exposes. Rows-only; VideoDedupSpec pins
+        // pair-for-pair parity on the corpus and the alignLists kernel
+        // against the DataFrame core on every fixture class.
+        val fh = sharedDedupFrameHashes(s, dir)
+        val full = graft.operators.VideoDedup.nearDupPairsFromKept(
+          fh, everyNth = 2, maxDist = 3, minOverlap = 0.6)
+          .select(col("vid_a"), col("vid_b")).localCheckpoint(false)
+        val pre = graft.operators.VideoDedup.prefilteredNearDupPairsFromKept(
+          fh, everyNth = 2, maxDist = 3, minOverlap = 0.6, sigMaxDist = 10)
+          .select(col("vid_a"), col("vid_b")).localCheckpoint(false)
+        val nFull = full.count()
+        val nPre = pre.count()
+        val missed = full.join(pre, Seq("vid_a", "vid_b"), "left_anti").count()
+        val extras = pre.join(full, Seq("vid_a", "vid_b"), "left_anti").count()
+        val recall =
+          if (nFull == 0) 1.0
+          else java.math.BigDecimal.valueOf(
+            (nFull - missed).toDouble / nFull)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        import s.implicits._
+        Seq((nFull, nPre, missed, extras, recall))
+          .toDF("n_exact", "n_prefiltered", "n_missed", "n_extra", "recall")
+      },
+      None)
   )
 }

@@ -206,4 +206,75 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(rejected.isEmpty,
       s"scattered montage must fail the alignment vote: ${rejected.mkString(",")}")
   }
+
+  test("ext122: prefiltered pairs equal the exact path pair-for-pair on the corpus") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val fh = VideoDedup.keptFrameHashes(
+      VideoCorpus.forIds(ids, "doc_id"), "gvid", "doc_id", everyNth = 2)
+      .localCheckpoint(true)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b")) ->
+        (r.getAs[Long]("matched_frames"), r.getAs[Double]("overlap_ratio")))
+      .toMap
+    val full = toMap(VideoDedup.nearDupPairsFromKept(fh))
+    val pre = toMap(VideoDedup.prefilteredNearDupPairsFromKept(fh))
+    assert(pre == full,
+      s"missing=${full.keySet -- pre.keySet} extra=${pre.keySet -- full.keySet} " +
+        s"diffs=${full.keySet.intersect(pre.keySet).filter(k => full(k) != pre(k))
+          .map(k => (k, full(k), pre(k)))}")
+  }
+
+  test("ext122: the refine kernel agrees with the DataFrame core on every fixture class") {
+    val a = Video.decodeFrames(VideoCorpus.render(0L)).get
+    val z = Video.decodeFrames(VideoCorpus.render(30L)).get
+    def enc(frames: Seq[Array[Byte]]) =
+      Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, fps = 10, frames)
+    val fixtures = Seq(
+      100L -> enc(a._5.take(8) ++ z._5.take(4)),   // splice above threshold
+      200L -> enc(a._5.take(4) ++ z._5.take(8)),   // splice below threshold
+      400L -> enc(a._5.reverse),                   // montage (alignment reject)
+      500L -> enc(a._5.drop(2) ++ a._5.take(2)))   // time-shifted copy
+    val df = (Seq(0L -> VideoCorpus.render(0L)) ++ fixtures)
+      .toDF("doc_id", "gvid")
+    val fh = VideoDedup.keptFrameHashes(df, "gvid", "doc_id", everyNth = 2)
+      .localCheckpoint(true)
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b")) ->
+        r.getAs[Double]("overlap_ratio")).toMap
+    val full = toMap(VideoDedup.nearDupPairsFromKept(fh))
+    val pre = toMap(VideoDedup.prefilteredNearDupPairsFromKept(fh))
+    // the exact path's verdicts on these fixtures are pinned by the tests
+    // above; here (a) the two paths must agree wherever the prefilter
+    // admits the candidate (refine parity — never a DIFFERENT verdict),
+    // (b) duplicates sharing the full frame set (the time-shifted copy;
+    // at corpus scale: re-encodes, variants) survive the coarse tier, and
+    // (c) the 8/12 splice is the DOCUMENTED miss class: only 2/3 of its
+    // frames vote with A, which dilutes the majority signature past
+    // sigMaxDist — exactly the recall trade ext122's audit reports
+    assert(full.contains((0L, 100L)) && full.contains((0L, 500L)) &&
+      !full.contains((0L, 200L)) && !full.contains((0L, 400L)))
+    pre.foreach { case (k, v) =>
+      assert(full.get(k).contains(v), s"pair $k: pre=$v full=${full.get(k)}")
+    }
+    assert(pre.contains((0L, 500L)),
+      s"a full-frame-set duplicate must survive the coarse tier: $pre")
+    assert(!pre.contains((0L, 100L)),
+      "the heavy splice is the documented coarse-tier miss — if this now " +
+        "passes, the signature got MORE robust: update the docs, not the code")
+  }
+
+  test("ext122: family signatures sit close; cross-family far (the coarse tier's premise)") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val sigs = VideoDedup.videoSignatures(
+      VideoDedup.keptFrameHashes(
+        VideoCorpus.forIds(ids, "doc_id"), "gvid", "doc_id", everyNth = 2))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("phash")).toMap
+    def d(x: Long, y: Long) = java.lang.Long.bitCount(sigs(x) ^ sigs(y))
+    (0L until 12L by 3).foreach { f =>
+      assert(d(f, f + 1) <= 2 && d(f, f + 2) <= 2,
+        s"family ${f / 3}: member signatures drifted (${d(f, f + 1)}, ${d(f, f + 2)})")
+    }
+    assert(d(0L, 3L) >= 10 && d(3L, 6L) >= 10 && d(6L, 9L) >= 10,
+      "cross-family signatures must stay far apart")
+  }
 }
