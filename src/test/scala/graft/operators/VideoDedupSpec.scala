@@ -277,4 +277,49 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(d(0L, 3L) >= 10 && d(3L, 6L) >= 10 && d(6L, 9L) >= 10,
       "cross-family signatures must stay far apart")
   }
+
+  test("ext122 fuzz: the refine kernel never drifts from the DataFrame core on random lists") {
+    // alignLists deliberately REIMPLEMENTS TemporalAlignment.alignedOverlap
+    // for per-pair refine; this seeded sweep keeps the two from drifting:
+    // random frame lists with planted shared hashes at random offsets must
+    // produce identical (matched_frames, overlap_ratio) through both paths
+    val rnd = new scala.util.Random(91L)
+    for (iter <- 1 to 15) {
+      def randHash(): Long = {
+        // keep popcount informative so the low-info filter is a no-op here
+        var h = rnd.nextLong()
+        while (!VideoDedup.informativeHash(h)) h = rnd.nextLong()
+        h
+      }
+      val na = 6 + rnd.nextInt(8)
+      val nb = 6 + rnd.nextInt(8)
+      val fa = (0 until na).map(i => (i, randHash()))
+      val fbBase = (0 until nb).map(i => (i, randHash()))
+      // plant 2-5 of A's hashes into B at random positions (some aligned
+      // to one offset, some scattered)
+      val nPlant = 2 + rnd.nextInt(4)
+      val fb = fbBase.toArray
+      (0 until nPlant).foreach { _ =>
+        val src = rnd.nextInt(na)
+        val dst = rnd.nextInt(nb)
+        fb(dst) = (fb(dst)._1, fa(src)._2)
+      }
+      val fhRows = fa.map { case (i, h) => (1L, i, h, na) } ++
+        fb.map { case (i, h) => (2L, i, h, nb) }
+      val fh = fhRows.toDF("id", "frame_idx", "phash", "n_sampled")
+      val df = VideoDedup.nearDupPairsFromKept(fh, everyNth = 2,
+        maxDist = 3, minOverlap = 0.0)
+        .collect().map(r => (r.getAs[Long]("matched_frames"),
+          r.getAs[Double]("overlap_ratio"))).headOption
+      val kernel = VideoDedup.alignLists(fa, fb.toSeq, maxDist = 3, jitter = 2)
+      df match {
+        case Some(core) =>
+          assert(core == kernel, s"iter $iter: core=$core kernel=$kernel " +
+            s"fa=$fa fb=${fb.toSeq}")
+        case None =>
+          assert(kernel._1 == 0L, s"iter $iter: kernel found matches " +
+            s"$kernel where the core found none")
+      }
+    }
+  }
 }
