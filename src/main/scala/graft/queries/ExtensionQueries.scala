@@ -4273,11 +4273,18 @@ object ExtensionQueries {
     // KEPT images drop as dropped_existing against rows that were not in
     // the store when the query began: the merge step is what this entry
     // proves, beyond ext108's single-delivery probe. Verdicts are
-    // computed eagerly before each append (the probe never observes its
-    // own delivery). Per-process store dir + overwrite init, the ext73
-    // convention. Rows-only; FingerprintStoreSpec pins the cross-delivery
-    // verdict classes against family structure and the final store
-    // contents == init ∪ kept₁ ∪ kept₂.
+    // computed eagerly before each merge (the probe never observes its
+    // own delivery). REPLAY-SAFE since r10: the store is partitioned by
+    // delivery_id, each ingest probes the store MINUS its own partition
+    // and merges via dynamic partition overwrite — so a re-run of this
+    // entry against the same per-process dir (or a harness replaying a
+    // delivery) recomputes identical verdicts and leaves the store
+    // unchanged instead of stacking self-matching appends
+    // (FingerprintStoreSpec pins both directions). Per-process store
+    // dir + overwrite init, the ext73 convention. Rows-only;
+    // FingerprintStoreSpec pins the cross-delivery verdict classes
+    // against family structure and the final store contents ==
+    // init ∪ kept₁ ∪ kept₂.
     QueryDef(
       "ext121_fingerprint_store",
       (s, dir) => {
@@ -4289,9 +4296,9 @@ object ExtensionQueries {
         graft.operators.FingerprintStore.init(
           hashes.filter(col("id") < c1), storeDir)
         val v1 = graft.operators.FingerprintStore.ingest(
-          s, storeDir, hashes.filter(col("id") >= c1 && col("id") < c2))
+          s, storeDir, "d1", hashes.filter(col("id") >= c1 && col("id") < c2))
         val v2 = graft.operators.FingerprintStore.ingest(
-          s, storeDir, hashes.filter(col("id") >= c2))
+          s, storeDir, "d2", hashes.filter(col("id") >= c2))
         v1.withColumn("delivery", lit(1L))
           .unionByName(v2.withColumn("delivery", lit(2L)))
           .orderBy("delivery", "id")

@@ -8,7 +8,10 @@ import graft.sources.ImageCorpus
 /** Persisted fingerprint-store lifecycle (ext121): successive deliveries
   * probe the parquet table and merge their survivors, so later deliveries
   * drop against earlier deliveries' KEPT rows; final store contents equal
-  * init ∪ every delivery's survivors.
+  * init ∪ every delivery's survivors. Replay safety (r10): the store is
+  * delivery_id-partitioned, the probe excludes the caller's own partition,
+  * and the merge dynamically overwrites only it — so replaying a completed
+  * delivery returns identical verdicts and leaves the store unchanged.
   */
 class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
 
@@ -27,14 +30,14 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     FingerprintStore.init(hashes.filter($"id" < 3), dir)
     // delivery 1: ids 3,4 (fresh family -> 3 kept, 4 dropped_within) and
     // id 2's family sibling is ALREADY stored? no - bring id 6 (fresh)
-    val v1 = FingerprintStore.ingest(spark, dir,
+    val v1 = FingerprintStore.ingest(spark, dir, "d1",
       hashes.filter($"id".isin(3L, 4L, 6L)))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("verdict")).toMap
     assert(v1 == Map(3L -> "kept", 4L -> "dropped_within", 6L -> "kept"),
       s"delivery 1: $v1")
     // delivery 2: id 5 duplicates delivery 1's KEPT id 3 (not in init!),
     // id 7 duplicates kept id 6, id 9 is fresh, id 1 duplicates the init
-    val v2 = FingerprintStore.ingest(spark, dir,
+    val v2 = FingerprintStore.ingest(spark, dir, "d2",
       hashes.filter($"id".isin(5L, 7L, 9L, 1L)))
       .collect().map(r => r.getAs[Long]("id") ->
         (r.getAs[String]("verdict"),
@@ -50,6 +53,95 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     val stored = FingerprintStore.read(spark, dir)
       .collect().map(_.getAs[Long]("id")).toSet
     assert(stored == Set(0L, 1L, 2L, 3L, 6L, 9L), s"store: $stored")
+    // provenance: each row sits in the partition of the delivery that
+    // merged it
+    val byDelivery = FingerprintStore.readTagged(spark, dir)
+      .collect()
+      .groupBy(_.getAs[String]("delivery_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(byDelivery == Map(
+      FingerprintStore.InitDelivery -> Set(0L, 1L, 2L),
+      "d1" -> Set(3L, 6L), "d2" -> Set(9L)), s"partitions: $byDelivery")
+  }
+
+  test("replaying a completed delivery is idempotent: same verdicts, store unchanged") {
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("replay")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    val d1 = hashes.filter($"id".isin(3L, 4L, 6L))
+    def verdictMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("matched_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("dist")).map(_.longValue))).toMap
+    val first = verdictMap(FingerprintStore.ingest(spark, dir, "d1", d1))
+    // delivery 2 lands AFTER d1 — the replay below must not see it erased
+    // or duplicated either
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id".isin(9L, 10L))).collect(): Unit
+    def storeState() = FingerprintStore.readTagged(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"),
+        r.getAs[String]("delivery_id"))).toSet
+    val before = storeState()
+    // REPLAY d1 (the at-least-once harness case): without the partition
+    // exclusion its own prior survivors (3, 6) would self-match at dist 0
+    // and flip to dropped_existing; without the dynamic overwrite they
+    // would stack a second copy
+    val replay = verdictMap(FingerprintStore.ingest(spark, dir, "d1", d1))
+    assert(replay == first,
+      s"replay verdicts drifted: first=$first replay=$replay")
+    assert(storeState() == before,
+      s"replay mutated the store: before=$before after=${storeState()}")
+  }
+
+  test("replaying the whole ext121-shaped flow twice against one dir is safe") {
+    // the Verify-harness double-run pin (r9 verdict #8): entry re-runs
+    // init (overwrite) + both deliveries; everything must land once
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("double")
+    def runOnce() = {
+      FingerprintStore.init(hashes.filter($"id" < 6), dir)
+      val v1 = FingerprintStore.ingest(spark, dir, "d1",
+        hashes.filter($"id" >= 6 && $"id" < 9)).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("verdict"))).toSet
+      val v2 = FingerprintStore.ingest(spark, dir, "d2",
+        hashes.filter($"id" >= 9)).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("verdict"))).toSet
+      (v1, v2, FingerprintStore.read(spark, dir)
+        .collect().map(_.getAs[Long]("id")).toSet)
+    }
+    val a = runOnce()
+    val b = runOnce()
+    assert(a == b, s"double run drifted: $a vs $b")
+    assert(a._3 == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 9L), s"store: ${a._3}")
+  }
+
+  test("a delivery with zero survivors clears its partition on replay (crash-heal path)") {
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 6L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("zero")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    // simulate a crashed earlier attempt that appended a partial partition
+    hashes.filter($"id" === 3L)
+      .withColumn("delivery_id", org.apache.spark.sql.functions.lit("d1"))
+      .write.mode("append").partitionBy("delivery_id").parquet(dir)
+    // the replayed delivery is all duplicates (of the init family and of
+    // each other) -> zero survivors; ingest's overwrite must still clear
+    // the stale partial partition with a schema-bearing empty write
+    val v = FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(1L, 2L)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("verdict")).toMap
+    assert(v == Map(1L -> "dropped_existing", 2L -> "dropped_within"),
+      s"verdicts: $v")
+    val stored = FingerprintStore.read(spark, dir)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(stored == Set(0L, 1L, 2L), s"stale partial partition survived: $stored")
   }
 
   test("ingest into an empty-but-initialized store keeps everything fresh") {
@@ -58,7 +150,7 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       "png", "doc_id").localCheckpoint(true)
     val dir = freshDir("empty")
     FingerprintStore.init(hashes.filter($"id" < 0), dir) // empty store
-    val v = FingerprintStore.ingest(spark, dir, hashes)
+    val v = FingerprintStore.ingest(spark, dir, "d1", hashes)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("verdict")).toMap
     // two families of 3: min-id member of each kept, rest dropped_within
     assert(v == Map(30L -> "kept", 31L -> "dropped_within",
