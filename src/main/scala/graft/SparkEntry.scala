@@ -25,8 +25,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * containment ext117 (the ext109 symmetry closed), the per-source
   * image curation funnel ext118, VAD-shaped audio silence
   * segmentation ext119, the band-bucket health audit ext120, the
-  * persisted fingerprint-store lifecycle ext121 and the two-tier video
-  * prefilter recall audit ext122 — 184 catalog entries total);
+  * persisted fingerprint-store lifecycle ext121 (replay-safe
+  * delivery_id-partitioned ingest since r10), the two-tier video
+  * prefilter recall audit ext122 (whole-video + segment signature
+  * tiers) and span removal on the content-sampled production detector
+  * ext123 — 185 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

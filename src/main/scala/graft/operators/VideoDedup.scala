@@ -168,12 +168,42 @@ object VideoDedup {
     * away). Computed as one hash aggregation over the frame-hash table
     * (64 codegen'd bit-sums, no UDF, no second decode).
     */
-  def videoSignatures(frameHashFrame: DataFrame): DataFrame = {
+  def videoSignatures(frameHashFrame: DataFrame): DataFrame =
+    majoritySignatures(frameHashFrame.groupBy(col("id")))
+
+  /** SEGMENT-level majority signatures — the splice-recall dial of the
+    * two-tier prefilter (r9 verdict #2): one signature per `segLen`
+    * consecutive SAMPLED frames (fixed spans of `everyNth * segLen`
+    * original frames, so batch grids agree across videos), alongside the
+    * whole-video signature. A HEAVY SPLICE shares whole spans of its
+    * source even when its minority share dilutes the global majority vote
+    * past `sigMaxDist` — the shared spans' segment signatures still sit
+    * within threshold and carry the pair to refine. Candidate volume
+    * stays |videos| × (1 + ⌈k/segLen⌉) signature rows (k = sampled
+    * frames/video), 2–3 orders below frame-level banding. Residual miss
+    * class, named: a splice whose copied run is misaligned to the segment
+    * grid by ~segLen/2 AND whose content varies within every shared span
+    * can dilute each segment vote too — shrinking `segLen` (or striding
+    * segments) trades candidate rows for that recall, exactly the
+    * IVF nProbe dial. Output: (id, phash), several rows per id.
+    */
+  def segmentSignatures(fh: DataFrame, everyNth: Int = 2,
+      segLen: Int = 16): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    majoritySignatures(
+      fh.withColumn("seg", floor(col("frame_idx") / (everyNth * segLen)))
+        .groupBy(col("id"), col("seg")))
+  }
+
+  /** Per-bit majority vote over each group's `phash` values — one hash
+    * aggregation of 64 codegen'd bit-sums, no UDF, shared by the video-
+    * and segment-level signature builders. */
+  private def majoritySignatures(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = {
     val bitSums = (0 until 64).map { b =>
       sum(shiftrightunsigned(col("phash"), b).bitwiseAND(lit(1L))).as(s"b$b")
     }
-    frameHashFrame
-      .groupBy(col("id"))
+    grouped
       .agg(count(lit(1)).as("n"), bitSums: _*)
       .select(col("id"),
         (0 until 64).map { b =>
@@ -181,12 +211,29 @@ object VideoDedup {
         }.reduce(_.bitwiseOR(_)).as("phash"))
   }
 
+  /** Candidate video pairs for the two-tier path: the Hamming-banded join
+    * over whole-video [[videoSignatures]] UNION [[segmentSignatures]]
+    * (both (id, phash) — the banded core is row-oriented, so mixing
+    * granularities just widens the signature table), distinct (id_a,
+    * id_b). `segLen <= 0` disables the segment tier (whole-video
+    * signatures only — the r9 behavior, kept callable so ext122 can
+    * report both tiers' candidate counts side by side). */
+  def signatureCandidates(fh: DataFrame, everyNth: Int = 2,
+      sigMaxDist: Int = 10, segLen: Int = 16): DataFrame = {
+    val whole = videoSignatures(fh)
+    val sigs =
+      if (segLen <= 0) whole
+      else whole.unionByName(segmentSignatures(fh, everyNth, segLen))
+    ImageDedup.hammingNearDupPairs(sigs, sigMaxDist)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** PREFILTERED near-dup pairs — the two-tier form of [[nearDupPairs]]
     * for archive scale, the ANN playbook (coarse candidates → exact
     * refine on the pool, ext61's IVF-PQ shape) applied to video:
     *  1. candidate video pairs from a Hamming-banded join over the
-    *     [[videoSignatures]] (|videos| rows, not |frames|) at
-    *     `sigMaxDist`;
+    *     [[videoSignatures]] UNION the [[segmentSignatures]]
+    *     (|videos| × (1 + segments) rows, not |frames|) at `sigMaxDist`;
     *  2. the SAME temporal-alignment vote as the full path, evaluated
     *     per candidate pair over the two videos' collected frame-hash
     *     lists — O(na·nb) per pair, bounded by item length, paid only
@@ -194,32 +241,38 @@ object VideoDedup {
     * APPROXIMATE BY DESIGN: duplicates sharing the FULL frame set
     * (re-encodes, perturbed variants, mirrored or time-shifted copies —
     * the overwhelming duplicate class in a scraped archive) vote
-    * near-identical signatures and always reach refine; a HEAVY SPLICE
-    * sharing only a fraction of its frames dilutes the majority vote
-    * past `sigMaxDist` and is never refined (spec-pinned as the miss
-    * class) — the documented recall trade every coarse tier makes,
-    * AUDITED against the exact path by ext122 exactly as
-    * ext16/ext17/ext62 audit the ANN tiers. `sigMaxDist` cannot simply
-    * be raised: banding at distance d needs d+1 slices, and past ~10 the
-    * slices get so narrow that bucket collisions regress the candidate
-    * join toward all-pairs. Verdict semantics on
+    * near-identical whole-video signatures and always reach refine; a
+    * HEAVY SPLICE that dilutes the global majority vote past
+    * `sigMaxDist` is carried to refine by the SEGMENT tier instead
+    * (r9 verdict #2 — its shared spans vote clean segment signatures;
+    * spec-pinned: the splice the whole-video tier provably misses is
+    * caught with the segment tier on). The residual miss class is
+    * named in [[segmentSignatures]]'s doc (grid-misaligned splices with
+    * within-span variation — shrink `segLen` to trade candidate rows
+    * for that recall); the whole trade is AUDITED against the exact
+    * path by ext122 exactly as ext16/ext17/ext62 audit the ANN tiers,
+    * now reporting both tiers' candidate counts. `sigMaxDist` cannot
+    * simply be raised instead: banding at distance d needs d+1 slices,
+    * and past ~10 the slices get so narrow that bucket collisions
+    * regress the candidate join toward all-pairs. Verdict semantics on
     * surviving candidates are bit-identical to [[nearDupPairs]]
-    * (spec-pinned parity).
+    * (spec-pinned parity), so prefiltered ⊆ exact holds whatever the
+    * candidate tier admits.
     */
   def prefilteredNearDupPairs(videos: DataFrame, videoCol: String,
       idCol: String, everyNth: Int = 2, maxDist: Int = 3,
-      minOverlap: Double = 0.6, sigMaxDist: Int = 10): DataFrame =
+      minOverlap: Double = 0.6, sigMaxDist: Int = 10,
+      segLen: Int = 16): DataFrame =
     prefilteredNearDupPairsFromKept(
       keptFrameHashes(videos, videoCol, idCol, everyNth).localCheckpoint(false),
-      everyNth, maxDist, minOverlap, sigMaxDist)
+      everyNth, maxDist, minOverlap, sigMaxDist, segLen)
 
   /** [[prefilteredNearDupPairs]] over an already-built
     * [[keptFrameHashes]] frame. */
   def prefilteredNearDupPairsFromKept(fh: DataFrame, everyNth: Int = 2,
       maxDist: Int = 3, minOverlap: Double = 0.6,
-      sigMaxDist: Int = 10): DataFrame = {
-    val cands = ImageDedup.hammingNearDupPairs(videoSignatures(fh), sigMaxDist)
-      .select(col("id_a"), col("id_b"))
+      sigMaxDist: Int = 10, segLen: Int = 16): DataFrame = {
+    val cands = signatureCandidates(fh, everyNth, sigMaxDist, segLen)
     val lists = fh.groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
         .as("fs"))

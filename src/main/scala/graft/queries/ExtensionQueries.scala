@@ -4310,22 +4310,36 @@ object ExtensionQueries {
       (s, dir) => {
         // TWO-TIER video dedup recall audit — the ANN-recall pattern
         // (ext16/ext17/ext62) applied to the video prefilter: the pooled
-        // majority signature collapses each video to ONE 64-bit row, the
-        // banded join runs at |videos| instead of |frames|, and the exact
+        // majority signature collapses each video to ONE 64-bit row
+        // (plus, since r10, one per segLen-sampled-frame SEGMENT — the
+        // splice-recall dial, r9 verdict #2), the banded join runs at
+        // |videos|×(1+segments) instead of |frames|, and the exact
         // alignment vote refines only candidates. Approximate by design
-        // (heavy splicing can push signatures past sigMaxDist), so the
-        // audit runs BOTH paths over the SAME memoized frame-hash table
-        // and reports the miss count — prefiltered ⊆ exact must hold
-        // (refine semantics are parity-pinned), so extras == 0 is an
-        // invariant the row exposes. Rows-only; VideoDedupSpec pins
-        // pair-for-pair parity on the corpus and the alignLists kernel
-        // against the DataFrame core on every fixture class.
+        // (a grid-misaligned splice can still dilute every segment
+        // vote), so the audit runs BOTH paths over the SAME memoized
+        // frame-hash table and reports the miss count — prefiltered ⊆
+        // exact must hold (refine semantics are parity-pinned), so
+        // extras == 0 is an invariant the row exposes. BOTH tiers'
+        // candidate volumes ride along (n_cands_video = whole-video
+        // signatures only, n_cands_segment = with the segment tier) so
+        // the recall/candidate trade is driver-visible per corpus.
+        // segLen 3 here, proportional to the 12-frame synthetic clips
+        // (6 sampled frames → 2 segments/video; production default 16).
+        // Rows-only; VideoDedupSpec pins pair-for-pair parity on the
+        // corpus, the alignLists kernel against the DataFrame core on
+        // every fixture class, and the splice the whole-video tier
+        // provably misses being caught by the segment tier.
         val fh = sharedDedupFrameHashes(s, dir)
+        val nCandsVideo = graft.operators.VideoDedup.signatureCandidates(
+          fh, everyNth = 2, sigMaxDist = 10, segLen = 0).count()
+        val nCandsSeg = graft.operators.VideoDedup.signatureCandidates(
+          fh, everyNth = 2, sigMaxDist = 10, segLen = 3).count()
         val full = graft.operators.VideoDedup.nearDupPairsFromKept(
           fh, everyNth = 2, maxDist = 3, minOverlap = 0.6)
           .select(col("vid_a"), col("vid_b")).localCheckpoint(false)
         val pre = graft.operators.VideoDedup.prefilteredNearDupPairsFromKept(
-          fh, everyNth = 2, maxDist = 3, minOverlap = 0.6, sigMaxDist = 10)
+          fh, everyNth = 2, maxDist = 3, minOverlap = 0.6, sigMaxDist = 10,
+          segLen = 3)
           .select(col("vid_a"), col("vid_b")).localCheckpoint(false)
         val nFull = full.count()
         val nPre = pre.count()
@@ -4337,9 +4351,83 @@ object ExtensionQueries {
             (nFull - missed).toDouble / nFull)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         import s.implicits._
-        Seq((nFull, nPre, missed, extras, recall))
-          .toDF("n_exact", "n_prefiltered", "n_missed", "n_extra", "recall")
+        Seq((nFull, nPre, missed, extras, recall, nCandsVideo, nCandsSeg))
+          .toDF("n_exact", "n_prefiltered", "n_missed", "n_extra", "recall",
+            "n_cands_video", "n_cands_segment")
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------ EXT123
+    // Span removal ON THE PRODUCTION DETECTOR (r9 verdict #3): the same
+    // excision + rebuild as ext106, but the cut list comes from ext42's
+    // content-sampled (winnowing, 1/16) windows — the tier that actually
+    // runs at corpus scale, where the exact enumeration's every-position
+    // shuffle is the thing sampling exists to avoid. Sampling only ever
+    // LOSES windows, so the sampled cut set is a conservative subset of
+    // ext106's (every sampled cut interval sits inside an exact one —
+    // spec-pinned; the delta is exactly ext80's recall-erosion curve,
+    // 1−(15/16)^windows per run, made concrete in removed text). Fully
+    // oracle-checked including md5(rebuilt text) — the DuckDB side
+    // applies the identical substr(md5,1,1)='0' self-selection, so the
+    // reconstruction is verified end-to-end on the production tier too.
+    // Benched (unlike audit-tier ext106): the detector shuffles ~1/16 of
+    // the window stream; the rebuild fold is bounded by n_chars/window.
+    QueryDef(
+      "ext123_span_removal_sampled",
+      (s, dir) => graft.operators.SubstringDedup.spanRemoval(
+        Tables.documents(s, dir), "text", "doc_id", window = 64,
+        hexPrefix = "0"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+        sw AS (SELECT * FROM w WHERE substr(h, 1, 1) = '0'),
+        d AS (SELECT h, MIN(doc_id) AS keep_doc FROM sw
+              GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        rd AS (SELECT DISTINCT sw.doc_id, sw.pos
+               FROM sw JOIN d USING (h) WHERE sw.doc_id <> d.keep_doc),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           <= 63
+                      THEN 0 ELSE 1 END AS newgrp
+          FROM rd),
+        g AS (
+          SELECT doc_id, pos,
+                 SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl),
+        cuts AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 63 AS e
+          FROM g GROUP BY doc_id, grp),
+        seg AS (
+          SELECT doc_id, s, e,
+                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+          FROM cuts),
+        pieces AS (
+          SELECT sg.doc_id,
+                 string_agg(substr(dd.text, CAST(sg.pe + 1 AS INT),
+                                   CAST(GREATEST(sg.s - sg.pe - 1, 0) AS INT)),
+                            '' ORDER BY sg.s) AS head,
+                 MAX(sg.e) AS last_e,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(sg.e - sg.s + 1) AS BIGINT) AS removed_chars
+          FROM seg sg JOIN documents dd USING (doc_id)
+          GROUP BY sg.doc_id),
+        cl AS (
+          SELECT dd.doc_id,
+                 CAST(LENGTH(dd.text) AS BIGINT) AS n_chars,
+                 COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+                 COALESCE(p.removed_chars, CAST(0 AS BIGINT)) AS removed_chars,
+                 CASE WHEN p.doc_id IS NULL THEN dd.text
+                      ELSE p.head || substr(dd.text, CAST(p.last_e + 1 AS INT))
+                 END AS cleaned
+          FROM documents dd LEFT JOIN pieces p USING (doc_id))
+        SELECT doc_id, n_chars, n_spans, removed_chars,
+               CAST(LENGTH(cleaned) AS BIGINT) AS kept_chars,
+               md5(cleaned) AS cleaned_digest
+        FROM cl
+      """))
   )
 }

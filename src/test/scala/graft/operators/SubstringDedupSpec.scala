@@ -238,6 +238,27 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
     }
     val cutSampled = sampled.count(_._2._1 > 0)
     assert(cutSampled > 0, "the sampled production path must stay live")
+    // containment at the POSITION level (stronger than the per-doc char
+    // arithmetic above, and what makes ext123's "conservative subset"
+    // claim literal): every removable (doc, pos) the sampled detector
+    // surfaces is one the exact enumeration surfaces too, so after island
+    // merging every sampled cut interval sits inside an exact cut interval
+    def removablePositions(hexPrefix: String) = {
+      val spans = SubstringDedup.duplicatedSpans(
+        docs, "text", "doc_id", 64, hexPrefix)
+      val keepers = spans.groupBy("h")
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("doc_id")).as("keep_doc"))
+      spans.join(keepers, "h")
+        .where(org.apache.spark.sql.functions.col("doc_id") =!=
+          org.apache.spark.sql.functions.col("keep_doc"))
+        .select("doc_id", "pos").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val posSampled = removablePositions("0")
+    val posExact = removablePositions("")
+    assert(posSampled.nonEmpty && posSampled.subsetOf(posExact),
+      s"sampled removable positions escaped the exact set: ${posSampled -- posExact}")
   }
 
   test("spanRemoval fuzz: rebuilt text matches a JVM reference excision, multibyte included") {

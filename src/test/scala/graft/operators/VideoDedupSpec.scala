@@ -248,9 +248,11 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
     // admits the candidate (refine parity — never a DIFFERENT verdict),
     // (b) duplicates sharing the full frame set (the time-shifted copy;
     // at corpus scale: re-encodes, variants) survive the coarse tier, and
-    // (c) the 8/12 splice is the DOCUMENTED miss class: only 2/3 of its
-    // frames vote with A, which dilutes the majority signature past
-    // sigMaxDist — exactly the recall trade ext122's audit reports
+    // (c) with the segment tier effectively OFF (these 12-frame fixtures
+    // fit in one default-width segment, so segment sig == video sig) the
+    // 8/12 splice is the whole-video tier's DOCUMENTED miss: only 2/3 of
+    // its frames vote with A, diluting the majority signature past
+    // sigMaxDist — the segment-tier test below is what closes it
     assert(full.contains((0L, 100L)) && full.contains((0L, 500L)) &&
       !full.contains((0L, 200L)) && !full.contains((0L, 400L)))
     pre.foreach { case (k, v) =>
@@ -259,8 +261,47 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(pre.contains((0L, 500L)),
       s"a full-frame-set duplicate must survive the coarse tier: $pre")
     assert(!pre.contains((0L, 100L)),
-      "the heavy splice is the documented coarse-tier miss — if this now " +
-        "passes, the signature got MORE robust: update the docs, not the code")
+      "the heavy splice is the whole-video tier's documented miss — if " +
+        "this now passes, the signature got MORE robust: update the docs")
+    // THE R10 CLOSE (verdict #2): segments of 2 sampled frames (span 4
+    // original frames, proportional to the 12-frame fixtures; production
+    // 16) — the splice's borrowed spans vote clean segment signatures, so
+    // the pair the diluted global signature misses reaches refine, with
+    // the SAME verdict as the exact path; the sub-threshold splice and
+    // the montage stay correctly out (refine, not the candidate tier,
+    // decides), and parity still holds pair-for-pair
+    val preSeg = toMap(VideoDedup.prefilteredNearDupPairsFromKept(
+      fh, segLen = 2))
+    preSeg.foreach { case (k, v) =>
+      assert(full.get(k).contains(v),
+        s"segment tier pair $k: pre=$v full=${full.get(k)}")
+    }
+    assert(preSeg.contains((0L, 100L)) && preSeg((0L, 100L)) == full((0L, 100L)),
+      s"the segment tier must carry the heavy splice to refine: $preSeg")
+    assert(preSeg.contains((0L, 500L)))
+    assert(!preSeg.contains((0L, 200L)) && !preSeg.contains((0L, 400L)),
+      s"refine must still reject sub-threshold/montage candidates: $preSeg")
+  }
+
+  test("ext122: the segment tier's candidate volume stays bounded — segments only ADD grid-aligned span candidates") {
+    // candidate-count accounting on the corpus: whole-video tier ⊆
+    // segment tier (the union can only add pairs), and the segment tier
+    // stays far below all-pairs — the dial's cost side, driver-visible
+    // via ext122's n_cands_video / n_cands_segment columns
+    val ids = (0L until 30L).toDF("doc_id")
+    val fh = VideoDedup.keptFrameHashes(
+      VideoCorpus.forIds(ids, "doc_id"), "gvid", "doc_id", everyNth = 2)
+      .localCheckpoint(true)
+    def pairs(segLen: Int) = VideoDedup.signatureCandidates(
+      fh, everyNth = 2, sigMaxDist = 10, segLen = segLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = pairs(0)
+    val seg = pairs(3)
+    assert(whole.subsetOf(seg),
+      s"segment tier lost whole-video candidates: ${whole -- seg}")
+    val allPairs = 30L * 29 / 2
+    assert(seg.size < allPairs / 2,
+      s"segment tier candidates ${seg.size} regressed toward all-pairs ($allPairs)")
   }
 
   test("ext122: family signatures sit close; cross-family far (the coarse tier's premise)") {
