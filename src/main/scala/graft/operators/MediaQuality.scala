@@ -120,6 +120,56 @@ object MediaQuality {
         round(col("s._5"), 6).as("sharpness"),
         round(col("s._6"), 6).as("entropy"))
 
+  /** Default image-gate thresholds — named so the BATCH verdict
+    * ([[imageVerdicts]]), the catalog entry (ext113) and the STREAMING
+    * pre-filter ([[imageQualityReason]], fed to
+    * [[graft.streaming.ImageIngest]]) can never drift apart. */
+  val DefaultMinSide = 32
+  val DefaultMinMeanLuma = 20.0
+  val DefaultMinContrast = 8.0
+  val DefaultMinSharpness = 8.0
+
+  /** Spark `round(x, 6)`'s exact arithmetic (HALF_UP on the decimal
+    * rendering) — the scalar reason functions round stats the same way
+    * [[imageStats]]/[[audioStats]] do before ruling, so stream and batch
+    * verdicts agree to the last bit even AT a threshold. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The image gate as ONE scalar: bytes → failing reason (None = pass),
+    * decode → stats → the EXACT [[imageVerdicts]] rule order over
+    * 6-dp-rounded stats. Shared by the streaming pre-filter UDF and the
+    * stream/batch parity spec. */
+  private[graft] def imageReasonOf(bytes: Array[Byte],
+      minSide: Int = DefaultMinSide,
+      minMeanLuma: Double = DefaultMinMeanLuma,
+      minContrast: Double = DefaultMinContrast,
+      minSharpness: Double = DefaultMinSharpness): Option[String] =
+    Option(bytes).flatMap(ImageOps.decode) match {
+      case None => Some("undecodable")
+      case Some(img) =>
+        val (mean, std, grad, _) = imageLumaStats(img)
+        if (math.min(img.cols, img.rows) < minSide) Some("too_small")
+        else if (r6(mean) < minMeanLuma) Some("too_dark")
+        else if (r6(std) < minContrast) Some("low_contrast")
+        else if (r6(grad) < minSharpness) Some("blurred")
+        else None
+    }
+
+  // the same optimizer fence as every expensive multimodal UDF here: one
+  // decode in one Project, never inlined into scan-level filters
+  private val imageReasonUdf = udf { bytes: Array[Byte] =>
+    imageReasonOf(bytes)
+  }.asNondeterministic()
+
+  /** Failing-reason column for an encoded-image column (NULL = pass) —
+    * the map-side quality pre-filter the streaming ingest runs BEFORE the
+    * dedup suppressor (the ext118 funnel's gate-before-dedup economics,
+    * stream side): one fenced decode per item, default thresholds. */
+  def imageQualityReason(imageCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    imageReasonUdf(imageCol)
+
   /** Keep/drop verdict over [[imageStats]] output — the standard curation
     * gate shape: reject undecodable, tiny, too-dark, near-uniform
     * (contrast) and blurred (sharpness) images, with the failing reason
@@ -128,9 +178,10 @@ object MediaQuality {
     * scales both scores down — a dark image should fail as dark, not as
     * incidentally blurry): (…stats…, keep BOOL, reason STRING|NULL).
     */
-  def imageVerdicts(stats: DataFrame, minSide: Int = 32,
-      minMeanLuma: Double = 20.0, minContrast: Double = 8.0,
-      minSharpness: Double = 8.0): DataFrame =
+  def imageVerdicts(stats: DataFrame, minSide: Int = DefaultMinSide,
+      minMeanLuma: Double = DefaultMinMeanLuma,
+      minContrast: Double = DefaultMinContrast,
+      minSharpness: Double = DefaultMinSharpness): DataFrame =
     stats.withColumn("reason",
         when(!col("decodable"), "undecodable")
           .when(least(col("width"), col("height")) < minSide, "too_small")
@@ -205,13 +256,49 @@ object MediaQuality {
         round(col("s._4"), 6).as("clipping_ratio"),
         round(col("s._5"), 6).as("silence_ratio"))
 
+  /** Default audio-gate thresholds — shared like the image set. */
+  val DefaultMinDurationSec = 0.5
+  val DefaultMinRms = 0.01
+  val DefaultMaxSilenceRatio = 0.5
+  val DefaultMaxClippingRatio = 0.01
+
+  /** The audio gate as ONE scalar: bytes → failing reason (None = pass),
+    * the EXACT [[audioVerdicts]] rule order over 6-dp-rounded stats —
+    * shared by the streaming pre-filter UDF and the parity spec. */
+  private[graft] def audioReasonOf(bytes: Array[Byte],
+      minDurationSec: Double = DefaultMinDurationSec,
+      minRms: Double = DefaultMinRms,
+      maxSilenceRatio: Double = DefaultMaxSilenceRatio,
+      maxClippingRatio: Double = DefaultMaxClippingRatio): Option[String] =
+    Option(bytes).flatMap(AudioOps.decodeWav) match {
+      case None => Some("undecodable")
+      case Some(a) =>
+        val (dur, rms, _, clip, sil) = audioQualityStats(a)
+        if (r6(dur) < minDurationSec) Some("too_short")
+        else if (r6(rms) < minRms) Some("near_silent")
+        else if (r6(sil) > maxSilenceRatio) Some("mostly_silent")
+        else if (r6(clip) > maxClippingRatio) Some("clipped")
+        else None
+    }
+
+  private val audioReasonUdf = udf { bytes: Array[Byte] =>
+    audioReasonOf(bytes)
+  }.asNondeterministic()
+
+  /** Failing-reason column for a WAV binary column (NULL = pass) — the
+    * streaming ingest's map-side quality pre-filter, audio modality. */
+  def audioQualityReason(audioCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    audioReasonUdf(audioCol)
+
   /** Keep/drop verdict over [[audioStats]] — reject undecodable, too-short,
     * near-silent, mostly-silent and clipped tracks (first failing rule in
     * fixed order): (…stats…, keep BOOL, reason STRING|NULL).
     */
-  def audioVerdicts(stats: DataFrame, minDurationSec: Double = 0.5,
-      minRms: Double = 0.01, maxSilenceRatio: Double = 0.5,
-      maxClippingRatio: Double = 0.01): DataFrame =
+  def audioVerdicts(stats: DataFrame,
+      minDurationSec: Double = DefaultMinDurationSec,
+      minRms: Double = DefaultMinRms,
+      maxSilenceRatio: Double = DefaultMaxSilenceRatio,
+      maxClippingRatio: Double = DefaultMaxClippingRatio): DataFrame =
     stats.withColumn("reason",
         when(!col("decodable"), "undecodable")
           .when(col("duration_sec") < minDurationSec, "too_short")

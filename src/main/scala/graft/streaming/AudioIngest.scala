@@ -30,12 +30,18 @@ object AudioIngest {
       clips: DataFrame, table: String, checkpoint: String,
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
       maxPerBucket: Int = 256,
-      bootstrapFrom: Option[(DataFrame, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      bootstrapFrom: Option[(DataFrame, Long)] = None,
+      qualityGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       clips, AudioDedup.fingerprint, idCol = "clip_id", payloadCol = "wav",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
       watermarkDelay = watermarkDelay, maxPerBucket = maxPerBucket,
       rename = Map("item_id" -> "clip_id", "payload" -> "wav",
         "matched_item" -> "matched_clip"),
-      bootstrapFrom = bootstrapFrom)
+      bootstrapFrom = bootstrapFrom,
+      // the ext114 audio gate (identical thresholds/rule order to the
+      // batch verdicts) as a map-side pre-filter — see ImageIngest
+      qualityReason =
+        if (qualityGate) Some(graft.operators.MediaQuality.audioQualityReason)
+        else None)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.ImageDedup
+import graft.operators.{ImageDedup, MediaQuality}
 
 /** Streaming IMAGE near-duplicate suppression — the image instantiation of
   * the modality-generic [[PerceptualIngest]] core: an arriving image is
@@ -23,18 +23,26 @@ object ImageIngest {
     * timestamp): warm-starts the suppressor from
     * [[graft.operators.FingerprintStore]]'s table so corpus
     * near-duplicates reject from the FIRST micro-batch
-    * ([[PerceptualIngest.bootstrapState]]).
+    * ([[PerceptualIngest.bootstrapState]]). `qualityGate` runs the
+    * ext113 image gate ([[MediaQuality.imageQualityReason]], identical
+    * thresholds and rule order to the batch verdicts) as a map-side
+    * pre-filter: failing images go straight to rejects with their rule
+    * as the reason and never enter band state — the ext118 funnel's
+    * gate-before-dedup economics, stream side.
     */
   def writeDeduped(
       images: DataFrame, table: String, checkpoint: String,
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
       maxPerBucket: Int = 256,
-      bootstrapFrom: Option[(DataFrame, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      bootstrapFrom: Option[(DataFrame, Long)] = None,
+      qualityGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       images, ImageDedup.fingerprint, idCol = "img_id", payloadCol = "png",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
       watermarkDelay = watermarkDelay, maxPerBucket = maxPerBucket,
       rename = Map("item_id" -> "img_id", "payload" -> "png",
         "matched_item" -> "matched_img"),
-      bootstrapFrom = bootstrapFrom)
+      bootstrapFrom = bootstrapFrom,
+      qualityReason =
+        if (qualityGate) Some(MediaQuality.imageQualityReason) else None)
 }

@@ -50,10 +50,14 @@ object PerceptualIngest {
 
   /** Per-(item, band) verdict: the closest hash this band's bucket held —
     * `dist` 64 (sentinel, farther than any threshold) when the bucket was
-    * empty; payload non-null only on band 0. */
+    * empty; payload non-null only on band 0. `reason` is null on every
+    * dedup-path row; quality-gated items ([[writeDeduped]]'s
+    * `qualityReason` branch — rows that never reach the state store)
+    * carry their failing rule here with band −1. */
   final case class BandVerdict(
       item_id: Long, source: String, ts_millis: Long, band: Int,
-      dist: Long, matched_item: Long, payload: Array[Byte])
+      dist: Long, matched_item: Long, payload: Array[Byte],
+      reason: String = null)
 
   /** Explode (`idCol`, source, ingest_ts, `payloadCol`) into watermarked
     * band rows under `fingerprint` (NULL-hashing rows — undecodable blobs —
@@ -193,9 +197,13 @@ object PerceptualIngest {
     }
   }
 
-  /** Per-item rollup of one micro-batch's verdicts: keep iff the CLOSEST
-    * match across all bands stays beyond `maxDist`. Output: (item_id,
-    * source, ingest_ts, payload, min_dist, matched_item, keep). */
+  /** Per-item rollup of one micro-batch's verdicts: keep iff the item
+    * passed the quality gate (if any) AND the CLOSEST match across all
+    * bands stays beyond `maxDist`. Output: (item_id, source, ingest_ts,
+    * payload, min_dist, matched_item, keep, reason) — reason is the
+    * quality rule for gated items, "near_duplicate" for dedup drops,
+    * NULL for kept rows (a group is either all dedup-path rows or one
+    * quality row, never mixed: gated items skip banding entirely). */
   def rollup(batch: DataFrame, maxDist: Int): DataFrame =
     batch.groupBy(col("item_id"))
       .agg(
@@ -205,15 +213,30 @@ object PerceptualIngest {
         min(col("dist")).as("min_dist"),
         // tie-break the evidence item deterministically
         min_by(col("matched_item"), struct(col("dist"), col("matched_item")))
-          .as("matched_item"))
-      .withColumn("keep", col("min_dist") > maxDist)
+          .as("matched_item"),
+        first(col("reason"), ignoreNulls = true).as("quality_reason"))
+      .withColumn("keep",
+        col("quality_reason").isNull && col("min_dist") > maxDist)
+      .withColumn("reason", coalesce(col("quality_reason"),
+        when(!col("keep"), lit("near_duplicate"))))
+      .drop("quality_reason")
 
   /** End-to-end: (`idCol`, source, ingest_ts, `payloadCol`) stream →
     * near-deduped landing table (kept items, partitioned by source) +
-    * `<table>_rejects` with match evidence. `rename` maps the neutral
-    * output columns back to the adapter's modality vocabulary
-    * (e.g. item_id → img_id) so each modality's tables keep their natural
-    * schema. */
+    * `<table>_rejects` with match evidence (`reason` = the quality rule
+    * or "near_duplicate"). `rename` maps the neutral output columns back
+    * to the adapter's modality vocabulary (e.g. item_id → img_id) so
+    * each modality's tables keep their natural schema.
+    *
+    * `qualityReason` (r9 verdict #5 — the ext118 funnel's
+    * gate-BEFORE-dedup economics, stream side): a map-side column
+    * (payload bytes → failing rule, NULL = pass) evaluated before
+    * banding. Failing items NEVER reach the state store — they cannot
+    * suppress later arrivals, hold no bucket slot, and pay no band
+    * fan-out — and land in `<table>_rejects` with their rule as the
+    * reason. One fenced decode per item, same as the batch gate; the
+    * stateless reject branch unions with the stateful verdict stream
+    * inside the one query, so the sink sees every item exactly once. */
   def writeDeduped(
       items: DataFrame, fingerprint: Column => Column,
       idCol: String, payloadCol: String,
@@ -221,13 +244,31 @@ object PerceptualIngest {
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
       maxPerBucket: Int = 256,
       rename: Map[String, String] = Map.empty,
-      bootstrapFrom: Option[(DataFrame, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      bootstrapFrom: Option[(DataFrame, Long)] = None,
+      qualityReason: Option[Column => Column] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ttlMillis = ttlMillisOf(watermarkDelay)
+    val spark = items.sparkSession
+    import spark.implicits._
     val initial = bootstrapFrom.map { case (hashes, ts0) =>
       bootstrapState(hashes, ts0, maxDist, maxPerBucket)
     }
-    verdicts(bandRows(items, fingerprint, idCol, payloadCol, watermarkDelay,
-      maxDist), ttlMillis, maxPerBucket, initial = initial)
+    val (pass, qualityRejects) = qualityReason match {
+      case None => (items, None)
+      case Some(reasonOf) =>
+        val tagged = items.withColumn("__q_reason", reasonOf(col(payloadCol)))
+        val fails = tagged.filter(col("__q_reason").isNotNull)
+          .select(col(idCol).as("item_id"), col("source"),
+            unix_millis(col("ingest_ts")).as("ts_millis"),
+            lit(-1).as("band"), lit(64L).as("dist"),
+            lit(-1L).as("matched_item"), col(payloadCol).as("payload"),
+            col("__q_reason").as("reason"))
+          .as[BandVerdict]
+        (tagged.filter(col("__q_reason").isNull).drop("__q_reason"),
+          Some(fails))
+    }
+    val deduped = verdicts(bandRows(pass, fingerprint, idCol, payloadCol,
+      watermarkDelay, maxDist), ttlMillis, maxPerBucket, initial = initial)
+    qualityRejects.fold(deduped)(deduped.union(_))
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append())
@@ -239,7 +280,7 @@ object PerceptualIngest {
         }
         val r = renamed.cache()
         try {
-          r.filter(col("keep")).drop("keep")
+          r.filter(col("keep")).drop("keep", "reason")
             .repartition(col("source"))
             .write.mode("append").partitionBy("source").parquet(table)
           r.filter(!col("keep")).drop("keep")

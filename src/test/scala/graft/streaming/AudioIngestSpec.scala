@@ -57,6 +57,50 @@ class AudioIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(rej.head.getAs[Long]("min_dist") <= 3L)
   }
 
+  test("quality gate: a too-short clip rejects with its rule and NEVER enters band state") {
+    // graded corpus: id%5==4 → too_short, id%5==0 → pass. The same short
+    // bytes arrive again under a new id: if the first copy had entered
+    // state the re-arrival would reject as near_duplicate — pinning
+    // too_short proves the gate kept it out of the suppressor (the image
+    // sibling test's contract, audio modality; parity with the ext114
+    // batch gate is by the SHARED audioReasonOf scalar)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("audingest-gate").toString
+    val t0 = 1700800000L
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    def run(): Unit =
+      AudioIngest.writeDeduped(
+        stream.toDF().toDF("clip_id", "source", "ingest_ts", "wav"),
+        s"$base/t", s"$base/c", maxDist = 3, watermarkDelay = "10 minutes",
+        qualityGate = true)
+        .awaitTermination()
+    stream.addData(
+      (50L, "podA", ts(t0), AudioCorpus.renderGraded(4L)),
+      (51L, "podA", ts(t0), AudioCorpus.renderGraded(0L)))
+    run()
+    stream.addData((52L, "podA", ts(t0 + 60), AudioCorpus.renderGraded(4L)))
+    run()
+    val kept = spark.read.parquet(s"$base/t").select("clip_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(51L), s"only the passing clip lands: $kept")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+      .map(r => r.getAs[Long]("clip_id") ->
+        (r.getAs[String]("reason"), r.getAs[Long]("matched_clip"))).toMap
+    assert(rej.keySet == Set(50L, 52L), s"rejects: $rej")
+    assert(rej(50L) == (("too_short", -1L)) && rej(52L) == (("too_short", -1L)),
+      s"gate, not suppressor, must reject both short clips: $rej")
+    // stream/batch gate parity on the same payloads
+    val batchReasons = graft.operators.MediaQuality.audioVerdicts(
+      graft.operators.MediaQuality.audioStats(
+        AudioCorpus.gradedFor(Seq(0L, 4L).toDF("doc_id"), "doc_id"),
+        "wav", "doc_id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("reason"))).toMap
+    assert(batchReasons == Map(0L -> None, 4L -> Some("too_short")),
+      s"batch gate drifted from the graded corpus: $batchReasons")
+  }
+
   test("stream/batch parity is EXACT: streaming keep set == batch pair-table survivors") {
     import spark.implicits._
     val ids = 0L until 30L

@@ -208,6 +208,95 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       s"missing=${expectedKeep -- kept} spurious=${kept -- expectedKeep}")
   }
 
+  private def runGatedBatches(
+      table: String, ckpt: String)(
+      batches: Seq[Seq[(Long, String, java.sql.Timestamp, Array[Byte])]]): Unit = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    batches.foreach { b =>
+      stream.addData(b: _*)
+      ImageIngest.writeDeduped(
+        stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+        table, ckpt, maxDist = 3, watermarkDelay = "10 minutes",
+        qualityGate = true)
+        .awaitTermination()
+    }
+  }
+
+  test("quality gate: a too-dark image rejects with its rule and NEVER enters band state") {
+    // graded corpus: id%5==3 → too_dark, id%5==0 → pass. The same dark
+    // bytes arrive again in batch 2 under a NEW id: had the first copy
+    // entered state, the re-arrival would reject as near_duplicate at
+    // dist 0 — pinning its reason as too_dark proves the gate kept it
+    // out of the suppressor entirely (r9 verdict #5)
+    val base = Files.createTempDirectory("imgingest-gate").toString
+    val t0 = 1700800000L
+    runGatedBatches(s"$base/t", s"$base/c")(Seq(
+      Seq((50L, "camA", ts(t0), ImageCorpus.renderGraded(3L)),
+        (51L, "camA", ts(t0), ImageCorpus.renderGraded(0L))),
+      Seq((52L, "camA", ts(t0 + 60), ImageCorpus.renderGraded(3L)))))
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(51L), s"only the passing image lands: $kept")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+      .map(r => r.getAs[Long]("img_id") ->
+        (r.getAs[String]("reason"), r.getAs[Long]("min_dist"),
+          r.getAs[Long]("matched_img"))).toMap
+    assert(rej.keySet == Set(50L, 52L), s"rejects: $rej")
+    assert(rej(50L) == (("too_dark", 64L, -1L)), s"got ${rej(50L)}")
+    assert(rej(52L) == (("too_dark", 64L, -1L)),
+      s"the re-arrival must fail the GATE, not the suppressor — the dark " +
+        s"image held no bucket slot: ${rej(52L)}")
+  }
+
+  test("quality gate: a near-dup of a LANDED image still rejects as near_duplicate with evidence") {
+    // gate on, both images pass quality: the dedup path through the gated
+    // pipeline must behave exactly as ungated — reason column says
+    // near_duplicate, evidence intact
+    val base = Files.createTempDirectory("imgingest-gate-dup").toString
+    val t0 = 1701000000L
+    runGatedBatches(s"$base/t", s"$base/c")(Seq(
+      Seq((60L, "camA", ts(t0), ImageCorpus.render(0L))),
+      Seq((61L, "camA", ts(t0 + 60), ImageCorpus.render(1L)))))
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(60L))
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 61L)
+    assert(rej.head.getAs[String]("reason") == "near_duplicate")
+    assert(rej.head.getAs[Long]("matched_img") == 60L &&
+      rej.head.getAs[Long]("min_dist") <= 3L)
+  }
+
+  test("quality gate: stream verdicts equal the batch ext113 gate class-for-class") {
+    // one graded image per failure class (ids 0..4 = pass / low_contrast /
+    // blurred / too_dark / too_small): the streaming gate must agree with
+    // MediaQuality.imageVerdicts — same thresholds, same rule order, same
+    // rounding — so the batch funnel (ext118) and the stream admit the
+    // same corpus (the stream/batch funnel parity pin)
+    import spark.implicits._
+    val ids = 0L until 5L
+    val batchReasons = graft.operators.MediaQuality.imageVerdicts(
+      graft.operators.MediaQuality.imageStats(
+        graft.sources.ImageCorpus.gradedFor(ids.toDF("doc_id"), "doc_id"),
+        "png", "doc_id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("reason"))).toMap
+    val base = Files.createTempDirectory("imgingest-gate-parity").toString
+    val t0 = 1701100000L
+    runGatedBatches(s"$base/t", s"$base/c")(Seq(
+      ids.map(i => (i, "cam", ts(t0 + i), ImageCorpus.renderGraded(i)))))
+    val streamed =
+      spark.read.parquet(s"$base/t").select("img_id")
+        .collect().map(_.getLong(0) -> None).toMap[Long, Option[String]] ++
+      spark.read.parquet(s"$base/t_rejects")
+        .collect().map(r => r.getAs[Long]("img_id") ->
+          Some(r.getAs[String]("reason"))).toMap
+    assert(streamed == batchReasons,
+      s"stream=$streamed batch=$batchReasons")
+  }
+
   test("undecodable blobs are dropped map-side, not landed and not crashed on") {
     val base = Files.createTempDirectory("imgingest-junk").toString
     val t0 = 1700300000L
