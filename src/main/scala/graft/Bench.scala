@@ -156,7 +156,12 @@ object Bench {
     val scalingJson: Option[(String, String)] =
       if (smallRaw == sfDir || !new java.io.File(smallRaw).isDirectory) None
       else {
-        val top20 = results.sortBy(-_._2).take(20).map(_._1).toSet
+        // ext113 rides the scaling map PERMANENTLY (r9 verdict #7): it
+        // held the suite's steepest ratio (5.9× at 10× data — sublinear,
+        // map-side-decode-dominated) and is the entry to watch at the
+        // next SF step, whether or not it makes the top-20 by seconds
+        val top20 = results.sortBy(-_._2).take(20).map(_._1).toSet +
+          "ext113_image_quality"
         val stagedSmall = stage(spark, smallRaw, splits = cpus.toInt)
         val byName = headline.filter(q => top20(q.name))
         graft.operators.MaterializedPairs.clear()
@@ -207,6 +212,16 @@ object Bench {
     // same line to a file so the artifact survives stdout clipping.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // … and to a COMMITTED artifact (r9 verdict #4): bench_last.json is
+    // gitignored and BENCH_rN.json keeps only a front-truncated tail, so
+    // per-query seconds/shuffle/scaling history died each round (~100 of
+    // 166 r8 numbers were undiffable at the r9 verdict). BENCH_DETAIL.json
+    // is the same full line, committed per round (archived as
+    // BENCH_DETAIL_rN.json), so every future verdict can diff every query
+    // numerically.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     deleteRecursively(new java.io.File(staged)) // staged copies are fact-table-sized
     spark.stop()

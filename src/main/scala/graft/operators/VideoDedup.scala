@@ -211,21 +211,40 @@ object VideoDedup {
         }.reduce(_.bitwiseOR(_)).as("phash"))
   }
 
-  /** Candidate video pairs for the two-tier path: the Hamming-banded join
-    * over whole-video [[videoSignatures]] UNION [[segmentSignatures]]
-    * (both (id, phash) — the banded core is row-oriented, so mixing
-    * granularities just widens the signature table), distinct (id_a,
-    * id_b). `segLen <= 0` disables the segment tier (whole-video
-    * signatures only — the r9 behavior, kept callable so ext122 can
-    * report both tiers' candidate counts side by side). */
-  def signatureCandidates(fh: DataFrame, everyNth: Int = 2,
-      sigMaxDist: Int = 10, segLen: Int = 16): DataFrame = {
-    val whole = videoSignatures(fh)
-    val sigs =
-      if (segLen <= 0) whole
-      else whole.unionByName(segmentSignatures(fh, everyNth, segLen))
-    ImageDedup.hammingNearDupPairs(sigs, sigMaxDist)
+  /** Candidate video pairs from the SEGMENT tier alone: the Hamming-
+    * banded join over [[segmentSignatures]], distinct different-video
+    * (id_a, id_b). `segSigMaxDist` is deliberately TIGHT (default 4, vs
+    * the whole-video tier's 10): the segment tier exists to catch CLEAN
+    * shared spans, whose segment votes come out near-identical — global
+    * drift tolerance is the whole-video tier's job — and banding at
+    * distance d cuts the hash into d+1 slices, so a tight threshold
+    * means WIDE slices (5 × ~13 bits vs 11 × ~6), a large slice-value
+    * space, and small buckets: joining segments at distance 10 made
+    * bucket sizes explode quadratically at corpus scale for recall the
+    * tier does not need. */
+  def segmentCandidates(fh: DataFrame, everyNth: Int = 2,
+      segLen: Int = 16, segSigMaxDist: Int = 4): DataFrame =
+    ImageDedup.hammingNearDupPairs(
+      segmentSignatures(fh, everyNth, segLen), segSigMaxDist)
       .select(col("id_a"), col("id_b")).distinct()
+
+  /** Candidate video pairs for the two-tier path: the whole-video
+    * [[videoSignatures]] banded join at `sigMaxDist` UNION the
+    * [[segmentCandidates]] at their tight `segSigMaxDist` — each
+    * granularity joined in ITS OWN band space so bucket sizes never add
+    * across tiers (see [[segmentCandidates]]). `segLen <= 0` disables
+    * the segment tier (whole-video signatures only — the r9 behavior,
+    * kept callable so ext122 can report both tiers' candidate counts
+    * side by side). */
+  def signatureCandidates(fh: DataFrame, everyNth: Int = 2,
+      sigMaxDist: Int = 10, segLen: Int = 16,
+      segSigMaxDist: Int = 4): DataFrame = {
+    val whole = ImageDedup.hammingNearDupPairs(videoSignatures(fh), sigMaxDist)
+      .select(col("id_a"), col("id_b"))
+    (if (segLen <= 0) whole
+     else whole.unionByName(
+       segmentCandidates(fh, everyNth, segLen, segSigMaxDist)))
+      .distinct()
   }
 
   /** PREFILTERED near-dup pairs — the two-tier form of [[nearDupPairs]]
@@ -262,17 +281,28 @@ object VideoDedup {
   def prefilteredNearDupPairs(videos: DataFrame, videoCol: String,
       idCol: String, everyNth: Int = 2, maxDist: Int = 3,
       minOverlap: Double = 0.6, sigMaxDist: Int = 10,
-      segLen: Int = 16): DataFrame =
+      segLen: Int = 16, segSigMaxDist: Int = 4): DataFrame =
     prefilteredNearDupPairsFromKept(
       keptFrameHashes(videos, videoCol, idCol, everyNth).localCheckpoint(false),
-      everyNth, maxDist, minOverlap, sigMaxDist, segLen)
+      everyNth, maxDist, minOverlap, sigMaxDist, segLen, segSigMaxDist)
 
   /** [[prefilteredNearDupPairs]] over an already-built
     * [[keptFrameHashes]] frame. */
   def prefilteredNearDupPairsFromKept(fh: DataFrame, everyNth: Int = 2,
       maxDist: Int = 3, minOverlap: Double = 0.6,
-      sigMaxDist: Int = 10, segLen: Int = 16): DataFrame = {
-    val cands = signatureCandidates(fh, everyNth, sigMaxDist, segLen)
+      sigMaxDist: Int = 10, segLen: Int = 16,
+      segSigMaxDist: Int = 4): DataFrame =
+    refineCandidates(fh,
+      signatureCandidates(fh, everyNth, sigMaxDist, segLen, segSigMaxDist),
+      everyNth, maxDist, minOverlap)
+
+  /** The refine stage alone: the exact temporal-alignment vote over an
+    * externally supplied candidate-pair frame (id_a, id_b) — split out so
+    * an audit (ext122) that already materialized [[signatureCandidates]]
+    * for counting can refine the SAME frame instead of recomputing the
+    * signature aggregations and banded join a second time. */
+  def refineCandidates(fh: DataFrame, cands: DataFrame, everyNth: Int = 2,
+      maxDist: Int = 3, minOverlap: Double = 0.6): DataFrame = {
     val lists = fh.groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
         .as("fs"))

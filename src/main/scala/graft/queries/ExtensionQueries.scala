@@ -4330,16 +4330,23 @@ object ExtensionQueries {
         // every fixture class, and the splice the whole-video tier
         // provably misses being caught by the segment tier.
         val fh = sharedDedupFrameHashes(s, dir)
-        val nCandsVideo = graft.operators.VideoDedup.signatureCandidates(
-          fh, everyNth = 2, sigMaxDist = 10, segLen = 0).count()
-        val nCandsSeg = graft.operators.VideoDedup.signatureCandidates(
-          fh, everyNth = 2, sigMaxDist = 10, segLen = 3).count()
+        // each tier's candidate join runs ONCE (lazy localCheckpoint; the
+        // counts materialize them) and the union is REUSED by refine —
+        // without this the audit pays the signature aggregations and
+        // banded joins three times over
+        val candsVideo = graft.operators.VideoDedup.signatureCandidates(
+          fh, everyNth = 2, sigMaxDist = 10, segLen = 0).localCheckpoint(false)
+        val candsSeg = graft.operators.VideoDedup.segmentCandidates(
+          fh, everyNth = 2, segLen = 3).localCheckpoint(false)
+        val candsAll = candsVideo.unionByName(candsSeg).distinct()
+          .localCheckpoint(false)
+        val nCandsVideo = candsVideo.count()
+        val nCandsSeg = candsAll.count()
         val full = graft.operators.VideoDedup.nearDupPairsFromKept(
           fh, everyNth = 2, maxDist = 3, minOverlap = 0.6)
           .select(col("vid_a"), col("vid_b")).localCheckpoint(false)
-        val pre = graft.operators.VideoDedup.prefilteredNearDupPairsFromKept(
-          fh, everyNth = 2, maxDist = 3, minOverlap = 0.6, sigMaxDist = 10,
-          segLen = 3)
+        val pre = graft.operators.VideoDedup.refineCandidates(
+          fh, candsAll, everyNth = 2, maxDist = 3, minOverlap = 0.6)
           .select(col("vid_a"), col("vid_b")).localCheckpoint(false)
         val nFull = full.count()
         val nPre = pre.count()
