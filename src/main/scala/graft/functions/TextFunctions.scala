@@ -497,6 +497,29 @@ object TextFunctions {
       "distinct_ratio" -> ratio(size(array_distinct(toks))))
   }
 
+  /** Default text-gate thresholds — `DefaultMinDistinctRatio` is ext100's
+    * funnel quality stage (distinct_ratio >= 0.55), shared so the batch
+    * funnel and the streaming gate cannot drift. */
+  val DefaultMinTokens = 5
+  val DefaultMinDistinctRatio = 0.55
+
+  /** The TEXT quality gate as one failing-reason column (NULL = pass) —
+    * the text sibling of [[graft.operators.MediaQuality.imageQualityReason]]
+    * for [[graft.streaming.NearDupIngest]]'s map-side pre-filter: "empty"
+    * (null text / zero tokens), "too_few_tokens" (< `minTokens`),
+    * "repetitive" (distinct_ratio < `minDistinctRatio`, the ext100 funnel
+    * gate's exact arithmetic via [[qualityFeatures]]). Unlike the
+    * multimodal gates this is PURE built-in expressions — no UDF, stays
+    * inside whole-stage codegen, zero decode analogy to pay. */
+  def qualityReason(text: Column,
+      minTokens: Int = DefaultMinTokens,
+      minDistinctRatio: Double = DefaultMinDistinctRatio): Column = {
+    val feats = qualityFeatures(text).toMap
+    when(text.isNull || feats("n_tokens") === 0, "empty")
+      .when(feats("n_tokens") < minTokens, "too_few_tokens")
+      .when(feats("distinct_ratio") < minDistinctRatio, "repetitive")
+  }
+
   /** Shannon entropy (bits) of the character unigram distribution of
     * `text` — the classic cheap junk detector (binary blobs and
     * keyboard-mash score high, "aaaa…" padding scores near 0; natural

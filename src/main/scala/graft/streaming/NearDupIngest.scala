@@ -49,10 +49,13 @@ object NearDupIngest {
   /** Per-(doc, band) verdict: the strongest match this band's bucket held.
     * `est` is matching-perms / perms against the closest stored signature
     * (0.0 when the bucket was empty); text non-null only on band 0.
-    */
+    * `reason` is null on every dedup-path row; quality-gated docs
+    * ([[writeNearDeduped]]'s gate branch — rows that never reach the
+    * state store) carry their failing rule here with band −1. */
   final case class BandVerdict(
       doc_id: Long, source: String, ts_millis: Long, band: Int,
-      est: Double, matched_doc: Long, text: String)
+      est: Double, matched_doc: Long, text: String,
+      reason: String = null)
 
   /** Explode parsed docs ([[CorpusIngest.parse]] schema) into watermarked
     * band rows. `perms`/`bands`/`shingleN` default to the batch LSH dials.
@@ -166,25 +169,60 @@ object NearDupIngest {
         // tie-break the evidence doc deterministically (two bands can
         // report the same estimate against different stored docs)
         max_by(col("matched_doc"), struct(col("est"), col("matched_doc")))
-          .as("matched_doc"))
-      .withColumn("keep", col("max_est") < threshold)
+          .as("matched_doc"),
+        first(col("reason"), ignoreNulls = true).as("quality_reason"))
+      .withColumn("keep",
+        col("quality_reason").isNull && col("max_est") < threshold)
+      .withColumn("reason", coalesce(col("quality_reason"),
+        when(!col("keep"), lit("near_duplicate"))))
+      .drop("quality_reason")
 
   /** End-to-end: parsed docs → near-deduped landing table (kept docs) via
     * foreachBatch rollup, `threshold` estimated-Jaccard suppression within
     * `watermarkDelay`. The dropped docs are not silently discarded — they
-    * land in `<table>_rejects` with their match evidence, the audit trail
-    * a dedup gate owes its operators.
+    * land in `<table>_rejects` with their match evidence (`reason` = the
+    * quality rule or "near_duplicate"), the audit trail a dedup gate owes
+    * its operators.
+    *
+    * `qualityGate` (the text sibling of the perceptual adapters' gate):
+    * [[TextFunctions.qualityReason]] — empty / too-few-tokens /
+    * repetitive, the ext100 funnel gate's exact distinct_ratio
+    * arithmetic, pure built-in expressions — evaluated BEFORE banding.
+    * Failing docs never reach the state store (no bucket slot, no band
+    * fan-out, cannot suppress later arrivals) and land in rejects with
+    * their rule as the reason.
     */
   def writeNearDeduped(
       docs: DataFrame, table: String, checkpoint: String,
       threshold: Double = 0.9, watermarkDelay: String = "10 minutes",
       shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
-      maxPerBucket: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxPerBucket: Int = 256,
+      qualityGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
     require(iv.months == 0, "watermarkDelay must not use month units")
     val ttlMillis = iv.days * 86400000L + iv.microseconds / 1000L
-    verdicts(bandRows(docs, watermarkDelay, shingleN, perms, bands), ttlMillis, maxPerBucket)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (pass, qualityRejects) =
+      if (!qualityGate) (docs, None)
+      else {
+        val tagged = docs.withColumn("__q_reason",
+          TextFunctions.qualityReason(col("text")))
+        val fails = tagged.filter(col("__q_reason").isNotNull)
+          .select(col("doc_id"), col("source"),
+            unix_millis(col("ingest_ts")).as("ts_millis"),
+            lit(-1).as("band"), lit(0.0).as("est"),
+            lit(-1L).as("matched_doc"), col("text"),
+            col("__q_reason").as("reason"))
+          .as[BandVerdict]
+        (tagged.filter(col("__q_reason").isNull).drop("__q_reason"),
+          Some(fails))
+      }
+    val deduped = verdicts(
+      bandRows(pass, watermarkDelay, shingleN, perms, bands),
+      ttlMillis, maxPerBucket)
+    qualityRejects.fold(deduped)(deduped.union(_))
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append())
@@ -193,7 +231,7 @@ object NearDupIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val r = rollup(batch, threshold).cache()
         try {
-          r.filter(col("keep")).drop("keep")
+          r.filter(col("keep")).drop("keep", "reason")
             .repartition(col("source"))
             .write.mode("append").partitionBy("source").parquet(table)
           r.filter(!col("keep")).drop("keep")

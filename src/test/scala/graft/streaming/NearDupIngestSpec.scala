@@ -63,6 +63,78 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(r.head.getAs[Double]("max_est") >= 0.9)
   }
 
+  test("quality gate: a repetitive doc rejects with its rule and NEVER enters bucket state") {
+    // "spam spam spam…": distinct_ratio 1/40 « 0.55 (the ext100 funnel
+    // gate's exact arithmetic via TextFunctions.qualityReason). The same
+    // text arrives again under a new id: had the first copy entered LSH
+    // state, the re-arrival would reject as near_duplicate at est 1.0 —
+    // pinning "repetitive" proves the gate kept it out of the suppressor.
+    // A healthy doc lands; a 3-token doc fails too_few_tokens.
+    val spamText = Seq.fill(40)("spam").mkString(" ")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("neardup-gate").toString
+    val t0 = 1700800000L
+    val stream = MemoryStream[String]
+    def run(): Unit =
+      NearDupIngest.writeNearDeduped(
+        CorpusIngest.parse(stream.toDF().toDF("value")),
+        s"$base/t", s"$base/c", threshold = 0.9,
+        watermarkDelay = "10 minutes", qualityGate = true)
+        .awaitTermination()
+    stream.addData(
+      jsonl(10, spamText, t0),
+      jsonl(11, body, t0),
+      jsonl(12, "just three tokens", t0))
+    run()
+    stream.addData(jsonl(13, spamText, t0 + 60))
+    run()
+    val kept = spark.read.parquet(s"$base/t").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L), s"only the healthy doc lands: $kept")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reason"), r.getAs[Long]("matched_doc"))).toMap
+    assert(rej.keySet == Set(10L, 12L, 13L), s"rejects: $rej")
+    assert(rej(10L) == (("repetitive", -1L)) && rej(12L) == (("too_few_tokens", -1L)))
+    assert(rej(13L) == (("repetitive", -1L)),
+      s"the re-arrival must fail the GATE, not the suppressor: ${rej(13L)}")
+    // batch parity: the gate is ext100's distinct_ratio arithmetic
+    val dr = Seq(spamText, body).toDF("text")
+      .select(graft.functions.TextFunctions.qualityFeatures(
+        org.apache.spark.sql.functions.col("text")).toMap
+        .apply("distinct_ratio").as("dr"))
+      .collect().map(_.getDouble(0))
+    assert(dr(0) < 0.55 && dr(1) >= 0.55,
+      s"fixture drifted from the ext100 gate threshold: ${dr.toSeq}")
+  }
+
+  test("quality gate: near-dup suppression through the gated pipeline is unchanged") {
+    val base = Files.createTempDirectory("neardup-gate-dup").toString
+    val t0 = 1700900000L
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[String]
+    def run(): Unit =
+      NearDupIngest.writeNearDeduped(
+        CorpusIngest.parse(stream.toDF().toDF("value")),
+        s"$base/t", s"$base/c", threshold = 0.9,
+        watermarkDelay = "10 minutes", qualityGate = true)
+        .awaitTermination()
+    stream.addData(jsonl(20, body, t0))
+    run()
+    stream.addData(jsonl(21, body + " appended tail", t0 + 60))
+    run()
+    val kept = spark.read.parquet(s"$base/t").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(20L))
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("doc_id") == 21L)
+    assert(rej.head.getAs[String]("reason") == "near_duplicate")
+    assert(rej.head.getAs[Long]("matched_doc") == 20L &&
+      rej.head.getAs[Double]("max_est") >= 0.9)
+  }
+
   test("edited redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
     val base = Files.createTempDirectory("neardup-rocks").toString
     val t0 = 1700500000L
