@@ -57,6 +57,14 @@ object VideoIngest {
       .map(_.filter { case (_, h) => VideoDedup.informativeHash(h) })
   }
 
+  /** The UNFILTERED sampler — the gated path needs the pre-filter count
+    * for its low-info ratio, so it samples once and filters with an
+    * array expression instead of decoding twice. Same optimizer-fence
+    * rationale as every decode UDF. */
+  private def sampleAllUdf(everyNth: Int) = udf { bytes: Array[Byte] =>
+    VideoDedup.sampleFrameHashes(bytes, everyNth)
+  }.asNondeterministic()
+
   /** (`idCol`, source, ingest_ts, `videoCol`) stream → watermarked per-frame
     * band rows under the packed composite id. The gvid payload rides exactly
     * ONCE per clip (its first surviving frame's band-0 row), so neither the
@@ -64,12 +72,21 @@ object VideoIngest {
     */
   def frameBandRows(videos: DataFrame, idCol: String, videoCol: String,
       watermarkDelay: String, everyNth: Int = 2,
-      maxDist: Int = 3): Dataset[PerceptualIngest.BandRow] = {
-    val spark = videos.sparkSession
+      maxDist: Int = 3): Dataset[PerceptualIngest.BandRow] =
+    frameBandRowsFromSampled(
+      videos.select(col(idCol).as("vid"), col("source"), col("ingest_ts"),
+        sampleUdf(everyNth)(col(videoCol)).as("fs"), col(videoCol).as("blob")),
+      watermarkDelay, maxDist)
+
+  /** [[frameBandRows]] over an already-sampled frame — (vid, source,
+    * ingest_ts, fs = surviving (frame_idx, hash) array, blob) — so the
+    * quality-gated path ([[writeDeduped]]) derives reason AND band rows
+    * from ONE sampler evaluation instead of decoding the clip twice. */
+  private def frameBandRowsFromSampled(sampled: DataFrame,
+      watermarkDelay: String, maxDist: Int): Dataset[PerceptualIngest.BandRow] = {
+    val spark = sampled.sparkSession
     import spark.implicits._
-    videos
-      .select(col(idCol).as("vid"), col("source"), col("ingest_ts"),
-        sampleUdf(everyNth)(col(videoCol)).as("fs"), col(videoCol).as("blob"))
+    sampled
       .filter(col("fs").isNotNull && size(col("fs")) > 0)
       .withWatermark("ingest_ts", watermarkDelay)
       .select(col("vid"), col("source"), col("ingest_ts"), col("blob"),
@@ -109,7 +126,10 @@ object VideoIngest {
       .agg(first(col("source")).as("source"),
         timestamp_millis(first(col("ts_millis"))).as("ingest_ts"),
         first(col("payload"), ignoreNulls = true).as("gvid"),
-        countDistinct(col("own_f")).as("n_frames"))
+        countDistinct(col("own_f")).as("n_frames"),
+        // a clip's group is either all dedup-path frame rows or ONE
+        // quality row (gated clips skip the frame fan-out entirely)
+        first(col("reason"), ignoreNulls = true).as("quality_reason"))
     val perOffset = v
       .filter(col("dist") <= maxDist && col("matched_item") >= 0)
       .withColumn("matched_vid", shiftright(col("matched_item"), FrameBits))
@@ -133,24 +153,88 @@ object VideoIngest {
       .withColumn("overlap_ratio",
         least(lit(1.0), round(coalesce(col("aligned_frames"), lit(0L))
           .cast("double") / col("n_frames"), 6)))
+      .withColumn("keep",
+        col("quality_reason").isNull && col("overlap_ratio") < minOverlap)
       .select(col("vid_id"), col("source"), col("ingest_ts"), col("gvid"),
         col("n_frames"), col("matched_vid"), col("overlap_ratio"),
-        (col("overlap_ratio") < minOverlap).as("keep"))
+        col("keep"),
+        coalesce(col("quality_reason"),
+          when(!col("keep"), lit("near_duplicate"))).as("reason"))
   }
 
   /** End-to-end: (vid_id, source, ingest_ts, gvid) stream → near-deduped
     * landing table (kept clips, partitioned by source) + `<table>_rejects`
-    * with (matched_vid, overlap_ratio, n_frames) match evidence. */
+    * with (matched_vid, overlap_ratio, n_frames, reason) match evidence.
+    *
+    * `qualityGate` (the video flavor of the r10 ingest gates): reasons
+    * derive from the SAME single sampler evaluation that feeds banding —
+    * no second decode — entirely as expression-level array ops over the
+    * sampled (frame_idx, hash) list: "undecodable" (decode failed),
+    * "no_informative_frames" (every sampled frame inside the low-info
+    * band — previously a silent drop, now audited), "mostly_low_info"
+    * (surviving fraction < `minInfoRatio` — ext115's low_info_ratio rule
+    * evaluated on the sampled grid). Failing clips never fan out into
+    * frame band state and land in rejects with their rule. */
   def writeDeduped(
       videos: DataFrame, table: String, checkpoint: String,
       everyNth: Int = 2, maxDist: Int = 3, minOverlap: Double = 0.6,
       watermarkDelay: String = "10 minutes",
-      maxPerBucket: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxPerBucket: Int = 256,
+      qualityGate: Boolean = false,
+      minInfoRatio: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
     val ttlMillis = PerceptualIngest.ttlMillisOf(watermarkDelay)
-    PerceptualIngest.verdicts(
-      frameBandRows(videos, "vid_id", "gvid", watermarkDelay, everyNth, maxDist),
-      ttlMillis, maxPerBucket,
+    val spark = videos.sparkSession
+    import spark.implicits._
+    val (bandRows, qualityRejects) =
+      if (!qualityGate)
+        (frameBandRows(videos, "vid_id", "gvid", watermarkDelay, everyNth,
+          maxDist), None)
+      else {
+        // ONE sampler evaluation (unfiltered), reason + surviving frames
+        // both derived from it with built-in array expressions
+        val tagged = videos
+          .select(col("vid_id").as("vid"), col("source"), col("ingest_ts"),
+            sampleAllUdf(everyNth)(col("gvid")).as("fs_all"),
+            col("gvid").as("blob"))
+          .withColumn("fs", filter(col("fs_all"), f =>
+            graft.operators.TemporalAlignment.informative(f.getField("_2"),
+              VideoDedup.LowInfoMinBits, VideoDedup.LowInfoMaxBits)))
+          .withColumn("__q_reason",
+            when(col("fs_all").isNull, "undecodable")
+              .when(size(col("fs")) === 0, "no_informative_frames")
+              .when(size(col("fs")).cast("double") / size(col("fs_all"))
+                < minInfoRatio, "mostly_low_info"))
+        val fails = tagged.filter(col("__q_reason").isNotNull)
+          .select(
+            when(col("vid").between(0L, (1L << (63 - FrameBits)) - 1),
+              shiftleft(col("vid"), FrameBits))
+              .otherwise(raise_error(lit(
+                s"VideoIngest: id out of packing range (id < 2^${63 - FrameBits})")))
+              .as("item_id"),
+            col("source"),
+            unix_millis(col("ingest_ts")).as("ts_millis"),
+            lit(-1).as("band"), lit(64L).as("dist"),
+            lit(-1L).as("matched_item"), col("blob").as("payload"),
+            col("__q_reason").as("reason"))
+          .as[PerceptualIngest.BandVerdict]
+        val pass = frameBandRowsFromSampled(
+          tagged.filter(col("__q_reason").isNull)
+            .select(col("vid"), col("source"), col("ingest_ts"), col("fs"),
+              col("blob")),
+          watermarkDelay, maxDist)
+        (pass, Some(fails))
+      }
+    val deduped = PerceptualIngest.verdicts(bandRows, ttlMillis, maxPerBucket,
       sameGroup = (a, b) => (a >> FrameBits) == (b >> FrameBits))
+    startQuery(qualityRejects.fold(deduped)(deduped.union(_)),
+      table, checkpoint, maxDist, everyNth, minOverlap)
+  }
+
+  private def startQuery(
+      verdicts: Dataset[PerceptualIngest.BandVerdict],
+      table: String, checkpoint: String, maxDist: Int, everyNth: Int,
+      minOverlap: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    verdicts
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append())
@@ -159,7 +243,8 @@ object VideoIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val r = rollup(batch, maxDist, everyNth, minOverlap).cache()
         try {
-          r.filter(col("keep")).drop("keep", "matched_vid", "overlap_ratio")
+          r.filter(col("keep"))
+            .drop("keep", "matched_vid", "overlap_ratio", "reason")
             .repartition(col("source"))
             .write.mode("append").partitionBy("source").parquet(table)
           r.filter(!col("keep")).drop("keep", "gvid")
@@ -167,5 +252,4 @@ object VideoIngest {
         } finally { r.unpersist(); () }
       }
       .start()
-  }
 }

@@ -68,6 +68,66 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(rej.head.getAs[Double]("overlap_ratio") >= 0.6)
   }
 
+  private def runGatedBatches(table: String, ckpt: String)(
+      batches: Seq[Seq[(Long, String, java.sql.Timestamp, Array[Byte])]]): Unit = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    batches.foreach { b =>
+      stream.addData(b: _*)
+      VideoIngest.writeDeduped(
+        stream.toDF().toDF("vid_id", "source", "ingest_ts", "gvid"),
+        table, ckpt, watermarkDelay = "10 minutes", qualityGate = true)
+        .awaitTermination()
+    }
+  }
+
+  test("quality gate: black/mostly-black/undecodable clips reject with their rule, never entering frame state") {
+    // black clip: every sampled frame inside the low-info band — the
+    // silent drop of the ungated path becomes an AUDITED reject; the
+    // mostly-black clip (2 informative of 12 frames → 1/6 surviving
+    // < 0.5) fails the ratio rule, and its re-arrival under a new id
+    // fails the GATE again (its informative frame never entered state);
+    // junk bytes surface as undecodable instead of vanishing
+    val a = Video.decodeFrames(VideoCorpus.render(0L)).get
+    val black = new Array[Byte](VideoCorpus.Side * VideoCorpus.Side * 3)
+    val allBlack = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, 10,
+      Seq.fill(VideoCorpus.NFrames)(black.clone()))
+    val mostlyBlack = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, 10,
+      a._5.take(2) ++ Seq.fill(VideoCorpus.NFrames - 2)(black.clone()))
+    val base = Files.createTempDirectory("vidingest-gate").toString
+    val t0 = 1711000000L
+    runGatedBatches(s"$base/t", s"$base/c")(Seq(
+      Seq((1L, "chanA", ts(t0), allBlack),
+        (2L, "chanA", ts(t0), mostlyBlack),
+        (3L, "chanA", ts(t0), Array[Byte](9, 9, 9)),
+        (4L, "chanB", ts(t0), VideoCorpus.render(30L))),
+      Seq((5L, "chanA", ts(t0 + 60), mostlyBlack))))
+    val kept = spark.read.parquet(s"$base/t").select("vid_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(4L), s"only the healthy clip lands: $kept")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+      .map(r => r.getAs[Long]("vid_id") -> r.getAs[String]("reason")).toMap
+    assert(rej == Map(1L -> "no_informative_frames", 2L -> "mostly_low_info",
+      3L -> "undecodable", 5L -> "mostly_low_info"), s"rejects: $rej")
+  }
+
+  test("quality gate: near-dup suppression through the gated pipeline is unchanged") {
+    val base = Files.createTempDirectory("vidingest-gate-dup").toString
+    val t0 = 1711100000L
+    runGatedBatches(s"$base/t", s"$base/c")(Seq(
+      Seq((1L, "chanA", ts(t0), VideoCorpus.render(0L))),
+      Seq((2L, "chanA", ts(t0 + 60), VideoCorpus.render(1L)))))
+    val kept = spark.read.parquet(s"$base/t").select("vid_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("vid_id") == 2L)
+    assert(rej.head.getAs[String]("reason") == "near_duplicate")
+    assert(rej.head.getAs[Long]("matched_vid") == 1L &&
+      rej.head.getAs[Double]("overlap_ratio") >= 0.6)
+  }
+
   test("variant redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
     // the frame-granular packed-id state (and its sameGroup scan) must
     // round-trip RocksDB serialization across a query restart with
