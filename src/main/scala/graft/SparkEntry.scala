@@ -28,8 +28,9 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * persisted fingerprint-store lifecycle ext121 (replay-safe
   * delivery_id-partitioned ingest since r10), the two-tier video
   * prefilter recall audit ext122 (whole-video + segment signature
-  * tiers) and span removal on the content-sampled production detector
-  * ext123 — 185 catalog entries total);
+  * tiers), span removal on the content-sampled production detector
+  * ext123 and the signature-tier band health audit ext124 —
+  * 186 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

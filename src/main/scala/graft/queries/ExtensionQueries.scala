@@ -4435,6 +4435,39 @@ object ExtensionQueries {
                CAST(LENGTH(cleaned) AS BIGINT) AS kept_chars,
                md5(cleaned) AS cleaned_digest
         FROM cl
-      """))
+      """)),
+
+    // ------------------------------------------------------------ EXT124
+    // VIDEO SIGNATURE BAND HEALTH — ext120's observability dial pointed
+    // at the joins ext122's two-tier prefilter actually runs: bucket
+    // size-class histograms (with candidate-pair cost n(n−1)/2) under
+    // the EXACT production bandings of both tiers — the whole-video
+    // signatures at sigMaxDist 10 (11 narrow ~6-bit slices: the
+    // collision-prone banding whose cost the r10 per-tier split
+    // contained) and the segment signatures at their tight
+    // segSigMaxDist 4 (5 wide ~13-bit slices). This is the dial that
+    // would have SHOWN the r10 regression before it was paid: the
+    // distance-10 banding's pairs_contrib per band is orders above the
+    // distance-4 tier's on the same corpus, and a corpus whose top
+    // size-class spikes here is one where sigMaxDist must drop or the
+    // low-info filter tighten. Zero decodes — two hash aggs per tier
+    // over the memoized frame table's signatures. Rows-only;
+    // VideoDedupSpec pins the histogram cell-for-cell against an
+    // independently computed reference over the collected signatures.
+    QueryDef(
+      "ext124_video_signature_health",
+      (s, dir) => {
+        val fh = sharedDedupFrameHashes(s, dir)
+        graft.operators.ImageDedup.bandBucketHealth(
+          graft.operators.VideoDedup.videoSignatures(fh), maxDist = 10)
+          .withColumn("tier", lit("video_sig_d10"))
+          .unionByName(
+            graft.operators.ImageDedup.bandBucketHealth(
+              graft.operators.VideoDedup.segmentSignatures(
+                fh, everyNth = 2, segLen = 3), maxDist = 4)
+              .withColumn("tier", lit("segment_sig_d4")))
+          .orderBy("tier", "band", "size_class")
+      },
+      None)
   )
 }

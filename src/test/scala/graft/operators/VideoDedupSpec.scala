@@ -319,6 +319,57 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
       "cross-family signatures must stay far apart")
   }
 
+  test("ext124: signature band health equals an independent histogram on both tiers") {
+    // reference computed HERE with a reimplementation of the slicing
+    // arithmetic (b*64/nBands contiguous cuts), so the audit's shared
+    // bandSlices definition is cross-checked, not assumed
+    val ids = (0L until 30L).toDF("doc_id")
+    val fh = VideoDedup.keptFrameHashes(
+      VideoCorpus.forIds(ids, "doc_id"), "gvid", "doc_id", everyNth = 2)
+      .localCheckpoint(true)
+    def reference(sigs: Seq[Long], maxDist: Int): Map[(Int, Long), (Long, Long, Long)] = {
+      val nBands = maxDist + 1
+      val buckets = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      sigs.foreach { h =>
+        (0 until nBands).foreach { b =>
+          val lo = b * 64 / nBands
+          val w = (b + 1) * 64 / nBands - lo
+          val v = if (w >= 64) h else (h >>> lo) & ((1L << w) - 1)
+          buckets((b, v)) = buckets.getOrElse((b, v), 0L) + 1
+        }
+      }
+      buckets.toSeq
+        .groupBy { case ((b, _), sz) =>
+          (b, math.floor(math.log(sz.toDouble) / math.log(2.0)).toLong)
+        }
+        .view.mapValues { g =>
+          (g.size.toLong, g.map(_._2).sum, g.map { case (_, sz) => sz * (sz - 1) / 2 }.sum)
+        }.toMap
+    }
+    def check(sigFrame: org.apache.spark.sql.DataFrame, maxDist: Int): Unit = {
+      val sigs = sigFrame.collect().map(_.getAs[Long]("phash")).toSeq
+      val want = reference(sigs, maxDist)
+      val got = ImageDedup.bandBucketHealth(sigFrame, maxDist)
+        .collect().map(r => (r.getAs[Int]("band"), r.getAs[Long]("size_class")) ->
+          (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_items"),
+            r.getAs[Long]("pairs_contrib"))).toMap
+      assert(got == want, s"maxDist=$maxDist: got=$got want=$want")
+    }
+    check(VideoDedup.videoSignatures(fh), maxDist = 10)
+    check(VideoDedup.segmentSignatures(fh, everyNth = 2, segLen = 3), maxDist = 4)
+    // the r10 lesson as an invariant: on the same corpus the distance-10
+    // banding's candidate-pair cost dwarfs the tight segment banding's
+    // even though the segment table holds MORE rows
+    def pairs(sigFrame: org.apache.spark.sql.DataFrame, maxDist: Int) =
+      ImageDedup.bandBucketHealth(sigFrame, maxDist)
+        .agg(org.apache.spark.sql.functions.sum("pairs_contrib"))
+        .head().getLong(0)
+    val wide = pairs(VideoDedup.videoSignatures(fh), 10)
+    val tight = pairs(VideoDedup.segmentSignatures(fh, 2, 3), 4)
+    assert(tight < wide,
+      s"tight segment banding must cost fewer candidate pairs: d4=$tight d10=$wide")
+  }
+
   test("ext122 fuzz: the refine kernel never drifts from the DataFrame core on random lists") {
     // alignLists deliberately REIMPLEMENTS TemporalAlignment.alignedOverlap
     // for per-pair refine; this seeded sweep keeps the two from drifting:
