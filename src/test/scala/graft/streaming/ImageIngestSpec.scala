@@ -269,6 +269,45 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       rej.head.getAs[Long]("min_dist") <= 3L)
   }
 
+  test("quality gate composes with the fingerprint-store warm start: gate fires first, corpus state still rejects") {
+    // both features on: a DARK image must fail the GATE (reason too_dark)
+    // even if its hash would match warm-started corpus state, while a
+    // healthy near-dup of the corpus must still reject against the
+    // bootstrapped bucket with corpus evidence — the gate prunes work
+    // BEFORE the suppressor without blinding it
+    val base = Files.createTempDirectory("imgingest-gate-boot").toString
+    val t0 = 1701200000L
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeHashes = graft.operators.ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 3L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    stream.addData(
+      (70L, "camA", ts(t0), ImageCorpus.renderGraded(3L)), // dark → gate
+      (71L, "camA", ts(t0), ImageCorpus.render(1L)),  // corpus near-dup → state
+      (72L, "camB", ts(t0), ImageCorpus.render(30L))) // fresh → land
+    ImageIngest.writeDeduped(
+      stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+      s"$base/t", s"$base/c", maxDist = 3, watermarkDelay = "10 minutes",
+      bootstrapFrom = Some((storeHashes, t0 * 1000)),
+      qualityGate = true)
+      .awaitTermination()
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(72L), s"kept: $kept")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+      .map(r => r.getAs[Long]("img_id") ->
+        (r.getAs[String]("reason"), r.getAs[Long]("matched_img"))).toMap
+    assert(rej.keySet == Set(70L, 71L), s"rejects: $rej")
+    assert(rej(70L)._1 == "too_dark" && rej(70L)._2 == -1L,
+      s"the dark image must fail the gate, not the suppressor: ${rej(70L)}")
+    assert(rej(71L)._1 == "near_duplicate" &&
+      (0L until 3L).contains(rej(71L)._2),
+      s"the healthy near-dup must reject against warm-started corpus " +
+        s"state with corpus evidence: ${rej(71L)}")
+  }
+
   test("quality gate: stream verdicts equal the batch ext113 gate class-for-class") {
     // one graded image per failure class (ids 0..4 = pass / low_contrast /
     // blurred / too_dark / too_small): the streaming gate must agree with
