@@ -38,6 +38,43 @@ class MediaQualitySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("the gate SCALARS equal the batch verdict pipeline on arbitrary corpus content") {
+    // the streaming gates (imageReasonOf/audioReasonOf) re-derive the
+    // batch rules from raw bytes with their own 6-dp rounding — this
+    // sweep pins them verdict-for-verdict against the full batch
+    // stats→verdicts pipeline across every corpus family we have
+    // (graded, dedup, funnel, track), not just the graded classes the
+    // ingest specs use, so a rounding-edge drift cannot hide
+    val imgBytes: Seq[(Long, Array[Byte])] =
+      (0L until 25L).map(i => i -> ImageCorpus.renderGraded(i)) ++
+      (100L until 115L).map(i => i -> ImageCorpus.render(i - 100L)) ++
+      (200L until 210L).map(i => i -> ImageCorpus.renderFunnel(i - 200L))
+    val imgDf = imgBytes.toDF("doc_id", "png")
+    val batchImg = MediaQuality.imageVerdicts(
+      MediaQuality.imageStats(imgDf, "png", "doc_id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("reason"))).toMap
+    imgBytes.foreach { case (id, bytes) =>
+      assert(MediaQuality.imageReasonOf(bytes) == batchImg(id),
+        s"image $id: scalar ${MediaQuality.imageReasonOf(bytes)} vs " +
+          s"batch ${batchImg(id)}")
+    }
+    val audBytes: Seq[(Long, Array[Byte])] =
+      (0L until 25L).map(i => i -> AudioCorpus.renderGraded(i)) ++
+      (100L until 115L).map(i => i -> AudioCorpus.render(i - 100L)) ++
+      (200L until 206L).map(i => i -> AudioCorpus.renderTrack(i - 200L))
+    val audDf = audBytes.toDF("doc_id", "wav")
+    val batchAud = MediaQuality.audioVerdicts(
+      MediaQuality.audioStats(audDf, "wav", "doc_id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("reason"))).toMap
+    audBytes.foreach { case (id, bytes) =>
+      assert(MediaQuality.audioReasonOf(bytes) == batchAud(id),
+        s"audio $id: scalar ${MediaQuality.audioReasonOf(bytes)} vs " +
+          s"batch ${batchAud(id)}")
+    }
+  }
+
   test("the blurred grade fails sharpness while KEEPING healthy contrast") {
     val ids = (0L until 50L).toDF("doc_id")
     val blurred = MediaQuality.imageStats(
