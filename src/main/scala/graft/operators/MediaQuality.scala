@@ -149,13 +149,25 @@ object MediaQuality {
     Option(bytes).flatMap(ImageOps.decode) match {
       case None => Some("undecodable")
       case Some(img) =>
-        val (mean, std, grad, _) = imageLumaStats(img)
-        if (math.min(img.cols, img.rows) < minSide) Some("too_small")
-        else if (r6(mean) < minMeanLuma) Some("too_dark")
-        else if (r6(std) < minContrast) Some("low_contrast")
-        else if (r6(grad) < minSharpness) Some("blurred")
-        else None
+        imageReasonOfDecoded(img, minSide, minMeanLuma, minContrast,
+          minSharpness)
     }
+
+  /** The rule half of [[imageReasonOf]] over an ALREADY-decoded image —
+    * split out so the gated ingest's combined gate+fingerprint UDF can
+    * rule and hash from ONE decode. */
+  private[graft] def imageReasonOfDecoded(img: ImageOps.DecodedImage,
+      minSide: Int = DefaultMinSide,
+      minMeanLuma: Double = DefaultMinMeanLuma,
+      minContrast: Double = DefaultMinContrast,
+      minSharpness: Double = DefaultMinSharpness): Option[String] = {
+    val (mean, std, grad, _) = imageLumaStats(img)
+    if (math.min(img.cols, img.rows) < minSide) Some("too_small")
+    else if (r6(mean) < minMeanLuma) Some("too_dark")
+    else if (r6(std) < minContrast) Some("low_contrast")
+    else if (r6(grad) < minSharpness) Some("blurred")
+    else None
+  }
 
   // the same optimizer fence as every expensive multimodal UDF here: one
   // decode in one Project, never inlined into scan-level filters
@@ -273,13 +285,24 @@ object MediaQuality {
     Option(bytes).flatMap(AudioOps.decodeWav) match {
       case None => Some("undecodable")
       case Some(a) =>
-        val (dur, rms, _, clip, sil) = audioQualityStats(a)
-        if (r6(dur) < minDurationSec) Some("too_short")
-        else if (r6(rms) < minRms) Some("near_silent")
-        else if (r6(sil) > maxSilenceRatio) Some("mostly_silent")
-        else if (r6(clip) > maxClippingRatio) Some("clipped")
-        else None
+        audioReasonOfDecoded(a, minDurationSec, minRms, maxSilenceRatio,
+          maxClippingRatio)
     }
+
+  /** The rule half of [[audioReasonOf]] over an already-decoded track —
+    * see [[imageReasonOfDecoded]]. */
+  private[graft] def audioReasonOfDecoded(a: AudioOps.DecodedAudio,
+      minDurationSec: Double = DefaultMinDurationSec,
+      minRms: Double = DefaultMinRms,
+      maxSilenceRatio: Double = DefaultMaxSilenceRatio,
+      maxClippingRatio: Double = DefaultMaxClippingRatio): Option[String] = {
+    val (dur, rms, _, clip, sil) = audioQualityStats(a)
+    if (r6(dur) < minDurationSec) Some("too_short")
+    else if (r6(rms) < minRms) Some("near_silent")
+    else if (r6(sil) > maxSilenceRatio) Some("mostly_silent")
+    else if (r6(clip) > maxClippingRatio) Some("clipped")
+    else None
+  }
 
   private val audioReasonUdf = udf { bytes: Array[Byte] =>
     audioReasonOf(bytes)

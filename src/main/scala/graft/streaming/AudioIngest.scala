@@ -40,8 +40,25 @@ object AudioIngest {
         "matched_item" -> "matched_clip"),
       bootstrapFrom = bootstrapFrom,
       // the ext114 audio gate (identical thresholds/rule order to the
-      // batch verdicts) as a map-side pre-filter — see ImageIngest
-      qualityReason =
-        if (qualityGate) Some(graft.operators.MediaQuality.audioQualityReason)
-        else None)
+      // batch verdicts) as a map-side pre-filter; rule + spectral
+      // fingerprint from ONE fenced decode — see ImageIngest
+      gateFingerprint =
+        if (qualityGate) Some(c => gateFingerprintUdf(c)) else None)
+
+  /** ONE decode → (failing rule | spectral fingerprint): the ext114 rule
+    * scalar plus [[graft.cv.AudioOps.spectralHash64]] — the same scalar
+    * [[AudioDedup.fingerprint]] wraps, so batch/stream hash agreement
+    * holds bit-for-bit. Fenced like every decode UDF. */
+  private val gateFingerprintUdf = org.apache.spark.sql.functions.udf {
+    bytes: Array[Byte] =>
+      Option(bytes).flatMap(graft.cv.AudioOps.decodeWav) match {
+        case None => PerceptualIngest.GateResult("undecodable", None)
+        case Some(a) =>
+          graft.operators.MediaQuality.audioReasonOfDecoded(a) match {
+            case Some(r) => PerceptualIngest.GateResult(r, None)
+            case None => PerceptualIngest.GateResult(null,
+              Some(graft.cv.AudioOps.spectralHash64(a)))
+          }
+      }
+  }.asNondeterministic()
 }

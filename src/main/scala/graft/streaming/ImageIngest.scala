@@ -24,11 +24,14 @@ object ImageIngest {
     * [[graft.operators.FingerprintStore]]'s table so corpus
     * near-duplicates reject from the FIRST micro-batch
     * ([[PerceptualIngest.bootstrapState]]). `qualityGate` runs the
-    * ext113 image gate ([[MediaQuality.imageQualityReason]], identical
-    * thresholds and rule order to the batch verdicts) as a map-side
-    * pre-filter: failing images go straight to rejects with their rule
-    * as the reason and never enter band state — the ext118 funnel's
-    * gate-before-dedup economics, stream side.
+    * ext113 image gate (identical thresholds, rule order and rounding to
+    * the batch verdicts via the shared `imageReasonOfDecoded` scalar) as
+    * a map-side pre-filter: failing images go straight to rejects with
+    * their rule as the reason and never enter band state — the ext118
+    * funnel's gate-before-dedup economics, stream side. Gate rules and
+    * the dedup fingerprint come from ONE fenced decode
+    * ([[gateFingerprintUdf]]), so the gated path pays exactly the
+    * ungated path's decode count.
     */
   def writeDeduped(
       images: DataFrame, table: String, checkpoint: String,
@@ -43,6 +46,23 @@ object ImageIngest {
       rename = Map("item_id" -> "img_id", "payload" -> "png",
         "matched_item" -> "matched_img"),
       bootstrapFrom = bootstrapFrom,
-      qualityReason =
-        if (qualityGate) Some(MediaQuality.imageQualityReason) else None)
+      gateFingerprint =
+        if (qualityGate) Some(c => gateFingerprintUdf(c)) else None)
+
+  /** ONE decode → (failing rule | dedup fingerprint): the ext113 rule
+    * scalar and the batch pair join's exact mirror-canonical DCT pHash
+    * ([[graft.cv.ImageOps.pHash64MirrorCanonical]], the same scalar
+    * [[ImageDedup.fingerprint]] wraps — batch/stream hash agreement holds
+    * bit-for-bit). Fenced like every decode UDF. */
+  private val gateFingerprintUdf = org.apache.spark.sql.functions.udf {
+    bytes: Array[Byte] =>
+      Option(bytes).flatMap(graft.cv.ImageOps.decode) match {
+        case None => PerceptualIngest.GateResult("undecodable", None)
+        case Some(img) => MediaQuality.imageReasonOfDecoded(img) match {
+          case Some(r) => PerceptualIngest.GateResult(r, None)
+          case None => PerceptualIngest.GateResult(null,
+            Some(graft.cv.ImageOps.pHash64MirrorCanonical(img)))
+        }
+      }
+  }.asNondeterministic()
 }

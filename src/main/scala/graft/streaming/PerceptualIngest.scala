@@ -48,6 +48,11 @@ object PerceptualIngest {
   final case class Entry(tsMillis: Long, itemId: Long, phash: Long)
   final case class BucketState(entries: Seq[Entry])
 
+  /** Output shape of a combined gate+fingerprint UDF ([[writeDeduped]]'s
+    * `gateFingerprint`): the failing rule (null = pass) and, for passing
+    * items only, the dedup fingerprint — both from one decode. */
+  final case class GateResult(reason: String, phash: Option[Long])
+
   /** Per-(item, band) verdict: the closest hash this band's bucket held —
     * `dist` 64 (sentinel, farther than any threshold) when the bucket was
     * empty; payload non-null only on band 0. `reason` is null on every
@@ -65,11 +70,20 @@ object PerceptualIngest {
     */
   def bandRows(items: DataFrame, fingerprint: Column => Column,
       idCol: String, payloadCol: String, watermarkDelay: String,
+      maxDist: Int = 3): Dataset[BandRow] =
+    bandRowsFromHashed(
+      items.withColumn("phash", fingerprint(col(payloadCol))),
+      idCol, payloadCol, watermarkDelay, maxDist)
+
+  /** [[bandRows]] over items that ALREADY carry their `phash` column —
+    * the gated path computes reason and hash in one fenced UDF and feeds
+    * the hash here, so a passing item decodes exactly once. */
+  def bandRowsFromHashed(items: DataFrame,
+      idCol: String, payloadCol: String, watermarkDelay: String,
       maxDist: Int = 3): Dataset[BandRow] = {
     val spark = items.sparkSession
     import spark.implicits._
     items
-      .withColumn("phash", fingerprint(col(payloadCol)))
       .filter(col("phash").isNotNull)
       .withWatermark("ingest_ts", watermarkDelay)
       .select(col(idCol), col("source"), col("ingest_ts"), col("phash"),
@@ -228,15 +242,17 @@ object PerceptualIngest {
     * to the adapter's modality vocabulary (e.g. item_id → img_id) so
     * each modality's tables keep their natural schema.
     *
-    * `qualityReason` (r9 verdict #5 — the ext118 funnel's
+    * `gateFingerprint` (r9 verdict #5 — the ext118 funnel's
     * gate-BEFORE-dedup economics, stream side): a map-side column
-    * (payload bytes → failing rule, NULL = pass) evaluated before
-    * banding. Failing items NEVER reach the state store — they cannot
-    * suppress later arrivals, hold no bucket slot, and pay no band
-    * fan-out — and land in `<table>_rejects` with their rule as the
-    * reason. One fenced decode per item, same as the batch gate; the
-    * stateless reject branch unions with the stateful verdict stream
-    * inside the one query, so the sink sees every item exactly once. */
+    * (payload bytes → struct(reason STRING, phash LONG)) producing the
+    * failing rule (NULL = pass) AND, for passing items, the dedup
+    * fingerprint — from ONE fenced decode, so the gated path pays
+    * exactly the ungated path's decode count. Failing items NEVER reach
+    * the state store — they cannot suppress later arrivals, hold no
+    * bucket slot, and pay no band fan-out — and land in
+    * `<table>_rejects` with their rule as the reason; the stateless
+    * reject branch unions with the stateful verdict stream inside the
+    * one query, so the sink sees every item exactly once. */
   def writeDeduped(
       items: DataFrame, fingerprint: Column => Column,
       idCol: String, payloadCol: String,
@@ -245,29 +261,33 @@ object PerceptualIngest {
       maxPerBucket: Int = 256,
       rename: Map[String, String] = Map.empty,
       bootstrapFrom: Option[(DataFrame, Long)] = None,
-      qualityReason: Option[Column => Column] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      gateFingerprint: Option[Column => Column] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ttlMillis = ttlMillisOf(watermarkDelay)
     val spark = items.sparkSession
     import spark.implicits._
     val initial = bootstrapFrom.map { case (hashes, ts0) =>
       bootstrapState(hashes, ts0, maxDist, maxPerBucket)
     }
-    val (pass, qualityRejects) = qualityReason match {
-      case None => (items, None)
-      case Some(reasonOf) =>
-        val tagged = items.withColumn("__q_reason", reasonOf(col(payloadCol)))
-        val fails = tagged.filter(col("__q_reason").isNotNull)
+    val (banded, qualityRejects) = gateFingerprint match {
+      case None =>
+        (bandRows(items, fingerprint, idCol, payloadCol, watermarkDelay,
+          maxDist), None)
+      case Some(gateOf) =>
+        val tagged = items.withColumn("__g", gateOf(col(payloadCol)))
+        val fails = tagged.filter(col("__g.reason").isNotNull)
           .select(col(idCol).as("item_id"), col("source"),
             unix_millis(col("ingest_ts")).as("ts_millis"),
             lit(-1).as("band"), lit(64L).as("dist"),
             lit(-1L).as("matched_item"), col(payloadCol).as("payload"),
-            col("__q_reason").as("reason"))
+            col("__g.reason").as("reason"))
           .as[BandVerdict]
-        (tagged.filter(col("__q_reason").isNull).drop("__q_reason"),
+        (bandRowsFromHashed(
+          tagged.filter(col("__g.reason").isNull)
+            .withColumn("phash", col("__g.phash")).drop("__g"),
+          idCol, payloadCol, watermarkDelay, maxDist),
           Some(fails))
     }
-    val deduped = verdicts(bandRows(pass, fingerprint, idCol, payloadCol,
-      watermarkDelay, maxDist), ttlMillis, maxPerBucket, initial = initial)
+    val deduped = verdicts(banded, ttlMillis, maxPerBucket, initial = initial)
     qualityRejects.fold(deduped)(deduped.union(_))
       .toDF()
       .writeStream
