@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
   * is PARTITIONED BY `delivery_id` (`dir/delivery_id=<id>/`, the ext73
   * inverted-file directory discipline), every [[ingest]] call names its
   * delivery, and the probe side always EXCLUDES the caller's own
-  * delivery partition. A replayed delivery therefore probes exactly the
-  * store it saw the first time — its own prior append is invisible to
-  * it, so survivors cannot self-match — and recomputes bit-identical
-  * verdicts (within-delivery dedup is deterministic). The merge is an
+  * delivery partition — its own prior append is invisible to it, so
+  * survivors cannot self-match. An immediate replay (before any later
+  * delivery lands) recomputes bit-identical verdicts (within-delivery
+  * dedup is deterministic). After LATER deliveries have merged, verdict
+  * CLASSES remain stable by construction — a kept item cannot gain a
+  * match, because any later near-duplicate of it dropped AGAINST it
+  * instead of appending, and a dropped item's original match is still
+  * stored — but a dropped_existing row's EVIDENCE may name a nearer
+  * (or tie-smaller) survivor that arrived after the first run: the
+  * probe answers from the current store, not a historical snapshot.
+  * Both halves of this contract are fuzz-pinned. The merge is an
   * OVERWRITE of only the caller's `delivery_id=<id>/` partition
   * directory (written directly, the standard partition layout Spark's
   * discovery reads back — dynamic partition overwrite by path): a

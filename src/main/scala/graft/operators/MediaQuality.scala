@@ -176,9 +176,11 @@ object MediaQuality {
   }.asNondeterministic()
 
   /** Failing-reason column for an encoded-image column (NULL = pass) —
-    * the map-side quality pre-filter the streaming ingest runs BEFORE the
-    * dedup suppressor (the ext118 funnel's gate-before-dedup economics,
-    * stream side): one fenced decode per item, default thresholds. */
+    * the standalone column form of the quality gate (one fenced decode,
+    * default thresholds), for pipelines that want the verdict without
+    * stats or fingerprints; the streaming ingest adapters use the
+    * combined gate+fingerprint UDFs built on [[imageReasonOfDecoded]]
+    * instead, so their gate and dedup share one decode. */
   def imageQualityReason(imageCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     imageReasonUdf(imageCol)
 
@@ -309,7 +311,8 @@ object MediaQuality {
   }.asNondeterministic()
 
   /** Failing-reason column for a WAV binary column (NULL = pass) — the
-    * streaming ingest's map-side quality pre-filter, audio modality. */
+    * standalone column form of the audio gate; see
+    * [[imageQualityReason]] for the ingest adapters' combined variant. */
   def audioQualityReason(audioCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     audioReasonUdf(audioCol)
 

@@ -144,6 +144,81 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(stored == Set(0L, 1L, 2L), s"stale partial partition survived: $stored")
   }
 
+  test("replay fuzz: any completed delivery replays to stable verdict classes and an unchanged store") {
+    // seed-deterministic random corpora over SYNTHETIC hashes (the store
+    // is modality-generic over (id, phash) — no decode needed): random
+    // families of near hashes, a random init slice, a random split of the
+    // rest into deliveries run in order; then EVERY delivery is replayed.
+    // The class-doc contract, both halves: verdict CLASSES (and
+    // dropped_within structure) must reproduce exactly and the store must
+    // not change; dropped_existing EVIDENCE may legally improve to a
+    // nearer/tie-smaller survivor a LATER delivery merged (the probe
+    // answers from the current store) — asserted as dist <= the original
+    // dist with the named evidence present in the store within maxDist
+    for (seed <- Seq(13, 47)) {
+      val rnd = new scala.util.Random(seed)
+      def farHash(): Long = rnd.nextLong()
+      def near(h: Long): Long = { // flip <= 2 random bits
+        var x = h
+        (0 until 1 + rnd.nextInt(2)).foreach(_ => x ^= 1L << rnd.nextInt(64))
+        x
+      }
+      val nFam = 5 + rnd.nextInt(3)
+      val bases = Seq.fill(nFam)(farHash())
+      val all = (0 until nFam).flatMap { f =>
+        (0 until 3).map(m => (f * 3 + m).toLong -> near(bases(f)))
+      }
+      val shuffled = rnd.shuffle(all)
+      val nInit = 3 + rnd.nextInt(4)
+      val (initRows, rest) = shuffled.splitAt(nInit)
+      val nDeliveries = 2 + rnd.nextInt(2)
+      val deliveries = rest.zipWithIndex
+        .groupBy(_._2 % nDeliveries).toSeq.sortBy(_._1)
+        .map { case (i, g) => s"d$i" -> g.map(_._1) }
+      val dir = freshDir(s"fuzz-$seed")
+      FingerprintStore.init(initRows.toDF("id", "phash"), dir)
+      def verdictSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("id"),
+          r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("matched_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("dist")).map(_.longValue))).toSet
+      val firstRuns = deliveries.map { case (tag, rows) =>
+        tag -> verdictSet(FingerprintStore.ingest(spark, dir, tag,
+          rows.toDF("id", "phash")))
+      }.toMap
+      def storeState() = FingerprintStore.readTagged(spark, dir)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"),
+          r.getAs[String]("delivery_id"))).toSet
+      val settled = storeState()
+      val storedHashes = settled.map(s => s._1 -> s._2).toMap
+      val hashOf = all.toMap
+      deliveries.foreach { case (tag, rows) =>
+        val replay = verdictSet(FingerprintStore.ingest(spark, dir, tag,
+          rows.toDF("id", "phash")))
+        val firstBy = firstRuns(tag).map(v => v._1 -> v).toMap
+        val replayBy = replay.map(v => v._1 -> v).toMap
+        assert(replayBy.keySet == firstBy.keySet)
+        replayBy.foreach { case (id, (_, verdict, matched, dist)) =>
+          val (_, v0, m0, d0) = firstBy(id)
+          assert(verdict == v0,
+            s"seed=$seed $tag id=$id: verdict class flipped $v0 -> $verdict")
+          if (verdict == "dropped_within")
+            assert(matched == m0, s"seed=$seed $tag id=$id: within-survivor drifted")
+          if (verdict == "dropped_existing") {
+            assert(dist.get <= d0.get,
+              s"seed=$seed $tag id=$id: evidence got WORSE ($d0 -> $dist)")
+            val m = matched.get
+            assert(storedHashes.contains(m) &&
+              java.lang.Long.bitCount(storedHashes(m) ^ hashOf(id)) <= 3,
+              s"seed=$seed $tag id=$id: evidence $m not a stored near match")
+          }
+        }
+        assert(storeState() == settled,
+          s"seed=$seed $tag: replay mutated the store")
+      }
+    }
+  }
+
   test("ingest into an empty-but-initialized store keeps everything fresh") {
     val hashes = ImageDedup.hashes(
       ImageCorpus.forIds((30L until 36L).toDF("doc_id"), "doc_id"),
