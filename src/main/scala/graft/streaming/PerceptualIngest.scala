@@ -57,7 +57,7 @@ object PerceptualIngest {
     * `dist` 64 (sentinel, farther than any threshold) when the bucket was
     * empty; payload non-null only on band 0. `reason` is null on every
     * dedup-path row; quality-gated items ([[writeDeduped]]'s
-    * `qualityReason` branch — rows that never reach the state store)
+    * `gateFingerprint` branch — rows that never reach the state store)
     * carry their failing rule here with band −1. */
   final case class BandVerdict(
       item_id: Long, source: String, ts_millis: Long, band: Int,
