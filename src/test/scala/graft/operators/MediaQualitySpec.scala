@@ -59,6 +59,11 @@ class MediaQualitySpec extends AnyFunSuite with SparkTestSession {
         s"image $id: scalar ${MediaQuality.imageReasonOf(bytes)} vs " +
           s"batch ${batchImg(id)}")
     }
+    // the standalone COLUMN form must agree too (three forms, one gate)
+    val colImg = imgDf.select($"doc_id",
+      MediaQuality.imageQualityReason($"png").as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(colImg == batchImg, s"column form drifted: $colImg vs $batchImg")
     val audBytes: Seq[(Long, Array[Byte])] =
       (0L until 25L).map(i => i -> AudioCorpus.renderGraded(i)) ++
       (100L until 115L).map(i => i -> AudioCorpus.render(i - 100L)) ++
@@ -73,6 +78,10 @@ class MediaQualitySpec extends AnyFunSuite with SparkTestSession {
         s"audio $id: scalar ${MediaQuality.audioReasonOf(bytes)} vs " +
           s"batch ${batchAud(id)}")
     }
+    val colAud = audDf.select($"doc_id",
+      MediaQuality.audioQualityReason($"wav").as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(colAud == batchAud, s"column form drifted: $colAud vs $batchAud")
   }
 
   test("the blurred grade fails sharpness while KEEPING healthy contrast") {
