@@ -319,6 +319,17 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
       "cross-family signatures must stay far apart")
   }
 
+  test("the two-tier candidate joins stay equi — no cartesian in either band space") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val fh = VideoDedup.keptFrameHashes(
+      VideoCorpus.forIds(ids, "doc_id"), "gvid", "doc_id", everyNth = 2)
+    val p = VideoDedup.prefilteredNearDupPairsFromKept(fh, segLen = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"a signature tier degenerated to all-pairs:\n$p")
+  }
+
   test("ext124: signature band health equals an independent histogram on both tiers") {
     // reference computed HERE with a reimplementation of the slicing
     // arithmetic (b*64/nBands contiguous cuts), so the audit's shared
