@@ -22,6 +22,13 @@ object Video {
 
   private val Magic = 0x47564944 // "GVID"
 
+  /** Monotonic count of [[decodeFrames]] calls in this JVM — decode is the
+    * dominant cost of every video operator, so specs pin decode COUNTS
+    * against it (e.g. the gated streaming path must pay exactly one decode
+    * per clip, not one per plan branch — r10 ADVICE). Local-mode
+    * diagnostic; an atomic increment is noise next to the decode itself. */
+  private[graft] val decodeCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Pack frames (each rows*cols*channels bytes) into a GVID blob. */
   def encode(rows: Int, cols: Int, channels: Int, fps: Int,
       frames: Seq[Array[Byte]]): Array[Byte] = {
@@ -38,7 +45,8 @@ object Video {
   /** Decode a GVID blob → (rows, cols, channels, fps, frames). None for
     * anything unrecognized. THIS is the stubbed codec boundary.
     */
-  def decodeFrames(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
+  def decodeFrames(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Seq[Array[Byte]])] = {
+    decodeCalls.incrementAndGet(): Unit
     try {
       if (bytes.length < 24) return None
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -63,6 +71,7 @@ object Video {
       }
       Some((rows, cols, channels, fps, frames))
     } catch { case _: Exception => None }
+  }
 
   def readVideoDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", "*.gvid").load(dir)

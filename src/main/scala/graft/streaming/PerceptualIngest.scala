@@ -39,11 +39,23 @@ object PerceptualIngest {
     iv.days * 86400000L + iv.microseconds / 1000L
   }
 
-  /** One band row; the binary payload rides ONCE (band 0) so the explode
-    * does not multiply the blob. */
+  /** Band index reserved for quality-gate failures: a gated-out item
+    * travels as ONE row with this band (key = its own id, so the group
+    * is singleton) through the same stateful operator as the dedup rows
+    * — [[processBucket]] passes it through WITHOUT touching state. This
+    * keeps the gated pipeline a SINGLE branch off the gate projection:
+    * with two branches (stateless fails ∪ stateful passes) Spark
+    * re-evaluates the nondeterministic gate UDF per branch and every
+    * payload decodes twice per micro-batch (r10 ADVICE). */
+  val QualityBand = -1
+
+  /** One band row; the binary payload rides ONCE (band 0, or the single
+    * [[QualityBand]] row of a gated-out item) so the explode does not
+    * multiply the blob. `reason` is null on every dedup-path row. */
   final case class BandRow(
       band: Int, key: Long, itemId: Long, source: String,
-      ts: java.sql.Timestamp, phash: Long, payload: Array[Byte])
+      ts: java.sql.Timestamp, phash: Long, payload: Array[Byte],
+      reason: String = null)
 
   final case class Entry(tsMillis: Long, itemId: Long, phash: Long)
   final case class BucketState(entries: Seq[Entry])
@@ -92,7 +104,50 @@ object PerceptualIngest {
       .select(col("s.b").as("band"), col("s.v").as("key"),
         col(idCol).as("itemId"), col("source"),
         col("ingest_ts").as("ts"), col("phash"),
-        when(col("s.b") === 0, col(payloadCol)).as("payload"))
+        when(col("s.b") === 0, col(payloadCol)).as("payload"),
+        lit(null).cast("string").as("reason"))
+      .as[BandRow]
+  }
+
+  /** The GATED banding projection — gate verdict, fingerprint and band
+    * fan-out all derive from ONE evaluation of `gateOf` per row (the
+    * fenced combined gate+fingerprint UDF): passing items explode into
+    * their dedup band rows exactly like [[bandRows]]; failing items emit
+    * a single [[QualityBand]] row carrying the failing rule, which
+    * [[processBucket]] passes through statelessly. One branch, one
+    * decode — the r10 two-branch union evaluated the UDF once PER
+    * branch, doubling every decode. Consequence of the single branch:
+    * gate failures share the suppressor's lateness policy (a row older
+    * than the watermark is dropped whether it would pass or fail the
+    * gate), which is the consistent contract anyway. */
+  def gatedBandRows(items: DataFrame, gateOf: Column => Column,
+      idCol: String, payloadCol: String, watermarkDelay: String,
+      maxDist: Int = 3): Dataset[BandRow] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .withColumn("__g", gateOf(col(payloadCol)))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col(idCol), col("source"), col("ingest_ts"),
+        col("__g.reason").as("reason"), col("__g.phash").as("phash"),
+        col(payloadCol))
+      // gate contract: pass → phash, fail → reason; neither = undecodable
+      // with no rule, droppable like bandRows' null-hash rows
+      .filter(col("reason").isNotNull || col("phash").isNotNull)
+      .select(col(idCol), col("source"), col("ingest_ts"), col("reason"),
+        col("phash"),
+        explode(when(col("reason").isNull,
+            ImageDedup.bandSlices(col("phash"), maxDist))
+          .otherwise(array(struct(lit(QualityBand).as("b"),
+            col(idCol).cast("long").as("v"))))).as("s"),
+        col(payloadCol))
+      .select(col("s.b").as("band"), col("s.v").as("key"),
+        col(idCol).as("itemId"), col("source"),
+        col("ingest_ts").as("ts"),
+        coalesce(col("phash"), lit(0L)).as("phash"),
+        when(col("s.b") === 0 || col("s.b") === QualityBand,
+          col(payloadCol)).as("payload"),
+        col("reason"))
       .as[BandRow]
   }
 
@@ -114,7 +169,12 @@ object PerceptualIngest {
       key: (Int, Long),
       rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[BandVerdict] = {
-    if (state.hasTimedOut) {
+    if (key._1 == QualityBand) {
+      // gated-out items: stateless pass-through — no bucket slot, no
+      // timeout registration, cannot suppress later arrivals
+      rows.map(r => BandVerdict(r.itemId, r.source, r.ts.getTime,
+        QualityBand, 64L, -1L, r.payload, r.reason))
+    } else if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
@@ -247,12 +307,14 @@ object PerceptualIngest {
     * (payload bytes → struct(reason STRING, phash LONG)) producing the
     * failing rule (NULL = pass) AND, for passing items, the dedup
     * fingerprint — from ONE fenced decode, so the gated path pays
-    * exactly the ungated path's decode count. Failing items NEVER reach
-    * the state store — they cannot suppress later arrivals, hold no
-    * bucket slot, and pay no band fan-out — and land in
-    * `<table>_rejects` with their rule as the reason; the stateless
-    * reject branch unions with the stateful verdict stream inside the
-    * one query, so the sink sees every item exactly once. */
+    * exactly the ungated path's decode count (single-branch
+    * [[gatedBandRows]]; the decode count is spec-pinned). Failing items
+    * NEVER enter bucket state — they travel as stateless [[QualityBand]]
+    * rows through the same operator, cannot suppress later arrivals,
+    * hold no bucket slot, pay no band fan-out — and land in
+    * `<table>_rejects` with their rule as the reason. They share the
+    * suppressor's lateness policy: a row older than the watermark is
+    * dropped whether it would pass or fail the gate. */
   def writeDeduped(
       items: DataFrame, fingerprint: Column => Column,
       idCol: String, payloadCol: String,
@@ -268,27 +330,15 @@ object PerceptualIngest {
     val initial = bootstrapFrom.map { case (hashes, ts0) =>
       bootstrapState(hashes, ts0, maxDist, maxPerBucket)
     }
-    val (banded, qualityRejects) = gateFingerprint match {
+    val banded = gateFingerprint match {
       case None =>
-        (bandRows(items, fingerprint, idCol, payloadCol, watermarkDelay,
-          maxDist), None)
+        bandRows(items, fingerprint, idCol, payloadCol, watermarkDelay,
+          maxDist)
       case Some(gateOf) =>
-        val tagged = items.withColumn("__g", gateOf(col(payloadCol)))
-        val fails = tagged.filter(col("__g.reason").isNotNull)
-          .select(col(idCol).as("item_id"), col("source"),
-            unix_millis(col("ingest_ts")).as("ts_millis"),
-            lit(-1).as("band"), lit(64L).as("dist"),
-            lit(-1L).as("matched_item"), col(payloadCol).as("payload"),
-            col("__g.reason").as("reason"))
-          .as[BandVerdict]
-        (bandRowsFromHashed(
-          tagged.filter(col("__g.reason").isNull)
-            .withColumn("phash", col("__g.phash")).drop("__g"),
-          idCol, payloadCol, watermarkDelay, maxDist),
-          Some(fails))
+        gatedBandRows(items, gateOf, idCol, payloadCol, watermarkDelay,
+          maxDist)
     }
-    val deduped = verdicts(banded, ttlMillis, maxPerBucket, initial = initial)
-    qualityRejects.fold(deduped)(deduped.union(_))
+    verdicts(banded, ttlMillis, maxPerBucket, initial = initial)
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append())

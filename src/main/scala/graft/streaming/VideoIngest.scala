@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -90,22 +90,27 @@ object VideoIngest {
       .filter(col("fs").isNotNull && size(col("fs")) > 0)
       .withWatermark("ingest_ts", watermarkDelay)
       .select(col("vid"), col("source"), col("ingest_ts"), col("blob"),
+        lit(null).cast("string").as("reason"),
         posexplode(col("fs")).as(Seq("p", "f")))
-      .withColumn("fid",
-        when(col("vid").between(0L, (1L << (63 - FrameBits)) - 1) &&
-          col("f._1") < (1 << FrameBits),
-          shiftleft(col("vid"), FrameBits).bitwiseOR(col("f._1").cast("long")))
-          .otherwise(raise_error(concat(lit("VideoIngest: id/frame out of "),
-            lit(s"packing range (id < 2^${63 - FrameBits}, frame < 2^$FrameBits)")))))
+      .withColumn("fid", packedId(col("vid"), col("f._1")))
       .select(explode(ImageDedup.bandSlices(col("f._2"), maxDist)).as("s"),
         col("fid"), col("source"), col("ingest_ts"), col("f._2").as("phash"),
-        col("p"), col("blob"))
+        col("p"), col("blob"), col("reason"))
       .select(col("s.b").as("band"), col("s.v").as("key"),
         col("fid").as("itemId"), col("source"),
         col("ingest_ts").as("ts"), col("phash"),
-        when(col("s.b") === 0 && col("p") === 0, col("blob")).as("payload"))
+        when(col("s.b") === 0 && col("p") === 0, col("blob")).as("payload"),
+        col("reason"))
       .as[PerceptualIngest.BandRow]
   }
+
+  /** vid + frame_idx → packed composite id, range-checked at pack time. */
+  private def packedId(vid: Column, frameIdx: Column): Column =
+    when(vid.between(0L, (1L << (63 - FrameBits)) - 1) &&
+      frameIdx < (1 << FrameBits),
+      shiftleft(vid, FrameBits).bitwiseOR(frameIdx.cast("long")))
+      .otherwise(raise_error(concat(lit("VideoIngest: id/frame out of "),
+        lit(s"packing range (id < 2^${63 - FrameBits}, frame < 2^$FrameBits)"))))
 
   /** Per-clip vote over one micro-batch's frame-level verdicts (all of a
     * clip's band rows share its micro-batch, so this is plain batch work —
@@ -185,13 +190,17 @@ object VideoIngest {
     val ttlMillis = PerceptualIngest.ttlMillisOf(watermarkDelay)
     val spark = videos.sparkSession
     import spark.implicits._
-    val (bandRows, qualityRejects) =
+    val bandRows =
       if (!qualityGate)
-        (frameBandRows(videos, "vid_id", "gvid", watermarkDelay, everyNth,
-          maxDist), None)
+        frameBandRows(videos, "vid_id", "gvid", watermarkDelay, everyNth,
+          maxDist)
       else {
         // ONE sampler evaluation (unfiltered), reason + surviving frames
-        // both derived from it with built-in array expressions
+        // both derived from it with built-in array expressions — and ONE
+        // branch off it: failing clips become a single stateless
+        // QualityBand row instead of a separate union branch, which would
+        // re-evaluate the nondeterministic sampler per branch and decode
+        // every clip twice per micro-batch (r10 ADVICE)
         val tagged = videos
           .select(col("vid_id").as("vid"), col("source"), col("ingest_ts"),
             sampleAllUdf(everyNth)(col("gvid")).as("fs_all"),
@@ -199,35 +208,40 @@ object VideoIngest {
           .withColumn("fs", filter(col("fs_all"), f =>
             graft.operators.TemporalAlignment.informative(f.getField("_2"),
               VideoDedup.LowInfoMinBits, VideoDedup.LowInfoMaxBits)))
-          .withColumn("__q_reason",
+          .withColumn("reason",
             when(col("fs_all").isNull, "undecodable")
               .when(size(col("fs")) === 0, "no_informative_frames")
               .when(size(col("fs")).cast("double") / size(col("fs_all"))
                 < minInfoRatio, "mostly_low_info"))
-        val fails = tagged.filter(col("__q_reason").isNotNull)
-          .select(
-            when(col("vid").between(0L, (1L << (63 - FrameBits)) - 1),
-              shiftleft(col("vid"), FrameBits))
-              .otherwise(raise_error(lit(
-                s"VideoIngest: id out of packing range (id < 2^${63 - FrameBits})")))
-              .as("item_id"),
-            col("source"),
-            unix_millis(col("ingest_ts")).as("ts_millis"),
-            lit(-1).as("band"), lit(64L).as("dist"),
-            lit(-1L).as("matched_item"), col("blob").as("payload"),
-            col("__q_reason").as("reason"))
-          .as[PerceptualIngest.BandVerdict]
-        val pass = frameBandRowsFromSampled(
-          tagged.filter(col("__q_reason").isNull)
-            .select(col("vid"), col("source"), col("ingest_ts"), col("fs"),
-              col("blob")),
-          watermarkDelay, maxDist)
-        (pass, Some(fails))
+        tagged
+          .filter(col("reason").isNotNull || size(col("fs")) > 0)
+          .withWatermark("ingest_ts", watermarkDelay)
+          // a failing clip rides one placeholder frame so both verdict
+          // classes share the single explode pipeline below
+          .withColumn("fx", when(col("reason").isNull, col("fs"))
+            .otherwise(array(struct(lit(0).as("_1"), lit(0L).as("_2")))))
+          .select(col("vid"), col("source"), col("ingest_ts"), col("blob"),
+            col("reason"), posexplode(col("fx")).as(Seq("p", "f")))
+          .withColumn("fid", packedId(col("vid"), col("f._1")))
+          .select(explode(when(col("reason").isNull,
+              ImageDedup.bandSlices(col("f._2"), maxDist))
+            .otherwise(array(struct(
+              lit(PerceptualIngest.QualityBand).as("b"),
+              col("vid").cast("long").as("v"))))).as("s"),
+            col("fid"), col("source"), col("ingest_ts"),
+            col("f._2").as("phash"), col("p"), col("blob"), col("reason"))
+          .select(col("s.b").as("band"), col("s.v").as("key"),
+            col("fid").as("itemId"), col("source"),
+            col("ingest_ts").as("ts"), col("phash"),
+            when((col("s.b") === 0 && col("p") === 0) ||
+              col("s.b") === PerceptualIngest.QualityBand,
+              col("blob")).as("payload"),
+            col("reason"))
+          .as[PerceptualIngest.BandRow]
       }
     val deduped = PerceptualIngest.verdicts(bandRows, ttlMillis, maxPerBucket,
       sameGroup = (a, b) => (a >> FrameBits) == (b >> FrameBits))
-    startQuery(qualityRejects.fold(deduped)(deduped.union(_)),
-      table, checkpoint, maxDist, everyNth, minOverlap)
+    startQuery(deduped, table, checkpoint, maxDist, everyNth, minOverlap)
   }
 
   private def startQuery(

@@ -336,6 +336,40 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       s"stream=$streamed batch=$batchReasons")
   }
 
+  test("gated path evaluates the gate UDF exactly ONCE per item — single branch, no per-branch re-decode") {
+    // the r10 two-branch design (stateless fails ∪ stateful passes)
+    // evaluated the nondeterministic gate UDF once PER BRANCH, so every
+    // payload decoded twice per micro-batch (r10 ADVICE). The single-
+    // branch QualityBand routing must pay one evaluation per item; a
+    // counting gate pins the count AND that verdicts are unchanged.
+    val base = Files.createTempDirectory("imgingest-evalcount").toString
+    val t0 = 1701300000L
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    ImageIngestSpec.gateEvals.set(0L)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    stream.addData(
+      (80L, "camA", ts(t0), ImageCorpus.renderGraded(3L)), // too_dark → gate
+      (81L, "camA", ts(t0), ImageCorpus.render(0L)),       // passes → lands
+      (82L, "camB", ts(t0), ImageCorpus.render(30L)))      // passes → lands
+    PerceptualIngest.writeDeduped(
+      stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+      graft.operators.ImageDedup.fingerprint, "img_id", "png",
+      s"$base/t", s"$base/c", maxDist = 3, watermarkDelay = "10 minutes",
+      gateFingerprint = Some(c => ImageIngestSpec.countingGate(c)))
+      .awaitTermination()
+    assert(ImageIngestSpec.gateEvals.get == 3L,
+      s"3 items must decode exactly 3 times, got ${ImageIngestSpec.gateEvals.get} " +
+        "— a second evaluation means the gate projection is consumed by " +
+        "more than one plan branch")
+    val kept = spark.read.parquet(s"$base/t").select("item_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(81L, 82L), s"kept: $kept")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("item_id") == 80L &&
+      rej.head.getAs[String]("reason") == "too_dark")
+  }
+
   test("undecodable blobs are dropped map-side, not landed and not crashed on") {
     val base = Files.createTempDirectory("imgingest-junk").toString
     val t0 = 1700300000L
@@ -351,4 +385,26 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       assert(spark.read.parquet(s"$base/t_rejects").count() == 0,
         "an undecodable blob is not a duplicate — nothing lands in rejects")
   }
+}
+
+object ImageIngestSpec {
+  /** JVM-global evaluation counter for the decode-count pin (suites run
+    * sequentially in the forked test JVM, so no cross-suite interference). */
+  val gateEvals = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** ImageIngest's gate+fingerprint UDF with an evaluation counter — same
+    * rules, same hash, so verdicts stay comparable. */
+  val countingGate: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { bytes: Array[Byte] =>
+      gateEvals.incrementAndGet(): Unit
+      Option(bytes).flatMap(graft.cv.ImageOps.decode) match {
+        case None => PerceptualIngest.GateResult("undecodable", None)
+        case Some(img) =>
+          graft.operators.MediaQuality.imageReasonOfDecoded(img) match {
+            case Some(r) => PerceptualIngest.GateResult(r, None)
+            case None => PerceptualIngest.GateResult(null,
+              Some(graft.cv.ImageOps.pHash64MirrorCanonical(img)))
+          }
+      }
+    }.asNondeterministic()
 }

@@ -128,6 +128,26 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
       rej.head.getAs[Double]("overlap_ratio") >= 0.6)
   }
 
+  test("gated path decodes each clip exactly ONCE per micro-batch — single branch, no per-branch re-decode") {
+    // the r10 two-branch design re-evaluated the nondeterministic sampler
+    // per branch, decoding every clip twice (r10 ADVICE); pin one decode
+    // per clip at the codec boundary (Video.decodeCalls — suites run
+    // sequentially in the forked test JVM, so the JVM-global counter is
+    // interference-free inside this test body)
+    val base = Files.createTempDirectory("vidingest-deccount").toString
+    val t0 = 1711200000L
+    val clips = Seq(
+      (7L, "chanA", ts(t0), VideoCorpus.render(3L)),
+      (8L, "chanB", ts(t0), VideoCorpus.render(33L)))
+    val before = Video.decodeCalls.get
+    runGatedBatches(s"$base/t", s"$base/c")(Seq(clips))
+    val delta = Video.decodeCalls.get - before
+    assert(delta == clips.length,
+      s"${clips.length} clips must decode exactly ${clips.length} times in " +
+        s"the gated stream, got $delta")
+    assert(spark.read.parquet(s"$base/t").count() == 2L)
+  }
+
   test("variant redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
     // the frame-granular packed-id state (and its sameGroup scan) must
     // round-trip RocksDB serialization across a query restart with
