@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   * Consistency contract: [[ingest]] computes the delivery's verdicts
   * EAGERLY (checkpoint) before touching the store, so the probe never
   * observes its own delivery's rows; one writer at a time (the daily
-  * ingest job), readers any time — snapshot reads per query.
+  * ingest job). Readers get snapshot reads per query while writers only
+  * APPEND (first run of a delivery). A REPLAYED delivery and [[compact]]
+  * rewrite existing files in place, so they require no concurrent
+  * readers — a reader that listed the old files mid-rewrite can hit
+  * FileNotFoundException or partial state. Schedule replays and
+  * compaction in the same exclusive window as the writer.
   *
   * REPLAY SAFETY (r9 verdict #1 — a mechanism, not a caveat): the store
   * is PARTITIONED BY `delivery_id` (`dir/delivery_id=<id>/`, the ext73
@@ -50,6 +55,23 @@ object FingerprintStore {
 
   /** Reserved delivery tag for [[init]]'s seed partition. */
   val InitDelivery = "__init__"
+
+  /** Reserved delivery tag for [[compact]]'s merged base partition. */
+  val CompactedDelivery = "compacted"
+
+  /** Delivery ids are interpolated raw into the partition path, so they
+    * must stay inside the charset Spark's partition discovery reads back
+    * verbatim: a '/', '=', '%' or space would make the DISCOVERED value
+    * (Spark unescapes %XX) differ from the FILTER value, silently
+    * defeating the probe's own-partition exclusion — exactly the
+    * self-match bug the mechanism exists to prevent (r10 ADVICE). */
+  private val SafeDeliveryId = "[A-Za-z0-9._-]+"
+
+  private def requireSafeId(deliveryId: String): Unit =
+    require(deliveryId.matches(SafeDeliveryId) &&
+      deliveryId != InitDelivery && deliveryId != CompactedDelivery,
+      s"deliveryId must match $SafeDeliveryId and not be a reserved tag " +
+        s"($InitDelivery, $CompactedDelivery); got '$deliveryId'")
 
   private def partitionPath(dir: String, deliveryId: String) =
     new org.apache.hadoop.fs.Path(dir, s"delivery_id=$deliveryId")
@@ -89,8 +111,7 @@ object FingerprintStore {
     */
   def ingest(spark: SparkSession, dir: String, deliveryId: String,
       deliveryHashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(deliveryId.nonEmpty && deliveryId != InitDelivery,
-      s"deliveryId must be a non-empty tag other than $InitDelivery")
+    requireSafeId(deliveryId)
     val delivery = deliveryHashes.select(col("id"), col("phash"))
       .localCheckpoint(true)
     // the probe NEVER sees this delivery's own rows — first run or replay
@@ -99,13 +120,85 @@ object FingerprintStore {
       .select(col("id"), col("phash"))
     val verdicts = ImageDedup.incrementalVerdicts(delivery, probe, maxDist)
       .localCheckpoint(true) // materialize BEFORE mutating the store
-    delivery
-      .join(verdicts.filter(col("verdict") === "kept").select("id"), Seq("id"))
-      // overwrite ONLY this delivery's partition directory; an empty
-      // survivor set still writes a schema-bearing empty file, clearing
-      // any partial rows a crashed earlier attempt left behind
+    writeDelivery(dir, deliveryId,
+      delivery.join(
+        verdicts.filter(col("verdict") === "kept").select("id"), Seq("id")))
+    verdicts
+  }
+
+  /** Land `hashes` (id, phash) as delivery `deliveryId`, REPLACING any
+    * prior content of that partition — the overwrite-own-partition merge
+    * step of [[ingest]], exposed for writers that computed their verdicts
+    * elsewhere: the streaming suppressors' per-micro-batch write-back
+    * ([[graft.streaming.PerceptualIngest]]) keys the delivery by its
+    * epoch, so a replayed micro-batch lands on the SAME partition and
+    * the overwrite gives exactly-once for free. An empty frame still
+    * writes a schema-bearing empty file, clearing any partial rows a
+    * crashed earlier attempt left behind. */
+  def writeDelivery(dir: String, deliveryId: String,
+      hashes: DataFrame): Unit = {
+    requireSafeId(deliveryId)
+    hashes.select(col("id"), col("phash"))
       .write.mode("overwrite")
       .parquet(partitionPath(dir, deliveryId).toString)
-    verdicts
+  }
+
+  /** Fold old delivery partitions into a single `delivery_id=compacted`
+    * base — one-partition-per-delivery-forever is a small-file trajectory
+    * at ingest cadence (r10 verdict #3; the ext73 lifecycle discipline).
+    * The `keepRecent` most recent REAL deliveries (by partition mtime,
+    * ties by id — `__init__` and the existing compacted base always fold)
+    * keep their own partitions, so their replay contract is untouched.
+    *
+    * Contract after compaction:
+    *  - store CONTENTS (id, phash) are unchanged (spec-pinned);
+    *  - a replay of a RECENT (kept) delivery is still idempotent — its
+    *    partition still exists, the probe still excludes it;
+    *  - a replay of a COMPACTED delivery is a FRESH ingest against the
+    *    full store: its own survivors now live in the base partition the
+    *    probe does NOT exclude, so they self-match at distance 0 and the
+    *    replay returns dropped_existing for them (evidence = the stored
+    *    copy), writes an empty partition under its id, and leaves the
+    *    stored (id, phash) set unchanged. Compact a delivery only once
+    *    its at-least-once window has passed.
+    *
+    * Crash safety: the merged base is staged under a dot-prefixed dir
+    * (invisible to partition discovery), published by rename, and the
+    * folded inputs deleted LAST — a crash leaves either the old layout,
+    * or the new base plus some not-yet-deleted inputs (transient
+    * duplicate rows, which probes tolerate and a re-run folds away via
+    * the distinct below). Requires the writer's exclusive window (class
+    * doc). */
+  def compact(spark: SparkSession, dir: String, keepRecent: Int): Unit = {
+    require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val parts = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delivery_id="))
+      .map(s => (s.getPath.getName.stripPrefix("delivery_id="), s))
+    val real = parts.filter { case (id, _) =>
+      id != InitDelivery && id != CompactedDelivery }
+    val keep = real.sortBy { case (id, s) => (-s.getModificationTime, id) }
+      .take(keepRecent).map(_._1).toSet
+    val fold = parts.filter { case (id, _) => !keep.contains(id) }
+    // folding fewer than two partitions is pure churn (and would
+    // needlessly destroy a lone delivery's replay partition) → no-op,
+    // files byte-identical
+    if (fold.length <= 1) return
+    val staging = new org.apache.hadoop.fs.Path(dir, ".compact_staging")
+    fs.delete(staging, true): Unit
+    spark.read.parquet(fold.map(_._2.getPath.toString).toIndexedSeq: _*)
+      .select(col("id"), col("phash"))
+      // distinct: heals duplicate rows a crashed prior compaction left
+      // (input partition deleted after publish)
+      .distinct()
+      .write.mode("overwrite").parquet(staging.toString)
+    val target = partitionPath(dir, CompactedDelivery)
+    fs.delete(target, true): Unit
+    require(fs.rename(staging, target),
+      s"compact: failed to publish $staging -> $target")
+    fold.filter(_._1 != CompactedDelivery)
+      .foreach { case (_, s) => fs.delete(s.getPath, true): Unit }
   }
 }

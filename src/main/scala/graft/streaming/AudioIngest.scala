@@ -31,7 +31,8 @@ object AudioIngest {
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
       maxPerBucket: Int = 256,
       bootstrapFrom: Option[(DataFrame, Long)] = None,
-      qualityGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      qualityGate: Boolean = false,
+      writeBackTo: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       clips, AudioDedup.fingerprint, idCol = "clip_id", payloadCol = "wav",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
@@ -43,7 +44,8 @@ object AudioIngest {
       // batch verdicts) as a map-side pre-filter; rule + spectral
       // fingerprint from ONE fenced decode — see ImageIngest
       gateFingerprint =
-        if (qualityGate) Some(c => gateFingerprintUdf(c)) else None)
+        if (qualityGate) Some(c => gateFingerprintUdf(c)) else None,
+      writeBackTo = writeBackTo)
 
   /** ONE decode → (failing rule | spectral fingerprint): the ext114 rule
     * scalar plus [[graft.cv.AudioOps.spectralHash64]] — the same scalar

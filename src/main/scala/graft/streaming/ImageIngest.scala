@@ -31,14 +31,19 @@ object ImageIngest {
     * funnel's gate-before-dedup economics, stream side. Gate rules and
     * the dedup fingerprint come from ONE fenced decode
     * ([[gateFingerprintUdf]]), so the gated path pays exactly the
-    * ungated path's decode count.
+    * ungated path's decode count. `writeBackTo` persists each
+    * micro-batch's landed fingerprints back into the store as
+    * epoch-keyed delivery partitions (exactly-once on replay) — point it
+    * at the `bootstrapFrom` store for the full batch↔stream loop
+    * ([[PerceptualIngest.writeDeduped]]).
     */
   def writeDeduped(
       images: DataFrame, table: String, checkpoint: String,
       maxDist: Int = 3, watermarkDelay: String = "10 minutes",
       maxPerBucket: Int = 256,
       bootstrapFrom: Option[(DataFrame, Long)] = None,
-      qualityGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      qualityGate: Boolean = false,
+      writeBackTo: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       images, ImageDedup.fingerprint, idCol = "img_id", payloadCol = "png",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
@@ -47,7 +52,8 @@ object ImageIngest {
         "matched_item" -> "matched_img"),
       bootstrapFrom = bootstrapFrom,
       gateFingerprint =
-        if (qualityGate) Some(c => gateFingerprintUdf(c)) else None)
+        if (qualityGate) Some(c => gateFingerprintUdf(c)) else None,
+      writeBackTo = writeBackTo)
 
   /** ONE decode → (failing rule | dedup fingerprint): the ext113 rule
     * scalar and the batch pair join's exact mirror-canonical DCT pHash

@@ -74,7 +74,11 @@ object PerceptualIngest {
   final case class BandVerdict(
       item_id: Long, source: String, ts_millis: Long, band: Int,
       dist: Long, matched_item: Long, payload: Array[Byte],
-      reason: String = null)
+      reason: String = null,
+      // the item's own fingerprint, carried so the sink can write landed
+      // hashes back to a FingerprintStore without a second decode (0 on
+      // quality rows, which are never landed)
+      phash: Long = 0L)
 
   /** Explode (`idCol`, source, ingest_ts, `payloadCol`) into watermarked
     * band rows under `fingerprint` (NULL-hashing rows — undecodable blobs —
@@ -194,7 +198,7 @@ object PerceptualIngest {
         prior.foreach(scan) // prior landings match even within the group
         added.foreach { e => if (!sameGroup(e.itemId, r.itemId)) scan(e) }
         out += BandVerdict(r.itemId, r.source, tsMillis, r.band,
-          best, bestItem, r.payload)
+          best, bestItem, r.payload, phash = r.phash)
         added = added :+ Entry(tsMillis, r.itemId, r.phash)
       }
       val entries = (prior ++ added)
@@ -274,10 +278,12 @@ object PerceptualIngest {
   /** Per-item rollup of one micro-batch's verdicts: keep iff the item
     * passed the quality gate (if any) AND the CLOSEST match across all
     * bands stays beyond `maxDist`. Output: (item_id, source, ingest_ts,
-    * payload, min_dist, matched_item, keep, reason) — reason is the
-    * quality rule for gated items, "near_duplicate" for dedup drops,
+    * payload, min_dist, matched_item, phash, keep, reason) — reason is
+    * the quality rule for gated items, "near_duplicate" for dedup drops,
     * NULL for kept rows (a group is either all dedup-path rows or one
-    * quality row, never mixed: gated items skip banding entirely). */
+    * quality row, never mixed: gated items skip banding entirely);
+    * phash feeds the store write-back and is dropped before the landing
+    * tables. */
   def rollup(batch: DataFrame, maxDist: Int): DataFrame =
     batch.groupBy(col("item_id"))
       .agg(
@@ -285,6 +291,7 @@ object PerceptualIngest {
         timestamp_millis(first(col("ts_millis"))).as("ingest_ts"),
         first(col("payload"), ignoreNulls = true).as("payload"),
         min(col("dist")).as("min_dist"),
+        first(col("phash")).as("phash"),
         // tie-break the evidence item deterministically
         min_by(col("matched_item"), struct(col("dist"), col("matched_item")))
           .as("matched_item"),
@@ -314,7 +321,15 @@ object PerceptualIngest {
     * hold no bucket slot, pay no band fan-out — and land in
     * `<table>_rejects` with their rule as the reason. They share the
     * suppressor's lateness policy: a row older than the watermark is
-    * dropped whether it would pass or fail the gate. */
+    * dropped whether it would pass or fail the gate.
+    *
+    * `writeBackTo` = a [[graft.operators.FingerprintStore]] directory:
+    * each micro-batch's LANDED (id, phash) rows are persisted as an
+    * epoch-keyed delivery partition (see the foreachBatch comment), so
+    * restarts (via `bootstrapFrom` over the same store) and the next
+    * batch probe see what the stream admitted — the write-back half of
+    * the batch↔stream handoff. Point it at the store `bootstrapFrom`
+    * reads for the full loop. */
   def writeDeduped(
       items: DataFrame, fingerprint: Column => Column,
       idCol: String, payloadCol: String,
@@ -323,8 +338,10 @@ object PerceptualIngest {
       maxPerBucket: Int = 256,
       rename: Map[String, String] = Map.empty,
       bootstrapFrom: Option[(DataFrame, Long)] = None,
-      gateFingerprint: Option[Column => Column] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      gateFingerprint: Option[Column => Column] = None,
+      writeBackTo: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ttlMillis = ttlMillisOf(watermarkDelay)
+    val streamTag = streamTagOf(checkpoint)
     val spark = items.sparkSession
     import spark.implicits._
     val initial = bootstrapFrom.map { case (hashes, ts0) =>
@@ -344,19 +361,47 @@ object PerceptualIngest {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val renamed = rename.foldLeft(rollup(batch, maxDist)) {
-          case (df, (from, to)) => df.withColumnRenamed(from, to)
-        }
-        val r = renamed.cache()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = rollup(batch, maxDist).cache()
         try {
-          r.filter(col("keep")).drop("keep", "reason")
+          // STORE WRITE-BACK (r10 verdict #1 — closes the perceptual
+          // lifecycle loop): the micro-batch's landed fingerprints become
+          // a delivery partition keyed by (stream tag, epoch id), so a
+          // restarted stream's bootstrapFrom and the next batch probe see
+          // what the stream admitted. The epoch id makes a replayed
+          // micro-batch land on the SAME partition, and writeDelivery
+          // overwrites only it → exactly-once for the store even though
+          // the landing-table appends below stay at-least-once. Skipped
+          // when the batch landed nothing (replay is deterministic — a
+          // versioned state store plus replayed offsets reproduce the
+          // same landed set — so there is no stale partial to clear).
+          writeBackTo.foreach { storeDir =>
+            val landed = r.filter(col("keep"))
+              .select(col("item_id").as("id"), col("phash"))
+            if (!landed.isEmpty)
+              graft.operators.FingerprintStore.writeDelivery(
+                storeDir, s"$streamTag-b$batchId", landed)
+          }
+          val renamed = rename.foldLeft(r.drop("phash")) {
+            case (df, (from, to)) => df.withColumnRenamed(from, to)
+          }
+          renamed.filter(col("keep")).drop("keep", "reason")
             .repartition(col("source"))
             .write.mode("append").partitionBy("source").parquet(table)
-          r.filter(!col("keep")).drop("keep")
+          renamed.filter(!col("keep")).drop("keep")
             .write.mode("append").parquet(s"${table}_rejects")
         } finally { r.unpersist(); () }
       }
       .start()
+  }
+
+  /** Stable per-stream delivery-id prefix for the store write-back: the
+    * checkpoint location IS the stream's identity (restarts reuse it and
+    * epoch ids are scoped to it), hashed into the store's safe delivery
+    * charset. */
+  private[streaming] def streamTagOf(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    "stream-" + d.take(6).map(b => f"$b%02x").mkString
   }
 }

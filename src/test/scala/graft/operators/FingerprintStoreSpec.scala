@@ -219,6 +219,95 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("delivery ids outside the safe path charset are rejected up front") {
+    // a '/', '=', '%' or space in the id writes a path whose DISCOVERED
+    // partition value differs from the filter value, silently defeating
+    // the probe's own-partition exclusion (r10 ADVICE) — so the require
+    // must stop them before any path is built
+    val dir = freshDir("charset")
+    FingerprintStore.init(Seq((1L, 7L)).toDF("id", "phash"), dir)
+    val d = Seq((2L, 99L)).toDF("id", "phash")
+    for (bad <- Seq("", "a/b", "a=b", "a b", "a%2Fb", "d1\n",
+        FingerprintStore.InitDelivery, FingerprintStore.CompactedDelivery))
+      intercept[IllegalArgumentException] {
+        FingerprintStore.ingest(spark, dir, bad, d)
+      }
+    // the safe charset itself passes
+    FingerprintStore.ingest(spark, dir, "A-z.0_9", d).collect(): Unit
+  }
+
+  test("compact folds old deliveries into one base; contents unchanged; recent replay still idempotent") {
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("compact")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(3L, 4L, 6L))).collect(): Unit // kept: 3, 6
+    val d2 = hashes.filter($"id".isin(9L, 10L))
+    def verdictMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("matched_id")).map(_.longValue))).toMap
+    val v2 = verdictMap(FingerprintStore.ingest(spark, dir, "d2", d2)) // kept: 9
+    def contents() = FingerprintStore.read(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"))).toSet
+    val before = contents()
+    FingerprintStore.compact(spark, dir, keepRecent = 1)
+    assert(contents() == before,
+      s"compaction changed store contents: $before -> ${contents()}")
+    // partition layout: __init__ and d1 folded into the base, d2 kept
+    val byDelivery = FingerprintStore.readTagged(spark, dir)
+      .collect().groupBy(_.getAs[String]("delivery_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(byDelivery == Map(
+      FingerprintStore.CompactedDelivery -> Set(0L, 1L, 2L, 3L, 6L),
+      "d2" -> Set(9L)), s"partitions after compact: $byDelivery")
+    // the RECENT delivery's replay contract is untouched post-compaction
+    val replay2 = verdictMap(FingerprintStore.ingest(spark, dir, "d2", d2))
+    assert(replay2 == v2, s"recent replay drifted: $v2 -> $replay2")
+    assert(contents() == before, "recent replay mutated the store")
+    // compacting again with nothing new to fold is a no-op
+    FingerprintStore.compact(spark, dir, keepRecent = 1)
+    assert(contents() == before)
+  }
+
+  test("replaying a COMPACTED delivery is a fresh ingest against the full store (documented contract)") {
+    // d1's survivors were folded into the base, so its replay self-matches
+    // at distance 0: verdict classes flip to dropped_existing (evidence =
+    // the stored copy), an empty partition lands under its id, and the
+    // stored (id, phash) set does not change — compact a delivery only
+    // after its at-least-once window has passed
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("compact-replay")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    val d1 = hashes.filter($"id".isin(3L, 4L, 6L))
+    FingerprintStore.ingest(spark, dir, "d1", d1).collect(): Unit
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id".isin(9L, 10L))).collect(): Unit
+    FingerprintStore.compact(spark, dir, keepRecent = 1) // folds __init__, d1
+    def contents() = FingerprintStore.read(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"))).toSet
+    val before = contents()
+    val replay = FingerprintStore.ingest(spark, dir, "d1", d1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("matched_id")).map(_.longValue))).toMap
+    assert(replay == Map(
+      3L -> ("dropped_existing", Some(3L)),
+      4L -> ("dropped_within", Some(3L)),
+      6L -> ("dropped_existing", Some(6L))),
+      s"compacted replay verdicts: $replay")
+    assert(contents() == before,
+      "a compacted replay must leave the stored set unchanged")
+    val d1Partition = FingerprintStore.readTagged(spark, dir)
+      .filter($"delivery_id" === "d1")
+    assert(d1Partition.count() == 0,
+      "the replay's zero survivors land as an empty (schema-bearing) partition")
+  }
+
   test("ingest into an empty-but-initialized store keeps everything fresh") {
     val hashes = ImageDedup.hashes(
       ImageCorpus.forIds((30L until 36L).toDF("doc_id"), "doc_id"),
