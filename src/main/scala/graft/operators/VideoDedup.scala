@@ -179,20 +179,46 @@ object VideoDedup {
     * source even when its minority share dilutes the global majority vote
     * past `sigMaxDist` — the shared spans' segment signatures still sit
     * within threshold and carry the pair to refine. Candidate volume
-    * stays |videos| × (1 + ⌈k/segLen⌉) signature rows (k = sampled
-    * frames/video), 2–3 orders below frame-level banding. Residual miss
-    * class, named: a splice whose copied run is misaligned to the segment
-    * grid by ~segLen/2 AND whose content varies within every shared span
-    * can dilute each segment vote too — shrinking `segLen` (or striding
-    * segments) trades candidate rows for that recall, exactly the
-    * IVF nProbe dial. Output: (id, phash), several rows per id.
+    * stays |videos| × (1 + ⌈k/segHop⌉) signature rows (k = sampled
+    * frames/video), 2–3 orders below frame-level banding.
+    *
+    * `segHop` (r10 verdict #2 — the audio hop dial,
+    * [[AudioContainment]]'s `hopSec < windowSec`, in sampled-frame
+    * units): spans start every `segHop` sampled frames instead of every
+    * `segLen` (0 = aligned grid, the default). The aligned grid's named
+    * miss class is a splice whose copied run is shifted by a
+    * non-multiple of `segLen` with content varying within every shared
+    * span — no span of the copy then covers the same frame set as any
+    * span of the source, and every vote dilutes. With `segHop =
+    * segLen/2` any shift ≡ 0 (mod segHop) puts some copy span exactly
+    * over a source span again (spec-pinned: a constructed splice the
+    * aligned grid provably misses is caught), at ⌈segLen/segHop⌉× the
+    * segment rows — the IVF nProbe trade, priced by ext124's hop-tier
+    * histogram and reported by ext122. Output: (id, phash), several
+    * rows per id.
     */
   def segmentSignatures(fh: DataFrame, everyNth: Int = 2,
-      segLen: Int = 16): DataFrame = {
+      segLen: Int = 16, segHop: Int = 0): DataFrame = {
     require(segLen >= 1, s"segLen must be >= 1, got $segLen")
-    majoritySignatures(
-      fh.withColumn("seg", floor(col("frame_idx") / (everyNth * segLen)))
-        .groupBy(col("id"), col("seg")))
+    val hop = if (segHop <= 0) segLen else segHop
+    require(hop <= segLen, s"segHop must be <= segLen, got $segHop > $segLen")
+    if (hop == segLen)
+      // aligned grid: keep the explode-free plan (one project, no Generate)
+      majoritySignatures(
+        fh.withColumn("seg", floor(col("frame_idx") / (everyNth * segLen)))
+          .groupBy(col("id"), col("seg")))
+    else {
+      // overlapping spans: span k covers sampled-frame units
+      // [k*hop, k*hop + segLen); a frame at unit u belongs to spans
+      // k ∈ [max(0, ceil((u-segLen+1)/hop)), floor(u/hop)] —
+      // ⌈segLen/hop⌉ rows per frame, the whole cost of the dial
+      val u = floor(col("frame_idx") / everyNth)
+      majoritySignatures(
+        fh.withColumn("seg", explode(sequence(
+            greatest(lit(0L), floor((u - lit(segLen) + lit(hop)) / lit(hop))),
+            floor(u / lit(hop)))))
+          .groupBy(col("id"), col("seg")))
+    }
   }
 
   /** Per-bit majority vote over each group's `phash` values — one hash
@@ -223,9 +249,10 @@ object VideoDedup {
     * bucket sizes explode quadratically at corpus scale for recall the
     * tier does not need. */
   def segmentCandidates(fh: DataFrame, everyNth: Int = 2,
-      segLen: Int = 16, segSigMaxDist: Int = 4): DataFrame =
+      segLen: Int = 16, segSigMaxDist: Int = 4,
+      segHop: Int = 0): DataFrame =
     ImageDedup.hammingNearDupPairs(
-      segmentSignatures(fh, everyNth, segLen), segSigMaxDist)
+      segmentSignatures(fh, everyNth, segLen, segHop), segSigMaxDist)
       .select(col("id_a"), col("id_b")).distinct()
 
   /** Candidate video pairs for the two-tier path: the whole-video
@@ -238,12 +265,12 @@ object VideoDedup {
     * side by side). */
   def signatureCandidates(fh: DataFrame, everyNth: Int = 2,
       sigMaxDist: Int = 10, segLen: Int = 16,
-      segSigMaxDist: Int = 4): DataFrame = {
+      segSigMaxDist: Int = 4, segHop: Int = 0): DataFrame = {
     val whole = ImageDedup.hammingNearDupPairs(videoSignatures(fh), sigMaxDist)
       .select(col("id_a"), col("id_b"))
     (if (segLen <= 0) whole
      else whole.unionByName(
-       segmentCandidates(fh, everyNth, segLen, segSigMaxDist)))
+       segmentCandidates(fh, everyNth, segLen, segSigMaxDist, segHop)))
       .distinct()
   }
 
@@ -281,19 +308,22 @@ object VideoDedup {
   def prefilteredNearDupPairs(videos: DataFrame, videoCol: String,
       idCol: String, everyNth: Int = 2, maxDist: Int = 3,
       minOverlap: Double = 0.6, sigMaxDist: Int = 10,
-      segLen: Int = 16, segSigMaxDist: Int = 4): DataFrame =
+      segLen: Int = 16, segSigMaxDist: Int = 4,
+      segHop: Int = 0): DataFrame =
     prefilteredNearDupPairsFromKept(
       keptFrameHashes(videos, videoCol, idCol, everyNth).localCheckpoint(false),
-      everyNth, maxDist, minOverlap, sigMaxDist, segLen, segSigMaxDist)
+      everyNth, maxDist, minOverlap, sigMaxDist, segLen, segSigMaxDist,
+      segHop)
 
   /** [[prefilteredNearDupPairs]] over an already-built
     * [[keptFrameHashes]] frame. */
   def prefilteredNearDupPairsFromKept(fh: DataFrame, everyNth: Int = 2,
       maxDist: Int = 3, minOverlap: Double = 0.6,
       sigMaxDist: Int = 10, segLen: Int = 16,
-      segSigMaxDist: Int = 4): DataFrame =
+      segSigMaxDist: Int = 4, segHop: Int = 0): DataFrame =
     refineCandidates(fh,
-      signatureCandidates(fh, everyNth, sigMaxDist, segLen, segSigMaxDist),
+      signatureCandidates(fh, everyNth, sigMaxDist, segLen, segSigMaxDist,
+        segHop),
       everyNth, maxDist, minOverlap)
 
   /** The refine stage alone: the exact temporal-alignment vote over an

@@ -4319,16 +4319,24 @@ object ExtensionQueries {
         // vote), so the audit runs BOTH paths over the SAME memoized
         // frame-hash table and reports the miss count — prefiltered ⊆
         // exact must hold (refine semantics are parity-pinned), so
-        // extras == 0 is an invariant the row exposes. BOTH tiers'
-        // candidate volumes ride along (n_cands_video = whole-video
-        // signatures only, n_cands_segment = with the segment tier) so
-        // the recall/candidate trade is driver-visible per corpus.
+        // extras == 0 is an invariant the row exposes. Every tier's
+        // candidate volume rides along (n_cands_video = whole-video
+        // signatures only, n_cands_segment = the aligned segment tier
+        // ALONE, n_cands_two_tier = the union refine actually consumes
+        // — r10 ADVICE renamed the latter from its misleading
+        // n_cands_segment; n_cands_segment_hop = the overlapping-span
+        // tier at segHop = ceil(segLen/2), the r10 verdict #2 dial for
+        // grid-misaligned splices, REPORTED here so its extra rows are
+        // priced per corpus before anyone turns it on) so the
+        // recall/candidate trade is driver-visible per corpus.
         // segLen 3 here, proportional to the 12-frame synthetic clips
         // (6 sampled frames → 2 segments/video; production default 16).
         // Rows-only; VideoDedupSpec pins pair-for-pair parity on the
         // corpus, the alignLists kernel against the DataFrame core on
-        // every fixture class, and the splice the whole-video tier
-        // provably misses being caught by the segment tier.
+        // every fixture class, the splice the whole-video tier provably
+        // misses being caught by the segment tier, and the
+        // grid-misaligned splice the ALIGNED tier provably misses being
+        // caught at hop=segLen/2.
         val fh = sharedDedupFrameHashes(s, dir)
         // each tier's candidate join runs ONCE (lazy localCheckpoint; the
         // counts materialize them) and the union is REUSED by refine —
@@ -4341,7 +4349,10 @@ object ExtensionQueries {
         val candsAll = candsVideo.unionByName(candsSeg).distinct()
           .localCheckpoint(false)
         val nCandsVideo = candsVideo.count()
-        val nCandsSeg = candsAll.count()
+        val nCandsSeg = candsSeg.count()
+        val nCandsTwoTier = candsAll.count()
+        val nCandsSegHop = graft.operators.VideoDedup.segmentCandidates(
+          fh, everyNth = 2, segLen = 3, segHop = 2).count()
         val full = graft.operators.VideoDedup.nearDupPairsFromKept(
           fh, everyNth = 2, maxDist = 3, minOverlap = 0.6)
           .select(col("vid_a"), col("vid_b")).localCheckpoint(false)
@@ -4358,9 +4369,11 @@ object ExtensionQueries {
             (nFull - missed).toDouble / nFull)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         import s.implicits._
-        Seq((nFull, nPre, missed, extras, recall, nCandsVideo, nCandsSeg))
+        Seq((nFull, nPre, missed, extras, recall, nCandsVideo, nCandsSeg,
+          nCandsTwoTier, nCandsSegHop))
           .toDF("n_exact", "n_prefiltered", "n_missed", "n_extra", "recall",
-            "n_cands_video", "n_cands_segment")
+            "n_cands_video", "n_cands_segment", "n_cands_two_tier",
+            "n_cands_segment_hop")
       },
       None),
 
@@ -4450,10 +4463,14 @@ object ExtensionQueries {
     // distance-10 banding's pairs_contrib per band is orders above the
     // distance-4 tier's on the same corpus, and a corpus whose top
     // size-class spikes here is one where sigMaxDist must drop or the
-    // low-info filter tighten. Zero decodes — two hash aggs per tier
-    // over the memoized frame table's signatures. Rows-only;
-    // VideoDedupSpec pins the histogram cell-for-cell against an
-    // independently computed reference over the collected signatures.
+    // low-info filter tighten. A third row group (r11) prices the
+    // segHop = segLen/2 overlapping-span tier the same way — its extra
+    // signature rows land in these buckets, so the hop dial's cost is
+    // visible here BEFORE ext122's n_cands_segment_hop is paid at
+    // refine. Zero decodes — one hash agg per tier over the memoized
+    // frame table's signatures. Rows-only; VideoDedupSpec pins the
+    // histogram cell-for-cell against an independently computed
+    // reference over the collected signatures, hop tier included.
     QueryDef(
       "ext124_video_signature_health",
       (s, dir) => {
@@ -4466,6 +4483,11 @@ object ExtensionQueries {
               graft.operators.VideoDedup.segmentSignatures(
                 fh, everyNth = 2, segLen = 3), maxDist = 4)
               .withColumn("tier", lit("segment_sig_d4")))
+          .unionByName(
+            graft.operators.ImageDedup.bandBucketHealth(
+              graft.operators.VideoDedup.segmentSignatures(
+                fh, everyNth = 2, segLen = 3, segHop = 2), maxDist = 4)
+              .withColumn("tier", lit("segment_sig_d4_hop2")))
           .orderBy("tier", "band", "size_class")
       },
       None)

@@ -304,6 +304,55 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
       s"segment tier candidates ${seg.size} regressed toward all-pairs ($allPairs)")
   }
 
+  test("segHop: a grid-misaligned splice the ALIGNED segment tier provably misses is caught at hop=segLen/2") {
+    // the aligned grid's named residual miss class (r10 verdict #2),
+    // constructed exactly: A = [P×4, Q×4, R×4, S×4] (segLen 4, so A's
+    // aligned votes are clean P/Q/R/S); B copies A[2..9] at shift 2 — a
+    // non-multiple of segLen but a multiple of hop — and pads with U×8.
+    // Every ALIGNED span of B mixes two blocks (votes P∧Q, Q∧R) or is
+    // pure U, all > segSigMaxDist from every A vote, and the whole-video
+    // votes sit far apart: the full aligned two-tier path yields NO
+    // (A, B) candidate. With segHop = 2, B's span [0..3] covers the same
+    // frame set as A's hop span [2..5] — identical votes, distance 0 —
+    // and the pair reaches refine, which confirms the 8-frame overlap.
+    val P = 0x000000000000FFFFL; val Q = 0x00000000FFFF0000L
+    val R = 0x0000FFFF00000000L; val S = 0xFFFF000000000000L
+    val U = 0x0F0F0F0F0F0F0F0FL
+    val a = Seq.fill(4)(P) ++ Seq.fill(4)(Q) ++ Seq.fill(4)(R) ++ Seq.fill(4)(S)
+    val b = a.slice(2, 10) ++ Seq.fill(8)(U)
+    val fh = (a.zipWithIndex.map { case (h, i) => (1L, i, h) } ++
+      b.zipWithIndex.map { case (h, i) => (2L, i, h) })
+      .toDF("id", "frame_idx", "phash").localCheckpoint(true)
+    def cands(segHop: Int) = VideoDedup.signatureCandidates(
+      fh, everyNth = 1, sigMaxDist = 10, segLen = 4, segSigMaxDist = 4,
+      segHop = segHop)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands(0) == Set.empty,
+      s"the aligned grid must MISS this constructed splice: ${cands(0)}")
+    assert(cands(2) == Set((1L, 2L)),
+      s"hop=segLen/2 must catch it: ${cands(2)}")
+    // candidate bound: |videos| × (1 + ceil(k/segHop)) signature rows
+    assert(VideoDedup.segmentSignatures(fh, everyNth = 1, segLen = 4,
+      segHop = 2).count() == 16L, "8 hop spans per 16-frame video")
+    // hop == segLen (or 0) reproduces the aligned grid bit-for-bit
+    val aligned = VideoDedup.segmentSignatures(fh, everyNth = 1, segLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val hop4 = VideoDedup.segmentSignatures(fh, everyNth = 1, segLen = 4,
+      segHop = 4).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hop4 == aligned, "segHop == segLen must equal the aligned grid")
+    // end-to-end: refine confirms the caught pair (the constant-block
+    // construction repeats hashes within each video, so neighboring
+    // offsets in the ±jitter window re-count units and the ratio lands
+    // above the raw 8/16 — the vote is conservative upward here, never
+    // a false merge of unmatched frames)
+    val refined = VideoDedup.refineCandidates(fh,
+      Seq((1L, 2L)).toDF("id_a", "id_b"), everyNth = 1, maxDist = 3,
+      minOverlap = 0.4).collect()
+    assert(refined.length == 1 &&
+      refined.head.getAs[Double]("overlap_ratio") >= 0.5,
+      s"refine on the hop-caught pair: ${refined.toSeq}")
+  }
+
   test("ext122: family signatures sit close; cross-family far (the coarse tier's premise)") {
     val ids = (0L until 12L).toDF("doc_id")
     val sigs = VideoDedup.videoSignatures(
@@ -368,6 +417,10 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
     }
     check(VideoDedup.videoSignatures(fh), maxDist = 10)
     check(VideoDedup.segmentSignatures(fh, everyNth = 2, segLen = 3), maxDist = 4)
+    // the hop tier rides the same histogram arithmetic (ext124's third row
+    // group prices the segHop dial before anyone pays it)
+    check(VideoDedup.segmentSignatures(fh, everyNth = 2, segLen = 3,
+      segHop = 2), maxDist = 4)
     // the r10 lesson as an invariant: on the same corpus the distance-10
     // banding's candidate-pair cost dwarfs the tight segment banding's
     // even though the segment table holds MORE rows
