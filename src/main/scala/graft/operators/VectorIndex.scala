@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity.PqModel
 
@@ -39,6 +40,81 @@ object VectorIndex {
         model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)))
       .toDF("dim", "m", "ksub", "coarse", "codebooks")
       .write.mode("overwrite").parquet(s"$dir/model")
+    // build-time distribution reference for retrainIfDrifted — ext90's
+    // sign-octant buckets of the BUILD corpus, one tiny parquet
+    octantCounts(corpus, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Sign-octant histogram over the first three dims — ext90's
+    * deterministic, quantizer-free drift buckets (≤ 8 rows whatever the
+    * corpus size): the distribution fingerprint [[buildIvfPq]] stores
+    * and [[retrainIfDrifted]] compares against. */
+  private def octantCounts(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select((when(element_at(col(vecCol), 1) > 0, 4).otherwise(0) +
+        when(element_at(col(vecCol), 2) > 0, 2).otherwise(0) +
+        when(element_at(col(vecCol), 3) > 0, 1).otherwise(0))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** ext90's PSI arithmetic (Laplace +1 over the union of buckets),
+    * driver-side over the two ≤8-entry histograms. */
+  private def psiOf(ref: Map[Long, Long], cur: Map[Long, Long]): Double = {
+    val buckets = (ref.keySet ++ cur.keySet).toSeq.sorted
+    val n = buckets.size
+    val tRef = ref.values.sum
+    val tCur = cur.values.sum
+    buckets.map { b =>
+      val p = (ref.getOrElse(b, 0L) + 1).toDouble / (tRef + n)
+      val q = (cur.getOrElse(b, 0L) + 1).toDouble / (tCur + n)
+      (p - q) * math.log(p / q)
+    }.sum
+  }
+
+  /** The retrain trigger wired to the drift dials (r10 verdict #4):
+    * ext88 measures that recall DECAYS after the corpus mutates under a
+    * stale quantizer; ext75/ext90 measure the drift that predicts it;
+    * this closes the loop. Compares the stored build-time octant
+    * histogram (`stats/`) against the CURRENT corpus with ext90's exact
+    * PSI arithmetic; when `psi > threshold` the quantizer is rebuilt
+    * from the current corpus into a dot-prefixed staging dir (invisible
+    * to readers of `codes/`) and published by directory renames —
+    * codes, model and stats swap together, so a search never pairs new
+    * codes with an old model. Below threshold NOTHING is touched
+    * (spec-pinned byte-identical). Returns (psi, retrained).
+    *
+    * Failure contract matches [[deleteIvfPq]]: re-runnable, not atomic —
+    * a crash mid-swap can leave a missing subdir; re-running the
+    * trigger rebuilds staging and completes the swap. Swap in the
+    * writer's exclusive window. */
+  def retrainIfDrifted(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nLists: Int = 16, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 2048, seed: Long = 42L): (Double, Boolean) = {
+    val ref = spark.read.parquet(s"$dir/stats")
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    val cur = octantCounts(corpus, vecCol) // bounded: ≤ 8 octants
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    val psi = psiOf(ref, cur)
+    if (psi <= threshold) (psi, false)
+    else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val staging = s"$dir/.retrain_staging"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+      buildIvfPq(corpus, idCol, vecCol, staging, nLists, m, ksub,
+        sampleSize, seed)
+      Seq("codes", "model", "stats").foreach { sub =>
+        val target = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        fs.delete(target, true): Unit
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$staging/$sub"), target),
+          s"retrainIfDrifted: failed to publish $sub")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+      (psi, true)
+    }
   }
 
   def loadModel(spark: SparkSession, dir: String): PqModel = {

@@ -121,6 +121,67 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(mean >= 0.3, f"mean recall after mutation $mean%.3f below floor 0.3")
   }
 
+  test("retrainIfDrifted: no-op below threshold is byte-identical; a drifted corpus triggers a rebuild equal to a fresh build") {
+    // the r10 verdict #4 loop-closer: the corpus starts all-negative
+    // (sign-octant 0), then doubles with an all-positive half (octant 7)
+    // — half the distribution mass moves octants, exactly the shift
+    // ext90's PSI dial flags and a quantizer trained on the old half
+    // cannot encode well. Pins: (a) psi > threshold triggers a staged
+    // rebuild whose SEARCH RESULTS equal a fresh build from the current
+    // corpus (same seed → recall restored to fresh-build level by
+    // construction); (b) below threshold NOTHING is touched — every
+    // index file byte-identical; (c) after the retrain the stored stats
+    // match the corpus, so the trigger disarms.
+    import spark.implicits._
+    def vOld(i: Long): Seq[Double] =
+      (0 until 8).map(d => -0.4 - 0.01 * ((i * 7 + d * 3) % 13))
+    def vNew(i: Long): Seq[Double] =
+      (0 until 8).map(d => 0.4 + 0.01 * ((i * 5 + d * 11) % 17))
+    val oldC = (0L until 150L).map(i => (i, vOld(i))).toDF("vec_id", "embedding")
+    val newC = (150L until 300L).map(i => (i, vNew(i))).toDF("vec_id", "embedding")
+    val fullC = oldC.unionByName(newC).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-retrain").toString
+    VectorIndex.buildIvfPq(oldC, "vec_id", "embedding", dir,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    VectorIndex.appendIvfPq(newC, "vec_id", "embedding", dir)
+    def fileHashes(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(dir)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p)).map(b => f"$b%02x").mkString)
+        .toMap
+    }
+    val before = fileHashes()
+    val (psi0, did0) = VectorIndex.retrainIfDrifted(spark, dir, fullC,
+      "vec_id", "embedding", threshold = 1e9,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    assert(!did0 && psi0 > 0.1, s"psi=$psi0 did=$did0")
+    assert(fileHashes() == before,
+      "a below-threshold check must leave every index file byte-identical")
+    val (psi1, did1) = VectorIndex.retrainIfDrifted(spark, dir, fullC,
+      "vec_id", "embedding", threshold = 0.1,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    assert(did1 && psi1 == psi0, s"psi=$psi1 did=$did1")
+    val fresh = java.nio.file.Files.createTempDirectory("vecidx-fresh").toString
+    VectorIndex.buildIvfPq(fullC, "vec_id", "embedding", fresh,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    val q = fullC.filter(col("vec_id") >= 150 && col("vec_id") < 160)
+    def results(d: String) = VectorIndex.searchIvfPq(spark, d, q, fullC,
+        "vec_id", "embedding", k = 5, nProbe = 2, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(results(dir) == results(fresh),
+      "the retrained index must equal a fresh build from the current corpus")
+    val (psi2, did2) = VectorIndex.retrainIfDrifted(spark, dir, fullC,
+      "vec_id", "embedding", threshold = 0.1,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    assert(!did2 && psi2 < 0.01,
+      s"after retrain the stored stats match the corpus — trigger must disarm: $psi2")
+  }
+
   test("the persisted model round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 4, m = 4, ksub = 8)
