@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries against
-  * sys.env("SPARK_GRAFT_SF_DIR") and prints ONE JSON line
-  * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}.
+  * sys.env("SPARK_GRAFT_SF_DIR") and prints the full JSON line
+  * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…} (persisted to
+  * BENCH_DETAIL.json), followed by a COMPACT summary line — same envelope,
+  * top-10 queries only — as the LAST stdout line so a front-truncating
+  * tail capture still lands a parseable record. A `regressions` section
+  * diffs this run against the previously committed BENCH_DETAIL.json
+  * ([[regressionsOf]] — >2× slower AND >1.5× shuffle growth).
   *
   * Each query is fully materialized through the `noop` sink (count() would
   * let Catalyst prune the aggregate work away). AQE on, 32 shuffle
@@ -69,6 +74,48 @@ object Bench {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
       }
+    }
+  }
+
+  /** The PREVIOUS round's committed (queries, shuffle_write_mb) maps from
+    * BENCH_DETAIL.json — read BEFORE this run overwrites it, absent on a
+    * first run or an unparseable artifact. */
+  private[graft] def readPrevDetail(path: String)
+      : Option[(Map[String, Double], Map[String, Double])] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        def toMap(node: com.fasterxml.jackson.databind.JsonNode) =
+          if (node == null) Map.empty[String, Double]
+          else node.fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        Some((toMap(root.get("queries")), toMap(root.get("shuffle_write_mb"))))
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-query bench regression gate (r10 verdict #5): a query regresses
+    * when it is BOTH >2× slower than the previous committed round AND its
+    * shuffle write grew >1.5× — the noise-robust conjunction (wall-clock
+    * alone swings up to 3× on this box under neighbor-VM load, but
+    * shuffle bytes are contention-free, so a genuine plan regression
+    * moves both). Floors (0.3 s, 1 MB now) keep sub-noise entries out.
+    * Returns (name, secPrev, secNow, mbPrev, mbNow). */
+  private[graft] def regressionsOf(
+      prev: (Map[String, Double], Map[String, Double]),
+      now: Seq[(String, Double)],
+      nowShuffle: scala.collection.Map[String, Double])
+      : Seq[(String, Double, Double, Double, Double)] = {
+    val (prevQ, prevW) = prev
+    now.flatMap { case (name, sec) =>
+      for {
+        p <- prevQ.get(name)
+        pw <- prevW.get(name)
+        mb = nowShuffle.getOrElse(name, 0.0)
+        if sec > 2 * p && sec > 0.3 && mb > 1.5 * pw && mb > 1.0
+      } yield (name, p, sec, pw, mb)
     }
   }
 
@@ -184,6 +231,16 @@ object Bench {
         Some((mapJson, flags))
       }
 
+    // previous round's committed numbers, read BEFORE we overwrite the file
+    val prevDetail = readPrevDetail("BENCH_DETAIL.json")
+    val regressions = prevDetail
+      .map(p => regressionsOf(p, results, shuffleWrite))
+      .getOrElse(Seq.empty)
+    val regressionsJson = regressions.map { case (n, p, s, pw, mb) =>
+      "\"" + n +
+        f"""\":{"sec_prev":$p%.3f,"sec":$s%.3f,"shuffle_prev_mb":$pw%.1f,"shuffle_mb":$mb%.1f}"""
+    }.mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -205,7 +262,7 @@ object Bench {
     val scalingPart = scalingJson
       .map { case (m, f) => s""","scaling":$m,"scaling_flags":$f""" }
       .getOrElse("")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,"queries":$qs,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,"queries":$qs,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"regressions":$regressionsJson%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // The single JSON line overflows tail-style log captures once the query
     // map is large (r5 lost its relational timings that way) — persist the
@@ -224,6 +281,17 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     deleteRecursively(new java.io.File(staged)) // staged copies are fact-table-sized
+    // COMPACT summary as the LAST stdout line (r10 verdict #6): the full
+    // line above overflows the driver's front-truncating tail capture
+    // (BENCH_r10.json parsed null), so a short line with the headline
+    // numbers, the top-10 query seconds and the health sections always
+    // lands intact; BENCH_DETAIL.json keeps every number.
+    val topQJson = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val regNames = regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val flags = scalingJson.map(_._2).getOrElse("[]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","summary":"top10 of ${results.size} queries; full detail in BENCH_DETAIL.json","queries":$topQJson%s,"n_queries":${results.size},"failed":$failedJson%s,"scaling_flags":$flags%s,"regressions":$regNames%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 

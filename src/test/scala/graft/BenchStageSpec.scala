@@ -42,4 +42,39 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
       rm(new java.io.File(staged))
     }
   }
+
+  test("regression gate: flags only the slower-AND-more-shuffle conjunction, above floors") {
+    // the noise-robust conjunction (r10 verdict #5): wall-clock alone
+    // swings 3x on this box, shuffle bytes are contention-free — a genuine
+    // plan regression moves both
+    val prev = (
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 0.05, "e" -> 1.0),
+      Map("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 0.1, "e" -> 10.0))
+    val now = Seq(
+      "a" -> 3.0, // 3x slower AND 2x shuffle -> flagged
+      "b" -> 3.0, // 3x slower, shuffle flat -> noise, not flagged
+      "c" -> 1.1, // shuffle grew, seconds flat -> not flagged
+      "d" -> 0.2, // 4x slower but below the 0.3 s floor -> not flagged
+      "f" -> 9.9) // new query, no baseline -> not flagged
+    val nowShuffle = scala.collection.Map(
+      "a" -> 20.0, "b" -> 10.2, "c" -> 20.0, "d" -> 0.4, "f" -> 99.0)
+    val got = Bench.regressionsOf(prev, now, nowShuffle)
+    assert(got == Seq(("a", 1.0, 3.0, 10.0, 20.0)), s"got $got")
+  }
+
+  test("readPrevDetail parses a committed BENCH_DETAIL line and survives absence/garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev")
+    val good = dir.resolve("good.json")
+    java.nio.file.Files.write(good,
+      """{"metric":"total","value":9.5,"queries":{"q1":1.25,"ext9":0.5},
+         "shuffle_write_mb":{"q1":14.0,"ext9":0.0}}"""
+        .replaceAll("\n\\s*", "").getBytes("UTF-8"))
+    assert(Bench.readPrevDetail(good.toString).contains(
+      (Map("q1" -> 1.25, "ext9" -> 0.5), Map("q1" -> 14.0, "ext9" -> 0.0))))
+    assert(Bench.readPrevDetail(dir.resolve("missing.json").toString).isEmpty)
+    val bad = dir.resolve("bad.json")
+    java.nio.file.Files.write(bad, "{not json".getBytes("UTF-8"))
+    assert(Bench.readPrevDetail(bad.toString).isEmpty,
+      "an unparseable artifact must disable the gate, not crash the bench")
+  }
 }
