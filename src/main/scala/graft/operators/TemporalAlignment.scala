@@ -54,6 +54,45 @@ object TemporalAlignment {
     *   and best_off its center offset (ta − tb; smallest offset wins ties
     *   deterministically)
     */
+  /** The [[alignedOverlap]] vote over two IN-MEMORY unit lists — the
+    * per-pair kernel the streaming watchlist monitor
+    * ([[graft.streaming.WatchlistMonitor]]) runs map-side against a
+    * broadcast clip: O(|fa|·|fb|) comparisons bounded by item length,
+    * mirroring the DataFrame core exactly — matched = distinct
+    * small-side units; per-offset distinct small-side counts; best
+    * ±jitter window; ties → smallest center offset (the
+    * `max_by(off, struct(win, -off))` tie-break). Returns
+    * (matched_units, aligned_units, best_off) with best_off = ta − tb
+    * like the core ([[VideoDedup.alignLists]] is the refine-stage
+    * sibling without the offset; parity with the core is spec-pinned
+    * for both). */
+  private[graft] def alignListsFull(fa: Seq[(Int, Long)],
+      fb: Seq[(Int, Long)], maxDist: Int, jitter: Int): (Long, Long, Int) = {
+    val smallIsA = fa.length <= fb.length
+    val matchedSmall = scala.collection.mutable.Set.empty[Int]
+    val perOffset =
+      scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Int]]
+    fa.foreach { case (ta, ha) =>
+      fb.foreach { case (tb, hb) =>
+        if (java.lang.Long.bitCount(ha ^ hb) <= maxDist) {
+          val st = if (smallIsA) ta else tb
+          matchedSmall += st
+          perOffset.getOrElseUpdate(ta - tb,
+            scala.collection.mutable.Set.empty[Int]) += st
+        }
+      }
+    }
+    if (matchedSmall.isEmpty) return (0L, 0L, 0)
+    var bestWin = -1L
+    var bestOff = 0
+    perOffset.keys.toSeq.sorted.foreach { off =>
+      val win = (off - jitter to off + jitter)
+        .map(o => perOffset.get(o).map(_.size.toLong).getOrElse(0L)).sum
+      if (win > bestWin) { bestWin = win; bestOff = off }
+    }
+    (matchedSmall.size.toLong, bestWin, bestOff)
+  }
+
   def alignedOverlap(unitPairs: DataFrame, counts: DataFrame,
       jitter: Int): DataFrame = {
     val withCounts = unitPairs

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cv.AudioOps
+import graft.operators.{AudioContainment, TemporalAlignment, VideoDedup}
+
+/** STREAMING CLIP-CONTAINMENT MONITOR — the operational shape a
+  * rights/compliance pipeline runs (r10 verdict #7): a SMALL watchlist of
+  * clips (takedown targets, licensed jingles, known-bad footage) is
+  * fingerprinted ONCE with the batch containment arithmetic
+  * (ext109 [[AudioContainment.windowHashes]] / ext117
+  * [[VideoDedup.keptFrameHashes]]), broadcast, and every arriving item is
+  * scored against it MAP-SIDE: one decode per item, the shared
+  * [[TemporalAlignment]] alignment vote per (item, clip), a flag row when
+  * the best single alignment covers ≥ `minCoverage` of the shorter side.
+  * No state store, no watermark, no shuffle — the monitor composes with
+  * the existing suppressors without growing their state, and the same
+  * transform runs unchanged over a batch frame or a stream (the parity
+  * spec leans on exactly that).
+  *
+  * Verdict parity with the batch path is spec-pinned: for a flagged
+  * (clip, item) pair, (offset, matched, coverage) equal
+  * [[AudioContainment.containmentPairs]] / [[VideoDedup.containmentPairs]]
+  * on the same two media — same window/frame hashing, same low-info
+  * filter, same vote kernel ([[TemporalAlignment.alignListsFull]]), same
+  * HALF_UP 6-dp rounding.
+  *
+  * Scale shape: the watchlist is collected and broadcast — BOUNDED BY
+  * CONTRACT (a takedown list is thousands of clips, not a corpus; cost
+  * per item is O(|item units| × Σ|clip units|) comparisons map-side).
+  * A corpus-sized "watchlist" is not a monitor but a batch containment
+  * join — use ext109/ext117's banded path for that.
+  */
+object WatchlistMonitor {
+
+  /** One watchlist entry: informative (time_index, hash64) units, sorted. */
+  final case class WatchClip(clip_id: Long, units: Seq[(Int, Long)])
+
+  /** One flagged (item, clip) alignment. `offset_units` is where the
+    * clip's unit 0 aligns inside the ARRIVING item (≥ 0 for a true
+    * containment), matching the batch paths' offset convention when the
+    * clip is the canonical (smaller-id) side. */
+  final case class Hit(clip_id: Long, offset_units: Int,
+      matched_units: Long, aligned_units: Long, coverage: Double)
+
+  /** Fingerprint a batch frame of watchlist audio: ext109's window
+    * hashes, low-info windows dropped. Bounded collect (class doc). */
+  def audioWatchlist(clips: DataFrame, audioCol: String, idCol: String,
+      windowSec: Double, hopSec: Double = 0.0): Seq[WatchClip] =
+    toClips(AudioContainment.windowHashes(clips, audioCol, idCol,
+      windowSec, hopSec)
+      .filter(TemporalAlignment.informative(col("whash")))
+      .select(col("id"), col("win_idx").as("t"), col("whash").as("h")))
+
+  /** Fingerprint a batch frame of watchlist video: ext117's sampled
+    * mirror-canonical frame hashes, low-info frames dropped. */
+  def videoWatchlist(clips: DataFrame, videoCol: String, idCol: String,
+      everyNth: Int = 1): Seq[WatchClip] =
+    toClips(VideoDedup.keptFrameHashes(clips, videoCol, idCol, everyNth)
+      .select(col("id"), col("frame_idx").as("t"), col("phash").as("h")))
+
+  private def toClips(units: DataFrame): Seq[WatchClip] =
+    units.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        WatchClip(id, rs.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq)
+      }
+      .toSeq.sortBy(_.clip_id)
+
+  /** Flag arriving audio against the watchlist. Output: every column of
+    * `items` except the payload, plus (clip_id, offset_units,
+    * offset_seconds, matched_units, aligned_units, coverage) — one row
+    * per flagged (item, clip), nothing for clean items. Works on a
+    * stream or a batch frame identically. */
+  def flagAudio(items: DataFrame, audioCol: String,
+      watchlist: Seq[WatchClip], windowSec: Double, hopSec: Double = 0.0,
+      maxDist: Int = 2, minCoverage: Double = 0.8): DataFrame = {
+    val hop = if (hopSec > 0) hopSec else windowSec
+    val flagged = monitor(items, audioCol, watchlist,
+      bytes => Option(bytes).flatMap(AudioOps.decodeWav)
+        .map(AudioOps.windowSpectralHashes(_, windowSec, hopSec)),
+      maxDist, jitter = 1, minCoverage)
+    flagged.withColumn("offset_seconds",
+      round(col("offset_units") * hop, 6))
+      // keep the column order stable: seconds right after units
+      .select(flagged.columns.takeWhile(_ != "matched_units").map(col) ++
+        (col("offset_seconds") +: flagged.columns
+          .dropWhile(_ != "matched_units").map(col)): _*)
+  }
+
+  /** Flag arriving video against the watchlist — ext117's frame units
+    * (`everyNth` defaults to 1 like the batch path: localization wants
+    * every frame). */
+  def flagVideo(items: DataFrame, videoCol: String,
+      watchlist: Seq[WatchClip], everyNth: Int = 1,
+      maxDist: Int = 3, minCoverage: Double = 0.8): DataFrame =
+    monitor(items, videoCol, watchlist,
+      bytes => VideoDedup.sampleFrameHashes(bytes, everyNth),
+      maxDist, jitter = everyNth, minCoverage)
+
+  /** The modality-generic core: ONE fenced decode per item, the vote per
+    * broadcast clip, explode to flag rows. The broadcast ships the
+    * watchlist once per executor, not once per task. */
+  private def monitor(items: DataFrame, payloadCol: String,
+      watchlist: Seq[WatchClip],
+      decode: Array[Byte] => Option[Seq[(Int, Long)]],
+      maxDist: Int, jitter: Int, minCoverage: Double): DataFrame = {
+    val bc = items.sparkSession.sparkContext.broadcast(
+      watchlist.map(c => (c.clip_id, c.units.toArray)).toArray)
+    val hitsUdf = udf { bytes: Array[Byte] =>
+      decode(bytes) match {
+        case None => Array.empty[Hit]
+        case Some(units) =>
+          val kept = units.filter { case (_, h) =>
+            VideoDedup.informativeHash(h) } // the shared [4, 60] band
+          if (kept.isEmpty) Array.empty[Hit]
+          else bc.value.flatMap { case (cid, cu) =>
+            // fa = clip, fb = item → best_off = t_clip − t_item; the
+            // clip's start inside the item is its negation (the batch
+            // convention with the clip on the canonical a side)
+            val (matched, aligned, bestOff) =
+              TemporalAlignment.alignListsFull(cu.toSeq, kept, maxDist, jitter)
+            val denom = math.min(cu.length, kept.size)
+            val cov =
+              if (denom == 0 || aligned == 0L) 0.0
+              else math.min(1.0,
+                java.math.BigDecimal.valueOf(aligned.toDouble / denom)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+            if (cov >= minCoverage) Some(Hit(cid, -bestOff, matched, aligned, cov))
+            else None
+          }
+      }
+    }.asNondeterministic() // optimizer fence — one decode per item
+    val keep = items.columns.filterNot(_ == payloadCol).map(col)
+    items.withColumn("__hits", hitsUdf(col(payloadCol)))
+      .select(keep :+ explode(col("__hits")).as("hit"): _*)
+      .select(keep :+ col("hit.clip_id") :+ col("hit.offset_units") :+
+        col("hit.matched_units") :+ col("hit.aligned_units") :+
+        col("hit.coverage"): _*)
+  }
+}

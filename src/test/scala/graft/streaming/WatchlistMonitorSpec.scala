@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.{AudioCorpus, VideoCorpus}
+
+/** The streaming watchlist containment monitor: a planted embed arriving
+  * on a MemoryStream is flagged at the right offset, clean/unwatched/junk
+  * items pass silently, and the flagged verdict equals the batch
+  * containment path (ext109 audio / ext117 video) number-for-number —
+  * same hashing, same low-info filter, same alignment vote, same
+  * rounding.
+  */
+class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  private def runStream(flagged: DataFrame, out: String, ckpt: String): Unit =
+    flagged.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start().awaitTermination()
+
+  test("audio: a planted embed arriving on a stream is flagged at the right offset; verdict == ext109 batch") {
+    val winSec = AudioCorpus.TrackWindowSec
+    val watch = WatchlistMonitor.audioWatchlist(
+      Seq((0L, AudioCorpus.renderTrack(0L))).toDF("doc_id", "wav"),
+      "wav", "doc_id", windowSec = winSec)
+    assert(watch.map(_.clip_id) == Seq(0L) && watch.head.units.size == 4)
+    val base = Files.createTempDirectory("watchmon-audio").toString
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    stream.addData(
+      (3L, "feedA", ts(1700000000L), AudioCorpus.renderTrack(3L)), // embeds clip 0 at window 3
+      (7L, "feedB", ts(1700000000L), AudioCorpus.renderTrack(7L)), // embeds UNWATCHED clip 4
+      (11L, "feedA", ts(1700000000L), Array[Byte](1, 2, 3)))       // junk → silent
+    runStream(
+      WatchlistMonitor.flagAudio(
+        stream.toDF().toDF("track_id", "source", "ingest_ts", "wav"),
+        "wav", watch, windowSec = winSec),
+      s"$base/flags", s"$base/ckpt")
+    val flags = spark.read.parquet(s"$base/flags").collect()
+    assert(flags.length == 1, s"exactly the planted embed flags: ${flags.toSeq}")
+    val f = flags.head
+    assert(f.getAs[Long]("track_id") == 3L && f.getAs[Long]("clip_id") == 0L)
+    assert(f.getAs[Int]("offset_units") == 3,
+      s"clip 0 embeds at window 3, got ${f.getAs[Int]("offset_units")}")
+    assert(f.getAs[Double]("coverage") >= 0.99)
+    // verdict parity vs the ext109 batch path on the same two media
+    val b = graft.operators.AudioContainment.containmentPairs(
+      Seq((0L, AudioCorpus.renderTrack(0L)), (3L, AudioCorpus.renderTrack(3L)))
+        .toDF("doc_id", "wav"),
+      "wav", "doc_id", windowSec = winSec, maxDist = 2, minCoverage = 0.8)
+      .collect()
+    assert(b.length == 1 && b.head.getAs[Long]("clip_id") == 0L &&
+      b.head.getAs[Long]("track_id") == 3L)
+    assert(f.getAs[Int]("offset_units") == b.head.getAs[Int]("offset_windows"))
+    assert(f.getAs[Double]("offset_seconds") ==
+      b.head.getAs[Double]("offset_seconds"))
+    assert(f.getAs[Long]("matched_units") ==
+      b.head.getAs[Long]("matched_windows"))
+    assert(f.getAs[Double]("coverage") == b.head.getAs[Double]("coverage"))
+  }
+
+  test("video: a planted embed flags at the EmbedOffset; montage-shaped and unwatched footage passes; verdict == ext117 batch") {
+    val watch = WatchlistMonitor.videoWatchlist(
+      Seq((0L, VideoCorpus.renderClipTrack(0L))).toDF("doc_id", "gvid"),
+      "gvid", "doc_id", everyNth = 1)
+    assert(watch.map(_.clip_id) == Seq(0L))
+    val base = Files.createTempDirectory("watchmon-video").toString
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    stream.addData(
+      (3L, "chanA", ts(1700100000L), VideoCorpus.renderClipTrack(3L)), // embeds clip 0
+      (7L, "chanB", ts(1700100000L), VideoCorpus.renderClipTrack(7L))) // embeds UNWATCHED clip 4
+    runStream(
+      WatchlistMonitor.flagVideo(
+        stream.toDF().toDF("vid_id", "source", "ingest_ts", "gvid"),
+        "gvid", watch, everyNth = 1),
+      s"$base/flags", s"$base/ckpt")
+    val flags = spark.read.parquet(s"$base/flags").collect()
+    assert(flags.length == 1, s"exactly the planted embed flags: ${flags.toSeq}")
+    val f = flags.head
+    assert(f.getAs[Long]("vid_id") == 3L && f.getAs[Long]("clip_id") == 0L)
+    assert(f.getAs[Int]("offset_units") == VideoCorpus.EmbedOffset,
+      s"embed offset ${f.getAs[Int]("offset_units")}, want ${VideoCorpus.EmbedOffset}")
+    // verdict parity vs the ext117 batch path on the same two media
+    val b = graft.operators.VideoDedup.containmentPairs(
+      Seq((0L, VideoCorpus.renderClipTrack(0L)),
+        (3L, VideoCorpus.renderClipTrack(3L))).toDF("doc_id", "gvid"),
+      "gvid", "doc_id")
+      .collect()
+    assert(b.length == 1 && b.head.getAs[Long]("clip_id") == 0L &&
+      b.head.getAs[Long]("track_id") == 3L)
+    assert(f.getAs[Int]("offset_units") == b.head.getAs[Int]("offset_frames"))
+    assert(f.getAs[Long]("matched_units") ==
+      b.head.getAs[Long]("matched_frames"))
+    assert(f.getAs[Double]("coverage") == b.head.getAs[Double]("coverage"))
+  }
+
+  test("the same transform runs unchanged over a batch frame (stream==batch by construction)") {
+    // the monitor is a pure stateless transform: point it at a static
+    // frame and the flag set is identical to what the stream produced —
+    // this is the property that makes the stream/batch parity above
+    // structural rather than coincidental
+    val winSec = AudioCorpus.TrackWindowSec
+    val watch = WatchlistMonitor.audioWatchlist(
+      Seq((0L, AudioCorpus.renderTrack(0L))).toDF("doc_id", "wav"),
+      "wav", "doc_id", windowSec = winSec)
+    val items = Seq(
+      (3L, AudioCorpus.renderTrack(3L)),
+      (7L, AudioCorpus.renderTrack(7L))).toDF("track_id", "wav")
+    val got = WatchlistMonitor.flagAudio(items, "wav", watch,
+        windowSec = winSec)
+      .collect().map(r => (r.getAs[Long]("track_id"), r.getAs[Long]("clip_id"),
+        r.getAs[Int]("offset_units"), r.getAs[Double]("coverage"))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == Seq((3L, 0L, 3)), s"got $got")
+    assert(got.head._4 >= 0.99)
+  }
+}
