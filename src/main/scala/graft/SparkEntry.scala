@@ -29,8 +29,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * delivery_id-partitioned ingest since r10), the two-tier video
   * prefilter recall audit ext122 (whole-video + segment signature
   * tiers), span removal on the content-sampled production detector
-  * ext123 and the signature-tier band health audit ext124 —
-  * 186 catalog entries total);
+  * ext123, the signature-tier band health audit ext124, the streaming
+  * watchlist monitor at corpus scale ext125 and the broadcast-probe
+  * benchmark-contamination audit ext126 (exact) / guard ext127
+  * (winnowing production tier) —
+  * 189 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

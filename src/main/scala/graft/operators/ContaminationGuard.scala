@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BENCHMARK-CONTAMINATION detection — the train/eval hygiene check every
+  * LLM data pipeline runs before a corpus ships (the "data contamination"
+  * audit of Brown et al., NeurIPS 2020 §4 and Dodge et al., EMNLP 2021):
+  * flag training documents that verbatim-contain text from a held-out
+  * benchmark/eval suite, with WHERE and HOW MUCH, so the overlap can be
+  * excised or the eval discounted.
+  *
+  * Shape: the benchmark side is SMALL by contract (eval suites are
+  * megabytes; the corpus is the 100 TB side), so its window-hash index is
+  * collected once and BROADCAST, and the corpus scan is one map-side pass —
+  * per document: enumerate [[SubstringDedup]]-style fixed-length
+  * character-window hashes, probe the broadcast set, and fold matched
+  * positions into per-benchmark-document islands IN PLACE. Zero shuffle,
+  * zero join, no state: the exact economics of the n-gram membership
+  * filters production pipelines run at this scale (cf. the 13-gram Bloom
+  * probes of GPT-3/C4 decontamination), here with exact positions instead
+  * of a probabilistic yes/no.
+  *
+  * Tiers, mirroring [[SubstringDedup.spanRemoval]]'s dial: `hexPrefix = ""`
+  * enumerates EVERY window (the exact audit tier — one md5 per character
+  * position, linear but hash-heavy); `hexPrefix = "0"` keeps the 1/16
+  * content-sampled (winnowing) windows on BOTH sides — the same window
+  * text self-selects identically in the benchmark and in the corpus, so a
+  * shared run of ~window+16 chars is still expected to surface while the
+  * broadcast holds 1/16 of the entries and the scan probes 1/16 of the
+  * positions (the md5 per position is paid either way — content-based
+  * selection IS the hash; recall erosion on short runs is exactly what
+  * ext80 prices).
+  *
+  * Both tiers are deterministic pure functions of the text, so both are
+  * DuckDB-oracle-checkable (ext126 exact / ext127 sampled).
+  */
+object ContaminationGuard {
+
+  /** Broadcast-able benchmark window-hash index: md5-hex → benchmark doc
+    * ids holding that window, plus each benchmark's distinct-hash count
+    * (the coverage denominator). Window positions are NOT kept — the
+    * corpus side only needs membership + attribution. */
+  final case class BenchIndex(
+      window: Int,
+      hexPrefix: String,
+      hashToBench: Map[String, Array[Long]],
+      benchHashes: Map[Long, Long])
+
+  /** One flagged (training doc, benchmark doc) overlap. Chars are island
+    * extents (interval union of matched windows, gap ≤ window−1 merges). */
+  final case class Overlap(bench_id: Long, n_matched_windows: Long,
+      contaminated_chars: Long, longest_run_chars: Long, n_bench_hashes_hit: Long)
+
+  /** Build the benchmark index: distinct (bench_id, window-hash) pairs,
+    * collected — BOUNDED BY CONTRACT (an eval suite, not a corpus; a
+    * corpus-sized "benchmark" is a duplicated-spans join —
+    * [[SubstringDedup.duplicatedSpans]] — not a broadcast probe). */
+  def benchmarkIndex(bench: DataFrame, textCol: String, idCol: String,
+      window: Int = 64, hexPrefix: String = ""): BenchIndex = {
+    require(window >= 8, s"window must be >= 8 code points, got $window")
+    val windows = windowHashUdf(window, hexPrefix)
+    val rows = bench
+      .select(col(idCol).cast("long").as("bench_id"),
+        explode(windows(col(textCol))).as("w"))
+      .select(col("bench_id"), col("w._2").as("h"))
+      .distinct()
+      .collect()
+    val byHash = rows.groupBy(_.getString(1))
+      .map { case (h, rs) => h -> rs.map(_.getLong(0)).sorted }
+    val sizes = rows.groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.length.toLong }
+    BenchIndex(window, hexPrefix, byHash, sizes)
+  }
+
+  /** Scan `docs` against the broadcast index. Output, one row per
+    * contaminated (doc, benchmark) pair — clean documents are absent:
+    * (doc_id, bench_id, n_matched_windows, contaminated_chars,
+    * longest_run_chars, bench_coverage) where n_matched_windows counts
+    * matched corpus positions, the char columns are island extents in the
+    * TRAINING doc, and bench_coverage = matched distinct benchmark hashes
+    * / the benchmark's distinct hashes (how much of the eval leaked, not
+    * how much of the doc is eval). Works on a stream identically —
+    * stateless map-side transform ([[graft.streaming.WatchlistMonitor]]
+    * wraps it for the ingest-time shape). */
+  def flag(docs: DataFrame, textCol: String, idCol: String,
+      index: BenchIndex): DataFrame =
+    flagKeeping(docs, textCol, index,
+      Seq(col(idCol).cast("long").as("doc_id")))
+
+  /** [[flag]] with caller-chosen passthrough columns (the streaming
+    * monitor keeps the item's envelope; the batch entry keeps the id). */
+  private[graft] def flagKeeping(docs: DataFrame, textCol: String,
+      index: BenchIndex, keep: Seq[Column]): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val probe = udf { text: String =>
+      if (text == null) Array.empty[Overlap]
+      else {
+        val idx = bc.value
+        val window = idx.window
+        val prefixNibbles = nibbles(idx.hexPrefix)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // per-bench fold state: positions arrive in ascending order, so
+        // islands close as soon as a gap > window-1 appears
+        val st = scala.collection.mutable.LongMap.empty[Fold]
+        val cps = text.codePointCount(0, text.length)
+        if (cps >= window) {
+          val offsets = graft.functions.TextFunctions.codePointOffsets(text)
+          var s = 0
+          while (s + window <= cps) {
+            md.reset()
+            val digest = md.digest(text.substring(offsets(s), offsets(s + window))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (SubstringDedup.nibblesMatch(digest, prefixNibbles)) {
+              val hex = SubstringDedup.toHex(digest)
+              idx.hashToBench.get(hex) match {
+                case Some(benches) =>
+                  val pos = s + 1L // 1-based, the SubstringDedup convention
+                  benches.foreach { b =>
+                    st.getOrElseUpdate(b, new Fold(window)).add(pos, hex)
+                  }
+                case None => ()
+              }
+            }
+            s += 1
+          }
+        }
+        st.toArray.sortBy(_._1).map { case (b, f) => f.finish(b) }
+      }
+    }.asNondeterministic() // one hashing pass per row — optimizer fence
+    val flagged = docs
+      .withColumn("__overlaps", probe(col(textCol)))
+      .select(keep :+ explode(col("__overlaps")).as("o"): _*)
+    val denom = udf { bench: Long => bc.value.benchHashes(bench) }
+    flagged
+      .select((flagged.columns.dropRight(1).map(col) ++ Seq(
+        col("o.bench_id"),
+        col("o.n_matched_windows"),
+        col("o.contaminated_chars"),
+        col("o.longest_run_chars"),
+        round(col("o.n_bench_hashes_hit").cast("double") /
+          denom(col("o.bench_id")), 6).as("bench_coverage"))): _*)
+  }
+
+  private def nibbles(hexPrefix: String): Array[Int] =
+    hexPrefix.toCharArray.map { c =>
+      val v = Character.digit(c, 16)
+      require(v >= 0, s"hexPrefix must be hex chars, got '$c'")
+      v
+    }
+
+  /** Island fold over one (doc, bench)'s matched positions, fed in
+    * ascending order: counts positions + distinct hashes, merges
+    * positions ≤ window−1 apart into char intervals. */
+  private final class Fold(window: Int) {
+    private var n = 0L
+    private var islandStart = -1L
+    private var last = -1L
+    private var chars = 0L
+    private var longest = 0L
+    private val hashes = scala.collection.mutable.Set.empty[String]
+
+    def add(pos: Long, hex: String): Unit = {
+      n += 1
+      hashes += hex
+      if (islandStart < 0) { islandStart = pos; last = pos }
+      else if (pos - last <= window - 1) last = pos
+      else { close(); islandStart = pos; last = pos }
+    }
+
+    private def close(): Unit = {
+      val ext = last - islandStart + window
+      chars += ext
+      if (ext > longest) longest = ext
+    }
+
+    def finish(bench: Long): Overlap = {
+      if (islandStart >= 0) close()
+      Overlap(bench, n, chars, longest, hashes.size.toLong)
+    }
+  }
+
+  /** All (pos, md5-hex) windows of `window` code points passing the
+    * `hexPrefix` content-sampling test — the [[SubstringDedup]] window
+    * enumeration, shared so the guard and the dedup family can never
+    * disagree on what a window is. */
+  private def windowHashUdf(window: Int, hexPrefix: String): Column => Column =
+    SubstringDedup.sampledWindows(window, hexPrefix)
+}

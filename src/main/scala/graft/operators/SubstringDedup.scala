@@ -35,7 +35,7 @@ object SubstringDedup {
     */
   private val HexChars = "0123456789abcdef".toCharArray
 
-  private def toHex(digest: Array[Byte]): String = {
+  private[operators] def toHex(digest: Array[Byte]): String = {
     val out = new Array[Char](digest.length * 2)
     var i = 0
     while (i < digest.length) {
@@ -50,7 +50,7 @@ object SubstringDedup {
     * sampling test on the raw bytes, so the ~15/16 rejected windows never
     * pay for hex encoding (only MD5 itself).
     */
-  private def nibblesMatch(digest: Array[Byte], prefixNibbles: Array[Int]): Boolean = {
+  private[operators] def nibblesMatch(digest: Array[Byte], prefixNibbles: Array[Int]): Boolean = {
     var i = 0
     while (i < prefixNibbles.length) {
       val nib = if (i % 2 == 0) (digest(i / 2) >> 4) & 0xF else digest(i / 2) & 0xF
@@ -60,7 +60,7 @@ object SubstringDedup {
     true
   }
 
-  private def sampledWindows(window: Int, hexPrefix: String): Column => Column = {
+  private[operators] def sampledWindows(window: Int, hexPrefix: String): Column => Column = {
     val prefixNibbles = hexPrefix.toCharArray.map { c =>
       val v = Character.digit(c, 16)
       require(v >= 0, s"hexPrefix must be hex chars, got '$c'")

@@ -4490,6 +4490,155 @@ object ExtensionQueries {
               .withColumn("tier", lit("segment_sig_d4_hop2")))
           .orderBy("tier", "band", "size_class")
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------ EXT125
+    // STREAMING WATCHLIST MONITOR AT CORPUS SCALE — the r11 rights/
+    // compliance monitor (WatchlistMonitor) run over the containment
+    // corpus as a batch frame (the monitor is a stateless map-side
+    // transform, so batch and stream share the implementation — the
+    // MemoryStream side is pinned in WatchlistMonitorSpec): the first 10
+    // clips (doc_id % 4 == 0, doc_id < 40) are fingerprinted once with
+    // ext109's window-hash arithmetic and broadcast; every OTHER track in
+    // the corpus is scored map-side from one decode with the shared
+    // temporal-alignment vote. Expected flags are the corpus's designed
+    // embeds of watched clips: tracks doc_id % 4 == 3 with doc_id < 43,
+    // each at window offset 3 — every other track (fresh tracks, embeds
+    // of UNWATCHED clips, unwatched clips themselves) passes silently.
+    // Zero shuffle, zero state: cost is |items| decodes × a broadcast
+    // probe, the shape that holds when the item side is the 100 TB
+    // firehose and the watchlist is a takedown list. Rows-only (no audio
+    // stack in DuckDB); WatchlistMonitorSpec pins flag set, offsets and
+    // batch-containment verdict parity.
+    QueryDef(
+      "ext125_watchlist_flags",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val watched = col("doc_id") % 4 === 0 && col("doc_id") < 40
+        val watch = graft.streaming.WatchlistMonitor.audioWatchlist(
+          graft.sources.AudioCorpus.trackFor(ids.filter(watched), "doc_id"),
+          "wav", "doc_id",
+          windowSec = graft.sources.AudioCorpus.TrackWindowSec)
+        graft.streaming.WatchlistMonitor.flagAudio(
+          graft.sources.AudioCorpus.trackFor(ids.filter(!watched), "doc_id"),
+          "wav", watch,
+          windowSec = graft.sources.AudioCorpus.TrackWindowSec)
+          .orderBy("doc_id", "clip_id")
+      },
+      None),
+
+    // ------------------------------------------------------------ EXT126
+    // BENCHMARK-CONTAMINATION AUDIT, exact tier — the train/eval overlap
+    // check every LLM corpus ships through (Brown et al. 2020 §4, Dodge
+    // et al. 2021), restated for Spark: the "benchmark" (here docs with
+    // doc_id % 10 == 0 — an eval suite is small by contract) has its
+    // 64-char window hashes collected and BROADCAST; the rest of the
+    // corpus is scanned in ONE map-side pass that probes the broadcast
+    // set and folds matched positions into per-benchmark islands in
+    // place — zero shuffle, zero join on the corpus side, the n-gram
+    // membership economics of production decontamination with exact
+    // positions instead of a Bloom filter's yes/no. Output per
+    // contaminated (doc, bench) pair: matched window count, island char
+    // extents (total + longest run), and bench_coverage = the fraction
+    // of the benchmark's distinct windows that leaked (the dial that
+    // says "this eval is burned", vs the doc-side extents that say "cut
+    // here"). Exact tier = every window hashed and probed (audit tier,
+    // ext80's discipline — at corpus scale run ext127's sampled dial or
+    // a held-out slice). Fully ORACLE-CHECKED including the island
+    // arithmetic; ContaminationGuardSpec pins planted leaks
+    // position-for-position.
+    QueryDef(
+      "ext126_contamination_exact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchPred = col("doc_id") % 10 === 0
+        val idx = graft.operators.ContaminationGuard.benchmarkIndex(
+          docs.filter(benchPred), "text", "doc_id", window = 64)
+        graft.operators.ContaminationGuard.flag(
+          docs.filter(!benchPred), "text", "doc_id", idx)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(contaminationOracle(sampled = false)), bench = false),
+
+    // ------------------------------------------------------------ EXT127
+    // BENCHMARK-CONTAMINATION GUARD, production (winnowing) tier — the
+    // SAME guard on the 1/16 content-sampled windows, the dial that runs
+    // against the full corpus: both sides keep a window iff its own md5
+    // self-selects (content-based, so a leaked run selects the same
+    // windows in the benchmark and in the training doc regardless of
+    // position — a positional stride could never promise that), the
+    // broadcast holds 1/16 of the benchmark entries, and a shared run of
+    // ~window+16 chars is still expected to surface. Same output shape
+    // as ext126; island extents are on SAMPLED positions, so chars are a
+    // detection footprint, not the exact excision intervals — a hit
+    // graduates to ext126's exact arithmetic on the flagged pair (two
+    // bounded docs), never on the corpus. ORACLE-CHECKED: the sampling
+    // test is md5-prefix arithmetic DuckDB reproduces verbatim.
+    QueryDef(
+      "ext127_contamination_sampled",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchPred = col("doc_id") % 10 === 0
+        val idx = graft.operators.ContaminationGuard.benchmarkIndex(
+          docs.filter(benchPred), "text", "doc_id", window = 64,
+          hexPrefix = "0")
+        graft.operators.ContaminationGuard.flag(
+          docs.filter(!benchPred), "text", "doc_id", idx)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(contaminationOracle(sampled = true)))
   )
+
+  /** Shared ext126/ext127 oracle — the guard's broadcast probe restated
+    * as a DuckDB join + gaps-and-islands (same md5/substr window
+    * convention as ext80's oracle; `sampled` adds the 1/16 md5-prefix
+    * self-selection to BOTH sides, exactly like the Spark tiers). */
+  private def contaminationOracle(sampled: Boolean): String = {
+    val keep = if (sampled) "WHERE substr(h, 1, 1) = '0'" else ""
+    s"""
+      WITH w0 AS (
+        SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+        FROM documents,
+             UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+      w AS (SELECT * FROM w0 $keep),
+      bench AS (SELECT DISTINCT doc_id AS bench_id, h FROM w
+                WHERE doc_id % 10 = 0),
+      bsz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench
+              FROM bench GROUP BY bench_id),
+      m AS (SELECT w.doc_id, bench.bench_id, w.pos, w.h
+            FROM w JOIN bench USING (h)
+            WHERE NOT (w.doc_id % 10 = 0)),
+      isl AS (
+        SELECT doc_id, bench_id, pos, h,
+               CASE WHEN pos - LAG(pos) OVER
+                 (PARTITION BY doc_id, bench_id ORDER BY pos) <= 63
+               THEN 0 ELSE 1 END AS newgrp
+        FROM m),
+      g AS (
+        SELECT doc_id, bench_id, pos, h,
+               SUM(newgrp) OVER
+                 (PARTITION BY doc_id, bench_id ORDER BY pos) AS grp
+        FROM isl),
+      runs AS (
+        SELECT doc_id, bench_id, grp, MAX(pos) - MIN(pos) + 64 AS ext
+        FROM g GROUP BY doc_id, bench_id, grp),
+      agg AS (
+        SELECT doc_id, bench_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matched_windows,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hit
+        FROM m GROUP BY doc_id, bench_id),
+      runagg AS (
+        SELECT doc_id, bench_id,
+               CAST(SUM(ext) AS BIGINT) AS contaminated_chars,
+               CAST(MAX(ext) AS BIGINT) AS longest_run_chars
+        FROM runs GROUP BY doc_id, bench_id)
+      SELECT a.doc_id, a.bench_id, a.n_matched_windows,
+             r.contaminated_chars, r.longest_run_chars,
+             ROUND(CAST(a.n_hit AS DOUBLE) / b.n_bench, 6) AS bench_coverage
+      FROM agg a
+      JOIN runagg r USING (doc_id, bench_id)
+      JOIN bsz b USING (bench_id)
+      ORDER BY a.doc_id, a.bench_id
+    """
+  }
 }

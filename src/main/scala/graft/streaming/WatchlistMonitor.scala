@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.cv.AudioOps
-import graft.operators.{AudioContainment, TemporalAlignment, VideoDedup}
+import graft.operators.{AudioContainment, ContaminationGuard, TemporalAlignment, VideoDedup}
 
 /** STREAMING CLIP-CONTAINMENT MONITOR — the operational shape a
   * rights/compliance pipeline runs (r10 verdict #7): a SMALL watchlist of
@@ -99,6 +99,28 @@ object WatchlistMonitor {
     monitor(items, videoCol, watchlist,
       bytes => VideoDedup.sampleFrameHashes(bytes, everyNth),
       maxDist, jitter = everyNth, minCoverage)
+
+  /** Fingerprint a batch frame of watchlist TEXT — the
+    * benchmark-contamination shape ([[ContaminationGuard]]): the
+    * watchlist is an eval/benchmark suite whose leaked excerpts must not
+    * ride an ingest into the training corpus. Same bounded-collect
+    * contract as the media watchlists. */
+  def textWatchlist(bench: DataFrame, textCol: String, idCol: String,
+      window: Int = 64, hexPrefix: String = ""): ContaminationGuard.BenchIndex =
+    ContaminationGuard.benchmarkIndex(bench, textCol, idCol, window, hexPrefix)
+
+  /** Flag arriving text against the watchlist — [[ContaminationGuard.flag]]
+    * keeping the item's envelope columns: every column of `items` except
+    * the text, plus (bench_id, n_matched_windows, contaminated_chars,
+    * longest_run_chars, bench_coverage); one row per flagged
+    * (item, benchmark doc), nothing for clean items. Stateless map-side
+    * broadcast probe — runs on a stream or a batch frame identically,
+    * number-for-number with the batch guard (shared implementation, not
+    * just shared arithmetic). */
+  def flagText(items: DataFrame, textCol: String,
+      watchlist: ContaminationGuard.BenchIndex): DataFrame =
+    ContaminationGuard.flagKeeping(items, textCol, watchlist,
+      items.columns.filterNot(_ == textCol).map(col).toSeq)
 
   /** The modality-generic core: ONE fenced decode per item, the vote per
     * broadcast clip, explode to flag rows. The broadcast ships the

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Benchmark-contamination guard (ext126/ext127): planted verbatim
+  * excerpts flag with exact window counts, island extents and benchmark
+  * coverage; clean/short/null documents stay silent; two disjoint copies
+  * of one excerpt merge into two islands but one hash set; the sampled
+  * tier agrees with an independent reimplementation of the winnowing
+  * selection; and the island arithmetic equals [[SubstringDedup]]'s
+  * batch gaps-and-islands on the same positions.
+  */
+class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private val W = 64
+
+  /** Deterministic letter soup with no repeated W-char window (checked
+    * below): splitmix-style per-position letters over a 26-char alphabet. */
+  private def soup(seed: Long, n: Int): String = {
+    val sb = new StringBuilder(n)
+    var x = seed * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+    var i = 0
+    while (i < n) {
+      x ^= x >>> 27; x *= 0x3c79ac492ba7b653L; x ^= x >>> 33
+      sb.append(('a' + ((x & 0x7fffffffL) % 26)).toChar)
+      x += 0x9e3779b97f4a7c15L
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val bench0 = soup(1L, 200) // 137 windows, all distinct
+  private val bench1 = soup(2L, 150) // 87 windows
+  private val benchDf = Seq((0L, bench0), (1L, bench1)).toDF("doc_id", "text")
+
+  private def md5hex(s: String): String =
+    SubstringDedup.toHex(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  private def windowsOf(t: String): Seq[String] =
+    (0 to t.length - W).map(i => md5hex(t.substring(i, i + W)))
+
+  test("fixture sanity: benchmark windows are distinct within and across benches") {
+    val w0 = windowsOf(bench0)
+    val w1 = windowsOf(bench1)
+    assert(w0.distinct.size == 137 && w1.distinct.size == 87)
+    assert((w0.toSet & w1.toSet).isEmpty)
+  }
+
+  test("exact tier: planted excerpts flag with window counts, island extents and coverage; clean/short/null are silent") {
+    val excerpt0 = bench0.substring(50, 150) // 100 chars -> 37 windows
+    val excerpt1 = bench1.substring(0, 80)   // 80 chars  -> 17 windows
+    val docs = Seq(
+      (10L, soup(10L, 120) + excerpt0 + soup(11L, 90)),  // bench0 at pos 121
+      (11L, soup(12L, 300)),                             // clean
+      (12L, excerpt0 + soup(13L, 100) + excerpt1),       // both benches
+      (13L, "tiny"),                                     // shorter than W
+      (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val idx = ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W)
+    assert(idx.benchHashes == Map(0L -> 137L, 1L -> 87L))
+    val got = ContaminationGuard.flag(docs, "text", "doc_id", idx)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((10L, 0L), (12L, 0L), (12L, 1L)))
+    val r10 = got.head
+    assert(r10.getAs[Long]("n_matched_windows") == 37L)
+    assert(r10.getAs[Long]("contaminated_chars") == 100L)
+    assert(r10.getAs[Long]("longest_run_chars") == 100L)
+    assert(r10.getAs[Double]("bench_coverage") ==
+      BigDecimal(37.0 / 137).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val r12b1 = got(2)
+    assert(r12b1.getAs[Long]("n_matched_windows") == 17L)
+    assert(r12b1.getAs[Long]("contaminated_chars") == 80L)
+    assert(r12b1.getAs[Double]("bench_coverage") ==
+      BigDecimal(17.0 / 87).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("two disjoint copies of one excerpt: two islands, summed chars, one hash set") {
+    val excerpt = bench0.substring(0, 100) // 37 windows
+    val docs = Seq(
+      (20L, excerpt + soup(20L, 200) + excerpt)) // gap 200 > W-1
+      .toDF("doc_id", "text")
+    val idx = ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W)
+    val r = ContaminationGuard.flag(docs, "text", "doc_id", idx).collect().head
+    assert(r.getAs[Long]("n_matched_windows") == 74L) // both copies' positions
+    assert(r.getAs[Long]("contaminated_chars") == 200L) // two 100-char islands
+    assert(r.getAs[Long]("longest_run_chars") == 100L)
+    // coverage counts DISTINCT benchmark hashes: the second copy adds none
+    assert(r.getAs[Double]("bench_coverage") ==
+      BigDecimal(37.0 / 137).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("two bench-discontiguous excerpts concatenated: adjacent extents count each char once") {
+    // ex1 ends at bench pos 70, ex2 starts at bench pos 100, so windows
+    // SPANNING the junction match nothing; the two islands' extents are
+    // exactly adjacent (window-start gap 64 = W), and the char total is
+    // the doc length -- adjacency never double-counts
+    val ex1 = bench0.substring(0, 70)    // 7 windows at doc pos 1..7
+    val ex2 = bench0.substring(100, 170) // 7 windows at doc pos 71..77
+    val docs = Seq((30L, ex1 + ex2)).toDF("doc_id", "text")
+    val idx = ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W)
+    val r = ContaminationGuard.flag(docs, "text", "doc_id", idx).collect().head
+    assert(r.getAs[Long]("n_matched_windows") == 14L)
+    assert(r.getAs[Long]("contaminated_chars") == 140L) // == doc length
+    assert(r.getAs[Long]("longest_run_chars") == 70L)   // two 70-char islands
+  }
+
+  test("sampled tier: both sides keep exactly the self-selecting windows; a long leak still flags") {
+    val excerpt = bench0 // the WHOLE benchmark doc leaked (200 chars)
+    val docs = Seq(
+      (40L, soup(40L, 100) + excerpt + soup(41L, 100)),
+      (41L, soup(42L, 400))) // clean
+      .toDF("doc_id", "text")
+    val idx = ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id",
+      W, hexPrefix = "0")
+    // independent reimplementation of the 1/16 winnowing selection
+    val kept0 = windowsOf(bench0).filter(_.startsWith("0"))
+    val kept1 = windowsOf(bench1).filter(_.startsWith("0"))
+    assert(idx.benchHashes == Map(0L -> kept0.distinct.size.toLong,
+      1L -> kept1.distinct.size.toLong))
+    assert(kept0.nonEmpty, "fixture must keep >=1 sampled window")
+    val got = ContaminationGuard.flag(docs, "text", "doc_id", idx)
+      .collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) == Seq((40L, 0L)))
+    // every kept benchmark window occurs verbatim in the doc -> full
+    // sampled coverage, and matched positions == kept windows
+    assert(got.head.getAs[Long]("n_matched_windows") == kept0.size.toLong)
+    assert(got.head.getAs[Double]("bench_coverage") == 1.0)
+  }
+
+  test("guard islands == SubstringDedup's batch gaps-and-islands on the same matched positions") {
+    // feed the SAME text to duplicatedCoverage (doc + benchmark as two
+    // docs: every benchmark window is duplicated) and compare extents
+    val excerpt = bench0.substring(20, 160) // 140 chars
+    val docText = soup(50L, 80) + excerpt + soup(51L, 80)
+    val idx = ContaminationGuard.benchmarkIndex(
+      Seq((0L, excerpt)).toDF("doc_id", "text"), "text", "doc_id", W)
+    val guard = ContaminationGuard.flag(
+      Seq((60L, docText)).toDF("doc_id", "text"), "text", "doc_id", idx)
+      .collect().head
+    val cov = SubstringDedup.duplicatedCoverage(
+      Seq((0L, excerpt), (60L, docText)).toDF("doc_id", "text"),
+      "text", "doc_id", W)
+      .filter($"doc_id" === 60L).collect().head
+    assert(guard.getAs[Long]("contaminated_chars") ==
+      cov.getAs[Long]("dup_chars"))
+    assert(guard.getAs[Long]("n_matched_windows") == 77L) // 140-64+1
+  }
+
+  test("streaming flagText == batch flag (shared implementation), envelope kept") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val excerpt = bench0.substring(50, 150)
+    val idx = graft.streaming.WatchlistMonitor.textWatchlist(
+      benchDf, "text", "doc_id", W)
+    val mk = Seq(
+      (100L, "crawlA", soup(60L, 50) + excerpt),
+      (101L, "crawlB", soup(61L, 300)))
+    val batch = graft.streaming.WatchlistMonitor.flagText(
+      mk.toDF("item_id", "source", "text"), "text", idx).collect().toSeq
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(mk: _*)
+    val out = java.nio.file.Files.createTempDirectory("contam").toString
+    graft.streaming.WatchlistMonitor.flagText(
+        stream.toDF().toDF("item_id", "source", "text"), "text", idx)
+      .writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$out/flags")
+      }
+      .start().awaitTermination()
+    val streamed = spark.read.parquet(s"$out/flags").collect().toSeq
+    def key(r: Row) = (r.getAs[Long]("item_id"), r.getAs[String]("source"),
+      r.getAs[Long]("bench_id"), r.getAs[Long]("n_matched_windows"),
+      r.getAs[Long]("contaminated_chars"), r.getAs[Long]("longest_run_chars"),
+      r.getAs[Double]("bench_coverage"))
+    assert(streamed.map(key).sorted == batch.map(key).sorted)
+    assert(batch.map(r => r.getAs[Long]("item_id")) == Seq(100L))
+  }
+}
