@@ -55,9 +55,15 @@ object ContaminationGuard {
   /** Build the benchmark index: distinct (bench_id, window-hash) pairs,
     * collected — BOUNDED BY CONTRACT (an eval suite, not a corpus; a
     * corpus-sized "benchmark" is a duplicated-spans join —
-    * [[SubstringDedup.duplicatedSpans]] — not a broadcast probe). */
+    * [[SubstringDedup.duplicatedSpans]] — not a broadcast probe), and the
+    * contract is ENFORCED: more than `maxEntries` distinct windows aborts
+    * with a pointer to the banded path instead of silently collecting a
+    * corpus onto the driver (`limit(maxEntries + 1)` bounds what the
+    * check itself materializes). The default (2M entries ≈ low hundreds
+    * of MB broadcast) is far above any real eval suite. */
   def benchmarkIndex(bench: DataFrame, textCol: String, idCol: String,
-      window: Int = 64, hexPrefix: String = ""): BenchIndex = {
+      window: Int = 64, hexPrefix: String = "",
+      maxEntries: Int = 2000000): BenchIndex = {
     require(window >= 8, s"window must be >= 8 code points, got $window")
     val windows = windowHashUdf(window, hexPrefix)
     val rows = bench
@@ -65,7 +71,12 @@ object ContaminationGuard {
         explode(windows(col(textCol))).as("w"))
       .select(col("bench_id"), col("w._2").as("h"))
       .distinct()
+      .limit(maxEntries + 1)
       .collect()
+    require(rows.length <= maxEntries,
+      s"benchmark index exceeds maxEntries=$maxEntries distinct windows: " +
+        "the broadcast-probe guard is for eval-suite-sized benchmarks; " +
+        "for corpus-vs-corpus overlap use SubstringDedup.duplicatedSpans")
     val byHash = rows.groupBy(_.getString(1))
       .map { case (h, rs) => h -> rs.map(_.getLong(0)).sorted }
     val sizes = rows.groupBy(_.getLong(0))

@@ -100,6 +100,52 @@ object WatchlistMonitor {
       bytes => VideoDedup.sampleFrameHashes(bytes, everyNth),
       maxDist, jitter = everyNth, minCoverage)
 
+  /** Fingerprint a batch frame of watchlist IMAGES — the known-bad-image
+    * list shape (the PhotoDNA/industry hash-list pattern): whole-item
+    * perceptual hashes, no temporal axis, so a watch entry is just
+    * (clip_id, mirror-canonical DCT pHash) — the EXACT fingerprint of
+    * ext101's batch pair join and the streaming suppressor. Undecodable
+    * watchlist entries are dropped. Bounded collect (class doc). */
+  def imageWatchlist(images: DataFrame, imageCol: String,
+      idCol: String): Seq[(Long, Long)] =
+    graft.operators.ImageDedup.hashes(images, imageCol, idCol)
+      .select(col("id").cast("long"), col("phash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  /** Flag arriving images within Hamming `maxDist` of any watchlist
+    * entry — ext101's pair verdict (`bit_count(a XOR b) <= maxDist` on
+    * the shared mirror-canonical fingerprint, so a mirrored or
+    * re-encoded re-post of a watched image still flags) as a stateless
+    * map-side broadcast probe: one fenced decode per item, a linear scan
+    * of the broadcast list per item (a takedown list, not a corpus — the
+    * corpus-scale form is ext101's banded join). Output: every column of
+    * `items` except the payload, plus (clip_id, distance) per flagged
+    * (item, watch) pair; undecodable and clean items pass silently. */
+  def flagImage(items: DataFrame, imageCol: String,
+      watchlist: Seq[(Long, Long)], maxDist: Int = 3): DataFrame = {
+    val bc = items.sparkSession.sparkContext.broadcast(watchlist.toArray)
+    val hitsUdf = udf { bytes: Array[Byte] =>
+      Option(bytes).flatMap(graft.cv.ImageOps.decode) match {
+        case None => Array.empty[ImageHit]
+        case Some(img) =>
+          val h = graft.cv.ImageOps.pHash64MirrorCanonical(img)
+          bc.value.flatMap { case (cid, wh) =>
+            val d = java.lang.Long.bitCount(h ^ wh)
+            if (d <= maxDist) Some(ImageHit(cid, d)) else None
+          }
+      }
+    }.asNondeterministic() // optimizer fence — one decode per item
+    val keep = items.columns.filterNot(_ == imageCol).map(col)
+    items.withColumn("__hits", hitsUdf(col(imageCol)))
+      .select(keep :+ explode(col("__hits")).as("hit"): _*)
+      .select(keep :+ col("hit.clip_id") :+ col("hit.distance"): _*)
+  }
+
+  /** One flagged (item, watched image) pair: Hamming distance between
+    * the two mirror-canonical fingerprints (<= the probe's maxDist). */
+  final case class ImageHit(clip_id: Long, distance: Int)
+
   /** Fingerprint a batch frame of watchlist TEXT — the
     * benchmark-contamination shape ([[ContaminationGuard]]): the
     * watchlist is an eval/benchmark suite whose leaked excerpts must not

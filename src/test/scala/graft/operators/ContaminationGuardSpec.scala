@@ -156,6 +156,18 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     assert(guard.getAs[Long]("n_matched_windows") == 77L) // 140-64+1
   }
 
+  test("the bounded-collect contract is enforced: a corpus-sized benchmark aborts with a pointer to the banded path") {
+    val e = intercept[IllegalArgumentException] {
+      ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W,
+        maxEntries = 100) // bench0+bench1 hold 224 distinct windows
+    }
+    assert(e.getMessage.contains("duplicatedSpans"), e.getMessage)
+    // and the cap is on DISTINCT entries, so a legitimate suite just fits
+    val idx = ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W,
+      maxEntries = 224)
+    assert(idx.benchHashes.values.sum == 224L)
+  }
+
   test("streaming flagText == batch flag (shared implementation), envelope kept") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val excerpt = bench0.substring(50, 150)

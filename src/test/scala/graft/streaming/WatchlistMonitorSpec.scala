@@ -108,6 +108,47 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     assert(f.getAs[Double]("coverage") == b.head.getAs[Double]("coverage"))
   }
 
+  test("image: perturbed and mirrored re-posts of a watched image flag on a stream; fresh families and junk pass; distance == ext101 pair arithmetic") {
+    import graft.cv.{ImageOps, Png}
+    import graft.sources.ImageCorpus
+    val watch = WatchlistMonitor.imageWatchlist(
+      Seq((0L, ImageCorpus.render(0L))).toDF("doc_id", "png"),
+      "png", "doc_id")
+    assert(watch.map(_._1) == Seq(0L))
+    // a horizontally mirrored re-post of the watched image, through the
+    // engine's own PNG path (the classic hash-list evasion)
+    val img = ImageOps.decode(ImageCorpus.render(0L)).get
+    val flipped = new Array[Byte](img.px.length)
+    for (r <- 0 until img.rows; c <- 0 until img.cols; k <- 0 until img.channels)
+      flipped((r * img.cols + c) * img.channels + k) =
+        img.px((r * img.cols + (img.cols - 1 - c)) * img.channels + k)
+    val mirrorPng = Png.encodeBytes(flipped, img.rows, img.cols, img.channels)
+    val base = Files.createTempDirectory("watchmon-image").toString
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Array[Byte])]
+    stream.addData(
+      (1L, "feedA", ImageCorpus.render(1L)),  // family member (perturbed)
+      (2L, "feedA", mirrorPng),               // mirrored re-post
+      (9L, "feedB", ImageCorpus.render(9L)),  // fresh family -> silent
+      (10L, "feedB", Array[Byte](9, 9, 9)))   // junk -> silent
+    runStream(
+      WatchlistMonitor.flagImage(
+        stream.toDF().toDF("img_id", "source", "png"), "png", watch),
+      s"$base/flags", s"$base/ckpt")
+    val flags = spark.read.parquet(s"$base/flags").collect()
+      .map(r => (r.getAs[Long]("img_id"), r.getAs[Long]("clip_id"),
+        r.getAs[Int]("distance"))).sortBy(_._1).toSeq
+    assert(flags.map(f => (f._1, f._2)) == Seq((1L, 0L), (2L, 0L)), s"got $flags")
+    // mirror canonicalization is exact: the mirrored re-post at distance 0
+    assert(flags.find(_._1 == 2L).get._3 == 0)
+    // distance parity with the ext101 batch pair arithmetic
+    val b = graft.operators.ImageDedup.nearDupPairs(
+      Seq((0L, ImageCorpus.render(0L)), (1L, ImageCorpus.render(1L)))
+        .toDF("doc_id", "png"), "png", "doc_id", maxDist = 3).collect()
+    assert(b.length == 1 &&
+      flags.find(_._1 == 1L).get._3.toLong == b.head.getAs[Long]("dist"))
+  }
+
   test("the same transform runs unchanged over a batch frame (stream==batch by construction)") {
     // the monitor is a pure stateless transform: point it at a static
     // frame and the flag set is identical to what the stream produced —
