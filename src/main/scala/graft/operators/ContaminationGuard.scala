@@ -153,6 +153,55 @@ object ContaminationGuard {
           denom(col("o.bench_id")), 6).as("bench_coverage"))): _*)
   }
 
+  /** First-hit evidence of [[withHit]]'s gate probe. */
+  final case class GateHit(bench_id: Long, match_pos: Long)
+
+  /** First-hit gate probe for ingest paths
+    * ([[graft.streaming.CorpusIngest]]): adds `outCol` — null for clean
+    * rows, struct(bench_id, match_pos) of the FIRST matched window
+    * (lowest position; lowest bench id if one window serves several
+    * benchmarks) otherwise. Unlike [[flag]] it SHORT-CIRCUITS at the
+    * first hit: the gating question is "does any eval window occur
+    * here", so a leaked doc stops scanning at its first leaked window
+    * (the clean common case still pays the full linear scan — that cost
+    * is irreducible) and the flagged doc's full story is one [[flag]]
+    * call over the bounded flagged set, never the corpus. */
+  def withHit(docs: DataFrame, textCol: String, index: BenchIndex,
+      outCol: String = "contamination"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val probe = udf { text: String =>
+      if (text == null) None
+      else {
+        val idx = bc.value
+        val window = idx.window
+        val prefixNibbles = nibbles(idx.hexPrefix)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cps = text.codePointCount(0, text.length)
+        var hit: Option[GateHit] = None
+        if (cps >= window) {
+          val offsets = graft.functions.TextFunctions.codePointOffsets(text)
+          var s = 0
+          while (hit.isEmpty && s + window <= cps) {
+            md.reset()
+            val digest = md.digest(
+              text.substring(offsets(s), offsets(s + window))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (SubstringDedup.nibblesMatch(digest, prefixNibbles)) {
+              idx.hashToBench.get(SubstringDedup.toHex(digest)) match {
+                case Some(benches) =>
+                  hit = Some(GateHit(benches.head, s + 1L)) // ids sorted
+                case None => ()
+              }
+            }
+            s += 1
+          }
+        }
+        hit
+      }
+    }.asNondeterministic() // one hashing pass per row — optimizer fence
+    docs.withColumn(outCol, probe(col(textCol)))
+  }
+
   private def nibbles(hexPrefix: String): Array[Int] =
     hexPrefix.toCharArray.map { c =>
       val v = Character.digit(c, 16)

@@ -39,30 +39,78 @@ object CorpusIngest {
       .filter(col("doc_id").isNotNull && col("text").isNotNull &&
         col("source").isNotNull && col("ingest_ts").isNotNull)
 
+  /** The stateless gate verdicts — every parsed doc plus `reject_reason`
+    * (null = pass) and contamination evidence. Reasons, in rule order:
+    * the text quality gate ([[TextFunctions.qualityReason]] — empty /
+    * too_few_tokens / repetitive, the same scalar the near-dup
+    * suppressor's gate runs), then "contaminated" when a `watchlist`
+    * (the ext126/ext127 [[graft.operators.ContaminationGuard]] broadcast
+    * index — decontamination AT THE DOOR, so a leaked eval excerpt never
+    * lands in the corpus and never occupies a dedup digest slot) is given
+    * and the doc holds any benchmark window; `bench_id`/`match_pos` carry
+    * the first hit's evidence (the full island story is one
+    * `ContaminationGuard.flag` call over the bounded rejects, never the
+    * corpus). The probe only runs on quality-passers — lazy CASE
+    * branches, so a junk doc never pays the hashing scan. All map-side;
+    * identical on a stream and a batch frame.
+    */
+  def gateVerdicts(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      minDistinctRatio: Double = 0.2,
+      watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None): DataFrame = {
+    val feats = TextFunctions.qualityFeatures(col("text")).toMap
+    val scored = docs
+      .withColumn("n_tokens", feats("n_tokens"))
+      .withColumn("distinct_ratio", feats("distinct_ratio"))
+      .withColumn("digest", md5(col("text")))
+      .withColumn("__q_reason",
+        TextFunctions.qualityReason(col("text"), minTokens, minDistinctRatio))
+    val probed = watchlist match {
+      case None => scored.withColumn("contamination",
+        lit(null).cast("struct<bench_id:bigint,match_pos:bigint>"))
+      case Some(idx) =>
+        val withAll = graft.operators.ContaminationGuard.withHit(
+          scored, "text", idx, outCol = "__hit_all")
+        withAll.withColumn("contamination",
+          when(col("__q_reason").isNull, col("__hit_all"))).drop("__hit_all")
+    }
+    probed
+      .withColumn("reject_reason",
+        coalesce(col("__q_reason"),
+          when(col("contamination").isNotNull, "contaminated")))
+      .withColumn("bench_id", col("contamination.bench_id"))
+      .withColumn("match_pos", col("contamination.match_pos"))
+      .drop("__q_reason", "contamination")
+  }
+
   /** Score, gate, and dedup: keeps documents with at least `minTokens`
-    * tokens and a distinct-token ratio of at least `minDistinctRatio`,
-    * then drops any document whose md5 digest was already seen within the
-    * watermark window. Works identically on batch frames (dedup falls back
-    * to plain dropDuplicates — batch has the whole input).
+    * tokens and a distinct-token ratio of at least `minDistinctRatio`
+    * (plus, when a `watchlist` is given, no benchmark-window hit —
+    * [[gateVerdicts]]), then drops any document whose md5 digest was
+    * already seen within the watermark window. Works identically on batch
+    * frames (dedup falls back to plain dropDuplicates — batch has the
+    * whole input).
     */
   def prepare(
       docs: DataFrame,
       minTokens: Int = 5,
       minDistinctRatio: Double = 0.2,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
-    val feats = TextFunctions.qualityFeatures(col("text")).toMap
-    val gated = docs
-      .withColumn("n_tokens", feats("n_tokens"))
-      .withColumn("distinct_ratio", feats("distinct_ratio"))
-      .filter(col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
-      .withColumn("digest", md5(col("text")))
+      watermarkDelay: String = "10 minutes",
+      watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None): DataFrame =
+    dedupByDigest(
+      gateVerdicts(docs, minTokens, minDistinctRatio, watchlist)
+        .filter(col("reject_reason").isNull)
+        .drop("reject_reason", "bench_id", "match_pos"),
+      watermarkDelay)
+
+  private def dedupByDigest(gated: DataFrame, watermarkDelay: String): DataFrame =
     if (gated.isStreaming)
       gated
         .withWatermark("ingest_ts", watermarkDelay)
         .dropDuplicatesWithinWatermark("digest")
     else
       gated.dropDuplicates("digest")
-  }
 
   /** Append the prepared stream to a source-partitioned parquet table —
     * the corpus analog of the frame sink's (camera_id, day) layout.
@@ -77,6 +125,43 @@ object CorpusIngest {
       .format("parquet")
       .option("path", table)
       .start()
+
+  /** [[writeCorpus]] with the audit trail a gate owes its operators (the
+    * near-dup suppressor's pattern): gate rejects — the quality rules
+    * and, when a `watchlist` is given, "contaminated" with first-hit
+    * evidence — land in `<table>_rejects` instead of vanishing, while
+    * passers flow through the watermark digest-dedup into the
+    * source-partitioned landing table; ONE query, the stateless reject
+    * branch unioned with the stateful kept branch. The digest dedup's own
+    * drops stay silent BY DESIGN — they are duplicates of rows that
+    * landed (the full-history evidence job is the batch dedup family).
+    * `docs` is a parsed ([[parse]]-schema) stream.
+    */
+  def writeAudited(
+      docs: DataFrame, table: String, checkpoint: String,
+      minTokens: Int = 5, minDistinctRatio: Double = 0.2,
+      watermarkDelay: String = "10 minutes",
+      watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val v = gateVerdicts(docs, minTokens, minDistinctRatio, watchlist)
+    val kept = dedupByDigest(
+      v.filter(col("reject_reason").isNull), watermarkDelay)
+    kept.union(v.filter(col("reject_reason").isNotNull))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        try {
+          b.filter(col("reject_reason").isNull)
+            .drop("reject_reason", "bench_id", "match_pos")
+            .write.mode("append").partitionBy("source").parquet(table)
+          b.filter(col("reject_reason").isNotNull)
+            .write.mode("append").parquet(s"${table}_rejects")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
 
   /** End-to-end convenience over a JSONL directory. The default
     * `AvailableNow` trigger DRAINS the currently-present files and stops

@@ -77,6 +77,59 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(dirs.contains("source=srcA") && dirs.contains("source=srcC"))
   }
 
+  test("audited ingest with a decontamination watchlist: leaked benchmark text rejects with evidence, quality rejects carry their rule, passers land, digest dups stay silent") {
+    import graft.operators.ContaminationGuard
+    // deterministic word soup (spaces every 5 letters so the quality gate
+    // sees real tokens)
+    def soupWords(seed: Long, nWords: Int): String = {
+      var x = seed * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+      (0 until nWords).map { _ =>
+        (0 until 5).map { _ =>
+          x ^= x >>> 27; x *= 0x3c79ac492ba7b653L; x ^= x >>> 33
+          ('a' + ((x & 0x7fffffffL) % 26)).toChar
+        }.mkString
+      }.mkString(" ")
+    }
+    val bench = soupWords(1L, 40) // 239 chars
+    val idx = ContaminationGuard.benchmarkIndex(
+      Seq((7L, bench)).toDF("doc_id", "text"), "text", "doc_id")
+    val prefix = soupWords(2L, 10) // 59 chars
+    val leaked = prefix + " " + bench.substring(0, 100) // hit at pos 61
+    val clean = soupWords(3L, 12)
+    val table = tmp("aud-table"); val ckpt = tmp("aud-ckpt")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    source.addData(
+      (1L, clean, "srcA", t0),
+      (2L, leaked, "srcA", t0),
+      (3L, "hi there", "srcA", t0),
+      (4L, clean, "srcB", t0)) // digest dup of 1 — silent by design
+    CorpusIngest.writeAudited(
+      source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+      table, ckpt, watchlist = Some(idx)).awaitTermination()
+    val landed = spark.read.parquet(table).collect()
+    assert(landed.length == 1 &&
+      landed.head.getAs[String]("text") == clean &&
+      Set(1L, 4L).contains(landed.head.getAs[Long]("doc_id")))
+    val rejects = spark.read.parquet(s"${table}_rejects").collect()
+    val byId = rejects.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet == Set(2L, 3L), s"got ${byId.keySet}")
+    assert(byId(2L).getAs[String]("reject_reason") == "contaminated")
+    assert(byId(2L).getAs[Long]("bench_id") == 7L)
+    assert(byId(2L).getAs[Long]("match_pos") == prefix.length + 2L,
+      s"first leaked window right after the prefix+space, got ${byId(2L).getAs[Long]("match_pos")}")
+    assert(byId(3L).getAs[String]("reject_reason") == "too_few_tokens")
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("bench_id")))
+    // batch parity: prepare with the same watchlist drops the leaked doc
+    val batchKept = CorpusIngest.prepare(
+      Seq((1L, clean, "a", t0), (2L, leaked, "a", t0))
+        .toDF("doc_id", "text", "source", "ingest_ts"),
+      watchlist = Some(idx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L))
+  }
+
   test("prepare on a BATCH frame applies the same gate with whole-input dedup") {
     val batch = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
