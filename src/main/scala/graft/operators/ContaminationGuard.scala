@@ -153,6 +153,31 @@ object ContaminationGuard {
           denom(col("o.bench_id")), 6).as("bench_coverage"))): _*)
   }
 
+  /** The sampled→exact graduation the production tier's scaladoc
+    * promises: re-run the EXACT arithmetic on just the flagged pairs —
+    * `flags` is any frame holding (doc_id, bench_id) (ext127 output or
+    * [[graft.streaming.CorpusIngest]] rejects), and both sides are
+    * semi-join-pruned to the flagged ids BEFORE any hashing, so the
+    * exact tier's every-window cost is paid on the bounded flagged set,
+    * never the corpus. Output: [[flag]]'s exact-tier columns restricted
+    * to pairs that were flagged AND confirm exactly (a sampled hit
+    * always confirms — sampling only loses windows — so this is a
+    * refinement, not a filter; the spec pins that). */
+  def refineFlags(flags: DataFrame, docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, window: Int = 64): DataFrame = {
+    val flaggedPairs = flags.select(
+      col("doc_id").cast("long"), col("bench_id").cast("long")).distinct()
+    val benchHit = bench.join(
+      broadcast(flaggedPairs.select(col("bench_id").as(idCol)).distinct()),
+      idCol, "left_semi")
+    val docsHit = docs.join(
+      broadcast(flaggedPairs.select(col("doc_id").as(idCol)).distinct()),
+      idCol, "left_semi")
+    val exact = flag(docsHit, textCol, idCol,
+      benchmarkIndex(benchHit, textCol, idCol, window, hexPrefix = ""))
+    exact.join(broadcast(flaggedPairs), Seq("doc_id", "bench_id"), "left_semi")
+  }
+
   /** First-hit evidence of [[withHit]]'s gate probe. */
   final case class GateHit(bench_id: Long, match_pos: Long)
 

@@ -168,6 +168,36 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     assert(idx.benchHashes.values.sum == 224L)
   }
 
+  test("sampled hits graduate to exact via refineFlags: refined rows equal the exact tier's, on the flagged pairs only") {
+    val docs = Seq(
+      (40L, soup(40L, 100) + bench0 + soup(41L, 100)), // whole-bench leak
+      (41L, soup(42L, 400)))                           // clean
+      .toDF("doc_id", "text")
+    val sampledIdx = ContaminationGuard.benchmarkIndex(
+      benchDf, "text", "doc_id", W, hexPrefix = "0")
+    val sampled = ContaminationGuard.flag(docs, "text", "doc_id", sampledIdx)
+    val refined = ContaminationGuard.refineFlags(
+      sampled, docs, benchDf, "text", "doc_id", W).collect().toSeq
+    // the exact tier over everything, restricted to the flagged pair set
+    val exactAll = ContaminationGuard.flag(docs, "text", "doc_id",
+      ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W))
+      .collect().toSeq
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))
+    val flaggedPairs = sampled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flaggedPairs == Set((40L, 0L))) // the sampled tier found the leak
+    assert(refined.map(key).sorted ==
+      exactAll.filter(r => flaggedPairs((r.getLong(0), r.getLong(1))))
+        .map(key).sorted)
+    // a sampled hit always confirms exactly (sampling only loses windows)
+    assert(refined.map(r => (r.getLong(0), r.getLong(1))).toSet == flaggedPairs)
+    // the refined numbers are the full-resolution ones: 137 windows of a
+    // 200-char whole-benchmark leak, coverage 1.0
+    assert(refined.head.getAs[Long]("n_matched_windows") == 137L)
+    assert(refined.head.getAs[Long]("contaminated_chars") == 200L)
+    assert(refined.head.getAs[Double]("bench_coverage") == 1.0)
+  }
+
   test("streaming flagText == batch flag (shared implementation), envelope kept") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val excerpt = bench0.substring(50, 150)

@@ -555,4 +555,20 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
         s"$q: a banded candidate join degenerated to all-pairs:\n$p")
     }
   }
+
+  test("ext125/ext126/ext127 broadcast-probe scans: no join, no aggregate — the only exchange is the output sort's") {
+    // the watchlist monitor and the contamination guard are ONE map-side
+    // pass against a driver-built broadcast: a Join or HashAggregate in
+    // the corpus-side plan means the probe regressed to a shuffle shape
+    Seq("ext125_watchlist_flags", "ext126_contamination_exact",
+      "ext127_contamination_sampled").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: the probe side must not join:\n$p")
+      assert(!p.contains("HashAggregate"),
+        s"$q: the probe folds per-row in place, never aggregates:\n$p")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q: only the deterministic-output sort may exchange:\n$p")
+    }
+  }
 }
