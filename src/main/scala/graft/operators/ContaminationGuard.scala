@@ -190,12 +190,17 @@ object ContaminationGuard {
     * here", so a leaked doc stops scanning at its first leaked window
     * (the clean common case still pays the full linear scan — that cost
     * is irreducible) and the flagged doc's full story is one [[flag]]
-    * call over the bounded flagged set, never the corpus. */
+    * call over the bounded flagged set, never the corpus. `guard` is
+    * evaluated INSIDE the UDF (a row where it is false/null skips the
+    * whole hashing scan) — a `when(guard, probe)` wrapper could not make
+    * the probe lazy, because the nondeterministic fence keeps the UDF in
+    * its own Project where it is computed unconditionally. */
   def withHit(docs: DataFrame, textCol: String, index: BenchIndex,
-      outCol: String = "contamination"): DataFrame = {
+      outCol: String = "contamination", guard: Column = lit(true)): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(index)
-    val probe = udf { text: String =>
-      if (text == null) None
+    val probe = udf { (text: String, enabled: Boolean) =>
+      probeEvals.incrementAndGet(): Unit
+      if (!enabled || text == null) None
       else {
         val idx = bc.value
         val window = idx.window
@@ -224,8 +229,15 @@ object ContaminationGuard {
         hit
       }
     }.asNondeterministic() // one hashing pass per row — optimizer fence
-    docs.withColumn(outCol, probe(col(textCol)))
+    docs.withColumn(outCol,
+      probe(col(textCol), coalesce(guard, lit(false))))
   }
+
+  /** Test seam: total [[withHit]] probe invocations in this JVM —
+    * single-plan-branch pins count it (suites run sequentially in the
+    * forked test JVM). One uncontended-in-practice atomic increment per
+    * row, dwarfed by the scan the UDF exists to do. */
+  private[graft] val probeEvals = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def nibbles(hexPrefix: String): Array[Int] =
     hexPrefix.toCharArray.map { c =>

@@ -56,8 +56,13 @@ object FingerprintStore {
   /** Reserved delivery tag for [[init]]'s seed partition. */
   val InitDelivery = "__init__"
 
-  /** Reserved delivery tag for [[compact]]'s merged base partition. */
-  val CompactedDelivery = "compacted"
+  /** Reserved delivery-tag PREFIX for [[compact]]'s merged base
+    * partitions — bases are VERSIONED (`compacted-1`, `compacted-2`, …)
+    * so publishing a new base never has to delete the previous one
+    * first: the fold's rows live in at least one DISCOVERED partition at
+    * every instant, and a crash at any point loses nothing (see
+    * [[compact]]'s crash-safety note). */
+  val CompactedPrefix = "compacted"
 
   /** Delivery ids are interpolated raw into the partition path, so they
     * must stay inside the charset Spark's partition discovery reads back
@@ -69,9 +74,9 @@ object FingerprintStore {
 
   private def requireSafeId(deliveryId: String): Unit =
     require(deliveryId.matches(SafeDeliveryId) &&
-      deliveryId != InitDelivery && deliveryId != CompactedDelivery,
+      deliveryId != InitDelivery && !deliveryId.startsWith(CompactedPrefix),
       s"deliveryId must match $SafeDeliveryId and not be a reserved tag " +
-        s"($InitDelivery, $CompactedDelivery); got '$deliveryId'")
+        s"($InitDelivery, $CompactedPrefix*); got '$deliveryId'")
 
   private def partitionPath(dir: String, deliveryId: String) =
     new org.apache.hadoop.fs.Path(dir, s"delivery_id=$deliveryId")
@@ -143,12 +148,13 @@ object FingerprintStore {
       .parquet(partitionPath(dir, deliveryId).toString)
   }
 
-  /** Fold old delivery partitions into a single `delivery_id=compacted`
-    * base — one-partition-per-delivery-forever is a small-file trajectory
-    * at ingest cadence (r10 verdict #3; the ext73 lifecycle discipline).
-    * The `keepRecent` most recent REAL deliveries (by partition mtime,
-    * ties by id — `__init__` and the existing compacted base always fold)
-    * keep their own partitions, so their replay contract is untouched.
+  /** Fold old delivery partitions into a single versioned
+    * `delivery_id=compacted-N` base — one-partition-per-delivery-forever
+    * is a small-file trajectory at ingest cadence (r10 verdict #3; the
+    * ext73 lifecycle discipline). The `keepRecent` most recent REAL
+    * deliveries (by partition mtime, ties by id — `__init__` and any
+    * existing compacted bases always fold) keep their own partitions, so
+    * their replay contract is untouched.
     *
     * Contract after compaction:
     *  - store CONTENTS (id, phash) are unchanged (spec-pinned);
@@ -163,12 +169,16 @@ object FingerprintStore {
     *    its at-least-once window has passed.
     *
     * Crash safety: the merged base is staged under a dot-prefixed dir
-    * (invisible to partition discovery), published by rename, and the
-    * folded inputs deleted LAST — a crash leaves either the old layout,
-    * or the new base plus some not-yet-deleted inputs (transient
-    * duplicate rows, which probes tolerate and a re-run folds away via
-    * the distinct below). Requires the writer's exclusive window (class
-    * doc). */
+    * (invisible to partition discovery), published by rename to a FRESH
+    * VERSIONED name (`compacted-N`, N above every existing base — the
+    * previous base is never deleted to make room), and the folded inputs
+    * — previous bases included — deleted LAST. So a crash at any point
+    * leaves either the old layout (staging is invisible and a re-run
+    * rebuilds it), or the new base plus some not-yet-deleted inputs
+    * (transient duplicate rows, which probes tolerate and a re-run folds
+    * away via the distinct below); at every instant the fold's rows live
+    * in at least one discovered partition. Requires the writer's
+    * exclusive window (class doc). */
   def compact(spark: SparkSession, dir: String, keepRecent: Int): Unit = {
     require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
     val base = new org.apache.hadoop.fs.Path(dir)
@@ -178,7 +188,7 @@ object FingerprintStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("delivery_id="))
       .map(s => (s.getPath.getName.stripPrefix("delivery_id="), s))
     val real = parts.filter { case (id, _) =>
-      id != InitDelivery && id != CompactedDelivery }
+      id != InitDelivery && !id.startsWith(CompactedPrefix) }
     val keep = real.sortBy { case (id, s) => (-s.getModificationTime, id) }
       .take(keepRecent).map(_._1).toSet
     val fold = parts.filter { case (id, _) => !keep.contains(id) }
@@ -194,11 +204,14 @@ object FingerprintStore {
       // (input partition deleted after publish)
       .distinct()
       .write.mode("overwrite").parquet(staging.toString)
-    val target = partitionPath(dir, CompactedDelivery)
-    fs.delete(target, true): Unit
-    require(fs.rename(staging, target),
+    val nextN = parts.map(_._1)
+      .filter(_.startsWith(s"$CompactedPrefix-"))
+      .flatMap(id =>
+        scala.util.Try(id.stripPrefix(s"$CompactedPrefix-").toLong).toOption)
+      .foldLeft(0L)(math.max) + 1
+    val target = partitionPath(dir, s"$CompactedPrefix-$nextN")
+    require(!fs.exists(target) && fs.rename(staging, target),
       s"compact: failed to publish $staging -> $target")
-    fold.filter(_._1 != CompactedDelivery)
-      .foreach { case (_, s) => fs.delete(s.getPath, true): Unit }
+    fold.foreach { case (_, s) => fs.delete(s.getPath, true): Unit }
   }
 }

@@ -85,13 +85,26 @@ object VectorIndex {
     * (spec-pinned byte-identical). Returns (psi, retrained).
     *
     * Failure contract matches [[deleteIvfPq]]: re-runnable, not atomic —
-    * a crash mid-swap can leave a missing subdir; re-running the
-    * trigger rebuilds staging and completes the swap. Swap in the
+    * a crash mid-swap can leave a missing subdir, whose staged
+    * replacement necessarily exists (staging is fully built before the
+    * first target is touched), so the next call HEALS FIRST: any missing
+    * target with a staged replacement is published before the stats read
+    * — the trigger can never wedge itself on its own crash. Swap in the
     * writer's exclusive window. */
   def retrainIfDrifted(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       nLists: Int = 16, m: Int = 8, ksub: Int = 16,
       sampleSize: Int = 2048, seed: Long = 42L): (Double, Boolean) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val staging = s"$dir/.retrain_staging"
+    Seq("codes", "model", "stats").foreach { sub =>
+      val target = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/$sub")
+      if (!fs.exists(target) && fs.exists(staged))
+        require(fs.rename(staged, target),
+          s"retrainIfDrifted: failed to heal interrupted swap of $sub")
+    }
     val ref = spark.read.parquet(s"$dir/stats")
       .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
     val cur = octantCounts(corpus, vecCol) // bounded: ≤ 8 octants
@@ -99,9 +112,6 @@ object VectorIndex {
     val psi = psiOf(ref, cur)
     if (psi <= threshold) (psi, false)
     else {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-      val staging = s"$dir/.retrain_staging"
       fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
       buildIvfPq(corpus, idCol, vecCol, staging, nLists, m, ksub,
         sampleSize, seed)

@@ -50,9 +50,11 @@ object CorpusIngest {
     * and the doc holds any benchmark window; `bench_id`/`match_pos` carry
     * the first hit's evidence (the full island story is one
     * `ContaminationGuard.flag` call over the bounded rejects, never the
-    * corpus). The probe only runs on quality-passers — lazy CASE
-    * branches, so a junk doc never pays the hashing scan. All map-side;
-    * identical on a stream and a batch frame.
+    * corpus). The probe's hashing scan only runs on quality-passers —
+    * the quality verdict is passed INTO the probe UDF as its guard
+    * (`withHit(guard = …)`), because a CASE wrapper around a fenced
+    * nondeterministic UDF masks the result without skipping the work.
+    * All map-side; identical on a stream and a batch frame.
     */
   def gateVerdicts(
       docs: DataFrame,
@@ -70,10 +72,9 @@ object CorpusIngest {
       case None => scored.withColumn("contamination",
         lit(null).cast("struct<bench_id:bigint,match_pos:bigint>"))
       case Some(idx) =>
-        val withAll = graft.operators.ContaminationGuard.withHit(
-          scored, "text", idx, outCol = "__hit_all")
-        withAll.withColumn("contamination",
-          when(col("__q_reason").isNull, col("__hit_all"))).drop("__hit_all")
+        graft.operators.ContaminationGuard.withHit(
+          scored, "text", idx, outCol = "contamination",
+          guard = col("__q_reason").isNull)
     }
     probed
       .withColumn("reject_reason",
@@ -131,8 +132,17 @@ object CorpusIngest {
     * and, when a `watchlist` is given, "contaminated" with first-hit
     * evidence — land in `<table>_rejects` instead of vanishing, while
     * passers flow through the watermark digest-dedup into the
-    * source-partitioned landing table; ONE query, the stateless reject
-    * branch unioned with the stateful kept branch. The digest dedup's own
+    * source-partitioned landing table. ONE query AND ONE PLAN BRANCH
+    * (the r10 two-branch decode lesson applied to the hashing probe —
+    * branching kept/rejects off the gate projection would evaluate the
+    * fenced probe UDF once per branch): rejects ride the SAME stateful
+    * dedup as passers under a reject-unique key — "r:"-prefixed so it
+    * can never collide with a content digest, keyed by (digest, doc_id)
+    * so two distinct junk docs with identical text both audit while an
+    * exact redelivery of the same reject dedups the way a landing
+    * would. A reject therefore costs one watermark-bounded state entry
+    * instead of a second full gate evaluation per document, and gate
+    * failures share the dedup's lateness policy. The digest dedup's own
     * drops stay silent BY DESIGN — they are duplicates of rows that
     * landed (the full-history evidence job is the batch dedup family).
     * `docs` is a parsed ([[parse]]-schema) stream.
@@ -143,10 +153,14 @@ object CorpusIngest {
       watermarkDelay: String = "10 minutes",
       watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val v = gateVerdicts(docs, minTokens, minDistinctRatio, watchlist)
-    val kept = dedupByDigest(
-      v.filter(col("reject_reason").isNull), watermarkDelay)
-    kept.union(v.filter(col("reject_reason").isNotNull))
+    val routed = gateVerdicts(docs, minTokens, minDistinctRatio, watchlist)
+      .withColumn("__dedup_key",
+        when(col("reject_reason").isNull, concat(lit("k:"), col("digest")))
+          .otherwise(concat_ws(":", lit("r"), col("digest"),
+            col("doc_id").cast("string"))))
+    routed
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__dedup_key")
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -154,9 +168,10 @@ object CorpusIngest {
         val b = batch.cache()
         try {
           b.filter(col("reject_reason").isNull)
-            .drop("reject_reason", "bench_id", "match_pos")
+            .drop("__dedup_key", "reject_reason", "bench_id", "match_pos")
             .write.mode("append").partitionBy("source").parquet(table)
           b.filter(col("reject_reason").isNotNull)
+            .drop("__dedup_key")
             .write.mode("append").parquet(s"${table}_rejects")
         } finally { b.unpersist(); () }
       }

@@ -228,7 +228,8 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     FingerprintStore.init(Seq((1L, 7L)).toDF("id", "phash"), dir)
     val d = Seq((2L, 99L)).toDF("id", "phash")
     for (bad <- Seq("", "a/b", "a=b", "a b", "a%2Fb", "d1\n",
-        FingerprintStore.InitDelivery, FingerprintStore.CompactedDelivery))
+        FingerprintStore.InitDelivery, FingerprintStore.CompactedPrefix,
+        s"${FingerprintStore.CompactedPrefix}-3"))
       intercept[IllegalArgumentException] {
         FingerprintStore.ingest(spark, dir, bad, d)
       }
@@ -261,7 +262,7 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       .collect().groupBy(_.getAs[String]("delivery_id"))
       .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
     assert(byDelivery == Map(
-      FingerprintStore.CompactedDelivery -> Set(0L, 1L, 2L, 3L, 6L),
+      s"${FingerprintStore.CompactedPrefix}-1" -> Set(0L, 1L, 2L, 3L, 6L),
       "d2" -> Set(9L)), s"partitions after compact: $byDelivery")
     // the RECENT delivery's replay contract is untouched post-compaction
     val replay2 = verdictMap(FingerprintStore.ingest(spark, dir, "d2", d2))
@@ -270,6 +271,49 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     // compacting again with nothing new to fold is a no-op
     FingerprintStore.compact(spark, dir, keepRecent = 1)
     assert(contents() == before)
+  }
+
+  test("compact survives a crash at every window: staging leftovers rebuild, published-but-undeleted inputs read as the same set and fold away, and a re-compaction never deletes the prior base before publishing") {
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 15L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("compact-crash")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(3L, 4L, 6L))).collect(): Unit
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id".isin(9L, 10L))).collect(): Unit
+    def contents() = FingerprintStore.read(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"))).toSet
+    val before = contents()
+    // window 1 — crash BEFORE publish: a stale .compact_staging (here:
+    // garbage rows, worse than any real crash leaves) plus intact inputs;
+    // staging is invisible to discovery and the re-run rebuilds it
+    val staging = new java.io.File(dir, ".compact_staging").toString
+    Seq((999L, 999L)).toDF("id", "phash").write.parquet(staging)
+    assert(contents() == before, "staging must be invisible to readers")
+    FingerprintStore.compact(spark, dir, keepRecent = 1)
+    val afterFirst = contents()
+    assert(afterFirst == before, "re-run after a pre-publish crash lost rows")
+    assert(!new java.io.File(staging).exists())
+    // window 2 — crash AFTER publish, before input deletion: re-create a
+    // folded input (as the crash would leave it); readers see the same SET
+    // (duplicates tolerated) and the next compact folds it away, with the
+    // PRIOR base still discovered until the new one is live
+    hashes.filter($"id".isin(3L, 6L)) // d1's kept survivors, duplicated
+      .select($"id", $"phash").write.parquet(s"$dir/delivery_id=d1")
+    assert(contents() == before, "undeleted fold input changed the read SET")
+    FingerprintStore.ingest(spark, dir, "d3",
+      hashes.filter($"id" === 12L)).collect(): Unit // fresh family -> kept
+    val before2 = contents()
+    assert(before2.map(_._1) == before.map(_._1) + 12L)
+    FingerprintStore.compact(spark, dir, keepRecent = 1)
+    assert(contents() == before2,
+      s"re-compaction lost rows: ${contents().map(_._1)}")
+    val bases = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("delivery_id=compacted")).sorted
+    assert(bases.sameElements(Array("delivery_id=compacted-2")),
+      s"one fresh versioned base expected, got ${bases.toSeq}")
   }
 
   test("replaying a COMPACTED delivery is a fresh ingest against the full store (documented contract)") {

@@ -182,6 +182,40 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
       s"after retrain the stored stats match the corpus — trigger must disarm: $psi2")
   }
 
+  test("retrainIfDrifted heals its own crash window: a missing target with a staged replacement is published before the stats read") {
+    // the worst interruption: the swap loop deleted a target and died
+    // before its rename — the target is gone, the staged copy exists.
+    // Simulated for EACH subdir (stats is the one that wedged the naive
+    // trigger: the next call reads $dir/stats first).
+    import spark.implicits._
+    def vec(i: Long): Seq[Double] =
+      (0 until 8).map(d => -0.4 - 0.01 * ((i * 7 + d * 3) % 13))
+    val corpus = (0L until 120L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    for (sub <- Seq("codes", "model", "stats")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"vecidx-heal-$sub").toString
+      VectorIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
+        nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+      // manufacture the crash state: target moved into staging
+      val staging = new java.io.File(dir, ".retrain_staging")
+      assert(staging.mkdir())
+      assert(new java.io.File(dir, sub)
+        .renameTo(new java.io.File(staging, sub)), s"fixture move of $sub")
+      val (psi, did) = VectorIndex.retrainIfDrifted(spark, dir, corpus,
+        "vec_id", "embedding", threshold = 0.1,
+        nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+      assert(!did && psi < 0.01,
+        s"$sub: healed trigger sees an undrifted corpus: psi=$psi did=$did")
+      assert(new java.io.File(dir, sub).exists(), s"$sub not healed")
+      // and the healed index still answers searches
+      val q = corpus.filter(col("vec_id") < 3)
+      val got = VectorIndex.searchIvfPq(spark, dir, q, corpus,
+        "vec_id", "embedding", k = 3, nProbe = 2, refineFactor = 4)
+      assert(got.count() == 9, s"$sub: healed index must serve searches")
+    }
+  }
+
   test("the persisted model round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 4, m = 4, ksub = 8)

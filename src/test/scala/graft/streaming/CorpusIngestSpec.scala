@@ -105,9 +105,15 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       (2L, leaked, "srcA", t0),
       (3L, "hi there", "srcA", t0),
       (4L, clean, "srcB", t0)) // digest dup of 1 — silent by design
+    val evalsBefore = ContaminationGuard.probeEvals.get()
     CorpusIngest.writeAudited(
       source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
       table, ckpt, watchlist = Some(idx)).awaitTermination()
+    // ONE plan branch => the probe UDF runs exactly once per arriving doc
+    // (a kept/reject union off the gate projection would double it — the
+    // r10 two-branch decode bug's text sibling)
+    assert(ContaminationGuard.probeEvals.get() - evalsBefore == 4L,
+      s"probe evaluations: ${ContaminationGuard.probeEvals.get() - evalsBefore}")
     val landed = spark.read.parquet(table).collect()
     assert(landed.length == 1 &&
       landed.head.getAs[String]("text") == clean &&
