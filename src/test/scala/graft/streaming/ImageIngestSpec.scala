@@ -102,6 +102,49 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       s"restarted query must still hold the corpus state: $rej2")
   }
 
+  test("warm start composes with store compaction: a compacted store's read feeds bootstrap, first-batch rejects carry compacted-base evidence") {
+    // the r10 write-back/warm-start loop and the r11 versioned compaction
+    // composed: after deliveries fold into a compacted-N base, the store
+    // READ (all partitions, bases included) must still seed the
+    // suppressor — a fingerprint living ONLY in the compacted base has to
+    // reject its streaming near-dup in batch one
+    val base = Files.createTempDirectory("imgingest-compactboot").toString
+    val t0 = 1700910000L
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.FingerprintStore
+    val hashes = graft.operators.ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 9L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = Files.createTempDirectory("imgingest-store").toString + "/store"
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(3L, 4L))).collect(): Unit // kept: 3
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id".isin(6L, 7L))).collect(): Unit // kept: 6
+    FingerprintStore.compact(spark, dir, keepRecent = 1) // folds __init__+d1
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    stream.addData(
+      (100L, "camA", ts(t0), ImageCorpus.render(1L)),  // vs compacted 0..2
+      (101L, "camA", ts(t0), ImageCorpus.render(4L)),  // vs COMPACTED-only 3
+      (102L, "camB", ts(t0), ImageCorpus.render(30L))) // fresh family → land
+    ImageIngest.writeDeduped(
+      stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+      s"$base/t", s"$base/c", maxDist = 3, watermarkDelay = "10 minutes",
+      bootstrapFrom = Some((FingerprintStore.read(spark, dir), t0 * 1000)))
+      .awaitTermination()
+    val kept = spark.read.parquet(s"$base/t").select("img_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(102L), s"kept $kept")
+    val rej = spark.read.parquet(s"$base/t_rejects").collect()
+      .map(r => r.getAs[Long]("img_id") -> r.getAs[Long]("matched_img")).toMap
+    assert(rej.keySet == Set(100L, 101L), s"rejects: $rej")
+    assert(rej(101L) == 3L,
+      s"evidence must name the fingerprint that lives ONLY in the " +
+        s"compacted base: ${rej(101L)}")
+    assert((0L until 3L).contains(rej(100L)), s"evidence: ${rej(100L)}")
+  }
+
   test("perturbed redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
     // the same scenario as above, on the provider a production session runs
     // (GraftSession defaults to RocksDB): state must round-trip RocksDB's
