@@ -30,10 +30,12 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * prefilter recall audit ext122 (whole-video + segment signature
   * tiers), span removal on the content-sampled production detector
   * ext123, the signature-tier band health audit ext124, the streaming
-  * watchlist monitor at corpus scale ext125 and the broadcast-probe
+  * watchlist monitor at corpus scale ext125, the broadcast-probe
   * benchmark-contamination audit ext126 (exact) / guard ext127
-  * (winnowing production tier) —
-  * 189 catalog entries total);
+  * (winnowing production tier) and the benchmark-span excision
+  * ext128 (detect → refine → remove closed, rebuilt-text md5
+  * oracle-checked) —
+  * 190 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

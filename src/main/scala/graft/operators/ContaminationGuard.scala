@@ -153,6 +153,83 @@ object ContaminationGuard {
           denom(col("o.bench_id")), 6).as("bench_coverage"))): _*)
   }
 
+  /** One cut interval (1-based chars, inclusive) of [[excise]]. */
+  final case class CutSpan(s: Long, e: Long)
+
+  /** DECONTAMINATION — the remediation step after detection, closing the
+    * detect (ext126/ext127) → refine ([[refineFlags]]) → REMOVE chain:
+    * excise every benchmark-window island from the scanned docs and keep
+    * the unique text around it (the span-surgery posture of
+    * [[SubstringDedup.spanRemoval]], pointed at eval leakage instead of
+    * boilerplate — cutting the leaked span beats dropping the document,
+    * which loses its clean majority). Positions leaked to SEVERAL
+    * benchmarks are cut once: islands fold over matches against ANY
+    * benchmark window, map-side in the same single probe pass as
+    * [[flag]]; the rebuild is the shared no-UDF aggregate/substring fold.
+    *
+    * Output, every scanned document present (clean docs keep their full
+    * text): (doc_id, n_chars, n_spans, removed_chars, kept_chars,
+    * cleaned_digest) — kept_chars ≡ n_chars − removed_chars and
+    * cleaned_digest = md5(rebuilt text), so an oracle verifies the
+    * RECONSTRUCTION (ext106's discipline). Run on the exact tier: a
+    * sampled index would excise a conservative subset. */
+  def excise(docs: DataFrame, textCol: String, idCol: String,
+      index: BenchIndex): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val cutsUdf = udf { text: String =>
+      if (text == null) Array.empty[CutSpan]
+      else {
+        val idx = bc.value
+        val window = idx.window
+        val prefixNibbles = nibbles(idx.hexPrefix)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.ArrayBuffer.empty[CutSpan]
+        var islandStart = -1L
+        var last = -1L
+        def close(): Unit =
+          if (islandStart >= 0)
+            out += CutSpan(islandStart, last + window - 1)
+        val cps = text.codePointCount(0, text.length)
+        if (cps >= window) {
+          val offsets = graft.functions.TextFunctions.codePointOffsets(text)
+          var s = 0
+          while (s + window <= cps) {
+            md.reset()
+            val digest = md.digest(
+              text.substring(offsets(s), offsets(s + window))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (SubstringDedup.nibblesMatch(digest, prefixNibbles) &&
+                idx.hashToBench.contains(SubstringDedup.toHex(digest))) {
+              val pos = s + 1L
+              if (islandStart < 0) { islandStart = pos; last = pos }
+              else if (pos - last <= window - 1) last = pos
+              else { close(); islandStart = pos; last = pos }
+            }
+            s += 1
+          }
+        }
+        close()
+        out.toArray
+      }
+    }.asNondeterministic() // one hashing pass per row — optimizer fence
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .withColumn("__cuts", cutsUdf(col("text")))
+      .withColumn("cuts", when(size(col("__cuts")) > 0, col("__cuts")))
+      .withColumn("cleaned",
+        when(col("cuts").isNull, col("text"))
+          .otherwise(SubstringDedup.rebuildCleaned))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        coalesce(size(col("cuts")), lit(0)).cast("long").as("n_spans"),
+        coalesce(aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + c.getField("e") - c.getField("s") + 1L), lit(0L))
+          .as("removed_chars"),
+        length(col("cleaned")).cast("long").as("kept_chars"),
+        md5(col("cleaned")).as("cleaned_digest"))
+  }
+
   /** The sampled→exact graduation the production tier's scaladoc
     * promises: re-run the EXACT arithmetic on just the flagged pairs —
     * `flags` is any frame holding (doc_id, bench_id) (ext127 output or

@@ -213,16 +213,7 @@ object SubstringDedup {
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("cleaned",
-        when(col("cuts").isNull, col("text")).otherwise(expr(
-          """aggregate(cuts,
-               struct(cast('' as string) as acc, 1L as cur),
-               (a, c) -> struct(
-                 concat(a.acc,
-                   substring(text, cast(a.cur as int), cast(c.s - a.cur as int))),
-                 c.e + 1L),
-               a -> concat(a.acc,
-                 substring(text, cast(a.cur as int),
-                   length(text) - cast(a.cur as int) + 1)))""")))
+        when(col("cuts").isNull, col("text")).otherwise(rebuildCleaned))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -230,6 +221,22 @@ object SubstringDedup {
         length(col("cleaned")).cast("long").as("kept_chars"),
         md5(col("cleaned")).as("cleaned_digest"))
   }
+
+  /** The uncut-segment rebuild: fold a SORTED, DISJOINT `cuts`
+    * array<struct<s,e>> (1-based char intervals) over a `text` column,
+    * concatenating the segments between cuts — the no-UDF rebuild path
+    * shared by [[spanRemoval]] and
+    * [[ContaminationGuard.excise]]. */
+  private[operators] def rebuildCleaned: Column = expr(
+    """aggregate(cuts,
+         struct(cast('' as string) as acc, 1L as cur),
+         (a, c) -> struct(
+           concat(a.acc,
+             substring(text, cast(a.cur as int), cast(c.s - a.cur as int))),
+           c.e + 1L),
+         a -> concat(a.acc,
+           substring(text, cast(a.cur as int),
+             length(text) - cast(a.cur as int) + 1)))""")
 
   def duplicatedCoverage(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 64): DataFrame = {

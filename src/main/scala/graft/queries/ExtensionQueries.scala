@@ -4586,7 +4586,88 @@ object ExtensionQueries {
           docs.filter(!benchPred), "text", "doc_id", idx)
           .orderBy("doc_id", "bench_id")
       },
-      Some(contaminationOracle(sampled = true)))
+      Some(contaminationOracle(sampled = true))),
+
+    // ------------------------------------------------------------ EXT128
+    // DECONTAMINATION (benchmark-span EXCISION) — the remediation step
+    // that closes the chain ext126/ext127 open: detect → refine → REMOVE.
+    // Every benchmark-window island is cut out of every non-benchmark
+    // document and the unique text around it kept (ext106's span-surgery
+    // posture pointed at eval leakage — cutting the leaked span beats
+    // dropping the document, which loses its clean majority; positions
+    // leaked to several benchmarks are cut ONCE). The cut list comes from
+    // the SAME single map-side broadcast-probe pass as ext126 — zero
+    // joins on the corpus side — and the rebuild is the shared no-UDF
+    // aggregate/substring fold, so ORACLE-CHECKED including
+    // md5(rebuilt text): DuckDB re-derives the islands from a windows×
+    // benchmark join and reconstructs every document. Every scanned doc
+    // present; clean docs hash byte-identical. Exact tier (audit-tier
+    // enumeration like ext106/ext126, bench-excluded); at corpus scale
+    // the flagged set from ext127 bounds where excision runs.
+    QueryDef(
+      "ext128_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchPred = col("doc_id") % 10 === 0
+        val idx = graft.operators.ContaminationGuard.benchmarkIndex(
+          docs.filter(benchPred), "text", "doc_id", window = 64)
+        graft.operators.ContaminationGuard.excise(
+          docs.filter(!benchPred), "text", "doc_id", idx)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH scanned AS (
+          SELECT doc_id, text FROM documents WHERE NOT (doc_id % 10 = 0)),
+        w AS (
+          SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+        bench AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 = 0),
+        rd AS (SELECT DISTINCT w.doc_id, w.pos
+               FROM w JOIN bench USING (h) WHERE NOT (w.doc_id % 10 = 0)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           <= 63
+                      THEN 0 ELSE 1 END AS newgrp
+          FROM rd),
+        g AS (
+          SELECT doc_id, pos,
+                 SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl),
+        cuts AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 63 AS e
+          FROM g GROUP BY doc_id, grp),
+        seg AS (
+          SELECT doc_id, s, e,
+                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+          FROM cuts),
+        pieces AS (
+          SELECT sg.doc_id,
+                 string_agg(substr(dd.text, CAST(sg.pe + 1 AS INT),
+                                   CAST(GREATEST(sg.s - sg.pe - 1, 0) AS INT)),
+                            '' ORDER BY sg.s) AS head,
+                 MAX(sg.e) AS last_e,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(sg.e - sg.s + 1) AS BIGINT) AS removed_chars
+          FROM seg sg JOIN scanned dd USING (doc_id)
+          GROUP BY sg.doc_id),
+        cl AS (
+          SELECT dd.doc_id,
+                 CAST(LENGTH(dd.text) AS BIGINT) AS n_chars,
+                 COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+                 COALESCE(p.removed_chars, CAST(0 AS BIGINT)) AS removed_chars,
+                 CASE WHEN p.doc_id IS NULL THEN dd.text
+                      ELSE p.head || substr(dd.text, CAST(p.last_e + 1 AS INT))
+                 END AS cleaned
+          FROM scanned dd LEFT JOIN pieces p USING (doc_id))
+        SELECT doc_id, n_chars, n_spans, removed_chars,
+               CAST(LENGTH(cleaned) AS BIGINT) AS kept_chars,
+               md5(cleaned) AS cleaned_digest
+        FROM cl
+        ORDER BY doc_id
+      """), bench = false) // audit-tier exact enumeration, like ext106/ext126
   )
 
   /** Shared ext126/ext127 oracle — the guard's broadcast probe restated

@@ -198,6 +198,46 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     assert(refined.head.getAs[Double]("bench_coverage") == 1.0)
   }
 
+  test("excise cuts exactly the leaked islands: surrounding text preserved char-for-char, clean docs byte-identical, invariants hold") {
+    val pre = soup(70L, 120)
+    val post = soup(71L, 90)
+    val excerpt = bench0.substring(50, 150) // 100 chars
+    val cleanText = soup(72L, 300)
+    val docs = Seq(
+      (10L, pre + excerpt + post),
+      (11L, cleanText),
+      (12L, excerpt + soup(73L, 200) + excerpt), // two disjoint copies
+      (13L, "tiny"))
+      .toDF("doc_id", "text")
+    val idx = ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W)
+    val got = ContaminationGuard.excise(docs, "text", "doc_id", idx)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L, 13L),
+      "every scanned doc present")
+    def md5s(s: String) = md5hex(s)
+    val r10 = got(0)
+    assert(r10.getAs[Long]("n_spans") == 1L &&
+      r10.getAs[Long]("removed_chars") == 100L)
+    assert(r10.getAs[Long]("kept_chars") ==
+      r10.getAs[Long]("n_chars") - 100L)
+    assert(r10.getAs[String]("cleaned_digest") == md5s(pre + post),
+      "the rebuilt text is exactly the text around the leak")
+    assert(got(1).getAs[Long]("removed_chars") == 0L &&
+      got(1).getAs[String]("cleaned_digest") == md5s(cleanText),
+      "clean docs byte-identical")
+    val r12 = got(2)
+    assert(r12.getAs[Long]("n_spans") == 2L &&
+      r12.getAs[Long]("removed_chars") == 200L)
+    assert(r12.getAs[String]("cleaned_digest") == md5s(soup(73L, 200)))
+    assert(got(3).getAs[String]("cleaned_digest") == md5s("tiny"))
+    // removed_chars equals flag()'s contaminated_chars when one benchmark
+    // is involved (same islands, different consumer)
+    val f = ContaminationGuard.flag(docs, "text", "doc_id", idx)
+      .filter($"doc_id" === 10L).collect().head
+    assert(f.getAs[Long]("contaminated_chars") ==
+      r10.getAs[Long]("removed_chars"))
+  }
+
   test("streaming flagText == batch flag (shared implementation), envelope kept") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val excerpt = bench0.substring(50, 150)
