@@ -105,39 +105,17 @@ object ContaminationGuard {
       index: BenchIndex, keep: Seq[Column]): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(index)
     val probe = udf { text: String =>
-      if (text == null) Array.empty[Overlap]
-      else {
-        val idx = bc.value
-        val window = idx.window
-        val prefixNibbles = nibbles(idx.hexPrefix)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        // per-bench fold state: positions arrive in ascending order, so
-        // islands close as soon as a gap > window-1 appears
-        val st = scala.collection.mutable.LongMap.empty[Fold]
-        val cps = text.codePointCount(0, text.length)
-        if (cps >= window) {
-          val offsets = graft.functions.TextFunctions.codePointOffsets(text)
-          var s = 0
-          while (s + window <= cps) {
-            md.reset()
-            val digest = md.digest(text.substring(offsets(s), offsets(s + window))
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            if (SubstringDedup.nibblesMatch(digest, prefixNibbles)) {
-              val hex = SubstringDedup.toHex(digest)
-              idx.hashToBench.get(hex) match {
-                case Some(benches) =>
-                  val pos = s + 1L // 1-based, the SubstringDedup convention
-                  benches.foreach { b =>
-                    st.getOrElseUpdate(b, new Fold(window)).add(pos, hex)
-                  }
-                case None => ()
-              }
-            }
-            s += 1
-          }
+      val idx = bc.value
+      // per-bench fold state: positions arrive in ascending order, so
+      // islands close as soon as a gap > window-1 appears
+      val st = scala.collection.mutable.LongMap.empty[Fold]
+      scanMatches(text, idx) { (pos, hex, benches) =>
+        benches.foreach { b =>
+          st.getOrElseUpdate(b, new Fold(idx.window)).add(pos, hex)
         }
-        st.toArray.sortBy(_._1).map { case (b, f) => f.finish(b) }
+        true
       }
+      st.toArray.sortBy(_._1).map { case (b, f) => f.finish(b) }
     }.asNondeterministic() // one hashing pass per row — optimizer fence
     val flagged = docs
       .withColumn("__overlaps", probe(col(textCol)))
@@ -177,40 +155,22 @@ object ContaminationGuard {
       index: BenchIndex): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(index)
     val cutsUdf = udf { text: String =>
-      if (text == null) Array.empty[CutSpan]
-      else {
-        val idx = bc.value
-        val window = idx.window
-        val prefixNibbles = nibbles(idx.hexPrefix)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val out = scala.collection.mutable.ArrayBuffer.empty[CutSpan]
-        var islandStart = -1L
-        var last = -1L
-        def close(): Unit =
-          if (islandStart >= 0)
-            out += CutSpan(islandStart, last + window - 1)
-        val cps = text.codePointCount(0, text.length)
-        if (cps >= window) {
-          val offsets = graft.functions.TextFunctions.codePointOffsets(text)
-          var s = 0
-          while (s + window <= cps) {
-            md.reset()
-            val digest = md.digest(
-              text.substring(offsets(s), offsets(s + window))
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            if (SubstringDedup.nibblesMatch(digest, prefixNibbles) &&
-                idx.hashToBench.contains(SubstringDedup.toHex(digest))) {
-              val pos = s + 1L
-              if (islandStart < 0) { islandStart = pos; last = pos }
-              else if (pos - last <= window - 1) last = pos
-              else { close(); islandStart = pos; last = pos }
-            }
-            s += 1
-          }
-        }
-        close()
-        out.toArray
+      val idx = bc.value
+      val window = idx.window
+      val out = scala.collection.mutable.ArrayBuffer.empty[CutSpan]
+      var islandStart = -1L
+      var last = -1L
+      def close(): Unit =
+        if (islandStart >= 0)
+          out += CutSpan(islandStart, last + window - 1)
+      scanMatches(text, idx) { (pos, _, _) =>
+        if (islandStart < 0) { islandStart = pos; last = pos }
+        else if (pos - last <= window - 1) last = pos
+        else { close(); islandStart = pos; last = pos }
+        true
       }
+      close()
+      out.toArray
     }.asNondeterministic() // one hashing pass per row — optimizer fence
     docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -277,31 +237,12 @@ object ContaminationGuard {
     val bc = docs.sparkSession.sparkContext.broadcast(index)
     val probe = udf { (text: String, enabled: Boolean) =>
       probeEvals.incrementAndGet(): Unit
-      if (!enabled || text == null) None
+      if (!enabled) None
       else {
-        val idx = bc.value
-        val window = idx.window
-        val prefixNibbles = nibbles(idx.hexPrefix)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val cps = text.codePointCount(0, text.length)
         var hit: Option[GateHit] = None
-        if (cps >= window) {
-          val offsets = graft.functions.TextFunctions.codePointOffsets(text)
-          var s = 0
-          while (hit.isEmpty && s + window <= cps) {
-            md.reset()
-            val digest = md.digest(
-              text.substring(offsets(s), offsets(s + window))
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            if (SubstringDedup.nibblesMatch(digest, prefixNibbles)) {
-              idx.hashToBench.get(SubstringDedup.toHex(digest)) match {
-                case Some(benches) =>
-                  hit = Some(GateHit(benches.head, s + 1L)) // ids sorted
-                case None => ()
-              }
-            }
-            s += 1
-          }
+        scanMatches(text, bc.value) { (pos, _, benches) =>
+          hit = Some(GateHit(benches.head, pos)) // ids sorted
+          false // first hit answers the gate — stop scanning
         }
         hit
       }
@@ -322,6 +263,40 @@ object ContaminationGuard {
       require(v >= 0, s"hexPrefix must be hex chars, got '$c'")
       v
     }
+
+  /** THE per-document scan — the one definition of "window" and "match"
+    * all three probes share ([[flag]]'s per-bench fold, [[withHit]]'s
+    * first-hit gate, [[excise]]'s island fold), so the tiers cannot
+    * silently diverge: enumerate `window`-code-point substrings in
+    * position order, md5 each, apply the content-sampling prefix test,
+    * and call `onMatch(pos, hex, benchIds)` for every window present in
+    * the index (pos 1-based, the [[SubstringDedup]] convention; benchIds
+    * sorted ascending). `onMatch` returning false stops the scan. */
+  private def scanMatches(text: String, idx: BenchIndex)(
+      onMatch: (Long, String, Array[Long]) => Boolean): Unit = {
+    if (text == null) return
+    val window = idx.window
+    val prefixNibbles = nibbles(idx.hexPrefix)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cps = text.codePointCount(0, text.length)
+    if (cps < window) return
+    val offsets = graft.functions.TextFunctions.codePointOffsets(text)
+    var s = 0
+    var go = true
+    while (go && s + window <= cps) {
+      md.reset()
+      val digest = md.digest(text.substring(offsets(s), offsets(s + window))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (SubstringDedup.nibblesMatch(digest, prefixNibbles)) {
+        val hex = SubstringDedup.toHex(digest)
+        idx.hashToBench.get(hex) match {
+          case Some(benches) => go = onMatch(s + 1L, hex, benches)
+          case None => ()
+        }
+      }
+      s += 1
+    }
+  }
 
   /** Island fold over one (doc, bench)'s matched positions, fed in
     * ascending order: counts positions + distinct hashes, merges

@@ -72,11 +72,19 @@ object FingerprintStore {
     * self-match bug the mechanism exists to prevent (r10 ADVICE). */
   private val SafeDeliveryId = "[A-Za-z0-9._-]+"
 
+  /** Exactly the reserved base names (`compacted`, `compacted-<n>`) —
+    * NOT the whole `compacted*` namespace, so a pre-existing store's
+    * legal delivery id like `compacted2025` keeps working and keeps its
+    * replay partition. */
+  private[operators] def isCompactedBase(id: String): Boolean =
+    id == CompactedPrefix || id.matches(s"$CompactedPrefix-\\d+")
+
   private def requireSafeId(deliveryId: String): Unit =
     require(deliveryId.matches(SafeDeliveryId) &&
-      deliveryId != InitDelivery && !deliveryId.startsWith(CompactedPrefix),
+      deliveryId != InitDelivery && !isCompactedBase(deliveryId),
       s"deliveryId must match $SafeDeliveryId and not be a reserved tag " +
-        s"($InitDelivery, $CompactedPrefix*); got '$deliveryId'")
+        s"($InitDelivery, $CompactedPrefix, $CompactedPrefix-<n>); " +
+        s"got '$deliveryId'")
 
   private def partitionPath(dir: String, deliveryId: String) =
     new org.apache.hadoop.fs.Path(dir, s"delivery_id=$deliveryId")
@@ -188,7 +196,7 @@ object FingerprintStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("delivery_id="))
       .map(s => (s.getPath.getName.stripPrefix("delivery_id="), s))
     val real = parts.filter { case (id, _) =>
-      id != InitDelivery && !id.startsWith(CompactedPrefix) }
+      id != InitDelivery && !isCompactedBase(id) }
     val keep = real.sortBy { case (id, s) => (-s.getModificationTime, id) }
       .take(keepRecent).map(_._1).toSet
     val fold = parts.filter { case (id, _) => !keep.contains(id) }

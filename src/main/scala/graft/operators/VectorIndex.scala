@@ -85,12 +85,16 @@ object VectorIndex {
     * (spec-pinned byte-identical). Returns (psi, retrained).
     *
     * Failure contract matches [[deleteIvfPq]]: re-runnable, not atomic —
-    * a crash mid-swap can leave a missing subdir, whose staged
-    * replacement necessarily exists (staging is fully built before the
-    * first target is touched), so the next call HEALS FIRST: any missing
-    * target with a staged replacement is published before the stats read
-    * — the trigger can never wedge itself on its own crash. Swap in the
-    * writer's exclusive window. */
+    * but never generation-mixing. A `.swap_pending` marker is created
+    * only once staging is FULLY built and removed only after the last
+    * rename, so the next call sees the marker and completes the swap AS
+    * A UNIT before the stats read: every still-staged subdir is
+    * published (already-published ones have no staged copy left and are
+    * skipped). Healing per-subdir on "target missing" alone would be
+    * wrong twice over — a crash mid-heal could strand NEW codes under
+    * the OLD model and then report healthy, and the stats read could
+    * wedge on a missing dir. The trigger can neither wedge itself nor
+    * serve a mixed generation. Swap in the writer's exclusive window. */
   def retrainIfDrifted(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       nLists: Int = 16, m: Int = 8, ksub: Int = 16,
@@ -98,12 +102,20 @@ object VectorIndex {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val staging = s"$dir/.retrain_staging"
-    Seq("codes", "model", "stats").foreach { sub =>
-      val target = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val staged = new org.apache.hadoop.fs.Path(s"$staging/$sub")
-      if (!fs.exists(target) && fs.exists(staged))
-        require(fs.rename(staged, target),
-          s"retrainIfDrifted: failed to heal interrupted swap of $sub")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/.swap_pending")
+    val subs = Seq("codes", "model", "stats")
+    if (fs.exists(marker)) {
+      subs.foreach { sub =>
+        val staged = new org.apache.hadoop.fs.Path(s"$staging/$sub")
+        if (fs.exists(staged)) {
+          val target = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+          fs.delete(target, true): Unit
+          require(fs.rename(staged, target),
+            s"retrainIfDrifted: failed to heal interrupted swap of $sub")
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+      fs.delete(marker, false): Unit
     }
     val ref = spark.read.parquet(s"$dir/stats")
       .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
@@ -115,7 +127,8 @@ object VectorIndex {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
       buildIvfPq(corpus, idCol, vecCol, staging, nLists, m, ksub,
         sampleSize, seed)
-      Seq("codes", "model", "stats").foreach { sub =>
+      fs.create(marker, true).close() // staging complete — arm the heal
+      subs.foreach { sub =>
         val target = new org.apache.hadoop.fs.Path(s"$dir/$sub")
         fs.delete(target, true): Unit
         require(fs.rename(
@@ -123,6 +136,7 @@ object VectorIndex {
           s"retrainIfDrifted: failed to publish $sub")
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+      fs.delete(marker, false): Unit
       (psi, true)
     }
   }

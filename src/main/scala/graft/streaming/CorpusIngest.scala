@@ -142,7 +142,14 @@ object CorpusIngest {
     * exact redelivery of the same reject dedups the way a landing
     * would. A reject therefore costs one watermark-bounded state entry
     * instead of a second full gate evaluation per document, and gate
-    * failures share the dedup's lateness policy. The digest dedup's own
+    * failures share the dedup's lateness policy — a DELIBERATE trade
+    * (the image/audio suppressors made the same one): a gate failure
+    * arriving later than `watermarkDelay` is dropped by the dedup
+    * operator UNAUDITED, so the rejects table is complete only within
+    * the watermark horizon, like every other at-ingest guard here; the
+    * full-history audit is the batch guard over the landed corpus
+    * (ext126), which a late-dropped doc never entered. The digest
+    * dedup's own
     * drops stay silent BY DESIGN — they are duplicates of rows that
     * landed (the full-history evidence job is the batch dedup family).
     * `docs` is a parsed ([[parse]]-schema) stream.

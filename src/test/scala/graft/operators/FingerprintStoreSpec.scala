@@ -233,8 +233,11 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       intercept[IllegalArgumentException] {
         FingerprintStore.ingest(spark, dir, bad, d)
       }
-    // the safe charset itself passes
+    // the safe charset itself passes — including ids that merely START
+    // with the reserved prefix (only `compacted` / `compacted-<n>` are
+    // reserved; a pre-existing store's `compacted2025` keeps working)
     FingerprintStore.ingest(spark, dir, "A-z.0_9", d).collect(): Unit
+    FingerprintStore.ingest(spark, dir, "compacted2025", d).collect(): Unit
   }
 
   test("compact folds old deliveries into one base; contents unchanged; recent replay still idempotent") {

@@ -182,11 +182,12 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
       s"after retrain the stored stats match the corpus — trigger must disarm: $psi2")
   }
 
-  test("retrainIfDrifted heals its own crash window: a missing target with a staged replacement is published before the stats read") {
+  test("retrainIfDrifted heals its own crash window: an armed marker completes the whole staged swap before the stats read") {
     // the worst interruption: the swap loop deleted a target and died
-    // before its rename — the target is gone, the staged copy exists.
-    // Simulated for EACH subdir (stats is the one that wedged the naive
-    // trigger: the next call reads $dir/stats first).
+    // before its rename — the target is gone, the staged copy exists,
+    // the .swap_pending marker is armed. Simulated for EACH subdir
+    // (stats is the one that wedged the naive trigger: the next call
+    // reads $dir/stats first).
     import spark.implicits._
     def vec(i: Long): Seq[Double] =
       (0 until 8).map(d => -0.4 - 0.01 * ((i * 7 + d * 3) % 13))
@@ -197,23 +198,74 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
         .createTempDirectory(s"vecidx-heal-$sub").toString
       VectorIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
         nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
-      // manufacture the crash state: target moved into staging
+      // manufacture the crash state: target moved into staging, marker armed
       val staging = new java.io.File(dir, ".retrain_staging")
       assert(staging.mkdir())
       assert(new java.io.File(dir, sub)
         .renameTo(new java.io.File(staging, sub)), s"fixture move of $sub")
+      assert(new java.io.File(dir, ".swap_pending").createNewFile())
       val (psi, did) = VectorIndex.retrainIfDrifted(spark, dir, corpus,
         "vec_id", "embedding", threshold = 0.1,
         nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
       assert(!did && psi < 0.01,
         s"$sub: healed trigger sees an undrifted corpus: psi=$psi did=$did")
       assert(new java.io.File(dir, sub).exists(), s"$sub not healed")
+      assert(!new java.io.File(dir, ".swap_pending").exists(),
+        s"$sub: marker must clear after the heal")
       // and the healed index still answers searches
       val q = corpus.filter(col("vec_id") < 3)
       val got = VectorIndex.searchIvfPq(spark, dir, q, corpus,
         "vec_id", "embedding", k = 3, nProbe = 2, refineFactor = 4)
       assert(got.count() == 9, s"$sub: healed index must serve searches")
     }
+  }
+
+  test("the heal never strands a mixed generation: an armed swap publishes codes, model AND stats as a unit") {
+    // crash state after the OLD run published codes only: staged model +
+    // stats remain, marker armed, live codes are NEW-generation. A heal
+    // keyed on 'target missing' would see nothing missing and leave new
+    // codes under the old model, silently — the marker protocol must
+    // finish the swap instead, and the result must equal a fresh build.
+    import spark.implicits._
+    def vOld(i: Long): Seq[Double] =
+      (0 until 8).map(d => -0.4 - 0.01 * ((i * 7 + d * 3) % 13))
+    def vNew(i: Long): Seq[Double] =
+      (0 until 8).map(d => 0.4 + 0.01 * ((i * 5 + d * 11) % 17))
+    val oldC = (0L until 150L).map(i => (i, vOld(i))).toDF("vec_id", "embedding")
+    val fullC = oldC.unionByName(
+      (150L until 300L).map(i => (i, vNew(i))).toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-mixed").toString
+    VectorIndex.buildIvfPq(oldC, "vec_id", "embedding", dir,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    VectorIndex.appendIvfPq(fullC.filter(col("vec_id") >= 150), "vec_id",
+      "embedding", dir)
+    // the interrupted retrain: full staging built from the CURRENT corpus
+    val staging = s"$dir/.retrain_staging"
+    VectorIndex.buildIvfPq(fullC, "vec_id", "embedding", staging,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    // crash after publishing codes only
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRec))
+      f.delete(): Unit
+    }
+    rmRec(new java.io.File(dir, "codes"))
+    assert(new java.io.File(staging, "codes")
+      .renameTo(new java.io.File(dir, "codes")))
+    assert(new java.io.File(dir, ".swap_pending").createNewFile())
+    val (_, _) = VectorIndex.retrainIfDrifted(spark, dir, fullC,
+      "vec_id", "embedding", threshold = 1e9, // below-threshold call: heal only
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    val fresh = java.nio.file.Files.createTempDirectory("vecidx-mixed-fresh").toString
+    VectorIndex.buildIvfPq(fullC, "vec_id", "embedding", fresh,
+      nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    val q = fullC.filter(col("vec_id") >= 150 && col("vec_id") < 160)
+    def results(d: String) = VectorIndex.searchIvfPq(spark, d, q, fullC,
+        "vec_id", "embedding", k = 5, nProbe = 2, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(results(dir) == results(fresh),
+      "after the heal the index must equal a fresh current-corpus build — never new codes under the old model")
   }
 
   test("the persisted model round-trips exactly") {
