@@ -152,31 +152,11 @@ object ContaminationGuard {
     * RECONSTRUCTION (ext106's discipline). Run on the exact tier: a
     * sampled index would excise a conservative subset. */
   def excise(docs: DataFrame, textCol: String, idCol: String,
-      index: BenchIndex): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(index)
-    val cutsUdf = udf { text: String =>
-      val idx = bc.value
-      val window = idx.window
-      val out = scala.collection.mutable.ArrayBuffer.empty[CutSpan]
-      var islandStart = -1L
-      var last = -1L
-      def close(): Unit =
-        if (islandStart >= 0)
-          out += CutSpan(islandStart, last + window - 1)
-      scanMatches(text, idx) { (pos, _, _) =>
-        if (islandStart < 0) { islandStart = pos; last = pos }
-        else if (pos - last <= window - 1) last = pos
-        else { close(); islandStart = pos; last = pos }
-        true
-      }
-      close()
-      out.toArray
-    }.asNondeterministic() // one hashing pass per row — optimizer fence
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"))
-      .withColumn("__cuts", cutsUdf(col("text")))
-      .withColumn("cuts", when(size(col("__cuts")) > 0, col("__cuts")))
+      index: BenchIndex): DataFrame =
+    withCuts(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")),
+      "text", index)
       .withColumn("cleaned",
         when(col("cuts").isNull, col("text"))
           .otherwise(SubstringDedup.rebuildCleaned))
@@ -188,6 +168,57 @@ object ContaminationGuard {
           .as("removed_chars"),
         length(col("cleaned")).cast("long").as("kept_chars"),
         md5(col("cleaned")).as("cleaned_digest"))
+
+  /** Island cut-list probe for ingest paths: adds `outCol` — a SORTED,
+    * DISJOINT array<struct<s,e>> of the 1-based char intervals covering
+    * every benchmark-window island in the row's text, NULL for clean
+    * rows and rows whose `guard` is false/null — the cut list
+    * [[SubstringDedup.rebuildCleaned]] folds and [[excise]] wraps,
+    * exposed so the streaming ingest
+    * ([[graft.streaming.CorpusIngest.writeAuditedExcising]]) can cut
+    * leaked spans AT THE DOOR instead of dropping the document. Same
+    * single map-side hashing pass as [[flag]]/[[withHit]] (the shared
+    * [[scanMatches]] scan); `guard` is evaluated INSIDE the UDF
+    * ([[withHit]]'s lesson — the nondeterministic fence makes a
+    * `when(guard, probe)` wrapper pay the scan anyway). */
+  def withCuts(docs: DataFrame, textCol: String, index: BenchIndex,
+      outCol: String = "cuts", guard: Column = lit(true)): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val probe = udf { (text: String, enabled: Boolean) =>
+      cutsEvals.incrementAndGet(): Unit
+      if (!enabled) None
+      else {
+        val cuts = cutList(text, bc.value)
+        if (cuts.isEmpty) None else Some(cuts)
+      }
+    }.asNondeterministic() // one hashing pass per row — optimizer fence
+    docs.withColumn(outCol,
+      probe(col(textCol), coalesce(guard, lit(false))))
+  }
+
+  /** Test seam: total [[withCuts]] probe invocations in this JVM — the
+    * excise-policy ingest's single-plan-branch pin counts it (the
+    * [[withHit]]/[[probeEvals]] discipline). */
+  private[graft] val cutsEvals = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The one definition of "cut list": fold [[scanMatches]]'s ascending
+    * match positions into merged islands (gap ≤ window−1), each widened
+    * to its full char extent [start, last + window − 1]. */
+  private def cutList(text: String, idx: BenchIndex): Array[CutSpan] = {
+    val window = idx.window
+    val out = scala.collection.mutable.ArrayBuffer.empty[CutSpan]
+    var islandStart = -1L
+    var last = -1L
+    def close(): Unit =
+      if (islandStart >= 0) out += CutSpan(islandStart, last + window - 1)
+    scanMatches(text, idx) { (pos, _, _) =>
+      if (islandStart < 0) { islandStart = pos; last = pos }
+      else if (pos - last <= window - 1) last = pos
+      else { close(); islandStart = pos; last = pos }
+      true
+    }
+    close()
+    out.toArray
   }
 
   /** The sampled→exact graduation the production tier's scaladoc

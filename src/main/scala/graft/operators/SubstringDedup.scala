@@ -225,9 +225,10 @@ object SubstringDedup {
   /** The uncut-segment rebuild: fold a SORTED, DISJOINT `cuts`
     * array<struct<s,e>> (1-based char intervals) over a `text` column,
     * concatenating the segments between cuts — the no-UDF rebuild path
-    * shared by [[spanRemoval]] and
-    * [[ContaminationGuard.excise]]. */
-  private[operators] def rebuildCleaned: Column = expr(
+    * shared by [[spanRemoval]], [[ContaminationGuard.excise]] and the
+    * excise-policy ingest
+    * ([[graft.streaming.CorpusIngest.gateVerdictsExcising]]). */
+  private[graft] def rebuildCleaned: Column = expr(
     """aggregate(cuts,
          struct(cast('' as string) as acc, 1L as cur),
          (a, c) -> struct(

@@ -185,6 +185,112 @@ object CorpusIngest {
       .start()
   }
 
+  /** The EXCISE-policy gate verdicts — [[gateVerdicts]]'s reject-on-hit
+    * contamination posture replaced by ext128's argument applied at the
+    * door: cutting the leaked span beats dropping the document, which
+    * loses its clean majority. Per doc, in rule order:
+    *
+    *  1. the quality gate runs on the ORIGINAL text — an already-junk doc
+    *     rejects without paying the hashing scan (the scan's `guard`);
+    *  2. quality passers get the island cut list from ONE map-side
+    *     broadcast-probe pass ([[graft.operators.ContaminationGuard
+    *     .withCuts]] — the same scan [[gateVerdicts]]'s first-hit probe
+    *     runs, continued to the full island story since the cuts need it
+    *     anyway) and `text` becomes the REBUILT text (the shared no-UDF
+    *     aggregate/substring fold); clean docs keep their bytes;
+    *  3. excised docs are re-gated on the CLEANED text — a doc that was
+    *     mostly eval leak cuts down to a stub and rejects with the
+    *     quality rule the stub fails ("empty" when nothing remains),
+    *     carrying `removed_chars` as the why.
+    *
+    * `digest`, `n_tokens` and `distinct_ratio` are of the text that would
+    * LAND (the cleaned text), so the downstream digest dedup unifies a
+    * leaked doc with a clean copy of its unique remainder — the landed
+    * corpus carries one copy of the surviving content, however it
+    * arrived. Output adds (n_spans, removed_chars) — 0 for clean docs —
+    * to [[gateVerdicts]]'s columns (minus the first-hit evidence, which
+    * the cut list subsumes). All map-side; identical on a stream and a
+    * batch frame.
+    */
+  def gateVerdictsExcising(
+      docs: DataFrame,
+      watchlist: graft.operators.ContaminationGuard.BenchIndex,
+      minTokens: Int = 5,
+      minDistinctRatio: Double = 0.2): DataFrame = {
+    val qual = (c: org.apache.spark.sql.Column) =>
+      TextFunctions.qualityReason(c, minTokens, minDistinctRatio)
+    val feats = TextFunctions.qualityFeatures(col("text")).toMap
+    graft.operators.ContaminationGuard.withCuts(
+      docs.withColumn("__q_orig", qual(col("text"))),
+      "text", watchlist, outCol = "cuts", guard = col("__q_orig").isNull)
+      .withColumn("n_spans", coalesce(size(col("cuts")), lit(0)).cast("long"))
+      .withColumn("removed_chars",
+        coalesce(aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + c.getField("e") - c.getField("s") + 1L), lit(0L)))
+      .withColumn("text",
+        when(col("cuts").isNull, col("text"))
+          .otherwise(graft.operators.SubstringDedup.rebuildCleaned))
+      .withColumn("n_tokens", feats("n_tokens"))
+      .withColumn("distinct_ratio", feats("distinct_ratio"))
+      .withColumn("digest", md5(col("text")))
+      .withColumn("reject_reason",
+        coalesce(col("__q_orig"),
+          when(col("n_spans") > 0, qual(col("text")))))
+      .drop("cuts", "__q_orig")
+  }
+
+  /** [[writeAudited]] under the EXCISE contamination policy
+    * ([[gateVerdictsExcising]]): leaked spans are cut at the door and the
+    * CLEANED text lands, instead of the whole doc rejecting. Three sinks
+    * off ONE plan branch and one cached micro-batch (the r10/r11
+    * single-branch discipline — the fenced hashing probe runs exactly
+    * once per arriving doc, spec-pinned): the landing table (same schema
+    * as [[writeAudited]]'s — excision bookkeeping stays out of the
+    * corpus), `<table>_excisions` with (doc_id, source, ingest_ts,
+    * n_spans, removed_chars, digest) for every landed doc that was cut —
+    * the remediation audit a compliance pipeline owes (which docs were
+    * touched, how much, and the digest of what landed), and
+    * `<table>_rejects` with the quality rule plus (n_spans,
+    * removed_chars) so an excised-to-junk doc shows WHY it became junk.
+    * Dedup is on the CLEANED digest under the same "k:"/"r:" key scheme
+    * and watermark policy as [[writeAudited]] (a redelivered leaked doc
+    * dedups against its first landing; so does a clean copy of its
+    * unique remainder). */
+  def writeAuditedExcising(
+      docs: DataFrame, table: String, checkpoint: String,
+      watchlist: graft.operators.ContaminationGuard.BenchIndex,
+      minTokens: Int = 5, minDistinctRatio: Double = 0.2,
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val routed = gateVerdictsExcising(docs, watchlist, minTokens, minDistinctRatio)
+      .withColumn("__dedup_key",
+        when(col("reject_reason").isNull, concat(lit("k:"), col("digest")))
+          .otherwise(concat_ws(":", lit("r"), col("digest"),
+            col("doc_id").cast("string"))))
+    routed
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        try {
+          val kept = b.filter(col("reject_reason").isNull)
+          kept.drop("__dedup_key", "reject_reason", "n_spans", "removed_chars")
+            .write.mode("append").partitionBy("source").parquet(table)
+          kept.filter(col("n_spans") > 0)
+            .select(col("doc_id"), col("source"), col("ingest_ts"),
+              col("n_spans"), col("removed_chars"), col("digest"))
+            .write.mode("append").parquet(s"${table}_excisions")
+          b.filter(col("reject_reason").isNotNull)
+            .drop("__dedup_key")
+            .write.mode("append").parquet(s"${table}_rejects")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** End-to-end convenience over a JSONL directory. The default
     * `AvailableNow` trigger DRAINS the currently-present files and stops
     * (the batch-ingest shape the specs and bench use); pass a processing-

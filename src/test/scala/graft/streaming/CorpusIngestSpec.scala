@@ -77,19 +77,20 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(dirs.contains("source=srcA") && dirs.contains("source=srcC"))
   }
 
+  /** Deterministic word soup (spaces every 5 letters so the quality gate
+    * sees real tokens). */
+  private def soupWords(seed: Long, nWords: Int): String = {
+    var x = seed * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+    (0 until nWords).map { _ =>
+      (0 until 5).map { _ =>
+        x ^= x >>> 27; x *= 0x3c79ac492ba7b653L; x ^= x >>> 33
+        ('a' + ((x & 0x7fffffffL) % 26)).toChar
+      }.mkString
+    }.mkString(" ")
+  }
+
   test("audited ingest with a decontamination watchlist: leaked benchmark text rejects with evidence, quality rejects carry their rule, passers land, digest dups stay silent") {
     import graft.operators.ContaminationGuard
-    // deterministic word soup (spaces every 5 letters so the quality gate
-    // sees real tokens)
-    def soupWords(seed: Long, nWords: Int): String = {
-      var x = seed * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
-      (0 until nWords).map { _ =>
-        (0 until 5).map { _ =>
-          x ^= x >>> 27; x *= 0x3c79ac492ba7b653L; x ^= x >>> 33
-          ('a' + ((x & 0x7fffffffL) % 26)).toChar
-        }.mkString
-      }.mkString(" ")
-    }
     val bench = soupWords(1L, 40) // 239 chars
     val idx = ContaminationGuard.benchmarkIndex(
       Seq((7L, bench)).toDF("doc_id", "text"), "text", "doc_id")
@@ -134,6 +135,91 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       watchlist = Some(idx))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batchKept == Set(1L))
+  }
+
+  test("EXCISE-policy ingest: leaked spans cut at the door, cleaned text lands and dedups, excisions audited, excised-to-junk rejects with evidence") {
+    import graft.operators.ContaminationGuard
+    val bench = soupWords(11L, 40) // 239 chars
+    val idx = ContaminationGuard.benchmarkIndex(
+      Seq((7L, bench)).toDF("doc_id", "text"), "text", "doc_id")
+    val prefix = soupWords(12L, 10) // 59 chars
+    val suffix = soupWords(13L, 10)
+    // leaked = prefix ␣ bench[0,100) ␣ suffix → matched window starts at
+    // chars 61..97, one island [61, 160] (100 chars), cleaned = the text
+    // around the cut: chars 1..60 (prefix + space) ++ chars 161.. (space
+    // + suffix)
+    val leaked = prefix + " " + bench.substring(0, 100) + " " + suffix
+    val expectedCleaned = prefix + "  " + suffix
+    val clean = soupWords(14L, 12)
+    val table = tmp("exc-table"); val ckpt = tmp("exc-ckpt")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    def runOnce(): Unit =
+      CorpusIngest.writeAuditedExcising(
+        source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+        table, ckpt, watchlist = idx).awaitTermination()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    source.addData(
+      (1L, clean, "srcA", t0),
+      (2L, leaked, "srcA", t0),
+      (3L, bench, "srcA", t0),     // pure benchmark text → excised to ""
+      (4L, "hi there", "srcA", t0)) // original junk → scan never paid
+    val evalsBefore = ContaminationGuard.cutsEvals.get()
+    runOnce()
+    // ONE plan branch => the cut-list UDF is invoked exactly once per doc
+    assert(ContaminationGuard.cutsEvals.get() - evalsBefore == 4L,
+      s"cut-probe evaluations: ${ContaminationGuard.cutsEvals.get() - evalsBefore}")
+    val landed = spark.read.parquet(table).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(landed.keySet == Set(1L, 2L), s"landed: ${landed.keySet}")
+    assert(landed(1L).getAs[String]("text") == clean)
+    assert(landed(2L).getAs[String]("text") == expectedCleaned,
+      "the leaked doc must land with the island cut out")
+    // parity with the batch remediation: same cut, same rebuilt digest
+    val batchExcise = ContaminationGuard.excise(
+      Seq((2L, leaked)).toDF("doc_id", "text"), "text", "doc_id", idx)
+      .head()
+    assert(landed(2L).getAs[String]("digest") ==
+      batchExcise.getAs[String]("cleaned_digest"))
+    assert(batchExcise.getAs[Long]("n_spans") == 1L &&
+      batchExcise.getAs[Long]("removed_chars") == 100L)
+    val excisions = spark.read.parquet(s"${table}_excisions").collect()
+    assert(excisions.length == 1 &&
+      excisions.head.getAs[Long]("doc_id") == 2L &&
+      excisions.head.getAs[Long]("n_spans") == 1L &&
+      excisions.head.getAs[Long]("removed_chars") == 100L &&
+      excisions.head.getAs[String]("digest") ==
+        batchExcise.getAs[String]("cleaned_digest"),
+      s"excision audit: ${excisions.mkString(",")}")
+    val rejects = spark.read.parquet(s"${table}_rejects").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rejects.keySet == Set(3L, 4L), s"rejects: ${rejects.keySet}")
+    // pure-bench doc: the whole text is one island → cleaned is empty →
+    // the CLEANED text's quality rule, with the why in removed_chars
+    assert(rejects(3L).getAs[String]("reject_reason") == "empty")
+    assert(rejects(3L).getAs[Long]("n_spans") == 1L &&
+      rejects(3L).getAs[Long]("removed_chars") == bench.length.toLong)
+    // original junk never paid the scan: quality rule, zero spans
+    assert(rejects(4L).getAs[String]("reject_reason") == "too_few_tokens")
+    assert(rejects(4L).getAs[Long]("n_spans") == 0L)
+    // dedup is on the CLEANED digest: a clean copy of the leaked doc's
+    // unique remainder arriving later dedups silently against it
+    source.addData((5L, expectedCleaned, "srcB",
+      java.sql.Timestamp.valueOf("2026-01-01 00:05:00")))
+    runOnce()
+    assert(spark.read.parquet(table).count() == 2,
+      "the cleaned remainder's digest already landed — silent dup")
+    // batch parity: the same gate on a batch frame yields the same classes
+    val batchVerdicts = CorpusIngest.gateVerdictsExcising(
+      Seq((1L, clean, "a", t0), (2L, leaked, "a", t0), (3L, bench, "a", t0),
+        (4L, "hi there", "a", t0))
+        .toDF("doc_id", "text", "source", "ingest_ts"), idx)
+      .select("doc_id", "reject_reason", "text").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    assert(batchVerdicts(1L) == (None, clean))
+    assert(batchVerdicts(2L) == (None, expectedCleaned))
+    assert(batchVerdicts(3L)._1.contains("empty"))
+    assert(batchVerdicts(4L)._1.contains("too_few_tokens"))
   }
 
   test("prepare on a BATCH frame applies the same gate with whole-input dedup") {
