@@ -32,10 +32,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * ext123, the signature-tier band health audit ext124, the streaming
   * watchlist monitor at corpus scale ext125, the broadcast-probe
   * benchmark-contamination audit ext126 (exact) / guard ext127
-  * (winnowing production tier) and the benchmark-span excision
+  * (winnowing production tier), the benchmark-span excision
   * ext128 (detect → refine → remove closed, rebuilt-text md5
-  * oracle-checked) —
-  * 190 catalog entries total);
+  * oracle-checked) and the decontamination policy retention delta
+  * ext129 (drop-doc vs excise-span priced from one probe pass) —
+  * 191 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -4667,7 +4667,112 @@ object ExtensionQueries {
                md5(cleaned) AS cleaned_digest
         FROM cl
         ORDER BY doc_id
-      """), bench = false) // audit-tier exact enumeration, like ext106/ext126
+      """), bench = false), // audit-tier exact enumeration, like ext106/ext126
+
+    // ------------------------------------------------------------ EXT129
+    // DECONTAMINATION POLICY RETENTION DELTA — the number a data lead
+    // reads before choosing a posture: what does each remediation policy
+    // COST in retained training data? Two policies over the same
+    // detected contamination (the ext126/ext128 corpus-vs-benchmark
+    // split): `drop_doc` discards every document holding ANY benchmark
+    // window (the GPT-3/C4 playbook — simple, loses each leaked doc's
+    // clean majority); `excise_span` cuts only the leaked islands and
+    // keeps the text around them (ext128; a doc counts dropped only when
+    // nothing remains). Per policy: docs retained/dropped and chars
+    // retained/removed. ONE map-side excise pass (the ext128 broadcast
+    // probe — per-doc islands give BOTH policies: n_spans>0 is drop_doc's
+    // verdict, kept_chars its excise counterpart), ONE aggregation,
+    // stack() into the two policy rows — no second scan, no join, so the
+    // comparison costs one probe however large the corpus. The streaming
+    // faces of the two policies are CorpusIngest.writeAudited (reject) /
+    // writeAuditedExcising (excise); this entry prices that choice.
+    // ORACLE-CHECKED: DuckDB re-derives the islands from the windows×
+    // benchmark join and aggregates the same conditional sums.
+    QueryDef(
+      "ext129_decontam_policy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchPred = col("doc_id") % 10 === 0
+        val idx = graft.operators.ContaminationGuard.benchmarkIndex(
+          docs.filter(benchPred), "text", "doc_id", window = 64)
+        graft.operators.ContaminationGuard.excise(
+          docs.filter(!benchPred), "text", "doc_id", idx)
+          .agg(
+            sum(when(col("n_spans") === 0, 1L).otherwise(0L)).as("dd_kept"),
+            sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("dd_drop"),
+            sum(when(col("n_spans") === 0, col("n_chars"))).as("dd_ckept"),
+            sum(when(col("n_spans") > 0, col("n_chars"))).as("dd_crem"),
+            sum(when(col("n_spans") === 0 || col("kept_chars") > 0, 1L)
+              .otherwise(0L)).as("ex_kept"),
+            sum(when(col("n_spans") > 0 && col("kept_chars") === 0, 1L)
+              .otherwise(0L)).as("ex_drop"),
+            sum(col("kept_chars")).as("ex_ckept"),
+            sum(col("removed_chars")).as("ex_crem"))
+          .selectExpr(
+            """stack(2,
+                 'drop_doc', dd_kept, dd_drop,
+                   coalesce(dd_ckept, 0L), coalesce(dd_crem, 0L),
+                 'excise_span', ex_kept, ex_drop,
+                   coalesce(ex_ckept, 0L), coalesce(ex_crem, 0L))
+               AS (policy, n_docs_retained, n_docs_dropped,
+                   chars_retained, chars_removed)""")
+          .orderBy("policy")
+      },
+      Some("""
+        WITH scanned AS (
+          SELECT doc_id, text FROM documents WHERE NOT (doc_id % 10 = 0)),
+        w AS (
+          SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 64)) AS h
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 62, 1))) AS t(i)),
+        bench AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 = 0),
+        rd AS (SELECT DISTINCT w.doc_id, w.pos
+               FROM w JOIN bench USING (h) WHERE NOT (w.doc_id % 10 = 0)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           <= 63
+                      THEN 0 ELSE 1 END AS newgrp
+          FROM rd),
+        g AS (
+          SELECT doc_id, pos,
+                 SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl),
+        cuts AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 63 AS e
+          FROM g GROUP BY doc_id, grp),
+        p AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+          FROM cuts GROUP BY doc_id),
+        perdoc AS (
+          SELECT d.doc_id,
+                 CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+                 COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+                 COALESCE(p.removed_chars, CAST(0 AS BIGINT)) AS removed_chars
+          FROM scanned d LEFT JOIN p USING (doc_id))
+        SELECT 'drop_doc' AS policy,
+               CAST(SUM(CASE WHEN n_spans = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_retained,
+               CAST(SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_dropped,
+               CAST(COALESCE(SUM(CASE WHEN n_spans = 0 THEN n_chars END),
+                             0) AS BIGINT) AS chars_retained,
+               CAST(COALESCE(SUM(CASE WHEN n_spans > 0 THEN n_chars END),
+                             0) AS BIGINT) AS chars_removed
+        FROM perdoc
+        UNION ALL
+        SELECT 'excise_span',
+               CAST(SUM(CASE WHEN n_spans = 0 OR n_chars > removed_chars
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN n_spans > 0 AND n_chars = removed_chars
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COALESCE(SUM(n_chars - removed_chars), 0) AS BIGINT),
+               CAST(COALESCE(SUM(removed_chars), 0) AS BIGINT)
+        FROM perdoc
+        ORDER BY policy
+      """), bench = false) // audit-tier exact enumeration, like ext126/ext128
   )
 
   /** Shared ext126/ext127 oracle — the guard's broadcast probe restated
