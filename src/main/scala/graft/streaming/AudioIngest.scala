@@ -32,7 +32,9 @@ object AudioIngest {
       maxPerBucket: Int = 256,
       bootstrapFrom: Option[(DataFrame, Long)] = None,
       qualityGate: Boolean = false,
-      writeBackTo: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      writeBackTo: Option[String] = None,
+      writeBackCompactEvery: Int = 0,
+      writeBackKeepRecent: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       clips, AudioDedup.fingerprint, idCol = "clip_id", payloadCol = "wav",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
@@ -45,7 +47,9 @@ object AudioIngest {
       // fingerprint from ONE fenced decode — see ImageIngest
       gateFingerprint =
         if (qualityGate) Some(c => gateFingerprintUdf(c)) else None,
-      writeBackTo = writeBackTo)
+      writeBackTo = writeBackTo,
+      writeBackCompactEvery = writeBackCompactEvery,
+      writeBackKeepRecent = writeBackKeepRecent)
 
   /** ONE decode → (failing rule | spectral fingerprint): the ext114 rule
     * scalar plus [[graft.cv.AudioOps.spectralHash64]] — the same scalar

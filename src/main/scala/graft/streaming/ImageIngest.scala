@@ -34,8 +34,11 @@ object ImageIngest {
     * ungated path's decode count. `writeBackTo` persists each
     * micro-batch's landed fingerprints back into the store as
     * epoch-keyed delivery partitions (exactly-once on replay) — point it
-    * at the `bootstrapFrom` store for the full batch↔stream loop
-    * ([[PerceptualIngest.writeDeduped]]).
+    * at the `bootstrapFrom` store for the full batch↔stream loop;
+    * `writeBackCompactEvery`/`writeBackKeepRecent` fold old epoch
+    * partitions on the same cadence (the store's small-file discipline,
+    * run from inside the writer's own exclusive window —
+    * [[PerceptualIngest.writeDeduped]]).
     */
   def writeDeduped(
       images: DataFrame, table: String, checkpoint: String,
@@ -43,7 +46,9 @@ object ImageIngest {
       maxPerBucket: Int = 256,
       bootstrapFrom: Option[(DataFrame, Long)] = None,
       qualityGate: Boolean = false,
-      writeBackTo: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      writeBackTo: Option[String] = None,
+      writeBackCompactEvery: Int = 0,
+      writeBackKeepRecent: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     PerceptualIngest.writeDeduped(
       images, ImageDedup.fingerprint, idCol = "img_id", payloadCol = "png",
       table = table, checkpoint = checkpoint, maxDist = maxDist,
@@ -53,7 +58,9 @@ object ImageIngest {
       bootstrapFrom = bootstrapFrom,
       gateFingerprint =
         if (qualityGate) Some(c => gateFingerprintUdf(c)) else None,
-      writeBackTo = writeBackTo)
+      writeBackTo = writeBackTo,
+      writeBackCompactEvery = writeBackCompactEvery,
+      writeBackKeepRecent = writeBackKeepRecent)
 
   /** ONE decode → (failing rule | dedup fingerprint): the ext113 rule
     * scalar and the batch pair join's exact mirror-canonical DCT pHash

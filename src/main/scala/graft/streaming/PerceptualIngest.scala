@@ -329,7 +329,24 @@ object PerceptualIngest {
     * restarts (via `bootstrapFrom` over the same store) and the next
     * batch probe see what the stream admitted — the write-back half of
     * the batch↔stream handoff. Point it at the store `bootstrapFrom`
-    * reads for the full loop. */
+    * reads for the full loop.
+    *
+    * `writeBackCompactEvery` (0 = off): one partition per micro-batch is
+    * exactly the small-file trajectory [[graft.operators.FingerprintStore
+    * .compact]] exists for, at micro-batch cadence instead of delivery
+    * cadence — so fold the store every N epochs FROM INSIDE foreachBatch,
+    * which IS the store's exclusive writer window while the stream owns
+    * it (the store contract's one-writer rule — don't point other
+    * writers, or readers that can't tolerate the rewrite, at the store
+    * while a compacting stream runs). `writeBackKeepRecent` partitions
+    * stay unfolded; the floor any setting must respect is the replay
+    * horizon, and for a stream that horizon is exactly ONE epoch — only
+    * the last uncommitted micro-batch ever re-runs, and the fold always
+    * keeps the partition the current batch just wrote (it is the
+    * youngest), so a crash between the write-back and the epoch's commit
+    * replays onto a partition that is still there. The default keeps a
+    * margin of 2. Committed epochs never replay, so folding them loses
+    * nothing. */
   def writeDeduped(
       items: DataFrame, fingerprint: Column => Column,
       idCol: String, payloadCol: String,
@@ -339,7 +356,9 @@ object PerceptualIngest {
       rename: Map[String, String] = Map.empty,
       bootstrapFrom: Option[(DataFrame, Long)] = None,
       gateFingerprint: Option[Column => Column] = None,
-      writeBackTo: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      writeBackTo: Option[String] = None,
+      writeBackCompactEvery: Int = 0,
+      writeBackKeepRecent: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     val ttlMillis = ttlMillisOf(watermarkDelay)
     val streamTag = streamTagOf(checkpoint)
     val spark = items.sparkSession
@@ -381,6 +400,16 @@ object PerceptualIngest {
             if (!landed.isEmpty)
               graft.operators.FingerprintStore.writeDelivery(
                 storeDir, s"$streamTag-b$batchId", landed)
+            // epoch-cadence compaction (scaladoc): inside foreachBatch is
+            // the store's exclusive-writer window, and the fold keeps the
+            // youngest partitions — including the one just written — so
+            // the only batch that can ever replay (this one) always finds
+            // its partition
+            if (writeBackCompactEvery > 0 &&
+              batchId % writeBackCompactEvery == writeBackCompactEvery - 1)
+              graft.operators.FingerprintStore.compact(
+                landed.sparkSession, storeDir,
+                keepRecent = writeBackKeepRecent)
           }
           val renamed = rename.foldLeft(r.drop("phash")) {
             case (df, (from, to)) => df.withColumnRenamed(from, to)

@@ -463,6 +463,73 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(ids == Set(1L, 3L, 6L), s"store after both runs: $ids")
   }
 
+  test("store write-back compaction: epoch partitions fold on cadence, contents survive, and a restart still warm-starts from the compacted store") {
+    // one partition per micro-batch is the small-file trajectory compact()
+    // exists for; folding from INSIDE foreachBatch is the writer's own
+    // exclusive window. keepRecent=1 keeps the partition the current
+    // batch just wrote, so the only replayable epoch always finds it.
+    val base = Files.createTempDirectory("imgingest-wb-compact").toString
+    val store = s"$base/store"
+    val t0 = 1701600000L
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    def runOnce(): Unit =
+      ImageIngest.writeDeduped(
+        stream.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+        s"$base/t", s"$base/c", maxDist = 3, watermarkDelay = "10 minutes",
+        writeBackTo = Some(store),
+        writeBackCompactEvery = 2, writeBackKeepRecent = 1)
+        .awaitTermination()
+    // four epochs, one fresh image each (families 0,10,20,30 — all
+    // mutually far): every batch lands its image and writes a partition
+    val seeds = Seq(0L, 30L, 60L, 90L)
+    seeds.zipWithIndex.foreach { case (seed, i) =>
+      stream.addData((i + 1L, "camA", ts(t0 + i), ImageCorpus.render(seed)))
+      runOnce()
+    }
+    val expected = graft.operators.ImageDedup.hashes(
+      seeds.zipWithIndex.map { case (s, i) => (i + 1L, ImageCorpus.render(s)) }
+        .toDF("img_id", "png"), "png", "img_id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"))).toSet
+    assert(graft.operators.FingerprintStore.read(spark, store)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"))).toSet
+      == expected, "compaction must not change store contents")
+    // layout: epochs 0..3 with compaction after epochs 1 and 3 → the
+    // youngest epoch partition survives, everything older lives in a
+    // compacted-N base; no per-epoch partition trail
+    val parts = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("delivery_id="))
+      .map(_.getName.stripPrefix("delivery_id=")).toSet
+    val bases = parts.filter(_.startsWith("compacted-"))
+    assert(bases.nonEmpty, s"expected a compacted base, got $parts")
+    assert((parts -- bases).size <= 1,
+      s"at most the youngest epoch partition may remain unfolded, got $parts")
+    // provenance after folding: recent rows keep their epoch id, folded
+    // rows carry the base id
+    val tagged = graft.operators.FingerprintStore.readTagged(spark, store)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("delivery_id"))
+      .toMap
+    assert(tagged(4L).startsWith("stream-"),
+      s"the youngest landing keeps its epoch partition, got ${tagged(4L)}")
+    assert(tagged(1L).startsWith("compacted-"),
+      s"epoch-0 landings must have folded, got ${tagged(1L)}")
+    // the full loop still composes: a NEW stream bootstrapped from the
+    // compacted store rejects a near-dup of the FIRST epoch's landing
+    val s2 = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    s2.addData((9L, "camB", ts(t0 + 600), ImageCorpus.render(1L))) // variant of seed 0 = img 1
+    ImageIngest.writeDeduped(
+      s2.toDF().toDF("img_id", "source", "ingest_ts", "png"),
+      s"$base/t2", s"$base/c2", maxDist = 3, watermarkDelay = "10 minutes",
+      bootstrapFrom = Some((
+        graft.operators.FingerprintStore.read(spark, store), (t0 + 600) * 1000)))
+      .awaitTermination()
+    val rej = spark.read.parquet(s"$base/t2_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("img_id") == 9L &&
+      rej.head.getAs[Long]("matched_img") == 1L,
+      "the compacted store must still carry epoch-0's landing as evidence")
+  }
+
   test("gated path evaluates the gate UDF exactly ONCE per item — single branch, no per-branch re-decode") {
     // the r10 two-branch design (stateless fails ∪ stateful passes)
     // evaluated the nondeterministic gate UDF once PER BRANCH, so every
