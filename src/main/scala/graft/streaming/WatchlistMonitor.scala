@@ -168,6 +168,49 @@ object WatchlistMonitor {
     ContaminationGuard.flagKeeping(items, textCol, watchlist,
       items.columns.filterNot(_ == textCol).map(col).toSeq)
 
+  /** Run any of the flag* transforms as a LONG-LIVED monitor whose
+    * watchlist REFRESHES while the stream runs — a takedown list is not
+    * frozen at deploy time; entries arrive (new claims) and leave
+    * (resolved disputes) daily. `loadWatchlist` re-resolves the list
+    * (e.g. [[audioWatchlist]] over a small parquet table — the same
+    * bounded-collect contract as the static paths) every `refreshEvery`
+    * micro-batches, driver-side between batches, and each micro-batch is
+    * scored with `flag` against the list current at its epoch; flag rows
+    * append to `out` (at-least-once on replay, like every landing sink
+    * here — and a REPLAYED batch scores against the list current at
+    * replay time, the probe-answers-from-the-current-store posture the
+    * fingerprint store documents). The refresh costs one bounded
+    * watchlist fingerprint job; `refreshEvery` dials that against
+    * staleness — arrival-to-enforcement lag is at most refreshEvery
+    * epochs. Modality-generic: `W` is whatever the chosen flagger takes
+    * ([[WatchClip]]s, image hash pairs, a
+    * [[ContaminationGuard.BenchIndex]]).
+    */
+  def monitorStream[W](
+      items: DataFrame,
+      loadWatchlist: () => W,
+      flag: (DataFrame, W) => DataFrame,
+      out: String, checkpoint: String,
+      refreshEvery: Int = 1,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    var cached: Option[W] = None // driver-side; foreachBatch runs on the driver
+    items.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val wl = cached match {
+          case Some(w) if batchId % refreshEvery != 0 => w
+          case _ =>
+            val w = loadWatchlist(); cached = Some(w); w
+        }
+        flag(batch, wl).write.mode("append").parquet(out)
+      }
+      .start()
+  }
+
   /** The modality-generic core: ONE fenced decode per item, the vote per
     * broadcast clip, explode to flag rows. The broadcast ships the
     * watchlist once per executor, not once per task. */

@@ -168,4 +168,45 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(g => (g._1, g._2, g._3)) == Seq((3L, 0L, 3)), s"got $got")
     assert(got.head._4 >= 0.99)
   }
+
+  test("dynamic watchlist: a clip added to the takedown list while the monitor runs is enforced from the next refresh on") {
+    // the list is not frozen at deploy time: batch 1 runs with clip 0
+    // watched (track 7's embed of clip 4 passes SILENTLY), the list gains
+    // clip 4, and the re-arriving track 7 flags at the same offset the
+    // static path would report
+    val winSec = AudioCorpus.TrackWindowSec
+    val base = Files.createTempDirectory("watchmon-dynamic").toString
+    val wlDir = s"$base/watchlist"
+    Seq((0L, AudioCorpus.renderTrack(0L))).toDF("doc_id", "wav")
+      .write.mode("overwrite").parquet(wlDir)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
+    def runOnce(): Unit =
+      WatchlistMonitor.monitorStream(
+        stream.toDF().toDF("track_id", "source", "ingest_ts", "wav"),
+        () => WatchlistMonitor.audioWatchlist(
+          spark.read.parquet(wlDir), "wav", "doc_id", windowSec = winSec),
+        (b: DataFrame, w: Seq[WatchlistMonitor.WatchClip]) =>
+          WatchlistMonitor.flagAudio(b, "wav", w, windowSec = winSec),
+        s"$base/flags", s"$base/ckpt").awaitTermination()
+    stream.addData(
+      (3L, "feedA", ts(1700000000L), AudioCorpus.renderTrack(3L)), // embeds watched clip 0
+      (7L, "feedB", ts(1700000000L), AudioCorpus.renderTrack(7L))) // embeds clip 4 — not watched yet
+    runOnce()
+    val after1 = spark.read.parquet(s"$base/flags").collect()
+    assert(after1.length == 1 && after1.head.getAs[Long]("track_id") == 3L &&
+      after1.head.getAs[Long]("clip_id") == 0L,
+      s"only the clip-0 embed may flag before the list grows: ${after1.toSeq}")
+    // a new claim lands on the takedown list
+    Seq((4L, AudioCorpus.renderTrack(4L))).toDF("doc_id", "wav")
+      .write.mode("append").parquet(wlDir)
+    stream.addData(
+      (7L, "feedB", ts(1700000060L), AudioCorpus.renderTrack(7L)))
+    runOnce()
+    val after2 = spark.read.parquet(s"$base/flags").collect()
+      .map(r => (r.getAs[Long]("track_id"), r.getAs[Long]("clip_id"),
+        r.getAs[Int]("offset_units"))).toSet
+    assert(after2 == Set((3L, 0L, 3), (7L, 4L, 3)),
+      s"the grown list must catch track 7's embed of clip 4 at offset 3: $after2")
+  }
 }
