@@ -131,8 +131,12 @@ object ContaminationGuard {
           denom(col("o.bench_id")), 6).as("bench_coverage"))): _*)
   }
 
-  /** One cut interval (1-based chars, inclusive) of [[excise]]. */
-  final case class CutSpan(s: Long, e: Long)
+  /** One cut interval (1-based chars, inclusive) of [[withCuts]]/
+    * [[excise]]; `benches` = the sorted distinct benchmark ids whose
+    * windows the island matched — the attribution that survives the
+    * excision (the original text does not, so WHICH eval leaked must
+    * travel with the cut). */
+  final case class CutSpan(s: Long, e: Long, benches: Seq[Long])
 
   /** DECONTAMINATION — the remediation step after detection, closing the
     * detect (ext126/ext127) → refine ([[refineFlags]]) → REMOVE chain:
@@ -160,18 +164,16 @@ object ContaminationGuard {
       .withColumn("cleaned",
         when(col("cuts").isNull, col("text"))
           .otherwise(SubstringDedup.rebuildCleaned))
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        coalesce(size(col("cuts")), lit(0)).cast("long").as("n_spans"),
-        coalesce(aggregate(col("cuts"), lit(0L),
-          (acc, c) => acc + c.getField("e") - c.getField("s") + 1L), lit(0L))
-          .as("removed_chars"),
-        length(col("cleaned")).cast("long").as("kept_chars"),
-        md5(col("cleaned")).as("cleaned_digest"))
+      .select(col("doc_id") +:
+        length(col("text")).cast("long").as("n_chars") +:
+        spanStats(col("cuts")) :+
+        length(col("cleaned")).cast("long").as("kept_chars") :+
+        md5(col("cleaned")).as("cleaned_digest"): _*)
 
   /** Island cut-list probe for ingest paths: adds `outCol` — a SORTED,
-    * DISJOINT array<struct<s,e>> of the 1-based char intervals covering
-    * every benchmark-window island in the row's text, NULL for clean
+    * DISJOINT array<struct<s,e,benches>> of the 1-based char intervals
+    * covering every benchmark-window island in the row's text (each with
+    * the benchmark ids it matched — see [[CutSpan]]), NULL for clean
     * rows and rows whose `guard` is false/null — the cut list
     * [[SubstringDedup.rebuildCleaned]] folds and [[excise]] wraps,
     * exposed so the streaming ingest
@@ -201,20 +203,37 @@ object ContaminationGuard {
     * [[withHit]]/[[probeEvals]] discipline). */
   private[graft] val cutsEvals = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** (n_spans, removed_chars) of a [[withCuts]] cut-list column — ONE
+    * definition of the span arithmetic (removed_chars ≡ Σ(e−s+1), the
+    * disjoint-interval identity ext128/ext129's oracles verify) shared
+    * by [[excise]] and the excise-policy ingest, so the tiers cannot
+    * drift. NULL cuts (clean doc) → (0, 0). */
+  private[graft] def spanStats(cuts: Column): Seq[Column] = Seq(
+    coalesce(size(cuts), lit(0)).cast("long").as("n_spans"),
+    coalesce(aggregate(cuts, lit(0L),
+      (acc, c) => acc + c.getField("e") - c.getField("s") + 1L), lit(0L))
+      .as("removed_chars"))
+
   /** The one definition of "cut list": fold [[scanMatches]]'s ascending
     * match positions into merged islands (gap ≤ window−1), each widened
-    * to its full char extent [start, last + window − 1]. */
+    * to its full char extent [start, last + window − 1] and carrying the
+    * sorted distinct benchmark ids its windows matched. */
   private def cutList(text: String, idx: BenchIndex): Array[CutSpan] = {
     val window = idx.window
     val out = scala.collection.mutable.ArrayBuffer.empty[CutSpan]
     var islandStart = -1L
     var last = -1L
+    val benches = scala.collection.mutable.SortedSet.empty[Long]
     def close(): Unit =
-      if (islandStart >= 0) out += CutSpan(islandStart, last + window - 1)
-    scanMatches(text, idx) { (pos, _, _) =>
+      if (islandStart >= 0) {
+        out += CutSpan(islandStart, last + window - 1, benches.toSeq)
+        benches.clear()
+      }
+    scanMatches(text, idx) { (pos, _, bs) =>
       if (islandStart < 0) { islandStart = pos; last = pos }
       else if (pos - last <= window - 1) last = pos
       else { close(); islandStart = pos; last = pos }
+      benches ++= bs
       true
     }
     close()

@@ -186,8 +186,18 @@ object FingerprintStore {
     * (transient duplicate rows, which probes tolerate and a re-run folds
     * away via the distinct below); at every instant the fold's rows live
     * in at least one discovered partition. Requires the writer's
-    * exclusive window (class doc). */
-  def compact(spark: SparkSession, dir: String, keepRecent: Int): Unit = {
+    * exclusive window (class doc).
+    *
+    * `protect`: delivery ids that keep their partitions REGARDLESS of
+    * the recency ranking — recency is mtime-ranked (ties by id), and an
+    * mtime tie on a coarse-granularity filesystem could otherwise rank a
+    * partition written THIS instant below an older one, folding the one
+    * delivery whose replay window is provably open. A caller that knows
+    * which delivery is in flight names it here instead of trusting the
+    * clock (the streaming write-back protects its current epoch);
+    * protecting an id with no partition is a no-op. */
+  def compact(spark: SparkSession, dir: String, keepRecent: Int,
+      protect: Set[String] = Set.empty): Unit = {
     require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -198,7 +208,7 @@ object FingerprintStore {
     val real = parts.filter { case (id, _) =>
       id != InitDelivery && !isCompactedBase(id) }
     val keep = real.sortBy { case (id, s) => (-s.getModificationTime, id) }
-      .take(keepRecent).map(_._1).toSet
+      .take(keepRecent).map(_._1).toSet ++ protect
     val fold = parts.filter { case (id, _) => !keep.contains(id) }
     // folding fewer than two partitions is pure churn (and would
     // needlessly destroy a lone delivery's replay partition) → no-op,

@@ -159,13 +159,38 @@ object CorpusIngest {
       minTokens: Int = 5, minDistinctRatio: Double = 0.2,
       watermarkDelay: String = "10 minutes",
       watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val routed = gateVerdicts(docs, minTokens, minDistinctRatio, watchlist)
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    writeRouted(gateVerdicts(docs, minTokens, minDistinctRatio, watchlist),
+      checkpoint, watermarkDelay, trigger) { b =>
+      b.filter(col("reject_reason").isNull)
+        .drop("__dedup_key", "reject_reason", "bench_id", "match_pos")
+        .write.mode("append").partitionBy("source").parquet(table)
+      b.filter(col("reject_reason").isNotNull)
+        .drop("__dedup_key")
+        .write.mode("append").parquet(s"${table}_rejects")
+    }
+
+  /** THE routing skeleton [[writeAudited]] and [[writeAuditedExcising]]
+    * share — the dedup-key scheme, the watermark policy, and the
+    * cache/try/unpersist micro-batch shell live HERE and only here (two
+    * hand-synced copies of a key scheme is exactly the divergence the
+    * single-plan-branch lessons were about): passers dedup on
+    * "k:<digest>" (content identity — a redelivery of what landed is
+    * silent), rejects audit under "r:<digest>:<doc_id>" (reject-unique,
+    * cannot collide with a content key; two distinct junk docs with the
+    * same text both audit, an exact redelivery of the same reject dedups
+    * like a landing would), and both classes share the watermark's
+    * lateness policy. `sinks` runs against the CACHED deduped
+    * micro-batch — route every output off that one frame, never off a
+    * re-evaluated plan branch. */
+  private def writeRouted(
+      verdicts: DataFrame, checkpoint: String, watermarkDelay: String,
+      trigger: Trigger)(sinks: DataFrame => Unit): StreamingQuery =
+    verdicts
       .withColumn("__dedup_key",
         when(col("reject_reason").isNull, concat(lit("k:"), col("digest")))
           .otherwise(concat_ws(":", lit("r"), col("digest"),
             col("doc_id").cast("string"))))
-    routed
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__dedup_key")
       .writeStream
@@ -173,17 +198,9 @@ object CorpusIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.cache()
-        try {
-          b.filter(col("reject_reason").isNull)
-            .drop("__dedup_key", "reject_reason", "bench_id", "match_pos")
-            .write.mode("append").partitionBy("source").parquet(table)
-          b.filter(col("reject_reason").isNotNull)
-            .drop("__dedup_key")
-            .write.mode("append").parquet(s"${table}_rejects")
-        } finally { b.unpersist(); () }
+        try sinks(b) finally { b.unpersist(); () }
       }
       .start()
-  }
 
   /** The EXCISE-policy gate verdicts — [[gateVerdicts]]'s reject-on-hit
     * contamination posture replaced by ext128's argument applied at the
@@ -207,10 +224,15 @@ object CorpusIngest {
     * LAND (the cleaned text), so the downstream digest dedup unifies a
     * leaked doc with a clean copy of its unique remainder — the landed
     * corpus carries one copy of the surviving content, however it
-    * arrived. Output adds (n_spans, removed_chars) — 0 for clean docs —
-    * to [[gateVerdicts]]'s columns (minus the first-hit evidence, which
-    * the cut list subsumes). All map-side; identical on a stream and a
-    * batch frame.
+    * arrived. Output adds (n_spans, removed_chars, bench_ids) — (0, 0,
+    * null) for clean docs — to [[gateVerdicts]]'s columns: `bench_ids`
+    * is the sorted distinct benchmarks the doc leaked ([[gateVerdicts]]'s
+    * first-hit evidence widened to full attribution, since the original
+    * text is gone once the cleaned text replaces it — explode it into
+    * the (doc_id, bench_id) pairs [[graft.operators.ContaminationGuard
+    * .refineFlags]] takes to re-derive exact extents from the SOURCE
+    * delivery when a reviewer needs them). All map-side; identical on a
+    * stream and a batch frame.
     */
   def gateVerdictsExcising(
       docs: DataFrame,
@@ -220,13 +242,18 @@ object CorpusIngest {
     val qual = (c: org.apache.spark.sql.Column) =>
       TextFunctions.qualityReason(c, minTokens, minDistinctRatio)
     val feats = TextFunctions.qualityFeatures(col("text")).toMap
+    val Seq(nSpans, removedChars) =
+      graft.operators.ContaminationGuard.spanStats(col("cuts"))
     graft.operators.ContaminationGuard.withCuts(
       docs.withColumn("__q_orig", qual(col("text"))),
       "text", watchlist, outCol = "cuts", guard = col("__q_orig").isNull)
-      .withColumn("n_spans", coalesce(size(col("cuts")), lit(0)).cast("long"))
-      .withColumn("removed_chars",
-        coalesce(aggregate(col("cuts"), lit(0L),
-          (acc, c) => acc + c.getField("e") - c.getField("s") + 1L), lit(0L)))
+      .withColumn("n_spans", nSpans)
+      .withColumn("removed_chars", removedChars)
+      // the attribution that must survive the excision (the original
+      // text will not): which benchmarks this doc leaked
+      .withColumn("bench_ids",
+        when(col("cuts").isNotNull,
+          sort_array(array_distinct(flatten(col("cuts.benches"))))))
       .withColumn("text",
         when(col("cuts").isNull, col("text"))
           .otherwise(graft.operators.SubstringDedup.rebuildCleaned))
@@ -247,11 +274,12 @@ object CorpusIngest {
     * once per arriving doc, spec-pinned): the landing table (same schema
     * as [[writeAudited]]'s — excision bookkeeping stays out of the
     * corpus), `<table>_excisions` with (doc_id, source, ingest_ts,
-    * n_spans, removed_chars, digest) for every landed doc that was cut —
-    * the remediation audit a compliance pipeline owes (which docs were
-    * touched, how much, and the digest of what landed), and
-    * `<table>_rejects` with the quality rule plus (n_spans,
-    * removed_chars) so an excised-to-junk doc shows WHY it became junk.
+    * n_spans, removed_chars, bench_ids, digest) for every landed doc
+    * that was cut — the remediation audit a compliance pipeline owes
+    * (which docs were touched, how much, WHICH benchmarks leaked, and
+    * the digest of what landed), and `<table>_rejects` with the quality
+    * rule plus (n_spans, removed_chars, bench_ids) so an excised-to-junk
+    * doc shows why it became junk and what leaked into it.
     * Dedup is on the CLEANED digest under the same "k:"/"r:" key scheme
     * and watermark policy as [[writeAudited]] (a redelivered leaked doc
     * dedups against its first landing; so does a clean copy of its
@@ -261,35 +289,23 @@ object CorpusIngest {
       watchlist: graft.operators.ContaminationGuard.BenchIndex,
       minTokens: Int = 5, minDistinctRatio: Double = 0.2,
       watermarkDelay: String = "10 minutes",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val routed = gateVerdictsExcising(docs, watchlist, minTokens, minDistinctRatio)
-      .withColumn("__dedup_key",
-        when(col("reject_reason").isNull, concat(lit("k:"), col("digest")))
-          .otherwise(concat_ws(":", lit("r"), col("digest"),
-            col("doc_id").cast("string"))))
-    routed
-      .withWatermark("ingest_ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("__dedup_key")
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.cache()
-        try {
-          val kept = b.filter(col("reject_reason").isNull)
-          kept.drop("__dedup_key", "reject_reason", "n_spans", "removed_chars")
-            .write.mode("append").partitionBy("source").parquet(table)
-          kept.filter(col("n_spans") > 0)
-            .select(col("doc_id"), col("source"), col("ingest_ts"),
-              col("n_spans"), col("removed_chars"), col("digest"))
-            .write.mode("append").parquet(s"${table}_excisions")
-          b.filter(col("reject_reason").isNotNull)
-            .drop("__dedup_key")
-            .write.mode("append").parquet(s"${table}_rejects")
-        } finally { b.unpersist(); () }
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    writeRouted(
+      gateVerdictsExcising(docs, watchlist, minTokens, minDistinctRatio),
+      checkpoint, watermarkDelay, trigger) { b =>
+      val kept = b.filter(col("reject_reason").isNull)
+      kept.drop("__dedup_key", "reject_reason", "n_spans", "removed_chars",
+          "bench_ids")
+        .write.mode("append").partitionBy("source").parquet(table)
+      kept.filter(col("n_spans") > 0)
+        .select(col("doc_id"), col("source"), col("ingest_ts"),
+          col("n_spans"), col("removed_chars"), col("bench_ids"),
+          col("digest"))
+        .write.mode("append").parquet(s"${table}_excisions")
+      b.filter(col("reject_reason").isNotNull)
+        .drop("__dedup_key")
+        .write.mode("append").parquet(s"${table}_rejects")
+    }
 
   /** End-to-end convenience over a JSONL directory. The default
     * `AvailableNow` trigger DRAINS the currently-present files and stops

@@ -338,15 +338,25 @@ object PerceptualIngest {
     * which IS the store's exclusive writer window while the stream owns
     * it (the store contract's one-writer rule — don't point other
     * writers, or readers that can't tolerate the rewrite, at the store
-    * while a compacting stream runs). `writeBackKeepRecent` partitions
-    * stay unfolded; the floor any setting must respect is the replay
-    * horizon, and for a stream that horizon is exactly ONE epoch — only
-    * the last uncommitted micro-batch ever re-runs, and the fold always
-    * keeps the partition the current batch just wrote (it is the
-    * youngest), so a crash between the write-back and the epoch's commit
-    * replays onto a partition that is still there. The default keeps a
-    * margin of 2. Committed epochs never replay, so folding them loses
-    * nothing. */
+    * while a compacting stream runs). `writeBackKeepRecent` (≥ 1 when
+    * compaction is on, enforced) partitions stay unfolded; the floor any
+    * setting must respect is the replay horizon, and for the stream's
+    * OWN epochs that horizon is exactly ONE — only the last uncommitted
+    * micro-batch ever re-runs, and the current epoch's partition is
+    * passed to the fold as `protect`ed (named explicitly, not inferred
+    * from mtime recency, so a coarse-timestamp filesystem cannot
+    * tie-rank it below an older partition), so a crash between the
+    * write-back and the epoch's commit replays onto a partition that is
+    * still there. Committed epochs never replay, so folding them loses
+    * nothing. CAVEAT for the shared batch↔stream store: the stream can
+    * only vouch for its own epochs — a BATCH delivery partition older
+    * than `writeBackKeepRecent` entries folds too, and if that
+    * delivery's at-least-once window is still open its replay flips
+    * from idempotent to fresh-ingest ([[graft.operators.FingerprintStore
+    * .compact]]'s compacted-replay contract). Either leave compaction to
+    * the batch side's own maintenance window, or size
+    * `writeBackKeepRecent` to cover every batch writer's retry
+    * horizon. */
   def writeDeduped(
       items: DataFrame, fingerprint: Column => Column,
       idCol: String, payloadCol: String,
@@ -359,6 +369,10 @@ object PerceptualIngest {
       writeBackTo: Option[String] = None,
       writeBackCompactEvery: Int = 0,
       writeBackKeepRecent: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(writeBackCompactEvery <= 0 || writeBackKeepRecent >= 1,
+      "writeBackKeepRecent must be >= 1 when compaction is on: folding " +
+        "every epoch including the current one would fold the only " +
+        s"replayable partition (got $writeBackKeepRecent)")
     val ttlMillis = ttlMillisOf(watermarkDelay)
     val streamTag = streamTagOf(checkpoint)
     val spark = items.sparkSession
@@ -401,15 +415,15 @@ object PerceptualIngest {
               graft.operators.FingerprintStore.writeDelivery(
                 storeDir, s"$streamTag-b$batchId", landed)
             // epoch-cadence compaction (scaladoc): inside foreachBatch is
-            // the store's exclusive-writer window, and the fold keeps the
-            // youngest partitions — including the one just written — so
-            // the only batch that can ever replay (this one) always finds
-            // its partition
+            // the store's exclusive-writer window, and the current epoch
+            // — the only batch that can ever replay — is protected BY
+            // NAME, not by trusting mtime recency
             if (writeBackCompactEvery > 0 &&
               batchId % writeBackCompactEvery == writeBackCompactEvery - 1)
               graft.operators.FingerprintStore.compact(
                 landed.sparkSession, storeDir,
-                keepRecent = writeBackKeepRecent)
+                keepRecent = writeBackKeepRecent,
+                protect = Set(s"$streamTag-b$batchId"))
           }
           val renamed = rename.foldLeft(r.drop("phash")) {
             case (df, (from, to)) => df.withColumnRenamed(from, to)

@@ -276,6 +276,41 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(contents() == before)
   }
 
+  test("compact protects named deliveries regardless of recency ranking") {
+    // a caller that KNOWS which delivery's replay window is open names it
+    // instead of trusting mtime recency (coarse-timestamp filesystems can
+    // tie-rank a just-written partition below an older one — the
+    // streaming write-back protects its current epoch this way)
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("compact-protect")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(3L, 6L))).collect(): Unit
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id" === 9L)).collect(): Unit
+    def contents() = FingerprintStore.read(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"))).toSet
+    val before = contents()
+    // keepRecent=0 would fold EVERYTHING — the protected id must survive
+    // with its own partition even though recency ranks it nowhere
+    FingerprintStore.compact(spark, dir, keepRecent = 0,
+      protect = Set("d1"))
+    assert(contents() == before, "protected compaction changed contents")
+    val byDelivery = FingerprintStore.readTagged(spark, dir)
+      .collect().groupBy(_.getAs[String]("delivery_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(byDelivery == Map(
+      s"${FingerprintStore.CompactedPrefix}-1" -> Set(0L, 1L, 2L, 9L),
+      "d1" -> Set(3L, 6L)), s"partitions after protected compact: $byDelivery")
+    // protecting an id with no partition doesn't error — the fold just
+    // proceeds without it, contents still unchanged
+    FingerprintStore.compact(spark, dir, keepRecent = 0,
+      protect = Set("never-written"))
+    assert(contents() == before)
+  }
+
   test("compact survives a crash at every window: staging leftovers rebuild, published-but-undeleted inputs read as the same set and fold away, and a re-compaction never deletes the prior base before publishing") {
     val hashes = ImageDedup.hashes(
       ImageCorpus.forIds((0L until 15L).toDF("doc_id"), "doc_id"),

@@ -191,6 +191,10 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       excisions.head.getAs[String]("digest") ==
         batchExcise.getAs[String]("cleaned_digest"),
       s"excision audit: ${excisions.mkString(",")}")
+    // attribution survives the excision: WHICH benchmark leaked rides
+    // the audit row (the original text does not land anywhere)
+    assert(excisions.head.getSeq[Long](
+      excisions.head.fieldIndex("bench_ids")) == Seq(7L))
     val rejects = spark.read.parquet(s"${table}_rejects").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(rejects.keySet == Set(3L, 4L), s"rejects: ${rejects.keySet}")
@@ -199,9 +203,14 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(rejects(3L).getAs[String]("reject_reason") == "empty")
     assert(rejects(3L).getAs[Long]("n_spans") == 1L &&
       rejects(3L).getAs[Long]("removed_chars") == bench.length.toLong)
+    assert(rejects(3L).getSeq[Long](rejects(3L).fieldIndex("bench_ids")) == Seq(7L),
+      "the excised-to-junk reject must name the leaked benchmark")
     // original junk never paid the scan: quality rule, zero spans
     assert(rejects(4L).getAs[String]("reject_reason") == "too_few_tokens")
     assert(rejects(4L).getAs[Long]("n_spans") == 0L)
+    assert(rejects(4L).isNullAt(rejects(4L).fieldIndex("bench_ids")))
+    // excision bookkeeping stays out of the corpus
+    assert(!spark.read.parquet(table).columns.contains("bench_ids"))
     // dedup is on the CLEANED digest: a clean copy of the leaked doc's
     // unique remainder arriving later dedups silently against it
     source.addData((5L, expectedCleaned, "srcB",
