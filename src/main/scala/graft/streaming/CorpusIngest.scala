@@ -152,7 +152,13 @@ object CorpusIngest {
     * dedup's own
     * drops stay silent BY DESIGN — they are duplicates of rows that
     * landed (the full-history evidence job is the batch dedup family).
-    * `docs` is a parsed ([[parse]]-schema) stream.
+    * `docs` is a parsed ([[parse]]-schema) stream. The `watchlist` index
+    * is FIXED for the life of the query (it rides the gate's broadcast
+    * inside one continuous plan — unlike [[WatchlistMonitor
+    * .monitorStream]]'s per-epoch foreachBatch scoring, the stateful
+    * dedup pipeline here cannot swap it mid-run): restart the query to
+    * pick up a new eval suite; docs that landed before the suite existed
+    * are the batch guard's job (ext126).
     */
   def writeAudited(
       docs: DataFrame, table: String, checkpoint: String,
@@ -283,7 +289,8 @@ object CorpusIngest {
     * Dedup is on the CLEANED digest under the same "k:"/"r:" key scheme
     * and watermark policy as [[writeAudited]] (a redelivered leaked doc
     * dedups against its first landing; so does a clean copy of its
-    * unique remainder). */
+    * unique remainder), and the watchlist is fixed per query run like
+    * [[writeAudited]]'s (restart to pick up a new eval suite). */
   def writeAuditedExcising(
       docs: DataFrame, table: String, checkpoint: String,
       watchlist: graft.operators.ContaminationGuard.BenchIndex,

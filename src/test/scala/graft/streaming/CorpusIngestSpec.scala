@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, explode}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -229,6 +230,41 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(batchVerdicts(2L) == (None, expectedCleaned))
     assert(batchVerdicts(3L)._1.contains("empty"))
     assert(batchVerdicts(4L)._1.contains("too_few_tokens"))
+  }
+
+  test("excise attribution graduates: (doc_id, bench_id) pairs off the ingest verdicts re-derive exact extents via refineFlags on the source delivery") {
+    // the scaladoc contract made concrete: the cleaned text destroys the
+    // original, so a reviewer re-derives extents by feeding the carried
+    // bench_ids attribution + the SOURCE delivery to the exact tier
+    import graft.operators.ContaminationGuard
+    val bench = soupWords(11L, 40)
+    val idx = ContaminationGuard.benchmarkIndex(
+      Seq((7L, bench)).toDF("doc_id", "text"), "text", "doc_id")
+    val leaked = soupWords(12L, 10) + " " + bench.substring(0, 100) + " " +
+      soupWords(13L, 10)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val delivery = Seq(
+      (1L, soupWords(14L, 12), "a", t0),
+      (2L, leaked, "a", t0),
+      (3L, bench, "a", t0))
+      .toDF("doc_id", "text", "source", "ingest_ts")
+    val pairs = CorpusIngest.gateVerdictsExcising(delivery, idx)
+      .filter(col("bench_ids").isNotNull)
+      .select(col("doc_id"), explode(col("bench_ids")).as("bench_id"))
+    val refined = ContaminationGuard.refineFlags(
+      pairs, delivery, Seq((7L, bench)).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id")) ->
+        (r.getAs[Long]("n_matched_windows"),
+          r.getAs[Long]("contaminated_chars"))).toMap
+    val direct = ContaminationGuard.flag(
+      delivery.filter(col("doc_id").isin(2L, 3L)), "text", "doc_id", idx)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id")) ->
+        (r.getAs[Long]("n_matched_windows"),
+          r.getAs[Long]("contaminated_chars"))).toMap
+    assert(refined.keySet == Set((2L, 7L), (3L, 7L)), s"refined: $refined")
+    assert(refined == direct,
+      s"graduated extents must equal the exact tier: $refined vs $direct")
   }
 
   test("prepare on a BATCH frame applies the same gate with whole-input dedup") {
