@@ -34,9 +34,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * benchmark-contamination audit ext126 (exact) / guard ext127
   * (winnowing production tier), the benchmark-span excision
   * ext128 (detect → refine → remove closed, rebuilt-text md5
-  * oracle-checked) and the decontamination policy retention delta
-  * ext129 (drop-doc vs excise-span priced from one probe pass) —
-  * 191 catalog entries total);
+  * oracle-checked), the decontamination policy retention delta
+  * ext129 (drop-doc vs excise-span priced from one probe pass) and
+  * the bloom → exact contamination funnel ext130 (megabyte membership
+  * broadcast, flagged superset graduated to exact attribution) —
+  * 192 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

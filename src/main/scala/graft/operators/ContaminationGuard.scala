@@ -265,6 +265,93 @@ object ContaminationGuard {
     exact.join(broadcast(flaggedPairs), Seq("doc_id", "bench_id"), "left_semi")
   }
 
+  /** BLOOM-FILTER benchmark index — the membership tier that holds when
+    * even the exact hash map outgrows a comfortable broadcast (the
+    * literal GPT-3/C4 shape: their decontamination ran 13-gram Bloom
+    * probes, not exact maps): ~1.2 MB per million distinct windows at 1%
+    * FP versus tens of MB of strings for [[benchmarkIndex]], at the
+    * price of attribution (none — a Bloom answers "maybe seen", not
+    * "which benchmark") and false positives (priced by fpp, graduated
+    * away by the exact tier on the flagged subset — ext130). NO false
+    * negatives over inserted windows, so [[flagBloom]]'s output is a
+    * true SUPERSET of the contaminated docs: the funnel never loses a
+    * leak, it only pays some extra exact-tier work. Same window/sampling
+    * definitions as every other tier ([[SubstringDedup.sampledWindows]]).
+    * Bit-deterministic for a given (item set, fpp) — insertion is
+    * order-independent bit-setting. */
+  def bloomIndex(bench: DataFrame, textCol: String, window: Int = 64,
+      hexPrefix: String = "", fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    require(window >= 8, s"window must be >= 8 code points, got $window")
+    val windows = windowHashUdf(window, hexPrefix)
+    // materialize the distinct hash set once: the count sizes the filter,
+    // the second pass fills it — without re-running the enumeration
+    val hashes = bench
+      .select(explode(windows(col(textCol))).as("w"))
+      .select(col("w._2").as("h")).distinct()
+      .localCheckpoint(true)
+    hashes.stat.bloomFilter("h", math.max(hashes.count(), 1L), fpp)
+  }
+
+  /** Map-side Bloom probe of [[bloomIndex]]: one row per document whose
+    * might-contain windows include a run of at least `minRun`
+    * CONSECUTIVE positions — (doc_id, n_might_windows, first_might_pos),
+    * an attribution-free UPPER BOUND on the doc's leakage. `minRun` is
+    * the dial that makes a per-window Bloom usable on LONG documents: a
+    * 25 000-char doc probes ~25 000 windows, so at fpp 0.01 almost every
+    * doc catches an isolated FP window somewhere — but a REAL leak of L
+    * ≥ window+minRun−1 chars produces L−window+1 ≥ minRun consecutive
+    * matches, while minRun independent FPs in a row occur at ~fpp^minRun
+    * (minRun 3 at fpp 0.01 ≈ one spurious run per million positions).
+    * The price is the minimum detectable leak length (window+minRun−1
+    * chars) — the same trade the 13-gram choice itself makes. Within the
+    * qualifying-runs filter the counts stay a SUPERSET of the exact
+    * tier's for any leak ≥ that length: Bloom filters have no false
+    * negatives, so a real run can only extend, never break. minRun > 1
+    * expects the exact enumeration (`hexPrefix = ""`) — content sampling
+    * makes kept positions non-adjacent by design, so runs cannot form.
+    * The production funnel probes the firehose with THIS — the broadcast
+    * is megabytes however large the eval suite — and graduates flagged
+    * docs (bounded) to [[flag]]'s exact arithmetic for attribution and
+    * islands. */
+  def flagBloom(docs: DataFrame, textCol: String, idCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      window: Int = 64, hexPrefix: String = "",
+      minRun: Int = 1): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    require(minRun == 1 || hexPrefix.isEmpty,
+      "minRun > 1 needs adjacent positions: content sampling keeps " +
+        "non-adjacent windows, so consecutive runs cannot form")
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf { text: String =>
+      var n = 0L
+      var first = -1L
+      var runStart = -1L
+      var prev = Long.MinValue
+      var runLen = 0L
+      def closeRun(): Unit =
+        if (runLen >= minRun) {
+          n += runLen
+          if (first < 0) first = runStart
+        }
+      scanWindows(text, window, hexPrefix) { (pos, hex) =>
+        if (bc.value.mightContainString(hex)) {
+          if (pos == prev + 1) runLen += 1
+          else { closeRun(); runStart = pos; runLen = 1 }
+          prev = pos
+        }
+        true
+      }
+      closeRun()
+      if (n > 0) Some((n, first)) else None
+    }.asNondeterministic() // one hashing pass per row — optimizer fence
+    docs.withColumn("__b", probe(col(textCol)))
+      .filter(col("__b").isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("__b._1").as("n_might_windows"),
+        col("__b._2").as("first_might_pos"))
+  }
+
   /** First-hit evidence of [[withHit]]'s gate probe. */
   final case class GateHit(bench_id: Long, match_pos: Long)
 
@@ -314,19 +401,15 @@ object ContaminationGuard {
       v
     }
 
-  /** THE per-document scan — the one definition of "window" and "match"
-    * all three probes share ([[flag]]'s per-bench fold, [[withHit]]'s
-    * first-hit gate, [[excise]]'s island fold), so the tiers cannot
-    * silently diverge: enumerate `window`-code-point substrings in
-    * position order, md5 each, apply the content-sampling prefix test,
-    * and call `onMatch(pos, hex, benchIds)` for every window present in
-    * the index (pos 1-based, the [[SubstringDedup]] convention; benchIds
-    * sorted ascending). `onMatch` returning false stops the scan. */
-  private def scanMatches(text: String, idx: BenchIndex)(
-      onMatch: (Long, String, Array[Long]) => Boolean): Unit = {
+  /** THE per-document window walk every probe builds on: enumerate
+    * `window`-code-point substrings in position order, md5 each, apply
+    * the content-sampling prefix test, and call `onWindow(pos, hex)`
+    * (pos 1-based, the [[SubstringDedup]] convention). Returning false
+    * stops the scan. */
+  private def scanWindows(text: String, window: Int, hexPrefix: String)(
+      onWindow: (Long, String) => Boolean): Unit = {
     if (text == null) return
-    val window = idx.window
-    val prefixNibbles = nibbles(idx.hexPrefix)
+    val prefixNibbles = nibbles(hexPrefix)
     val md = java.security.MessageDigest.getInstance("MD5")
     val cps = text.codePointCount(0, text.length)
     if (cps < window) return
@@ -337,16 +420,26 @@ object ContaminationGuard {
       md.reset()
       val digest = md.digest(text.substring(offsets(s), offsets(s + window))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (SubstringDedup.nibblesMatch(digest, prefixNibbles)) {
-        val hex = SubstringDedup.toHex(digest)
-        idx.hashToBench.get(hex) match {
-          case Some(benches) => go = onMatch(s + 1L, hex, benches)
-          case None => ()
-        }
-      }
+      if (SubstringDedup.nibblesMatch(digest, prefixNibbles))
+        go = onWindow(s + 1L, SubstringDedup.toHex(digest))
       s += 1
     }
   }
+
+  /** [[scanWindows]] against an exact index — the one definition of
+    * "match" the exact-map probes share ([[flag]]'s per-bench fold,
+    * [[withHit]]'s first-hit gate, [[excise]]/[[withCuts]]'s island
+    * fold), so the tiers cannot silently diverge: `onMatch(pos, hex,
+    * benchIds)` fires for every window present in the index (benchIds
+    * sorted ascending); returning false stops the scan. */
+  private def scanMatches(text: String, idx: BenchIndex)(
+      onMatch: (Long, String, Array[Long]) => Boolean): Unit =
+    scanWindows(text, idx.window, idx.hexPrefix) { (pos, hex) =>
+      idx.hashToBench.get(hex) match {
+        case Some(benches) => onMatch(pos, hex, benches)
+        case None => true
+      }
+    }
 
   /** Island fold over one (doc, bench)'s matched positions, fed in
     * ascending order: counts positions + distinct hashes, merges

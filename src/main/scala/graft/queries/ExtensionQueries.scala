@@ -4772,7 +4772,66 @@ object ExtensionQueries {
                CAST(COALESCE(SUM(removed_chars), 0) AS BIGINT)
         FROM perdoc
         ORDER BY policy
-      """), bench = false) // audit-tier exact enumeration, like ext126/ext128
+      """), bench = false), // audit-tier exact enumeration, like ext126/ext128
+
+    // ------------------------------------------------------------ EXT130
+    // BLOOM → EXACT CONTAMINATION FUNNEL — the tier ext126's scaladoc
+    // cites as what production pipelines actually run at firehose scale
+    // (GPT-3/C4's 13-gram Bloom probes): when even the exact window-hash
+    // map outgrows a comfortable broadcast, the corpus probes a Bloom
+    // filter (~1.2 MB per million distinct benchmark windows at 1% FP,
+    // however large the eval suite) for an attribution-free membership
+    // verdict, and only the FLAGGED docs — a true superset of the
+    // contaminated ones, Bloom filters have no false negatives — pay the
+    // exact tier for attribution and island arithmetic. Output, one row
+    // per bloom-flagged doc: the bloom's upper bound (n_might_windows,
+    // first_might_pos) beside the graduated truth (n_bench_confirmed,
+    // n_confirmed_windows) — rows with 0 confirmed are the priced false
+    // positives. TWO knobs price the funnel: fpp sizes the filter, and
+    // minRun = 3 requires three CONSECUTIVE might-windows before a doc
+    // flags — the dial that makes a per-window Bloom usable on long
+    // docs (isolated FP windows hit almost every multi-hundred-window
+    // doc at fpp 0.01; a 3-run is ~fpp³ spurious, while any real leak
+    // of ≥ window+2 chars still produces it). Exact-tier work is
+    // semi-join-pruned to the flagged set BEFORE any hashing
+    // (refineFlags' discipline). Rows-only: Spark's Bloom bit layout is
+    // engine-specific (deterministic per item set + fpp, but DuckDB
+    // cannot reproduce it); ContaminationGuardSpec pins the no-false-
+    // negative superset, the per-doc upper bound, the minRun FP
+    // suppression, and graduation equality with the directly-run exact
+    // tier.
+    QueryDef(
+      "ext130_contamination_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchPred = col("doc_id") % 10 === 0
+        val bench = docs.filter(benchPred)
+        val corpus = docs.filter(!benchPred)
+        val bloom = graft.operators.ContaminationGuard.bloomIndex(
+          bench, "text")
+        val flagged = graft.operators.ContaminationGuard.flagBloom(
+          corpus, "text", "doc_id", bloom, minRun = 3)
+          .localCheckpoint(true) // one probe pass feeds the join AND the prune
+        val confirmed = graft.operators.ContaminationGuard.flag(
+          corpus.join(broadcast(flagged.select("doc_id")),
+            Seq("doc_id"), "left_semi"),
+          "text", "doc_id",
+          graft.operators.ContaminationGuard.benchmarkIndex(
+            bench, "text", "doc_id"))
+        flagged.join(
+          confirmed.groupBy("doc_id").agg(
+            count(lit(1)).as("n_bench_confirmed"),
+            sum("n_matched_windows").as("n_confirmed_windows")),
+          Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_might_windows"),
+            col("first_might_pos"),
+            coalesce(col("n_bench_confirmed"), lit(0L))
+              .as("n_bench_confirmed"),
+            coalesce(col("n_confirmed_windows"), lit(0L))
+              .as("n_confirmed_windows"))
+          .orderBy("doc_id")
+      },
+      None, bench = false) // exact-tier graduation work, like ext126/ext128
   )
 
   /** Shared ext126/ext127 oracle — the guard's broadcast probe restated

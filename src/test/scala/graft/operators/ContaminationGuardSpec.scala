@@ -238,6 +238,74 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
       r10.getAs[Long]("removed_chars"))
   }
 
+  test("bloom tier: flagged set supersets the exact tier per doc (no false negatives), bounds its window counts, and graduates to the identical exact verdicts") {
+    val excerpt0 = bench0.substring(50, 150)
+    val excerpt1 = bench1.substring(0, 80)
+    val docs = Seq(
+      (10L, soup(10L, 120) + excerpt0 + soup(11L, 90)),  // bench0 leak
+      (11L, soup(12L, 300)),                             // clean (may FP)
+      (12L, excerpt0 + soup(13L, 100) + excerpt1),       // both benches
+      (13L, "tiny"),                                     // shorter than W
+      (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val idx = ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W)
+    val exact = ContaminationGuard.flag(docs, "text", "doc_id", idx)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_matched_windows").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = ContaminationGuard.bloomIndex(benchDf, "text", W)
+    val flagged = ContaminationGuard.flagBloom(docs, "text", "doc_id",
+      bloom, W)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_might_windows"),
+          r.getAs[Long]("first_might_pos"))).toMap
+    // no false negatives: every exact-contaminated doc is bloom-flagged,
+    // with at least the exact tier's matched windows (FPs only add)
+    exact.foreach { case (doc, n) =>
+      assert(flagged.contains(doc), s"bloom missed contaminated doc $doc")
+      assert(flagged(doc)._1 >= n,
+        s"doc $doc: bloom bound ${flagged(doc)._1} < exact $n")
+    }
+    // the planted leaks' first hit can only move EARLIER via an FP
+    assert(flagged(10L)._2 <= 121L && flagged(12L)._2 == 1L)
+    // short/null docs cannot flag (no windows to probe)
+    assert(!flagged.contains(13L) && !flagged.contains(14L))
+    // the minRun dial: requiring 3 CONSECUTIVE might-windows keeps every
+    // real leak (their runs are 37/17 long) with at least the exact
+    // counts, flags a subset of the run-1 verdicts, and still reports
+    // the planted first positions — isolated FP windows no longer
+    // promote a doc on their own
+    val flaggedRun3 = ContaminationGuard.flagBloom(docs, "text", "doc_id",
+      bloom, W, minRun = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_might_windows"),
+          r.getAs[Long]("first_might_pos"))).toMap
+    assert(flaggedRun3.keySet.subsetOf(flagged.keySet))
+    exact.foreach { case (doc, n) =>
+      assert(flaggedRun3.contains(doc) && flaggedRun3(doc)._1 >= n,
+        s"doc $doc: run-3 bloom lost a real leak ($flaggedRun3 vs exact $n)")
+    }
+    assert(flaggedRun3(10L)._2 == 121L && flaggedRun3(12L)._2 == 1L,
+      "with isolated FPs suppressed, first_might_pos is the leak's start")
+    // sampling keeps non-adjacent windows — minRun > 1 there is rejected
+    intercept[IllegalArgumentException] {
+      ContaminationGuard.flagBloom(docs, "text", "doc_id", bloom, W,
+        hexPrefix = "0", minRun = 3)
+    }
+    // graduation: the exact tier on just the bloom-flagged docs equals
+    // the exact tier run directly — FPs confirm to nothing and the
+    // funnel loses no verdicts
+    val flaggedIds = flagged.keySet
+    val graduated = ContaminationGuard.flag(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id")
+        .isin(flaggedIds.toSeq: _*)), "text", "doc_id", idx)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    val direct = ContaminationGuard.flag(docs, "text", "doc_id", idx)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(graduated == direct,
+      "bloom-pruned exact verdicts must equal the directly-run exact tier")
+  }
+
   test("streaming flagText == batch flag (shared implementation), envelope kept") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val excerpt = bench0.substring(50, 150)
