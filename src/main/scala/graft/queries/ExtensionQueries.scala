@@ -4819,9 +4819,9 @@ object ExtensionQueries {
           graft.operators.ContaminationGuard.benchmarkIndex(
             bench, "text", "doc_id"))
         flagged.join(
-          confirmed.groupBy("doc_id").agg(
+          broadcast(confirmed.groupBy("doc_id").agg(
             count(lit(1)).as("n_bench_confirmed"),
-            sum("n_matched_windows").as("n_confirmed_windows")),
+            sum("n_matched_windows").as("n_confirmed_windows"))),
           Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_might_windows"),
             col("first_might_pos"),

@@ -571,4 +571,38 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
         s"$q: only the deterministic-output sort may exchange:\n$p")
     }
   }
+
+  test("ext128 excision is a pure map pass: no join, no aggregate exchange on the corpus side") {
+    // the cut list comes from the broadcast probe and the rebuild is an
+    // expression-level fold — a Join or HashAggregate means the span
+    // surgery regressed to a shuffle shape
+    val p = plan("ext128_decontaminate")
+    assert(!p.contains("Join"), s"ext128 must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"ext128 must not aggregate:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"ext128: only the output sort may exchange:\n$p")
+  }
+
+  test("ext129 policy delta: one aggregation over the probe pass, no join anywhere") {
+    // both policies fold out of the same single excise projection — a
+    // Join, or a second aggregation beyond the one global partial/final
+    // pair, means the comparison started paying twice
+    val p = plan("ext129_decontam_policy")
+    assert(!p.contains("Join"), s"ext129 must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size <= 2,
+      s"ext129: one partial/final aggregate pair only:\n$p")
+  }
+
+  test("ext130 bloom funnel: the corpus probe never sort-merge-joins — prune and stitch stay broadcast") {
+    // the semi-join prune of the exact tier and the final flagged-side
+    // stitch are against bounded flagged frames: broadcast by
+    // construction, and the corpus side must never shuffle for a join
+    val p = plan("ext130_contamination_bloom")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"ext130: flagged-set joins must broadcast:\n$p")
+    assert(!p.contains("Cartesian"), s"ext130: no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ext130: the prune/stitch joins should be broadcast hash joins:\n$p")
+  }
 }
