@@ -274,14 +274,20 @@ object ContaminationGuard {
     * "which benchmark") and false positives (priced by fpp, graduated
     * away by the exact tier on the flagged subset — ext130). NO false
     * negatives over inserted windows, so [[flagBloom]]'s output is a
-    * true SUPERSET of the contaminated docs: the funnel never loses a
-    * leak, it only pays some extra exact-tier work. Same window/sampling
-    * definitions as every other tier ([[SubstringDedup.sampledWindows]]).
-    * Bit-deterministic for a given (item set, fpp) — insertion is
-    * order-independent bit-setting. */
+    * true SUPERSET of the contaminated docs (at minRun 1; a higher
+    * minRun narrows the guarantee to leaks of at least
+    * window+minRun−1 chars — see [[flagBloom]]): the funnel never loses
+    * a leak it can represent, it only pays some extra exact-tier work.
+    * Same window/sampling definitions as every other tier
+    * ([[SubstringDedup.sampledWindows]]). Bit-deterministic for a given
+    * (item set, fpp) — insertion is order-independent bit-setting.
+    * Returns a [[BloomIndex]] bundling the filter WITH its (window,
+    * hexPrefix), the [[BenchIndex]] discipline: the probe derives its
+    * parameters from the index, so build/probe drift — hashing different
+    * window text than what was inserted, which would silently miss
+    * everything — is unrepresentable. */
   def bloomIndex(bench: DataFrame, textCol: String, window: Int = 64,
-      hexPrefix: String = "", fpp: Double = 0.01)
-      : org.apache.spark.util.sketch.BloomFilter = {
+      hexPrefix: String = "", fpp: Double = 0.01): BloomIndex = {
     require(window >= 8, s"window must be >= 8 code points, got $window")
     val windows = windowHashUdf(window, hexPrefix)
     // materialize the distinct hash set once: the count sizes the filter,
@@ -290,8 +296,15 @@ object ContaminationGuard {
       .select(explode(windows(col(textCol))).as("w"))
       .select(col("w._2").as("h")).distinct()
       .localCheckpoint(true)
-    hashes.stat.bloomFilter("h", math.max(hashes.count(), 1L), fpp)
+    BloomIndex(window, hexPrefix,
+      hashes.stat.bloomFilter("h", math.max(hashes.count(), 1L), fpp))
   }
+
+  /** [[bloomIndex]]'s product: the filter plus the window/sampling
+    * parameters it was built under (probe-side parameter drift is the
+    * one silent way a Bloom funnel loses leaks). */
+  final case class BloomIndex(window: Int, hexPrefix: String,
+      filter: org.apache.spark.util.sketch.BloomFilter)
 
   /** Map-side Bloom probe of [[bloomIndex]]: one row per document whose
     * might-contain windows include a run of at least `minRun`
@@ -303,27 +316,30 @@ object ContaminationGuard {
     * ≥ window+minRun−1 chars produces L−window+1 ≥ minRun consecutive
     * matches, while minRun independent FPs in a row occur at ~fpp^minRun
     * (minRun 3 at fpp 0.01 ≈ one spurious run per million positions).
-    * The price is the minimum detectable leak length (window+minRun−1
-    * chars) — the same trade the 13-gram choice itself makes. Within the
-    * qualifying-runs filter the counts stay a SUPERSET of the exact
-    * tier's for any leak ≥ that length: Bloom filters have no false
-    * negatives, so a real run can only extend, never break. minRun > 1
-    * expects the exact enumeration (`hexPrefix = ""`) — content sampling
-    * makes kept positions non-adjacent by design, so runs cannot form.
-    * The production funnel probes the firehose with THIS — the broadcast
-    * is megabytes however large the eval suite — and graduates flagged
-    * docs (bounded) to [[flag]]'s exact arithmetic for attribution and
+    * The price is the minimum DETECTABLE leak length (window+minRun−1
+    * chars) — the same trade the 13-gram choice itself makes, and a real
+    * narrowing of the guarantee: a doc whose ONLY leak is shorter emits
+    * no row at minRun > 1 (spec-pinned); size minRun to the shortest
+    * leak that matters. Within that bound the counts stay a SUPERSET of
+    * the exact tier's: Bloom filters have no false negatives, so a real
+    * run can only extend, never break. minRun > 1 requires the exact
+    * enumeration (`hexPrefix = ""`) — content sampling makes kept
+    * positions non-adjacent by design, so runs cannot form. The
+    * production funnel probes the firehose with THIS — the broadcast is
+    * megabytes however large the eval suite — and graduates flagged docs
+    * (bounded) to [[flag]]'s exact arithmetic for attribution and
     * islands. */
   def flagBloom(docs: DataFrame, textCol: String, idCol: String,
-      bloom: org.apache.spark.util.sketch.BloomFilter,
-      window: Int = 64, hexPrefix: String = "",
-      minRun: Int = 1): DataFrame = {
+      index: BloomIndex, minRun: Int = 1): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    require(minRun == 1 || hexPrefix.isEmpty,
+    require(minRun == 1 || index.hexPrefix.isEmpty,
       "minRun > 1 needs adjacent positions: content sampling keeps " +
         "non-adjacent windows, so consecutive runs cannot form")
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val window = index.window
+    val hexPrefix = index.hexPrefix
+    val bc = docs.sparkSession.sparkContext.broadcast(index.filter)
     val probe = udf { text: String =>
+      val bf = bc.value // hoisted: one broadcast read per ROW, not per window
       var n = 0L
       var first = -1L
       var runStart = -1L
@@ -335,7 +351,7 @@ object ContaminationGuard {
           if (first < 0) first = runStart
         }
       scanWindows(text, window, hexPrefix) { (pos, hex) =>
-        if (bc.value.mightContainString(hex)) {
+        if (bf.mightContainString(hex)) {
           if (pos == prev + 1) runLen += 1
           else { closeRun(); runStart = pos; runLen = 1 }
           prev = pos

@@ -4781,8 +4781,10 @@ object ExtensionQueries {
     // map outgrows a comfortable broadcast, the corpus probes a Bloom
     // filter (~1.2 MB per million distinct benchmark windows at 1% FP,
     // however large the eval suite) for an attribution-free membership
-    // verdict, and only the FLAGGED docs — a true superset of the
-    // contaminated ones, Bloom filters have no false negatives — pay the
+    // verdict, and only the FLAGGED docs — a true superset of every doc
+    // leaking ≥ window+minRun−1 (= 66) chars; Bloom filters have no
+    // false negatives, and the run dial below is the one deliberate
+    // narrowing of that guarantee — pay the
     // exact tier for attribution and island arithmetic. Output, one row
     // per bloom-flagged doc: the bloom's upper bound (n_might_windows,
     // first_might_pos) beside the graduated truth (n_bench_confirmed,

@@ -255,7 +255,7 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bloom = ContaminationGuard.bloomIndex(benchDf, "text", W)
     val flagged = ContaminationGuard.flagBloom(docs, "text", "doc_id",
-      bloom, W)
+      bloom)
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Long]("n_might_windows"),
           r.getAs[Long]("first_might_pos"))).toMap
@@ -276,7 +276,7 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     // the planted first positions — isolated FP windows no longer
     // promote a doc on their own
     val flaggedRun3 = ContaminationGuard.flagBloom(docs, "text", "doc_id",
-      bloom, W, minRun = 3)
+      bloom, minRun = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Long]("n_might_windows"),
           r.getAs[Long]("first_might_pos"))).toMap
@@ -287,10 +287,24 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(flaggedRun3(10L)._2 == 121L && flaggedRun3(12L)._2 == 1L,
       "with isolated FPs suppressed, first_might_pos is the leak's start")
+    // the documented NARROWING: a doc whose only leak is exactly one
+    // window (64 chars -> a single matched position, run length 1) is
+    // caught at minRun 1 but emits NO row at minRun 3 — minimum
+    // detectable leak is window+minRun-1 chars, size minRun accordingly
+    val shortLeak = Seq(
+      (15L, soup(20L, 150) + bench0.substring(0, W) + soup(21L, 150)))
+      .toDF("doc_id", "text")
+    assert(ContaminationGuard.flagBloom(shortLeak, "text", "doc_id", bloom)
+      .collect().map(_.getLong(0)).toSeq == Seq(15L))
+    assert(ContaminationGuard.flagBloom(shortLeak, "text", "doc_id", bloom,
+      minRun = 3).isEmpty,
+      "a sub-(window+minRun-1) leak is below the run dial's floor")
     // sampling keeps non-adjacent windows — minRun > 1 there is rejected
+    val sampledBloom = ContaminationGuard.bloomIndex(benchDf, "text", W,
+      hexPrefix = "0")
     intercept[IllegalArgumentException] {
-      ContaminationGuard.flagBloom(docs, "text", "doc_id", bloom, W,
-        hexPrefix = "0", minRun = 3)
+      ContaminationGuard.flagBloom(docs, "text", "doc_id", sampledBloom,
+        minRun = 3)
     }
     // graduation: the exact tier on just the bloom-flagged docs equals
     // the exact tier run directly — FPs confirm to nothing and the
