@@ -368,6 +368,57 @@ object ContaminationGuard {
         col("__b._2").as("first_might_pos"))
   }
 
+  /** First-qualifying-run gate probe of a [[BloomIndex]] — [[withHit]]'s
+    * ingest-gate shape on the membership tier, for the ingest whose eval
+    * suite outgrows the exact map's broadcast: adds `outCol` — null for
+    * clean rows and rows whose `guard` is false/null, else the 1-based
+    * start of the FIRST run of `minRun` consecutive might-contain
+    * windows. SHORT-CIRCUITS once that run completes (the gating
+    * question is answered; the clean common case still pays the full
+    * linear scan). Attribution-free like everything Bloom: the verdict
+    * is "suspect", graduated by [[flag]] over the bounded rejects with
+    * the exact index — never over the corpus. `guard` is evaluated
+    * INSIDE the UDF ([[withHit]]'s lesson). */
+  def withBloomHit(docs: DataFrame, textCol: String, index: BloomIndex,
+      minRun: Int = 3, outCol: String = "contamination",
+      guard: Column = lit(true)): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    require(minRun == 1 || index.hexPrefix.isEmpty,
+      "minRun > 1 needs adjacent positions: content sampling keeps " +
+        "non-adjacent windows, so consecutive runs cannot form")
+    val window = index.window
+    val hexPrefix = index.hexPrefix
+    val bc = docs.sparkSession.sparkContext.broadcast(index.filter)
+    val probe = udf { (text: String, enabled: Boolean) =>
+      bloomGateEvals.incrementAndGet(): Unit
+      if (!enabled) None
+      else {
+        val bf = bc.value
+        var runStart = -1L
+        var prev = Long.MinValue
+        var runLen = 0L
+        var hit: Option[Long] = None
+        scanWindows(text, window, hexPrefix) { (pos, hex) =>
+          if (bf.mightContainString(hex)) {
+            if (pos == prev + 1) runLen += 1
+            else { runStart = pos; runLen = 1 }
+            prev = pos
+            if (runLen >= minRun) hit = Some(runStart)
+          }
+          hit.isEmpty // the gate is answered — stop scanning
+        }
+        hit
+      }
+    }.asNondeterministic() // one hashing pass per row — optimizer fence
+    docs.withColumn(outCol,
+      probe(col(textCol), coalesce(guard, lit(false))))
+  }
+
+  /** Test seam: total [[withBloomHit]] probe invocations in this JVM —
+    * the bloom-gated ingest's single-plan-branch pin counts it. */
+  private[graft] val bloomGateEvals =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** First-hit evidence of [[withHit]]'s gate probe. */
   final case class GateHit(bench_id: Long, match_pos: Long)
 

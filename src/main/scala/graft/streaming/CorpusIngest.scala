@@ -208,6 +208,68 @@ object CorpusIngest {
       }
       .start()
 
+  /** [[gateVerdicts]] on the Bloom MEMBERSHIP tier — the gate for the
+    * ingest whose eval suite outgrows the exact map's broadcast
+    * ([[graft.operators.ContaminationGuard.bloomIndex]]: megabytes
+    * however large the suite, ext130's funnel at the door): same quality
+    * rules and rule order, but the contamination probe is the
+    * first-qualifying-run Bloom gate — `minRun` consecutive
+    * might-contain windows reject the doc as "contaminated_maybe" with
+    * the run's start as `match_pos`. The verdict is honest about its
+    * tier: attribution-free and false-positive-able at ~fpp^minRun per
+    * position, so suspects land in the rejects table for the batch
+    * graduation (one exact [[graft.operators.ContaminationGuard.flag]]
+    * over the bounded rejects — never the corpus) instead of claiming a
+    * confirmed leak. Quality verdicts guard the probe in-UDF like the
+    * exact gate's. */
+  def gateVerdictsBloom(
+      docs: DataFrame,
+      watchlist: graft.operators.ContaminationGuard.BloomIndex,
+      minTokens: Int = 5,
+      minDistinctRatio: Double = 0.2,
+      minRun: Int = 3): DataFrame = {
+    val feats = TextFunctions.qualityFeatures(col("text")).toMap
+    graft.operators.ContaminationGuard.withBloomHit(
+      docs
+        .withColumn("n_tokens", feats("n_tokens"))
+        .withColumn("distinct_ratio", feats("distinct_ratio"))
+        .withColumn("digest", md5(col("text")))
+        .withColumn("__q_reason",
+          TextFunctions.qualityReason(col("text"), minTokens, minDistinctRatio)),
+      "text", watchlist, minRun, outCol = "__hit",
+      guard = col("__q_reason").isNull)
+      .withColumn("reject_reason",
+        coalesce(col("__q_reason"),
+          when(col("__hit").isNotNull, "contaminated_maybe")))
+      .withColumn("match_pos", col("__hit"))
+      .drop("__q_reason", "__hit")
+  }
+
+  /** [[writeAudited]] with the Bloom gate ([[gateVerdictsBloom]]) — the
+    * firehose-scale decontaminating ingest: passers land, quality
+    * rejects carry their rule, and "contaminated_maybe" suspects carry
+    * the qualifying run's start position, awaiting the batch graduation
+    * over `<table>_rejects`. Same [[writeRouted]] skeleton (one plan
+    * branch, k:/r: keys, watermark policy); the watchlist is fixed per
+    * query run like [[writeAudited]]'s. */
+  def writeAuditedBloom(
+      docs: DataFrame, table: String, checkpoint: String,
+      watchlist: graft.operators.ContaminationGuard.BloomIndex,
+      minTokens: Int = 5, minDistinctRatio: Double = 0.2,
+      watermarkDelay: String = "10 minutes",
+      minRun: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    writeRouted(
+      gateVerdictsBloom(docs, watchlist, minTokens, minDistinctRatio, minRun),
+      checkpoint, watermarkDelay, trigger) { b =>
+      b.filter(col("reject_reason").isNull)
+        .drop("__dedup_key", "reject_reason", "match_pos")
+        .write.mode("append").partitionBy("source").parquet(table)
+      b.filter(col("reject_reason").isNotNull)
+        .drop("__dedup_key")
+        .write.mode("append").parquet(s"${table}_rejects")
+    }
+
   /** The EXCISE-policy gate verdicts — [[gateVerdicts]]'s reject-on-hit
     * contamination posture replaced by ext128's argument applied at the
     * door: cutting the leaked span beats dropping the document, which

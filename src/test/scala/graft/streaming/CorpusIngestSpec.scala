@@ -138,6 +138,64 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(batchKept == Set(1L))
   }
 
+  test("BLOOM-gated ingest: suspects reject with the run start, verdict classes match the exact gate, and the rejects graduate to confirmed leaks") {
+    import graft.operators.ContaminationGuard
+    val bench = soupWords(21L, 40)
+    val benchDf = Seq((7L, bench)).toDF("doc_id", "text")
+    val bloomIdx = ContaminationGuard.bloomIndex(benchDf, "text")
+    val prefix = soupWords(22L, 10) // 59 chars
+    val leaked = prefix + " " + bench.substring(0, 100) // run starts at 61
+    val clean = soupWords(23L, 12)
+    val table = tmp("bloom-table"); val ckpt = tmp("bloom-ckpt")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    source.addData(
+      (1L, clean, "srcA", t0),
+      (2L, leaked, "srcA", t0),
+      (3L, "hi there", "srcA", t0)) // junk → the guard skips the scan
+    val evalsBefore = ContaminationGuard.bloomGateEvals.get()
+    CorpusIngest.writeAuditedBloom(
+      source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+      table, ckpt, watchlist = bloomIdx).awaitTermination()
+    // single plan branch: one probe invocation per arriving doc
+    assert(ContaminationGuard.bloomGateEvals.get() - evalsBefore == 3L)
+    val landed = spark.read.parquet(table).collect()
+    assert(landed.length == 1 && landed.head.getAs[Long]("doc_id") == 1L)
+    val rejects = spark.read.parquet(s"${table}_rejects").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rejects.keySet == Set(2L, 3L))
+    // the suspect verdict is honest about its tier: _maybe, run start as
+    // evidence (the first window fully inside the leak), no attribution
+    assert(rejects(2L).getAs[String]("reject_reason") == "contaminated_maybe")
+    assert(rejects(2L).getAs[Long]("match_pos") == prefix.length + 2L)
+    assert(rejects(3L).getAs[String]("reject_reason") == "too_few_tokens")
+    assert(rejects(3L).isNullAt(rejects(3L).fieldIndex("match_pos")))
+    // verdict classes equal the exact gate's on the same stream (no FPs
+    // survive minRun=3 on this fixture) ...
+    val exactClasses = CorpusIngest.gateVerdicts(
+      Seq((1L, clean, "a", t0), (2L, leaked, "a", t0), (3L, "hi there", "a", t0))
+        .toDF("doc_id", "text", "source", "ingest_ts"),
+      watchlist = Some(ContaminationGuard.benchmarkIndex(
+        benchDf, "text", "doc_id")))
+      .select("doc_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(exactClasses == Map(1L -> None, 2L -> Some("contaminated"),
+      3L -> Some("too_few_tokens")))
+    // ... and the batch graduation over the bounded rejects confirms the
+    // suspect with full attribution — the funnel's final word
+    val suspects = spark.read.parquet(s"${table}_rejects")
+      .filter(col("reject_reason") === "contaminated_maybe")
+      .select("doc_id", "text")
+    val confirmed = ContaminationGuard.flag(suspects, "text", "doc_id",
+      ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id"))
+      .collect()
+    assert(confirmed.length == 1 &&
+      confirmed.head.getAs[Long]("doc_id") == 2L &&
+      confirmed.head.getAs[Long]("bench_id") == 7L &&
+      confirmed.head.getAs[Long]("n_matched_windows") == 37L)
+  }
+
   test("EXCISE-policy ingest: leaked spans cut at the door, cleaned text lands and dedups, excisions audited, excised-to-junk rejects with evidence") {
     import graft.operators.ContaminationGuard
     val bench = soupWords(11L, 40) // 239 chars
