@@ -331,34 +331,13 @@ object ContaminationGuard {
     * islands. */
   def flagBloom(docs: DataFrame, textCol: String, idCol: String,
       index: BloomIndex, minRun: Int = 1): DataFrame = {
-    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    require(minRun == 1 || index.hexPrefix.isEmpty,
-      "minRun > 1 needs adjacent positions: content sampling keeps " +
-        "non-adjacent windows, so consecutive runs cannot form")
+    requireRunDial(index, minRun)
     val window = index.window
     val hexPrefix = index.hexPrefix
     val bc = docs.sparkSession.sparkContext.broadcast(index.filter)
     val probe = udf { text: String =>
-      val bf = bc.value // hoisted: one broadcast read per ROW, not per window
-      var n = 0L
-      var first = -1L
-      var runStart = -1L
-      var prev = Long.MinValue
-      var runLen = 0L
-      def closeRun(): Unit =
-        if (runLen >= minRun) {
-          n += runLen
-          if (first < 0) first = runStart
-        }
-      scanWindows(text, window, hexPrefix) { (pos, hex) =>
-        if (bf.mightContainString(hex)) {
-          if (pos == prev + 1) runLen += 1
-          else { closeRun(); runStart = pos; runLen = 1 }
-          prev = pos
-        }
-        true
-      }
-      closeRun()
+      val (n, first) = bloomRunScan(text, bc.value, window, hexPrefix,
+        minRun, stopAtFirst = false)
       if (n > 0) Some((n, first)) else None
     }.asNondeterministic() // one hashing pass per row — optimizer fence
     docs.withColumn("__b", probe(col(textCol)))
@@ -366,6 +345,48 @@ object ContaminationGuard {
       .select(col(idCol).cast("long").as("doc_id"),
         col("__b._1").as("n_might_windows"),
         col("__b._2").as("first_might_pos"))
+  }
+
+  private def requireRunDial(index: BloomIndex, minRun: Int): Unit = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    require(minRun == 1 || index.hexPrefix.isEmpty,
+      "minRun > 1 needs adjacent positions: content sampling keeps " +
+        "non-adjacent windows, so consecutive runs cannot form")
+  }
+
+  /** THE consecutive-run fold both Bloom probes share ([[flagBloom]]'s
+    * audit counts, [[withBloomHit]]'s ingest gate) — one definition of
+    * "qualifying run" (positions chaining at +1, length ≥ minRun), the
+    * [[scanMatches]] no-silent-divergence discipline. Returns
+    * (positions inside qualifying runs, first qualifying run's start —
+    * −1 if none); with `stopAtFirst` the scan ends the moment the first
+    * run qualifies (the gate's question is answered; the count is then
+    * partial and callers must not read it). */
+  private def bloomRunScan(text: String,
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      window: Int, hexPrefix: String, minRun: Int,
+      stopAtFirst: Boolean): (Long, Long) = {
+    var n = 0L
+    var first = -1L
+    var runStart = -1L
+    var prev = Long.MinValue
+    var runLen = 0L
+    def closeRun(): Unit =
+      if (runLen >= minRun) {
+        n += runLen
+        if (first < 0) first = runStart
+      }
+    scanWindows(text, window, hexPrefix) { (pos, hex) =>
+      if (bf.mightContainString(hex)) {
+        if (pos == prev + 1) runLen += 1
+        else { closeRun(); runStart = pos; runLen = 1 }
+        prev = pos
+        if (stopAtFirst && runLen >= minRun && first < 0) first = runStart
+      }
+      !(stopAtFirst && first >= 0)
+    }
+    closeRun()
+    (n, first)
   }
 
   /** First-qualifying-run gate probe of a [[BloomIndex]] — [[withHit]]'s
@@ -382,10 +403,7 @@ object ContaminationGuard {
   def withBloomHit(docs: DataFrame, textCol: String, index: BloomIndex,
       minRun: Int = 3, outCol: String = "contamination",
       guard: Column = lit(true)): DataFrame = {
-    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    require(minRun == 1 || index.hexPrefix.isEmpty,
-      "minRun > 1 needs adjacent positions: content sampling keeps " +
-        "non-adjacent windows, so consecutive runs cannot form")
+    requireRunDial(index, minRun)
     val window = index.window
     val hexPrefix = index.hexPrefix
     val bc = docs.sparkSession.sparkContext.broadcast(index.filter)
@@ -393,21 +411,9 @@ object ContaminationGuard {
       bloomGateEvals.incrementAndGet(): Unit
       if (!enabled) None
       else {
-        val bf = bc.value
-        var runStart = -1L
-        var prev = Long.MinValue
-        var runLen = 0L
-        var hit: Option[Long] = None
-        scanWindows(text, window, hexPrefix) { (pos, hex) =>
-          if (bf.mightContainString(hex)) {
-            if (pos == prev + 1) runLen += 1
-            else { runStart = pos; runLen = 1 }
-            prev = pos
-            if (runLen >= minRun) hit = Some(runStart)
-          }
-          hit.isEmpty // the gate is answered — stop scanning
-        }
-        hit
+        val (_, first) = bloomRunScan(text, bc.value, window, hexPrefix,
+          minRun, stopAtFirst = true)
+        if (first >= 0) Some(first) else None
       }
     }.asNondeterministic() // one hashing pass per row — optimizer fence
     docs.withColumn(outCol,

@@ -61,20 +61,14 @@ object CorpusIngest {
       minTokens: Int = 5,
       minDistinctRatio: Double = 0.2,
       watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None): DataFrame = {
-    val feats = TextFunctions.qualityFeatures(col("text")).toMap
-    val scored = docs
-      .withColumn("n_tokens", feats("n_tokens"))
-      .withColumn("distinct_ratio", feats("distinct_ratio"))
-      .withColumn("digest", md5(col("text")))
-      .withColumn("__q_reason",
-        TextFunctions.qualityReason(col("text"), minTokens, minDistinctRatio))
     val probed = watchlist match {
-      case None => scored.withColumn("contamination",
-        lit(null).cast("struct<bench_id:bigint,match_pos:bigint>"))
+      case None => scored(docs, minTokens, minDistinctRatio)
+        .withColumn("contamination",
+          lit(null).cast("struct<bench_id:bigint,match_pos:bigint>"))
       case Some(idx) =>
         graft.operators.ContaminationGuard.withHit(
-          scored, "text", idx, outCol = "contamination",
-          guard = col("__q_reason").isNull)
+          scored(docs, minTokens, minDistinctRatio), "text", idx,
+          outCol = "contamination", guard = col("__q_reason").isNull)
     }
     probed
       .withColumn("reject_reason",
@@ -83,6 +77,21 @@ object CorpusIngest {
       .withColumn("bench_id", col("contamination.bench_id"))
       .withColumn("match_pos", col("contamination.match_pos"))
       .drop("__q_reason", "contamination")
+  }
+
+  /** Quality-scored docs plus the `__q_reason` verdict — ONE definition
+    * of the scoring block the exact ([[gateVerdicts]]) and Bloom
+    * ([[gateVerdictsBloom]]) gates share, so their spec-pinned
+    * class-parity cannot drift on the quality/digest side. */
+  private def scored(docs: DataFrame, minTokens: Int,
+      minDistinctRatio: Double): DataFrame = {
+    val feats = TextFunctions.qualityFeatures(col("text")).toMap
+    docs
+      .withColumn("n_tokens", feats("n_tokens"))
+      .withColumn("distinct_ratio", feats("distinct_ratio"))
+      .withColumn("digest", md5(col("text")))
+      .withColumn("__q_reason",
+        TextFunctions.qualityReason(col("text"), minTokens, minDistinctRatio))
   }
 
   /** Score, gate, and dedup: keeps documents with at least `minTokens`
@@ -167,14 +176,23 @@ object CorpusIngest {
       watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     writeRouted(gateVerdicts(docs, minTokens, minDistinctRatio, watchlist),
-      checkpoint, watermarkDelay, trigger) { b =>
-      b.filter(col("reject_reason").isNull)
-        .drop("__dedup_key", "reject_reason", "bench_id", "match_pos")
-        .write.mode("append").partitionBy("source").parquet(table)
-      b.filter(col("reject_reason").isNotNull)
-        .drop("__dedup_key")
-        .write.mode("append").parquet(s"${table}_rejects")
-    }
+      checkpoint, watermarkDelay, trigger)(
+      auditedSinks(table, evidenceCols = Seq("bench_id", "match_pos")))
+
+  /** The passers/rejects sink pair every audited writer shares — kept
+    * rows land source-partitioned minus the gate's `evidenceCols`
+    * (evidence belongs in the audit tables, not the corpus), rejects
+    * keep everything — so the landing/rejects routing has ONE
+    * definition across the three contamination postures. */
+  private def auditedSinks(table: String, evidenceCols: Seq[String])(
+      b: DataFrame): Unit = {
+    b.filter(col("reject_reason").isNull)
+      .drop("__dedup_key" +: "reject_reason" +: evidenceCols: _*)
+      .write.mode("append").partitionBy("source").parquet(table)
+    b.filter(col("reject_reason").isNotNull)
+      .drop("__dedup_key")
+      .write.mode("append").parquet(s"${table}_rejects")
+  }
 
   /** THE routing skeleton [[writeAudited]] and [[writeAuditedExcising]]
     * share — the dedup-key scheme, the watermark policy, and the
@@ -227,15 +245,9 @@ object CorpusIngest {
       watchlist: graft.operators.ContaminationGuard.BloomIndex,
       minTokens: Int = 5,
       minDistinctRatio: Double = 0.2,
-      minRun: Int = 3): DataFrame = {
-    val feats = TextFunctions.qualityFeatures(col("text")).toMap
+      minRun: Int = 3): DataFrame =
     graft.operators.ContaminationGuard.withBloomHit(
-      docs
-        .withColumn("n_tokens", feats("n_tokens"))
-        .withColumn("distinct_ratio", feats("distinct_ratio"))
-        .withColumn("digest", md5(col("text")))
-        .withColumn("__q_reason",
-          TextFunctions.qualityReason(col("text"), minTokens, minDistinctRatio)),
+      scored(docs, minTokens, minDistinctRatio),
       "text", watchlist, minRun, outCol = "__hit",
       guard = col("__q_reason").isNull)
       .withColumn("reject_reason",
@@ -243,7 +255,6 @@ object CorpusIngest {
           when(col("__hit").isNotNull, "contaminated_maybe")))
       .withColumn("match_pos", col("__hit"))
       .drop("__q_reason", "__hit")
-  }
 
   /** [[writeAudited]] with the Bloom gate ([[gateVerdictsBloom]]) — the
     * firehose-scale decontaminating ingest: passers land, quality
@@ -261,14 +272,55 @@ object CorpusIngest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     writeRouted(
       gateVerdictsBloom(docs, watchlist, minTokens, minDistinctRatio, minRun),
-      checkpoint, watermarkDelay, trigger) { b =>
-      b.filter(col("reject_reason").isNull)
-        .drop("__dedup_key", "reject_reason", "match_pos")
-        .write.mode("append").partitionBy("source").parquet(table)
-      b.filter(col("reject_reason").isNotNull)
-        .drop("__dedup_key")
-        .write.mode("append").parquet(s"${table}_rejects")
-    }
+      checkpoint, watermarkDelay, trigger)(
+      auditedSinks(table, evidenceCols = Seq("match_pos")))
+
+  /** The batch GRADUATION [[writeAuditedBloom]]'s suspects await — and
+    * the RE-ADMISSION path a false-positive-able gate owes its corpus:
+    * the Bloom filter is bit-deterministic, so a cleared suspect re-fed
+    * through the same gate rejects again FOREVER; without this step
+    * every false positive is silent permanent loss (≈ the fpp^minRun
+    * per-position rate, over every long clean doc in the firehose).
+    * Reads `<table>_rejects`' "contaminated_maybe" rows, runs the EXACT
+    * tier over that bounded set (never the corpus; verdicts
+    * checkpointed before the landing table is touched), and APPENDS the
+    * cleared suspects to the landing table — content-deduped within the
+    * batch and against already-landed digests, so a suspect rejected
+    * under two doc_ids lands once and a re-run is a no-op. The rejects
+    * table keeps its rows (it is the audit trail, not a queue); the
+    * CONFIRMED suspects' full attribution — [[graft.operators
+    * .ContaminationGuard.flag]]'s exact columns — is the return value.
+    * Run in the ingest's maintenance window (it reads what the stream
+    * writes). */
+  def graduateBloomRejects(spark: SparkSession, table: String,
+      bench: DataFrame, textCol: String, idCol: String,
+      window: Int = 64): DataFrame = {
+    val suspects = spark.read.parquet(s"${table}_rejects")
+      .filter(col("reject_reason") === "contaminated_maybe")
+    val confirmed = graft.operators.ContaminationGuard.flag(
+      suspects, "text", "doc_id",
+      graft.operators.ContaminationGuard.benchmarkIndex(
+        bench, textCol, idCol, window))
+      .localCheckpoint(true)
+    val cleared = suspects
+      .join(broadcast(confirmed.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .dropDuplicates("digest")
+    // Try, not fs.exists: an all-rejected stream leaves the landing dir
+    // holding only _SUCCESS (empty partitionBy writes produce no data
+    // files), which exists but has no inferable schema
+    val toLand =
+      scala.util.Try(spark.read.parquet(table).select("digest")) match {
+        case scala.util.Success(landedDigests) =>
+          cleared.join(landedDigests, Seq("digest"), "left_anti")
+        case scala.util.Failure(_) => cleared // nothing landed yet
+      }
+    toLand
+      .select(col("doc_id"), col("text"), col("source"), col("ingest_ts"),
+        col("n_tokens"), col("distinct_ratio"), col("digest"))
+      .write.mode("append").partitionBy("source").parquet(table)
+    confirmed
+  }
 
   /** The EXCISE-policy gate verdicts — [[gateVerdicts]]'s reject-on-hit
     * contamination posture replaced by ext128's argument applied at the
@@ -362,18 +414,14 @@ object CorpusIngest {
     writeRouted(
       gateVerdictsExcising(docs, watchlist, minTokens, minDistinctRatio),
       checkpoint, watermarkDelay, trigger) { b =>
-      val kept = b.filter(col("reject_reason").isNull)
-      kept.drop("__dedup_key", "reject_reason", "n_spans", "removed_chars",
-          "bench_ids")
-        .write.mode("append").partitionBy("source").parquet(table)
-      kept.filter(col("n_spans") > 0)
+      auditedSinks(table,
+        evidenceCols = Seq("n_spans", "removed_chars", "bench_ids"))(b)
+      // the third sink this posture owes: WHICH landed docs were cut
+      b.filter(col("reject_reason").isNull && col("n_spans") > 0)
         .select(col("doc_id"), col("source"), col("ingest_ts"),
           col("n_spans"), col("removed_chars"), col("bench_ids"),
           col("digest"))
         .write.mode("append").parquet(s"${table}_excisions")
-      b.filter(col("reject_reason").isNotNull)
-        .drop("__dedup_key")
-        .write.mode("append").parquet(s"${table}_rejects")
     }
 
   /** End-to-end convenience over a JSONL directory. The default

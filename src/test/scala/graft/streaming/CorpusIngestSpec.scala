@@ -196,6 +196,53 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       confirmed.head.getAs[Long]("n_matched_windows") == 37L)
   }
 
+  test("bloom-gate graduation re-admits cleared false positives exactly once; confirmed suspects return with full attribution") {
+    // the re-admission path a false-positive-able gate owes the corpus:
+    // the filter is bit-deterministic, so a cleared FP re-fed through
+    // the gate rejects forever — graduation is the only way back in.
+    // fpp=0.5 + minRun=1 makes a long clean doc an (effectively certain,
+    // and deterministic once built) false positive
+    import graft.operators.ContaminationGuard
+    val bench = soupWords(31L, 40)
+    val benchDf = Seq((7L, bench)).toDF("doc_id", "text")
+    val noisyBloom = ContaminationGuard.bloomIndex(benchDf, "text",
+      fpp = 0.5)
+    val cleanLong = soupWords(32L, 60) // ~300 windows -> FP near-certain
+    val leaked = soupWords(33L, 10) + " " + bench.substring(0, 100)
+    val table = tmp("grad-table"); val ckpt = tmp("grad-ckpt")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    source.addData(
+      (1L, cleanLong, "srcA", t0),
+      (2L, leaked, "srcA", t0))
+    CorpusIngest.writeAuditedBloom(
+      source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+      table, ckpt, watchlist = noisyBloom, minRun = 1).awaitTermination()
+    val suspectIds = spark.read.parquet(s"${table}_rejects")
+      .filter(col("reject_reason") === "contaminated_maybe")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(suspectIds == Set(1L, 2L),
+      s"at fpp 0.5 both docs must reject as suspects, got $suspectIds")
+    // graduation: the exact tier clears the FP and confirms the leak
+    val confirmed = CorpusIngest.graduateBloomRejects(
+      spark, table, benchDf, "text", "doc_id")
+    val conf = confirmed.collect()
+    assert(conf.length == 1 && conf.head.getAs[Long]("doc_id") == 2L &&
+      conf.head.getAs[Long]("bench_id") == 7L &&
+      conf.head.getAs[Long]("n_matched_windows") == 37L,
+      s"only the true leak confirms, with attribution: ${conf.toSeq}")
+    val landed = spark.read.parquet(table).collect()
+    assert(landed.length == 1 && landed.head.getAs[Long]("doc_id") == 1L &&
+      landed.head.getAs[String]("text") == cleanLong,
+      "the cleared false positive must land")
+    // a re-run is a no-op: already-landed digests are anti-joined away
+    CorpusIngest.graduateBloomRejects(
+      spark, table, benchDf, "text", "doc_id"): Unit
+    assert(spark.read.parquet(table).count() == 1,
+      "a second graduation run must not duplicate the cleared doc")
+  }
+
   test("EXCISE-policy ingest: leaked spans cut at the door, cleaned text lands and dedups, excisions audited, excised-to-junk rejects with evidence") {
     import graft.operators.ContaminationGuard
     val bench = soupWords(11L, 40) // 239 chars
