@@ -320,6 +320,54 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
       "bloom-pruned exact verdicts must equal the directly-run exact tier")
   }
 
+  test("bloom run-fold fuzz: flagBloom matches an independent might-mask + run reimplementation at every minRun") {
+    // the consecutive-run fold now backs BOTH the audit (flagBloom) and
+    // the ingest gate (withBloomHit) — pin it against a brute-force
+    // reference: enumerate windows in the spec, ask the same filter for
+    // the might-mask, fold runs with plain collections code
+    val bloom = ContaminationGuard.bloomIndex(benchDf, "text", W, fpp = 0.3)
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 20).map { i =>
+      // mix: pure soup, soup with a planted excerpt, short, leaning long
+      val t = rnd.nextInt(4) match {
+        case 0 => soup(100L + i, 80 + rnd.nextInt(300))
+        case 1 => soup(200L + i, 100) +
+          bench0.substring(rnd.nextInt(80), 80 + rnd.nextInt(120)) +
+          soup(300L + i, 60)
+        case 2 => soup(400L + i, rnd.nextInt(70)) // may be < W
+        case _ => bench1.substring(0, 70 + rnd.nextInt(80))
+      }
+      (i.toLong, t)
+    }
+    val docsDf = docs.toDF("doc_id", "text")
+    Seq(1, 2, 3, 5).foreach { minRun =>
+      val got = ContaminationGuard.flagBloom(docsDf, "text", "doc_id",
+        bloom, minRun)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_might_windows"),
+            r.getAs[Long]("first_might_pos"))).toMap
+      val expected = docs.flatMap { case (id, t) =>
+        if (t.length < W) None
+        else {
+          val mask = (0 to t.length - W).map(i =>
+            bloom.filter.mightContainString(md5hex(t.substring(i, i + W))))
+          // runs of consecutive true positions, kept iff length >= minRun
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var s = -1
+          mask.indices.foreach { i =>
+            if (mask(i) && s < 0) s = i
+            if (!mask(i) && s >= 0) { runs += ((s, i - s)); s = -1 }
+          }
+          if (s >= 0) runs += ((s, mask.length - s))
+          val kept = runs.filter(_._2 >= minRun)
+          if (kept.isEmpty) None
+          else Some(id -> (kept.map(_._2.toLong).sum, kept.head._1 + 1L))
+        }
+      }.toMap
+      assert(got == expected, s"minRun=$minRun: $got vs $expected")
+    }
+  }
+
   test("streaming flagText == batch flag (shared implementation), envelope kept") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val excerpt = bench0.substring(50, 150)
