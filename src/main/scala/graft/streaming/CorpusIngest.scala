@@ -287,16 +287,33 @@ object CorpusIngest {
     * cleared suspects to the landing table — content-deduped within the
     * batch and against already-landed digests, so a suspect rejected
     * under two doc_ids lands once and a re-run is a no-op. The rejects
-    * table keeps its rows (it is the audit trail, not a queue); the
-    * CONFIRMED suspects' full attribution — [[graft.operators
-    * .ContaminationGuard.flag]]'s exact columns — is the return value.
-    * Run in the ingest's maintenance window (it reads what the stream
-    * writes). */
+    * table keeps its rows (it is the audit trail, not a queue) —
+    * instead, processed suspects are recorded in `<table>_graduated`
+    * (doc_id, digest) and anti-joined away up front, so each
+    * maintenance run pays the exact scan only for suspects NEW since
+    * the last run, not for the all-time rejects trail (which only
+    * grows). A crash between landing and the marker write re-processes
+    * that run's suspects next time: the exact scan is idempotent, the
+    * landed-digest anti-join stops duplicate landings, and confirmed
+    * rows re-report — confirmed reporting is at-least-once across
+    * crashes, exactly-once otherwise. The CONFIRMED suspects' full
+    * attribution — [[graft.operators.ContaminationGuard.flag]]'s exact
+    * columns — is the return value. Run in the ingest's maintenance
+    * window (it reads what the stream writes). */
   def graduateBloomRejects(spark: SparkSession, table: String,
       bench: DataFrame, textCol: String, idCol: String,
       window: Int = 64): DataFrame = {
-    val suspects = spark.read.parquet(s"${table}_rejects")
+    val graduatedPath = s"${table}_graduated"
+    val allSuspects = spark.read.parquet(s"${table}_rejects")
       .filter(col("reject_reason") === "contaminated_maybe")
+    val suspects =
+      scala.util.Try(
+        spark.read.parquet(graduatedPath).select("doc_id", "digest")) match {
+        case scala.util.Success(done) =>
+          allSuspects.join(broadcast(done), Seq("doc_id", "digest"),
+            "left_anti")
+        case scala.util.Failure(_) => allSuspects // first run
+      }
     val confirmed = graft.operators.ContaminationGuard.flag(
       suspects, "text", "doc_id",
       graft.operators.ContaminationGuard.benchmarkIndex(
@@ -319,6 +336,10 @@ object CorpusIngest {
       .select(col("doc_id"), col("text"), col("source"), col("ingest_ts"),
         col("n_tokens"), col("distinct_ratio"), col("digest"))
       .write.mode("append").partitionBy("source").parquet(table)
+    // marker LAST (scaladoc's crash contract): suspects processed this
+    // run — confirmed and cleared alike — never pay the exact scan again
+    suspects.select(col("doc_id"), col("digest")).distinct()
+      .write.mode("append").parquet(graduatedPath)
     confirmed
   }
 

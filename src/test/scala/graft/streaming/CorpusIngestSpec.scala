@@ -236,9 +236,15 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(landed.length == 1 && landed.head.getAs[Long]("doc_id") == 1L &&
       landed.head.getAs[String]("text") == cleanLong,
       "the cleared false positive must land")
-    // a re-run is a no-op: already-landed digests are anti-joined away
-    CorpusIngest.graduateBloomRejects(
-      spark, table, benchDf, "text", "doc_id"): Unit
+    // a re-run is a no-op on BOTH sides: the graduated-marker table
+    // anti-joins the already-processed suspects away before the exact
+    // scan (each maintenance run pays only for NEW suspects, not the
+    // all-time rejects trail), so nothing re-confirms and nothing
+    // re-lands
+    val rerun = CorpusIngest.graduateBloomRejects(
+      spark, table, benchDf, "text", "doc_id")
+    assert(rerun.isEmpty,
+      "already-graduated suspects must not re-confirm on a re-run")
     assert(spark.read.parquet(table).count() == 1,
       "a second graduation run must not duplicate the cleared doc")
   }
