@@ -153,14 +153,20 @@ object ContaminationGuard {
     * text): (doc_id, n_chars, n_spans, removed_chars, kept_chars,
     * cleaned_digest) — kept_chars ≡ n_chars − removed_chars and
     * cleaned_digest = md5(rebuilt text), so an oracle verifies the
-    * RECONSTRUCTION (ext106's discipline). Run on the exact tier: a
-    * sampled index would excise a conservative subset. */
+    * RECONSTRUCTION (ext106's discipline). Runs on the exact tier, and
+    * that is ENFORCED (the [[withBloomHit]] `requireRunDial` discipline):
+    * a sampled (`hexPrefix != ""`) index only sees 1/16 of the windows,
+    * so excising from it SILENTLY leaves leaked eval text in the
+    * "cleaned" output while `cleaned_digest` claims the doc was
+    * remediated — the one failure mode worse than not remediating.
+    * A caller that knowingly wants the partial cut (e.g. pricing the
+    * sampled tier's footprint) opts in with `allowSampled = true`. */
   def excise(docs: DataFrame, textCol: String, idCol: String,
-      index: BenchIndex): DataFrame =
+      index: BenchIndex, allowSampled: Boolean = false): DataFrame =
     withCuts(
       docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text")),
-      "text", index)
+      "text", index, allowSampled = allowSampled)
       .withColumn("cleaned",
         when(col("cuts").isNull, col("text"))
           .otherwise(SubstringDedup.rebuildCleaned))
@@ -182,9 +188,18 @@ object ContaminationGuard {
     * single map-side hashing pass as [[flag]]/[[withHit]] (the shared
     * [[scanMatches]] scan); `guard` is evaluated INSIDE the UDF
     * ([[withHit]]'s lesson — the nondeterministic fence makes a
-    * `when(guard, probe)` wrapper pay the scan anyway). */
+    * `when(guard, probe)` wrapper pay the scan anyway). Exact tier
+    * ENFORCED like [[excise]]'s — a cut list from a sampled index is a
+    * silently partial decontamination (`allowSampled` opts in). */
   def withCuts(docs: DataFrame, textCol: String, index: BenchIndex,
-      outCol: String = "cuts", guard: Column = lit(true)): DataFrame = {
+      outCol: String = "cuts", guard: Column = lit(true),
+      allowSampled: Boolean = false): DataFrame = {
+    require(allowSampled || index.hexPrefix.isEmpty,
+      "excision needs the exact tier: a sampled index sees 1/16 of the " +
+        "windows, so its cut list leaves leaked text in the 'cleaned' " +
+        "output while claiming remediation; detect on the sampled tier, " +
+        "then excise the flagged docs with an exact index " +
+        "(or pass allowSampled = true to knowingly take the partial cut)")
     val bc = docs.sparkSession.sparkContext.broadcast(index)
     val probe = udf { (text: String, enabled: Boolean) =>
       cutsEvals.incrementAndGet(): Unit

@@ -306,14 +306,26 @@ object CorpusIngest {
     val graduatedPath = s"${table}_graduated"
     val allSuspects = spark.read.parquet(s"${table}_rejects")
       .filter(col("reject_reason") === "contaminated_maybe")
-    val suspects =
+    val unmarked =
       scala.util.Try(
         spark.read.parquet(graduatedPath).select("doc_id", "digest")) match {
         case scala.util.Success(done) =>
-          allSuspects.join(broadcast(done), Seq("doc_id", "digest"),
-            "left_anti")
+          // NO broadcast hint on the marker side (r11 verdict/advice):
+          // `_graduated` grows for the life of the ingest — one row per
+          // all-time suspect — so pinning it to a broadcast is a
+          // driver-memory trajectory at firehose scale. AQE broadcasts it
+          // while it is small and shuffles once it isn't; the growth
+          // itself is bounded by [[compactGraduated]].
+          allSuspects.join(done, Seq("doc_id", "digest"), "left_anti")
         case scala.util.Failure(_) => allSuspects // first run
       }
+    // ONE materialized snapshot (r11 advice): the exact scan, the
+    // cleared anti-join and the marker write all derive from THIS
+    // frame — without it each consumer re-reads the rejects parquet and
+    // the "marked == scanned" invariant rests implicitly on the
+    // relation's one-time file-listing snapshot (three traversals of a
+    // growing table, provably-same-set by luck of the listing).
+    val suspects = unmarked.localCheckpoint(true)
     val confirmed = graft.operators.ContaminationGuard.flag(
       suspects, "text", "doc_id",
       graft.operators.ContaminationGuard.benchmarkIndex(
@@ -341,6 +353,39 @@ object CorpusIngest {
     suspects.select(col("doc_id"), col("digest")).distinct()
       .write.mode("append").parquet(graduatedPath)
     confirmed
+  }
+
+  /** Bound the `<table>_graduated` marker table's growth — the price of
+    * "never pay the exact scan twice" is one marker row per all-time
+    * suspect, and nothing else ever deletes one. A marker's only job is
+    * to anti-join its suspect row away in [[graduateBloomRejects]], so
+    * once the operator's retention policy removes a suspect from
+    * `<table>_rejects` (the audit trail the markers mirror), its marker
+    * is dead weight: this keeps exactly the markers whose (doc_id,
+    * digest) still exists among the rejects' "contaminated_maybe" rows
+    * and rewrites the table. Run after each rejects-retention pass, in
+    * the same maintenance window as the graduation (single writer, like
+    * every maintenance path here). A crash mid-rewrite re-runs: the
+    * compacted set is checkpointed off-table before the overwrite, and
+    * losing a marker is safe-by-direction (its suspect merely pays the
+    * idempotent exact scan once more). No-op when no marker table
+    * exists. */
+  def compactGraduated(spark: SparkSession, table: String): Unit = {
+    val graduatedPath = s"${table}_graduated"
+    val done = scala.util.Try(
+      spark.read.parquet(graduatedPath).select("doc_id", "digest")) match {
+      case scala.util.Success(d) => d
+      case scala.util.Failure(_) => return // nothing graduated yet
+    }
+    val live = spark.read.parquet(s"${table}_rejects")
+      .filter(col("reject_reason") === "contaminated_maybe")
+      .select("doc_id", "digest")
+    // checkpoint BEFORE overwrite: parquet cannot overwrite a path its
+    // plan is still reading
+    val kept = done.join(live, Seq("doc_id", "digest"), "left_semi")
+      .distinct()
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(graduatedPath)
   }
 
   /** The EXCISE-policy gate verdicts — [[gateVerdicts]]'s reject-on-hit

@@ -238,6 +238,36 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
       r10.getAs[Long]("removed_chars"))
   }
 
+  test("excise/withCuts enforce the exact tier: a sampled index aborts unless the partial cut is opted into") {
+    // a sampled (1/16) index only sees the self-selecting windows, so an
+    // excision from it silently leaves leaked text in the "cleaned"
+    // output — detect sampled, excise exact. The require mirrors the
+    // Bloom gate's requireRunDial discipline.
+    val docs = Seq((10L, soup(70L, 60) + bench0 + soup(71L, 60)))
+      .toDF("doc_id", "text")
+    val sampled = ContaminationGuard.benchmarkIndex(
+      benchDf, "text", "doc_id", W, hexPrefix = "0")
+    val eEx = intercept[IllegalArgumentException] {
+      ContaminationGuard.excise(docs, "text", "doc_id", sampled)
+    }
+    assert(eEx.getMessage.contains("exact tier"))
+    val eCut = intercept[IllegalArgumentException] {
+      ContaminationGuard.withCuts(docs, "text", sampled)
+    }
+    assert(eCut.getMessage.contains("exact tier"))
+    // the explicit opt-in still works and cuts the (conservative,
+    // sampled-positions) subset — every cut is inside the true leak
+    val optIn = ContaminationGuard.excise(
+      docs, "text", "doc_id", sampled, allowSampled = true).collect()
+    assert(optIn.length == 1)
+    val exact = ContaminationGuard.excise(docs, "text", "doc_id",
+      ContaminationGuard.benchmarkIndex(benchDf, "text", "doc_id", W))
+      .collect().head
+    assert(optIn.head.getAs[Long]("removed_chars") <=
+      exact.getAs[Long]("removed_chars"),
+      "a sampled cut list is a subset of the exact tier's")
+  }
+
   test("bloom tier: flagged set supersets the exact tier per doc (no false negatives), bounds its window counts, and graduates to the identical exact verdicts") {
     val excerpt0 = bench0.substring(50, 150)
     val excerpt1 = bench1.substring(0, 80)

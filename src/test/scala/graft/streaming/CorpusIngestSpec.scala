@@ -247,6 +247,26 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       "already-graduated suspects must not re-confirm on a re-run")
     assert(spark.read.parquet(table).count() == 1,
       "a second graduation run must not duplicate the cleared doc")
+    // marker compaction: the graduated table mirrors the rejects audit
+    // trail — once retention removes a suspect from the rejects, its
+    // marker is dead weight. Simulate a retention pass that keeps only
+    // doc 2's reject, compact, and pin that (a) doc 1's marker is gone,
+    // (b) doc 2's marker survives so the graduation stays a no-op.
+    val markers0 = spark.read.parquet(s"${table}_graduated")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(markers0 == Set(1L, 2L), s"both suspects marked: $markers0")
+    val retained = spark.read.parquet(s"${table}_rejects")
+      .filter(col("doc_id") === 2L).localCheckpoint(true)
+    retained.write.mode("overwrite").parquet(s"${table}_rejects")
+    CorpusIngest.compactGraduated(spark, table)
+    val markers1 = spark.read.parquet(s"${table}_graduated")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(markers1 == Set(2L),
+      s"compaction keeps exactly the live suspects' markers: $markers1")
+    val rerun2 = CorpusIngest.graduateBloomRejects(
+      spark, table, benchDf, "text", "doc_id")
+    assert(rerun2.isEmpty && spark.read.parquet(table).count() == 1,
+      "graduation after marker compaction is still a no-op")
   }
 
   test("EXCISE-policy ingest: leaked spans cut at the door, cleaned text lands and dedups, excisions audited, excised-to-junk rejects with evidence") {
