@@ -311,15 +311,72 @@ object ContaminationGuard {
       .select(explode(windows(col(textCol))).as("w"))
       .select(col("w._2").as("h")).distinct()
       .localCheckpoint(true)
-    BloomIndex(window, hexPrefix,
+    BloomIndex(window, hexPrefix, fpp,
       hashes.stat.bloomFilter("h", math.max(hashes.count(), 1L), fpp))
   }
 
-  /** [[bloomIndex]]'s product: the filter plus the window/sampling
+  /** [[bloomIndex]]'s product: the filter plus the window/sampling/fpp
     * parameters it was built under (probe-side parameter drift is the
-    * one silent way a Bloom funnel loses leaks). */
-  final case class BloomIndex(window: Int, hexPrefix: String,
-      filter: org.apache.spark.util.sketch.BloomFilter)
+    * one silent way a Bloom funnel loses leaks). [[save]]/
+    * [[loadBloomIndex]] round-trip the WHOLE bundle for the same reason —
+    * bits without their parameters would let a reload probe different
+    * window text than what was inserted. */
+  final case class BloomIndex(window: Int, hexPrefix: String, fpp: Double,
+      filter: org.apache.spark.util.sketch.BloomFilter) {
+
+    /** Persist this index under `dir` so an ingest restart loads it
+      * ([[loadBloomIndex]]) instead of re-enumerating the benchmark
+      * suite — the filter is bit-deterministic, so build-once/load-many
+      * is exact, not approximate. One small file (~1.2 MB per million
+      * windows at 1% fpp): a versioned header carrying (window,
+      * hexPrefix, fpp) followed by the filter's own serialization.
+      * Written to a dot-prefixed temp and renamed, so a reader never
+      * sees a half-written index; re-saving overwrites. */
+    def save(dir: String,
+        conf: org.apache.hadoop.conf.Configuration =
+          new org.apache.hadoop.conf.Configuration()): Unit = {
+      val target = new org.apache.hadoop.fs.Path(dir, BloomFileName)
+      val fs = target.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".$BloomFileName.tmp")
+      val out = new java.io.DataOutputStream(fs.create(tmp, true))
+      try {
+        out.writeUTF(BloomMagic)
+        out.writeInt(window)
+        out.writeUTF(hexPrefix)
+        out.writeDouble(fpp)
+        filter.writeTo(out)
+      } finally out.close()
+      fs.delete(target, false): Unit
+      require(fs.rename(tmp, target),
+        s"BloomIndex.save: failed to publish $tmp -> $target")
+    }
+  }
+
+  private val BloomFileName = "bloom_index.bin"
+  private val BloomMagic = "graft-bloom-index-v1"
+
+  /** Reload a [[BloomIndex]] persisted by [[BloomIndex.save]]: verdicts
+    * from a loaded index equal the fresh-built index's bit-for-bit
+    * (spec-pinned), and the bundled (window, hexPrefix, fpp) travel with
+    * the bits so the probe cannot drift from what was inserted. The
+    * magic header rejects a file that is not a v1 bloom index instead of
+    * mis-parsing it into a silently-empty filter. */
+  def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BloomIndex = {
+    val path = new org.apache.hadoop.fs.Path(dir, BloomFileName)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(fs.open(path))
+    try {
+      val magic = in.readUTF()
+      require(magic == BloomMagic,
+        s"$path is not a $BloomMagic file (header '$magic')")
+      val window = in.readInt()
+      val hexPrefix = in.readUTF()
+      val fpp = in.readDouble()
+      BloomIndex(window, hexPrefix, fpp,
+        org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    } finally in.close()
+  }
 
   /** Map-side Bloom probe of [[bloomIndex]]: one row per document whose
     * might-contain windows include a run of at least `minRun`

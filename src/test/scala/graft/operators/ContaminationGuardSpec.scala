@@ -350,6 +350,37 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
       "bloom-pruned exact verdicts must equal the directly-run exact tier")
   }
 
+  test("bloom index save/load: verdicts from the loaded index equal the fresh-built index's, false positives included") {
+    // fpp 0.5 makes FP windows near-certain on long clean docs — exactly
+    // the rows where bit-identity matters: a reload that lost or gained
+    // one bit would flip some FP verdict. minRun=1 keeps them visible.
+    val docs = (0 until 6).map(i => (10L + i, soup(80L + i, 150)))
+      .toDF("doc_id", "text")
+    val built = ContaminationGuard.bloomIndex(benchDf, "text", fpp = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("bloom-rt").toString
+    built.save(dir)
+    val loaded = ContaminationGuard.loadBloomIndex(spark, dir)
+    assert(loaded.window == built.window &&
+      loaded.hexPrefix == built.hexPrefix && loaded.fpp == built.fpp)
+    def verdicts(idx: ContaminationGuard.BloomIndex) =
+      ContaminationGuard.flagBloom(docs, "text", "doc_id", idx, minRun = 1)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_might_windows"),
+          r.getAs[Long]("first_might_pos"))).toSeq
+    assert(verdicts(loaded) == verdicts(built),
+      "saved→loaded verdicts must be bit-identical to fresh-built")
+    // a re-save overwrites in place and still loads
+    built.save(dir)
+    assert(verdicts(ContaminationGuard.loadBloomIndex(spark, dir)) ==
+      verdicts(built))
+    // a non-index file rejects on the magic header instead of mis-parsing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bloom_index.bin"),
+      "not an index".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[Exception] { ContaminationGuard.loadBloomIndex(spark, dir) }
+    assert(e.getMessage != null)
+  }
+
   test("bloom run-fold fuzz: flagBloom matches an independent might-mask + run reimplementation at every minRun") {
     // the consecutive-run fold now backs BOTH the audit (flagBloom) and
     // the ingest gate (withBloomHit) — pin it against a brute-force

@@ -142,7 +142,17 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     import graft.operators.ContaminationGuard
     val bench = soupWords(21L, 40)
     val benchDf = Seq((7L, bench)).toDF("doc_id", "text")
-    val bloomIdx = ContaminationGuard.bloomIndex(benchDf, "text")
+    val builtIdx = ContaminationGuard.bloomIndex(benchDf, "text")
+    // persistence: the ingest loads the saved index at (re)start instead
+    // of re-enumerating the benchmark suite — the gate below runs on the
+    // LOADED bits, so this whole spec pins the round-trip end-to-end
+    val idxDir = tmp("bloom-idx")
+    builtIdx.save(idxDir)
+    val bloomIdx = ContaminationGuard.loadBloomIndex(spark, idxDir)
+    assert(bloomIdx.window == builtIdx.window &&
+      bloomIdx.hexPrefix == builtIdx.hexPrefix &&
+      bloomIdx.fpp == builtIdx.fpp,
+      "the parameter bundle must survive the round-trip with the bits")
     val prefix = soupWords(22L, 10) // 59 chars
     val leaked = prefix + " " + bench.substring(0, 100) // run starts at 61
     val clean = soupWords(23L, 12)
