@@ -21,10 +21,22 @@ import org.apache.spark.sql.functions._
   * observes its own delivery's rows; one writer at a time (the daily
   * ingest job). Readers get snapshot reads per query while writers only
   * APPEND (first run of a delivery). A REPLAYED delivery and [[compact]]
-  * rewrite existing files in place, so they require no concurrent
-  * readers — a reader that listed the old files mid-rewrite can hit
-  * FileNotFoundException or partial state. Schedule replays and
-  * compaction in the same exclusive window as the writer.
+  * rewrite existing files in place, so DISCOVERY readers (default
+  * [[read]]/[[readTagged]]) require the writer's exclusive window — a
+  * reader that listed the old files mid-rewrite can hit
+  * FileNotFoundException or partial (duplicated) state. CONCURRENT
+  * readers use the manifest-pinned mode instead (`pinToManifest =
+  * true`): every mutation's LAST step is an atomic rewrite of the
+  * `_manifest` file naming the live partitions, so a pinned read that
+  * starts mid-compaction resolves the pre-publish layout (published-but-
+  * unlisted base invisible, folded inputs still present) or the
+  * post-publish one — exactly one of them, never the duplicated union
+  * and never a missing-path error for the publish window. The remaining
+  * exposure is input DELETION: compaction deletes folded inputs only
+  * after the manifest swap, so only a pinned read that resolved the OLD
+  * manifest and is still fetching files when the delete lands can fail —
+  * queries that outlast a whole compaction re-run; everything shorter is
+  * safe.
   *
   * REPLAY SAFETY (r9 verdict #1 — a mechanism, not a caveat): the store
   * is PARTITIONED BY `delivery_id` (`dir/delivery_id=<id>/`, the ext73
@@ -89,6 +101,81 @@ object FingerprintStore {
   private def partitionPath(dir: String, deliveryId: String) =
     new org.apache.hadoop.fs.Path(dir, s"delivery_id=$deliveryId")
 
+  /** The concurrent-reader snapshot: a one-line-per-live-partition text
+    * file every mutation rewrites ATOMICALLY as its last step (temp file
+    * + rename-with-overwrite), so a reader sees exactly one layout —
+    * pre- or post-mutation — never a partial one. */
+  private val ManifestFile = "_manifest"
+
+  private def fsOf(dir: String,
+      conf: org.apache.hadoop.conf.Configuration) = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    (base.getFileSystem(conf), base)
+  }
+
+  private def listPartitionNames(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delivery_id="))
+      .map(_.getPath.getName).toSeq
+
+  /** Atomically publish the manifest naming `names` as the live
+    * partitions. FileContext.rename(OVERWRITE) is the one rename that
+    * may replace an existing target atomically (plain FileSystem.rename
+    * refuses); the temp is dot-prefixed so discovery never lists it. */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, names: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(base, s".$ManifestFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((names.sorted.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(base).toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(base, ManifestFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Refresh the manifest from the directory's CURRENT layout — correct
+    * after any mutation that leaves the directory in its final state
+    * (init, delivery writes); [[compact]] instead names its target
+    * layout explicitly, because its final state is reached only after
+    * the post-manifest input deletion. */
+  private def refreshManifest(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, base) = fsOf(dir, conf)
+    writeManifest(fs, base, listPartitionNames(fs, base), conf)
+  }
+
+  private def manifestNames(spark: SparkSession,
+      dir: String): Option[Seq[String]] = {
+    val (fs, base) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList)
+      finally in.close()
+    }
+  }
+
+  /** The store frame resolved through the manifest snapshot instead of
+    * directory discovery. `basePath` keeps the delivery_id partition
+    * column derivable from the explicit paths. */
+  private def pinnedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val names = manifestNames(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no $ManifestFile to pin to — the store predates " +
+          "manifest maintenance; any mutation (init/ingest/writeDelivery/" +
+          "compact) creates one"))
+    val base = new org.apache.hadoop.fs.Path(dir)
+    spark.read.option("basePath", dir)
+      .parquet(names.map(n =>
+        new org.apache.hadoop.fs.Path(base, n).toString): _*)
+  }
+
   /** Initialize (or reset) the store from a hash frame (id, phash) —
     * the whole table is overwritten; the seed rows land in the reserved
     * `__init__` delivery partition (written even when empty, so the
@@ -101,15 +188,25 @@ object FingerprintStore {
     hashes.select(col("id"), col("phash"))
       .write.mode("overwrite")
       .parquet(partitionPath(dir, InitDelivery).toString)
+    refreshManifest(hashes.sparkSession, dir)
   }
 
-  /** The store as a frame (id, phash). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("id"), col("phash"))
+  /** The store as a frame (id, phash). `pinToManifest` resolves the
+    * partitions through the `_manifest` snapshot instead of directory
+    * discovery — the concurrent-reader mode (class doc): a read that
+    * starts mid-compaction gets exactly the pre- or post-publish layout,
+    * never the duplicated union or a FileNotFoundException from the
+    * publish window. */
+  def read(spark: SparkSession, dir: String,
+      pinToManifest: Boolean = false): DataFrame =
+    (if (pinToManifest) pinnedFrame(spark, dir) else spark.read.parquet(dir))
+      .select(col("id"), col("phash"))
 
-  /** The store with its delivery provenance: (id, phash, delivery_id). */
-  def readTagged(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  /** The store with its delivery provenance: (id, phash, delivery_id).
+    * `pinToManifest` as in [[read]]. */
+  def readTagged(spark: SparkSession, dir: String,
+      pinToManifest: Boolean = false): DataFrame =
+    (if (pinToManifest) pinnedFrame(spark, dir) else spark.read.parquet(dir))
       .select(col("id"), col("phash"), col("delivery_id").cast("string"))
 
   /** One delivery through the store: verdicts for every delivered id
@@ -154,6 +251,7 @@ object FingerprintStore {
     hashes.select(col("id"), col("phash"))
       .write.mode("overwrite")
       .parquet(partitionPath(dir, deliveryId).toString)
+    refreshManifest(hashes.sparkSession, dir)
   }
 
   /** Fold old delivery partitions into a single versioned
@@ -230,6 +328,15 @@ object FingerprintStore {
     val target = partitionPath(dir, s"$CompactedPrefix-$nextN")
     require(!fs.exists(target) && fs.rename(staging, target),
       s"compact: failed to publish $staging -> $target")
+    // manifest swap BETWEEN publish and input deletion: pinned readers
+    // flip atomically from the old layout (inputs, no base — the new
+    // base is published but unlisted) to the new one (base, no inputs);
+    // the target layout is named EXPLICITLY because the directory holds
+    // both generations until the deletes land
+    writeManifest(fs, base,
+      parts.map(_._1).filter(keep.contains).map(id => s"delivery_id=$id") :+
+        target.getName,
+      spark.sparkContext.hadoopConfiguration)
     fold.foreach { case (_, s) => fs.delete(s.getPath, true): Unit }
   }
 }

@@ -354,6 +354,67 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       s"one fresh versioned base expected, got ${bases.toSeq}")
   }
 
+  test("manifest-pinned reads resolve a mid-compaction store to exactly the old or new layout, never a mix or an error") {
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("manifest")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(3L, 4L, 6L))).collect(): Unit // kept: 3, 6
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id".isin(9L, 10L))).collect(): Unit // kept: 9
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash")))
+    def layout(pin: Boolean) =
+      FingerprintStore.readTagged(spark, dir, pinToManifest = pin)
+        .collect().map(_.getAs[String]("delivery_id")).toSet
+    val before = rowsOf(FingerprintStore.read(spark, dir)).toSet
+    assert(rowsOf(FingerprintStore.read(spark, dir, pinToManifest = true))
+      .toSet == before, "steady state: pinned == discovery")
+    assert(layout(pin = true) == Set("__init__", "d1", "d2"))
+    // simulate the mid-compaction instant the class doc names — the fold
+    // of __init__ + d1 is PUBLISHED as a base, inputs not yet deleted,
+    // manifest not yet swapped (exactly what a crash between compact's
+    // publish rename and its manifest write leaves)
+    spark.read.parquet(s"$dir/delivery_id=__init__", s"$dir/delivery_id=d1")
+      .select($"id", $"phash").distinct()
+      .write.parquet(s"$dir/delivery_id=${FingerprintStore.CompactedPrefix}-1")
+    // a DISCOVERY read sees both generations at once — the duplicated mix
+    val mixed = rowsOf(FingerprintStore.read(spark, dir))
+    assert(mixed.toSet == before && mixed.length > before.size,
+      "fixture sanity: discovery must see the duplicated union here")
+    // the PINNED read still resolves the pre-publish layout: same rows,
+    // same multiset size, published-but-unlisted base invisible
+    val pinnedMid =
+      rowsOf(FingerprintStore.read(spark, dir, pinToManifest = true))
+    assert(pinnedMid.toSet == before && pinnedMid.length == before.size,
+      s"pinned mid-compaction read must be the OLD layout exactly: " +
+        s"${pinnedMid.length} rows vs ${before.size}")
+    assert(layout(pin = true) == Set("__init__", "d1", "d2"),
+      "the published base must stay invisible until the manifest swap")
+    // a real compaction over this crashed state heals it: fold completes
+    // (the orphan base folds away too), manifest swaps, inputs delete —
+    // pinned and discovery agree again, with no duplicate rows
+    FingerprintStore.compact(spark, dir, keepRecent = 0,
+      protect = Set("d2"))
+    val pinnedAfter =
+      rowsOf(FingerprintStore.read(spark, dir, pinToManifest = true))
+    assert(pinnedAfter.toSet == before && pinnedAfter.length == before.size)
+    assert(layout(pin = true) == layout(pin = false) &&
+      layout(pin = true) ==
+        Set(s"${FingerprintStore.CompactedPrefix}-2", "d2"))
+    // a store that predates manifest maintenance refuses to pin rather
+    // than silently fall back to the discovery race
+    val legacy = freshDir("legacy")
+    hashes.filter($"id" < 2).select($"id", $"phash")
+      .write.parquet(s"$legacy/delivery_id=old")
+    val e = intercept[IllegalStateException] {
+      FingerprintStore.read(spark, legacy, pinToManifest = true).collect()
+    }
+    assert(e.getMessage.contains("_manifest"))
+  }
+
   test("replaying a COMPACTED delivery is a fresh ingest against the full store (documented contract)") {
     // d1's survivors were folded into the base, so its replay self-matches
     // at distance 0: verdict classes flip to dropped_existing (evidence =
