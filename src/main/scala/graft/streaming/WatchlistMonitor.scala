@@ -211,6 +211,35 @@ object WatchlistMonitor {
       .start()
   }
 
+  /** The RETROACTIVE half of enforcement — [[monitorStream]]'s refresh
+    * scores a newly-watched clip against NEW arrivals only, but a
+    * takedown claim filed today must also find YESTERDAY's landed
+    * corpus. This sweeps the landed table with the SAME flag transform
+    * the monitor runs (shared implementation, so flag-schema parity is
+    * by construction, not convention — spec-pinned): pass ONLY the clips
+    * added since the last sweep as `newClips`, so each sweep broadcasts
+    * the watchlist DELTA and pays one map-side decode-and-vote pass over
+    * the landed table — zero shuffle, the irreducible price of
+    * retroactivity, parallelizing like any broadcast probe at 100 TB.
+    * Items already enforced against the old list need no re-scoring (a
+    * clip on the list when they arrived already flagged them at the
+    * door). Flags append to `out` when given — point it at the
+    * monitor's own flags table so both enforcement directions land in
+    * one place; a re-run re-appends (dedup downstream, or give each
+    * sweep its own out). Prune `landed` BEFORE calling when metadata
+    * bounds the exposure window (e.g. only partitions older than the
+    * clip's watch-from date — newer ones the live monitor covered).
+    * Modality-generic exactly like [[monitorStream]]: `W` is whatever
+    * the chosen flagger takes. */
+  def sweepLanded[W](
+      spark: org.apache.spark.sql.SparkSession, landedTable: String,
+      newClips: W, flag: (DataFrame, W) => DataFrame,
+      out: Option[String] = None): DataFrame = {
+    val flags = flag(spark.read.parquet(landedTable), newClips)
+    out.foreach(p => flags.write.mode("append").parquet(p))
+    flags
+  }
+
   /** The modality-generic core: ONE fenced decode per item, the vote per
     * broadcast clip, explode to flag rows. The broadcast ships the
     * watchlist once per executor, not once per task. */
