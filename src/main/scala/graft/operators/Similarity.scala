@@ -253,6 +253,33 @@ object Similarity {
         col("enc._1").as("list"), col("enc._2").as("codes"))
   }
 
+  /** Coarse-list occupancy histogram of `corpus` under an EXISTING
+    * model: assign each vector to its nearest coarse centroid and count
+    * per-list members — ≤ nLists rows whatever the corpus size. Exactly
+    * [[encodePqIndex]]'s eligibility rules (non-null, dim-checked,
+    * zero-norm dropped) and its assignment arithmetic, WITHOUT computing
+    * the residual codes — so the histogram of the build corpus equals
+    * `codes groupBy list` bit-for-bit, and the histogram of a LATER
+    * corpus is comparable to it: the second drift dial
+    * [[VectorIndex.retrainIfDrifted]] runs (sign-preserving drift moves
+    * nearest-centroid assignments even when every octant is unchanged).
+    * One map-side pass + one ≤ nLists-row aggregate. */
+  private[graft] def coarseOccupancy(corpus: DataFrame, vecCol: String,
+      model: PqModel): DataFrame = {
+    val coarse = model.coarse
+    val expectDim = model.dim
+    val assignUdf = udf((v: Seq[Double]) => {
+      require(v.length == expectDim,
+        s"coarse assign: vector dim ${v.length} != model dim $expectDim")
+      nearestIdx(coarse, v, 0).toLong
+    })
+    corpus.filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .select(toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
+      .select(assignUdf(col("cv")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** ADC search + exact refine over an (already built) index frame —
     * steps 3–4 of [[ivfPqTopK]]'s scaladoc. `corpus` supplies the raw
     * vectors for the refine stage only.

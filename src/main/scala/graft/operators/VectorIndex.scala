@@ -40,11 +40,27 @@ object VectorIndex {
         model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)))
       .toDF("dim", "m", "ksub", "coarse", "codebooks")
       .write.mode("overwrite").parquet(s"$dir/model")
-    // build-time distribution reference for retrainIfDrifted — ext90's
-    // sign-octant buckets of the BUILD corpus, one tiny parquet
-    octantCounts(corpus, vecCol)
+    // build-time distribution reference for retrainIfDrifted, one tiny
+    // parquet with TWO dials (r11 verdict #3): ext90's sign-octant
+    // buckets of the BUILD corpus (quantizer-free, ≤ 8 rows), plus the
+    // coarse-LIST occupancy under the just-trained quantizer (≤ nLists
+    // rows) — read back from the codes just written, so the reference is
+    // exactly what the index holds, with no second assignment pass.
+    // Octants are blind to sign-preserving drift (uniform scale, rotation
+    // beyond dims 1–3); list occupancy is not — and vice versa for drift
+    // that moves signs without crossing list boundaries. Either firing
+    // triggers the rebuild.
+    octantCounts(corpus, vecCol).withColumn("dial", lit(DialOctant))
+      .unionByName(
+        spark.read.parquet(s"$dir/codes")
+          .groupBy(col("list").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dial", lit(DialList)))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
+
+  private val DialOctant = "octant"
+  private val DialList = "list"
 
   /** Sign-octant histogram over the first three dims — ext90's
     * deterministic, quantizer-free drift buckets (≤ 8 rows whatever the
@@ -75,9 +91,22 @@ object VectorIndex {
   /** The retrain trigger wired to the drift dials (r10 verdict #4):
     * ext88 measures that recall DECAYS after the corpus mutates under a
     * stale quantizer; ext75/ext90 measure the drift that predicts it;
-    * this closes the loop. Compares the stored build-time octant
-    * histogram (`stats/`) against the CURRENT corpus with ext90's exact
-    * PSI arithmetic; when `psi > threshold` the quantizer is rebuilt
+    * this closes the loop. TWO dials, each a bounded histogram compared
+    * with ext90's exact PSI arithmetic against its stored build-time
+    * reference (`stats/`), retrain when EITHER crosses `threshold`
+    * (returned psi = the max):
+    *
+    *  - sign-OCTANT buckets over dims 1–3 (quantizer-free; sees mean
+    *    shifts that flip signs);
+    *  - coarse-LIST occupancy — the current corpus assigned to the
+    *    STORED centroids (r11 verdict #3; one map-side pass, ≤ nLists
+    *    rows) — which sees the sign-PRESERVING drift octants cannot
+    *    (uniform scale-up, rotation in higher dims): assignments move
+    *    off the stale centroids exactly when the partition the index
+    *    relies on stops matching the data, which is the recall-decay
+    *    mechanism ext88 measures.
+    *
+    * When a dial fires, the quantizer is rebuilt
     * from the current corpus into a dot-prefixed staging dir (invisible
     * to readers of `codes/`) and published by directory renames —
     * codes, model and stats swap together, so a search never pairs new
@@ -117,11 +146,26 @@ object VectorIndex {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
       fs.delete(marker, false): Unit
     }
-    val ref = spark.read.parquet(s"$dir/stats")
+    val statsDf = spark.read.parquet(s"$dir/stats")
+    def toHist(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    // a pre-two-dial stats file (no `dial` column) is all-octant — the
+    // legacy dial keeps working; the list dial arms on the next rebuild
+    val refByDial: Map[String, Map[Long, Long]] =
+      if (statsDf.columns.contains("dial"))
+        statsDf.collect().groupBy(_.getAs[String]("dial"))
+          .view.mapValues(toHist).toMap
+      else Map(DialOctant -> toHist(statsDf.collect()))
+    val curOct = octantCounts(corpus, vecCol) // bounded: ≤ 8 octants
       .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
-    val cur = octantCounts(corpus, vecCol) // bounded: ≤ 8 octants
-      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
-    val psi = psiOf(ref, cur)
+    val psiOct = psiOf(refByDial(DialOctant), curOct)
+    val psiList = refByDial.get(DialList).map { refList =>
+      val curList = Similarity // bounded: ≤ nLists lists
+        .coarseOccupancy(corpus, vecCol, loadModel(spark, dir))
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+      psiOf(refList, curList)
+    }
+    val psi = math.max(psiOct, psiList.getOrElse(0.0))
     if (psi <= threshold) (psi, false)
     else {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit

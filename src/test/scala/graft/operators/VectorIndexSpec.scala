@@ -182,6 +182,75 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
       s"after retrain the stored stats match the corpus — trigger must disarm: $psi2")
   }
 
+  test("retrainIfDrifted: sign-PRESERVING drift (uniform scale-up) is invisible to octants but fires the list-occupancy dial") {
+    // r11 verdict #3: two clusters on the positive axis (radius 1 and 5;
+    // every coordinate of every vector positive, so the whole corpus
+    // lives in octant 7 forever) — a uniform ×5 scale-up moves cluster A
+    // onto B's stored centroid, collapsing the list occupancy from
+    // {A-list, B-list} to {B-list} while the octant histogram stays
+    // bit-identical. The octant dial alone would sleep through the
+    // exact drift (a stale coarse partition) that decays IVF recall.
+    import spark.implicits._
+    def vec(i: Long, r: Double): Seq[Double] =
+      (0 until 8).map(d =>
+        if (d == 0) r else 0.01 + 0.001 * ((i + d) % 7))
+    val built = ((0L until 100L).map(i => (i, vec(i, 1.0))) ++
+      (100L until 200L).map(i => (i, vec(i, 5.0))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val scaled = built.select(col("vec_id"),
+      transform(col("embedding"), x => x * 5.0).as("embedding"))
+      .localCheckpoint(true)
+    // fixture sanity: the drift really is octant-invisible — every
+    // vector positive in every coordinate, before and after
+    assert(built.unionByName(scaled)
+      .filter(exists(col("embedding"), _ <= 0)).count() == 0)
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-scale").toString
+    VectorIndex.buildIvfPq(built, "vec_id", "embedding", dir,
+      nLists = 2, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    def fileHashes(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(dir)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p)).map(b => f"$b%02x").mkString)
+        .toMap
+    }
+    // the build corpus itself is quiet on BOTH dials — and below
+    // threshold the check is byte-identical, list dial included
+    val before = fileHashes()
+    val (psiSame, didSame) = VectorIndex.retrainIfDrifted(spark, dir, built,
+      "vec_id", "embedding", threshold = 0.1,
+      nLists = 2, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    assert(!didSame && psiSame < 0.01, s"psi=$psiSame did=$didSame")
+    assert(fileHashes() == before,
+      "a below-threshold check must leave every index file byte-identical")
+    // the scaled corpus fires: octant psi is exactly 0 by construction,
+    // so anything above threshold is the list dial's
+    val (psiDrift, didDrift) = VectorIndex.retrainIfDrifted(spark, dir,
+      scaled, "vec_id", "embedding", threshold = 0.1,
+      nLists = 2, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    assert(didDrift && psiDrift > 0.1,
+      s"octant-invisible drift must fire the occupancy dial: psi=$psiDrift")
+    // the rebuild equals a fresh build from the scaled corpus, and the
+    // trigger disarms against it
+    val fresh = java.nio.file.Files.createTempDirectory("vecidx-scale-f").toString
+    VectorIndex.buildIvfPq(scaled, "vec_id", "embedding", fresh,
+      nLists = 2, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    val q = scaled.filter(col("vec_id") < 8)
+    def results(d: String) = VectorIndex.searchIvfPq(spark, d, q, scaled,
+        "vec_id", "embedding", k = 5, nProbe = 2, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(results(dir) == results(fresh))
+    val (psiAfter, didAfter) = VectorIndex.retrainIfDrifted(spark, dir,
+      scaled, "vec_id", "embedding", threshold = 0.1,
+      nLists = 2, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
+    assert(!didAfter && psiAfter < 0.01,
+      s"after retrain both dials must disarm: $psiAfter")
+  }
+
   test("retrainIfDrifted heals its own crash window: an armed marker completes the whole staged swap before the stats read") {
     // the worst interruption: the swap loop deleted a target and died
     // before its rename — the target is gone, the staged copy exists,
