@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally round-trips through sbt's logger ("[info] "
+// prefixes, suppressed entirely under `sbt -error`). Inheriting stdout
+// keeps the program's own lines raw and unconditional, so
+// tools/bench.sh (-error) can make the bench's compact summary the
+// LITERAL last stdout line — no sbt epilogue after it.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
