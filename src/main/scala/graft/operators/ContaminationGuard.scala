@@ -330,26 +330,26 @@ object ContaminationGuard {
       * is exact, not approximate. One small file (~1.2 MB per million
       * windows at 1% fpp): a versioned header carrying (window,
       * hexPrefix, fpp) followed by the filter's own serialization.
-      * Written to a dot-prefixed temp and renamed, so a reader never
-      * sees a half-written index; re-saving overwrites. */
-    def save(dir: String,
-        conf: org.apache.hadoop.conf.Configuration =
-          new org.apache.hadoop.conf.Configuration()): Unit = {
-      val target = new org.apache.hadoop.fs.Path(dir, BloomFileName)
-      val fs = target.getFileSystem(conf)
-      val tmp = new org.apache.hadoop.fs.Path(dir, s".$BloomFileName.tmp")
-      val out = new java.io.DataOutputStream(fs.create(tmp, true))
-      try {
-        out.writeUTF(BloomMagic)
+      * Published via [[graft.util.AtomicPublish.file]] (dot-temp +
+      * rename-with-OVERWRITE — r12 verdict #3: the previous
+      * delete-then-rename left a window where a concurrent loader finds
+      * no file at all), so a re-save replaces the index atomically: a
+      * loader racing the publish reads the old generation or the new
+      * one, never a missing or half-written file. The path resolves
+      * through the SAME Hadoop configuration [[loadBloomIndex]] uses
+      * (r12 ADVICE: a `new Configuration()` default here made a
+      * scheme-less `dir` save to the LOCAL filesystem on clusters whose
+      * fs.defaultFS is remote — save "succeeded", load then missed). */
+    def save(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      graft.util.AtomicPublish.file(
+        spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(dir, BloomFileName),
+        magic = Some(BloomMagic)) { out =>
         out.writeInt(window)
         out.writeUTF(hexPrefix)
         out.writeDouble(fpp)
         filter.writeTo(out)
-      } finally out.close()
-      fs.delete(target, false): Unit
-      require(fs.rename(tmp, target),
-        s"BloomIndex.save: failed to publish $tmp -> $target")
-    }
+      }
   }
 
   private val BloomFileName = "bloom_index.bin"
@@ -362,21 +362,17 @@ object ContaminationGuard {
     * magic header rejects a file that is not a v1 bloom index instead of
     * mis-parsing it into a silently-empty filter. */
   def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): BloomIndex = {
-    val path = new org.apache.hadoop.fs.Path(dir, BloomFileName)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = new java.io.DataInputStream(fs.open(path))
-    try {
-      val magic = in.readUTF()
-      require(magic == BloomMagic,
-        s"$path is not a $BloomMagic file (header '$magic')")
+      dir: String): BloomIndex =
+    graft.util.AtomicPublish.readFile(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(dir, BloomFileName),
+      magic = Some(BloomMagic)) { in =>
       val window = in.readInt()
       val hexPrefix = in.readUTF()
       val fpp = in.readDouble()
       BloomIndex(window, hexPrefix, fpp,
         org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-    } finally in.close()
-  }
+    }
 
   /** Map-side Bloom probe of [[bloomIndex]]: one row per document whose
     * might-contain windows include a run of at least `minRun`

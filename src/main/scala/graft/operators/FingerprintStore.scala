@@ -19,24 +19,24 @@ import org.apache.spark.sql.functions._
   * Consistency contract: [[ingest]] computes the delivery's verdicts
   * EAGERLY (checkpoint) before touching the store, so the probe never
   * observes its own delivery's rows; one writer at a time (the daily
-  * ingest job). Readers get snapshot reads per query while writers only
-  * APPEND (first run of a delivery). A REPLAYED delivery and [[compact]]
-  * rewrite existing files in place, so DISCOVERY readers (default
-  * [[read]]/[[readTagged]]) require the writer's exclusive window — a
-  * reader that listed the old files mid-rewrite can hit
-  * FileNotFoundException or partial (duplicated) state. CONCURRENT
-  * readers use the manifest-pinned mode instead (`pinToManifest =
-  * true`): every mutation's LAST step is an atomic rewrite of the
-  * `_manifest` file naming the live partitions, so a pinned read that
-  * starts mid-compaction resolves the pre-publish layout (published-but-
-  * unlisted base invisible, folded inputs still present) or the
-  * post-publish one — exactly one of them, never the duplicated union
-  * and never a missing-path error for the publish window. The remaining
-  * exposure is input DELETION: compaction deletes folded inputs only
-  * after the manifest swap, so only a pinned read that resolved the OLD
-  * manifest and is still fetching files when the delete lands can fail —
-  * queries that outlast a whole compaction re-run; everything shorter is
-  * safe.
+  * ingest job). The `_manifest` file names the LIVE partitions and every
+  * mutation's last step rewrites it atomically, so all manifest-resolved
+  * reads — the DEFAULT whenever a manifest exists, which is after any
+  * mutation — see exactly one layout, pre- or post-mutation, never a
+  * partial one: a read that starts mid-compaction resolves the
+  * pre-publish layout (published-but-unlisted base invisible, folded
+  * inputs still listed) or the post-publish one, never the duplicated
+  * union and never a missing-path error. Compaction RETAINS the
+  * partitions it folds for one full generation (r12 verdict #7 — the
+  * snapshot-retention discipline): their files are deleted only by the
+  * NEXT [[compact]] call's reclaim pass, so a reader that resolved the
+  * old manifest keeps resolving real files across the entire publish —
+  * the only reader that can still fail is one whose resolved manifest is
+  * TWO compactions old. A REPLAYED delivery rewrites its own partition's
+  * files in place, so a reader of that one partition still needs the
+  * writer's exclusive window (replay is a crash-recovery path, not
+  * steady state); a store that predates manifest maintenance falls back
+  * to directory discovery until its first mutation creates one.
   *
   * REPLAY SAFETY (r9 verdict #1 — a mechanism, not a caveat): the store
   * is PARTITIONED BY `delivery_id` (`dir/delivery_id=<id>/`, the ext73
@@ -120,32 +120,49 @@ object FingerprintStore {
       .map(_.getPath.getName).toSeq
 
   /** Atomically publish the manifest naming `names` as the live
-    * partitions. FileContext.rename(OVERWRITE) is the one rename that
-    * may replace an existing target atomically (plain FileSystem.rename
-    * refuses); the temp is dot-prefixed so discovery never lists it. */
+    * partitions — [[graft.util.AtomicPublish.file]]'s dot-temp +
+    * rename-with-OVERWRITE (the one rename that may replace an existing
+    * target atomically; plain FileSystem.rename refuses). */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path, names: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(base, s".$ManifestFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((names.sorted.mkString("\n") + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(fs.makeQualified(base).toUri, conf)
-      .rename(tmp, new org.apache.hadoop.fs.Path(base, ManifestFile),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    graft.util.AtomicPublish.file(conf,
+      new org.apache.hadoop.fs.Path(base, ManifestFile)) { out =>
+      out.write((names.sorted.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
   /** Refresh the manifest from the directory's CURRENT layout — correct
-    * after any mutation that leaves the directory in its final state
-    * (init, delivery writes); [[compact]] instead names its target
-    * layout explicitly, because its final state is reached only after
-    * the post-manifest input deletion. */
+    * ONLY when the directory holds exactly the live partitions: after
+    * [[init]]'s full reset, or on a legacy store's first mutation.
+    * Delivery writes use [[mergeIntoManifest]] instead (r12 ADVICE): a
+    * directory re-listing would resurrect RETAINED partitions — the
+    * previous compaction's folded inputs, kept on disk for pinned
+    * readers — back into the manifest as live, exactly the duplicated
+    * union the manifest exists to rule out. */
   private def refreshManifest(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (fs, base) = fsOf(dir, conf)
     writeManifest(fs, base, listPartitionNames(fs, base), conf)
+  }
+
+  /** Add `name` to the EXISTING manifest's live set — the delivery
+    * writers' manifest maintenance: the writer knows exactly which one
+    * partition it touched, so it names it instead of trusting the
+    * directory (which also holds the previous generation's retained
+    * partitions and, after a crashed compact, an unlisted orphan base —
+    * neither may become live). A store with no manifest yet (legacy)
+    * adopts its current directory layout, which at that point IS the
+    * live set. */
+  private def mergeIntoManifest(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, base) = fsOf(dir, conf)
+    val names = manifestNames(spark, dir) match {
+      case Some(ns) => (ns :+ name).distinct
+      case None => (listPartitionNames(fs, base) :+ name).distinct
+    }
+    writeManifest(fs, base, names, conf)
   }
 
   private def manifestNames(spark: SparkSession,
@@ -191,22 +208,36 @@ object FingerprintStore {
     refreshManifest(hashes.sparkSession, dir)
   }
 
-  /** The store as a frame (id, phash). `pinToManifest` resolves the
-    * partitions through the `_manifest` snapshot instead of directory
-    * discovery — the concurrent-reader mode (class doc): a read that
-    * starts mid-compaction gets exactly the pre- or post-publish layout,
-    * never the duplicated union or a FileNotFoundException from the
-    * publish window. */
+  /** The manifest-resolved store frame when a manifest exists — the
+    * only read that is correct once compaction retains a generation
+    * (the directory then holds live ∪ retained partitions, so raw
+    * discovery would read the duplicated union) — else directory
+    * discovery (a legacy store that predates manifest maintenance;
+    * its directory holds exactly the live set). `mustPin` turns the
+    * legacy fallback into an error for callers that need the
+    * concurrent-reader snapshot guarantee. */
+  private def resolvedFrame(spark: SparkSession, dir: String,
+      mustPin: Boolean): DataFrame =
+    if (mustPin || manifestNames(spark, dir).isDefined)
+      pinnedFrame(spark, dir)
+    else spark.read.parquet(dir)
+
+  /** The store as a frame (id, phash), resolved through the `_manifest`
+    * snapshot whenever one exists (class doc — always, after any
+    * mutation): the read sees exactly one published layout, never a
+    * mid-mutation mix, and never the previous generation's RETAINED
+    * partitions. `pinToManifest = true` additionally REFUSES the
+    * legacy directory-discovery fallback for a store with no manifest. */
   def read(spark: SparkSession, dir: String,
       pinToManifest: Boolean = false): DataFrame =
-    (if (pinToManifest) pinnedFrame(spark, dir) else spark.read.parquet(dir))
+    resolvedFrame(spark, dir, pinToManifest)
       .select(col("id"), col("phash"))
 
   /** The store with its delivery provenance: (id, phash, delivery_id).
     * `pinToManifest` as in [[read]]. */
   def readTagged(spark: SparkSession, dir: String,
       pinToManifest: Boolean = false): DataFrame =
-    (if (pinToManifest) pinnedFrame(spark, dir) else spark.read.parquet(dir))
+    resolvedFrame(spark, dir, pinToManifest)
       .select(col("id"), col("phash"), col("delivery_id").cast("string"))
 
   /** One delivery through the store: verdicts for every delivered id
@@ -251,7 +282,7 @@ object FingerprintStore {
     hashes.select(col("id"), col("phash"))
       .write.mode("overwrite")
       .parquet(partitionPath(dir, deliveryId).toString)
-    refreshManifest(hashes.sparkSession, dir)
+    mergeIntoManifest(hashes.sparkSession, dir, s"delivery_id=$deliveryId")
   }
 
   /** Fold old delivery partitions into a single versioned
@@ -274,17 +305,27 @@ object FingerprintStore {
     *    stored (id, phash) set unchanged. Compact a delivery only once
     *    its at-least-once window has passed.
     *
-    * Crash safety: the merged base is staged under a dot-prefixed dir
-    * (invisible to partition discovery), published by rename to a FRESH
-    * VERSIONED name (`compacted-N`, N above every existing base — the
-    * previous base is never deleted to make room), and the folded inputs
-    * — previous bases included — deleted LAST. So a crash at any point
-    * leaves either the old layout (staging is invisible and a re-run
-    * rebuilds it), or the new base plus some not-yet-deleted inputs
-    * (transient duplicate rows, which probes tolerate and a re-run folds
-    * away via the distinct below); at every instant the fold's rows live
-    * in at least one discovered partition. Requires the writer's
-    * exclusive window (class doc).
+    * Crash safety AND reader retention (r12 verdict #7): the merged
+    * base is staged under a dot-prefixed dir (invisible to partition
+    * discovery), published by rename to a FRESH VERSIONED name
+    * (`compacted-N`, N above every existing base — the previous base is
+    * never deleted to make room), and the manifest swapped to the new
+    * layout as the mutation's last step. The folded inputs are then
+    * RETAINED on disk for one full generation: a reader that resolved
+    * the pre-swap manifest keeps resolving real files for as long as
+    * this compaction's outputs are live, because only the NEXT
+    * [[compact]] call's opening reclaim pass deletes manifest-unlisted
+    * partitions (along with any orphan base a crash published without
+    * listing — unlisted means no reader that can still start resolves
+    * it, so deletion is safe; a crashed [[writeDelivery]]'s unmerged
+    * partition is reclaimed the same way, consistent with its write
+    * never having become visible). A crash at any point therefore
+    * leaves either the old manifest layout intact (staging and an
+    * unpublished base are invisible; a re-run reclaims and rebuilds) or
+    * the new layout plus the retained generation — never a layout any
+    * manifest-resolved reader sees torn. NOTE: every compact call
+    * reclaims, including one that then finds nothing to fold — so "one
+    * generation" means "until the next compact", not "forever".
     *
     * `protect`: delivery ids that keep their partitions REGARDLESS of
     * the recency ranking — recency is mtime-ranked (ties by id), and an
@@ -300,8 +341,23 @@ object FingerprintStore {
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
+    // liveness = the manifest; a legacy store (no manifest yet) adopts
+    // its current directory layout, which at that point IS the live set
+    val live = manifestNames(spark, dir).getOrElse {
+      refreshManifest(spark, dir); listPartitionNames(fs, base)
+    }.toSet
+    // RECLAIM pass (scaladoc): manifest-unlisted partitions are the
+    // previous compaction's retained inputs — their generation ends
+    // here — plus any orphan a crash left (published-but-unlisted base,
+    // written-but-unmerged delivery); no reader that can still start
+    // resolves any of them
+    fs.listStatus(base)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("delivery_id=") &&
+        !live.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true): Unit)
     val parts = fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delivery_id="))
+      .filter(s => s.isDirectory && live.contains(s.getPath.getName))
       .map(s => (s.getPath.getName.stripPrefix("delivery_id="), s))
     val real = parts.filter { case (id, _) =>
       id != InitDelivery && !isCompactedBase(id) }
@@ -316,27 +372,24 @@ object FingerprintStore {
     fs.delete(staging, true): Unit
     spark.read.parquet(fold.map(_._2.getPath.toString).toIndexedSeq: _*)
       .select(col("id"), col("phash"))
-      // distinct: heals duplicate rows a crashed prior compaction left
-      // (input partition deleted after publish)
+      // distinct: heals duplicate rows an interrupted prior compaction
+      // could have landed in a partially-readable state
       .distinct()
       .write.mode("overwrite").parquet(staging.toString)
-    val nextN = parts.map(_._1)
-      .filter(_.startsWith(s"$CompactedPrefix-"))
-      .flatMap(id =>
-        scala.util.Try(id.stripPrefix(s"$CompactedPrefix-").toLong).toOption)
+    val nextN = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith(s"delivery_id=$CompactedPrefix-"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(s"delivery_id=$CompactedPrefix-").toLong).toOption)
       .foldLeft(0L)(math.max) + 1
     val target = partitionPath(dir, s"$CompactedPrefix-$nextN")
-    require(!fs.exists(target) && fs.rename(staging, target),
-      s"compact: failed to publish $staging -> $target")
-    // manifest swap BETWEEN publish and input deletion: pinned readers
-    // flip atomically from the old layout (inputs, no base — the new
-    // base is published but unlisted) to the new one (base, no inputs);
-    // the target layout is named EXPLICITLY because the directory holds
-    // both generations until the deletes land
+    graft.util.AtomicPublish.dirFresh(fs, staging, target)
+    // manifest swap is the mutation's LAST step: readers flip atomically
+    // from the old layout (inputs listed, new base invisible) to the new
+    // one; the folded inputs stay on disk as the retained generation
+    // until the next compact call's reclaim pass
     writeManifest(fs, base,
       parts.map(_._1).filter(keep.contains).map(id => s"delivery_id=$id") :+
         target.getName,
       spark.sparkContext.hadoopConfiguration)
-    fold.foreach { case (_, s) => fs.delete(s.getPath, true): Unit }
   }
 }

@@ -136,12 +136,9 @@ object VectorIndex {
     if (fs.exists(marker)) {
       subs.foreach { sub =>
         val staged = new org.apache.hadoop.fs.Path(s"$staging/$sub")
-        if (fs.exists(staged)) {
-          val target = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-          fs.delete(target, true): Unit
-          require(fs.rename(staged, target),
-            s"retrainIfDrifted: failed to heal interrupted swap of $sub")
-        }
+        if (fs.exists(staged))
+          graft.util.AtomicPublish.replaceDir(fs, staged,
+            new org.apache.hadoop.fs.Path(s"$dir/$sub"))
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
       fs.delete(marker, false): Unit
@@ -173,11 +170,9 @@ object VectorIndex {
         sampleSize, seed)
       fs.create(marker, true).close() // staging complete — arm the heal
       subs.foreach { sub =>
-        val target = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-        fs.delete(target, true): Unit
-        require(fs.rename(
-          new org.apache.hadoop.fs.Path(s"$staging/$sub"), target),
-          s"retrainIfDrifted: failed to publish $sub")
+        graft.util.AtomicPublish.replaceDir(fs,
+          new org.apache.hadoop.fs.Path(s"$staging/$sub"),
+          new org.apache.hadoop.fs.Path(s"$dir/$sub"))
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
       fs.delete(marker, false): Unit

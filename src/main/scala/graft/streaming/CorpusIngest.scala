@@ -377,15 +377,21 @@ object CorpusIngest {
       case scala.util.Success(d) => d
       case scala.util.Failure(_) => return // nothing graduated yet
     }
-    val live = spark.read.parquet(s"${table}_rejects")
-      .filter(col("reject_reason") === "contaminated_maybe")
-      .select("doc_id", "digest")
+    // Try on the rejects too (r12 ADVICE): a retention pass may have
+    // removed the rejects table ENTIRELY — then every marker mirrors a
+    // suspect that no longer exists, and the right outcome is an empty
+    // marker table, not a throw that leaves the dead weight in place
+    val kept = scala.util.Try(spark.read.parquet(s"${table}_rejects")
+        .filter(col("reject_reason") === "contaminated_maybe")
+        .select("doc_id", "digest")) match {
+      case scala.util.Success(live) =>
+        done.join(live, Seq("doc_id", "digest"), "left_semi").distinct()
+      case scala.util.Failure(_) => done.limit(0)
+    }
     // checkpoint BEFORE overwrite: parquet cannot overwrite a path its
     // plan is still reading
-    val kept = done.join(live, Seq("doc_id", "digest"), "left_semi")
-      .distinct()
-      .localCheckpoint(true)
-    kept.write.mode("overwrite").parquet(graduatedPath)
+    kept.localCheckpoint(true)
+      .write.mode("overwrite").parquet(graduatedPath)
   }
 
   /** The EXCISE-policy gate verdicts — [[gateVerdicts]]'s reject-on-hit

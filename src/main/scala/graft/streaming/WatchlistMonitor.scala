@@ -225,8 +225,9 @@ object WatchlistMonitor {
     * clip on the list when they arrived already flagged them at the
     * door). Flags append to `out` when given — point it at the
     * monitor's own flags table so both enforcement directions land in
-    * one place; a re-run re-appends (dedup downstream, or give each
-    * sweep its own out). Prune `landed` BEFORE calling when metadata
+    * one place; a re-run re-appends (dedup downstream, give each sweep
+    * its own out — or use [[sweepWatchlist]], whose persisted watermark
+    * makes re-runs no-ops). Prune `landed` BEFORE calling when metadata
     * bounds the exposure window (e.g. only partitions older than the
     * clip's watch-from date — newer ones the live monitor covered).
     * Modality-generic exactly like [[monitorStream]]: `W` is whatever
@@ -235,9 +236,62 @@ object WatchlistMonitor {
       spark: org.apache.spark.sql.SparkSession, landedTable: String,
       newClips: W, flag: (DataFrame, W) => DataFrame,
       out: Option[String] = None): DataFrame = {
+    // materialize the one pass (r12 ADVICE): the optional write AND the
+    // returned frame both consume THIS snapshot — unmaterialized, any
+    // caller action on the return (collect, a second write) re-ran the
+    // full decode-and-vote pass over the landed table, contradicting the
+    // one-pass contract the scaladoc states
     val flags = flag(spark.read.parquet(landedTable), newClips)
+      .localCheckpoint(true)
     out.foreach(p => flags.write.mode("append").parquet(p))
     flags
+  }
+
+  /** [[sweepLanded]] with PERSISTED bookkeeping (r12 verdict #2):
+    * instead of the CALLER tracking "clips added since the last sweep",
+    * a `<out>_swept` parquet watermark beside the flags table records
+    * (clip_id, sweep_epoch) for every clip ever swept, the sweep
+    * computes its own delta (`watchedIds` minus the watermark — pass
+    * the CURRENT full watched set; bounded by the watchlist contract,
+    * class doc), and a re-run with an unchanged watched set is
+    * IDEMPOTENT: empty delta, zero landed-table passes, zero appended
+    * rows — while a newly watched clip sweeps only itself. `loadClips`
+    * fingerprints exactly the delta ids (e.g. [[audioWatchlist]] over
+    * the watchlist table filtered to them), so each sweep broadcasts the
+    * delta and pays one map-side pass, the [[sweepLanded]] economics.
+    *
+    * Crash contract — at-least-once, the landing-sink posture
+    * everywhere here: the watermark is written LAST, so a crash between
+    * the flags append and the watermark write re-sweeps the delta and
+    * re-appends its flags (dedup downstream), but a clip is never
+    * recorded as swept while its flags never landed — the silent-loss
+    * direction is impossible. Returns the delta's flags (empty frame in
+    * the flag schema when the delta is empty). */
+  def sweepWatchlist[W](
+      spark: org.apache.spark.sql.SparkSession, landedTable: String,
+      watchedIds: Seq[Long], loadClips: Seq[Long] => W,
+      flag: (DataFrame, W) => DataFrame, out: String): DataFrame = {
+    val sweptPath = s"${out}_swept"
+    // Try, not fs.exists: first sweep — nothing swept yet
+    val sweptPrev: Map[Long, Long] = scala.util.Try(
+      spark.read.parquet(sweptPath).collect()
+        .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("sweep_epoch"))
+        .toMap).getOrElse(Map.empty)
+    val delta = watchedIds.distinct.sorted.filterNot(sweptPrev.contains)
+    if (delta.isEmpty)
+      // already fully swept: the flags table is complete — an empty
+      // frame in the flag schema, without paying a landed-table pass
+      flag(spark.read.parquet(landedTable).limit(0), loadClips(Seq.empty))
+    else {
+      val flags = sweepLanded(spark, landedTable, loadClips(delta), flag,
+        out = Some(out))
+      val epoch = sweptPrev.values.foldLeft(0L)(math.max) + 1
+      import spark.implicits._
+      delta.toDF("clip_id")
+        .withColumn("sweep_epoch", lit(epoch))
+        .write.mode("append").parquet(sweptPath)
+      flags
+    }
   }
 
   /** The modality-generic core: ONE fenced decode per item, the vote per

@@ -1,0 +1,95 @@
+package graft.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** THE staged-publish skeleton (r12 verdict #4): the fingerprint store's
+  * manifest, the persisted Bloom index, and the IVF-PQ generation swap
+  * each hand-rolled a temp-write + rename protocol, and the copies had
+  * already diverged — [[graft.operators.FingerprintStore]]'s manifest
+  * used the one atomic replace Hadoop offers
+  * (`FileContext.rename(OVERWRITE)`) while `BloomIndex.save` published
+  * with delete-then-rename, leaving a window where a concurrent loader
+  * finds NO file at all. One helper, three protocols, each encoding a
+  * different (and deliberate) guarantee:
+  *
+  *  - [[file]] — atomic single-file publish-with-replace: write a
+  *    dot-prefixed temp (invisible to both directory listings and Spark
+  *    discovery), then `FileContext.rename(OVERWRITE)` — the only rename
+  *    in the Hadoop API that may atomically replace an existing target
+  *    (plain `FileSystem.rename` refuses when the target exists, which
+  *    is exactly what pushes callers toward the broken delete-first
+  *    shape). A reader sees the old bytes or the new bytes, never a
+  *    missing or half-written file. An optional MAGIC header is written
+  *    first and verified by [[readFile]], so a foreign or truncated file
+  *    rejects instead of mis-parsing.
+  *  - [[dirFresh]] — directory publish to a FRESH target (versioned
+  *    names): a plain rename guarded by `!exists`, because the caller's
+  *    crash-safety story depends on never replacing an existing
+  *    generation (the fingerprint store's `compacted-N` bases).
+  *  - [[replaceDir]] — directory replace (delete target, rename staged
+  *    in). NOT atomic — HDFS has no atomic directory swap — so this is
+  *    only for callers that bracket the swap with their own marker
+  *    protocol and heal on restart ([[graft.operators.VectorIndex]]'s
+  *    `.swap_pending` discipline); the helper keeps the two steps in one
+  *    audited place rather than pretending the gap away.
+  */
+object AtomicPublish {
+
+  /** Dot-prefixed sibling temp path for `target` — invisible to
+    * directory listings, partition discovery, and `_`-respecting Spark
+    * readers alike. */
+  private def tmpFor(target: Path): Path =
+    new Path(target.getParent, s".${target.getName}.tmp")
+
+  /** Atomically publish a single file at `target`, replacing any
+    * existing one: `write` fills a dot-prefixed temp, then
+    * `FileContext.rename(OVERWRITE)` swaps it in. `magic` (when given)
+    * is written first via `writeUTF` and demanded back by [[readFile]]. */
+  def file(conf: Configuration, target: Path,
+      magic: Option[String] = None)(
+      write: java.io.DataOutputStream => Unit): Unit = {
+    val fs = target.getFileSystem(conf)
+    val tmp = tmpFor(target)
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      magic.foreach(out.writeUTF)
+      write(out)
+    } finally out.close()
+    FileContext.getFileContext(fs.makeQualified(target).toUri, conf)
+      .rename(tmp, target, Options.Rename.OVERWRITE)
+  }
+
+  /** Read a file published by [[file]], verifying its magic header when
+    * one was written: a file that is not `magic`'s format rejects with
+    * the header it DID carry instead of mis-parsing into silent garbage. */
+  def readFile[A](conf: Configuration, target: Path,
+      magic: Option[String] = None)(
+      read: java.io.DataInputStream => A): A = {
+    val fs = target.getFileSystem(conf)
+    val in = new java.io.DataInputStream(fs.open(target))
+    try {
+      magic.foreach { m =>
+        val got = in.readUTF()
+        require(got == m, s"$target is not a $m file (header '$got')")
+      }
+      read(in)
+    } finally in.close()
+  }
+
+  /** Publish a staged directory to a target that must NOT yet exist —
+    * the versioned-generation shape (`compacted-N`): the guard turns a
+    * name collision into a loud failure instead of a silent merge. */
+  def dirFresh(fs: FileSystem, staged: Path, target: Path): Unit =
+    require(!fs.exists(target) && fs.rename(staged, target),
+      s"AtomicPublish.dirFresh: failed to publish $staged -> $target")
+
+  /** Replace `target` with `staged` (delete, then rename). NOT atomic —
+    * callers must bracket the whole multi-directory swap with their own
+    * crash marker and heal on restart (class doc). */
+  def replaceDir(fs: FileSystem, staged: Path, target: Path): Unit = {
+    fs.delete(target, true): Unit
+    require(fs.rename(staged, target),
+      s"AtomicPublish.replaceDir: failed to publish $staged -> $target")
+  }
+}

@@ -358,7 +358,7 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
       .toDF("doc_id", "text")
     val built = ContaminationGuard.bloomIndex(benchDf, "text", fpp = 0.5)
     val dir = java.nio.file.Files.createTempDirectory("bloom-rt").toString
-    built.save(dir)
+    built.save(spark, dir)
     val loaded = ContaminationGuard.loadBloomIndex(spark, dir)
     assert(loaded.window == built.window &&
       loaded.hexPrefix == built.hexPrefix && loaded.fpp == built.fpp)
@@ -370,7 +370,7 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     assert(verdicts(loaded) == verdicts(built),
       "saved→loaded verdicts must be bit-identical to fresh-built")
     // a re-save overwrites in place and still loads
-    built.save(dir)
+    built.save(spark, dir)
     assert(verdicts(ContaminationGuard.loadBloomIndex(spark, dir)) ==
       verdicts(built))
     // a non-index file rejects on the magic header instead of mis-parsing

@@ -311,7 +311,7 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(contents() == before)
   }
 
-  test("compact survives a crash at every window: staging leftovers rebuild, published-but-undeleted inputs read as the same set and fold away, and a re-compaction never deletes the prior base before publishing") {
+  test("compact survives a crash at every window: staging leftovers rebuild, an orphan published-but-unlisted base stays invisible and is reclaimed, and the retained generation is reclaimed by the NEXT compact") {
     val hashes = ImageDedup.hashes(
       ImageCorpus.forIds((0L until 15L).toDF("doc_id"), "doc_id"),
       "png", "doc_id").localCheckpoint(true)
@@ -323,24 +323,35 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       hashes.filter($"id".isin(9L, 10L))).collect(): Unit
     def contents() = FingerprintStore.read(spark, dir)
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phash"))).toSet
+    def onDisk() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("delivery_id=")).toSet
+    def liveLayout() = FingerprintStore.readTagged(spark, dir)
+      .collect().map(_.getAs[String]("delivery_id")).toSet
     val before = contents()
     // window 1 — crash BEFORE publish: a stale .compact_staging (here:
     // garbage rows, worse than any real crash leaves) plus intact inputs;
-    // staging is invisible to discovery and the re-run rebuilds it
+    // staging is invisible to readers and the re-run rebuilds it
     val staging = new java.io.File(dir, ".compact_staging").toString
     Seq((999L, 999L)).toDF("id", "phash").write.parquet(staging)
     assert(contents() == before, "staging must be invisible to readers")
     FingerprintStore.compact(spark, dir, keepRecent = 1)
-    val afterFirst = contents()
-    assert(afterFirst == before, "re-run after a pre-publish crash lost rows")
+    assert(contents() == before, "re-run after a pre-publish crash lost rows")
     assert(!new java.io.File(staging).exists())
-    // window 2 — crash AFTER publish, before input deletion: re-create a
-    // folded input (as the crash would leave it); readers see the same SET
-    // (duplicates tolerated) and the next compact folds it away, with the
-    // PRIOR base still discovered until the new one is live
-    hashes.filter($"id".isin(3L, 6L)) // d1's kept survivors, duplicated
-      .select($"id", $"phash").write.parquet(s"$dir/delivery_id=d1")
-    assert(contents() == before, "undeleted fold input changed the read SET")
+    // generation retention (r12 verdict #7): the folded inputs stay on
+    // DISK for pinned readers of the old manifest, but are not LIVE
+    assert(liveLayout() ==
+      Set(s"${FingerprintStore.CompactedPrefix}-1", "d2"),
+      s"live layout: ${liveLayout()}")
+    assert(onDisk().contains("delivery_id=__init__") &&
+      onDisk().contains("delivery_id=d1"),
+      s"folded inputs must be RETAINED until the next compact: ${onDisk()}")
+    // window 2 — crash AFTER base publish, BEFORE the manifest swap: an
+    // orphan base exists but is unlisted; no reader resolves it (its
+    // garbage rows would show otherwise) and the next compact reclaims
+    // it instead of folding it in
+    Seq((999L, 999L)).toDF("id", "phash")
+      .write.parquet(s"$dir/delivery_id=${FingerprintStore.CompactedPrefix}-9")
+    assert(contents() == before, "an unlisted orphan base leaked into reads")
     FingerprintStore.ingest(spark, dir, "d3",
       hashes.filter($"id" === 12L)).collect(): Unit // fresh family -> kept
     val before2 = contents()
@@ -348,10 +359,15 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     FingerprintStore.compact(spark, dir, keepRecent = 1)
     assert(contents() == before2,
       s"re-compaction lost rows: ${contents().map(_._1)}")
-    val bases = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(_.startsWith("delivery_id=compacted")).sorted
-    assert(bases.sameElements(Array("delivery_id=compacted-2")),
-      s"one fresh versioned base expected, got ${bases.toSeq}")
+    assert(liveLayout() ==
+      Set(s"${FingerprintStore.CompactedPrefix}-2", "d3"),
+      s"live layout after second compact: ${liveLayout()}")
+    // the second compact's reclaim pass deleted generation n−2's inputs
+    // AND the orphan; generation n−1's inputs are the new retained set
+    assert(onDisk() == Set(
+      s"delivery_id=${FingerprintStore.CompactedPrefix}-2", "delivery_id=d3",
+      s"delivery_id=${FingerprintStore.CompactedPrefix}-1", "delivery_id=d2"),
+      s"on disk after second compact: ${onDisk()}")
   }
 
   test("manifest-pinned reads resolve a mid-compaction store to exactly the old or new layout, never a mix or an error") {
@@ -380,22 +396,24 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     spark.read.parquet(s"$dir/delivery_id=__init__", s"$dir/delivery_id=d1")
       .select($"id", $"phash").distinct()
       .write.parquet(s"$dir/delivery_id=${FingerprintStore.CompactedPrefix}-1")
-    // a DISCOVERY read sees both generations at once — the duplicated mix
-    val mixed = rowsOf(FingerprintStore.read(spark, dir))
+    // a RAW directory listing sees both generations at once — the
+    // duplicated mix every manifest-resolved read must rule out
+    val mixed = rowsOf(spark.read.parquet(dir).select($"id", $"phash"))
     assert(mixed.toSet == before && mixed.length > before.size,
-      "fixture sanity: discovery must see the duplicated union here")
-    // the PINNED read still resolves the pre-publish layout: same rows,
-    // same multiset size, published-but-unlisted base invisible
-    val pinnedMid =
-      rowsOf(FingerprintStore.read(spark, dir, pinToManifest = true))
+      "fixture sanity: raw discovery must see the duplicated union here")
+    // the manifest-resolved read (the DEFAULT once a manifest exists)
+    // still resolves the pre-publish layout: same rows, same multiset
+    // size, published-but-unlisted base invisible
+    val pinnedMid = rowsOf(FingerprintStore.read(spark, dir))
     assert(pinnedMid.toSet == before && pinnedMid.length == before.size,
-      s"pinned mid-compaction read must be the OLD layout exactly: " +
+      s"mid-compaction read must be the OLD layout exactly: " +
         s"${pinnedMid.length} rows vs ${before.size}")
     assert(layout(pin = true) == Set("__init__", "d1", "d2"),
       "the published base must stay invisible until the manifest swap")
-    // a real compaction over this crashed state heals it: fold completes
-    // (the orphan base folds away too), manifest swaps, inputs delete —
-    // pinned and discovery agree again, with no duplicate rows
+    // a real compaction over this crashed state heals it: the reclaim
+    // pass deletes the unlisted orphan base, the fold publishes fresh
+    // under the SAME generation number, the manifest swaps — pinned and
+    // default reads agree, no duplicate rows
     FingerprintStore.compact(spark, dir, keepRecent = 0,
       protect = Set("d2"))
     val pinnedAfter =
@@ -403,7 +421,7 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(pinnedAfter.toSet == before && pinnedAfter.length == before.size)
     assert(layout(pin = true) == layout(pin = false) &&
       layout(pin = true) ==
-        Set(s"${FingerprintStore.CompactedPrefix}-2", "d2"))
+        Set(s"${FingerprintStore.CompactedPrefix}-1", "d2"))
     // a store that predates manifest maintenance refuses to pin rather
     // than silently fall back to the discovery race
     val legacy = freshDir("legacy")
@@ -413,6 +431,47 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       FingerprintStore.read(spark, legacy, pinToManifest = true).collect()
     }
     assert(e.getMessage.contains("_manifest"))
+  }
+
+  test("a reader pinned to the PRE-compaction manifest still reads real files after the swap; the next compact reclaims that generation") {
+    // the r12 long-reader window: compaction used to delete its folded
+    // inputs right after the manifest swap, so a pinned reader that
+    // resolved the OLD manifest and outlived the compaction hit deleted
+    // paths. Retention closes it: the old generation's files survive
+    // until the NEXT compact call's reclaim pass.
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 15L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("retention")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(3L, 4L, 6L))).collect(): Unit // kept: 3, 6
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id".isin(9L, 10L))).collect(): Unit // kept: 9
+    // the long reader: resolves the CURRENT (pre-compaction) manifest
+    // now, collects only after the compaction has published and swapped
+    val pinned = FingerprintStore.read(spark, dir, pinToManifest = true)
+    val expected = Set(0L, 1L, 2L, 3L, 6L, 9L)
+    FingerprintStore.compact(spark, dir, keepRecent = 1) // folds __init__, d1
+    assert(pinned.collect().map(_.getAs[Long]("id")).toSet == expected,
+      "a reader pinned to the old manifest must still resolve real files " +
+        "after the compaction swap (generation retention)")
+    // …and a reader that starts NOW sees the new layout
+    assert(FingerprintStore.readTagged(spark, dir)
+      .collect().map(_.getAs[String]("delivery_id")).toSet ==
+      Set(s"${FingerprintStore.CompactedPrefix}-1", "d2"))
+    // the NEXT compact reclaims the retained generation's space
+    FingerprintStore.ingest(spark, dir, "d3",
+      hashes.filter($"id" === 12L)).collect(): Unit
+    FingerprintStore.compact(spark, dir, keepRecent = 1)
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("delivery_id=")).toSet
+    assert(!onDisk.contains("delivery_id=__init__") &&
+      !onDisk.contains("delivery_id=d1"),
+      s"the second compaction must reclaim the retained generation: $onDisk")
+    // store contents never changed through any of it
+    assert(FingerprintStore.read(spark, dir)
+      .collect().map(_.getAs[Long]("id")).toSet == expected + 12L)
   }
 
   test("replaying a COMPACTED delivery is a fresh ingest against the full store (documented contract)") {
@@ -449,6 +508,32 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       .filter($"delivery_id" === "d1")
     assert(d1Partition.count() == 0,
       "the replay's zero survivors land as an empty (schema-bearing) partition")
+  }
+
+  test("a delivery write merges into the EXISTING manifest: it cannot resurrect unlisted partitions (r12 ADVICE)") {
+    // if a compact crashes between its manifest swap and (pre-r13) its
+    // input deletion — or, post-r13, simply retains a generation — the
+    // directory holds partitions the manifest does not list. A delivery
+    // writer that refreshed the manifest by RE-LISTING the directory
+    // would put them back as live, handing every reader the duplicated
+    // union the manifest exists to rule out.
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("merge-manifest")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    // an unlisted partition with poison rows (a retained generation or
+    // crash leftover — either way, dead to every reader)
+    Seq((999L, 999L)).toDF("id", "phash")
+      .write.parquet(s"$dir/delivery_id=stale")
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id" === 6L)).collect(): Unit
+    val layout = FingerprintStore.readTagged(spark, dir)
+      .collect().map(_.getAs[String]("delivery_id")).toSet
+    assert(layout == Set(FingerprintStore.InitDelivery, "d1"),
+      s"the delivery write resurrected an unlisted partition: $layout")
+    assert(!FingerprintStore.read(spark, dir)
+      .collect().map(_.getAs[Long]("id")).contains(999L))
   }
 
   test("ingest into an empty-but-initialized store keeps everything fresh") {

@@ -147,7 +147,7 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     // of re-enumerating the benchmark suite — the gate below runs on the
     // LOADED bits, so this whole spec pins the round-trip end-to-end
     val idxDir = tmp("bloom-idx")
-    builtIdx.save(idxDir)
+    builtIdx.save(spark, idxDir)
     val bloomIdx = ContaminationGuard.loadBloomIndex(spark, idxDir)
     assert(bloomIdx.window == builtIdx.window &&
       bloomIdx.hexPrefix == builtIdx.hexPrefix &&
