@@ -35,10 +35,12 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * (winnowing production tier), the benchmark-span excision
   * ext128 (detect → refine → remove closed, rebuilt-text md5
   * oracle-checked), the decontamination policy retention delta
-  * ext129 (drop-doc vs excise-span priced from one probe pass) and
-  * the bloom → exact contamination funnel ext130 (megabyte membership
-  * broadcast, flagged superset graduated to exact attribution) —
-  * 192 catalog entries total);
+  * ext129 (drop-doc vs excise-span priced from one probe pass), the
+  * bloom → exact contamination funnel ext130 (megabyte membership
+  * broadcast, flagged superset graduated to exact attribution) and
+  * the retroactive watchlist sweep ext131 (watermarked delta sweep of
+  * the landed corpus — ext125's other enforcement direction) —
+  * 193 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -4833,7 +4833,70 @@ object ExtensionQueries {
               .as("n_confirmed_windows"))
           .orderBy("doc_id")
       },
-      None, bench = false) // exact-tier graduation work, like ext126/ext128
+      None, bench = false), // exact-tier graduation work, like ext126/ext128
+
+    // ------------------------------------------------------------ EXT131
+    // RETROACTIVE WATCHLIST SWEEP — the other half of ext125's
+    // enforcement story (r12 verdict #1): the live monitor scores new
+    // ARRIVALS against the watchlist, but a takedown claim filed today
+    // must also find YESTERDAY's landed corpus. This entry runs the
+    // watermarked sweep (WatchlistMonitor.sweepWatchlist) over a landed
+    // table of the containment corpus's embed tracks (every id % 4 == 3
+    // track embeds clip id−3 at window offset 3 — AudioCorpus.trackFor),
+    // across two watch days plus an idempotency re-run:
+    //  day 1: clips 0..36 (%4==0) join the list → their embeds flag;
+    //  day 2: clips 40..76 join → the sweep computes the DELTA itself
+    //         from the persisted <out>_swept watermark, broadcasts ONLY
+    //         the new clips, and pays one map-side decode-and-vote pass
+    //         over the landed table — zero shuffle, the broadcast-probe
+    //         economics that hold when "landed" is 100 TB;
+    //  re-run of day 2: empty delta, zero passes, zero appended rows —
+    //         the idempotency the watermark exists for.
+    // Output: the flags table (track doc_id, clip_id, offset_units,
+    // coverage) — each embed flags its clip at offset 3, coverage 1.0,
+    // exactly the live monitor's verdict for the same pair (shared flag
+    // transform, parity spec-pinned in WatchlistMonitorSpec). Rows-only
+    // like ext125 (no audio stack in DuckDB).
+    QueryDef(
+      "ext131_watchlist_sweep",
+      (s, dir) => {
+        import graft.streaming.WatchlistMonitor
+        val winSec = graft.sources.AudioCorpus.TrackWindowSec
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft-watchsweep-ext131-" +
+          ProcessHandle.current().pid()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base)) // fresh per run — the entry re-runs whole
+        val landed = s"$base/landed"
+        graft.sources.AudioCorpus.trackFor(
+          ids.filter(col("doc_id") % 4 === 3 && col("doc_id") < 83), "doc_id")
+          .write.parquet(landed)
+        val out = s"$base/flags"
+        def loadClips(cids: Seq[Long]): Seq[WatchlistMonitor.WatchClip] =
+          WatchlistMonitor.audioWatchlist(
+            graft.sources.AudioCorpus.trackFor(
+              ids.filter(
+                if (cids.isEmpty) lit(false) else col("doc_id").isin(cids: _*)),
+              "doc_id"),
+            "wav", "doc_id", windowSec = winSec)
+        def sweep(watched: Seq[Long]) = WatchlistMonitor.sweepWatchlist(
+          s, landed, watched, loadClips,
+          (b: org.apache.spark.sql.DataFrame,
+              w: Seq[WatchlistMonitor.WatchClip]) =>
+            WatchlistMonitor.flagAudio(b, "wav", w, windowSec = winSec), out)
+        val day1 = (0L until 40L by 4).toSeq
+        val day2 = (0L until 80L by 4).toSeq
+        sweep(day1)
+        sweep(day2) // delta-only: broadcasts clips 40..76 alone
+        sweep(day2) // idempotent re-run: appends nothing
+        s.read.parquet(out)
+          .select(col("doc_id"), col("clip_id"),
+            col("offset_units"), col("coverage"))
+          .orderBy("doc_id")
+      },
+      None, bench = false) // stateful lifecycle entry, like ext121
   )
 
   /** Shared ext126/ext127 oracle — the guard's broadcast probe restated

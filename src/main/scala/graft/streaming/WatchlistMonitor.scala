@@ -272,11 +272,19 @@ object WatchlistMonitor {
       watchedIds: Seq[Long], loadClips: Seq[Long] => W,
       flag: (DataFrame, W) => DataFrame, out: String): DataFrame = {
     val sweptPath = s"${out}_swept"
-    // Try, not fs.exists: first sweep — nothing swept yet
-    val sweptPrev: Map[Long, Long] = scala.util.Try(
-      spark.read.parquet(sweptPath).collect()
-        .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("sweep_epoch"))
-        .toMap).getOrElse(Map.empty)
+    // exists-check for the common first-sweep case (a bare Try would
+    // work but Spark WARN-logs the miss with a full stack trace), then
+    // Try anyway: a half-created dir with no readable schema means
+    // nothing durably swept
+    val sweptHPath = new org.apache.hadoop.fs.Path(sweptPath)
+    val sweptFs =
+      sweptHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sweptPrev: Map[Long, Long] =
+      if (!sweptFs.exists(sweptHPath)) Map.empty
+      else scala.util.Try(
+        spark.read.parquet(sweptPath).collect()
+          .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("sweep_epoch"))
+          .toMap).getOrElse(Map.empty)
     val delta = watchedIds.distinct.sorted.filterNot(sweptPrev.contains)
     if (delta.isEmpty)
       // already fully swept: the flags table is complete — an empty

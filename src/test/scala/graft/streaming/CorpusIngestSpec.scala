@@ -277,6 +277,16 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       spark, table, benchDf, "text", "doc_id")
     assert(rerun2.isEmpty && spark.read.parquet(table).count() == 1,
       "graduation after marker compaction is still a no-op")
+    // a retention pass that removed the rejects table ENTIRELY: every
+    // marker now mirrors nothing — compaction must rewrite the marker
+    // table to empty instead of throwing on the missing read (r12 ADVICE)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"${table}_rejects"))
+    CorpusIngest.compactGraduated(spark, table)
+    assert(spark.read.parquet(s"${table}_graduated").count() == 0,
+      "with no rejects table left, every marker is dead weight")
   }
 
   test("EXCISE-policy ingest: leaked spans cut at the door, cleaned text lands and dedups, excisions audited, excised-to-junk rejects with evidence") {

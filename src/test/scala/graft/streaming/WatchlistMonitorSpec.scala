@@ -268,4 +268,53 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
       s"sweep verdict must equal the monitor's: " +
         s"${verdict(sweptRows.head)} vs ${verdict(monitorRow.head)}")
   }
+
+  test("watermarked sweep computes its own delta: a re-run is idempotent, a newly watched clip sweeps only itself") {
+    val winSec = AudioCorpus.TrackWindowSec
+    val base = Files.createTempDirectory("watchmon-sweep-wm").toString
+    // the landed corpus: embed tracks 3 (of clip 0) and 7 (of clip 4)
+    val landedDir = s"$base/landed"
+    Seq((3L, AudioCorpus.renderTrack(3L)), (7L, AudioCorpus.renderTrack(7L)))
+      .toDF("track_id", "wav").write.parquet(landedDir)
+    val out = s"$base/flags"
+    def loadClips(ids: Seq[Long]): Seq[WatchlistMonitor.WatchClip] =
+      WatchlistMonitor.audioWatchlist(
+        ids.map(id => (id, AudioCorpus.renderTrack(id)))
+          .toDF("doc_id", "wav"), "wav", "doc_id", windowSec = winSec)
+    def sweep(watched: Seq[Long]) = WatchlistMonitor.sweepWatchlist(
+      spark, landedDir, watched, loadClips,
+      (b: DataFrame, w: Seq[WatchlistMonitor.WatchClip]) =>
+        WatchlistMonitor.flagAudio(b, "wav", w, windowSec = winSec), out)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("track_id"), r.getAs[Long]("clip_id"))
+    def table() = spark.read.parquet(out).collect().map(key).toSeq.sorted
+    // first sweep: only clip 0 watched — only its embed flags
+    val first = sweep(Seq(0L))
+    assert(first.collect().map(key).toSet == Set((3L, 0L)))
+    assert(table() == Seq((3L, 0L)))
+    // RE-RUN with the unchanged watched set: the watermark makes the
+    // delta empty — an empty frame in the flag schema returns, and the
+    // flags table is byte-for-byte the same rows (no double-append)
+    val rerun = sweep(Seq(0L))
+    assert(rerun.isEmpty && rerun.columns.toSeq == first.columns.toSeq,
+      "an already-swept watchlist must sweep nothing, in the flag schema")
+    assert(table() == Seq((3L, 0L)), "the re-run appended duplicate flags")
+    // clip 4 joins the takedown list: the sweep computes the delta
+    // itself and flags ONLY the new clip's embed
+    val second = sweep(Seq(0L, 4L))
+    assert(second.collect().map(key).toSet == Set((7L, 4L)),
+      "the delta sweep must score only the newly watched clip")
+    assert(table() == Seq((3L, 0L), (7L, 4L)))
+    // the delta's verdict carries the monitor-parity offset
+    val row = second.collect().head
+    assert(row.getAs[Int]("offset_units") == 3 &&
+      row.getAs[Double]("coverage") == 1.0, s"verdict: $row")
+    // watermark bookkeeping: one epoch per effective sweep
+    val swept = spark.read.parquet(s"${out}_swept").collect()
+      .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("sweep_epoch"))
+      .toMap
+    assert(swept == Map(0L -> 1L, 4L -> 2L), s"watermark: $swept")
+    // and a final no-op re-run over the grown set
+    assert(sweep(Seq(0L, 4L)).isEmpty && table().size == 2)
+  }
 }
