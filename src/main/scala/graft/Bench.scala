@@ -124,17 +124,41 @@ object Bench {
   }
 
   /** CONTENTION CANARY (r11 verdict #7): a fixed, deterministic,
-    * single-threaded CPU loop — ~1.5 s of chained SHA-256 on an idle
-    * core — timed once before the suite and once after. Its work never
-    * changes, so its seconds are a pure read of how much CPU the
-    * neighbor VMs are stealing: r11's adjudication of a 237 s driver run
-    * against a 209 s committed run of identical code was forensic
-    * (zero-shuffle-delta + untouched-code reasoning); with `canary_sec`
-    * in the artifact it is one number — canaries near the idle baseline
-    * (~1.5 s) mean the wall-clocks are trustworthy, inflated canaries
-    * mean the box was contended and shuffle bytes are the metric to
-    * read. Pre AND post because contention is bursty: either window can
-    * catch a burst the other missed. */
+    * single-threaded CPU loop of chained SHA-256 — [[CanaryIdleRefSec]]
+    * (~0.37 s) on an idle core — timed once before the suite and once
+    * after. Its work never changes, so its seconds are a pure read of
+    * how much CPU the neighbor VMs are stealing: r11's adjudication of
+    * a 237 s driver run against a 209 s committed run of identical code
+    * was forensic (zero-shuffle-delta + untouched-code reasoning); with
+    * `canary_sec` carrying pre/post AND the pinned `idle_ref` in the
+    * same artifact it is one ratio — canary/idle_ref ≲ 2 means the
+    * wall-clocks are trustworthy, above that the box was contended and
+    * shuffle bytes are the metric to read. Pre AND post because
+    * contention is bursty: either window can catch a burst the other
+    * missed. */
+  /** Minimal JSON string escape for the notes text (quotes, backslashes,
+    * control chars — the notes file is prose, not structured data). */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
+  /** Known-idle canary reference (r12 verdict #6): the min of r12's
+    * quiet-window canary reads on this host class (0.371 s; the r12
+    * artifact carried pre 0.537 / post 0.371). Emitted beside every
+    * `canary_sec` so "inflated" is a ratio read off ONE artifact —
+    * canary/idle_ref ≲ 2 means the wall-clocks are trustworthy; above
+    * that the box was contended and shuffle bytes are the metric to
+    * read. Recalibrate only if the canary workload or host class
+    * changes. */
+  private[graft] val CanaryIdleRefSec = 0.371
+
   private[graft] def canarySec(): Double = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     var buf = new Array[Byte](64)
@@ -289,22 +313,27 @@ object Bench {
     // discipline — see streamingFps); the medians ride along so the
     // estimator choice is auditable, not hidden
     // adjudication notes that must travel WITH the scaling numbers they
-    // qualify (the committed BENCH_DETAIL is where a verdict reads them)
-    val scalingNotes = "\"scaling_notes\":\"q25_map_json's r11 flag " +
-      "(ratio 28, zero shuffle delta) cleared r12 by BenchOne repeats " +
-      "in a quiet window: sf0.01 min 0.252s [0.474,0.431,0.293,0.252," +
-      "0.257], sf0.1 min 0.770s [0.891,0.988,0.770,0.808,0.917] -> " +
-      "ratio 3.1 at 10x data, linear; the 28 came from a 0.159s " +
-      "small-SF retime after a contended main pass. ext113 rides the " +
-      "scaling map permanently as the steepest-ratio holder (r9).\""
+    // qualify (the committed BENCH_DETAIL is where a verdict reads them).
+    // Sourced from the committed tools/bench_notes.txt, NOT a string
+    // literal (r12 verdict #5: a hardcoded note ships verbatim in every
+    // future artifact, stale by construction) — retiring or updating a
+    // note is a one-file edit, and a round's artifact carries only the
+    // notes that were true when it ran. Absent file → no notes field.
+    val scalingNotes = scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("tools/bench_notes.txt")),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      .toOption.filter(_.nonEmpty)
+      .map(n => "\"scaling_notes\":\"" + jsonEscape(n) + "\",")
+      .getOrElse("")
     val scalingPart = scalingJson
-      .map { case (m, f) => s""","scaling":$m,"scaling_flags":$f,$scalingNotes""" }
+      .map { case (m, f) => s""","scaling":$m,"scaling_flags":$f,$scalingNotes""".stripSuffix(",") }
       .getOrElse("")
     // post-suite canary AFTER all timed work, BEFORE the artifact is
     // assembled, so both canary numbers ride in the same JSON line
     val canaryPost = canarySec()
     val canaryJson =
-      f""""canary_sec":{"pre":$canaryPre%.3f,"post":$canaryPost%.3f}"""
+      f""""canary_sec":{"pre":$canaryPre%.3f,"post":$canaryPost%.3f,"idle_ref":$CanaryIdleRefSec%.3f}"""
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,$canaryJson%s,"queries":$qs,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"regressions":$regressionsJson%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // The single JSON line overflows tail-style log captures once the query

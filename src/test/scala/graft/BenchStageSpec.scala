@@ -77,4 +77,19 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
     assert(Bench.readPrevDetail(bad.toString).isEmpty,
       "an unparseable artifact must disable the gate, not crash the bench")
   }
+
+  test("jsonEscape keeps the notes text JSON-safe") {
+    assert(Bench.jsonEscape("""a "quoted" note""") == "a \\\"quoted\\\" note")
+    assert(Bench.jsonEscape("back\\slash") == "back\\\\slash")
+    assert(Bench.jsonEscape("two\nlines\tandctl") ==
+      "two\\nlines\\tand\\u0001ctl")
+    assert(Bench.jsonEscape("plain prose (r9); ratio 3.6") ==
+      "plain prose (r9); ratio 3.6")
+  }
+
+  test("the canary idle reference is a sane pinned constant") {
+    // the ratio rule in README reads max(pre,post)/idle_ref; a zero or
+    // wildly-off pin would make every run read as contended or quiet
+    assert(Bench.CanaryIdleRefSec > 0.1 && Bench.CanaryIdleRefSec < 2.0)
+  }
 }
