@@ -39,8 +39,10 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * bloom → exact contamination funnel ext130 (megabyte membership
   * broadcast, flagged superset graduated to exact attribution) and
   * the retroactive watchlist sweep ext131 (watermarked delta sweep of
-  * the landed corpus — ext125's other enforcement direction) —
-  * 193 catalog entries total);
+  * the landed corpus — ext125's other enforcement direction) and the
+  * bloom ingest → graduation funnel ext132 (the streaming deployed
+  * shape of ext130: gate at the door, graduate suspects, re-admit
+  * cleared false positives) — 194 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

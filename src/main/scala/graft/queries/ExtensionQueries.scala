@@ -4896,7 +4896,107 @@ object ExtensionQueries {
             col("offset_units"), col("coverage"))
           .orderBy("doc_id")
       },
-      None, bench = false) // stateful lifecycle entry, like ext121
+      None, bench = false), // stateful lifecycle entry, like ext121
+
+    // ------------------------------------------------------------ EXT132
+    // BLOOM INGEST → GRADUATION FUNNEL, end-to-end (r12 verdict "what's
+    // missing"): ext130 prices the funnel as a BATCH query; this entry
+    // runs its deployed shape — the streaming decontaminating ingest
+    // (CorpusIngest.writeAuditedBloom: the saved-and-RELOADED BloomIndex
+    // probed map-side at the door, quality gate in front, suspects
+    // rejected as contaminated_maybe with the qualifying run's start)
+    // followed by the maintenance-window graduation
+    // (graduateBloomRejects: the exact tier over the bounded rejects —
+    // never the corpus — confirming true leaks with attribution and
+    // RE-ADMITTING cleared false positives, the path a deterministic
+    // FP-able gate owes its corpus). Two dials, each a full
+    // ingest+graduation cycle over its own landing table:
+    //  production (fpp 0.01, minRun 3, full corpus): the firehose
+    //    setting — suspects ≈ true leaks, exact-tier work ≈ zero;
+    //  noisy (fpp 0.5, minRun 1, docs < 100): the worst case run on a
+    //    bounded slice — (near-)every doc suspects, graduation clears
+    //    the FPs back into the corpus; what the fpp knob costs, priced.
+    // Output: (dial, disposition, n_docs) where disposition classes
+    // every streamed doc_id — landed_at_door (passed the gate; exact
+    // duplicates of a landed text count here, their content landed),
+    // quality_reject, suspect_confirmed (graduated to a real leak),
+    // suspect_readmitted (cleared FP, landed by graduation). Corpus
+    // economics: the stream pays one bloom probe per doc (megabyte
+    // broadcast), the graduation pays the exact scan only on suspects —
+    // at the production dial that is ~the true-leak count however large
+    // the corpus. Rows-only (Spark's Bloom bit layout is engine-
+    // specific); CorpusIngestSpec pins gate classes, run starts,
+    // graduation attribution, re-admission, and re-run idempotency.
+    QueryDef(
+      "ext132_bloom_ingest_funnel",
+      (s, dir) => {
+        import graft.operators.ContaminationGuard
+        import graft.streaming.CorpusIngest
+        val docs = Tables.documents(s, dir)
+        val benchPred = col("doc_id") % 10 === 0
+        val bench = docs.filter(benchPred).localCheckpoint(true)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft-bloomfunnel-ext132-" +
+          ProcessHandle.current().pid()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base)) // fresh per run — the entry re-runs whole
+        def funnel(dial: String, fpp: Double, minRun: Int,
+            corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val staged = s"$base/$dial/staged"
+          corpus
+            .withColumn("ingest_ts",
+              lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+            .select("doc_id", "text", "source", "ingest_ts")
+            .write.parquet(staged)
+          // the deployed restart shape: build once, persist, probe the
+          // LOADED bits (parameter bundle rides with the filter)
+          val idxDir = s"$base/$dial/bloom_idx"
+          ContaminationGuard.bloomIndex(bench, "text", fpp = fpp)
+            .save(s, idxDir)
+          val idx = ContaminationGuard.loadBloomIndex(s, idxDir)
+          val table = s"$base/$dial/corpus"
+          CorpusIngest.writeAuditedBloom(
+            s.readStream.schema(s.read.parquet(staged).schema).parquet(staged),
+            table, s"$base/$dial/ckpt", idx, minRun = minRun)
+            .awaitTermination()
+          val confirmedIds = CorpusIngest.graduateBloomRejects(
+              s, table, bench, "text", "doc_id")
+            .select("doc_id").distinct().localCheckpoint(true)
+          val rejects = scala.util.Try(
+              s.read.parquet(s"${table}_rejects")
+                .select("doc_id", "reject_reason").localCheckpoint(true))
+            .getOrElse(corpus.select(col("doc_id"),
+              lit(null).cast("string").as("reject_reason")).limit(0))
+          val suspectIds = rejects
+            .filter(col("reject_reason") === "contaminated_maybe")
+            .select("doc_id")
+          val qualityIds = rejects
+            .filter(col("reject_reason") =!= "contaminated_maybe")
+            .select("doc_id")
+          corpus.select("doc_id")
+            .join(broadcast(qualityIds.withColumn("__q", lit(1))),
+              Seq("doc_id"), "left")
+            .join(broadcast(confirmedIds.withColumn("__c", lit(1))),
+              Seq("doc_id"), "left")
+            .join(broadcast(suspectIds.withColumn("__s", lit(1))),
+              Seq("doc_id"), "left")
+            .select(lit(dial).as("dial"),
+              when(col("__q").isNotNull, "quality_reject")
+                .when(col("__c").isNotNull, "suspect_confirmed")
+                .when(col("__s").isNotNull, "suspect_readmitted")
+                .otherwise("landed_at_door").as("disposition"))
+            .groupBy("dial", "disposition")
+            .agg(count(lit(1)).as("n_docs"))
+        }
+        funnel("production", fpp = 0.01, minRun = 3,
+            docs.filter(!benchPred))
+          .unionByName(
+            funnel("noisy", fpp = 0.5, minRun = 1,
+              docs.filter(!benchPred && col("doc_id") < 100)))
+          .orderBy("dial", "disposition")
+      },
+      None, bench = false) // stateful lifecycle entry, like ext121/ext131
   )
 
   /** Shared ext126/ext127 oracle — the guard's broadcast probe restated
