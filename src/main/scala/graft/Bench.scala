@@ -123,6 +123,16 @@ object Bench {
     }
   }
 
+  /** Known-idle canary reference (r12 verdict #6): the min of r12's
+    * quiet-window canary reads on this host class (0.371 s; the r12
+    * artifact carried pre 0.537 / post 0.371). Emitted beside every
+    * `canary_sec` so "inflated" is a ratio read off ONE artifact —
+    * canary/idle_ref ≲ 2 means the wall-clocks are trustworthy; above
+    * that the box was contended and shuffle bytes are the metric to
+    * read. Recalibrate only if the canary workload or host class
+    * changes. */
+  private[graft] val CanaryIdleRefSec = 0.371
+
   /** CONTENTION CANARY (r11 verdict #7): a fixed, deterministic,
     * single-threaded CPU loop of chained SHA-256 — [[CanaryIdleRefSec]]
     * (~0.37 s) on an idle core — timed once before the suite and once
@@ -136,29 +146,6 @@ object Bench {
     * shuffle bytes are the metric to read. Pre AND post because
     * contention is bursty: either window can catch a burst the other
     * missed. */
-  /** Minimal JSON string escape for the notes text (quotes, backslashes,
-    * control chars — the notes file is prose, not structured data). */
-  private[graft] def jsonEscape(s: String): String =
-    s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case '\n'          => "\\n"
-      case '\r'          => "\\r"
-      case '\t'          => "\\t"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    }
-
-  /** Known-idle canary reference (r12 verdict #6): the min of r12's
-    * quiet-window canary reads on this host class (0.371 s; the r12
-    * artifact carried pre 0.537 / post 0.371). Emitted beside every
-    * `canary_sec` so "inflated" is a ratio read off ONE artifact —
-    * canary/idle_ref ≲ 2 means the wall-clocks are trustworthy; above
-    * that the box was contended and shuffle bytes are the metric to
-    * read. Recalibrate only if the canary workload or host class
-    * changes. */
-  private[graft] val CanaryIdleRefSec = 0.371
-
   private[graft] def canarySec(): Double = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     var buf = new Array[Byte](64)
@@ -268,7 +255,7 @@ object Bench {
         val tSmall = byName.map(q => q.name -> timed(q, dir = stagedSmall)).toMap
         graft.operators.MaterializedPairs.clear()
         val tSmall2 = byName.map(q => q.name -> timed(q, dir = stagedSmall)).toMap
-        deleteRecursively(new java.io.File(stagedSmall))
+        graft.util.LocalFs.deleteRecursively(stagedSmall)
         val bigByName = results.toMap
         val entries = byName.map { q =>
           val s = math.min(tSmall(q.name), tSmall2(q.name))
@@ -324,7 +311,7 @@ object Bench {
           java.nio.file.Paths.get("tools/bench_notes.txt")),
           java.nio.charset.StandardCharsets.UTF_8).trim)
       .toOption.filter(_.nonEmpty)
-      .map(n => "\"scaling_notes\":\"" + jsonEscape(n) + "\",")
+      .map(n => "\"scaling_notes\":\"" + graft.util.Json.escape(n) + "\",")
       .getOrElse("")
     val scalingPart = scalingJson
       .map { case (m, f) => s""","scaling":$m,"scaling_flags":$f,$scalingNotes""".stripSuffix(",") }
@@ -352,7 +339,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    deleteRecursively(new java.io.File(staged)) // staged copies are fact-table-sized
+    graft.util.LocalFs.deleteRecursively(staged) // staged copies are fact-table-sized
     // COMPACT summary as the LAST stdout line (r10 verdict #6): the full
     // line above overflows the driver's front-truncating tail capture
     // (BENCH_r10.json parsed null), so a short line with the headline
@@ -377,10 +364,6 @@ object Bench {
     System.err.println(compact)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
 
   /** Motion-pipeline throughput at the reference's frame geometry
     * (BASELINE.md headline 1: ≥120 frames/s of 640×480×3 through parse →
@@ -464,7 +447,7 @@ object Bench {
       Thread.sleep(500)
       run(s"timed-$i")
     }.sorted
-    deleteRecursively(base.toFile)
+    graft.util.LocalFs.deleteRecursively(base.toFile)
     (nCams * perCam / secs.head, nCams * perCam / secs(secs.length / 2))
   }
 }

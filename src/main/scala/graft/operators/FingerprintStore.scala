@@ -153,16 +153,40 @@ object FingerprintStore {
     * partitions and, after a crashed compact, an unlisted orphan base —
     * neither may become live). A store with no manifest yet (legacy)
     * adopts its current directory layout, which at that point IS the
-    * live set. */
+    * live set.
+    *
+    * VERIFIED merge: [[writeManifest]]'s rename-with-overwrite is atomic
+    * per write, but not around the read-modify-write — two merges racing
+    * (a zombie retry of this writer, two deliveries against one store)
+    * can each overwrite the other's name, and a lost name is no longer
+    * benign now that reads resolve through the manifest: the partition's
+    * rows vanish from every read and the next [[compact]]'s reclaim pass
+    * DELETES the partition as unlisted. So the merge re-reads after
+    * writing and retries until its own name is visible — whichever
+    * writer's overwrite landed last re-merges the loser's name on its
+    * verify pass, making the lost update self-healing instead of
+    * silently destructive. */
+  private val MaxManifestMergeAttempts = 8
   private def mergeIntoManifest(spark: SparkSession, dir: String,
       name: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (fs, base) = fsOf(dir, conf)
-    val names = manifestNames(spark, dir) match {
-      case Some(ns) => (ns :+ name).distinct
-      case None => (listPartitionNames(fs, base) :+ name).distinct
+    var attempts = 0
+    var visible = false
+    while (!visible && attempts < MaxManifestMergeAttempts) {
+      attempts += 1
+      val names = manifestNames(spark, dir) match {
+        case Some(ns) => (ns :+ name).distinct
+        case None => (listPartitionNames(fs, base) :+ name).distinct
+      }
+      writeManifest(fs, base, names, conf)
+      visible = manifestNames(spark, dir).exists(_.contains(name))
     }
-    writeManifest(fs, base, names, conf)
+    if (!visible)
+      throw new IllegalStateException(
+        s"manifest merge of $name into $dir lost to concurrent rewrites " +
+          s"$MaxManifestMergeAttempts times — concurrent writers are " +
+          "contending faster than the verify loop converges")
   }
 
   private def manifestNames(spark: SparkSession,

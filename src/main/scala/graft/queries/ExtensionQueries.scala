@@ -4865,10 +4865,7 @@ object ExtensionQueries {
         val ids = Tables.documents(s, dir).select("doc_id")
         val base = s"${System.getProperty("java.io.tmpdir")}/graft-watchsweep-ext131-" +
           ProcessHandle.current().pid()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base)) // fresh per run — the entry re-runs whole
+        graft.util.LocalFs.deleteRecursively(base) // fresh per run — the entry re-runs whole
         val landed = s"$base/landed"
         graft.sources.AudioCorpus.trackFor(
           ids.filter(col("doc_id") % 4 === 3 && col("doc_id") < 83), "doc_id")
@@ -4937,10 +4934,7 @@ object ExtensionQueries {
         val bench = docs.filter(benchPred).localCheckpoint(true)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft-bloomfunnel-ext132-" +
           ProcessHandle.current().pid()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base)) // fresh per run — the entry re-runs whole
+        graft.util.LocalFs.deleteRecursively(base) // fresh per run — the entry re-runs whole
         def funnel(dial: String, fpp: Double, minRun: Int,
             corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
           val staged = s"$base/$dial/staged"

@@ -272,19 +272,25 @@ object WatchlistMonitor {
       watchedIds: Seq[Long], loadClips: Seq[Long] => W,
       flag: (DataFrame, W) => DataFrame, out: String): DataFrame = {
     val sweptPath = s"${out}_swept"
-    // exists-check for the common first-sweep case (a bare Try would
-    // work but Spark WARN-logs the miss with a full stack trace), then
-    // Try anyway: a half-created dir with no readable schema means
-    // nothing durably swept
+    // "nothing durably swept" is decided STRUCTURALLY — missing dir, or
+    // a dir holding no committed parquet file (a crash mid-first-write
+    // leaves only _temporary/) — never by swallowing a read failure: a
+    // transient IO error on a healthy watermark must propagate, because
+    // treating it as empty would silently re-sweep the ENTIRE watched
+    // set against the (100 TB) landed table and double-append every
+    // historical flag
     val sweptHPath = new org.apache.hadoop.fs.Path(sweptPath)
     val sweptFs =
       sweptHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sweptPrev: Map[Long, Long] =
-      if (!sweptFs.exists(sweptHPath)) Map.empty
-      else scala.util.Try(
+      if (!sweptFs.exists(sweptHPath) ||
+          !sweptFs.listStatus(sweptHPath).exists(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet")))
+        Map.empty
+      else
         spark.read.parquet(sweptPath).collect()
           .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("sweep_epoch"))
-          .toMap).getOrElse(Map.empty)
+          .toMap
     val delta = watchedIds.distinct.sorted.filterNot(sweptPrev.contains)
     if (delta.isEmpty)
       // already fully swept: the flags table is complete — an empty

@@ -20,7 +20,9 @@ object ShowOne {
       .builder(s"local[$cpus]", cpus.toInt, appName = s"show-one-$name")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = q.build(spark, sfDir)
+    // one materialization feeds both the preview and the count — the
+    // heavyweight entries this tool exists for must not run twice
+    val df = q.build(spark, sfDir).cache()
     df.show(maxRows, truncate = false)
     println(s"[show-one] $name rows=${df.count()}")
     spark.stop()

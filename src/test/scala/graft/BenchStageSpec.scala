@@ -36,10 +36,7 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
         .listFiles().count(_.getName.endsWith(".parquet"))
       assert(regionParts == 1, "tiny dim must stay single-split")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(staged))
+      graft.util.LocalFs.deleteRecursively(staged)
     }
   }
 
@@ -78,12 +75,12 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
       "an unparseable artifact must disable the gate, not crash the bench")
   }
 
-  test("jsonEscape keeps the notes text JSON-safe") {
-    assert(Bench.jsonEscape("""a "quoted" note""") == "a \\\"quoted\\\" note")
-    assert(Bench.jsonEscape("back\\slash") == "back\\\\slash")
-    assert(Bench.jsonEscape("two\nlines\tandctl") ==
+  test("the shared Json.escape keeps the notes text JSON-safe") {
+    assert(graft.util.Json.escape("""a "quoted" note""") == "a \\\"quoted\\\" note")
+    assert(graft.util.Json.escape("back\\slash") == "back\\\\slash")
+    assert(graft.util.Json.escape("two\nlines\tandctl") ==
       "two\\nlines\\tand\\u0001ctl")
-    assert(Bench.jsonEscape("plain prose (r9); ratio 3.6") ==
+    assert(graft.util.Json.escape("plain prose (r9); ratio 3.6") ==
       "plain prose (r9); ratio 3.6")
   }
 

@@ -280,10 +280,7 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     // a retention pass that removed the rejects table ENTIRELY: every
     // marker now mirrors nothing — compaction must rewrite the marker
     // table to empty instead of throwing on the missing read (r12 ADVICE)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(new java.io.File(s"${table}_rejects"))
+    graft.util.LocalFs.deleteRecursively(s"${table}_rejects")
     CorpusIngest.compactGraduated(spark, table)
     assert(spark.read.parquet(s"${table}_graduated").count() == 0,
       "with no rejects table left, every marker is dead weight")
