@@ -4954,34 +4954,33 @@ object ExtensionQueries {
             s.readStream.schema(s.read.parquet(staged).schema).parquet(staged),
             table, s"$base/$dial/ckpt", idx, minRun = minRun)
             .awaitTermination()
-          val confirmedIds = CorpusIngest.graduateBloomRejects(
+          val nConfirmed = CorpusIngest.graduateBloomRejects(
               s, table, bench, "text", "doc_id")
-            .select("doc_id").distinct().localCheckpoint(true)
-          val rejects = scala.util.Try(
+            .select("doc_id").distinct().count()
+          // disposition counts come from per-class AGGREGATES, never a
+          // corpus-side join: every class except landed_at_door is read
+          // off the bounded rejects/graduation tables, and the door
+          // count is arithmetic — at 100 TB the quality-reject class is
+          // corpus-proportional, so joining (or broadcasting) its id set
+          // would be the one data-sized structure in an otherwise
+          // broadcast-probe pipeline. Exact duplicates of a landed text
+          // dedup silently at the door and count as landed.
+          val byReason = scala.util.Try(
               s.read.parquet(s"${table}_rejects")
-                .select("doc_id", "reject_reason").localCheckpoint(true))
-            .getOrElse(corpus.select(col("doc_id"),
-              lit(null).cast("string").as("reject_reason")).limit(0))
-          val suspectIds = rejects
-            .filter(col("reject_reason") === "contaminated_maybe")
-            .select("doc_id")
-          val qualityIds = rejects
-            .filter(col("reject_reason") =!= "contaminated_maybe")
-            .select("doc_id")
-          corpus.select("doc_id")
-            .join(broadcast(qualityIds.withColumn("__q", lit(1))),
-              Seq("doc_id"), "left")
-            .join(broadcast(confirmedIds.withColumn("__c", lit(1))),
-              Seq("doc_id"), "left")
-            .join(broadcast(suspectIds.withColumn("__s", lit(1))),
-              Seq("doc_id"), "left")
-            .select(lit(dial).as("dial"),
-              when(col("__q").isNotNull, "quality_reject")
-                .when(col("__c").isNotNull, "suspect_confirmed")
-                .when(col("__s").isNotNull, "suspect_readmitted")
-                .otherwise("landed_at_door").as("disposition"))
-            .groupBy("dial", "disposition")
-            .agg(count(lit(1)).as("n_docs"))
+                .groupBy("reject_reason").agg(count(lit(1)).as("n"))
+                .collect() // bounded: one row per distinct reject rule
+                .map(r => r.getAs[String]("reject_reason") ->
+                  r.getAs[Long]("n")).toMap)
+            .getOrElse(Map.empty[String, Long])
+          val nSuspect = byReason.getOrElse("contaminated_maybe", 0L)
+          val nQuality = byReason.values.sum - nSuspect
+          import s.implicits._
+          Seq(
+            (dial, "landed_at_door", corpus.count() - nQuality - nSuspect),
+            (dial, "quality_reject", nQuality),
+            (dial, "suspect_confirmed", nConfirmed),
+            (dial, "suspect_readmitted", nSuspect - nConfirmed))
+            .toDF("dial", "disposition", "n_docs")
         }
         funnel("production", fpp = 0.01, minRun = 3,
             docs.filter(!benchPred))
