@@ -317,4 +317,39 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     // and a final no-op re-run over the grown set
     assert(sweep(Seq(0L, 4L)).isEmpty && table().size == 2)
   }
+
+  test("the sweep watermark read distinguishes 'nothing durably swept' from a broken table") {
+    val winSec = AudioCorpus.TrackWindowSec
+    val base = Files.createTempDirectory("watchmon-sweep-edge").toString
+    val landedDir = s"$base/landed"
+    Seq((3L, AudioCorpus.renderTrack(3L)))
+      .toDF("track_id", "wav").write.parquet(landedDir)
+    val out = s"$base/flags"
+    def loadClips(ids: Seq[Long]): Seq[WatchlistMonitor.WatchClip] =
+      WatchlistMonitor.audioWatchlist(
+        ids.map(id => (id, AudioCorpus.renderTrack(id)))
+          .toDF("doc_id", "wav"), "wav", "doc_id", windowSec = winSec)
+    def sweep(watched: Seq[Long]) = WatchlistMonitor.sweepWatchlist(
+      spark, landedDir, watched, loadClips,
+      (b: DataFrame, w: Seq[WatchlistMonitor.WatchClip]) =>
+        WatchlistMonitor.flagAudio(b, "wav", w, windowSec = winSec), out)
+    // a half-created watermark dir (crash before any file committed):
+    // structurally "nothing durably swept" — the sweep proceeds whole
+    val sweptDir = new java.io.File(s"${out}_swept")
+    assert(sweptDir.mkdirs())
+    assert(sweep(Seq(0L)).collect().length == 1,
+      "an empty watermark dir must read as a first sweep")
+    // a HEALTHY watermark that fails to read must PROPAGATE, not be
+    // treated as empty: empty-as-fallback would re-sweep the entire
+    // watched set and double-append every historical flag
+    graft.util.LocalFs.deleteRecursively(sweptDir)
+    assert(sweptDir.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${out}_swept/part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] { sweep(Seq(0L, 4L)) }
+    // ... and the failed attempt appended nothing
+    assert(spark.read.parquet(out).count() == 1,
+      "a failed watermark read must not have swept anything")
+  }
 }
