@@ -311,7 +311,7 @@ object Bench {
           java.nio.file.Paths.get("tools/bench_notes.txt")),
           java.nio.charset.StandardCharsets.UTF_8).trim)
       .toOption.filter(_.nonEmpty)
-      .map(n => "\"scaling_notes\":\"" + graft.util.Json.escape(n) + "\",")
+      .map(n => "\"scaling_notes\":" + graft.util.Json.quote(n) + ",")
       .getOrElse("")
     val scalingPart = scalingJson
       .map { case (m, f) => s""","scaling":$m,"scaling_flags":$f,$scalingNotes""".stripSuffix(",") }

@@ -104,8 +104,50 @@ object FingerprintStore {
   /** The concurrent-reader snapshot: a one-line-per-live-partition text
     * file every mutation rewrites ATOMICALLY as its last step (temp file
     * + rename-with-overwrite), so a reader sees exactly one layout —
-    * pre- or post-mutation — never a partial one. */
+    * pre- or post-mutation — never a partial one.
+    *
+    * FORMAT v2 (r13): a `#graft-manifest-v2` header, live partition
+    * names one per line, and `retired:<name>` lines naming the RETAINED
+    * generation — partitions whose files are still on disk for pinned
+    * readers but whose generation is over, i.e. exactly the set the next
+    * [[compact]]'s reclaim pass may delete. Making retirement EXPLICIT
+    * is what lets reclaim distinguish "generation ended" from "complete
+    * partition whose manifest merge was lost to a racing rewrite" — the
+    * latter is someone's landed data and is RE-ADOPTED, never deleted
+    * (see [[compact]]). A header-less (v1) manifest predates the
+    * distinction: its unlisted on-disk partitions are adopted as retired
+    * on the first v2 rewrite, preserving v1's delete-unlisted semantics
+    * across the upgrade. */
   private val ManifestFile = "_manifest"
+  private val ManifestHeader = "#graft-manifest-v2"
+  private val RetiredPrefix = "retired:"
+
+  /** (live, retired) as parsed from the manifest file, None if absent.
+    * v1 files (no header) parse as all-live with no retired set —
+    * callers that REWRITE the manifest must upgrade via
+    * [[retiredOnUpgrade]]. */
+  private def manifestState(spark: SparkSession,
+      dir: String): Option[(Seq[String], Seq[String])] =
+    manifestLines(spark, dir).map { lines =>
+      val (retired, live) = lines.filterNot(_.startsWith("#"))
+        .partition(_.startsWith(RetiredPrefix))
+      (live, retired.map(_.stripPrefix(RetiredPrefix)))
+    }
+
+  private def manifestIsV2(spark: SparkSession, dir: String): Boolean =
+    manifestLines(spark, dir).exists(_.headOption.contains(ManifestHeader))
+
+  /** The retired set a v1→v2 manifest rewrite must adopt: everything on
+    * disk that the v1 manifest does not list — under v1 semantics those
+    * are the retained generation (or crash orphans) awaiting deletion,
+    * and the v2 rewrite must keep saying so, or the next compact would
+    * re-adopt a retained generation as live and hand every reader the
+    * duplicated union. */
+  private def retiredOnUpgrade(spark: SparkSession, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
+      live: Seq[String]): Seq[String] =
+    if (manifestIsV2(spark, dir)) Seq.empty
+    else listPartitionNames(fs, base).filterNot(live.toSet)
 
   private def fsOf(dir: String,
       conf: org.apache.hadoop.conf.Configuration) = {
@@ -120,15 +162,19 @@ object FingerprintStore {
       .map(_.getPath.getName).toSeq
 
   /** Atomically publish the manifest naming `names` as the live
-    * partitions — [[graft.util.AtomicPublish.file]]'s dot-temp +
-    * rename-with-OVERWRITE (the one rename that may replace an existing
-    * target atomically; plain FileSystem.rename refuses). */
+    * partitions and `retired` as the retained-but-generation-over set —
+    * [[graft.util.AtomicPublish.file]]'s dot-temp + rename-with-OVERWRITE
+    * (the one rename that may replace an existing target atomically;
+    * plain FileSystem.rename refuses). */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path, names: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): Unit =
+      conf: org.apache.hadoop.conf.Configuration,
+      retired: Seq[String] = Seq.empty): Unit =
     graft.util.AtomicPublish.file(conf,
       new org.apache.hadoop.fs.Path(base, ManifestFile)) { out =>
-      out.write((names.sorted.mkString("\n") + "\n")
+      out.write(((ManifestHeader +: names.sorted) ++
+        retired.sorted.map(RetiredPrefix + _))
+        .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
@@ -158,14 +204,19 @@ object FingerprintStore {
     * VERIFIED merge: [[writeManifest]]'s rename-with-overwrite is atomic
     * per write, but not around the read-modify-write — two merges racing
     * (a zombie retry of this writer, two deliveries against one store)
-    * can each overwrite the other's name, and a lost name is no longer
-    * benign now that reads resolve through the manifest: the partition's
-    * rows vanish from every read and the next [[compact]]'s reclaim pass
-    * DELETES the partition as unlisted. So the merge re-reads after
-    * writing and retries until its own name is visible — whichever
-    * writer's overwrite landed last re-merges the loser's name on its
-    * verify pass, making the lost update self-healing instead of
-    * silently destructive. */
+    * can each overwrite the other's name. The verify loop below re-reads
+    * after writing and retries until its own name is visible, which
+    * heals every race where the competing overwrite lands before the
+    * verify read; an overwrite landing AFTER a successful verify still
+    * loses the name TRANSIENTLY — but only transiently, because
+    * [[compact]]'s reclaim pass RE-ADOPTS an unlisted complete
+    * partition instead of deleting it (explicit `retired:` lines are
+    * the only thing reclaim deletes), so the destructive direction is
+    * structurally closed and the race costs visibility-until-next-
+    * compact, not data. A merged name is also removed from the retired
+    * set: a compacted delivery's REPLAY re-creates its partition, and a
+    * stale retirement line would schedule the replayed write for
+    * deletion. */
   private val MaxManifestMergeAttempts = 8
   private def mergeIntoManifest(spark: SparkSession, dir: String,
       name: String): Unit = {
@@ -175,11 +226,16 @@ object FingerprintStore {
     var visible = false
     while (!visible && attempts < MaxManifestMergeAttempts) {
       attempts += 1
-      val names = manifestNames(spark, dir) match {
-        case Some(ns) => (ns :+ name).distinct
-        case None => (listPartitionNames(fs, base) :+ name).distinct
+      manifestState(spark, dir) match {
+        case Some((live, retired)) =>
+          writeManifest(fs, base, (live :+ name).distinct, conf,
+            retired = (retired ++
+              retiredOnUpgrade(spark, dir, fs, base, live))
+              .distinct.filterNot(_ == name))
+        case None =>
+          writeManifest(fs, base,
+            (listPartitionNames(fs, base) :+ name).distinct, conf)
       }
-      writeManifest(fs, base, names, conf)
       visible = manifestNames(spark, dir).exists(_.contains(name))
     }
     if (!visible)
@@ -189,7 +245,7 @@ object FingerprintStore {
           "contending faster than the verify loop converges")
   }
 
-  private def manifestNames(spark: SparkSession,
+  private def manifestLines(spark: SparkSession,
       dir: String): Option[Seq[String]] = {
     val (fs, base) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
@@ -201,6 +257,11 @@ object FingerprintStore {
       finally in.close()
     }
   }
+
+  /** The LIVE partition names — what every reader resolves. */
+  private def manifestNames(spark: SparkSession,
+      dir: String): Option[Seq[String]] =
+    manifestState(spark, dir).map(_._1)
 
   /** The store frame resolved through the manifest snapshot instead of
     * directory discovery. `basePath` keeps the delivery_id partition
@@ -334,22 +395,27 @@ object FingerprintStore {
     * discovery), published by rename to a FRESH VERSIONED name
     * (`compacted-N`, N above every existing base — the previous base is
     * never deleted to make room), and the manifest swapped to the new
-    * layout as the mutation's last step. The folded inputs are then
-    * RETAINED on disk for one full generation: a reader that resolved
-    * the pre-swap manifest keeps resolving real files for as long as
-    * this compaction's outputs are live, because only the NEXT
-    * [[compact]] call's opening reclaim pass deletes manifest-unlisted
-    * partitions (along with any orphan base a crash published without
-    * listing — unlisted means no reader that can still start resolves
-    * it, so deletion is safe; a crashed [[writeDelivery]]'s unmerged
-    * partition is reclaimed the same way, consistent with its write
-    * never having become visible). A crash at any point therefore
-    * leaves either the old manifest layout intact (staging and an
-    * unpublished base are invisible; a re-run reclaims and rebuilds) or
-    * the new layout plus the retained generation — never a layout any
-    * manifest-resolved reader sees torn. NOTE: every compact call
-    * reclaims, including one that then finds nothing to fold — so "one
-    * generation" means "until the next compact", not "forever".
+    * layout as the mutation's last step — with the folded inputs named
+    * on explicit `retired:` lines. They are thus RETAINED on disk for
+    * one full generation: a reader that resolved the pre-swap manifest
+    * keeps resolving real files for as long as this compaction's
+    * outputs are live, because only the NEXT [[compact]] call's opening
+    * reclaim pass deletes them — and reclaim deletes ONLY by explicit
+    * evidence (r13): the retired set, an unlisted compacted base (a
+    * crashed publish; its rows are still live in the old manifest's
+    * fold inputs), and unlisted partitions without a _SUCCESS marker
+    * (torn writes). An unlisted COMPLETE delivery partition is the one
+    * remaining possibility — landed data whose manifest merge was lost
+    * to a racing rewrite or a crash between data write and merge — and
+    * is RE-ADOPTED as live instead of deleted, so bookkeeping losing a
+    * line can cost visibility until the next compact, never the data.
+    * A crash at any point therefore leaves either the old manifest
+    * layout intact (staging and an unpublished base are invisible; a
+    * re-run reclaims and rebuilds) or the new layout plus the retained
+    * generation — never a layout any manifest-resolved reader sees
+    * torn. NOTE: every compact call reclaims, including one that then
+    * finds nothing to fold — so "one generation" means "until the next
+    * compact", not "forever".
     *
     * `protect`: delivery ids that keep their partitions REGARDLESS of
     * the recency ranking — recency is mtime-ranked (ties by id), and an
@@ -367,19 +433,48 @@ object FingerprintStore {
     if (!fs.exists(base)) return
     // liveness = the manifest; a legacy store (no manifest yet) adopts
     // its current directory layout, which at that point IS the live set
-    val live = manifestNames(spark, dir).getOrElse {
-      refreshManifest(spark, dir); listPartitionNames(fs, base)
-    }.toSet
-    // RECLAIM pass (scaladoc): manifest-unlisted partitions are the
-    // previous compaction's retained inputs — their generation ends
-    // here — plus any orphan a crash left (published-but-unlisted base,
-    // written-but-unmerged delivery); no reader that can still start
-    // resolves any of them
+    val (live0, retired0) = manifestState(spark, dir) match {
+      case Some((l, r)) =>
+        // a v1 manifest carries no retired lines: its unlisted on-disk
+        // partitions ARE the retained generation under v1 semantics
+        (l.toSet, (r ++ retiredOnUpgrade(spark, dir, fs, base, l)).toSet)
+      case None =>
+        refreshManifest(spark, dir)
+        (listPartitionNames(fs, base).toSet, Set.empty[String])
+    }
+    // RECLAIM pass (scaladoc): deletion is by EXPLICIT evidence only —
+    //  * `retired:` partitions: the previous compaction's retained
+    //    inputs; their generation ends here;
+    //  * an unlisted compacted base: a crashed compact published it
+    //    without listing it, and its rows are still live in the fold
+    //    inputs the old manifest kept;
+    //  * an unlisted partition WITHOUT a _SUCCESS marker: a torn write.
+    // An unlisted COMPLETE delivery partition is none of those — it is
+    // landed data whose manifest merge was lost (a racing rewrite, a
+    // crash between data write and merge) — and is RE-ADOPTED as live
+    // instead of deleted: the one wrong direction here is destroying a
+    // delivery because bookkeeping lost a line.
+    var readopted = Set.empty[String]
     fs.listStatus(base)
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("delivery_id=") &&
-        !live.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true): Unit)
+        !live0.contains(s.getPath.getName))
+      .foreach { s =>
+        val n = s.getPath.getName
+        val complete = fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+        if (retired0.contains(n) ||
+            isCompactedBase(n.stripPrefix("delivery_id=")) || !complete)
+          fs.delete(s.getPath, true): Unit
+        else readopted += n
+      }
+    val live = live0 ++ readopted
+    // publish the healed layout before folding: re-adopted rows become
+    // visible, reclaimed retirement lines drop — an atomic, consistent
+    // intermediate state even if the fold below never runs
+    if (readopted.nonEmpty || retired0.nonEmpty)
+      writeManifest(fs, base, live.toSeq,
+        spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(base)
       .filter(s => s.isDirectory && live.contains(s.getPath.getName))
       .map(s => (s.getPath.getName.stripPrefix("delivery_id="), s))
@@ -409,11 +504,13 @@ object FingerprintStore {
     graft.util.AtomicPublish.dirFresh(fs, staging, target)
     // manifest swap is the mutation's LAST step: readers flip atomically
     // from the old layout (inputs listed, new base invisible) to the new
-    // one; the folded inputs stay on disk as the retained generation
-    // until the next compact call's reclaim pass
+    // one; the folded inputs stay on disk as the retained generation —
+    // named on `retired:` lines so the NEXT compact's reclaim pass
+    // deletes exactly them and nothing merely unlisted
     writeManifest(fs, base,
       parts.map(_._1).filter(keep.contains).map(id => s"delivery_id=$id") :+
         target.getName,
-      spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration,
+      retired = fold.map { case (id, _) => s"delivery_id=$id" }.toSeq)
   }
 }

@@ -4965,13 +4965,16 @@ object ExtensionQueries {
           // would be the one data-sized structure in an otherwise
           // broadcast-probe pipeline. Exact duplicates of a landed text
           // dedup silently at the door and count as landed.
-          val byReason = scala.util.Try(
-              s.read.parquet(s"${table}_rejects")
-                .groupBy("reject_reason").agg(count(lit(1)).as("n"))
-                .collect() // bounded: one row per distinct reject rule
-                .map(r => r.getAs[String]("reject_reason") ->
-                  r.getAs[Long]("n")).toMap)
-            .getOrElse(Map.empty[String, Long])
+          // no Try: graduateBloomRejects just read this same table, so
+          // by here it provably exists and reads — a swallowed failure
+          // could only turn into silently wrong counts (landed ==
+          // corpus, negative readmitted)
+          val byReason =
+            s.read.parquet(s"${table}_rejects")
+              .groupBy("reject_reason").agg(count(lit(1)).as("n"))
+              .collect() // bounded: one row per distinct reject rule
+              .map(r => r.getAs[String]("reject_reason") ->
+                r.getAs[Long]("n")).toMap
           val nSuspect = byReason.getOrElse("contaminated_maybe", 0L)
           val nQuality = byReason.values.sum - nSuspect
           import s.implicits._

@@ -550,4 +550,84 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       35L -> "dropped_within"), s"verdicts: $v")
     assert(FingerprintStore.read(spark, dir).count() == 2)
   }
+
+  test("reclaim deletes only by explicit evidence: a lost manifest line is re-adopted, a torn write and a v1 retained generation are deleted") {
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 15L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("readopt")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id".isin(3L, 6L))).collect(): Unit
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id" === 9L)).collect(): Unit
+    def ids() = FingerprintStore.read(spark, dir)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val all = Set(0L, 1L, 2L, 3L, 6L, 9L)
+    assert(ids() == all)
+    // LOST MANIFEST LINE: a racing rewrite dropped d2's name — its
+    // complete partition is on disk but unlisted; reads lose its rows...
+    val mf = new java.io.File(dir, "_manifest")
+    val lines = scala.io.Source.fromFile(mf).getLines().toList
+    java.nio.file.Files.write(mf.toPath,
+      lines.filterNot(_ == "delivery_id=d2")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the hand-edit bypasses Hadoop's checksummed local FS — drop the
+    // stale .crc sidecar or every subsequent manifest read throws
+    new java.io.File(dir, "._manifest.crc").delete(): Unit
+    assert(ids() == all - 9L, "fixture: the lost line must hide d2")
+    // ... a TORN WRITE (no _SUCCESS) and nothing else sit beside it
+    val torn = new java.io.File(dir, "delivery_id=torn")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(torn, "part-junk.parquet").toPath,
+      "not parquet".getBytes("UTF-8"))
+    // compact: d2 is RE-ADOPTED (landed data survives bookkeeping loss),
+    // the torn write is reclaimed
+    FingerprintStore.compact(spark, dir, keepRecent = 0)
+    assert(ids() == all,
+      "an unlisted COMPLETE delivery must be re-adopted, not deleted")
+    assert(!torn.exists(), "a torn write must be reclaimed")
+    // ... and d2's rows are live through the manifest, not discovery
+    assert(FingerprintStore.read(spark, dir, pinToManifest = true)
+      .collect().map(_.getAs[Long]("id")).toSet == all)
+  }
+
+  test("a v1 (header-less) manifest's unlisted partitions upgrade as RETIRED: deleted at the next compact, never re-adopted") {
+    // the r12-era layout: retained generations were merely unlisted. The
+    // v2 upgrade must keep treating them as generation-over, or the
+    // re-adoption path would resurrect them as live and hand every
+    // reader the duplicated union.
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("v1-upgrade")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id" === 6L)).collect(): Unit
+    // a COMPLETE duplicate of the init partition, unlisted — exactly
+    // what an r12 compact's retention left behind
+    val src = new java.io.File(dir, "delivery_id=__init__")
+    val dup = new java.io.File(dir, "delivery_id=old_gen")
+    spark.read.parquet(src.toString).write.parquet(dup.toString)
+    // rewrite the manifest as v1: live lines only, no header
+    val mf = new java.io.File(dir, "_manifest")
+    java.nio.file.Files.write(mf.toPath,
+      "delivery_id=__init__\ndelivery_id=d1\n".getBytes("UTF-8"))
+    new java.io.File(dir, "._manifest.crc").delete(): Unit // stale checksum
+    def ids() = FingerprintStore.read(spark, dir)
+      .collect().map(_.getAs[Long]("id")).toSeq.sorted
+    assert(ids() == Seq(0L, 1L, 2L, 6L), "v1 manifest must still resolve")
+    // a delivery write upgrades the manifest to v2, adopting old_gen as
+    // retired — NOT as live
+    FingerprintStore.ingest(spark, dir, "d2",
+      hashes.filter($"id" === 9L)).collect(): Unit
+    assert(ids() == Seq(0L, 1L, 2L, 6L, 9L),
+      s"the upgrade resurrected a retained generation: ${ids()}")
+    // and the next compact DELETES it (retired), rather than re-adopting
+    FingerprintStore.compact(spark, dir, keepRecent = 0)
+    assert(!dup.exists(),
+      "a v1 retained generation must be reclaimed at the next compact")
+    assert(ids() == Seq(0L, 1L, 2L, 6L, 9L))
+  }
 }

@@ -504,7 +504,9 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     import scala.jdk.CollectionConverters._
     val parts = java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(store, "_manifest")).asScala
-      .filter(_.nonEmpty).map(_.stripPrefix("delivery_id=")).toSet
+      .filter(l => l.nonEmpty && !l.startsWith("#") &&
+        !l.startsWith("retired:")) // LIVE lines only (v2 format, r13)
+      .map(_.stripPrefix("delivery_id=")).toSet
     val bases = parts.filter(_.startsWith("compacted-"))
     assert(bases.nonEmpty, s"expected a compacted base, got $parts")
     assert((parts -- bases).size <= 1,
