@@ -122,32 +122,60 @@ object FingerprintStore {
   private val ManifestHeader = "#graft-manifest-v2"
   private val RetiredPrefix = "retired:"
 
-  /** (live, retired) as parsed from the manifest file, None if absent.
-    * v1 files (no header) parse as all-live with no retired set —
-    * callers that REWRITE the manifest must upgrade via
-    * [[retiredOnUpgrade]]. */
+  /** The store-owned delivery ACKNOWLEDGMENT marker, written into a
+    * partition directory AFTER its manifest merge succeeds. Its
+    * existence is what [[compact]]'s reclaim pass trusts to distinguish
+    * "this delivery's merge succeeded and a later racing rewrite lost
+    * the line" (re-adopt — it is landed, once-visible data) from "this
+    * write never became visible" (a torn write, or a crash between the
+    * data write and the merge — reclaim, consistent with the caller
+    * never having been told the delivery landed). Hadoop's `_SUCCESS`
+    * marker can NOT play this role: it is written by the parquet commit
+    * (before the merge, so it cannot encode visibility) and is disabled
+    * entirely on common object-store configs
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false). The
+    * underscore prefix keeps it invisible to Spark's file discovery. */
+  private val AckFile = "_graft_ack"
+
+  private def writeAck(fs: org.apache.hadoop.fs.FileSystem,
+      partition: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(partition, AckFile), true)
+      .close()
+
+  /** One parsed manifest snapshot: the live set, the retired set, and
+    * whether the file carried the v2 header — all from a SINGLE read,
+    * so an upgrade decision can never be made against a different
+    * manifest than the live/retired sets it accompanies. */
+  private case class ManifestState(live: Seq[String],
+      retired: Seq[String], v2: Boolean)
+
+  /** Parsed manifest, None if absent. v1 files (no header) parse as
+    * all-live with no retired set — callers that REWRITE the manifest
+    * must upgrade via [[retiredOnUpgrade]]. */
   private def manifestState(spark: SparkSession,
-      dir: String): Option[(Seq[String], Seq[String])] =
+      dir: String): Option[ManifestState] =
     manifestLines(spark, dir).map { lines =>
       val (retired, live) = lines.filterNot(_.startsWith("#"))
         .partition(_.startsWith(RetiredPrefix))
-      (live, retired.map(_.stripPrefix(RetiredPrefix)))
+      ManifestState(live, retired.map(_.stripPrefix(RetiredPrefix)),
+        v2 = lines.headOption.contains(ManifestHeader))
     }
-
-  private def manifestIsV2(spark: SparkSession, dir: String): Boolean =
-    manifestLines(spark, dir).exists(_.headOption.contains(ManifestHeader))
 
   /** The retired set a v1→v2 manifest rewrite must adopt: everything on
     * disk that the v1 manifest does not list — under v1 semantics those
     * are the retained generation (or crash orphans) awaiting deletion,
     * and the v2 rewrite must keep saying so, or the next compact would
     * re-adopt a retained generation as live and hand every reader the
-    * duplicated union. */
-  private def retiredOnUpgrade(spark: SparkSession, dir: String,
-      fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
-      live: Seq[String]): Seq[String] =
-    if (manifestIsV2(spark, dir)) Seq.empty
-    else listPartitionNames(fs, base).filterNot(live.toSet)
+    * duplicated union. Decided from the caller's ALREADY-PARSED
+    * snapshot, never a manifest re-read: a second read racing another
+    * writer's v1→v2 rewrite could see the v2 header and skip the
+    * adoption for live/retired sets parsed from the v1 file — dropping
+    * the retained generation from both sets at once. */
+  private def retiredOnUpgrade(st: ManifestState,
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[String] =
+    if (st.v2) Seq.empty
+    else listPartitionNames(fs, base).filterNot(st.live.toSet)
 
   private def fsOf(dir: String,
       conf: org.apache.hadoop.conf.Configuration) = {
@@ -208,10 +236,10 @@ object FingerprintStore {
     * after writing and retries until its own name is visible, which
     * heals every race where the competing overwrite lands before the
     * verify read; an overwrite landing AFTER a successful verify still
-    * loses the name TRANSIENTLY — but only transiently, because
-    * [[compact]]'s reclaim pass RE-ADOPTS an unlisted complete
-    * partition instead of deleting it (explicit `retired:` lines are
-    * the only thing reclaim deletes), so the destructive direction is
+    * loses the name TRANSIENTLY — but only transiently, because the
+    * caller writes the [[AckFile]] marker once the merge returns and
+    * [[compact]]'s reclaim pass RE-ADOPTS an unlisted ACKNOWLEDGED
+    * partition instead of deleting it, so the destructive direction is
     * structurally closed and the race costs visibility-until-next-
     * compact, not data. A merged name is also removed from the retired
     * set: a compacted delivery's REPLAY re-creates its partition, and a
@@ -227,10 +255,9 @@ object FingerprintStore {
     while (!visible && attempts < MaxManifestMergeAttempts) {
       attempts += 1
       manifestState(spark, dir) match {
-        case Some((live, retired)) =>
-          writeManifest(fs, base, (live :+ name).distinct, conf,
-            retired = (retired ++
-              retiredOnUpgrade(spark, dir, fs, base, live))
+        case Some(st) =>
+          writeManifest(fs, base, (st.live :+ name).distinct, conf,
+            retired = (st.retired ++ retiredOnUpgrade(st, fs, base))
               .distinct.filterNot(_ == name))
         case None =>
           writeManifest(fs, base,
@@ -261,7 +288,7 @@ object FingerprintStore {
   /** The LIVE partition names — what every reader resolves. */
   private def manifestNames(spark: SparkSession,
       dir: String): Option[Seq[String]] =
-    manifestState(spark, dir).map(_._1)
+    manifestState(spark, dir).map(_.live)
 
   /** The store frame resolved through the manifest snapshot instead of
     * directory discovery. `basePath` keeps the delivery_id partition
@@ -291,6 +318,7 @@ object FingerprintStore {
       .write.mode("overwrite")
       .parquet(partitionPath(dir, InitDelivery).toString)
     refreshManifest(hashes.sparkSession, dir)
+    writeAck(fs, partitionPath(dir, InitDelivery))
   }
 
   /** The manifest-resolved store frame when a manifest exists — the
@@ -360,14 +388,27 @@ object FingerprintStore {
     * epoch, so a replayed micro-batch lands on the SAME partition and
     * the overwrite gives exactly-once for free. An empty frame still
     * writes a schema-bearing empty file, clearing any partial rows a
-    * crashed earlier attempt left behind. */
+    * crashed earlier attempt left behind.
+    *
+    * The write lands in three ordered steps — data, manifest merge,
+    * [[AckFile]] acknowledgment — so a crash at any point is readable
+    * from the files: data without ack and without a manifest line was
+    * never visible (the next [[compact]] reclaims it, and the caller
+    * was never told it landed); an acked partition whose manifest line
+    * a later racing rewrite lost is once-visible landed data (compact
+    * RE-ADOPTS it). */
   def writeDelivery(dir: String, deliveryId: String,
       hashes: DataFrame): Unit = {
     requireSafeId(deliveryId)
+    // mode("overwrite") replaces the whole partition dir, so a replay
+    // also clears the prior ack until its own merge re-earns it
     hashes.select(col("id"), col("phash"))
       .write.mode("overwrite")
       .parquet(partitionPath(dir, deliveryId).toString)
-    mergeIntoManifest(hashes.sparkSession, dir, s"delivery_id=$deliveryId")
+    val spark = hashes.sparkSession
+    mergeIntoManifest(spark, dir, s"delivery_id=$deliveryId")
+    val (fs, _) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
+    writeAck(fs, partitionPath(dir, deliveryId))
   }
 
   /** Fold old delivery partitions into a single versioned
@@ -403,12 +444,16 @@ object FingerprintStore {
     * reclaim pass deletes them — and reclaim deletes ONLY by explicit
     * evidence (r13): the retired set, an unlisted compacted base (a
     * crashed publish; its rows are still live in the old manifest's
-    * fold inputs), and unlisted partitions without a _SUCCESS marker
-    * (torn writes). An unlisted COMPLETE delivery partition is the one
-    * remaining possibility — landed data whose manifest merge was lost
-    * to a racing rewrite or a crash between data write and merge — and
-    * is RE-ADOPTED as live instead of deleted, so bookkeeping losing a
-    * line can cost visibility until the next compact, never the data.
+    * fold inputs), and unlisted partitions without the [[AckFile]]
+    * acknowledgment (torn writes, and deliveries that crashed between
+    * the data write and the manifest merge — consistent with their
+    * write never having become visible, so a caller that reprocessed
+    * the same documents under a new id never probes phantom rows). An
+    * unlisted ACKNOWLEDGED delivery partition is the one remaining
+    * possibility — once-visible landed data whose manifest line a
+    * racing rewrite lost — and is RE-ADOPTED as live instead of
+    * deleted, so bookkeeping losing a line can cost visibility until
+    * the next compact, never the data.
     * A crash at any point therefore leaves either the old manifest
     * layout intact (staging and an unpublished base are invisible; a
     * re-run reclaims and rebuilds) or the new layout plus the retained
@@ -434,10 +479,11 @@ object FingerprintStore {
     // liveness = the manifest; a legacy store (no manifest yet) adopts
     // its current directory layout, which at that point IS the live set
     val (live0, retired0) = manifestState(spark, dir) match {
-      case Some((l, r)) =>
+      case Some(st) =>
         // a v1 manifest carries no retired lines: its unlisted on-disk
         // partitions ARE the retained generation under v1 semantics
-        (l.toSet, (r ++ retiredOnUpgrade(spark, dir, fs, base, l)).toSet)
+        (st.live.toSet,
+          (st.retired ++ retiredOnUpgrade(st, fs, base)).toSet)
       case None =>
         refreshManifest(spark, dir)
         (listPartitionNames(fs, base).toSet, Set.empty[String])
@@ -448,12 +494,14 @@ object FingerprintStore {
     //  * an unlisted compacted base: a crashed compact published it
     //    without listing it, and its rows are still live in the fold
     //    inputs the old manifest kept;
-    //  * an unlisted partition WITHOUT a _SUCCESS marker: a torn write.
-    // An unlisted COMPLETE delivery partition is none of those — it is
-    // landed data whose manifest merge was lost (a racing rewrite, a
-    // crash between data write and merge) — and is RE-ADOPTED as live
-    // instead of deleted: the one wrong direction here is destroying a
-    // delivery because bookkeeping lost a line.
+    //  * an unlisted partition WITHOUT the ack marker: a torn write,
+    //    or a delivery that crashed before its manifest merge — either
+    //    way never visible, so no reader or prober ever saw its rows.
+    // An unlisted ACKNOWLEDGED delivery partition is none of those —
+    // once-visible landed data whose manifest line a racing rewrite
+    // lost — and is RE-ADOPTED as live instead of deleted: the one
+    // wrong direction here is destroying a delivery because
+    // bookkeeping lost a line.
     var readopted = Set.empty[String]
     fs.listStatus(base)
       .filter(s => s.isDirectory &&
@@ -461,10 +509,10 @@ object FingerprintStore {
         !live0.contains(s.getPath.getName))
       .foreach { s =>
         val n = s.getPath.getName
-        val complete = fs.exists(
-          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+        val acked = fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, AckFile))
         if (retired0.contains(n) ||
-            isCompactedBase(n.stripPrefix("delivery_id=")) || !complete)
+            isCompactedBase(n.stripPrefix("delivery_id=")) || !acked)
           fs.delete(s.getPath, true): Unit
         else readopted += n
       }

@@ -4969,9 +4969,16 @@ object ExtensionQueries {
           // by here it provably exists and reads — a swallowed failure
           // could only turn into silently wrong counts (landed ==
           // corpus, negative readmitted)
+          // countDistinct, not count: rejects are keyed per
+          // (digest, doc_id), so a doc_id redelivered with edited text
+          // carries multiple rows — dispositions class DOCS, and
+          // nConfirmed below is already distinct-doc grain (a row-grain
+          // suspect count would inflate suspect_readmitted by docs
+          // never readmitted)
           val byReason =
             s.read.parquet(s"${table}_rejects")
-              .groupBy("reject_reason").agg(count(lit(1)).as("n"))
+              .groupBy("reject_reason")
+              .agg(countDistinct(col("doc_id")).as("n"))
               .collect() // bounded: one row per distinct reject rule
               .map(r => r.getAs[String]("reject_reason") ->
                 r.getAs[Long]("n")).toMap

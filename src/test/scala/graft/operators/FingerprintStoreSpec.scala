@@ -576,18 +576,31 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     // stale .crc sidecar or every subsequent manifest read throws
     new java.io.File(dir, "._manifest.crc").delete(): Unit
     assert(ids() == all - 9L, "fixture: the lost line must hide d2")
-    // ... a TORN WRITE (no _SUCCESS) and nothing else sit beside it
+    // ... a TORN WRITE (no ack, no _SUCCESS), and a delivery that
+    // CRASHED between its data write and its manifest merge (parquet
+    // complete, _SUCCESS present, but no ack — its caller was never
+    // told it landed, and may have reprocessed the docs under a new
+    // id; resurrecting it would plant phantom rows that suppress the
+    // reprocessed delivery) sit beside it
     val torn = new java.io.File(dir, "delivery_id=torn")
     assert(torn.mkdirs())
     java.nio.file.Files.write(
       new java.io.File(torn, "part-junk.parquet").toPath,
       "not parquet".getBytes("UTF-8"))
-    // compact: d2 is RE-ADOPTED (landed data survives bookkeeping loss),
-    // the torn write is reclaimed
+    val ghost = new java.io.File(dir, "delivery_id=ghost")
+    hashes.filter($"id" === 12L).select("id", "phash")
+      .write.parquet(ghost.toString)
+    assert(new java.io.File(ghost, "_SUCCESS").exists(),
+      "fixture: the crashed delivery's parquet commit must look complete")
+    // compact: d2 is RE-ADOPTED (acked = once-visible landed data
+    // survives bookkeeping loss); the torn write AND the never-merged
+    // crash are both reclaimed — neither was ever visible
     FingerprintStore.compact(spark, dir, keepRecent = 0)
     assert(ids() == all,
-      "an unlisted COMPLETE delivery must be re-adopted, not deleted")
+      "an unlisted ACKED delivery must be re-adopted, not deleted")
     assert(!torn.exists(), "a torn write must be reclaimed")
+    assert(!ghost.exists(),
+      "a never-merged (unacked) delivery must be reclaimed, not resurrected")
     // ... and d2's rows are live through the manifest, not discovery
     assert(FingerprintStore.read(spark, dir, pinToManifest = true)
       .collect().map(_.getAs[Long]("id")).toSet == all)
