@@ -239,12 +239,16 @@ object FingerprintStore {
     * loses the name TRANSIENTLY — but only transiently, because the
     * caller writes the [[AckFile]] marker once the merge returns and
     * [[compact]]'s reclaim pass RE-ADOPTS an unlisted ACKNOWLEDGED
-    * partition instead of deleting it, so the destructive direction is
-    * structurally closed and the race costs visibility-until-next-
-    * compact, not data. A merged name is also removed from the retired
-    * set: a compacted delivery's REPLAY re-creates its partition, and a
-    * stale retirement line would schedule the replayed write for
-    * deletion. */
+    * partition instead of deleting it, so the race costs
+    * visibility-until-next-compact, not data. The one residual
+    * exposure is a crash INSIDE the merge→ack window (listed but
+    * unacked): compact's ack backfill heals it — every live-listed
+    * partition is visible by definition and gets its ack there — so
+    * data loss additionally requires the line to be lost BEFORE any
+    * compact runs, a double failure inside one delivery's window. A
+    * merged name is also removed from the retired set: a compacted
+    * delivery's REPLAY re-creates its partition, and a stale
+    * retirement line would schedule the replayed write for deletion. */
   private val MaxManifestMergeAttempts = 8
   private def mergeIntoManifest(spark: SparkSession, dir: String,
       name: String): Unit = {
@@ -409,6 +413,26 @@ object FingerprintStore {
     mergeIntoManifest(spark, dir, s"delivery_id=$deliveryId")
     val (fs, _) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
     writeAck(fs, partitionPath(dir, deliveryId))
+    // A compact racing this writer's data→merge window (outside the
+    // one-mutator contract, or an unprotected in-flight delivery) can
+    // reclaim the just-written unlisted-unacked partition; the merge
+    // then lists it and writeAck re-creates the directory EMPTY — a
+    // manifest line pointing at zero data files, rows silently missing
+    // from every read. Detect it here and fail the write instead: the
+    // caller replays, and the replay rewrites data before re-merging.
+    // (An empty delivery still writes a schema-bearing parquet file,
+    // so file-presence is the right test, not row count.)
+    val dataFiles = fs.listStatus(partitionPath(dir, deliveryId))
+      .filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (dataFiles.isEmpty)
+      throw new IllegalStateException(
+        s"delivery $deliveryId's data files vanished between write and " +
+          s"acknowledgment in $dir — a concurrent compact reclaimed the " +
+          "in-flight partition (pass it in compact's `protect`, or keep " +
+          "to one mutator at a time); replay the delivery")
   }
 
   /** Fold old delivery partitions into a single versioned
@@ -526,6 +550,15 @@ object FingerprintStore {
     val parts = fs.listStatus(base)
       .filter(s => s.isDirectory && live.contains(s.getPath.getName))
       .map(s => (s.getPath.getName.stripPrefix("delivery_id="), s))
+    // ACK BACKFILL: a live-listed partition IS visible — exactly what
+    // the ack asserts — so any live partition missing one gets it here:
+    // pre-ack-era stores upgrade on their first compact, and a crash
+    // inside writeDelivery's merge→ack window (listed but unacked)
+    // heals instead of staying re-adoption-ineligible forever
+    parts.foreach { case (_, s) =>
+      val ack = new org.apache.hadoop.fs.Path(s.getPath, AckFile)
+      if (!fs.exists(ack)) writeAck(fs, s.getPath)
+    }
     val real = parts.filter { case (id, _) =>
       id != InitDelivery && !isCompactedBase(id) }
     val keep = real.sortBy { case (id, s) => (-s.getModificationTime, id) }

@@ -4969,21 +4969,28 @@ object ExtensionQueries {
           // by here it provably exists and reads — a swallowed failure
           // could only turn into silently wrong counts (landed ==
           // corpus, negative readmitted)
-          // countDistinct, not count: rejects are keyed per
+          // DOC grain with suspect precedence, so the classes PARTITION
+          // the rejected doc_ids: rejects are keyed per
           // (digest, doc_id), so a doc_id redelivered with edited text
-          // carries multiple rows — dispositions class DOCS, and
-          // nConfirmed below is already distinct-doc grain (a row-grain
-          // suspect count would inflate suspect_readmitted by docs
-          // never readmitted)
-          val byReason =
+          // carries multiple rows — possibly under DIFFERENT reasons —
+          // and dispositions class DOCS (nConfirmed below is already
+          // distinct-doc grain). A doc with any contaminated_maybe row
+          // entered graduation, so it classes as suspect; quality
+          // counts only docs rejected EXCLUSIVELY for quality. (In this
+          // entry each doc streams exactly once per funnel, so the
+          // precedence is vacuous — it keeps the arithmetic a true
+          // partition if the helper is ever fed redeliveries.)
+          val rejectedDocs =
             s.read.parquet(s"${table}_rejects")
-              .groupBy("reject_reason")
-              .agg(countDistinct(col("doc_id")).as("n"))
-              .collect() // bounded: one row per distinct reject rule
-              .map(r => r.getAs[String]("reject_reason") ->
-                r.getAs[Long]("n")).toMap
-          val nSuspect = byReason.getOrElse("contaminated_maybe", 0L)
-          val nQuality = byReason.values.sum - nSuspect
+              .groupBy("doc_id")
+              .agg(max(when(col("reject_reason") === "contaminated_maybe",
+                1).otherwise(0)).as("suspect"))
+              .groupBy("suspect").agg(count(lit(1)).as("n"))
+              .collect() // bounded: at most two rows
+              .map(r => r.getAs[Int]("suspect") -> r.getAs[Long]("n"))
+              .toMap
+          val nSuspect = rejectedDocs.getOrElse(1, 0L)
+          val nQuality = rejectedDocs.getOrElse(0, 0L)
           import s.implicits._
           Seq(
             (dial, "landed_at_door", corpus.count() - nQuality - nSuspect),

@@ -606,6 +606,37 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getAs[Long]("id")).toSet == all)
   }
 
+  test("compact backfills the ack on live-listed partitions: a pre-ack-era (or merge-crash) partition regains re-adoption protection") {
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("ack-backfill")
+    FingerprintStore.init(hashes.filter($"id" < 3), dir)
+    FingerprintStore.ingest(spark, dir, "d1",
+      hashes.filter($"id" === 6L)).collect(): Unit
+    // simulate a pre-ack-era store (or a crash between manifest merge
+    // and ack): d1 is live-listed but its ack marker is gone
+    val ack = new java.io.File(dir, "delivery_id=d1/_graft_ack")
+    assert(ack.exists(), "fixture: writeDelivery must have acked d1")
+    assert(ack.delete())
+    // a no-op compact (nothing to fold) still runs the backfill pass:
+    // live-listed = visible = exactly what the ack asserts
+    FingerprintStore.compact(spark, dir, keepRecent = 5)
+    assert(ack.exists(), "compact must backfill acks on live partitions")
+    // the restored ack is what makes a later lost manifest line
+    // survivable: drop d1's line and compact — it must be re-adopted
+    val mf = new java.io.File(dir, "_manifest")
+    val lines = scala.io.Source.fromFile(mf).getLines().toList
+    java.nio.file.Files.write(mf.toPath,
+      lines.filterNot(_ == "delivery_id=d1")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    new java.io.File(dir, "._manifest.crc").delete(): Unit // stale checksum
+    FingerprintStore.compact(spark, dir, keepRecent = 5)
+    assert(FingerprintStore.read(spark, dir, pinToManifest = true)
+      .collect().map(_.getAs[Long]("id")).toSet == Set(0L, 1L, 2L, 6L),
+      "the backfilled ack must carry d1 through a lost manifest line")
+  }
+
   test("a v1 (header-less) manifest's unlisted partitions upgrade as RETIRED: deleted at the next compact, never re-adopted") {
     // the r12-era layout: retained generations were merely unlisted. The
     // v2 upgrade must keep treating them as generation-over, or the
