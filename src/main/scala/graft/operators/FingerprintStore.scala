@@ -276,17 +276,42 @@ object FingerprintStore {
           "contending faster than the verify loop converges")
   }
 
+  /** Raw manifest lines, None if the file is absent. The read RETRIES
+    * bounded times on ChecksumException: on Hadoop's checksummed
+    * filesystems (LocalFileSystem et al.) the atomic rename-with-
+    * overwrite publish is atomic per FILE, but the data file and its
+    * `.crc` sidecar are two files — a reader landing between the two
+    * renames sees new data against the old checksum. The mismatch is
+    * transient by construction (the pair converges as soon as the
+    * writer's second rename lands), so a short retry is correct; a
+    * PERSISTENT mismatch (real corruption) still surfaces, on the
+    * last attempt. */
   private def manifestLines(spark: SparkSession,
       dir: String): Option[Seq[String]] = {
     val (fs, base) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
-    if (!fs.exists(mf)) None
-    else {
-      val in = fs.open(mf)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList)
-      finally in.close()
+    val maxAttempts = 8
+    var attempt = 0
+    var out: Option[Option[Seq[String]]] = None
+    while (out.isEmpty) {
+      attempt += 1
+      try {
+        out = Some(
+          if (!fs.exists(mf)) None
+          else {
+            val in = fs.open(mf)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty).toList)
+            finally in.close()
+          })
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException
+            if attempt < maxAttempts =>
+          val _ = e // transient mid-publish sidecar skew — retry
+          Thread.sleep(25L * attempt)
+      }
     }
+    out.get
   }
 
   /** The LIVE partition names — what every reader resolves. */

@@ -38,9 +38,18 @@ object AtomicPublish {
 
   /** Dot-prefixed sibling temp path for `target` — invisible to
     * directory listings, partition discovery, and `_`-respecting Spark
-    * readers alike. */
+    * readers alike. UNIQUELY NAMED per publish: concurrent publishers
+    * of the same target (the fingerprint store's verified manifest
+    * merge races by design) must never share a staging file — with a
+    * fixed name, one writer's create TRUNCATES the other's in-flight
+    * temp and the loser's rename publishes the winner's half-written
+    * bytes as a torn target. Unique temps make each publish atomic
+    * independently; last rename wins, which is exactly the semantics
+    * read-modify-write retry loops assume. A crashed publish can
+    * orphan its temp — dot-invisible and bytes-small; harmless. */
   private def tmpFor(target: Path): Path =
-    new Path(target.getParent, s".${target.getName}.tmp")
+    new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(12)}.tmp")
 
   /** Atomically publish a single file at `target`, replacing any
     * existing one: `write` fills a dot-prefixed temp, then

@@ -606,6 +606,52 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getAs[Long]("id")).toSet == all)
   }
 
+  test("RACING writers: concurrent writeDelivery calls all converge — every name in the manifest, every partition acked, rows intact") {
+    // the verified-merge loop's actual contended shape, not a
+    // hand-edited simulation: pairs of deliveries race the manifest's
+    // read-modify-write from two threads. Postconditions pin the
+    // contract: no delivery's line may be missing once BOTH writers
+    // returned (each verify loop re-merges the loser), every partition
+    // carries its ack (written after the merge returned), and the
+    // store reads the union of all deliveries.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val hashes = ImageDedup.hashes(
+      ImageCorpus.forIds((0L until 40L).toDF("doc_id"), "doc_id"),
+      "png", "doc_id").localCheckpoint(true)
+    val dir = freshDir("racing")
+    FingerprintStore.init(hashes.filter($"id" < 2), dir)
+    val rounds = 4
+    (0 until rounds).foreach { r =>
+      val (idA, idB) = (s"ra$r", s"rb$r")
+      val (vecA, vecB) = (10L + 2 * r, 11L + 2 * r)
+      val fa = Future(FingerprintStore.writeDelivery(dir, idA,
+        hashes.filter($"id" === vecA)))
+      val fb = Future(FingerprintStore.writeDelivery(dir, idB,
+        hashes.filter($"id" === vecB)))
+      Await.result(fa.zip(fb), 120.seconds): Unit
+      // both lines visible the moment both writers returned
+      val manifest = scala.io.Source.fromFile(
+        new java.io.File(dir, "_manifest")).getLines().toSet
+      assert(manifest.contains(s"delivery_id=$idA") &&
+        manifest.contains(s"delivery_id=$idB"),
+        s"round $r lost a racing merge: $manifest")
+      assert(new java.io.File(dir, s"delivery_id=$idA/_graft_ack").exists()
+        && new java.io.File(dir, s"delivery_id=$idB/_graft_ack").exists(),
+        s"round $r: a racing writer returned without its ack")
+    }
+    val expect = Set(0L, 1L) ++
+      (0 until rounds).flatMap(r => Seq(10L + 2 * r, 11L + 2 * r))
+    assert(FingerprintStore.read(spark, dir, pinToManifest = true)
+      .collect().map(_.getAs[Long]("id")).toSet == expect)
+    // and a compact over the raced store folds cleanly: contents
+    // unchanged, nothing reclaimed that was live
+    FingerprintStore.compact(spark, dir, keepRecent = 1)
+    assert(FingerprintStore.read(spark, dir, pinToManifest = true)
+      .collect().map(_.getAs[Long]("id")).toSet == expect)
+  }
+
   test("compact backfills the ack on live-listed partitions: a pre-ack-era (or merge-crash) partition regains re-adoption protection") {
     val hashes = ImageDedup.hashes(
       ImageCorpus.forIds((0L until 12L).toDF("doc_id"), "doc_id"),
