@@ -276,42 +276,53 @@ object FingerprintStore {
           "contending faster than the verify loop converges")
   }
 
-  /** Raw manifest lines, None if the file is absent. The read RETRIES
-    * bounded times on ChecksumException: on Hadoop's checksummed
-    * filesystems (LocalFileSystem et al.) the atomic rename-with-
-    * overwrite publish is atomic per FILE, but the data file and its
-    * `.crc` sidecar are two files — a reader landing between the two
-    * renames sees new data against the old checksum. The mismatch is
-    * transient by construction (the pair converges as soon as the
-    * writer's second rename lands), so a short retry is correct; a
-    * PERSISTENT mismatch (real corruption) still surfaces, on the
-    * last attempt. */
+  /** Raw manifest lines, None if the file is absent. The read defends
+    * against two transient windows a concurrent rewrite opens on
+    * filesystems without a truly atomic rename-with-overwrite (HDFS has
+    * one; Hadoop's LOCAL filesystem implements it delete-then-rename,
+    * and checksummed filesystems swap the data file and its `.crc`
+    * sidecar in two renames):
+    *  - ChecksumException / FileNotFoundException mid-read → bounded
+    *    retry (converges as soon as the writer's rename lands; real
+    *    corruption still surfaces on the last attempt);
+    *  - ABSENCE is only trusted after consecutive re-checks: "no
+    *    manifest" means "legacy store" to every caller — readers fall
+    *    back to directory discovery (the duplicated union, once a
+    *    generation is retained) and writers ADOPT the directory as
+    *    live — so mistaking a mid-rename blink for legacy is the one
+    *    misread with destructive downstream semantics. A genuinely
+    *    legacy store answers absent every time and pays only the
+    *    re-check sleeps. */
   private def manifestLines(spark: SparkSession,
       dir: String): Option[Seq[String]] = {
     val (fs, base) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
     val maxAttempts = 8
+    val absentConfirms = 3
     var attempt = 0
-    var out: Option[Option[Seq[String]]] = None
-    while (out.isEmpty) {
+    var absentSeen = 0
+    while (true) {
       attempt += 1
       try {
-        out = Some(
-          if (!fs.exists(mf)) None
-          else {
-            val in = fs.open(mf)
-            try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-              .getLines().filter(_.nonEmpty).toList)
-            finally in.close()
-          })
+        if (!fs.exists(mf)) {
+          absentSeen += 1
+          if (absentSeen >= absentConfirms) return None
+          Thread.sleep(25L)
+        } else {
+          val in = fs.open(mf)
+          try return Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList)
+          finally in.close()
+        }
       } catch {
-        case e: org.apache.hadoop.fs.ChecksumException
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException)
             if attempt < maxAttempts =>
-          val _ = e // transient mid-publish sidecar skew — retry
+          val _ = e // transient mid-publish window — retry
           Thread.sleep(25L * attempt)
       }
     }
-    out.get
+    throw new IllegalStateException("unreachable")
   }
 
   /** The LIVE partition names — what every reader resolves. */

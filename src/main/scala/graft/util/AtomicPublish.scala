@@ -71,19 +71,46 @@ object AtomicPublish {
 
   /** Read a file published by [[file]], verifying its magic header when
     * one was written: a file that is not `magic`'s format rejects with
-    * the header it DID carry instead of mis-parsing into silent garbage. */
+    * the header it DID carry instead of mis-parsing into silent garbage.
+    *
+    * RETRIES bounded times on two transient-by-construction races with
+    * a concurrent re-publish, then lets the real error through:
+    *  - ChecksumException: [[file]]'s rename is atomic per FILE, but on
+    *    checksummed filesystems (LocalFileSystem et al.) the data file
+    *    and its `.crc` sidecar swap in two renames — a reader landing
+    *    between them sees new bytes against the old checksum. Real
+    *    corruption still surfaces, on the last attempt.
+    *  - FileNotFoundException: HDFS implements rename-with-OVERWRITE
+    *    atomically, but Hadoop's LOCAL filesystem (and other
+    *    AbstractFileSystem defaults) implement it delete-then-rename,
+    *    so the target is briefly ABSENT mid-publish. A genuinely
+    *    missing file (caller error) still throws, after the retries. */
   def readFile[A](conf: Configuration, target: Path,
       magic: Option[String] = None)(
       read: java.io.DataInputStream => A): A = {
     val fs = target.getFileSystem(conf)
-    val in = new java.io.DataInputStream(fs.open(target))
-    try {
-      magic.foreach { m =>
-        val got = in.readUTF()
-        require(got == m, s"$target is not a $m file (header '$got')")
+    val maxAttempts = 8
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val in = new java.io.DataInputStream(fs.open(target))
+        try {
+          magic.foreach { m =>
+            val got = in.readUTF()
+            require(got == m, s"$target is not a $m file (header '$got')")
+          }
+          return read(in)
+        } finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException)
+            if attempt < maxAttempts =>
+          val _ = e // transient mid-publish window — retry
+          Thread.sleep(25L * attempt)
       }
-      read(in)
-    } finally in.close()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Publish a staged directory to a target that must NOT yet exist —

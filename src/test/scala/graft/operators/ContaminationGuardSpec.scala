@@ -381,6 +381,50 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage != null)
   }
 
+  test("CONCURRENT load during re-save: every load resolves one coherent generation — never a missing, torn, or parameter-mixed index") {
+    // the r12 verdict's publish contract, exercised as an actual race
+    // rather than reasoned about: a writer re-saves alternating
+    // generations in a tight loop while this thread loads continuously.
+    // Each loaded index must be ENTIRELY generation A or ENTIRELY
+    // generation B — the bundled (window, hexPrefix, fpp) are the
+    // coherence witness (a torn read would readUTF garbage or pair A's
+    // header with B's bits and fail readFrom; a non-atomic publish
+    // would surface as FileNotFound; checksum-sidecar skew retries
+    // inside AtomicPublish.readFile).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val genA = ContaminationGuard.bloomIndex(benchDf, "text",
+      window = 16, hexPrefix = "", fpp = 0.01)
+    val genB = ContaminationGuard.bloomIndex(benchDf, "text",
+      window = 32, hexPrefix = "0", fpp = 0.25)
+    val dir = java.nio.file.Files.createTempDirectory("bloom-race").toString
+    genA.save(spark, dir)
+    @volatile var saving = true
+    val writer = Future {
+      var i = 0
+      while (saving) { (if (i % 2 == 0) genB else genA).save(spark, dir); i += 1 }
+      i
+    }
+    try {
+      (0 until 40).foreach { _ =>
+        val got = ContaminationGuard.loadBloomIndex(spark, dir)
+        val isA = got.window == genA.window &&
+          got.hexPrefix == genA.hexPrefix && got.fpp == genA.fpp
+        val isB = got.window == genB.window &&
+          got.hexPrefix == genB.hexPrefix && got.fpp == genB.fpp
+        assert(isA || isB,
+          s"load observed a mixed generation: (${got.window}, " +
+            s"'${got.hexPrefix}', ${got.fpp})")
+      }
+    } finally saving = false
+    val saves = Await.result(writer, 120.seconds)
+    assert(saves > 0, "fixture: the writer must actually have re-saved")
+    // quiesced store still loads whole
+    val fin = ContaminationGuard.loadBloomIndex(spark, dir)
+    assert(fin.window == genA.window || fin.window == genB.window)
+  }
+
   test("bloom run-fold fuzz: flagBloom matches an independent might-mask + run reimplementation at every minRun") {
     // the consecutive-run fold now backs BOTH the audit (flagBloom) and
     // the ingest gate (withBloomHit) — pin it against a brute-force
