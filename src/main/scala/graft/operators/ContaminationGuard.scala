@@ -335,7 +335,11 @@ object ContaminationGuard {
       * delete-then-rename left a window where a concurrent loader finds
       * no file at all), so a re-save replaces the index atomically: a
       * loader racing the publish reads the old generation or the new
-      * one, never a missing or half-written file. The path resolves
+      * one, never a missing or half-written file — atomically by rename
+      * where the filesystem has a true rename-with-overwrite (HDFS),
+      * and by [[graft.util.AtomicPublish.readFile]]'s bounded retries
+      * over the delete-then-rename blink where it does not (Hadoop's
+      * local filesystem); race-spec-pinned either way. The path resolves
       * through the SAME Hadoop configuration [[loadBloomIndex]] uses
       * (r12 ADVICE: a `new Configuration()` default here made a
       * scheme-less `dir` save to the LOCAL filesystem on clusters whose
