@@ -339,6 +339,22 @@ object FingerprintStore {
         s"$dir has no $ManifestFile to pin to — the store predates " +
           "manifest maintenance; any mutation (init/ingest/writeDelivery/" +
           "compact) creates one"))
+    if (names.isEmpty) {
+      // an empty LIVE set reads as zero rows, not a zero-path
+      // AnalysisException: "the manifest says nothing is live" is a
+      // valid layout (unreachable via this API's own mutations, which
+      // all publish at least one name, but a racing rewrite or a
+      // hand-repair can produce it)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("phash",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("delivery_id",
+          org.apache.spark.sql.types.StringType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val base = new org.apache.hadoop.fs.Path(dir)
     spark.read.option("basePath", dir)
       .parquet(names.map(n =>

@@ -219,6 +219,97 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("LIFECYCLE state-machine fuzz: random ingest/replay/compact/lost-line sequences hold the visibility invariants") {
+    // the manifest-v2 + ack protocol's whole-lifecycle contract, checked
+    // after EVERY random operation instead of along directed paths:
+    //  inv1  a read never returns a duplicated id (the duplicated-union
+    //        failure class: retained generations or re-adopted rows
+    //        double-counted against a live base);
+    //  inv2  a read never returns an id that was never landed;
+    //  inv3  with no un-healed lost line outstanding, a read returns
+    //        EXACTLY the landed set (nothing lost to compaction, folds,
+    //        replays, or reclaim);
+    //  inv4  compact heals an outstanding lost line (re-adoption), so
+    //        inv3 holds again immediately after.
+    // Hashes are seeded-random 64-bit — pairwise Hamming <= 3 odds are
+    // ~2e-15 per pair, so every delivered row is kept and `landed` is
+    // exact by construction.
+    for (seed <- Seq(7L, 19L, 31L)) {
+      val rnd = new scala.util.Random(seed)
+      val allIds = (0L until 48L).map(i => i -> rnd.nextLong()).toMap
+      def frameOf(ids: Seq[Long]) =
+        ids.map(i => i -> allIds(i)).toDF("id", "phash")
+      val dir = freshDir(s"lifecycle-$seed")
+      var nextId = 0L
+      def takeIds(n: Int): Seq[Long] = {
+        val ids = (nextId until nextId + n); nextId += n; ids
+      }
+      val initIds = takeIds(3)
+      FingerprintStore.init(frameOf(initIds), dir)
+      var landed = initIds.toSet
+      val deliveries = scala.collection.mutable.Map[String, Seq[Long]]()
+      var loseOutstanding = false
+      def readIds(): Seq[Long] = FingerprintStore.read(spark, dir)
+        .collect().map(_.getAs[Long]("id")).toSeq
+      def check(op: String): Unit = {
+        val got = readIds()
+        assert(got.size == got.distinct.size,
+          s"seed=$seed after $op: duplicated ids in read: $got")
+        assert(got.toSet.subsetOf(landed),
+          s"seed=$seed after $op: phantom ids ${got.toSet -- landed}")
+        if (!loseOutstanding)
+          assert(got.toSet == landed,
+            s"seed=$seed after $op: lost ${landed -- got.toSet}")
+      }
+      check("init")
+      var d = 0
+      (0 until 14).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // ingest a NEW delivery
+            d += 1
+            val ids = takeIds(1 + rnd.nextInt(3))
+            deliveries(s"f$d") = ids
+            FingerprintStore.ingest(spark, dir, s"f$d", frameOf(ids))
+              .collect(): Unit
+            landed ++= ids
+            check(s"step $step ingest f$d")
+          case 1 if deliveries.nonEmpty => // replay a random delivery
+            val (tag, ids) = deliveries.toSeq(rnd.nextInt(deliveries.size))
+            FingerprintStore.ingest(spark, dir, tag, frameOf(ids))
+              .collect(): Unit
+            check(s"step $step replay $tag")
+          case 2 => // compact with a random retention dial
+            FingerprintStore.compact(spark, dir,
+              keepRecent = rnd.nextInt(3))
+            loseOutstanding = false // re-adoption healed any lost line
+            check(s"step $step compact")
+          case _ if !loseOutstanding => // lose one live DELIVERY line
+            val mf = new java.io.File(dir, "_manifest")
+            val lines = scala.io.Source.fromFile(mf).getLines().toList
+            val losable = lines.filter { l =>
+              l.startsWith("delivery_id=") && // live, not header/retired
+                !FingerprintStore.isCompactedBase(
+                  l.stripPrefix("delivery_id="))
+            }
+            if (losable.nonEmpty) {
+              val victim = losable(rnd.nextInt(losable.size))
+              java.nio.file.Files.write(mf.toPath,
+                lines.filterNot(_ == victim)
+                  .mkString("", "\n", "\n").getBytes("UTF-8"))
+              new java.io.File(dir, "._manifest.crc").delete(): Unit
+              loseOutstanding = true
+              check(s"step $step lose $victim")
+            }
+          case _ => // lose requested while one is outstanding: no-op
+        }
+      }
+      // final heal: one compact must restore the exact landed set
+      FingerprintStore.compact(spark, dir, keepRecent = 1)
+      loseOutstanding = false
+      check("final compact")
+    }
+  }
+
   test("delivery ids outside the safe path charset are rejected up front") {
     // a '/', '=', '%' or space in the id writes a path whose DISCOVERED
     // partition value differs from the filter value, silently defeating
