@@ -276,53 +276,46 @@ object FingerprintStore {
           "contending faster than the verify loop converges")
   }
 
-  /** Raw manifest lines, None if the file is absent. The read defends
-    * against two transient windows a concurrent rewrite opens on
-    * filesystems without a truly atomic rename-with-overwrite (HDFS has
-    * one; Hadoop's LOCAL filesystem implements it delete-then-rename,
-    * and checksummed filesystems swap the data file and its `.crc`
-    * sidecar in two renames):
-    *  - ChecksumException / FileNotFoundException mid-read → bounded
-    *    retry (converges as soon as the writer's rename lands; real
-    *    corruption still surfaces on the last attempt);
-    *  - ABSENCE is only trusted after consecutive re-checks: "no
-    *    manifest" means "legacy store" to every caller — readers fall
-    *    back to directory discovery (the duplicated union, once a
-    *    generation is retained) and writers ADOPT the directory as
-    *    live — so mistaking a mid-rename blink for legacy is the one
-    *    misread with destructive downstream semantics. A genuinely
-    *    legacy store answers absent every time and pays only the
-    *    re-check sleeps. */
+  /** Raw manifest lines, None if the file is absent. Each read check
+    * rides [[graft.util.AtomicPublish.withReadRetries]] — the one
+    * shared defense against the transient mid-rewrite windows
+    * (checksum-sidecar skew, the delete-then-rename absence blink)
+    * that filesystems without a truly atomic rename-with-overwrite
+    * open for concurrent readers. On top of it, ABSENCE is only
+    * trusted after several checks in a row END absent (a check that
+    * successfully reads the file returns immediately, so absent
+    * confirms are consecutive outcomes by construction, each with its
+    * own full retry budget): "no manifest" means "legacy store" to
+    * every caller — readers fall back to directory discovery (the
+    * duplicated union, once a generation is retained) and writers
+    * ADOPT the directory as live — so mistaking a mid-rename blink
+    * for legacy is the one misread with destructive downstream
+    * semantics. A genuinely legacy store answers absent every time
+    * and pays only the re-check sleeps. */
   private def manifestLines(spark: SparkSession,
       dir: String): Option[Seq[String]] = {
     val (fs, base) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
-    val maxAttempts = 8
     val absentConfirms = 3
-    var attempt = 0
     var absentSeen = 0
-    while (true) {
-      attempt += 1
-      try {
-        if (!fs.exists(mf)) {
-          absentSeen += 1
-          if (absentSeen >= absentConfirms) return None
-          Thread.sleep(25L)
-        } else {
+    while (absentSeen < absentConfirms) {
+      val check = graft.util.AtomicPublish.withReadRetries() { () =>
+        if (!fs.exists(mf)) None
+        else {
           val in = fs.open(mf)
-          try return Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
             .getLines().filter(_.nonEmpty).toList)
           finally in.close()
         }
-      } catch {
-        case e @ (_: org.apache.hadoop.fs.ChecksumException |
-                  _: java.io.FileNotFoundException)
-            if attempt < maxAttempts =>
-          val _ = e // transient mid-publish window — retry
-          Thread.sleep(25L * attempt)
+      }
+      check match {
+        case some @ Some(_) => return some
+        case None =>
+          absentSeen += 1
+          if (absentSeen < absentConfirms) Thread.sleep(25L)
       }
     }
-    throw new IllegalStateException("unreachable")
+    None
   }
 
   /** The LIVE partition names — what every reader resolves. */
@@ -339,23 +332,36 @@ object FingerprintStore {
         s"$dir has no $ManifestFile to pin to — the store predates " +
           "manifest maintenance; any mutation (init/ingest/writeDelivery/" +
           "compact) creates one"))
+    val base = new org.apache.hadoop.fs.Path(dir)
     if (names.isEmpty) {
       // an empty LIVE set reads as zero rows, not a zero-path
       // AnalysisException: "the manifest says nothing is live" is a
       // valid layout (unreachable via this API's own mutations, which
       // all publish at least one name, but a racing rewrite or a
-      // hand-repair can produce it)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("phash",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("delivery_id",
-          org.apache.spark.sql.types.StringType)))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // hand-repair can produce it). The store is modality-generic —
+      // `id` is whatever type the caller ingested — so the schema
+      // comes from any on-disk partition (retained generations
+      // included; filtered to zero rows), falling back to the
+      // canonical (long, long, string) only for a store with no files
+      // at all.
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val onDisk = listPartitionNames(fs, base)
+      return if (onDisk.nonEmpty)
+        spark.read.option("basePath", dir)
+          .parquet(new org.apache.hadoop.fs.Path(base, onDisk.head).toString)
+          .where(lit(false))
+      else {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("phash",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("delivery_id",
+            org.apache.spark.sql.types.StringType)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
     }
-    val base = new org.apache.hadoop.fs.Path(dir)
     spark.read.option("basePath", dir)
       .parquet(names.map(n =>
         new org.apache.hadoop.fs.Path(base, n).toString): _*)
@@ -474,11 +480,18 @@ object FingerprintStore {
     // caller replays, and the replay rewrites data before re-merging.
     // (An empty delivery still writes a schema-bearing parquet file,
     // so file-presence is the right test, not row count.)
-    val dataFiles = fs.listStatus(partitionPath(dir, deliveryId))
-      .filter { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
+    val dataFiles = try
+      fs.listStatus(partitionPath(dir, deliveryId))
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+    catch {
+      // the racing compact can also delete the whole directory between
+      // the ack and this listing — same race, same curated diagnosis
+      case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus]
+    }
     if (dataFiles.isEmpty)
       throw new IllegalStateException(
         s"delivery $deliveryId's data files vanished between write and " +

@@ -60,49 +60,43 @@ object AtomicPublish {
       write: java.io.DataOutputStream => Unit): Unit = {
     val fs = target.getFileSystem(conf)
     val tmp = tmpFor(target)
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try {
-      magic.foreach(out.writeUTF)
-      write(out)
-    } finally out.close()
-    FileContext.getFileContext(fs.makeQualified(target).toUri, conf)
-      .rename(tmp, target, Options.Rename.OVERWRITE)
+      val out = new java.io.DataOutputStream(fs.create(tmp, true))
+      try {
+        magic.foreach(out.writeUTF)
+        write(out)
+      } finally out.close()
+      FileContext.getFileContext(fs.makeQualified(target).toUri, conf)
+        .rename(tmp, target, Options.Rename.OVERWRITE)
+    } catch {
+      // unique temp names mean no later publish overwrites an orphan —
+      // a failed publish must clean its own staging or a retried-on-a-
+      // schedule writer accumulates temps without bound
+      case t: Throwable =>
+        scala.util.Try(fs.delete(tmp, false))
+        throw t
+    }
   }
 
-  /** Read a file published by [[file]], verifying its magic header when
-    * one was written: a file that is not `magic`'s format rejects with
-    * the header it DID carry instead of mis-parsing into silent garbage.
-    *
-    * RETRIES bounded times on two transient-by-construction races with
-    * a concurrent re-publish, then lets the real error through:
-    *  - ChecksumException: [[file]]'s rename is atomic per FILE, but on
-    *    checksummed filesystems (LocalFileSystem et al.) the data file
-    *    and its `.crc` sidecar swap in two renames — a reader landing
-    *    between them sees new bytes against the old checksum. Real
-    *    corruption still surfaces, on the last attempt.
-    *  - FileNotFoundException: HDFS implements rename-with-OVERWRITE
-    *    atomically, but Hadoop's LOCAL filesystem (and other
-    *    AbstractFileSystem defaults) implement it delete-then-rename,
-    *    so the target is briefly ABSENT mid-publish. A genuinely
-    *    missing file (caller error) still throws, after the retries. */
-  def readFile[A](conf: Configuration, target: Path,
-      magic: Option[String] = None)(
-      read: java.io.DataInputStream => A): A = {
-    val fs = target.getFileSystem(conf)
-    val maxAttempts = 8
+  /** Retry `op` bounded times over the two transient windows a
+    * concurrent [[file]] publish opens for readers on filesystems
+    * without a truly atomic rename-with-overwrite (HDFS has one;
+    * Hadoop's LOCAL filesystem implements it delete-then-rename, and
+    * checksummed filesystems swap the data file and its `.crc` sidecar
+    * in two renames): ChecksumException (new bytes against the old
+    * sidecar) and FileNotFoundException (the delete-then-rename blink).
+    * Both converge as soon as the writer's rename lands; the real error
+    * — corruption, a genuinely missing file — still surfaces, on the
+    * last attempt. The ONE shared retry core (r13): [[readFile]] and
+    * the fingerprint-store manifest read both ride it, so tuning it for
+    * an object store cannot silently miss a hand-rolled copy. */
+  private[graft] def withReadRetries[A](maxAttempts: Int = 8)(
+      op: () => A): A = {
     var attempt = 0
     while (true) {
       attempt += 1
-      try {
-        val in = new java.io.DataInputStream(fs.open(target))
-        try {
-          magic.foreach { m =>
-            val got = in.readUTF()
-            require(got == m, s"$target is not a $m file (header '$got')")
-          }
-          return read(in)
-        } finally in.close()
-      } catch {
+      try return op()
+      catch {
         case e @ (_: org.apache.hadoop.fs.ChecksumException |
                   _: java.io.FileNotFoundException)
             if attempt < maxAttempts =>
@@ -111,6 +105,31 @@ object AtomicPublish {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Read a file published by [[file]], verifying its magic header when
+    * one was written: a file that is not `magic`'s format rejects with
+    * the header it DID carry instead of mis-parsing into silent garbage.
+    *
+    * Reads through [[withReadRetries]]: transient mid-publish races
+    * with a concurrent re-save (checksum-sidecar skew, the
+    * delete-then-rename absence blink) retry bounded times; the real
+    * error — corruption, a genuinely missing file — still surfaces, on
+    * the last attempt. */
+  def readFile[A](conf: Configuration, target: Path,
+      magic: Option[String] = None)(
+      read: java.io.DataInputStream => A): A = {
+    val fs = target.getFileSystem(conf)
+    withReadRetries() { () =>
+      val in = new java.io.DataInputStream(fs.open(target))
+      try {
+        magic.foreach { m =>
+          val got = in.readUTF()
+          require(got == m, s"$target is not a $m file (header '$got')")
+        }
+        read(in)
+      } finally in.close()
+    }
   }
 
   /** Publish a staged directory to a target that must NOT yet exist —

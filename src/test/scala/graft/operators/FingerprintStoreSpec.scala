@@ -722,23 +722,31 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
       val fb = Future(FingerprintStore.writeDelivery(dir, idB,
         hashes.filter($"id" === vecB)))
       Await.result(fa.zip(fb), 120.seconds): Unit
-      // both lines visible the moment both writers returned
-      val manifest = scala.io.Source.fromFile(
-        new java.io.File(dir, "_manifest")).getLines().toSet
-      assert(manifest.contains(s"delivery_id=$idA") &&
-        manifest.contains(s"delivery_id=$idB"),
-        s"round $r lost a racing merge: $manifest")
-      assert(new java.io.File(dir, s"delivery_id=$idA/_graft_ack").exists()
-        && new java.io.File(dir, s"delivery_id=$idB/_graft_ack").exists(),
-        s"round $r: a racing writer returned without its ack")
+      // HARD guarantees the moment both writers returned: both acked,
+      // both partitions on disk with data. Line VISIBILITY is the
+      // documented soft half — an overwrite landing after a successful
+      // verify may lose a name transiently (mergeIntoManifest scaladoc)
+      // — so a missing line is legal here; what it must NOT be is
+      // data loss, which the post-compact assertion below pins.
+      Seq(idA, idB).foreach { id =>
+        assert(new java.io.File(dir, s"delivery_id=$id/_graft_ack")
+          .exists(), s"round $r: writer $id returned without its ack")
+        assert(new java.io.File(dir, s"delivery_id=$id").listFiles()
+          .exists(f => !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")),
+          s"round $r: writer $id returned without data files")
+      }
     }
     val expect = Set(0L, 1L) ++
       (0 until rounds).flatMap(r => Seq(10L + 2 * r, 11L + 2 * r))
-    assert(FingerprintStore.read(spark, dir, pinToManifest = true)
-      .collect().map(_.getAs[Long]("id")).toSet == expect)
-    // and a compact over the raced store folds cleanly: contents
-    // unchanged, nothing reclaimed that was live
+    // compact first: re-adoption heals any transiently-lost line, and
+    // the contract promises the race costs visibility, never data
     FingerprintStore.compact(spark, dir, keepRecent = 1)
+    assert(FingerprintStore.read(spark, dir, pinToManifest = true)
+      .collect().map(_.getAs[Long]("id")).toSet == expect,
+      "a racing merge cost DATA, not just visibility")
+    // and a second compact folds the raced store cleanly
+    FingerprintStore.compact(spark, dir, keepRecent = 0)
     assert(FingerprintStore.read(spark, dir, pinToManifest = true)
       .collect().map(_.getAs[Long]("id")).toSet == expect)
   }
