@@ -39,10 +39,13 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * bloom → exact contamination funnel ext130 (megabyte membership
   * broadcast, flagged superset graduated to exact attribution) and
   * the retroactive watchlist sweep ext131 (watermarked delta sweep of
-  * the landed corpus — ext125's other enforcement direction) and the
+  * the landed corpus — ext125's other enforcement direction), the
   * bloom ingest → graduation funnel ext132 (the streaming deployed
   * shape of ext130: gate at the door, graduate suspects, re-admit
-  * cleared false positives) — 194 catalog entries total);
+  * cleared false positives) and the fingerprint-store compaction
+  * lifecycle ext133 (versioned base folds behind the manifest-v2/ack
+  * protocol: protected in-flight delivery, replay after compaction,
+  * generation retention and reclaim) — 195 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

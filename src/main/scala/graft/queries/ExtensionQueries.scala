@@ -5006,6 +5006,74 @@ object ExtensionQueries {
               docs.filter(!benchPred && col("doc_id") < 100)))
           .orderBy("dial", "disposition")
       },
+      None, bench = false), // stateful lifecycle entry, like ext121/ext131
+
+    // ------------------------------------------------------------ EXT133
+    // FINGERPRINT-STORE COMPACTION LIFECYCLE (r13) — ext121 proves the
+    // ingest/merge half; this entry proves the MAINTENANCE half in its
+    // deployed shape, driver-visible: one-partition-per-delivery-forever
+    // is a small-file trajectory at ingest cadence, so the store folds
+    // old deliveries into versioned `compacted-N` bases behind an
+    // atomically-rewritten manifest (live + explicit `retired:` lines),
+    // retains the folded inputs for one full generation (pinned readers
+    // keep resolving real files), and reclaims only by explicit
+    // evidence at the NEXT compact. The entry runs the full arc —
+    // init → two deliveries → compact with the in-flight delivery
+    // protected BY NAME (not mtime: coarse-timestamp filesystems
+    // tie-rank) → replay of the kept delivery against the compacted
+    // store (idempotent: its partition survived, the probe still
+    // excludes it) → a fresh delivery probing base ∪ kept → a second
+    // compact that reclaims the retired generation and folds again —
+    // and emits (step, phase, n_live_partitions, n_rows) after each
+    // phase: the partition count collapsing 3→2 at each compact while
+    // n_rows NEVER moves except at deliveries is the whole maintenance
+    // contract in one table. Store reads here are manifest-PINNED (the
+    // concurrent-reader snapshot; mid-compaction readers resolve one
+    // layout, never the duplicated union). Rows-only (stateful
+    // lifecycle); FingerprintStoreSpec pins compaction content
+    // preservation, retention, re-adoption, the ack protocol, racing
+    // writers, and the lifecycle state-machine fuzz; the entry's exact
+    // partition-count arc (1,2,3,2,2,3,2) is spec-pinned on sf0.001.
+    QueryDef(
+      "ext133_fingerprint_compaction",
+      (s, dir) => {
+        import graft.operators.FingerprintStore
+        val hashes = sharedImageHashes(s, dir).localCheckpoint(false)
+        val n = hashes.count()
+        val (c1, c2, c3) = (n * 2 / 5, n * 3 / 5, n * 4 / 5)
+        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-fpstore-ext133-" +
+          ProcessHandle.current().pid()
+        def snap(step: Long, phase: String): (Long, String, Long, Long) = {
+          val tagged = FingerprintStore
+            .readTagged(s, storeDir, pinToManifest = true)
+          (step, phase,
+            tagged.select("delivery_id").distinct().count(),
+            tagged.count())
+        }
+        def deliver(tag: String, lo: Long, hi: Long): Unit =
+          FingerprintStore.ingest(s, storeDir, tag,
+            hashes.filter(col("id") >= lo && col("id") < hi))
+            .collect(): Unit
+        FingerprintStore.init(hashes.filter(col("id") < c1), storeDir)
+        val arc = scala.collection.mutable.ArrayBuffer(snap(1, "init"))
+        deliver("d1", c1, c2); arc += snap(2, "deliver_d1")
+        deliver("d2", c2, c3); arc += snap(3, "deliver_d2")
+        // folds __init__ + d1 into compacted-1; d2's replay window is
+        // open, so it is protected by NAME
+        FingerprintStore.compact(s, storeDir, keepRecent = 0,
+          protect = Set("d2"))
+        arc += snap(4, "compact_protect_d2")
+        deliver("d2", c2, c3); arc += snap(5, "replay_d2")
+        deliver("d3", c3, n + 1); arc += snap(6, "deliver_d3")
+        // reclaims the retired generation, folds d2 + compacted-1
+        FingerprintStore.compact(s, storeDir, keepRecent = 0,
+          protect = Set("d3"))
+        arc += snap(7, "compact2_protect_d3")
+        import s.implicits._
+        arc.toSeq
+          .toDF("step", "phase", "n_live_partitions", "n_rows")
+          .orderBy("step")
+      },
       None, bench = false) // stateful lifecycle entry, like ext121/ext131
   )
 

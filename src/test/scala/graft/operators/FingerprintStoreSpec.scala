@@ -310,6 +310,25 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ext133 entry: the compaction-lifecycle arc is structural — partitions 1,2,3,2,2,3,2 and rows move only at deliveries") {
+    val out = graft.SparkEntry.queries("ext133_fingerprint_compaction")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getAs[String]("phase")).toSeq == Seq("init",
+      "deliver_d1", "deliver_d2", "compact_protect_d2", "replay_d2",
+      "deliver_d3", "compact2_protect_d3"))
+    assert(out.map(_.getAs[Long]("n_live_partitions")).toSeq ==
+      Seq(1L, 2L, 3L, 2L, 2L, 3L, 2L),
+      "the partition arc IS the maintenance contract")
+    val rows = out.map(_.getAs[Long]("n_rows")).toSeq
+    // compaction and replay preserve contents exactly; deliveries are
+    // the only steps that may move the count
+    assert(rows(3) == rows(2), "compact moved the row count")
+    assert(rows(4) == rows(3), "replay moved the row count")
+    assert(rows(6) == rows(5), "second compact moved the row count")
+    assert(rows(1) >= rows(0) && rows(2) >= rows(1) && rows(5) >= rows(4))
+    assert(rows(0) > 0)
+  }
+
   test("delivery ids outside the safe path charset are rejected up front") {
     // a '/', '=', '%' or space in the id writes a path whose DISCOVERED
     // partition value differs from the filter value, silently defeating
