@@ -5041,8 +5041,13 @@ object ExtensionQueries {
         val hashes = sharedImageHashes(s, dir).localCheckpoint(false)
         val n = hashes.count()
         val (c1, c2, c3) = (n * 2 / 5, n * 3 / 5, n * 4 / 5)
+        // per-INVOCATION dir, not per-process: the entry function runs
+        // its lifecycle eagerly, and two concurrent invocations in one
+        // JVM (the catalog smoke spec races the arc spec under sbt's
+        // parallel suites) must not share a store
         val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-fpstore-ext133-" +
-          ProcessHandle.current().pid()
+          ProcessHandle.current().pid() + "-" +
+          java.util.UUID.randomUUID().toString.take(8)
         def snap(step: Long, phase: String): (Long, String, Long, Long) = {
           val tagged = FingerprintStore
             .readTagged(s, storeDir, pinToManifest = true)
