@@ -345,22 +345,28 @@ object FingerprintStore {
       // canonical (long, long, string) only for a store with no files
       // at all.
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val onDisk = listPartitionNames(fs, base)
-      return if (onDisk.nonEmpty)
-        spark.read.option("basePath", dir)
-          .parquet(new org.apache.hadoop.fs.Path(base, onDisk.head).toString)
-          .where(lit(false))
-      else {
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("phash",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("delivery_id",
-            org.apache.spark.sql.types.StringType)))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
+      // first on-disk partition whose schema actually reads — a torn
+      // write or a marker-only directory (the degenerate states this
+      // branch exists to survive) must not crash the probe
+      return listPartitionNames(fs, base).view
+        .flatMap { n =>
+          scala.util.Try(
+            spark.read.option("basePath", dir)
+              .parquet(new org.apache.hadoop.fs.Path(base, n).toString)
+              .where(lit(false))).toOption
+        }
+        .headOption
+        .getOrElse {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("phash",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("delivery_id",
+              org.apache.spark.sql.types.StringType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
     }
     spark.read.option("basePath", dir)
       .parquet(names.map(n =>
@@ -414,6 +420,19 @@ object FingerprintStore {
       pinToManifest: Boolean = false): DataFrame =
     resolvedFrame(spark, dir, pinToManifest)
       .select(col("id"), col("phash"), col("delivery_id").cast("string"))
+
+  /** The LIVE partition names from the manifest snapshot (delivery ids,
+    * `delivery_id=` prefix stripped) — the layout-observability read:
+    * unlike a distinct over [[readTagged]], it also counts live EMPTY
+    * partitions (a zero-survivor delivery is manifest-listed but
+    * contributes no rows). Errors for a legacy store with no manifest,
+    * like `pinToManifest = true` reads. */
+  def livePartitions(spark: SparkSession, dir: String): Seq[String] =
+    manifestNames(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no $ManifestFile — the store predates manifest " +
+          "maintenance; any mutation creates one"))
+      .map(_.stripPrefix("delivery_id="))
 
   /** One delivery through the store: verdicts for every delivered id
     * ([[ImageDedup.incrementalVerdicts]] semantics — dedupe the delivery

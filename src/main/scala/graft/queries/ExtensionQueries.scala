@@ -5048,13 +5048,14 @@ object ExtensionQueries {
         val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-fpstore-ext133-" +
           ProcessHandle.current().pid() + "-" +
           java.util.UUID.randomUUID().toString.take(8)
-        def snap(step: Long, phase: String): (Long, String, Long, Long) = {
-          val tagged = FingerprintStore
-            .readTagged(s, storeDir, pinToManifest = true)
+        def snap(step: Long, phase: String): (Long, String, Long, Long) =
+          // partitions from the MANIFEST, not a distinct over the rows:
+          // a zero-survivor delivery is live-listed but contributes no
+          // rows, and the column claims to report the store layout
           (step, phase,
-            tagged.select("delivery_id").distinct().count(),
-            tagged.count())
-        }
+            FingerprintStore.livePartitions(s, storeDir).size.toLong,
+            FingerprintStore.read(s, storeDir, pinToManifest = true)
+              .count())
         def deliver(tag: String, lo: Long, hi: Long): Unit =
           FingerprintStore.ingest(s, storeDir, tag,
             hashes.filter(col("id") >= lo && col("id") < hi))
@@ -5074,6 +5075,11 @@ object ExtensionQueries {
         FingerprintStore.compact(s, storeDir, keepRecent = 0,
           protect = Set("d3"))
         arc += snap(7, "compact2_protect_d3")
+        // the arc rows are plain collected values by here — the
+        // per-invocation store has served its purpose; without this,
+        // every invocation (Verify, the smoke spec, the arc spec)
+        // leaks a full parquet store under tmpdir
+        graft.util.LocalFs.deleteRecursively(storeDir)
         import s.implicits._
         arc.toSeq
           .toDF("step", "phase", "n_live_partitions", "n_rows")
