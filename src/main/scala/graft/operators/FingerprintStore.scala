@@ -197,14 +197,18 @@ object FingerprintStore {
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path, names: Seq[String],
       conf: org.apache.hadoop.conf.Configuration,
-      retired: Seq[String] = Seq.empty): Unit =
-    graft.util.AtomicPublish.file(conf,
-      new org.apache.hadoop.fs.Path(base, ManifestFile)) { out =>
+      retired: Seq[String] = Seq.empty): Unit = {
+    val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
+    graft.util.AtomicPublish.file(conf, mf) { out =>
       out.write(((ManifestHeader +: names.sorted) ++
         retired.sorted.map(RetiredPrefix + _))
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // this JVM just upgraded/created the manifest — a stale
+    // confirmed-legacy verdict must not short-circuit the next probe
+    confirmedLegacy.remove(fs.makeQualified(mf).toString): Unit
+  }
 
   /** Refresh the manifest from the directory's CURRENT layout — correct
     * ONLY when the directory holds exactly the live partitions: after
@@ -290,12 +294,31 @@ object FingerprintStore {
     * duplicated union, once a generation is retained) and writers
     * ADOPT the directory as live — so mistaking a mid-rename blink
     * for legacy is the one misread with destructive downstream
-    * semantics. A genuinely legacy store answers absent every time
-    * and pays only the re-check sleeps. */
+    * semantics. A genuinely legacy store pays the re-check sleeps
+    * ONCE: its confirmed-absent verdict is cached per qualified path
+    * (r13 ADVICE — resolvedFrame probes the manifest on every read, so
+    * uncached the sleeps tax every read of a legacy store), and each
+    * subsequent probe is a single exists() check — present invalidates
+    * the entry and falls through to a full read, so an upgrade by this
+    * JVM ([[writeManifest]] also invalidates) or any other is picked
+    * up immediately. The residual window is an upgrade landing after a
+    * confirmed-legacy verdict whose NEXT probe then races a manifest
+    * rewrite's delete-then-rename blink — one un-slept exists() where
+    * the uncached path had three 25ms-spaced probes; reachable only on
+    * a store that was genuinely manifest-less this JVM's lifetime,
+    * upgraded cross-JVM, and immediately rewritten. */
+  private val confirmedLegacy =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def manifestLines(spark: SparkSession,
       dir: String): Option[Seq[String]] = {
     val (fs, base) = fsOf(dir, spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
+    val legacyKey = fs.makeQualified(mf).toString
+    if (confirmedLegacy.contains(legacyKey)) {
+      if (!fs.exists(mf)) return None // still legacy — no sleeps
+      confirmedLegacy.remove(legacyKey): Unit // upgraded since confirmed
+    }
     val absentConfirms = 3
     var absentSeen = 0
     while (absentSeen < absentConfirms) {
@@ -315,6 +338,7 @@ object FingerprintStore {
           if (absentSeen < absentConfirms) Thread.sleep(25L)
       }
     }
+    confirmedLegacy.add(legacyKey): Unit
     None
   }
 

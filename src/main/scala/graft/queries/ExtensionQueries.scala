@@ -42,6 +42,25 @@ object ExtensionQueries {
             FROM grams JOIN prof USING (g)
             GROUP BY doc_id, cand) WHERE rk = 1)"""
 
+  /** Per-invocation scratch dir for the eager lifecycle entries (r13
+    * verdict #4 — ONE helper instead of three hand-rolled copies, two of
+    * which had kept the pid-only naming whose concurrent-invocation race
+    * ext133 already paid for): tmpdir + pid + a fresh UUID, so two
+    * invocations in one JVM (parallel suites racing the catalog smoke)
+    * never share a dir and two JVMs (sbt test vs the Verify driver)
+    * never collide — and the dir is deleted when the body returns, so
+    * repeated invocations don't leak parquet stores under tmpdir. The
+    * body must therefore EAGERLY materialize anything it returns
+    * (collect / localCheckpoint(true)): a lazy plan over scratch files
+    * would read after the delete. */
+  private def withScratch[T](slug: String)(body: String => T): T = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-$slug-" +
+      ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try body(base)
+    finally graft.util.LocalFs.deleteRecursively(base)
+  }
+
   /** The catalog's canonical corpus-wide near-dup pair table (word-3-gram
     * Jaccard ≥ 0.8 over `documents`), materialized once per session via
     * [[graft.operators.MaterializedPairs]] and shared by ext82 (the pairs
@@ -2191,7 +2210,7 @@ object ExtensionQueries {
           s, idxDir, emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
           k = 5, nProbe = 2, refineFactor = 4)
       },
-      None, bench = false),
+      None, bench = false, eagerLifecycle = true),
 
     // ------------------------------------------------------------- EXT74
     // Dataset card (datasheet) summary: the one-row corpus report a data
@@ -2884,7 +2903,7 @@ object ExtensionQueries {
           graft.operators.Similarity.bruteForceTopK(
             queries, survivors, "vec_id", "embedding", k = 5))
       },
-      None, bench = false),
+      None, bench = false, eagerLifecycle = true),
 
     // ------------------------------------------------------------- EXT89
     // Per-source unigram KL divergence to the corpus mixture — the
@@ -4303,7 +4322,7 @@ object ExtensionQueries {
           .unionByName(v2.withColumn("delivery", lit(2L)))
           .orderBy("delivery", "id")
       },
-      None, bench = false),
+      None, bench = false, eagerLifecycle = true),
 
     QueryDef(
       "ext122_video_prefilter_recall",
@@ -4859,13 +4878,10 @@ object ExtensionQueries {
     // like ext125 (no audio stack in DuckDB).
     QueryDef(
       "ext131_watchlist_sweep",
-      (s, dir) => {
+      (s, dir) => withScratch("watchsweep-ext131") { base =>
         import graft.streaming.WatchlistMonitor
         val winSec = graft.sources.AudioCorpus.TrackWindowSec
         val ids = Tables.documents(s, dir).select("doc_id")
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft-watchsweep-ext131-" +
-          ProcessHandle.current().pid()
-        graft.util.LocalFs.deleteRecursively(base) // fresh per run — the entry re-runs whole
         val landed = s"$base/landed"
         graft.sources.AudioCorpus.trackFor(
           ids.filter(col("doc_id") % 4 === 3 && col("doc_id") < 83), "doc_id")
@@ -4888,12 +4904,15 @@ object ExtensionQueries {
         sweep(day1)
         sweep(day2) // delta-only: broadcasts clips 40..76 alone
         sweep(day2) // idempotent re-run: appends nothing
+        // eager checkpoint BEFORE withScratch deletes the flags table —
+        // the returned frame must not lazily read the scratch files
         s.read.parquet(out)
           .select(col("doc_id"), col("clip_id"),
             col("offset_units"), col("coverage"))
+          .localCheckpoint(true)
           .orderBy("doc_id")
       },
-      None, bench = false), // stateful lifecycle entry, like ext121
+      None, bench = false, eagerLifecycle = true), // stateful lifecycle entry, like ext121
 
     // ------------------------------------------------------------ EXT132
     // BLOOM INGEST → GRADUATION FUNNEL, end-to-end (r12 verdict "what's
@@ -4926,15 +4945,12 @@ object ExtensionQueries {
     // graduation attribution, re-admission, and re-run idempotency.
     QueryDef(
       "ext132_bloom_ingest_funnel",
-      (s, dir) => {
+      (s, dir) => withScratch("bloomfunnel-ext132") { base =>
         import graft.operators.ContaminationGuard
         import graft.streaming.CorpusIngest
         val docs = Tables.documents(s, dir)
         val benchPred = col("doc_id") % 10 === 0
         val bench = docs.filter(benchPred).localCheckpoint(true)
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft-bloomfunnel-ext132-" +
-          ProcessHandle.current().pid()
-        graft.util.LocalFs.deleteRecursively(base) // fresh per run — the entry re-runs whole
         def funnel(dial: String, fpp: Double, minRun: Int,
             corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
           val staged = s"$base/$dial/staged"
@@ -5006,7 +5022,7 @@ object ExtensionQueries {
               docs.filter(!benchPred && col("doc_id") < 100)))
           .orderBy("dial", "disposition")
       },
-      None, bench = false), // stateful lifecycle entry, like ext121/ext131
+      None, bench = false, eagerLifecycle = true), // stateful lifecycle entry, like ext121/ext131
 
     // ------------------------------------------------------------ EXT133
     // FINGERPRINT-STORE COMPACTION LIFECYCLE (r13) — ext121 proves the
@@ -5036,18 +5052,11 @@ object ExtensionQueries {
     // partition-count arc (1,2,3,2,2,3,2) is spec-pinned on sf0.001.
     QueryDef(
       "ext133_fingerprint_compaction",
-      (s, dir) => {
+      (s, dir) => withScratch("fpstore-ext133") { storeDir =>
         import graft.operators.FingerprintStore
         val hashes = sharedImageHashes(s, dir).localCheckpoint(false)
         val n = hashes.count()
         val (c1, c2, c3) = (n * 2 / 5, n * 3 / 5, n * 4 / 5)
-        // per-INVOCATION dir, not per-process: the entry function runs
-        // its lifecycle eagerly, and two concurrent invocations in one
-        // JVM (the catalog smoke spec races the arc spec under sbt's
-        // parallel suites) must not share a store
-        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-fpstore-ext133-" +
-          ProcessHandle.current().pid() + "-" +
-          java.util.UUID.randomUUID().toString.take(8)
         def snap(step: Long, phase: String): (Long, String, Long, Long) =
           // partitions from the MANIFEST, not a distinct over the rows:
           // a zero-survivor delivery is live-listed but contributes no
@@ -5057,9 +5066,12 @@ object ExtensionQueries {
             FingerprintStore.read(s, storeDir, pinToManifest = true)
               .count())
         def deliver(tag: String, lo: Long, hi: Long): Unit =
+          // count(), not collect(): the verdict frame is already eagerly
+          // materialized by ingest's own checkpoint — this just consumes
+          // it without pulling a delivery-sized row set to the driver
           FingerprintStore.ingest(s, storeDir, tag,
             hashes.filter(col("id") >= lo && col("id") < hi))
-            .collect(): Unit
+            .count(): Unit
         FingerprintStore.init(hashes.filter(col("id") < c1), storeDir)
         val arc = scala.collection.mutable.ArrayBuffer(snap(1, "init"))
         deliver("d1", c1, c2); arc += snap(2, "deliver_d1")
@@ -5075,17 +5087,14 @@ object ExtensionQueries {
         FingerprintStore.compact(s, storeDir, keepRecent = 0,
           protect = Set("d3"))
         arc += snap(7, "compact2_protect_d3")
-        // the arc rows are plain collected values by here — the
-        // per-invocation store has served its purpose; without this,
-        // every invocation (Verify, the smoke spec, the arc spec)
-        // leaks a full parquet store under tmpdir
-        graft.util.LocalFs.deleteRecursively(storeDir)
+        // the arc rows are plain collected values by here, so
+        // withScratch's cleanup is safe to run on return
         import s.implicits._
         arc.toSeq
           .toDF("step", "phase", "n_live_partitions", "n_rows")
           .orderBy("step")
       },
-      None, bench = false) // stateful lifecycle entry, like ext121/ext131
+      None, bench = false, eagerLifecycle = true) // stateful lifecycle entry, like ext121/ext131
   )
 
   /** Shared ext126/ext127 oracle — the guard's broadcast probe restated

@@ -23,8 +23,15 @@ final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    /** Included in the Bench headline set. */
-    bench: Boolean = true)
+    /** Included in the Bench headline set. Entries with `bench = false`
+      * still get wall-clock history via Bench's lifecycle lane. */
+    bench: Boolean = true,
+    /** `build` EXECUTES work (streams, store/index mutations over a
+      * scratch dir) rather than returning a lazy plan — so "build the
+      * plan" costs the whole lifecycle. The catalog plan-build loop
+      * skips these (they are smoked separately), and Bench's lifecycle
+      * lane times them once instead of min-of-3. */
+    eagerLifecycle: Boolean = false)
 
 /** Relational query inventory Q1–Q22 (SURVEY.md §2.7, re-based onto the
   * driver's tables: `events` plays the role of the reference's

@@ -377,17 +377,24 @@ object CorpusIngest {
       case scala.util.Success(d) => d
       case scala.util.Failure(_) => return // nothing graduated yet
     }
-    // Try on the rejects too (r12 ADVICE): a retention pass may have
-    // removed the rejects table ENTIRELY — then every marker mirrors a
-    // suspect that no longer exists, and the right outcome is an empty
-    // marker table, not a throw that leaves the dead weight in place
-    val kept = scala.util.Try(spark.read.parquet(s"${table}_rejects")
-        .filter(col("reject_reason") === "contaminated_maybe")
-        .select("doc_id", "digest")) match {
-      case scala.util.Success(live) =>
-        done.join(live, Seq("doc_id", "digest"), "left_semi").distinct()
-      case scala.util.Failure(_) => done.limit(0)
-    }
+    // "rejects table removed by retention" is decided STRUCTURALLY
+    // (r13 ADVICE — the sweep watermark's discipline): a retention pass
+    // may have removed the table ENTIRELY, and then every marker mirrors
+    // a suspect that no longer exists, so the right outcome is an empty
+    // marker table. But a Try here folded a transient IO error or a
+    // concurrent writer mid-overwrite into that same branch — wiping the
+    // markers and forcing every all-time suspect to re-pay the exact
+    // scan. Structurally gone → empty; structurally present → the read
+    // runs, and a genuine failure on a healthy table PROPAGATES.
+    val kept =
+      if (!graft.util.CommittedTable.hasData(spark, s"${table}_rejects"))
+        done.limit(0)
+      else
+        done.join(
+          spark.read.parquet(s"${table}_rejects")
+            .filter(col("reject_reason") === "contaminated_maybe")
+            .select("doc_id", "digest"),
+          Seq("doc_id", "digest"), "left_semi").distinct()
     // checkpoint BEFORE overwrite: parquet cannot overwrite a path its
     // plan is still reading
     kept.localCheckpoint(true)

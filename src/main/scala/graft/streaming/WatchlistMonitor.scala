@@ -266,32 +266,51 @@ object WatchlistMonitor {
     * re-appends its flags (dedup downstream), but a clip is never
     * recorded as swept while its flags never landed — the silent-loss
     * direction is impossible. Returns the delta's flags (empty frame in
-    * the flag schema when the delta is empty). */
+    * the flag schema when the delta is empty).
+    *
+    * The watermark is never collected to the driver (r13 verdict #3):
+    * the delta comes from a broadcast semi-join of the watched ids
+    * against the watermark scan plus a one-row max-epoch aggregate, and
+    * [[compactSweptIfFragmented]] folds the table back to one row per
+    * clip once its appended files pass a bound — so the watermark stays
+    * a compact (clip_id, latest epoch) table at takedown-archive scale
+    * instead of a monotone append trail. */
   def sweepWatchlist[W](
       spark: org.apache.spark.sql.SparkSession, landedTable: String,
       watchedIds: Seq[Long], loadClips: Seq[Long] => W,
       flag: (DataFrame, W) => DataFrame, out: String): DataFrame = {
     val sweptPath = s"${out}_swept"
-    // "nothing durably swept" is decided STRUCTURALLY — missing dir, or
-    // a dir holding no committed parquet file (a crash mid-first-write
-    // leaves only _temporary/) — never by swallowing a read failure: a
-    // transient IO error on a healthy watermark must propagate, because
-    // treating it as empty would silently re-sweep the ENTIRE watched
-    // set against the (100 TB) landed table and double-append every
-    // historical flag
-    val sweptHPath = new org.apache.hadoop.fs.Path(sweptPath)
-    val sweptFs =
-      sweptHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sweptPrev: Map[Long, Long] =
-      if (!sweptFs.exists(sweptHPath) ||
-          !sweptFs.listStatus(sweptHPath).exists(f =>
-            f.isFile && f.getPath.getName.endsWith(".parquet")))
-        Map.empty
-      else
-        spark.read.parquet(sweptPath).collect()
-          .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("sweep_epoch"))
-          .toMap
-    val delta = watchedIds.distinct.sorted.filterNot(sweptPrev.contains)
+    // "nothing durably swept" is decided STRUCTURALLY
+    // ([[graft.util.CommittedTable]] — never by swallowing a read
+    // failure): a transient IO error on a healthy watermark must
+    // propagate, because treating it as empty would silently re-sweep
+    // the ENTIRE watched set against the (100 TB) landed table and
+    // double-append every historical flag
+    val haveSwept = graft.util.CommittedTable.hasData(spark, sweptPath)
+    import spark.implicits._
+    // delta + epoch computed DISTRIBUTED (r13 verdict #3): the watermark
+    // holds one row per clip EVER swept, so collecting the whole table
+    // to the driver was the one driver-sized structure in an otherwise
+    // broadcast-probe path. The WATCHED set is driver-bounded by
+    // contract (it arrives as a Seq), so the semi-join below broadcasts
+    // it — one map-side pass over the watermark — and collects only the
+    // intersection, bounded by the same contract; the max-epoch is a
+    // one-row aggregate.
+    val (delta, epoch): (Seq[Long], Long) =
+      if (!haveSwept) (watchedIds.distinct.sorted, 1L)
+      else {
+        val watched = watchedIds.distinct
+        val swept = spark.read.parquet(sweptPath)
+        val sweptWatched = swept
+          .join(broadcast(watched.toDF("clip_id")), Seq("clip_id"),
+            "left_semi")
+          .select("clip_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val maxEpoch = swept
+          .agg(coalesce(max("sweep_epoch"), lit(0L)).as("e"))
+          .collect()(0).getAs[Long]("e")
+        (watched.filterNot(sweptWatched).sorted, maxEpoch + 1)
+      }
     if (delta.isEmpty)
       // already fully swept: the flags table is complete — an empty
       // frame in the flag schema, without paying a landed-table pass
@@ -299,12 +318,43 @@ object WatchlistMonitor {
     else {
       val flags = sweepLanded(spark, landedTable, loadClips(delta), flag,
         out = Some(out))
-      val epoch = sweptPrev.values.foldLeft(0L)(math.max) + 1
-      import spark.implicits._
       delta.toDF("clip_id")
         .withColumn("sweep_epoch", lit(epoch))
         .write.mode("append").parquet(sweptPath)
+      // bound the watermark's file/row accretion (r13 verdict #3): each
+      // sweep appends one file, and a crash re-sweep may duplicate a
+      // clip's row (at-least-once, as documented) — nothing else ever
+      // rewrites them, so without a fold the table grows monotonically
+      compactSweptIfFragmented(spark, sweptPath)
       flags
+    }
+  }
+
+  /** Committed files the `_swept` watermark may accrete before
+    * [[sweepWatchlist]] folds it back to one row per clip. */
+  private val SweptCompactFileBound = 16
+
+  /** Overwrite-compact the sweep watermark to (clip_id, latest
+    * sweep_epoch) once its committed-file count passes
+    * [[SweptCompactFileBound]]. Checkpointed BEFORE the overwrite
+    * (parquet cannot overwrite a path its plan still reads; the
+    * checkpoint is watermark-sized — (long, long) rows, one per all-time
+    * watched clip). The overwrite's delete→write window is crash-unsafe
+    * only in the SAFE direction: a watermark lost mid-rewrite re-sweeps
+    * and re-appends flags on the next call (dedup downstream, the
+    * at-least-once posture everywhere here) — it can never record a
+    * sweep that didn't land. */
+  private def compactSweptIfFragmented(
+      spark: org.apache.spark.sql.SparkSession, sweptPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(sweptPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(p).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (nFiles > SweptCompactFileBound) {
+      spark.read.parquet(sweptPath)
+        .groupBy("clip_id").agg(max("sweep_epoch").as("sweep_epoch"))
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(sweptPath)
     }
   }
 

@@ -90,17 +90,21 @@ object AtomicPublish {
     * last attempt. The ONE shared retry core (r13): [[readFile]] and
     * the fingerprint-store manifest read both ride it, so tuning it for
     * an object store cannot silently miss a hand-rolled copy. */
-  private[graft] def withReadRetries[A](maxAttempts: Int = 8)(
+  private[graft] def withReadRetries[A](maxAttempts: Int = 8,
+      retryFnf: Boolean = true)(
       op: () => A): A = {
     var attempt = 0
     while (true) {
       attempt += 1
       try return op()
       catch {
-        case e @ (_: org.apache.hadoop.fs.ChecksumException |
-                  _: java.io.FileNotFoundException)
+        case e: org.apache.hadoop.fs.ChecksumException
             if attempt < maxAttempts =>
-          val _ = e // transient mid-publish window — retry
+          val _ = e // transient mid-publish sidecar skew — retry
+          Thread.sleep(25L * attempt)
+        case e: java.io.FileNotFoundException
+            if retryFnf && attempt < maxAttempts =>
+          val _ = e // the delete-then-rename absence blink — retry
           Thread.sleep(25L * attempt)
       }
     }
@@ -115,12 +119,19 @@ object AtomicPublish {
     * with a concurrent re-save (checksum-sidecar skew, the
     * delete-then-rename absence blink) retry bounded times; the real
     * error — corruption, a genuinely missing file — still surfaces, on
-    * the last attempt. */
+    * the last attempt. FNF retries only when the file EXISTED at entry
+    * (evidence the absence is a mid-rename blink): a never-published
+    * file (e.g. loading a Bloom index from a store that never had one)
+    * fails fast instead of burning the whole ~700 ms retry budget (r13
+    * ADVICE). The price is one theoretical race — a first-ever read
+    * landing inside a first-ever publish's rename sees an FNF a retry
+    * would have absorbed — and callers that probe for maybe-unpublished
+    * files must handle FNF anyway; that is what the probe means. */
   def readFile[A](conf: Configuration, target: Path,
       magic: Option[String] = None)(
       read: java.io.DataInputStream => A): A = {
     val fs = target.getFileSystem(conf)
-    withReadRetries() { () =>
+    withReadRetries(retryFnf = fs.exists(target)) { () =>
       val in = new java.io.DataInputStream(fs.open(target))
       try {
         magic.foreach { m =>
