@@ -45,7 +45,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * cleared false positives) and the fingerprint-store compaction
   * lifecycle ext133 (versioned base folds behind the manifest-v2/ack
   * protocol: protected in-flight delivery, replay after compaction,
-  * generation retention and reclaim) — 195 catalog entries total);
+  * generation retention and reclaim) and the streaming write-back
+  * compaction arc ext134 (the perceptual ingest folding its own
+  * epoch-keyed write-back partitions on micro-batch cadence from inside
+  * foreachBatch's exclusive-writer window — retention and reclaim
+  * observed live vs disk) — 196 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -87,8 +87,9 @@ object FingerprintStore {
   /** Exactly the reserved base names (`compacted`, `compacted-<n>`) —
     * NOT the whole `compacted*` namespace, so a pre-existing store's
     * legal delivery id like `compacted2025` keeps working and keeps its
-    * replay partition. */
-  private[operators] def isCompactedBase(id: String): Boolean =
+    * replay partition. Public as the layout-observability predicate
+    * that pairs with [[livePartitions]] (ext134 counts folded bases). */
+  def isCompactedBase(id: String): Boolean =
     id == CompactedPrefix || id.matches(s"$CompactedPrefix-\\d+")
 
   private def requireSafeId(deliveryId: String): Unit =

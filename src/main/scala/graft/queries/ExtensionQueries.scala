@@ -5094,6 +5094,104 @@ object ExtensionQueries {
           .toDF("step", "phase", "n_live_partitions", "n_rows")
           .orderBy("step")
       },
+      None, bench = false, eagerLifecycle = true), // stateful lifecycle entry, like ext121/ext131
+
+    // ------------------------------------------------------------ EXT134
+    // STREAMING WRITE-BACK COMPACTION ARC (r13 verdict #2) — ext133
+    // proves the store's maintenance half under the BATCH writer; this
+    // entry proves the same arc in its deployed STREAMING shape, the one
+    // maintenance composition that had no catalog entry: the perceptual
+    // ingest's epoch-keyed write-back ([[graft.streaming.PerceptualIngest
+    // .writeDeduped]] with writeBackTo) folds its own epoch partitions on
+    // micro-batch cadence (writeBackCompactEvery = 2, keepRecent = 1),
+    // with the CURRENT epoch — the only batch that can ever replay —
+    // passed to the fold as protected BY NAME from inside foreachBatch's
+    // exclusive-writer window. Five epochs arrive as five AvailableNow
+    // waves over a file-source stream (each wave appends one staged
+    // parquet file and re-runs the query on the same checkpoint); the
+    // images are the synthetic corpus rendered for five mutually-far
+    // doc_ids, so every epoch lands exactly one fresh fingerprint.
+    // Batch numbering quirk the phases encode: the FIRST wave's data
+    // batch (b0) advances the watermark from unset, so AvailableNow runs
+    // one extra no-data commit batch (b1) before stopping — the fold
+    // cadence (fires when batchId % 2 == 1) therefore spends its first
+    // firing on that empty batch (a no-op: keepRecent covers the only
+    // partition) and the real folds land on waves 3 and 5 (batchIds
+    // b3, b5). After each wave the entry snapshots (step, phase,
+    // n_live_partitions, n_compacted_bases, n_disk_partitions, n_rows)
+    // from the MANIFEST-pinned store: live partitions walk 1→2→2→3→2
+    // (fold_1 collapses {b0,b2} into compacted-1 keeping the protected
+    // b3; fold_2 collapses {compacted-1,b3,b4} into compacted-2 keeping
+    // b5) while DISK partitions walk 1→2→4→5→5 — fold_1 RETAINS its
+    // folded inputs for pinned readers (4 on disk vs 2 live) and fold_2
+    // reclaims that retired generation by explicit evidence while
+    // retiring its own (5 on disk, not 7) — and n_rows moves ONLY at
+    // epochs (1..5): the small-file discipline holding under the
+    // streaming writer without ever touching landed data. Rows-only
+    // (stateful lifecycle); ImageIngestSpec pins fold/provenance/
+    // warm-start on the same composition and the entry's exact arc on
+    // sf0.001.
+    QueryDef(
+      "ext134_writeback_compaction",
+      (s, dir) => withScratch("wbcompact-ext134") { base =>
+        import graft.operators.FingerprintStore
+        // five mutually-far images (families doc_id/3 = 0,10,20,30,40 —
+        // Hamming ≈ 32 apart), keyed off the documents table so the
+        // entry reads its corpus ids from `dir` like every sibling
+        val imgIds = Tables.documents(s, dir).select("doc_id")
+          .filter(col("doc_id") % 30 === 0 && col("doc_id") < 150)
+          .orderBy("doc_id")
+          .collect().map(_.getLong(0)).toSeq // bounded: exactly 5 ids
+        val staged = s"$base/staged"
+        val store = s"$base/store"
+        import s.implicits._
+        def stageEpoch(i: Int): Unit =
+          graft.sources.ImageCorpus.forIds(
+            Seq(imgIds(i)).toDF("doc_id"), "doc_id")
+            .select(col("doc_id").as("img_id"),
+              lit("camA").as("source"),
+              lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+                .as("ingest_ts"),
+              col("png"))
+            .coalesce(1)
+            .write.mode("append").parquet(staged)
+        def runWave(): Unit =
+          graft.streaming.ImageIngest.writeDeduped(
+            s.readStream.schema(s.read.parquet(staged).schema)
+              .parquet(staged),
+            s"$base/t", s"$base/ckpt", maxDist = 3,
+            watermarkDelay = "10 minutes",
+            writeBackTo = Some(store),
+            writeBackCompactEvery = 2, writeBackKeepRecent = 1)
+            .awaitTermination()
+        def snap(step: Long,
+            phase: String): (Long, String, Long, Long, Long, Long) = {
+          val live = FingerprintStore.livePartitions(s, store)
+          // disk partitions INCLUDE the retained (retired) generation the
+          // manifest no longer lists — disk > live is the retention
+          // window pinned readers resolve through, and disk collapsing
+          // at the next fold is the reclaim
+          val p = new org.apache.hadoop.fs.Path(store)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val disk = fs.listStatus(p).count(st =>
+            st.isDirectory && st.getPath.getName.startsWith("delivery_id="))
+          (step, phase, live.size.toLong,
+            live.count(FingerprintStore.isCompactedBase).toLong,
+            disk.toLong,
+            FingerprintStore.read(s, store, pinToManifest = true).count())
+        }
+        val phases = Seq("seed", "append_1", "fold_1", "append_2",
+          "fold_2_reclaim")
+        val arc = phases.zipWithIndex.map { case (phase, i) =>
+          stageEpoch(i); runWave()
+          snap(i + 1L, phase)
+        }
+        // arc rows are plain collected values — withScratch's cleanup
+        // is safe to run on return
+        arc.toDF("step", "phase", "n_live_partitions", "n_compacted_bases",
+            "n_disk_partitions", "n_rows")
+          .orderBy("step")
+      },
       None, bench = false, eagerLifecycle = true) // stateful lifecycle entry, like ext121/ext131
   )
 

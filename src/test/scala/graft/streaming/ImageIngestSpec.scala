@@ -585,6 +585,30 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       assert(spark.read.parquet(s"$base/t_rejects").count() == 0,
         "an undecodable blob is not a duplicate — nothing lands in rejects")
   }
+
+  test("ext134 entry: the streaming write-back compaction arc is structural — live 1,2,2,3,2; disk retains then reclaims; rows move only at epochs") {
+    val out = graft.SparkEntry.queries("ext134_writeback_compaction")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getAs[String]("phase")).toSeq ==
+      Seq("seed", "append_1", "fold_1", "append_2", "fold_2_reclaim"))
+    assert(out.map(_.getAs[Long]("n_live_partitions")).toSeq ==
+      Seq(1L, 2L, 2L, 3L, 2L),
+      "fold_1 collapses {b0,b2} into compacted-1 keeping the protected " +
+        "current epoch; fold_2 collapses {compacted-1,b3,b4} into " +
+        "{compacted-2, b5}")
+    assert(out.map(_.getAs[Long]("n_compacted_bases")).toSeq ==
+      Seq(0L, 0L, 1L, 1L, 1L),
+      "exactly one folded base is live from the first real fold on")
+    assert(out.map(_.getAs[Long]("n_disk_partitions")).toSeq ==
+      Seq(1L, 2L, 4L, 5L, 5L),
+      "fold_1 RETAINS its folded inputs on disk (4 vs 2 live); fold_2 " +
+        "reclaims that retired generation while retiring its own " +
+        "(5 on disk, not 7)")
+    assert(out.map(_.getAs[Long]("n_rows")).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L),
+      "every epoch lands exactly one fresh fingerprint; folding never " +
+        "moves row counts")
+  }
 }
 
 object ImageIngestSpec {
