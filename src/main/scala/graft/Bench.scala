@@ -81,11 +81,12 @@ object Bench {
     }
   }
 
-  /** The PREVIOUS round's committed (queries, shuffle_write_mb) maps from
-    * BENCH_DETAIL.json — read BEFORE this run overwrites it, absent on a
-    * first run or an unparseable artifact. */
+  /** The PREVIOUS round's committed (queries, shuffle_write_mb,
+    * lifecycle) maps from BENCH_DETAIL.json — read BEFORE this run
+    * overwrites it, absent on a first run or an unparseable artifact
+    * (`lifecycle` empty on artifacts that predate the lane). */
   private[graft] def readPrevDetail(path: String)
-      : Option[(Map[String, Double], Map[String, Double])] =
+      : Option[(Map[String, Double], Map[String, Double], Map[String, Double])] =
     try {
       val f = new java.io.File(path)
       if (!f.isFile) None
@@ -96,7 +97,8 @@ object Bench {
           if (node == null) Map.empty[String, Double]
           else node.fields().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        Some((toMap(root.get("queries")), toMap(root.get("shuffle_write_mb"))))
+        Some((toMap(root.get("queries")), toMap(root.get("shuffle_write_mb")),
+          toMap(root.get("lifecycle"))))
       }
     } catch { case _: Exception => None }
 
@@ -108,11 +110,10 @@ object Bench {
     * moves both). Floors (0.3 s, 1 MB now) keep sub-noise entries out.
     * Returns (name, secPrev, secNow, mbPrev, mbNow). */
   private[graft] def regressionsOf(
-      prev: (Map[String, Double], Map[String, Double]),
+      prevQ: Map[String, Double], prevW: Map[String, Double],
       now: Seq[(String, Double)],
       nowShuffle: scala.collection.Map[String, Double])
-      : Seq[(String, Double, Double, Double, Double)] = {
-    val (prevQ, prevW) = prev
+      : Seq[(String, Double, Double, Double, Double)] =
     now.flatMap { case (name, sec) =>
       for {
         p <- prevQ.get(name)
@@ -121,7 +122,32 @@ object Bench {
         if sec > 2 * p && sec > 0.3 && mb > 1.5 * pw && mb > 1.0
       } yield (name, p, sec, pw, mb)
     }
-  }
+
+  /** The LIFECYCLE lane's regression gate (r13 verdict #1): same
+    * noise-robust conjunction as [[regressionsOf]] where shuffle applies
+    * (either round moved >1 MB through an exchange), wall-only otherwise
+    * — several arcs are metadata-sized by construction (ext133's steps
+    * shuffle nothing), so a shuffle conjunct would make them ungateable.
+    * The wall-only branch carries a 1.0 s floor (vs the conjunction's
+    * 0.3 s): single-pass seconds on this box swing 2-4× under neighbor
+    * load and the canary in the same artifact is the adjudicator, so
+    * sub-second arcs stay out of the flag list entirely. */
+  private[graft] def lifecycleRegressionsOf(
+      prevL: Map[String, Double], prevW: Map[String, Double],
+      now: Seq[(String, Double)],
+      nowShuffle: scala.collection.Map[String, Double])
+      : Seq[(String, Double, Double, Double, Double)] =
+    now.flatMap { case (name, sec) =>
+      prevL.get(name).flatMap { p =>
+        val pw = prevW.getOrElse(name, 0.0)
+        val mb = nowShuffle.getOrElse(name, 0.0)
+        val regressed =
+          if (pw > 1.0 || mb > 1.0)
+            sec > 2 * p && sec > 0.3 && mb > 1.5 * pw && mb > 1.0
+          else sec > 2 * p && sec > 1.0
+        if (regressed) Some((name, p, sec, pw, mb)) else None
+      }
+    }
 
   /** Known-idle canary reference (r12 verdict #6): the min of r12's
     * quiet-window canary reads on this host class (0.371 s; the r12
@@ -182,7 +208,7 @@ object Bench {
     val (fps, fpsMedian) = streamingFps(spark)
     val (fpsE2e, fpsE2eMedian) = streamingFpsE2e(spark)
 
-    val failed = Seq.newBuilder[String]
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val shuffleRead = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val shuffleWrite = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(q: queries.QueryDef, dir: String = staged,
@@ -271,15 +297,50 @@ object Bench {
         Some((mapJson, flags))
       }
 
+    // LIFECYCLE LANE (r13 verdict #1): the bench=false entries —
+    // audit-tier exact enumerations and the stateful lifecycle/
+    // graduation arcs (ext121/131/132/133/134, the ANN index
+    // lifecycles, the contamination exact tiers) — previously had no
+    // wall-clock history at all, so a perf regression in
+    // FingerprintStore.compact, the sweep, or the funnels was invisible
+    // to the regression gate. Each entry is timed ONCE (no repeats: the
+    // arcs self-reset their per-invocation scratch dirs, and min-of-N
+    // on a 15 s lifecycle buys little signal for its cost) with
+    // per-entry shuffle captured into the same maps; the gate is
+    // [[lifecycleRegressionsOf]]. The lane runs AFTER the headline
+    // suite and its scaling passes, so its heap/scratch churn cannot
+    // pollute the comparable headline timings; its total is emitted as
+    // `lifecycle_total`, never folded into the headline `value`.
+    val lifecycleDefs = SparkEntry.all.filterNot(_.bench)
+    val lifecycleTimesRaw = lifecycleDefs.map(q =>
+      q.name -> timed(q, captureShuffle = true))
+    // a FAILED entry's fast-fail elapsed must not become a committed
+    // baseline — next round's fixed arc would read as a lifecycle
+    // regression against the 0.x s crash time; failures already surface
+    // in `failed`
+    val lifecycleFailed = failed.toList.distinct.toSet
+    val lifecycleTimes =
+      lifecycleTimesRaw.filterNot(t => lifecycleFailed(t._1))
+
     // previous round's committed numbers, read BEFORE we overwrite the file
     val prevDetail = readPrevDetail("BENCH_DETAIL.json")
     val regressions = prevDetail
-      .map(p => regressionsOf(p, results, shuffleWrite))
+      .map(p => regressionsOf(p._1, p._2, results, shuffleWrite))
       .getOrElse(Seq.empty)
-    val regressionsJson = regressions.map { case (n, p, s, pw, mb) =>
-      "\"" + n +
-        f"""\":{"sec_prev":$p%.3f,"sec":$s%.3f,"shuffle_prev_mb":$pw%.1f,"shuffle_mb":$mb%.1f}"""
-    }.mkString("{", ",", "}")
+    val lifecycleRegressions = prevDetail
+      .map(p => lifecycleRegressionsOf(p._3, p._2, lifecycleTimes, shuffleWrite))
+      .getOrElse(Seq.empty)
+    def regJson(rs: Seq[(String, Double, Double, Double, Double)]): String =
+      rs.map { case (n, p, s, pw, mb) =>
+        "\"" + n +
+          f"""\":{"sec_prev":$p%.3f,"sec":$s%.3f,"shuffle_prev_mb":$pw%.1f,"shuffle_mb":$mb%.1f}"""
+      }.mkString("{", ",", "}")
+    val regressionsJson = regJson(regressions)
+    val lifecycleRegressionsJson = regJson(lifecycleRegressions)
+    val lifecycleJson = lifecycleTimes
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val lifecycleTotal = lifecycleTimes.map(_._2).sum
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -288,14 +349,15 @@ object Bench {
       m.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
     // failures are surfaced in the JSON line itself — a fast-failing query
     // must not read as a good number
-    val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toList.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the full measurement protocol rides in the artifact (ADVICE r7: the
     // settle/GC discipline must be disclosed where the numbers are read,
     // not only in source comments)
     val protocol = "\"protocol\":{" +
       "\"streaming\":\"untimed warm pass; 5 timed runs each preceded by System.gc()+500ms settle; best and median reported\"," +
       "\"relational\":\"pass1 times all queries once (per-query shuffle bytes captured); top-30 re-timed twice, pairs cache cleared per pass, ext82 first; min of 3 reported\"," +
-      "\"scaling\":\"top-20 re-timed at sf0.01, min of 2, pairs cache cleared per pass\"}"
+      "\"scaling\":\"top-20 re-timed at sf0.01, min of 2, pairs cache cleared per pass\"," +
+      "\"lifecycle\":\"every bench=false entry timed once after the headline suite (no warm, no repeats; arcs self-reset); gate: wall+shuffle conjunction where shuffle applies, else 2x wall with 1s floor\"}"
     // headline fps = best-of-5 (min-interference run, JMH/hyperfine
     // discipline — see streamingFps); the medians ride along so the
     // estimator choice is auditable, not hidden
@@ -321,7 +383,7 @@ object Bench {
     val canaryPost = canarySec()
     val canaryJson =
       f""""canary_sec":{"pre":$canaryPre%.3f,"post":$canaryPost%.3f,"idle_ref":$CanaryIdleRefSec%.3f}"""
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,$canaryJson%s,"queries":$qs,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"regressions":$regressionsJson%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,$canaryJson%s,"queries":$qs,"lifecycle":$lifecycleJson%s,"lifecycle_total":$lifecycleTotal%.3f,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"regressions":$regressionsJson%s,"lifecycle_regressions":$lifecycleRegressionsJson%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // The single JSON line overflows tail-style log captures once the query
     // map is large (r5 lost its relational timings that way) — persist the
@@ -349,8 +411,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val regNames = regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val lcRegNames = lifecycleRegressions.map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val flags = scalingJson.map(_._2).getOrElse("[]")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","summary":"top10 of ${results.size} queries; full detail in BENCH_DETAIL.json",$canaryJson%s,"queries":$topQJson%s,"n_queries":${results.size},"failed":$failedJson%s,"scaling_flags":$flags%s,"regressions":$regNames%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","summary":"top10 of ${results.size} queries; full detail in BENCH_DETAIL.json",$canaryJson%s,"queries":$topQJson%s,"n_queries":${results.size},"lifecycle_total":$lifecycleTotal%.3f,"n_lifecycle":${lifecycleTimes.size},"failed":$failedJson%s,"scaling_flags":$flags%s,"regressions":$regNames%s,"lifecycle_regressions":$lcRegNames%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"sf":"$sfDir"}"""
     spark.stop()
     // the program's FINAL act, on BOTH streams (r11 verdict #8): under a
     // bare `sbt runMain` the sbt "[success] Total time…" epilogue follows

@@ -302,12 +302,17 @@ object FingerprintStore {
     * subsequent probe is a single exists() check — present invalidates
     * the entry and falls through to a full read, so an upgrade by this
     * JVM ([[writeManifest]] also invalidates) or any other is picked
-    * up immediately. The residual window is an upgrade landing after a
-    * confirmed-legacy verdict whose NEXT probe then races a manifest
-    * rewrite's delete-then-rename blink — one un-slept exists() where
-    * the uncached path had three 25ms-spaced probes; reachable only on
-    * a store that was genuinely manifest-less this JVM's lifetime,
-    * upgraded cross-JVM, and immediately rewritten. */
+    * up immediately. A cached-legacy probe landing inside a CROSS-JVM
+    * manifest rewrite's delete-then-rename blink (the store was
+    * upgraded elsewhere after this JVM confirmed it legacy) is caught
+    * by the same evidence the publish protocol leaves behind: during
+    * the blink the writer's dot-temp sibling exists
+    * ([[graft.util.AtomicPublish.publishInFlight]]), which invalidates
+    * the cache entry and falls through to the full confirm protocol —
+    * so the destructive misread (treating an upgraded store as legacy
+    * → directory discovery → duplicated union) requires the target AND
+    * the in-flight temp to both read absent mid-rename, which the
+    * rename's own ordering rules out. */
   private val confirmedLegacy =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -317,8 +322,11 @@ object FingerprintStore {
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
     val legacyKey = fs.makeQualified(mf).toString
     if (confirmedLegacy.contains(legacyKey)) {
-      if (!fs.exists(mf)) return None // still legacy — no sleeps
-      confirmedLegacy.remove(legacyKey): Unit // upgraded since confirmed
+      if (!fs.exists(mf) &&
+          !graft.util.AtomicPublish.publishInFlight(fs, mf))
+        return None // still legacy — no manifest, no writer mid-publish
+      // upgraded (or being upgraded) since confirmed — full probe
+      confirmedLegacy.remove(legacyKey): Unit
     }
     val absentConfirms = 3
     var absentSeen = 0

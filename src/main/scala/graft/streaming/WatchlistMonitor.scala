@@ -318,8 +318,12 @@ object WatchlistMonitor {
     else {
       val flags = sweepLanded(spark, landedTable, loadClips(delta), flag,
         out = Some(out))
+      // one file per sweep — a LocalRelation write otherwise fans the
+      // driver-bounded delta out to min(|delta|, defaultParallelism)
+      // part files, defeating SweptCompactFileBound's amortization
       delta.toDF("clip_id")
         .withColumn("sweep_epoch", lit(epoch))
+        .coalesce(1)
         .write.mode("append").parquet(sweptPath)
       // bound the watermark's file/row accretion (r13 verdict #3): each
       // sweep appends one file, and a crash re-sweep may duplicate a
@@ -351,9 +355,13 @@ object WatchlistMonitor {
     val nFiles = fs.listStatus(p).count(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
     if (nFiles > SweptCompactFileBound) {
+      // coalesce(1): the folded watermark is (long, long) rows — left at
+      // the shuffle partitioning it would land as up-to-32 mostly-empty
+      // files and re-trip the file bound on the very next sweep
       spark.read.parquet(sweptPath)
         .groupBy("clip_id").agg(max("sweep_epoch").as("sweep_epoch"))
         .localCheckpoint(true)
+        .coalesce(1)
         .write.mode("overwrite").parquet(sweptPath)
     }
   }

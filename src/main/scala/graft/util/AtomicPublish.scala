@@ -51,6 +51,22 @@ object AtomicPublish {
     new Path(target.getParent,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(12)}.tmp")
 
+  /** Evidence that a [[file]] publish of `target` is IN FLIGHT right
+    * now: a dot-temp sibling ([[tmpFor]]'s naming) exists. The one
+    * probe that can tell a mid-republish absence blink from a
+    * never-published file — on Hadoop's LOCAL fs,
+    * `FileContext.rename(OVERWRITE)` is delete-then-rename, and during
+    * the blink the TARGET is absent but the publisher's temp still
+    * exists (the rename consuming it is what ends the blink). A
+    * crashed publisher's orphaned temp makes this answer true forever
+    * for that target — the false-positive direction only costs a
+    * bounded retry budget on a genuinely missing file, the pre-r14
+    * behavior for every file. */
+  private[graft] def publishInFlight(fs: FileSystem, target: Path): Boolean =
+    try Option(fs.globStatus(new Path(target.getParent,
+        s".${target.getName}.*.tmp"))).exists(_.nonEmpty)
+    catch { case _: java.io.IOException => false }
+
   /** Atomically publish a single file at `target`, replacing any
     * existing one: `write` fills a dot-prefixed temp, then
     * `FileContext.rename(OVERWRITE)` swaps it in. `magic` (when given)
@@ -120,18 +136,22 @@ object AtomicPublish {
     * delete-then-rename absence blink) retry bounded times; the real
     * error — corruption, a genuinely missing file — still surfaces, on
     * the last attempt. FNF retries only when the file EXISTED at entry
-    * (evidence the absence is a mid-rename blink): a never-published
-    * file (e.g. loading a Bloom index from a store that never had one)
-    * fails fast instead of burning the whole ~700 ms retry budget (r13
-    * ADVICE). The price is one theoretical race — a first-ever read
-    * landing inside a first-ever publish's rename sees an FNF a retry
-    * would have absorbed — and callers that probe for maybe-unpublished
-    * files must handle FNF anyway; that is what the probe means. */
+    * or a publish is observably IN FLIGHT ([[publishInFlight]] — a
+    * dot-temp sibling; an entry probe landing inside a re-publish's
+    * delete-then-rename blink sees target absent but the temp present,
+    * so the mid-republish race stays retried): a genuinely
+    * never-published file (e.g. loading a Bloom index from a store
+    * that never had one) fails fast instead of burning the whole
+    * ~700 ms retry budget (r13 ADVICE). The residual race is a
+    * first-EVER read racing a first-ever publish whose temp hasn't
+    * been created yet — callers that probe for maybe-unpublished files
+    * must handle FNF anyway; that is what the probe means. */
   def readFile[A](conf: Configuration, target: Path,
       magic: Option[String] = None)(
       read: java.io.DataInputStream => A): A = {
     val fs = target.getFileSystem(conf)
-    withReadRetries(retryFnf = fs.exists(target)) { () =>
+    withReadRetries(retryFnf =
+        fs.exists(target) || publishInFlight(fs, target)) { () =>
       val in = new java.io.DataInputStream(fs.open(target))
       try {
         magic.foreach { m =>

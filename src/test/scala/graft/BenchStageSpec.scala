@@ -55,8 +55,23 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
       "f" -> 9.9) // new query, no baseline -> not flagged
     val nowShuffle = scala.collection.Map(
       "a" -> 20.0, "b" -> 10.2, "c" -> 20.0, "d" -> 0.4, "f" -> 99.0)
-    val got = Bench.regressionsOf(prev, now, nowShuffle)
+    val got = Bench.regressionsOf(prev._1, prev._2, now, nowShuffle)
     assert(got == Seq(("a", 1.0, 3.0, 10.0, 20.0)), s"got $got")
+  }
+
+  test("lifecycle regression gate: conjunction where shuffle applies, 2x wall with 1s floor otherwise") {
+    val prevL = Map("a" -> 5.0, "b" -> 5.0, "c" -> 0.4, "d" -> 5.0)
+    val prevW = Map("a" -> 10.0, "b" -> 0.0, "c" -> 0.0, "d" -> 10.0)
+    val now = Seq(
+      "a" -> 12.0, // shuffle applies: 2.4x wall AND 2x shuffle -> flagged
+      "b" -> 12.0, // zero-shuffle arc: 2.4x wall above the 1 s floor -> flagged
+      "c" -> 0.9,  // zero-shuffle, 2.25x wall but under the 1 s floor -> noise
+      "d" -> 12.0, // shuffle applies, shuffle flat -> contention, not flagged
+      "e" -> 99.0) // new entry, no baseline -> not flagged
+    val nowShuffle = scala.collection.Map(
+      "a" -> 20.0, "b" -> 0.0, "c" -> 0.0, "d" -> 10.1, "e" -> 50.0)
+    val got = Bench.lifecycleRegressionsOf(prevL, prevW, now, nowShuffle)
+    assert(got.map(_._1) == Seq("a", "b"), s"got $got")
   }
 
   test("readPrevDetail parses a committed BENCH_DETAIL line and survives absence/garbage") {
@@ -67,7 +82,9 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
          "shuffle_write_mb":{"q1":14.0,"ext9":0.0}}"""
         .replaceAll("\n\\s*", "").getBytes("UTF-8"))
     assert(Bench.readPrevDetail(good.toString).contains(
-      (Map("q1" -> 1.25, "ext9" -> 0.5), Map("q1" -> 14.0, "ext9" -> 0.0))))
+      (Map("q1" -> 1.25, "ext9" -> 0.5), Map("q1" -> 14.0, "ext9" -> 0.0),
+        Map.empty[String, Double])),
+      "a pre-lane artifact reads with an empty lifecycle map")
     assert(Bench.readPrevDetail(dir.resolve("missing.json").toString).isEmpty)
     val bad = dir.resolve("bad.json")
     java.nio.file.Files.write(bad, "{not json".getBytes("UTF-8"))

@@ -54,11 +54,14 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("eager lifecycle entries execute end-to-end on sf0.001 (smoke — these run their whole arc by design)") {
-    // ext133 is exempt: FingerprintStoreSpec already executes the entry
-    // and pins its exact partition-count arc, so re-running its two
-    // compactions here would only pay the lifecycle twice per suite
+    // entries whose ENTRY FUNCTION another spec already executes and
+    // arc-pins are exempt — re-running their compaction/stream arcs here
+    // would only pay each lifecycle twice per suite: ext133 is pinned in
+    // FingerprintStoreSpec, ext134 in ImageIngestSpec
+    val pinnedElsewhere = Set(
+      "ext133_fingerprint_compaction", "ext134_writeback_compaction")
     SparkEntry.all
-      .filter(q => q.eagerLifecycle && q.name != "ext133_fingerprint_compaction")
+      .filter(q => q.eagerLifecycle && !pinnedElsewhere(q.name))
       .foreach { q =>
         val df = q.build(spark, "/root/testdata/sf0.001")
         assert(df.schema.nonEmpty, q.name)

@@ -1,0 +1,91 @@
+package graft.util
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The r14 filesystem probes: [[CommittedTable]]'s structural-emptiness
+  * decision (the shared replacement for Try-as-removed) and
+  * [[AtomicPublish]]'s never-published fast-fail with its in-flight
+  * temp-sibling evidence.
+  */
+class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("CommittedTable.hasData: missing dir, marker-only dir and _temporary-only dir are structurally empty; a committed file is data") {
+    val base = java.nio.file.Files.createTempDirectory("committed").toString
+    assert(!CommittedTable.hasData(spark, s"$base/nope"),
+      "missing dir has never held rows")
+    // _SUCCESS alone: the all-rejected-stream shape — exists, no data
+    val markerOnly = new java.io.File(s"$base/markers")
+    assert(markerOnly.mkdirs())
+    java.nio.file.Files.write(markerOnly.toPath.resolve("_SUCCESS"),
+      Array.empty[Byte])
+    assert(!CommittedTable.hasData(spark, markerOnly.toString))
+    // _temporary staging alone: the crash-mid-first-write shape — a data
+    // file under _temporary is NOT committed
+    val tornDir = new java.io.File(s"$base/torn/_temporary/0")
+    assert(tornDir.mkdirs())
+    java.nio.file.Files.write(
+      tornDir.toPath.resolve("part-00000.snappy.parquet"), Array[Byte](1))
+    assert(!CommittedTable.hasData(spark, s"$base/torn"))
+    // a real write — including a partitioned layout — is data
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "source")
+      .write.partitionBy("source").parquet(s"$base/t")
+    assert(CommittedTable.hasData(spark, s"$base/t"),
+      "a committed partitioned write must read as data")
+  }
+
+  test("readFile fails FAST on a never-published file but keeps retrying when a publish is observably in flight") {
+    val base = java.nio.file.Files.createTempDirectory("pubprobe").toString
+    val target = new Path(s"$base/index.bin")
+    // never published: FNF surfaces without burning the retry budget
+    val t0 = System.nanoTime()
+    intercept[java.io.FileNotFoundException] {
+      AtomicPublish.readFile(conf, target)(_.readLong())
+    }
+    val fastMs = (System.nanoTime() - t0) / 1e6
+    assert(fastMs < 500,
+      s"never-published must fail fast, took ${fastMs}ms (full budget is ~700ms of sleeps)")
+    // an in-flight publish's dot-temp sibling (AtomicPublish.tmpFor's
+    // naming) flips the verdict: absence now reads as the
+    // delete-then-rename blink and earns the retry budget
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, ".index.bin.deadbeefdead.tmp"),
+      Array[Byte](1))
+    val fs = target.getFileSystem(conf)
+    assert(AtomicPublish.publishInFlight(fs, target))
+    val t1 = System.nanoTime()
+    intercept[java.io.FileNotFoundException] {
+      AtomicPublish.readFile(conf, target)(_.readLong())
+    }
+    val slowMs = (System.nanoTime() - t1) / 1e6
+    assert(slowMs > 500,
+      s"with a publish in flight the absence must retry (took ${slowMs}ms)")
+  }
+
+  test("readFile still absorbs a concurrent re-publish: the file existed at entry, so mid-blink FNF retries") {
+    val base = java.nio.file.Files.createTempDirectory("pubrace").toString
+    val target = new Path(s"$base/value.bin")
+    def save(v: Long): Unit =
+      AtomicPublish.file(conf, target)(_.writeLong(v))
+    save(1L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var v = 2L
+      while (!stop.get()) { save(v); v += 1 }
+    })
+    writer.start()
+    try {
+      // 40 loads against a tight re-save loop: every read must land a
+      // complete value, never FNF/checksum leakage from the blink
+      (1 to 40).foreach { _ =>
+        val got = AtomicPublish.readFile(conf, target)(_.readLong())
+        assert(got >= 1L)
+      }
+    } finally { stop.set(true); writer.join() }
+  }
+}
