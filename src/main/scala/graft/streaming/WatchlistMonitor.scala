@@ -278,7 +278,8 @@ object WatchlistMonitor {
   def sweepWatchlist[W](
       spark: org.apache.spark.sql.SparkSession, landedTable: String,
       watchedIds: Seq[Long], loadClips: Seq[Long] => W,
-      flag: (DataFrame, W) => DataFrame, out: String): DataFrame = {
+      flag: (DataFrame, W) => DataFrame, out: String,
+      compactFileBound: Int = SweptCompactFileBound): DataFrame = {
     val sweptPath = s"${out}_swept"
     // "nothing durably swept" is decided STRUCTURALLY
     // ([[graft.util.CommittedTable]] — never by swallowing a read
@@ -329,13 +330,15 @@ object WatchlistMonitor {
       // sweep appends one file, and a crash re-sweep may duplicate a
       // clip's row (at-least-once, as documented) — nothing else ever
       // rewrites them, so without a fold the table grows monotonically
-      compactSweptIfFragmented(spark, sweptPath)
+      compactSweptIfFragmented(spark, sweptPath, compactFileBound)
       flags
     }
   }
 
-  /** Committed files the `_swept` watermark may accrete before
-    * [[sweepWatchlist]] folds it back to one row per clip. */
+  /** Default committed-file count the `_swept` watermark may accrete
+    * before [[sweepWatchlist]] folds it back to one row per clip (one
+    * file per effective sweep, so ~16 sweeps between folds; overridable
+    * per call for tests). */
   private val SweptCompactFileBound = 16
 
   /** Overwrite-compact the sweep watermark to (clip_id, latest
@@ -349,12 +352,13 @@ object WatchlistMonitor {
     * at-least-once posture everywhere here) — it can never record a
     * sweep that didn't land. */
   private def compactSweptIfFragmented(
-      spark: org.apache.spark.sql.SparkSession, sweptPath: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, sweptPath: String,
+      bound: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(sweptPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nFiles = fs.listStatus(p).count(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (nFiles > SweptCompactFileBound) {
+    if (nFiles > bound) {
       // coalesce(1): the folded watermark is (long, long) rows — left at
       // the shuffle partitioning it would land as up-to-32 mostly-empty
       // files and re-trip the file bound on the very next sweep

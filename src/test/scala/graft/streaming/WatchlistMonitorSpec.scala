@@ -352,4 +352,47 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(out).count() == 1,
       "a failed watermark read must not have swept anything")
   }
+
+  test("the sweep watermark folds past its file bound: one file per sweep, fold to one row per clip, idempotency intact across the fold") {
+    val winSec = AudioCorpus.TrackWindowSec
+    val base = Files.createTempDirectory("watchmon-sweep-fold").toString
+    val landedDir = s"$base/landed"
+    Seq((3L, AudioCorpus.renderTrack(3L)), (7L, AudioCorpus.renderTrack(7L)),
+      (11L, AudioCorpus.renderTrack(11L)))
+      .toDF("track_id", "wav").write.parquet(landedDir)
+    val out = s"$base/flags"
+    def loadClips(ids: Seq[Long]): Seq[WatchlistMonitor.WatchClip] =
+      WatchlistMonitor.audioWatchlist(
+        ids.map(id => (id, AudioCorpus.renderTrack(id)))
+          .toDF("doc_id", "wav"), "wav", "doc_id", windowSec = winSec)
+    def sweep(watched: Seq[Long]) = WatchlistMonitor.sweepWatchlist(
+      spark, landedDir, watched, loadClips,
+      (b: DataFrame, w: Seq[WatchlistMonitor.WatchClip]) =>
+        WatchlistMonitor.flagAudio(b, "wav", w, windowSec = winSec), out,
+      compactFileBound = 2)
+    def sweptFiles() = new java.io.File(s"${out}_swept").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // each effective sweep appends exactly ONE file (the coalesce(1)
+    // contract the bound's amortization rests on)
+    sweep(Seq(0L))
+    assert(sweptFiles() == 1, "a sweep must append exactly one file")
+    sweep(Seq(0L, 4L))
+    assert(sweptFiles() == 2)
+    // third sweep trips the bound (3 > 2): the fold rewrites the
+    // watermark to ONE file holding one row per clip
+    sweep(Seq(0L, 4L, 8L))
+    assert(sweptFiles() == 1,
+      s"the fold must collapse the watermark to one file, got ${sweptFiles()}")
+    val swept = spark.read.parquet(s"${out}_swept").collect()
+      .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("sweep_epoch"))
+    assert(swept.map(_._1).sorted.toSeq == Seq(0L, 4L, 8L),
+      s"fold must keep one row per all-time swept clip: ${swept.toSeq}")
+    assert(swept.toMap == Map(0L -> 1L, 4L -> 2L, 8L -> 3L),
+      s"fold keeps the latest epoch per clip: ${swept.toSeq}")
+    // idempotency survives the fold: re-run is an empty delta, and the
+    // flags table kept exactly one row per embed
+    assert(sweep(Seq(0L, 4L, 8L)).isEmpty)
+    assert(spark.read.parquet(out).count() == 3,
+      "the folded watermark must still suppress every re-sweep")
+  }
 }
