@@ -102,6 +102,14 @@ object Bench {
       }
     } catch { case _: Exception => None }
 
+  /** THE noise-robust conjunction, shared by both gates so the lanes'
+    * predicates cannot silently diverge when the floors get re-tuned:
+    * >2× slower AND >1.5× shuffle growth, above the 0.3 s / 1 MB
+    * floors. */
+  private def wallAndShuffleRegressed(
+      p: Double, sec: Double, pw: Double, mb: Double): Boolean =
+    sec > 2 * p && sec > 0.3 && mb > 1.5 * pw && mb > 1.0
+
   /** Per-query bench regression gate (r10 verdict #5): a query regresses
     * when it is BOTH >2× slower than the previous committed round AND its
     * shuffle write grew >1.5× — the noise-robust conjunction (wall-clock
@@ -119,7 +127,7 @@ object Bench {
         p <- prevQ.get(name)
         pw <- prevW.get(name)
         mb = nowShuffle.getOrElse(name, 0.0)
-        if sec > 2 * p && sec > 0.3 && mb > 1.5 * pw && mb > 1.0
+        if wallAndShuffleRegressed(p, sec, pw, mb)
       } yield (name, p, sec, pw, mb)
     }
 
@@ -142,8 +150,7 @@ object Bench {
         val pw = prevW.getOrElse(name, 0.0)
         val mb = nowShuffle.getOrElse(name, 0.0)
         val regressed =
-          if (pw > 1.0 || mb > 1.0)
-            sec > 2 * p && sec > 0.3 && mb > 1.5 * pw && mb > 1.0
+          if (pw > 1.0 || mb > 1.0) wallAndShuffleRegressed(p, sec, pw, mb)
           else sec > 2 * p && sec > 1.0
         if (regressed) Some((name, p, sec, pw, mb)) else None
       }
@@ -318,14 +325,19 @@ object Bench {
     // baseline — next round's fixed arc would read as a lifecycle
     // regression against the 0.x s crash time; failures already surface
     // in `failed`
-    val lifecycleFailed = failed.toList.distinct.toSet
+    val failedSet = failed.toList.distinct.toSet
     val lifecycleTimes =
-      lifecycleTimesRaw.filterNot(t => lifecycleFailed(t._1))
+      lifecycleTimesRaw.filterNot(t => failedSet(t._1))
+    // the same exclusion for the HEADLINE map: a crashed query's
+    // fast-fail elapsed is not a measurement — committed as a baseline
+    // it would deflate `value` this round and flag next round's FIX as
+    // a regression (2x a 0.3s crash time); `failed` carries the names
+    val resultsClean = results.filterNot(r => failedSet(r._1))
 
     // previous round's committed numbers, read BEFORE we overwrite the file
     val prevDetail = readPrevDetail("BENCH_DETAIL.json")
     val regressions = prevDetail
-      .map(p => regressionsOf(p._1, p._2, results, shuffleWrite))
+      .map(p => regressionsOf(p._1, p._2, resultsClean, shuffleWrite))
       .getOrElse(Seq.empty)
     val lifecycleRegressions = prevDetail
       .map(p => lifecycleRegressionsOf(p._3, p._2, lifecycleTimes, shuffleWrite))
@@ -342,9 +354,9 @@ object Bench {
       .mkString("{", ",", "}")
     val lifecycleTotal = lifecycleTimes.map(_._2).sum
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = resultsClean.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = resultsClean.map(_._2).sum
     def mbJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
     // failures are surfaced in the JSON line itself — a fast-failing query
@@ -407,7 +419,7 @@ object Bench {
     // (BENCH_r10.json parsed null), so a short line with the headline
     // numbers, the top-10 query seconds and the health sections always
     // lands intact; BENCH_DETAIL.json keeps every number.
-    val topQJson = results.sortBy(-_._2).take(10)
+    val topQJson = resultsClean.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val regNames = regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")

@@ -299,20 +299,20 @@ object FingerprintStore {
     * ONCE: its confirmed-absent verdict is cached per qualified path
     * (r13 ADVICE — resolvedFrame probes the manifest on every read, so
     * uncached the sleeps tax every read of a legacy store), and each
-    * subsequent probe is a single exists() check — present invalidates
-    * the entry and falls through to a full read, so an upgrade by this
-    * JVM ([[writeManifest]] also invalidates) or any other is picked
-    * up immediately. A cached-legacy probe landing inside a CROSS-JVM
-    * manifest rewrite's delete-then-rename blink (the store was
-    * upgraded elsewhere after this JVM confirmed it legacy) is caught
-    * by the same evidence the publish protocol leaves behind: during
-    * the blink the writer's dot-temp sibling exists
-    * ([[graft.util.AtomicPublish.publishInFlight]]), which invalidates
-    * the cache entry and falls through to the full confirm protocol —
-    * so the destructive misread (treating an upgraded store as legacy
-    * → directory discovery → duplicated union) requires the target AND
-    * the in-flight temp to both read absent mid-rename, which the
-    * rename's own ordering rules out. */
+    * subsequent probe is ONE parent-directory listing
+    * ([[graft.util.AtomicPublish.existsOrInFlight]]) — manifest
+    * present, or a manifest publish observably in flight (its fresh
+    * dot-temp sibling), invalidates the entry and falls through to the
+    * full confirm protocol, so an upgrade by this JVM
+    * ([[writeManifest]] also invalidates) or any other is picked up
+    * immediately. The single-listing shape is what closes the
+    * cross-JVM TOCTOU: an upgraded store being rewritten holds the
+    * manifest OR the writer's temp at every instant of the publish
+    * protocol, so one listing cannot answer "neither" for it the way
+    * two sequential probes (each landing in a different publish's
+    * window) could; orphaned temps age out after
+    * [[graft.util.AtomicPublish.OrphanTempHorizonMs]] instead of
+    * taxing the fast path forever. */
   private val confirmedLegacy =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -322,8 +322,7 @@ object FingerprintStore {
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
     val legacyKey = fs.makeQualified(mf).toString
     if (confirmedLegacy.contains(legacyKey)) {
-      if (!fs.exists(mf) &&
-          !graft.util.AtomicPublish.publishInFlight(fs, mf))
+      if (!graft.util.AtomicPublish.existsOrInFlight(fs, mf))
         return None // still legacy — no manifest, no writer mid-publish
       // upgraded (or being upgraded) since confirmed — full probe
       confirmedLegacy.remove(legacyKey): Unit

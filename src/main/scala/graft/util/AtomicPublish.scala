@@ -51,21 +51,39 @@ object AtomicPublish {
     new Path(target.getParent,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(12)}.tmp")
 
-  /** Evidence that a [[file]] publish of `target` is IN FLIGHT right
-    * now: a dot-temp sibling ([[tmpFor]]'s naming) exists. The one
-    * probe that can tell a mid-republish absence blink from a
-    * never-published file — on Hadoop's LOCAL fs,
-    * `FileContext.rename(OVERWRITE)` is delete-then-rename, and during
-    * the blink the TARGET is absent but the publisher's temp still
-    * exists (the rename consuming it is what ends the blink). A
-    * crashed publisher's orphaned temp makes this answer true forever
-    * for that target — the false-positive direction only costs a
-    * bounded retry budget on a genuinely missing file, the pre-r14
-    * behavior for every file. */
-  private[graft] def publishInFlight(fs: FileSystem, target: Path): Boolean =
-    try Option(fs.globStatus(new Path(target.getParent,
-        s".${target.getName}.*.tmp"))).exists(_.nonEmpty)
-    catch { case _: java.io.IOException => false }
+  /** Temps older than this are treated as ORPHANS (a publisher
+    * hard-killed between create and rename — the catch-cleanup in
+    * [[file]] never ran) and stop counting as in-flight evidence: a
+    * live publish holds its temp for milliseconds, so a 10-minute-old
+    * one is not a publish this probe could usefully wait for, and
+    * without the age-out one orphan would tax every
+    * [[existsOrInFlight]] fast path on that target forever. Orphans
+    * are ignored, not reaped — deleting a foreign temp could truncate
+    * a pathologically slow LIVE publish. */
+  private[graft] val OrphanTempHorizonMs = 10L * 60 * 1000
+
+  /** `target` exists OR a [[file]] publish of it is observably in
+    * flight (a FRESH dot-temp sibling, [[tmpFor]]'s naming) — decided
+    * from ONE parent-directory listing, not sequential exists/glob
+    * probes: on Hadoop's LOCAL fs `FileContext.rename(OVERWRITE)` is
+    * delete-then-rename, and at every instant of that protocol either
+    * the target or the publisher's temp is present (the final POSIX
+    * rename swaps them atomically), so a single listing can only
+    * answer "neither" for a genuinely never-published (or
+    * orphan-only) target — two sequential probes could each land in a
+    * different publish's window and miss both. Callers use "neither"
+    * as the never-published fast-fail / confirmed-legacy verdict. */
+  private[graft] def existsOrInFlight(fs: FileSystem, target: Path): Boolean = {
+    val statuses =
+      try Option(fs.globStatus(new Path(target.getParent,
+          s"{${target.getName},.${target.getName}.*.tmp}")))
+        .getOrElse(Array.empty)
+      catch { case _: java.io.IOException => return fs.exists(target) }
+    val now = System.currentTimeMillis()
+    statuses.exists(st =>
+      st.getPath.getName == target.getName ||
+        now - st.getModificationTime < OrphanTempHorizonMs)
+  }
 
   /** Atomically publish a single file at `target`, replacing any
     * existing one: `write` fills a dot-prefixed temp, then
@@ -135,14 +153,13 @@ object AtomicPublish {
     * with a concurrent re-save (checksum-sidecar skew, the
     * delete-then-rename absence blink) retry bounded times; the real
     * error — corruption, a genuinely missing file — still surfaces, on
-    * the last attempt. FNF retries only when the file EXISTED at entry
-    * or a publish is observably IN FLIGHT ([[publishInFlight]] — a
-    * dot-temp sibling; an entry probe landing inside a re-publish's
-    * delete-then-rename blink sees target absent but the temp present,
-    * so the mid-republish race stays retried): a genuinely
-    * never-published file (e.g. loading a Bloom index from a store
-    * that never had one) fails fast instead of burning the whole
-    * ~700 ms retry budget (r13 ADVICE). The residual race is a
+    * the last attempt. FNF retries only when [[existsOrInFlight]]
+    * answers true at entry (the file exists, or a re-publish's
+    * delete-then-rename blink is in progress — one listing answers
+    * both, so the probe cannot straddle two publish windows): a
+    * genuinely never-published file (e.g. loading a Bloom index from
+    * a store that never had one) fails fast instead of burning the
+    * whole ~700 ms retry budget (r13 ADVICE). The residual race is a
     * first-EVER read racing a first-ever publish whose temp hasn't
     * been created yet — callers that probe for maybe-unpublished files
     * must handle FNF anyway; that is what the probe means. */
@@ -150,8 +167,7 @@ object AtomicPublish {
       magic: Option[String] = None)(
       read: java.io.DataInputStream => A): A = {
     val fs = target.getFileSystem(conf)
-    withReadRetries(retryFnf =
-        fs.exists(target) || publishInFlight(fs, target)) { () =>
+    withReadRetries(retryFnf = existsOrInFlight(fs, target)) { () =>
       val in = new java.io.DataInputStream(fs.open(target))
       try {
         magic.foreach { m =>

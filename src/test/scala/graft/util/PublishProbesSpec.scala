@@ -50,14 +50,13 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
     val fastMs = (System.nanoTime() - t0) / 1e6
     assert(fastMs < 500,
       s"never-published must fail fast, took ${fastMs}ms (full budget is ~700ms of sleeps)")
-    // an in-flight publish's dot-temp sibling (AtomicPublish.tmpFor's
-    // naming) flips the verdict: absence now reads as the
+    // a FRESH in-flight publish's dot-temp sibling (AtomicPublish
+    // .tmpFor's naming) flips the verdict: absence now reads as the
     // delete-then-rename blink and earns the retry budget
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(base, ".index.bin.deadbeefdead.tmp"),
-      Array[Byte](1))
+    val tmp = java.nio.file.Paths.get(base, ".index.bin.deadbeefdead.tmp")
+    java.nio.file.Files.write(tmp, Array[Byte](1))
     val fs = target.getFileSystem(conf)
-    assert(AtomicPublish.publishInFlight(fs, target))
+    assert(AtomicPublish.existsOrInFlight(fs, target))
     val t1 = System.nanoTime()
     intercept[java.io.FileNotFoundException] {
       AtomicPublish.readFile(conf, target)(_.readLong())
@@ -65,6 +64,14 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
     val slowMs = (System.nanoTime() - t1) / 1e6
     assert(slowMs > 500,
       s"with a publish in flight the absence must retry (took ${slowMs}ms)")
+    // an ORPHANED temp (hard-killed publisher, older than the horizon)
+    // stops counting as in-flight evidence — without the age-out one
+    // orphan would tax every probe of this target forever
+    java.nio.file.Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - AtomicPublish.OrphanTempHorizonMs - 60000))
+    assert(!AtomicPublish.existsOrInFlight(fs, target),
+      "an aged orphan temp must not read as an in-flight publish")
   }
 
   test("readFile still absorbs a concurrent re-publish: the file existed at entry, so mid-blink FNF retries") {
