@@ -353,6 +353,53 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
       "a failed watermark read must not have swept anything")
   }
 
+  test("sweep delta plan: the watched set BROADCASTS against the watermark scan — the watermark itself never shuffles or reaches the driver") {
+    // the r13 verdict #3 shape, plan-pinned: the watermark grows with
+    // every clip ever watched, so the delta must come from a broadcast
+    // semi-join probing the watermark scan map-side (watched = the
+    // driver-bounded Seq = the broadcast side). A SortMergeJoin here
+    // would shuffle the watermark — the driver-sized structure's return
+    // in exchange form
+    val winSec = AudioCorpus.TrackWindowSec
+    val base = Files.createTempDirectory("watchmon-sweep-plan").toString
+    val landedDir = s"$base/landed"
+    Seq((3L, AudioCorpus.renderTrack(3L)), (7L, AudioCorpus.renderTrack(7L)))
+      .toDF("track_id", "wav").write.parquet(landedDir)
+    val out = s"$base/flags"
+    def loadClips(ids: Seq[Long]): Seq[WatchlistMonitor.WatchClip] =
+      WatchlistMonitor.audioWatchlist(
+        ids.map(id => (id, AudioCorpus.renderTrack(id)))
+          .toDF("doc_id", "wav"), "wav", "doc_id", windowSec = winSec)
+    def sweep(watched: Seq[Long]) = WatchlistMonitor.sweepWatchlist(
+      spark, landedDir, watched, loadClips,
+      (b: DataFrame, w: Seq[WatchlistMonitor.WatchClip]) =>
+        WatchlistMonitor.flagAudio(b, "wav", w, windowSec = winSec), out)
+    sweep(Seq(0L)) // creates the watermark — the delta path needs one
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      sweep(Seq(0L, 4L)) // delta path: semi-join + max-epoch agg run
+      org.apache.spark.graft.ListenerGlue.drain(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val semi = plans.asScala.filter(_.contains("LeftSemi"))
+    assert(semi.nonEmpty, "the delta must be computed by a semi join")
+    semi.foreach { p =>
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+          && !p.contains("ShuffledHashJoin"),
+        s"the watched set must broadcast against the watermark scan:\n$p")
+    }
+  }
+
   test("the sweep watermark folds past its file bound: one file per sweep, fold to one row per clip, idempotency intact across the fold") {
     val winSec = AudioCorpus.TrackWindowSec
     val base = Files.createTempDirectory("watchmon-sweep-fold").toString
