@@ -267,6 +267,12 @@ object Bench {
     val results = pass1.map { case (name, t) =>
       name -> (t +: repeats.flatMap(_.get(name))).min
     }
+    // snapshot the HEADLINE lane's failures HERE, before the scaling and
+    // lifecycle lanes append theirs: a query that succeeded in pass 1
+    // but fails only in a diagnostic sf0.01 re-time keeps its valid
+    // headline measurement (dropping it would deflate `value` and blind
+    // next round's gate for it); lane failures still surface in `failed`
+    val headlineFailed = failed.toList.distinct.toSet
 
     // Scaling curve (r7 ask #5): re-time the top-20 at the sibling sf0.01
     // dir and report big/small ratios — accidental super-linear work shows
@@ -325,14 +331,14 @@ object Bench {
     // baseline — next round's fixed arc would read as a lifecycle
     // regression against the 0.x s crash time; failures already surface
     // in `failed`
+    // lane-scoped exclusions: a crashed entry's fast-fail elapsed is not
+    // a measurement — committed as a baseline it would deflate totals
+    // this round and flag next round's FIX as a regression (2x a 0.3s
+    // crash time); `failed` carries every lane's names regardless
     val failedSet = failed.toList.distinct.toSet
     val lifecycleTimes =
       lifecycleTimesRaw.filterNot(t => failedSet(t._1))
-    // the same exclusion for the HEADLINE map: a crashed query's
-    // fast-fail elapsed is not a measurement — committed as a baseline
-    // it would deflate `value` this round and flag next round's FIX as
-    // a regression (2x a 0.3s crash time); `failed` carries the names
-    val resultsClean = results.filterNot(r => failedSet(r._1))
+    val resultsClean = results.filterNot(r => headlineFailed(r._1))
 
     // previous round's committed numbers, read BEFORE we overwrite the file
     val prevDetail = readPrevDetail("BENCH_DETAIL.json")
@@ -426,7 +432,7 @@ object Bench {
     val lcRegNames = lifecycleRegressions.map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val flags = scalingJson.map(_._2).getOrElse("[]")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","summary":"top10 of ${results.size} queries; full detail in BENCH_DETAIL.json",$canaryJson%s,"queries":$topQJson%s,"n_queries":${results.size},"lifecycle_total":$lifecycleTotal%.3f,"n_lifecycle":${lifecycleTimes.size},"failed":$failedJson%s,"scaling_flags":$flags%s,"regressions":$regNames%s,"lifecycle_regressions":$lcRegNames%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","summary":"top10 of ${resultsClean.size} queries; full detail in BENCH_DETAIL.json",$canaryJson%s,"queries":$topQJson%s,"n_queries":${resultsClean.size},"lifecycle_total":$lifecycleTotal%.3f,"n_lifecycle":${lifecycleTimes.size},"failed":$failedJson%s,"scaling_flags":$flags%s,"regressions":$regNames%s,"lifecycle_regressions":$lcRegNames%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"sf":"$sfDir"}"""
     spark.stop()
     // the program's FINAL act, on BOTH streams (r11 verdict #8): under a
     // bare `sbt runMain` the sbt "[success] Total time…" epilogue follows

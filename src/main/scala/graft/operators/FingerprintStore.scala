@@ -322,7 +322,16 @@ object FingerprintStore {
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
     val legacyKey = fs.makeQualified(mf).toString
     if (confirmedLegacy.contains(legacyKey)) {
-      if (!graft.util.AtomicPublish.existsOrInFlight(fs, mf))
+      // TWO consecutive neither-manifest-nor-temp listings, not one: a
+      // directory listing racing the temp→manifest rename is not atomic
+      // (readdir can miss an entry mid-rename), so one listing could
+      // answer "neither" for an upgraded store being re-published; for
+      // two back-to-back listings to both miss, two distinct renames
+      // must each straddle their own listing — the same
+      // consecutive-outcomes discipline as the full confirm protocol
+      // below, without its sleeps
+      if (!graft.util.AtomicPublish.existsOrInFlight(fs, mf) &&
+          !graft.util.AtomicPublish.existsOrInFlight(fs, mf))
         return None // still legacy — no manifest, no writer mid-publish
       // upgraded (or being upgraded) since confirmed — full probe
       confirmedLegacy.remove(legacyKey): Unit

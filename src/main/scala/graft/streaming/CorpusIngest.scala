@@ -372,20 +372,25 @@ object CorpusIngest {
     * exists. */
   def compactGraduated(spark: SparkSession, table: String): Unit = {
     val graduatedPath = s"${table}_graduated"
-    val done = scala.util.Try(
-      spark.read.parquet(graduatedPath).select("doc_id", "digest")) match {
-      case scala.util.Success(d) => d
-      case scala.util.Failure(_) => return // nothing graduated yet
-    }
+    // structural no-op decision, like every emptiness branch here: a Try
+    // would also fold a transient read failure on a HEALTHY markers
+    // table into "nothing graduated yet" — benign per call, but a
+    // persistently failing table would silently never compact (and
+    // never surface); now the genuine failure propagates from the read
+    if (!graft.util.CommittedTable.hasData(spark, graduatedPath))
+      return // nothing graduated yet
+    val done = spark.read.parquet(graduatedPath).select("doc_id", "digest")
     // "rejects table removed by retention" is decided STRUCTURALLY
     // (r13 ADVICE — the sweep watermark's discipline): a retention pass
     // may have removed the table ENTIRELY, and then every marker mirrors
     // a suspect that no longer exists, so the right outcome is an empty
-    // marker table. But a Try here folded a transient IO error or a
-    // concurrent writer mid-overwrite into that same branch — wiping the
-    // markers and forcing every all-time suspect to re-pay the exact
-    // scan. Structurally gone → empty; structurally present → the read
-    // runs, and a genuine failure on a healthy table PROPAGATES.
+    // marker table. The Try this replaces folded a transient IO error on
+    // a HEALTHY table into that destructive branch; now a genuine read
+    // failure PROPAGATES. What the structural check does NOT defend
+    // against is a CONCURRENT rejects overwrite (its delete→write window
+    // is structurally indistinguishable from "removed") — that exclusion
+    // is the class contract: retention, graduation and this compaction
+    // share one single-writer maintenance window (scaladoc).
     val kept =
       if (!graft.util.CommittedTable.hasData(spark, s"${table}_rejects"))
         done.limit(0)

@@ -125,7 +125,7 @@ object AtomicPublish {
     * the fingerprint-store manifest read both ride it, so tuning it for
     * an object store cannot silently miss a hand-rolled copy. */
   private[graft] def withReadRetries[A](maxAttempts: Int = 8,
-      retryFnf: Boolean = true)(
+      retryFnfIf: () => Boolean = () => true)(
       op: () => A): A = {
     var attempt = 0
     while (true) {
@@ -136,8 +136,13 @@ object AtomicPublish {
             if attempt < maxAttempts =>
           val _ = e // transient mid-publish sidecar skew — retry
           Thread.sleep(25L * attempt)
+        // the probe runs AT FNF TIME, inside the very window it must
+        // witness (an in-flight publish's temp exists during the
+        // delete-then-rename blink that threw this), and per attempt —
+        // so the happy path pays zero extra I/O and a never-published
+        // file rethrows on the first attempt with zero sleeps
         case e: java.io.FileNotFoundException
-            if retryFnf && attempt < maxAttempts =>
+            if attempt < maxAttempts && retryFnfIf() =>
           val _ = e // the delete-then-rename absence blink — retry
           Thread.sleep(25L * attempt)
       }
@@ -153,21 +158,21 @@ object AtomicPublish {
     * with a concurrent re-save (checksum-sidecar skew, the
     * delete-then-rename absence blink) retry bounded times; the real
     * error — corruption, a genuinely missing file — still surfaces, on
-    * the last attempt. FNF retries only when [[existsOrInFlight]]
-    * answers true at entry (the file exists, or a re-publish's
-    * delete-then-rename blink is in progress — one listing answers
-    * both, so the probe cannot straddle two publish windows): a
-    * genuinely never-published file (e.g. loading a Bloom index from
-    * a store that never had one) fails fast instead of burning the
-    * whole ~700 ms retry budget (r13 ADVICE). The residual race is a
-    * first-EVER read racing a first-ever publish whose temp hasn't
-    * been created yet — callers that probe for maybe-unpublished files
-    * must handle FNF anyway; that is what the probe means. */
+    * the last attempt. An FNF retries only while [[existsOrInFlight]]
+    * answers true AT THE MOMENT OF THE FAILURE (the file exists, or a
+    * re-publish's delete-then-rename blink is in progress — one
+    * listing answers both, evaluated inside the very window it must
+    * witness, so successful reads pay zero probe I/O): a genuinely
+    * never-published file (e.g. loading a Bloom index from a store
+    * that never had one) rethrows on the first attempt instead of
+    * burning the whole ~700 ms retry budget (r13 ADVICE) — callers
+    * that probe for maybe-unpublished files must handle FNF anyway;
+    * that is what the probe means. */
   def readFile[A](conf: Configuration, target: Path,
       magic: Option[String] = None)(
       read: java.io.DataInputStream => A): A = {
     val fs = target.getFileSystem(conf)
-    withReadRetries(retryFnf = existsOrInFlight(fs, target)) { () =>
+    withReadRetries(retryFnfIf = () => existsOrInFlight(fs, target)) { () =>
       val in = new java.io.DataInputStream(fs.open(target))
       try {
         magic.foreach { m =>

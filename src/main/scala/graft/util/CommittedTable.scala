@@ -8,15 +8,18 @@ import org.apache.spark.sql.SparkSession
   * [[graft.streaming.WatchlistMonitor]] sweep's discipline, extracted in
   * r14 because [[graft.streaming.CorpusIngest.compactGraduated]] had
   * re-grown the Try-as-removed shape): a `scala.util.Try` around
-  * `spark.read` folds a transient IO error or a concurrent writer
-  * mid-overwrite into "table gone", and for callers whose gone-branch is
-  * destructive (wipe the graduated markers, re-sweep the whole watched
-  * set) that misread silently redoes — or undoes — corpus-scale work.
-  * Structure can't lie that way: a dir that is missing, or holds no
-  * committed data file (a crash mid-first-write leaves only
+  * `spark.read` folds a transient IO error into "table gone", and for
+  * callers whose gone-branch is destructive (wipe the graduated markers,
+  * re-sweep the whole watched set) that misread silently redoes — or
+  * undoes — corpus-scale work. Structurally: a dir that is missing, or
+  * holds no committed data file (a crash mid-first-write leaves only
   * `_temporary/`; an all-rejected stream leaves only `_SUCCESS`), has
   * never durably held rows, while a genuine read failure on a healthy
-  * table PROPAGATES from the actual read that follows.
+  * table PROPAGATES from the actual read that follows. NOT defended:
+  * a concurrent `mode("overwrite")` of the same table — its
+  * delete→write window is structurally identical to "removed", so
+  * callers owe their gone-branch a single-writer contract (every
+  * maintenance path here runs in one exclusive window).
   */
 object CommittedTable {
 

@@ -391,8 +391,13 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
       org.apache.spark.graft.ListenerGlue.drain(spark.sparkContext)
     } finally spark.listenerManager.unregister(listener)
     import scala.jdk.CollectionConverters._
-    val semi = plans.asScala.filter(_.contains("LeftSemi"))
-    assert(semi.nonEmpty, "the delta must be computed by a semi join")
+    // scope to plans that actually scan THIS test's watermark: the
+    // session (and its listener bus) is suite-shared, so a concurrently
+    // running suite's semi-join must not be able to flake this pin
+    val semi = plans.asScala.filter(p =>
+      p.contains("LeftSemi") && p.contains("flags_swept"))
+    assert(semi.nonEmpty,
+      "the delta must be computed by a semi join over the watermark scan")
     semi.foreach { p =>
       assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
           && !p.contains("ShuffledHashJoin"),
