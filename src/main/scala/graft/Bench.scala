@@ -139,7 +139,19 @@ object Bench {
     * The wall-only branch carries a 1.0 s floor (vs the conjunction's
     * 0.3 s): single-pass seconds on this box swing 2-4× under neighbor
     * load and the canary in the same artifact is the adjudicator, so
-    * sub-second arcs stay out of the flag list entirely. */
+    * sub-second arcs stay out of the flag list entirely.
+    *
+    * The shuffle branch ALSO gates the COLLAPSE profile (shuffle shrank
+    * >1.5× while wall blew >2× past the 1.0 s floor): "shuffle flat ⇒
+    * contention" does not cover "shuffle vanished while wall
+    * quadrupled" — that is a plan change (e.g. a shuffled join replaced
+    * by a slow driver-side path), and without the collapse arm the
+    * growth conjunction would leave exactly that regression class
+    * ungateable for any arc that shuffled last round. The headline lane
+    * stays growth-only by design: across 170 AQE-planned queries a
+    * shuffle SHRINK is mode-flip territory (q44's 14.0↔3.9 MB,
+    * tools/bench_notes.txt), while the 26 single-run arcs here are few
+    * enough to adjudicate individually against the canary. */
   private[graft] def lifecycleRegressionsOf(
       prevL: Map[String, Double], prevW: Map[String, Double],
       now: Seq[(String, Double)],
@@ -150,7 +162,9 @@ object Bench {
         val pw = prevW.getOrElse(name, 0.0)
         val mb = nowShuffle.getOrElse(name, 0.0)
         val regressed =
-          if (pw > 1.0 || mb > 1.0) wallAndShuffleRegressed(p, sec, pw, mb)
+          if (pw > 1.0 || mb > 1.0)
+            wallAndShuffleRegressed(p, sec, pw, mb) ||
+              (sec > 2 * p && sec > 1.0 && pw > 1.5 * mb)
           else sec > 2 * p && sec > 1.0
         if (regressed) Some((name, p, sec, pw, mb)) else None
       }

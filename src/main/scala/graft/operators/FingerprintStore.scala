@@ -299,20 +299,21 @@ object FingerprintStore {
     * ONCE: its confirmed-absent verdict is cached per qualified path
     * (r13 ADVICE — resolvedFrame probes the manifest on every read, so
     * uncached the sleeps tax every read of a legacy store), and each
-    * subsequent probe is ONE parent-directory listing
-    * ([[graft.util.AtomicPublish.existsOrInFlight]]) — manifest
+    * subsequent probe is [[graft.util.AtomicPublish.confirmedAbsent]]
+    * — a pair of consecutive parent-directory listings — manifest
     * present, or a manifest publish observably in flight (its fresh
     * dot-temp sibling), invalidates the entry and falls through to the
     * full confirm protocol, so an upgrade by this JVM
     * ([[writeManifest]] also invalidates) or any other is picked up
-    * immediately. The single-listing shape is what closes the
-    * cross-JVM TOCTOU: an upgraded store being rewritten holds the
-    * manifest OR the writer's temp at every instant of the publish
-    * protocol, so one listing cannot answer "neither" for it the way
-    * two sequential probes (each landing in a different publish's
-    * window) could; orphaned temps age out after
-    * [[graft.util.AtomicPublish.OrphanTempHorizonMs]] instead of
-    * taxing the fast path forever. */
+    * immediately. The listing shape is what closes the cross-JVM
+    * TOCTOU: an upgraded store being rewritten holds the manifest OR
+    * the writer's temp at every instant of the publish protocol, so a
+    * listing cannot answer "neither" for it the way two sequential
+    * single-name probes (each landing in a different publish's
+    * window) could — and the helper's second listing covers the
+    * torn-readdir case one listing can't; orphaned temps age out
+    * after [[graft.util.AtomicPublish.OrphanTempHorizonMs]] instead
+    * of taxing the fast path forever. */
   private val confirmedLegacy =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -322,16 +323,12 @@ object FingerprintStore {
     val mf = new org.apache.hadoop.fs.Path(base, ManifestFile)
     val legacyKey = fs.makeQualified(mf).toString
     if (confirmedLegacy.contains(legacyKey)) {
-      // TWO consecutive neither-manifest-nor-temp listings, not one: a
-      // directory listing racing the temp→manifest rename is not atomic
-      // (readdir can miss an entry mid-rename), so one listing could
-      // answer "neither" for an upgraded store being re-published; for
-      // two back-to-back listings to both miss, two distinct renames
-      // must each straddle their own listing — the same
-      // consecutive-outcomes discipline as the full confirm protocol
-      // below, without its sleeps
-      if (!graft.util.AtomicPublish.existsOrInFlight(fs, mf) &&
-          !graft.util.AtomicPublish.existsOrInFlight(fs, mf))
+      // confirmedAbsent = TWO consecutive neither-manifest-nor-temp
+      // listings, not one (a readdir racing the temp→manifest rename
+      // can miss both names) — the same consecutive-outcomes
+      // discipline as the full confirm protocol below, without its
+      // sleeps
+      if (graft.util.AtomicPublish.confirmedAbsent(fs, mf))
         return None // still legacy — no manifest, no writer mid-publish
       // upgraded (or being upgraded) since confirmed — full probe
       confirmedLegacy.remove(legacyKey): Unit

@@ -68,11 +68,13 @@ object AtomicPublish {
     * probes: on Hadoop's LOCAL fs `FileContext.rename(OVERWRITE)` is
     * delete-then-rename, and at every instant of that protocol either
     * the target or the publisher's temp is present (the final POSIX
-    * rename swaps them atomically), so a single listing can only
-    * answer "neither" for a genuinely never-published (or
-    * orphan-only) target — two sequential probes could each land in a
-    * different publish's window and miss both. Callers use "neither"
-    * as the never-published fast-fail / confirmed-legacy verdict. */
+    * rename swaps them atomically) — whereas two sequential
+    * single-name probes could each land in a different publish's
+    * window and miss both. One listing is still not a snapshot,
+    * though: a readdir racing the temp→target rename can miss BOTH
+    * names of a durably published target, so an ABSENCE verdict is
+    * only trusted through [[confirmedAbsent]]'s consecutive-listings
+    * discipline; a positive answer here needs no second look. */
   private[graft] def existsOrInFlight(fs: FileSystem, target: Path): Boolean = {
     val statuses =
       try Option(fs.globStatus(new Path(target.getParent,
@@ -84,6 +86,18 @@ object AtomicPublish {
       st.getPath.getName == target.getName ||
         now - st.getModificationTime < OrphanTempHorizonMs)
   }
+
+  /** `target` is confirmed ABSENT — neither present nor observably
+    * mid-publish — by TWO consecutive [[existsOrInFlight]] listings,
+    * the same discipline the fingerprint store's legacy check uses: a
+    * directory listing racing the temp→target rename is not atomic
+    * (readdir can miss an entry mid-rename), so one listing can answer
+    * "neither" for a durably PUBLISHED target; for two back-to-back
+    * listings to both miss, two distinct renames must each straddle
+    * their own listing. No sleeps — both listings are cheap readdirs,
+    * so the genuinely-never-published fast path stays fast. */
+  private[graft] def confirmedAbsent(fs: FileSystem, target: Path): Boolean =
+    !existsOrInFlight(fs, target) && !existsOrInFlight(fs, target)
 
   /** Atomically publish a single file at `target`, replacing any
     * existing one: `write` fills a dot-prefixed temp, then
@@ -158,21 +172,23 @@ object AtomicPublish {
     * with a concurrent re-save (checksum-sidecar skew, the
     * delete-then-rename absence blink) retry bounded times; the real
     * error — corruption, a genuinely missing file — still surfaces, on
-    * the last attempt. An FNF retries only while [[existsOrInFlight]]
-    * answers true AT THE MOMENT OF THE FAILURE (the file exists, or a
-    * re-publish's delete-then-rename blink is in progress — one
+    * the last attempt. An FNF retries unless [[confirmedAbsent]]
+    * holds AT THE MOMENT OF THE FAILURE (the file exists, or a
+    * re-publish's delete-then-rename blink is in progress — each
     * listing answers both, evaluated inside the very window it must
     * witness, so successful reads pay zero probe I/O): a genuinely
     * never-published file (e.g. loading a Bloom index from a store
     * that never had one) rethrows on the first attempt instead of
     * burning the whole ~700 ms retry budget (r13 ADVICE) — callers
     * that probe for maybe-unpublished files must handle FNF anyway;
-    * that is what the probe means. */
+    * that is what the probe means. Absence takes TWO consecutive
+    * listings, never one: one torn readdir must not turn a transient
+    * blink on a durably published file into a spurious FNF. */
   def readFile[A](conf: Configuration, target: Path,
       magic: Option[String] = None)(
       read: java.io.DataInputStream => A): A = {
     val fs = target.getFileSystem(conf)
-    withReadRetries(retryFnfIf = () => existsOrInFlight(fs, target)) { () =>
+    withReadRetries(retryFnfIf = () => !confirmedAbsent(fs, target)) { () =>
       val in = new java.io.DataInputStream(fs.open(target))
       try {
         magic.foreach { m =>

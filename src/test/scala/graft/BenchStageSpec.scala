@@ -59,19 +59,27 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq(("a", 1.0, 3.0, 10.0, 20.0)), s"got $got")
   }
 
-  test("lifecycle regression gate: conjunction where shuffle applies, 2x wall with 1s floor otherwise") {
-    val prevL = Map("a" -> 5.0, "b" -> 5.0, "c" -> 0.4, "d" -> 5.0)
-    val prevW = Map("a" -> 10.0, "b" -> 0.0, "c" -> 0.0, "d" -> 10.0)
+  test("lifecycle regression gate: conjunction where shuffle applies, 2x wall with 1s floor otherwise, collapse profile gated") {
+    val prevL = Map("a" -> 5.0, "b" -> 5.0, "c" -> 0.4, "d" -> 5.0,
+      "f" -> 5.0, "g" -> 5.0)
+    val prevW = Map("a" -> 10.0, "b" -> 0.0, "c" -> 0.0, "d" -> 10.0,
+      "f" -> 10.0, "g" -> 10.0)
     val now = Seq(
       "a" -> 12.0, // shuffle applies: 2.4x wall AND 2x shuffle -> flagged
       "b" -> 12.0, // zero-shuffle arc: 2.4x wall above the 1 s floor -> flagged
       "c" -> 0.9,  // zero-shuffle, 2.25x wall but under the 1 s floor -> noise
       "d" -> 12.0, // shuffle applies, shuffle flat -> contention, not flagged
-      "e" -> 99.0) // new entry, no baseline -> not flagged
+      "e" -> 99.0, // new entry, no baseline -> not flagged
+      // COLLAPSE profile: shuffle vanished while wall blew up — a plan
+      // change (e.g. a shuffled join replaced by a slow driver-side
+      // path), not contention; "shuffle flat => noise" must not absorb it
+      "f" -> 12.0, // 2.4x wall, shuffle 10 MB -> 0.2 MB -> flagged
+      "g" -> 8.0)  // shuffle collapsed but wall within 2x -> improvement, not flagged
     val nowShuffle = scala.collection.Map(
-      "a" -> 20.0, "b" -> 0.0, "c" -> 0.0, "d" -> 10.1, "e" -> 50.0)
+      "a" -> 20.0, "b" -> 0.0, "c" -> 0.0, "d" -> 10.1, "e" -> 50.0,
+      "f" -> 0.2, "g" -> 0.2)
     val got = Bench.lifecycleRegressionsOf(prevL, prevW, now, nowShuffle)
-    assert(got.map(_._1) == Seq("a", "b"), s"got $got")
+    assert(got.map(_._1) == Seq("a", "b", "f"), s"got $got")
   }
 
   test("readPrevDetail parses a committed BENCH_DETAIL line and survives absence/garbage") {

@@ -71,9 +71,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   // (ext54/ext61-63's k-means/PQ/GD training) must RUN their driver-held
   // training loops before a final plan exists. That cost is inherent to
   // auditing the real plan the driver gate executes, and stays bounded at
-  // the audit's sf0.001.
+  // the audit's sf0.001. eagerLifecycle entries are EXCLUDED, not paid:
+  // their build executes whole streaming/store arcs only to return a
+  // local/checkpointed summary frame whose executed plan can never
+  // contain a join shape — zero audit value for minutes of lifecycle
+  // work. Their inner join shapes are pinned by their own operator specs
+  // (FingerprintStoreSpec, ImageIngestSpec, WatchlistMonitorSpec,
+  // CorpusIngestSpec), and SparkEntrySpec smokes the entries themselves.
   test("no undeclared CartesianProduct / BroadcastNestedLoopJoin in the catalog") {
-    val offenders = SparkEntry.all.flatMap { q =>
+    val offenders = SparkEntry.all.filterNot(_.eagerLifecycle).flatMap { q =>
       val plan =
         try q.build(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"${q.name} failed to plan: ${e.getMessage}") }

@@ -353,13 +353,15 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
       "a failed watermark read must not have swept anything")
   }
 
-  test("sweep delta plan: the watched set BROADCASTS against the watermark scan — the watermark itself never shuffles or reaches the driver") {
+  test("sweep delta plan: ONE aggregate pass over the watermark computes delta + epoch — no join, no second scan, the watermark never shuffles or reaches the driver") {
     // the r13 verdict #3 shape, plan-pinned: the watermark grows with
-    // every clip ever watched, so the delta must come from a broadcast
-    // semi-join probing the watermark scan map-side (watched = the
-    // driver-bounded Seq = the broadcast side). A SortMergeJoin here
-    // would shuffle the watermark — the driver-sized structure's return
-    // in exchange form
+    // every clip ever watched, so the delta must come from a map-side
+    // probe of the watermark scan (the watched set is the
+    // driver-bounded Seq, compiled into an In/InSet predicate feeding
+    // collect_set) computed IN THE SAME JOB as the max-epoch — two
+    // separate scans would double the sweep hot path's watermark I/O,
+    // and any Join/SortMergeJoin would shuffle the watermark — the
+    // driver-sized structure's return in exchange form
     val winSec = AudioCorpus.TrackWindowSec
     val base = Files.createTempDirectory("watchmon-sweep-plan").toString
     val landedDir = s"$base/landed"
@@ -387,21 +389,22 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     }
     spark.listenerManager.register(listener)
     try {
-      sweep(Seq(0L, 4L)) // delta path: semi-join + max-epoch agg run
+      sweep(Seq(0L, 4L)) // delta path: the one-pass delta+epoch agg runs
       org.apache.spark.graft.ListenerGlue.drain(spark.sparkContext)
     } finally spark.listenerManager.unregister(listener)
     import scala.jdk.CollectionConverters._
-    // scope to plans that actually scan THIS test's watermark: the
-    // session (and its listener bus) is suite-shared, so a concurrently
-    // running suite's semi-join must not be able to flake this pin
-    val semi = plans.asScala.filter(p =>
-      p.contains("LeftSemi") && p.contains("flags_swept"))
-    assert(semi.nonEmpty,
-      "the delta must be computed by a semi join over the watermark scan")
-    semi.foreach { p =>
-      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
-          && !p.contains("ShuffledHashJoin"),
-        s"the watched set must broadcast against the watermark scan:\n$p")
+    // scope to plans that actually SCAN this test's watermark (the
+    // session and its listener bus are suite-shared, so a concurrently
+    // running suite's jobs must not be able to flake this pin; the
+    // sweep's own watermark APPEND carries the path too but reads a
+    // LocalRelation, not a parquet scan of it)
+    val scans = plans.asScala.filter(p =>
+      p.contains("flags_swept") && !p.contains("InsertIntoHadoopFsRelation"))
+    assert(scans.size == 1,
+      s"delta + epoch must come from ONE pass over the watermark, saw ${scans.size}:\n${scans.mkString("\n----\n")}")
+    scans.foreach { p =>
+      assert(p.contains("HashAggregate") && !p.contains("Join"),
+        s"the watermark pass must be a map-side-probed aggregate, never a join:\n$p")
     }
   }
 

@@ -76,19 +76,27 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
     assert(attempts == 1, "first failure with no evidence rethrows")
   }
 
-  test("readFile wires the gate to existsOrInFlight: never-published throws FNF; a fresh temp sibling reads as in-flight; an aged orphan does not") {
+  test("readFile wires the gate to confirmedAbsent: never-published throws FNF; a fresh temp sibling reads as in-flight; an aged orphan does not") {
     val base = java.nio.file.Files.createTempDirectory("pubprobe").toString
     val target = new Path(s"$base/index.bin")
     intercept[java.io.FileNotFoundException] {
       AtomicPublish.readFile(conf, target)(_.readLong())
     }
+    val fs = target.getFileSystem(conf)
+    // absence is only trusted through TWO consecutive listings
+    // (confirmedAbsent) — a single readdir racing a temp→target rename
+    // can miss both names of a durably published file; the stable-state
+    // verdicts of the pair must match the single-listing probe's
+    assert(AtomicPublish.confirmedAbsent(fs, target),
+      "a never-published target is confirmed absent")
     // a FRESH in-flight publish's dot-temp sibling (AtomicPublish
     // .tmpFor's naming) flips the probe: absence now reads as the
     // delete-then-rename blink
     val tmp = java.nio.file.Paths.get(base, ".index.bin.deadbeefdead.tmp")
     java.nio.file.Files.write(tmp, Array[Byte](1))
-    val fs = target.getFileSystem(conf)
     assert(AtomicPublish.existsOrInFlight(fs, target))
+    assert(!AtomicPublish.confirmedAbsent(fs, target),
+      "an in-flight temp sibling must block the absence verdict")
     // an ORPHANED temp (hard-killed publisher, older than the horizon)
     // stops counting as in-flight evidence — without the age-out one
     // orphan would tax every probe of this target forever
@@ -97,6 +105,8 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
         System.currentTimeMillis() - AtomicPublish.OrphanTempHorizonMs - 60000))
     assert(!AtomicPublish.existsOrInFlight(fs, target),
       "an aged orphan temp must not read as an in-flight publish")
+    assert(AtomicPublish.confirmedAbsent(fs, target),
+      "an orphan-only target is confirmed absent")
   }
 
   test("readFile still absorbs a concurrent re-publish: the file existed at entry, so mid-blink FNF retries") {
