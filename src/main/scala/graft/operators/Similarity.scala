@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -278,6 +278,43 @@ object Similarity {
       .withColumn("cn", norm2(col("cv"))).filter(col("cn") > 0)
       .select(assignUdf(col("cv")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** BOTH drift-dial histograms from ONE corpus pass — the retrain
+    * trigger's dominant cost at corpus scale is the scan itself, and
+    * computing the dials as two jobs ([[VectorIndex.retrainIfDrifted]]'s
+    * pre-r14 shape: an octant pass, then a [[coarseOccupancy]] pass)
+    * read the full corpus twice. Each row contributes an octant entry
+    * (every non-null vector — the octant dial's eligibility) and,
+    * when a `model` is supplied, a coarse-list entry gated by EXACTLY
+    * [[coarseOccupancy]]'s rules (no null elements, dim-checked by the
+    * assign UDF's require, zero-norm dropped) — so each dial's counts
+    * are bit-identical to the two-pass histograms (spec-pinned), while
+    * the exploded (dial, bucket) rows partial-aggregate map-side to
+    * ≤ 8 + nLists groups. Returns (dial, bucket, n). */
+  private[graft] def driftHistograms(corpus: DataFrame, vecCol: String,
+      octantBucket: Column, octantDial: String,
+      model: Option[PqModel], listDial: String): DataFrame = {
+    val oct = struct(lit(octantDial).as("dial"), octantBucket.as("bucket"))
+    val entries = model match {
+      case None => array(oct)
+      case Some(m) =>
+        val coarse = m.coarse
+        val expectDim = m.dim
+        val assignUdf = udf((v: Seq[Double]) => {
+          require(v.length == expectDim,
+            s"coarse assign: vector dim ${v.length} != model dim $expectDim")
+          nearestIdx(coarse, v, 0).toLong
+        })
+        val cv = toDouble(col(vecCol))
+        val eligible = !exists(col(vecCol), _.isNull) && norm2(cv) > 0
+        array(oct, when(eligible,
+          struct(lit(listDial).as("dial"), assignUdf(cv).as("bucket"))))
+    }
+    corpus.filter(col(vecCol).isNotNull)
+      .select(explode(filter(entries, _.isNotNull)).as("e"))
+      .groupBy(col("e.dial").as("dial"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** ADC search + exact refine over an (already built) index frame —

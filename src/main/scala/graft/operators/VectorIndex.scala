@@ -62,16 +62,24 @@ object VectorIndex {
   private val DialOctant = "octant"
   private val DialList = "list"
 
+  /** ext90's sign-octant bucket over the first three dims of `vecCol` —
+    * the deterministic, quantizer-free drift key shared by
+    * [[octantCounts]] (build-time reference) and the one-pass
+    * [[graft.operators.Similarity.driftHistograms]] (trigger-time
+    * current), so the two sides can never drift apart. */
+  private def octantBucket(vecCol: String) =
+    (when(element_at(col(vecCol), 1) > 0, 4).otherwise(0) +
+      when(element_at(col(vecCol), 2) > 0, 2).otherwise(0) +
+      when(element_at(col(vecCol), 3) > 0, 1).otherwise(0))
+      .cast("long")
+
   /** Sign-octant histogram over the first three dims — ext90's
     * deterministic, quantizer-free drift buckets (≤ 8 rows whatever the
     * corpus size): the distribution fingerprint [[buildIvfPq]] stores
     * and [[retrainIfDrifted]] compares against. */
   private def octantCounts(corpus: DataFrame, vecCol: String): DataFrame =
     corpus.filter(col(vecCol).isNotNull)
-      .select((when(element_at(col(vecCol), 1) > 0, 4).otherwise(0) +
-        when(element_at(col(vecCol), 2) > 0, 2).otherwise(0) +
-        when(element_at(col(vecCol), 3) > 0, 1).otherwise(0))
-        .cast("long").as("bucket"))
+      .select(octantBucket(vecCol).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
 
   /** ext90's PSI arithmetic (Laplace +1 over the union of buckets),
@@ -153,15 +161,21 @@ object VectorIndex {
         statsDf.collect().groupBy(_.getAs[String]("dial"))
           .view.mapValues(toHist).toMap
       else Map(DialOctant -> toHist(statsDf.collect()))
-    val curOct = octantCounts(corpus, vecCol) // bounded: ≤ 8 octants
-      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
-    val psiOct = psiOf(refByDial(DialOctant), curOct)
-    val psiList = refByDial.get(DialList).map { refList =>
-      val curList = Similarity // bounded: ≤ nLists lists
-        .coarseOccupancy(corpus, vecCol, loadModel(spark, dir))
-        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
-      psiOf(refList, curList)
-    }
+    // ONE corpus pass feeds BOTH dials (pre-r14: an octant job, then a
+    // coarseOccupancy job — the full corpus scanned twice per trigger
+    // probe; the scan is the trigger's dominant cost at corpus scale).
+    // The collect is bounded: ≤ 8 octant + ≤ nLists list rows.
+    val curByDial: Map[String, Map[Long, Long]] =
+      Similarity.driftHistograms(corpus, vecCol,
+          octantBucket(vecCol), DialOctant,
+          if (refByDial.contains(DialList)) Some(loadModel(spark, dir))
+          else None, DialList)
+        .collect().groupBy(_.getAs[String]("dial"))
+        .view.mapValues(toHist).toMap
+    val psiOct = psiOf(refByDial(DialOctant),
+      curByDial.getOrElse(DialOctant, Map.empty))
+    val psiList = refByDial.get(DialList).map(refList =>
+      psiOf(refList, curByDial.getOrElse(DialList, Map.empty)))
     val psi = math.max(psiOct, psiList.getOrElse(0.0))
     if (psi <= threshold) (psi, false)
     else {

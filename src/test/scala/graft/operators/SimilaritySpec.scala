@@ -194,6 +194,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().forall(r => Set(0L, 1L)(r.getLong(1))))
   }
 
+  test("driftHistograms: one pass reproduces both two-pass dials bit-for-bit, edge vectors included") {
+    // the fused retrain-trigger probe must count EXACTLY what the two
+    // separate jobs counted: octant = every non-null vector (null
+    // elements read as <= 0, like the stored reference), list = only
+    // encodable vectors (coarseOccupancy's eligibility)
+    val dirty = Seq(
+      (0L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f, 4.0f)),  // octant 7, encodable
+      (1L, Seq[java.lang.Float](-1f, -2f, -3f, -4f)),      // octant 0, encodable
+      (2L, Seq[java.lang.Float](5f, -1f, 2f, 0.5f)),       // octant 5, encodable
+      (3L, Seq[java.lang.Float](1f, null, 3f, 4f)),        // null element: octant-only
+      (4L, Seq[java.lang.Float](0f, 0f, 0f, 0f)),          // zero norm: octant-only
+      (5L, null.asInstanceOf[Seq[java.lang.Float]])        // neither dial
+    ).toDF("vec_id", "embedding")
+    val clean = dirty.filter(col("vec_id") < 3)
+    val model = Similarity.trainPq(
+      Similarity.sampleVectors(clean, "vec_id", "embedding", 8, 42L),
+      nLists = 2, m = 2, ksub = 2)
+    val octBucket = (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0)
+      + when(element_at(col("embedding"), 2) > 0, 2).otherwise(0)
+      + when(element_at(col("embedding"), 3) > 0, 1).otherwise(0)).cast("long")
+    val fused = Similarity.driftHistograms(
+        dirty, "embedding", octBucket, "octant", Some(model), "list")
+      .collect().groupBy(_.getAs[String]("dial"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap).toMap
+    // octants: vec0 -> 7, vec1 -> 0, vec2/vec3 -> 5, vec4 -> 0; vec5 absent
+    assert(fused("octant") == Map(7L -> 1L, 0L -> 2L, 5L -> 2L))
+    // list dial == the independent coarseOccupancy recomputation, and
+    // only the 3 encodable vectors count
+    val twoPass = Similarity.coarseOccupancy(dirty, "embedding", model)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(fused("list") == twoPass, s"fused=${fused("list")} two-pass=$twoPass")
+    assert(fused("list").values.sum == 3L)
+    // octant-only mode (legacy single-dial stats): no list rows at all
+    val octOnly = Similarity.driftHistograms(
+        dirty, "embedding", octBucket, "octant", None, "list").collect()
+    assert(octOnly.forall(_.getAs[String]("dial") == "octant"))
+    assert(octOnly.map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap == fused("octant"))
+  }
+
   test("classCentroids: golden element-wise means, null and null-element vectors excluded") {
     val d = Seq(
       (0L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f), 0),
