@@ -49,7 +49,9 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * compaction arc ext134 (the perceptual ingest folding its own
   * epoch-keyed write-back partitions on micro-batch cadence from inside
   * foreachBatch's exclusive-writer window — retention and reclaim
-  * observed live vs disk) — 196 catalog entries total);
+  * observed live vs disk) and the ANN retrain-trigger arc ext135 (the
+  * two-dial drift probe firing, swapping a staged rebuild and
+  * self-disarming, per dial) — 197 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -5192,6 +5192,86 @@ object ExtensionQueries {
             "n_disk_partitions", "n_rows")
           .orderBy("step")
       },
+      None, bench = false, eagerLifecycle = true), // stateful lifecycle entry, like ext121/ext131
+
+    // ------------------------------------------------------------ EXT135
+    // ANN RETRAIN TRIGGER ARC (r14) — the last maintenance composition
+    // with no catalog entry: ext73 proves the index CRUD lifecycle and
+    // ext88 measures the recall decay a stale quantizer causes, but the
+    // operator that CLOSES that loop — `VectorIndex.retrainIfDrifted`'s
+    // two-dial drift probe → staged rebuild → marker-bracketed atomic
+    // swap — was ScalaTest-only. The entry runs the trigger's whole
+    // decision arc over the embeddings table, one probe per step:
+    // (1) the build corpus itself — BOTH dials quiet, nothing touched
+    // (byte-identical below threshold, spec-pinned); (2) a
+    // sign-preserving RANK COLLAPSE (dims 1-4 ×9, the rest ×0.01 — the
+    // encoder-collapse failure mode where embeddings degrade onto a
+    // low-rank subspace; a uniform ×5 scale measured psi 0.002 and a
+    // balanced anisotropic stretch 0.06, because PSI reads the
+    // occupancy HISTOGRAM, which reshuffled-but-balanced assignments
+    // leave flat — occupancy must CONCENTRATE, and projecting 8
+    // centroids onto 4 effective dims starves the lists that collide:
+    // measured psi 0.58/0.82 at sf0.001/0.01, 6-8× the threshold) —
+    // signs preserved, so the octant dial's psi is EXACTLY 0 by
+    // construction and the firing is the coarse-LIST dial seeing
+    // occupancy move off the stale centroids (the recall-decay
+    // mechanism ext88 measures) → retrain + swap; (3) the same
+    // collapsed corpus again — the trigger SELF-RESETS (the rebuild
+    // stored a new
+    // two-dial reference, psi back under threshold); (4) abs() of every
+    // coordinate — the whole corpus collapses onto sign-octant 7, so the
+    // OCTANT dial provably fires against the near-uniform reference (the
+    // returned psi is the max of both dials) → retrain; (5) quiet again.
+    // Each probe is ONE corpus pass (the fused driftHistograms — both
+    // dials from a single scan, the r14 one-pass shape) plus, when a
+    // dial fires, the staged rebuild; emitted per step: (step, phase,
+    // psi 6dp, retrained, n_live_lists from the codes/ directory
+    // listing). Rows-only (float PSI and kmeans training are
+    // engine-specific); VectorIndexSpec pins the entry's exact
+    // fire/disarm arc at sf0.001 plus crash-heal, no-op byte-identity
+    // and rebuild-equals-fresh-build on the operator itself.
+    QueryDef(
+      "ext135_ann_retrain_trigger",
+      (s, dir) => withScratch("annretrain-ext135") { idxDir =>
+        import graft.operators.VectorIndex
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .localCheckpoint(false)
+        val collapsed = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i < 4, x * lit(9.0)).otherwise(x * lit(0.01)))
+            .as("embedding"))
+          .localCheckpoint(false)
+        val absed = collapsed.select(col("vec_id"),
+          transform(col("embedding"), x => abs(x)).as("embedding"))
+          .localCheckpoint(false)
+        def listDirs(): Long = {
+          val p = new org.apache.hadoop.fs.Path(s"$idxDir/codes")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).count(st => st.isDirectory &&
+            st.getPath.getName.startsWith("list=")).toLong
+        }
+        VectorIndex.buildIvfPq(emb, "vec_id", "embedding", idxDir,
+          nLists = 8, m = 8, ksub = 16)
+        def probe(step: Long, phase: String,
+            corpus: org.apache.spark.sql.DataFrame)
+            : (Long, String, Double, Boolean, Long) = {
+          val (psi, did) = VectorIndex.retrainIfDrifted(s, idxDir, corpus,
+            "vec_id", "embedding", threshold = 0.1,
+            nLists = 8, m = 8, ksub = 16)
+          (step, phase, math.rint(psi * 1e6) / 1e6, did, listDirs())
+        }
+        val arc = Seq(
+          probe(1, "probe_build_corpus_quiet", emb),
+          probe(2, "collapse_fires_list_dial", collapsed),
+          probe(3, "collapsed_reference_disarmed", collapsed),
+          probe(4, "abs_fires_octant_dial", absed),
+          probe(5, "absed_reference_disarmed", absed))
+        // arc rows are plain collected values — withScratch's cleanup is
+        // safe to run on return
+        import s.implicits._
+        arc.toDF("step", "phase", "psi", "retrained", "n_live_lists")
+          .orderBy("step")
+      },
       None, bench = false, eagerLifecycle = true) // stateful lifecycle entry, like ext121/ext131
   )
 

@@ -57,9 +57,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestSession {
     // entries whose ENTRY FUNCTION another spec already executes and
     // arc-pins are exempt — re-running their compaction/stream arcs here
     // would only pay each lifecycle twice per suite: ext133 is pinned in
-    // FingerprintStoreSpec, ext134 in ImageIngestSpec
+    // FingerprintStoreSpec, ext134 in ImageIngestSpec, ext135 in
+    // VectorIndexSpec
     val pinnedElsewhere = Set(
-      "ext133_fingerprint_compaction", "ext134_writeback_compaction")
+      "ext133_fingerprint_compaction", "ext134_writeback_compaction",
+      "ext135_ann_retrain_trigger")
     SparkEntry.all
       .filter(q => q.eagerLifecycle && !pinnedElsewhere(q.name))
       .foreach { q =>

@@ -251,6 +251,30 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
       s"after retrain both dials must disarm: $psiAfter")
   }
 
+  test("ext135 entry arc at sf0.001: quiet / list-dial fire / disarm / octant-dial fire / disarm") {
+    // the catalog entry's exact fire/disarm sequence — one retrain per
+    // firing, self-resetting after each (the arc CORRECTNESS reads as
+    // rows-only)
+    val rows = graft.SparkEntry.queries("ext135_ann_retrain_trigger")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(r => (r.getAs[Long]("step"), r.getAs[String]("phase"),
+      r.getAs[Boolean]("retrained"))).toSeq == Seq(
+      (1L, "probe_build_corpus_quiet", false),
+      (2L, "collapse_fires_list_dial", true),
+      (3L, "collapsed_reference_disarmed", false),
+      (4L, "abs_fires_octant_dial", true),
+      (5L, "absed_reference_disarmed", false)))
+    val psi = rows.map(r =>
+      r.getAs[Long]("step") -> r.getAs[Double]("psi")).toMap
+    // quiet probes are EXACTLY 0 (same corpus as the stored reference —
+    // both dials' histograms identical, and PSI(h, h) = 0); the firings
+    // clear the 0.1 threshold with real margin (measured 0.58 / 5.4)
+    assert(psi(1L) == 0.0 && psi(3L) == 0.0 && psi(5L) == 0.0, s"psi=$psi")
+    assert(psi(2L) > 0.3 && psi(4L) > 1.0, s"psi=$psi")
+    // every rebuild keeps the full inverted file populated
+    assert(rows.forall(_.getAs[Long]("n_live_lists") == 8L))
+  }
+
   test("retrainIfDrifted heals its own crash window: an armed marker completes the whole staged swap before the stats read") {
     // the worst interruption: the swap loop deleted a target and died
     // before its rename — the target is gone, the staged copy exists,
