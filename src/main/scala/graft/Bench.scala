@@ -150,8 +150,8 @@ object Bench {
     * ungateable for any arc that shuffled last round. The headline lane
     * stays growth-only by design: across 170 AQE-planned queries a
     * shuffle SHRINK is mode-flip territory (q44's 14.0↔3.9 MB,
-    * tools/bench_notes.txt), while the 26 single-run arcs here are few
-    * enough to adjudicate individually against the canary. */
+    * tools/bench_notes.txt), while the few dozen single-run arcs here
+    * are few enough to adjudicate individually against the canary. */
   private[graft] def lifecycleRegressionsOf(
       prevL: Map[String, Double], prevW: Map[String, Double],
       now: Seq[(String, Double)],

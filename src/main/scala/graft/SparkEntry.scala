@@ -51,7 +51,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * foreachBatch's exclusive-writer window — retention and reclaim
   * observed live vs disk) and the ANN retrain-trigger arc ext135 (the
   * two-dial drift probe firing, swapping a staged rebuild and
-  * self-disarming, per dial) — 197 catalog entries total);
+  * self-disarming, per dial) and the landed-table small-file
+  * compaction arc ext136 (journal-protected FFD bin-packing of the
+  * plain-parquet landing table — heal-forward crash contract, files
+  * at target byte-identical, file-sink tables refused) — 198 catalog
+  * entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

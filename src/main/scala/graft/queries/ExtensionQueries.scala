@@ -5272,6 +5272,82 @@ object ExtensionQueries {
         arc.toDF("step", "phase", "psi", "retrained", "n_live_lists")
           .orderBy("step")
       },
+      None, bench = false, eagerLifecycle = true), // stateful lifecycle entry, like ext121/ext131
+
+    // ------------------------------------------------------------ EXT136
+    // LANDED-TABLE SMALL-FILE COMPACTION ARC (r14) — the last table in
+    // the ingest estate with NO maintenance story: the audited landing
+    // sinks append one parquet file per source-partition per micro-batch
+    // (a year of 30-second batches is ~10⁶ files per source dir; every
+    // downstream scan pays a task per file), and while the fingerprint
+    // store folds behind its manifest (ext133/134), the graduated
+    // markers rewrite, the sweep watermark fold-compacts and the ANN
+    // index swaps generations, the landing table itself just accumulated.
+    // `TableCompaction.compactLanded` closes the set WITHOUT giving the
+    // table a manifest — its value is that any engine (the DuckDB oracle
+    // included) reads it as a plain partitioned dir — so the protocol is
+    // an intent JOURNAL instead: per partition dir, FFD-bin the files
+    // smaller than targetBytes, rewrite ALL bins in ONE job (explicit
+    // file list read, map-side bin routing off input_file_name against a
+    // broadcast literal map — unmapped file raise_errors, never a
+    // silently mis-binned row — one shuffle keyed by bin, one staged
+    // file per bin under a dot-invisible staging dir), atomically
+    // publish the journal naming every (target, staged, sources) triple,
+    // then per bin rename-in and delete sources. Files ≥ targetBytes are
+    // never read or moved (byte-identical, the ext73 untouched-partition
+    // discipline) so the rewrite cost is bounded by the small-file
+    // bytes; a crash heals FORWARD from the journal on the next run
+    // (transient duplicate inside the crash window, never a loss — the
+    // sweep watermark's at-least-once posture), and rewriting
+    // row-to-file identity is safe because the landing path's
+    // idempotence is content-based (digest anti-joins, k:/r: dedup
+    // keys), never file-based — a `_spark_metadata` file-sink table,
+    // where the log PINS file names, is REFUSED loudly. The entry runs
+    // the arc: three micro-batch-shaped partitioned appends → compact
+    // (files collapse to one per source dir, rows untouched) → a fourth
+    // delivery → compact → a third compact that proves idempotence
+    // (zero bins, zero bytes), emitting (step, phase, n_files, n_rows,
+    // n_bins_rewritten): files collapse only at compacts, rows move only
+    // at deliveries. Rows-only (filesystem lifecycle);
+    // TableCompactionSpec pins contents-unchanged (incl. the dir-encoded
+    // partition column staying OUT of the data bytes), untouched-file
+    // byte-identity, both crash-heal paths through the production
+    // staging seam, delete-only zero-row bins, the file-sink refusal,
+    // and the entry's exact arc at sf0.001.
+    QueryDef(
+      "ext136_landed_compaction",
+      (s, dir) => withScratch("landcompact-ext136") { table =>
+        import graft.operators.TableCompaction
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "source").localCheckpoint(false)
+        def snap(step: Long, phase: String,
+            bins: Long): (Long, String, Long, Long, Long) =
+          (step, phase, TableCompaction.committedDataFiles(s, table),
+            s.read.parquet(table).count(), bins)
+        def deliver(b: Int): Unit =
+          // repartition(2) so each micro-batch-shaped append lands
+          // multiple files per source dir, the real sink's trajectory
+          docs.filter(col("doc_id") % 4 === b).repartition(2)
+            .write.mode("append").partitionBy("source").parquet(table)
+        val arc = scala.collection.mutable
+          .ArrayBuffer[(Long, String, Long, Long, Long)]()
+        deliver(0); arc += snap(1, "deliver_b0", 0)
+        deliver(1); arc += snap(2, "deliver_b1", 0)
+        deliver(2); arc += snap(3, "deliver_b2", 0)
+        val c1 = TableCompaction.compactLanded(s, table)
+        arc += snap(4, "compact_1", c1.binsWritten)
+        deliver(3); arc += snap(5, "deliver_b3", 0)
+        val c2 = TableCompaction.compactLanded(s, table)
+        arc += snap(6, "compact_2", c2.binsWritten)
+        val c3 = TableCompaction.compactLanded(s, table)
+        arc += snap(7, "compact_noop", c3.binsWritten)
+        // the arc rows are plain collected values by here, so
+        // withScratch's cleanup is safe to run on return
+        import s.implicits._
+        arc.toSeq
+          .toDF("step", "phase", "n_files", "n_rows", "n_bins_rewritten")
+          .orderBy("step")
+      },
       None, bench = false, eagerLifecycle = true) // stateful lifecycle entry, like ext121/ext131
   )
 

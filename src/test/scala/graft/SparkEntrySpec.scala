@@ -58,10 +58,10 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestSession {
     // arc-pins are exempt — re-running their compaction/stream arcs here
     // would only pay each lifecycle twice per suite: ext133 is pinned in
     // FingerprintStoreSpec, ext134 in ImageIngestSpec, ext135 in
-    // VectorIndexSpec
+    // VectorIndexSpec, ext136 in TableCompactionSpec
     val pinnedElsewhere = Set(
       "ext133_fingerprint_compaction", "ext134_writeback_compaction",
-      "ext135_ann_retrain_trigger")
+      "ext135_ann_retrain_trigger", "ext136_landed_compaction")
     SparkEntry.all
       .filter(q => q.eagerLifecycle && !pinnedElsewhere(q.name))
       .foreach { q =>

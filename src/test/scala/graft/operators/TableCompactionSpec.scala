@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** [[TableCompaction.compactLanded]] — the landed-table small-file
+  * compaction: contents-unchanged, untouched-files-byte-identical,
+  * idempotence, the `_spark_metadata` refusal, delete-only zero-row
+  * bins, and the journal heal paths (crash after journal / crash
+  * mid-swap), driven through the production staging seam. */
+class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
+
+  private def withDir[T](body: String => T): T = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-tcomp-" +
+      ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try body(base)
+    finally graft.util.LocalFs.deleteRecursively(base)
+  }
+
+  private def fs(table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (relative path → SHA-256 of bytes) for every committed data file —
+    * the byte-identity dial. */
+  private def fileDigests(table: String): Map[String, String] = {
+    val root = new Path(table)
+    val f = fs(table)
+    if (!f.exists(root)) return Map.empty
+    val it = f.listFiles(root, true)
+    val out = scala.collection.mutable.Map[String, String]()
+    val rootPath = root.toUri.getPath.stripSuffix("/") + "/"
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = p.toUri.getPath.stripPrefix(rootPath)
+      val hidden = rel.split("/").exists(s =>
+        s.startsWith(".") || s.startsWith("_"))
+      if (st.isFile && p.getName.endsWith(".parquet") && !hidden) {
+        val in = f.open(p)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        in.close()
+        out(rel) = md.digest().map("%02x".format(_)).mkString
+      }
+    }
+    out.toMap
+  }
+
+  private def rowsOf(table: String): Seq[Row] =
+    spark.read.parquet(table)
+      .select("doc_id", "text", "source")
+      .collect().toSeq.sortBy(_.getLong(0))
+
+  private def docs(n: Int, pad: Int = 0): DataFrame = {
+    import spark.implicits._
+    (0 until n)
+      .map(i => (i.toLong, s"doc-$i-" + ("x" * pad), s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+  }
+
+  /** Three partitioned micro-batch-shaped appends: repartition(3) so each
+    * append lands several files per source dir. */
+  private def landPartitioned(table: String): Unit =
+    for (b <- 0 until 3)
+      docs(24).filter(col("doc_id") % 3 === b)
+        .repartition(3)
+        .write.mode("append").partitionBy("source").parquet(table)
+
+  test("compacts per partition dir; contents unchanged incl. the " +
+      "dir-encoded column; one file per dir after") {
+    withDir { table =>
+      landPartitioned(table)
+      val before = rowsOf(table)
+      val nBefore = TableCompaction.committedDataFiles(spark, table)
+      assert(nBefore > 2, s"setup should land many files, got $nBefore")
+
+      val stats = TableCompaction.compactLanded(spark, table,
+        targetBytes = 64L << 20)
+      assert(stats.filesBefore == nBefore)
+      assert(stats.filesAfter == 2) // one compacted file per source dir
+      assert(stats.binsWritten == 2)
+      assert(stats.healedBins == 0)
+      assert(TableCompaction.committedDataFiles(spark, table) == 2)
+      // the compacted files must NOT have absorbed the dir-encoded
+      // partition column into the data bytes: reading through the root
+      // still yields it from the dir names, values intact
+      assert(rowsOf(table) == before)
+      assert(!spark.read.parquet(s"$table/source=s0/")
+        .columns.contains("source"))
+    }
+  }
+
+  test("files at/above targetBytes and lone leftovers stay byte-identical") {
+    withDir { table =>
+      // one big file (above target), five small ones
+      docs(200, pad = 64).coalesce(1)
+        .write.mode("append").parquet(table)
+      val bigDigests = fileDigests(table)
+      assert(bigDigests.size == 1)
+      val bigLen = fs(table)
+        .getFileStatus(new Path(table, bigDigests.keysIterator.next())).getLen
+      for (i <- 0 until 5)
+        docs(1).withColumn("doc_id", col("doc_id") + 1000 + i * 10)
+          .coalesce(1).write.mode("append").parquet(table)
+      val smallLens = fileDigests(table).keySet.diff(bigDigests.keySet)
+        .toSeq.map(rel =>
+          fs(table).getFileStatus(new Path(table, rel)).getLen)
+        .sorted.reverse
+      // target: the two LARGEST smalls fill one bin exactly, so FFD
+      // packs pairs and leaves the fifth (smallest) small unbinned
+      // (minBinFiles = 2 drops lone bins); the near-equal one-row sizes
+      // mean no three ever fit
+      val target = smallLens(0) + smallLens(1) + 1
+      assert(target <= bigLen, "setup: big file must be above target")
+      assert(smallLens(2) + smallLens(3) + smallLens(4) > target,
+        "setup: three smalls must not fit one bin")
+      val before = rowsOf(table)
+      val preDigests = fileDigests(table)
+
+      val stats = TableCompaction.compactLanded(spark, table, target)
+      assert(stats.binsWritten == 2)
+      val postDigests = fileDigests(table)
+      // the big file and the lone leftover small are byte-identical
+      val untouched = preDigests.keySet.intersect(postDigests.keySet)
+      assert(untouched.size == 2) // big + the lone small
+      assert(untouched.contains(bigDigests.keysIterator.next()))
+      untouched.foreach(rel =>
+        assert(preDigests(rel) == postDigests(rel), s"$rel rewritten"))
+      assert(rowsOf(table) == before)
+      assert(postDigests.size == 4) // big + lone small + 2 compacted
+    }
+  }
+
+  test("idempotent: a second run rewrites nothing and every file is " +
+      "byte-identical") {
+    withDir { table =>
+      landPartitioned(table)
+      TableCompaction.compactLanded(spark, table, 64L << 20): Unit
+      val digests = fileDigests(table)
+      val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+      assert(stats.binsWritten == 0)
+      assert(stats.bytesRewritten == 0)
+      assert(stats.filesBefore == stats.filesAfter)
+      assert(fileDigests(table) == digests)
+    }
+  }
+
+  test("refuses a streaming file-sink table (_spark_metadata log)") {
+    withDir { table =>
+      docs(4).write.mode("append").parquet(table)
+      fs(table).mkdirs(new Path(table, "_spark_metadata")): Unit
+      val e = intercept[IllegalArgumentException] {
+        TableCompaction.compactLanded(spark, table)
+      }
+      assert(e.getMessage.contains("_spark_metadata"))
+    }
+  }
+
+  test("zero-row files fold away as delete-only bins") {
+    withDir { table =>
+      docs(200, pad = 64).coalesce(1)
+        .write.mode("append").parquet(table) // big, above target
+      val bigLen = fs(table)
+        .getFileStatus(new Path(table,
+          fileDigests(table).keysIterator.next())).getLen
+      docs(0).coalesce(1).write.mode("append").parquet(table)
+      docs(0).coalesce(1).write.mode("append").parquet(table)
+      assert(TableCompaction.committedDataFiles(spark, table) == 3)
+      val before = rowsOf(table)
+
+      // target = the big file's own size: strict `< targetBytes` keeps
+      // the big file out, and the schema-only empties (far smaller) bin
+      // together — all zero rows, so the bin stages no file and resolves
+      // delete-only
+      val stats = TableCompaction.compactLanded(spark, table,
+        targetBytes = bigLen)
+      assert(stats.binsWritten == 1)
+      assert(TableCompaction.committedDataFiles(spark, table) == 1)
+      assert(rowsOf(table) == before)
+    }
+  }
+
+  test("staging dir and journal are invisible to plain readers") {
+    withDir { table =>
+      landPartitioned(table)
+      val before = rowsOf(table)
+      val targets = TableCompaction.stageAndJournalOnly(spark, table,
+        64L << 20)
+      assert(targets.nonEmpty)
+      // journal published, bins staged — a plain reader mid-protocol
+      // sees exactly the pre-compaction table
+      assert(rowsOf(table) == before)
+      assert(TableCompaction.committedDataFiles(spark, table) ==
+        fileDigests(table).size)
+      TableCompaction.compactLanded(spark, table, 64L << 20): Unit
+    }
+  }
+
+  test("heals forward from a crash after the journal, before any swap") {
+    withDir { table =>
+      landPartitioned(table)
+      val before = rowsOf(table)
+      val targets = TableCompaction.stageAndJournalOnly(spark, table,
+        64L << 20)
+      // "crash"; the next run heals the journaled swap forward, then
+      // finds nothing left to bin
+      val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+      assert(stats.healedBins == targets.size)
+      assert(stats.binsWritten == 0)
+      assert(rowsOf(table) == before)
+      assert(TableCompaction.committedDataFiles(spark, table) == 2)
+      // no journal, no staging left behind
+      val leftovers = fs(table)
+        .globStatus(new Path(table, ".compact_*"))
+      assert(leftovers == null || leftovers.isEmpty)
+    }
+  }
+
+  test("heals forward from a crash mid-swap: renamed bin deduplicates, " +
+      "unrenamed bin publishes") {
+    withDir { table =>
+      landPartitioned(table)
+      val before = rowsOf(table)
+      val targets = TableCompaction.stageAndJournalOnly(spark, table,
+        64L << 20)
+      assert(targets.size == 2)
+      TableCompaction.renameFirstJournaled(spark, table, 1)
+      // the crash window: bin 1 is both published AND still has its
+      // sources — transiently duplicated, never missing
+      val dupCount = spark.read.parquet(table).count()
+      assert(dupCount > before.size.toLong)
+      val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+      assert(stats.healedBins == 2)
+      assert(rowsOf(table) == before) // dups healed, nothing lost
+      assert(TableCompaction.committedDataFiles(spark, table) == 2)
+    }
+  }
+
+  test("ext136 entry arc at sf0.001: files collapse only at compacts, " +
+      "rows move only at deliveries") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val total = docs.count()
+    val nSources = docs.select("source").distinct().count()
+    // sources present in the first three deliveries only — source
+    // correlates with doc_id at this SF, so some dirs first appear
+    // with delivery b3
+    val nSourcesB012 = docs.filter(col("doc_id") % 4 =!= 3)
+      .select("source").distinct().count()
+    val arc = graft.SparkEntry.queries("ext136_landed_compaction")(
+      spark, dir).collect().sortBy(_.getLong(0))
+    assert(arc.map(_.getString(1)).toSeq == Seq(
+      "deliver_b0", "deliver_b1", "deliver_b2", "compact_1",
+      "deliver_b3", "compact_2", "compact_noop"))
+    val files = arc.map(_.getLong(2))
+    val rows = arc.map(_.getLong(3))
+    val bins = arc.map(_.getLong(4))
+    // rows move ONLY at deliveries, and land on the full table
+    assert(rows(0) < rows(1) && rows(1) < rows(2))
+    assert(rows(3) == rows(2) && rows(4) > rows(3))
+    assert(rows(5) == rows(4) && rows(6) == rows(4))
+    assert(rows(6) == total)
+    // files collapse to one per populated source dir at each compact,
+    // grow at deliveries, and the no-op pass touches nothing
+    assert(files(2) > nSourcesB012 && files(3) == nSourcesB012)
+    assert(files(4) > files(3) && files(5) == nSources)
+    assert(files(6) == files(5))
+    assert(bins(3) > 0 && bins(5) > 0 && bins(6) == 0)
+  }
+
+  test("flat (unpartitioned) tables compact the same way") {
+    withDir { table =>
+      for (b <- 0 until 4)
+        docs(8).filter(col("doc_id") % 4 === b)
+          .coalesce(1).write.mode("append").parquet(table)
+      val before = rowsOf(table)
+      val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+      assert(stats.filesBefore == 4)
+      assert(stats.filesAfter == 1)
+      assert(rowsOf(table) == before)
+    }
+  }
+}
