@@ -26,15 +26,23 @@ import org.apache.spark.sql.functions._
   * sources. Files already ≥ `targetBytes` are never read, never rewritten,
   * never moved — byte-identical after every run (the ext73 untouched-
   * partition discipline), so the rewrite cost is bounded by the small-file
-  * bytes, never the table. All bins across all partition dirs are
-  * rewritten by ONE Spark job: the binned files are read as an explicit
-  * file list (`recursiveFileLookup` so no hive-partition inference re-adds
-  * the dir-encoded columns into the data files), each row routed to its
-  * bin map-side via `input_file_name()` against a broadcast literal map
-  * (unmapped file ⇒ `raise_error`, loud — never a silently mis-binned
-  * row), then ONE shuffle partitioned by bin id writes one file per bin
-  * (dynamic `partitionBy` under a dot-prefixed staging dir that plain
-  * readers cannot see). The shuffle moves only the small-file bytes.
+  * bytes, never the table. Bins are rewritten by one Spark job per
+  * distinct PER-DIRECTORY schema — one job total for a fixed-schema
+  * landing table, and never a job that unions schemas across partition
+  * dirs (a dir whose files don't carry some optional column must not gain
+  * a null-filled copy of it from a sibling dir's bin riding the same
+  * write). Within a job the binned files are read as an explicit file
+  * list (`recursiveFileLookup` so no hive-partition inference re-adds the
+  * dir-encoded columns into the data files), each row routed to its bin
+  * map-side by matching `input_file_name()` against a broadcast literal
+  * map keyed by the scan's own path rendering
+  * (`SparkPath.fromFileStatus(_).urlEncoded` — exact on every filesystem,
+  * authority and percent-encoding included; an unmapped file ⇒
+  * `raise_error`, never a silently mis-binned row), then ONE shuffle
+  * partitioned by bin id writes one file per bin (dynamic `partitionBy`
+  * under a dot-prefixed staging dir that plain readers cannot see,
+  * `maxRecordsPerFile` pinned off so a session default cannot split a
+  * bin). The shuffle moves only the small-file bytes.
   *
   * Crash contract — heal FORWARD, never lose, duplicate only inside the
   * crash window: after ALL bins are staged, a journal naming every
@@ -90,6 +98,13 @@ object TableCompaction {
   private final case class Move(
       target: String, staged: String, sources: Seq[String])
 
+  private def qualifiedRoot(fs: FileSystem, table: String): Path =
+    // qualify ONCE at entry: a relative table path would otherwise make
+    // the hidden-ancestor walk compare relative against absolute (every
+    // file silently classified hidden under a dotted cwd) and the
+    // journal relativization throw
+    fs.makeQualified(new Path(table))
+
   /** A committed, visible data file: parquet, not a `_`/`.` marker, not
     * under a committer's `_temporary/` staging, not under any hidden
     * (dot-prefixed) directory such as our own staging. Same predicate
@@ -112,7 +127,8 @@ object TableCompaction {
 
   /** Committed data files grouped by their immediate parent dir (the
     * partition leaf for `partitionBy` layouts; the root itself for flat
-    * tables). */
+    * tables). ONE recursive listing — the run's only full walk of a
+    * table whose motivating problem is file count. */
   private def dataFilesByDir(
       fs: FileSystem, root: Path): Map[Path, Seq[FileStatus]] = {
     val it = fs.listFiles(root, true)
@@ -126,8 +142,9 @@ object TableCompaction {
 
   /** Count of committed data files — the dial the lifecycle entry emits. */
   def committedDataFiles(spark: SparkSession, table: String): Long = {
-    val root = new Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = new Path(table)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = qualifiedRoot(fs, table)
     if (!fs.exists(root)) 0L
     else dataFilesByDir(fs, root).valuesIterator.map(_.size.toLong).sum
   }
@@ -151,19 +168,33 @@ object TableCompaction {
     bins.toSeq.map(_.members.toSeq).filter(_.size >= minBinFiles)
   }
 
-  /** Decoded absolute path (no scheme) — the canonical key both sides of
-    * the file→bin map reduce to: the listing via `Path.toUri.getPath`,
-    * the scan via a scheme-stripping `regexp_replace` over
-    * `input_file_name()` (which renders `file:///x` or `file:/x`
-    * depending on the path's origin). */
-  private def canonical(p: Path): String = p.toUri.getPath
+  /** The scan-side rendering of a file path — the EXACT string
+    * `input_file_name()` reports for rows read from this file
+    * (`FileScanRDD` publishes `PartitionedFile.urlEncodedPath`, built by
+    * `SparkPath.fromFileStatus` during listing), so the file→bin map
+    * joins on identity with no normalization to get wrong across
+    * schemes, authorities, or percent-encoded names. */
+  private def scanKey(f: FileStatus): String =
+    org.apache.spark.paths.SparkPath.fromFileStatus(f).urlEncoded
 
   private def relativize(root: Path, p: Path): String = {
-    val r = canonical(root).stripSuffix("/") + "/"
-    val c = canonical(p)
+    val r = root.toUri.getPath.stripSuffix("/") + "/"
+    val c = p.toUri.getPath
     require(c.startsWith(r), s"$p is not under $root")
     c.substring(r.length)
   }
+
+  private def readMoves(
+      conf: org.apache.hadoop.conf.Configuration,
+      journal: Path): Seq[Move] =
+    graft.util.AtomicPublish.readFile(conf, journal,
+      Some(JournalMagic)) { in =>
+      Seq.fill(in.readInt()) {
+        val target = in.readUTF()
+        val staged = in.readUTF()
+        Move(target, staged, Seq.fill(in.readInt())(in.readUTF()))
+      }
+    }
 
   /** Heal a leftover journal FORWARD (class doc), then reclaim orphaned
     * staging dirs. Returns the number of journal bins processed; 0 when
@@ -171,21 +202,13 @@ object TableCompaction {
   private[graft] def healJournal(
       spark: SparkSession, table: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(table)
-    val fs = root.getFileSystem(conf)
+    val fs = new Path(table).getFileSystem(conf)
+    val root = qualifiedRoot(fs, table)
     if (!fs.exists(root)) return 0L
     val journal = new Path(root, JournalName)
     val moves: Seq[Move] =
       if (graft.util.AtomicPublish.confirmedAbsent(fs, journal)) Seq.empty
-      else
-        graft.util.AtomicPublish.readFile(conf, journal,
-          Some(JournalMagic)) { in =>
-          Seq.fill(in.readInt()) {
-            val target = in.readUTF()
-            val staged = in.readUTF()
-            Move(target, staged, Seq.fill(in.readInt())(in.readUTF()))
-          }
-        }
+      else readMoves(conf, journal)
     for (m <- moves) {
       val sources = m.sources.map(new Path(root, _))
       if (m.target.isEmpty) {
@@ -238,8 +261,8 @@ object TableCompaction {
     require(minBinFiles >= 2,
       "minBinFiles < 2 would rewrite lone files for no layout gain")
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(table)
-    val fs = root.getFileSystem(conf)
+    val fs = new Path(table).getFileSystem(conf)
+    val root = qualifiedRoot(fs, table)
     require(!fs.exists(new Path(root, "_spark_metadata")),
       s"$table carries a streaming file-sink log (_spark_metadata): its " +
         "readers resolve the file list through the log, so rewriting " +
@@ -249,29 +272,34 @@ object TableCompaction {
     if (!fs.exists(root))
       return CompactStats(0L, 0L, 0L, 0L, healed)
 
-    val filesBefore = committedDataFiles(spark, table)
-    val staged = stageAndJournal(spark, root, targetBytes, minBinFiles)
-    if (staged.isEmpty)
-      return CompactStats(filesBefore, filesBefore, 0L, 0L, healed)
-    val (moves, rewrittenBytes, staging) = staged.get
-
-    for (m <- moves) {
-      if (m.target.nonEmpty) {
-        val target = new Path(root, m.target)
-        require(fs.rename(new Path(root, m.staged), target),
-          s"compactLanded: failed to publish ${m.staged} -> ${m.target}")
-      }
-      m.sources.foreach(s => fs.delete(new Path(root, s), false): Unit)
+    val byDir = dataFilesByDir(fs, root)
+    val filesBefore = byDir.valuesIterator.map(_.size.toLong).sum
+    stageAndJournal(spark, root, byDir, targetBytes, minBinFiles) match {
+      case None =>
+        CompactStats(filesBefore, filesBefore, 0L, 0L, healed)
+      case Some((moves, rewrittenBytes, staging)) =>
+        for (m <- moves) {
+          if (m.target.nonEmpty) {
+            val target = new Path(root, m.target)
+            require(fs.rename(new Path(root, m.staged), target),
+              s"compactLanded: failed to publish ${m.staged} -> ${m.target}")
+          }
+          m.sources.foreach(s => fs.delete(new Path(root, s), false): Unit)
+        }
+        fs.delete(new Path(root, JournalName), false): Unit
+        fs.delete(staging, true): Unit
+        // accounting off the run's own moves, not a second full listing
+        // (the table's motivating problem IS its file count): every
+        // source deleted, every non-empty target published
+        CompactStats(
+          filesBefore = filesBefore,
+          filesAfter = filesBefore -
+            moves.iterator.map(_.sources.size.toLong).sum +
+            moves.count(_.target.nonEmpty).toLong,
+          binsWritten = moves.size.toLong,
+          bytesRewritten = rewrittenBytes,
+          healedBins = healed)
     }
-    fs.delete(new Path(root, JournalName), false): Unit
-    fs.delete(staging, true): Unit
-
-    CompactStats(
-      filesBefore = filesBefore,
-      filesAfter = committedDataFiles(spark, table),
-      binsWritten = moves.size.toLong,
-      bytesRewritten = rewrittenBytes,
-      healedBins = healed)
   }
 
   /** The plan → stage → journal prefix of the protocol, shared verbatim
@@ -284,45 +312,67 @@ object TableCompaction {
     * dir. On return the journal is PUBLISHED and the live table is still
     * untouched — the swap (or a heal) can always complete forward. */
   private def stageAndJournal(
-      spark: SparkSession, root: Path, targetBytes: Long,
+      spark: SparkSession, root: Path,
+      byDir: Map[Path, Seq[FileStatus]], targetBytes: Long,
       minBinFiles: Int): Option[(Seq[Move], Long, Path)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return None
-    val bins: Seq[(Int, Seq[FileStatus])] = dataFilesByDir(fs, root).toSeq
-      .sortBy { case (dir, _) => canonical(dir) }
+    val bins: Seq[(Int, Seq[FileStatus])] = byDir.toSeq
+      .sortBy { case (dir, _) => dir.toUri.getPath }
       .flatMap { case (_, files) => planBins(files, targetBytes, minBinFiles) }
       .zipWithIndex.map(_.swap)
     if (bins.isEmpty) return None
 
     val runId = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(root, s"$StagingPrefix$runId")
-    val pathToBin: Map[String, Int] = bins.flatMap { case (i, members) =>
-      members.map(f => canonical(f.getPath) -> i)
-    }.toMap
 
-    // ONE job for every bin: explicit file list (recursiveFileLookup ⇒
-    // no partition inference re-injecting dir-encoded columns into the
-    // data files), map-side bin routing off input_file_name against the
-    // broadcast literal map — an unmapped file is a LOUD error, never a
-    // silently mis-binned row — then one shuffle keyed by bin id, one
-    // task per bin, one staged file per bin
-    spark.read
-      .option("recursiveFileLookup", "true")
-      .option("mergeSchema", "true")
-      .parquet(bins.flatMap(_._2).map(_.getPath.toString): _*)
-      .withColumn(BinCol,
-        element_at(typedlit(pathToBin),
-          regexp_replace(input_file_name(),
-            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")))
-      .withColumn(BinCol,
-        when(col(BinCol).isNull,
-          raise_error(concat(lit("compactLanded: unmapped input file "),
-            input_file_name())))
-          .otherwise(col(BinCol)))
-      .repartition(bins.size, col(BinCol))
-      .write.partitionBy(BinCol).mode("overwrite")
-      .parquet(staging.toString)
+    // one staging job per distinct PER-DIR schema (class doc): a dir's
+    // bins ride a job whose schema is the merge of exactly that dir's
+    // binned files, so no bin's rewrite can absorb a column from a
+    // SIBLING dir's schema drift; for the fixed-schema landing tables
+    // this is one group — one job — total
+    val binnedByDir: Map[Path, Seq[FileStatus]] = bins.flatMap(_._2)
+      .groupBy(_.getPath.getParent)
+    val dirSchema: Map[Path, org.apache.spark.sql.types.StructType] =
+      binnedByDir.map { case (dir, members) =>
+        dir -> spark.read
+          .option("recursiveFileLookup", "true")
+          .option("mergeSchema", "true")
+          .parquet(members.map(_.getPath.toString): _*)
+          .schema
+      }
+    val groups: Seq[Seq[(Int, Seq[FileStatus])]] = bins
+      .groupBy { case (_, members) =>
+        dirSchema(members.head.getPath.getParent).json
+      }
+      .toSeq.sortBy(_._1).map(_._2)
+    for (group <- groups) {
+      val schema = dirSchema(group.head._2.head.getPath.getParent)
+      require(!schema.fieldNames.contains(BinCol),
+        s"compactLanded: table carries a column named $BinCol, which " +
+          "the bin-routing write would overwrite and then drop — " +
+          "rename the column or compact this table another way")
+      val pathToBin: Map[String, Int] = group.flatMap { case (i, members) =>
+        members.map(f => scanKey(f) -> i)
+      }.toMap
+      spark.read
+        .option("recursiveFileLookup", "true")
+        .schema(schema)
+        .parquet(group.flatMap(_._2).map(_.getPath.toString): _*)
+        .withColumn(BinCol,
+          element_at(typedlit(pathToBin), input_file_name()))
+        .withColumn(BinCol,
+          when(col(BinCol).isNull,
+            raise_error(concat(lit("compactLanded: unmapped input file "),
+              input_file_name())))
+            .otherwise(col(BinCol)))
+        .repartition(group.size, col(BinCol))
+        .write.partitionBy(BinCol).mode("append")
+        // a session-level maxRecordsPerFile would split a large bin into
+        // several staged parts and wedge the one-file-per-bin invariant
+        .option("maxRecordsPerFile", 0)
+        .parquet(staging.toString)
+    }
 
     // resolve each bin's single staged part file; a bin whose files were
     // all zero-row produced none (dynamic partitionBy writes only
@@ -370,8 +420,11 @@ object TableCompaction {
   private[graft] def stageAndJournalOnly(
       spark: SparkSession, table: String, targetBytes: Long,
       minBinFiles: Int = 2): Seq[String] = {
-    val staged = stageAndJournal(spark, new Path(table), targetBytes,
-      minBinFiles)
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = qualifiedRoot(fs, table)
+    val staged = stageAndJournal(spark, root,
+      dataFilesByDir(fs, root), targetBytes, minBinFiles)
     require(staged.nonEmpty, "stageAndJournalOnly: nothing to stage")
     staged.get._1.map(_.target)
   }
@@ -381,16 +434,9 @@ object TableCompaction {
   private[graft] def renameFirstJournaled(
       spark: SparkSession, table: String, n: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(table)
-    val fs = root.getFileSystem(conf)
-    val moves = graft.util.AtomicPublish.readFile(conf,
-      new Path(root, JournalName), Some(JournalMagic)) { in =>
-      Seq.fill(in.readInt()) {
-        val target = in.readUTF(); val staged = in.readUTF()
-        Move(target, staged, Seq.fill(in.readInt())(in.readUTF()))
-      }
-    }
-    moves.take(n).foreach { m =>
+    val fs = new Path(table).getFileSystem(conf)
+    val root = qualifiedRoot(fs, table)
+    readMoves(conf, new Path(root, JournalName)).take(n).foreach { m =>
       require(fs.rename(new Path(root, m.staged), new Path(root, m.target)),
         s"renameFirstJournaled: $m")
     }

@@ -5287,11 +5287,14 @@ object ExtensionQueries {
     // table a manifest — its value is that any engine (the DuckDB oracle
     // included) reads it as a plain partitioned dir — so the protocol is
     // an intent JOURNAL instead: per partition dir, FFD-bin the files
-    // smaller than targetBytes, rewrite ALL bins in ONE job (explicit
-    // file list read, map-side bin routing off input_file_name against a
-    // broadcast literal map — unmapped file raise_errors, never a
-    // silently mis-binned row — one shuffle keyed by bin, one staged
-    // file per bin under a dot-invisible staging dir), atomically
+    // smaller than targetBytes, rewrite the bins in one job per distinct
+    // per-dir schema — ONE job total for a fixed-schema landing table,
+    // and never a job that unions schemas across dirs — with map-side
+    // bin routing off input_file_name against a broadcast literal map
+    // keyed by the scan's own SparkPath rendering (exact on every
+    // filesystem and encoding; unmapped file raise_errors, never a
+    // silently mis-binned row), one shuffle keyed by bin, one staged
+    // file per bin under a dot-invisible staging dir, then atomically
     // publish the journal naming every (target, staged, sources) triple,
     // then per bin rename-in and delete sources. Files ≥ targetBytes are
     // never read or moved (byte-identical, the ext73 untouched-partition

@@ -286,4 +286,65 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
       assert(rowsOf(table) == before)
     }
   }
+
+  test("paths needing URL-encoding (spaces) route bins correctly") {
+    withDir { base =>
+      // a space in the table path makes input_file_name report
+      // percent-encoded names — the SparkPath-keyed map must still match
+      val table = s"$base/landed corpus"
+      landPartitioned(table)
+      val before = rowsOf(table)
+      val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+      assert(stats.binsWritten == 2)
+      assert(rowsOf(table) == before)
+    }
+  }
+
+  test("refuses a table that carries the bin-routing column name") {
+    withDir { table =>
+      for (_ <- 0 until 2)
+        docs(4).withColumn("__graft_bin", lit(7))
+          .coalesce(1).write.mode("append").parquet(table)
+      val e = intercept[IllegalArgumentException] {
+        TableCompaction.compactLanded(spark, table, 64L << 20)
+      }
+      assert(e.getMessage.contains("__graft_bin"))
+      // refusal happened before any mutation
+      assert(TableCompaction.committedDataFiles(spark, table) == 2)
+    }
+  }
+
+  test("per-dir schema drift never leaks a sibling dir's column into " +
+      "compacted files") {
+    withDir { table =>
+      for (_ <- 0 until 2)
+        docs(4).withColumn("extra", lit(1L))
+          .coalesce(1).write.mode("append").parquet(s"$table/source=a")
+      for (_ <- 0 until 2)
+        docs(4).coalesce(1).write.mode("append").parquet(s"$table/source=b")
+      val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+      assert(stats.binsWritten == 2)
+      assert(spark.read.parquet(s"$table/source=a")
+        .columns.contains("extra"))
+      assert(!spark.read.parquet(s"$table/source=b")
+        .columns.contains("extra"))
+      assert(spark.read.parquet(s"$table/source=b").count() == 8)
+    }
+  }
+
+  test("a session maxRecordsPerFile cannot split a bin into several " +
+      "staged files") {
+    withDir { table =>
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+      try {
+        for (b <- 0 until 4)
+          docs(8).filter(col("doc_id") % 4 === b)
+            .coalesce(1).write.mode("append").parquet(table)
+        val before = rowsOf(table)
+        val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+        assert(stats.filesAfter == 1) // 8 rows, one bin, ONE file
+        assert(rowsOf(table) == before)
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
 }
