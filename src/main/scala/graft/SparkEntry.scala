@@ -54,8 +54,11 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * self-disarming, per dial) and the landed-table small-file
   * compaction arc ext136 (journal-protected FFD bin-packing of the
   * plain-parquet landing table — heal-forward crash contract, files
-  * at target byte-identical, file-sink tables refused) — 198 catalog
-  * entries total);
+  * at target byte-identical, file-sink tables refused) and the
+  * rejects retention + marker compaction arc ext137 (the staged
+  * rewrite behind a pending marker expiring aged audit rows, composed
+  * with the graduation-marker compaction it has always been the
+  * contractual upstream of) — 199 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -5351,6 +5351,95 @@ object ExtensionQueries {
           .toDF("step", "phase", "n_files", "n_rows", "n_bins_rewritten")
           .orderBy("step")
       },
+      None, bench = false, eagerLifecycle = true), // stateful lifecycle entry, like ext121/ext131
+
+    // ------------------------------------------------------------ EXT137
+    // REJECTS RETENTION + MARKER COMPACTION ARC (r14) — the maintenance
+    // pass compactGraduated's contract has referenced since r11 ("run
+    // after each rejects-retention pass") without the repo having one:
+    // every audited ingest posture appends one rejects row per rejected
+    // delivery FOREVER, and unlike the graduated markers — where losing
+    // a row is safe-by-direction — losing a rejects row outside the
+    // policy silently un-audits a suspect. `Retention.expireOlderThan`
+    // is therefore a STAGED REWRITE behind a `.retention_pending` marker
+    // (the VectorIndex generation-swap discipline): stage the kept rows
+    // dot-invisibly, publish the marker, swap, delete the marker — a
+    // crash at any point heals FORWARD on the next call (staged rows are
+    // the committed intent once the marker exists), and plain readers
+    // see the untouched table until the swap's own blink, which is why
+    // retention shares the graduation's single-writer maintenance
+    // window. Zero shuffle: one map-side filter pass, and the rewrite
+    // consolidates the append-cadence small files as a side effect. The
+    // entry runs the DEPLOYED composition end-to-end on a bounded slice:
+    // the bloom-gated decontaminating ingest (fpp 0.5, minRun 1 — the
+    // noisy dial, so the rejects table actually fills) over a corpus
+    // whose ingest_ts spans two days → graduation (suspects confirmed or
+    // re-admitted, markers written) → retention expiring day 1 →
+    // compactGraduated dropping exactly the markers whose suspects the
+    // policy removed → a re-run of the same policy proving idempotence
+    // (zero expired). Emits (step, phase, n_rejects, n_markers,
+    // rows_expired): rejects fall only at the retention step, markers
+    // only at the compaction step, the no-op expires nothing. Rows-only
+    // (Bloom bit layout engine-specific, stateful lifecycle);
+    // RetentionSpec pins the policy semantics, every crash-heal path
+    // through the production staging seam, the compactGraduated
+    // composition row-for-row, and the entry's exact arc at sf0.001.
+    QueryDef(
+      "ext137_rejects_retention",
+      (s, dir) => withScratch("retention-ext137") { base =>
+        import graft.operators.{ContaminationGuard, Retention}
+        import graft.streaming.CorpusIngest
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .localCheckpoint(true)
+        val day1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        val day2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+        val staged = s"$base/staged"
+        // bounded slice; one file so the whole corpus rides one
+        // micro-batch (both days share the first batch's unset
+        // watermark — neither can be dropped as late)
+        docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("ingest_ts",
+            when(col("doc_id") % 20 === 1, lit(day1)).otherwise(lit(day2)))
+          .select("doc_id", "text", "source", "ingest_ts")
+          .coalesce(1).write.parquet(staged)
+        val idxDir = s"$base/bloom_idx"
+        ContaminationGuard.bloomIndex(bench, "text", fpp = 0.5)
+          .save(s, idxDir)
+        val table = s"$base/corpus"
+        CorpusIngest.writeAuditedBloom(
+          s.readStream.schema(s.read.parquet(staged).schema)
+            .parquet(staged),
+          table, s"$base/ckpt",
+          ContaminationGuard.loadBloomIndex(s, idxDir), minRun = 1)
+          .awaitTermination()
+        def count(path: String): Long =
+          if (!graft.util.CommittedTable.hasData(s, path)) 0L
+          else s.read.parquet(path).count()
+        def snap(step: Long, phase: String,
+            expired: Long): (Long, String, Long, Long, Long) =
+          (step, phase, count(s"${table}_rejects"),
+            count(s"${table}_graduated"), expired)
+        val arc = scala.collection.mutable
+          .ArrayBuffer(snap(1, "ingest", 0))
+        CorpusIngest.graduateBloomRejects(s, table, bench, "text",
+          "doc_id").count(): Unit
+        arc += snap(2, "graduate", 0)
+        val r1 = Retention.expireOlderThan(
+          s, s"${table}_rejects", "ingest_ts", day2)
+        arc += snap(3, "retain_day1", r1.rowsExpired)
+        CorpusIngest.compactGraduated(s, table)
+        arc += snap(4, "compact_markers", 0)
+        val r2 = Retention.expireOlderThan(
+          s, s"${table}_rejects", "ingest_ts", day2)
+        arc += snap(5, "retain_noop", r2.rowsExpired)
+        // the arc rows are plain collected values by here, so
+        // withScratch's cleanup is safe to run on return
+        import s.implicits._
+        arc.toSeq
+          .toDF("step", "phase", "n_rejects", "n_markers", "rows_expired")
+          .orderBy("step")
+      },
       None, bench = false, eagerLifecycle = true) // stateful lifecycle entry, like ext121/ext131
   )
 

@@ -359,7 +359,8 @@ object CorpusIngest {
     * "never pay the exact scan twice" is one marker row per all-time
     * suspect, and nothing else ever deletes one. A marker's only job is
     * to anti-join its suspect row away in [[graduateBloomRejects]], so
-    * once the operator's retention policy removes a suspect from
+    * once the retention policy ([[graft.operators.Retention]] — the
+    * staged-rewrite-behind-a-marker pass) removes a suspect from
     * `<table>_rejects` (the audit trail the markers mirror), its marker
     * is dead weight: this keeps exactly the markers whose (doc_id,
     * digest) still exists among the rejects' "contaminated_maybe" rows

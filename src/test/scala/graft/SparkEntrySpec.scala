@@ -58,10 +58,12 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestSession {
     // arc-pins are exempt — re-running their compaction/stream arcs here
     // would only pay each lifecycle twice per suite: ext133 is pinned in
     // FingerprintStoreSpec, ext134 in ImageIngestSpec, ext135 in
-    // VectorIndexSpec, ext136 in TableCompactionSpec
+    // VectorIndexSpec, ext136 in TableCompactionSpec, ext137 in
+    // RetentionSpec
     val pinnedElsewhere = Set(
       "ext133_fingerprint_compaction", "ext134_writeback_compaction",
-      "ext135_ann_retrain_trigger", "ext136_landed_compaction")
+      "ext135_ann_retrain_trigger", "ext136_landed_compaction",
+      "ext137_rejects_retention")
     SparkEntry.all
       .filter(q => q.eagerLifecycle && !pinnedElsewhere(q.name))
       .foreach { q =>

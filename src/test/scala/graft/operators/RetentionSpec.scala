@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** [[Retention.rewriteKeeping]] / [[Retention.expireOlderThan]] — the
+  * staged-rewrite-behind-a-marker retention for audit tables: policy
+  * semantics, stats, schema/layout preservation, idempotence, and every
+  * crash window of the marker protocol driven through the production
+  * staging seam. */
+class RetentionSpec extends AnyFunSuite with SparkTestSession {
+
+  private def withDir[T](body: String => T): T = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-retain-" +
+      ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try body(base)
+    finally graft.util.LocalFs.deleteRecursively(base)
+  }
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rejects(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val day = if (i % 2 == 0) "2026-01-01 00:00:00" else "2026-01-02 00:00:00"
+      (i.toLong, s"junk-$i", s"s${i % 3}",
+        java.sql.Timestamp.valueOf(day), "too_few_tokens")
+    }.toDF("doc_id", "text", "source", "ingest_ts", "reject_reason")
+  }
+
+  private def rowsOf(table: String): Seq[Row] =
+    spark.read.parquet(table).select("doc_id", "ingest_ts")
+      .collect().toSeq.sortBy(_.getLong(0))
+
+  private val day2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+
+  test("expireOlderThan keeps exactly the rows at/after the cutoff, " +
+      "schema intact, and reports the counts") {
+    withDir { base =>
+      val table = s"$base/corpus_rejects"
+      for (b <- 0 until 3) // append-cadence shape, several files
+        rejects(30).filter(col("doc_id") % 3 === b)
+          .coalesce(1).write.mode("append").parquet(table)
+      val stats = Retention.expireOlderThan(spark, table, "ingest_ts", day2)
+      assert(stats == Retention.RetentionStats(30L, 15L, 15L))
+      val left = spark.read.parquet(table)
+      assert(left.columns.toSeq == Seq(
+        "doc_id", "text", "source", "ingest_ts", "reject_reason"))
+      assert(left.count() == 15)
+      assert(left.filter(col("ingest_ts") < lit(day2)).count() == 0)
+      import spark.implicits._
+      assert(left.select("doc_id").as[Long].collect().sorted.toSeq ==
+        (0 until 30).filter(_ % 2 == 1).map(_.toLong))
+    }
+  }
+
+  test("idempotent: re-running the same policy expires nothing and is " +
+      "stats-visible as a no-op of the kept size") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(20).write.parquet(table)
+      Retention.expireOlderThan(spark, table, "ingest_ts", day2): Unit
+      val again = Retention.expireOlderThan(spark, table, "ingest_ts", day2)
+      assert(again == Retention.RetentionStats(10L, 10L, 0L))
+    }
+  }
+
+  test("no-op on a missing or never-written table") {
+    withDir { base =>
+      assert(Retention.expireOlderThan(spark, s"$base/none", "ingest_ts",
+        day2) == Retention.RetentionStats(0L, 0L, 0L))
+    }
+  }
+
+  test("partitioned layout is preserved when partitionBy restates it") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(30).write.partitionBy("source").parquet(table)
+      val stats = Retention.expireOlderThan(spark, table, "ingest_ts",
+        day2, partitionBy = Seq("source"))
+      assert(stats.rowsExpired == 15)
+      assert(fs(table).exists(new Path(table, "source=s0")))
+      assert(spark.read.parquet(table)
+        .filter(col("source") === "s1").count() == 5)
+    }
+  }
+
+  test("heals forward from a crash after the marker, before the swap: " +
+      "staged rows win, marker cleared") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(20).write.parquet(table)
+      Retention.stageAndMarkOnly(spark, table,
+        col("ingest_ts") >= lit(day2)): Unit
+      // crash window: marker + staged + UNTOUCHED table — a plain
+      // reader mid-protocol still sees all 20 rows
+      assert(spark.read.parquet(table).count() == 20)
+      // the next retention call heals forward first: the staged state
+      // (10 rows) replaces the table, THEN the new policy applies
+      val stats = Retention.expireOlderThan(spark, table, "ingest_ts", day2)
+      assert(stats == Retention.RetentionStats(10L, 10L, 0L))
+      assert(rowsOf(table).size == 10)
+    }
+  }
+
+  test("heals forward from a crash mid-swap (table dir deleted, staged " +
+      "not yet renamed)") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(20).write.parquet(table)
+      Retention.stageAndMarkOnly(spark, table,
+        col("ingest_ts") >= lit(day2)): Unit
+      fs(table).delete(new Path(table), true): Unit // the blink, frozen
+      assert(Retention.healPending(spark, table))
+      assert(rowsOf(table).size == 10)
+      // marker gone; a second heal finds nothing
+      assert(!Retention.healPending(spark, table))
+    }
+  }
+
+  test("a marker whose staged dir is gone with the table present means " +
+      "the swap completed: heal just drops the marker") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(20).write.parquet(table)
+      val stagedName = Retention.stageAndMarkOnly(spark, table,
+        col("ingest_ts") >= lit(day2))
+      // simulate the post-swap crash: staged renamed in, marker not yet
+      // deleted — equivalently, replace the table with the staged dir
+      val f = fs(table)
+      f.delete(new Path(table), true): Unit
+      assert(f.rename(new Path(s"$base/$stagedName"), new Path(table)))
+      assert(Retention.healPending(spark, table))
+      assert(rowsOf(table).size == 10)
+    }
+  }
+
+  test("a pre-marker crash's staged orphan is reclaimed by the next heal") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(4).write.parquet(table)
+      val orphan = new Path(s"$base/.t.retention_staged_deadbeef")
+      fs(table).mkdirs(orphan): Unit
+      assert(!Retention.healPending(spark, table)) // no marker
+      assert(!fs(table).exists(orphan))
+      assert(rowsOf(table).size == 4) // table untouched
+    }
+  }
+
+  test("a marker with BOTH dirs gone surfaces loudly instead of guessing") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(4).write.parquet(table)
+      val stagedName = Retention.stageAndMarkOnly(spark, table,
+        col("ingest_ts") >= lit(day2))
+      val f = fs(table)
+      f.delete(new Path(table), true): Unit
+      f.delete(new Path(s"$base/$stagedName"), true): Unit
+      intercept[IllegalArgumentException] {
+        Retention.healPending(spark, table)
+      }
+    }
+  }
+
+  test("ext137 entry arc at sf0.001: rejects fall only at retention, " +
+      "markers only at compaction, the re-run expires nothing") {
+    val arc = graft.SparkEntry.queries("ext137_rejects_retention")(
+      spark, "/root/testdata/sf0.001").collect().sortBy(_.getLong(0))
+    assert(arc.map(_.getString(1)).toSeq == Seq(
+      "ingest", "graduate", "retain_day1", "compact_markers",
+      "retain_noop"))
+    val rej = arc.map(_.getLong(2))
+    val mark = arc.map(_.getLong(3))
+    val exp = arc.map(_.getLong(4))
+    // the noisy dial fills the rejects table; graduation writes markers
+    // without touching rejects
+    assert(rej(0) > 0 && mark(0) == 0)
+    assert(rej(1) == rej(0) && mark(1) > 0)
+    // retention expires the day-1 rows (and only the retention step
+    // moves the rejects count)
+    assert(exp(2) > 0 && rej(2) == rej(1) - exp(2))
+    // marker compaction drops markers for the expired suspects only
+    assert(rej(3) == rej(2) && mark(3) < mark(1) && mark(3) > 0)
+    // the same policy re-run is a no-op
+    assert(exp(4) == 0 && rej(4) == rej(3) && mark(4) == mark(3))
+  }
+
+  test("composes with compactGraduated: expired suspects' markers drop") {
+    withDir { base =>
+      val table = s"$base/corpus"
+      import spark.implicits._
+      // rejects: 6 contaminated_maybe suspects split across two days,
+      // plus quality noise; markers mirror the suspects (the bloom
+      // graduation's shape)
+      (0 until 6).map { i =>
+        val day = if (i < 3) "2026-01-01 00:00:00" else "2026-01-02 00:00:00"
+        (i.toLong, s"d$i", java.sql.Timestamp.valueOf(day),
+          "contaminated_maybe")
+      }.toDF("doc_id", "digest", "ingest_ts", "reject_reason")
+        .write.parquet(s"${table}_rejects")
+      (0 until 6).map(i => (i.toLong, s"d$i"))
+        .toDF("doc_id", "digest").write.parquet(s"${table}_graduated")
+
+      val stats = Retention.expireOlderThan(
+        spark, s"${table}_rejects", "ingest_ts", day2)
+      assert(stats.rowsExpired == 3)
+      graft.streaming.CorpusIngest.compactGraduated(spark, table)
+      val markers = spark.read.parquet(s"${table}_graduated")
+      assert(markers.count() == 3)
+      assert(markers.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(3L, 4L, 5L))
+    }
+  }
+}
