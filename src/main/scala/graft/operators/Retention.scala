@@ -70,11 +70,22 @@ object Retention {
     val root = qualified(spark, table)
     val fs = root.getFileSystem(conf)
     val marker = markerFor(root)
-    val found =
-      if (graft.util.AtomicPublish.confirmedAbsent(fs, marker)) false
-      else {
-        val stagedName = graft.util.AtomicPublish.readFile(conf, marker,
-          Some(MarkerMagic))(_.readUTF())
+    // a hard kill INSIDE the marker's own publish leaves a young
+    // dot-temp that confirmedAbsent counts as in-flight for the orphan
+    // horizon — but under the single-writer window nothing else can be
+    // publishing, so a read that still ends in FileNotFound IS the
+    // pre-marker crash (the atomic publish either landed whole or not
+    // at all): treat it as no-marker instead of failing every retention
+    // call until the temp ages out
+    val markerBytes: Option[String] =
+      if (graft.util.AtomicPublish.confirmedAbsent(fs, marker)) None
+      else
+        try Some(graft.util.AtomicPublish.readFile(conf, marker,
+          Some(MarkerMagic))(_.readUTF()))
+        catch { case _: java.io.FileNotFoundException => None }
+    val found = markerBytes match {
+      case None => false
+      case Some(stagedName) =>
         val staged = new Path(root.getParent, stagedName)
         if (fs.exists(staged)) {
           // staging completed before the marker existed, so the staged
@@ -88,7 +99,7 @@ object Retention {
               s"and $root is gone too — manual recovery required")
         fs.delete(marker, false): Unit
         true
-      }
+    }
     // with no marker outstanding, every staged sibling is an orphan from
     // a pre-marker crash (single-writer window) — sources were never
     // touched, so reclaim; the dirs are dot-invisible but disk is disk
@@ -134,15 +145,52 @@ object Retention {
       spark: SparkSession, root: Path, keep: Column,
       partitionBy: Seq[String]): (String, Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val before = spark.read.parquet(root.toString)
-    val rowsBefore = before.count()
+    // partition-column TYPE inference is lossy on values whose string
+    // form is not the canonical rendering of the inferred type (a
+    // `source=01` dir inferred int would be rewritten `source=1`), so
+    // for the partitioned rewrite the inference is pinned OFF around the
+    // eager relation resolution — partition values stay the exact dir
+    // strings and the staged write re-renders them byte-identically
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val before =
+      if (partitionBy.isEmpty) spark.read.parquet(root.toString)
+      else {
+        val prior = spark.conf.get(inferKey)
+        spark.conf.set(inferKey, "false")
+        try {
+          val df = spark.read.parquet(root.toString)
+          df.schema // force resolution inside the pinned window
+          df
+        } finally spark.conf.set(inferKey, prior)
+      }
+    // BOTH counts observed on the single staging pass — no separate
+    // count() scan of a forever-growing table, and no read-back of the
+    // staged dir (whose zero-kept partitioned form has no inferable
+    // schema)
+    val obs = new org.apache.spark.sql.Observation()
     val stagedName = s".${root.getName}.retention_staged_" +
       java.util.UUID.randomUUID().toString.take(12)
     val staged = new Path(root.getParent, stagedName)
-    val writer = before.filter(keep).write.mode("overwrite")
+    val writer = before
+      .observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_before"),
+        org.apache.spark.sql.functions.count_if(keep).as("n_kept"))
+      .filter(keep).write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(staged.toString)
-    val rowsKept = spark.read.parquet(staged.toString).count()
+    val metrics = obs.get
+    // a keep predicate the optimizer can prove constant-false folds the
+    // whole filter subtree — CollectMetrics included — into an empty
+    // relation, so the observation never fires (empty map, not a hang).
+    // That shape is exactly "kept nothing", and the before count pays
+    // the one scan the fold skipped
+    val (rowsBefore, rowsKept) =
+      if (metrics.isEmpty)
+        (spark.read.parquet(root.toString).count(), 0L)
+      else
+        (metrics("n_before").asInstanceOf[Long],
+          metrics("n_kept").asInstanceOf[Long])
     // marker AFTER staging, BEFORE any mutation — heal can always
     // complete forward from here
     graft.util.AtomicPublish.file(conf, markerFor(root),
@@ -151,17 +199,23 @@ object Retention {
   }
 
   /** The age policy over an ingest-timestamped audit table: keep rows
-    * with `tsCol` at or after `cutoff`, expire the rest. */
+    * with `tsCol` at or after `cutoff`, expire the rest. A NULL
+    * timestamp is KEPT, not expired: the age policy cannot claim a row
+    * it cannot date, and silently deleting it would be exactly the
+    * un-audited loss this operator exists to prevent — callers with
+    * null-timestamped rows owe them an explicit policy via
+    * [[rewriteKeeping]]. */
   def expireOlderThan(
       spark: SparkSession,
       table: String,
       tsCol: String,
       cutoff: java.sql.Timestamp,
-      partitionBy: Seq[String] = Nil): RetentionStats =
+      partitionBy: Seq[String] = Nil): RetentionStats = {
+    import org.apache.spark.sql.functions.{col, lit}
     rewriteKeeping(spark, table,
-      org.apache.spark.sql.functions.col(tsCol) >=
-        org.apache.spark.sql.functions.lit(cutoff),
+      col(tsCol).isNull || col(tsCol) >= lit(cutoff),
       partitionBy)
+  }
 
   /** Staging + marker WITHOUT the swap — the crash-injection seam the
     * spec drives to pin the heal paths. Returns the staged dir name.

@@ -140,6 +140,71 @@ class RetentionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("null timestamps are KEPT by the age policy, never silently expired") {
+    withDir { base =>
+      val table = s"$base/t"
+      import spark.implicits._
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00")),
+        (3L, null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("doc_id", "ingest_ts").write.parquet(table)
+      val stats = Retention.expireOlderThan(spark, table, "ingest_ts", day2)
+      assert(stats == Retention.RetentionStats(3L, 2L, 1L))
+      assert(spark.read.parquet(table).select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    }
+  }
+
+  test("expiring ALL rows of a partitioned table completes and leaves a " +
+      "structurally empty table") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(10).write.partitionBy("source").parquet(table)
+      val stats = Retention.rewriteKeeping(spark, table, lit(false),
+        partitionBy = Seq("source"))
+      assert(stats == Retention.RetentionStats(10L, 0L, 10L))
+      assert(!graft.util.CommittedTable.hasData(spark, table))
+    }
+  }
+
+  test("non-canonical string partition values (leading zeros) survive " +
+      "the rewrite byte-identically") {
+    withDir { base =>
+      val table = s"$base/t"
+      import spark.implicits._
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "01"),
+        (2L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), "01"),
+        (3L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), "007"))
+        .toDF("doc_id", "ingest_ts", "bucket")
+        .write.partitionBy("bucket").parquet(table)
+      val stats = Retention.expireOlderThan(spark, table, "ingest_ts",
+        day2, partitionBy = Seq("bucket"))
+      assert(stats.rowsExpired == 1)
+      val f = fs(table)
+      assert(f.exists(new Path(table, "bucket=01")))
+      assert(f.exists(new Path(table, "bucket=007")))
+      assert(!f.exists(new Path(table, "bucket=1")))
+      assert(!f.exists(new Path(table, "bucket=7")))
+    }
+  }
+
+  test("a hard kill inside the marker's own publish (young orphan temp, " +
+      "no marker) does not block the next retention call") {
+    withDir { base =>
+      val table = s"$base/t"
+      rejects(4).write.parquet(table)
+      // the shape AtomicPublish.file leaves when killed between create
+      // and rename: a young dot-temp beside the never-published marker
+      val tmp = new Path(
+        s"$base/..t.retention_pending.${"ab12cd34ef56"}.tmp")
+      val out = fs(table).create(tmp, true); out.writeUTF("torn"); out.close()
+      assert(!Retention.healPending(spark, table)) // no marker: heal is clean
+      val stats = Retention.expireOlderThan(spark, table, "ingest_ts", day2)
+      assert(stats.rowsExpired == 2) // retention proceeds immediately
+    }
+  }
+
   test("a pre-marker crash's staged orphan is reclaimed by the next heal") {
     withDir { base =>
       val table = s"$base/t"
