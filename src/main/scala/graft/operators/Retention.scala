@@ -150,7 +150,11 @@ object Retention {
     // `source=01` dir inferred int would be rewritten `source=1`), so
     // for the partitioned rewrite the inference is pinned OFF around the
     // eager relation resolution — partition values stay the exact dir
-    // strings and the staged write re-renders them byte-identically
+    // strings and the staged write re-renders them byte-identically.
+    // The pin mutates SESSION conf for the duration of the (eager)
+    // resolution below: fine under the class's single-writer maintenance
+    // window, which the exclusivity contract already scopes to a session
+    // not concurrently resolving other partitioned reads
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val before =
       if (partitionBy.isEmpty) spark.read.parquet(root.toString)

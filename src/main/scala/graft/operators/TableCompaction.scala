@@ -430,15 +430,17 @@ object TableCompaction {
   }
 
   /** Execute the first `n` journaled swaps' RENAME half only (no source
-    * deletes) — the partial-swap crash shape the spec injects. */
+    * deletes; delete-only bins have nothing to rename and are skipped) —
+    * the partial-swap crash shape the spec injects. */
   private[graft] def renameFirstJournaled(
       spark: SparkSession, table: String, n: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(table).getFileSystem(conf)
     val root = qualifiedRoot(fs, table)
-    readMoves(conf, new Path(root, JournalName)).take(n).foreach { m =>
-      require(fs.rename(new Path(root, m.staged), new Path(root, m.target)),
-        s"renameFirstJournaled: $m")
-    }
+    readMoves(conf, new Path(root, JournalName))
+      .filter(_.target.nonEmpty).take(n).foreach { m =>
+        require(fs.rename(new Path(root, m.staged), new Path(root, m.target)),
+          s"renameFirstJournaled: $m")
+      }
   }
 }

@@ -255,6 +255,60 @@ class RetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(exp(4) == 0 && rej(4) == rej(3) && mark(4) == mark(3))
   }
 
+  test("seeded crash-point fuzz: every crash point heals to exactly the " +
+      "policy outcome") {
+    val rnd = new scala.util.Random(20260816L)
+    val day1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    for (round <- 0 until 8) withDir { base =>
+      val table = s"$base/t"
+      val partitioned = rnd.nextBoolean()
+      import spark.implicits._
+      // random mix of day-1 / day-2 / null timestamps
+      val rows = (0 until (4 + rnd.nextInt(12))).map { i =>
+        val ts = rnd.nextInt(3) match {
+          case 0 => day1
+          case 1 => day2
+          case _ => null.asInstanceOf[java.sql.Timestamp]
+        }
+        (i.toLong, ts, s"s${i % 2}")
+      }
+      val df = rows.toDF("doc_id", "ingest_ts", "source")
+      val parts = if (partitioned) Seq("source") else Nil
+      (if (partitioned) df.write.partitionBy("source") else df.write)
+        .parquet(table)
+      // null is KEPT by contract
+      val expected = rows.filter(r => r._2 == null || !r._2.before(day2))
+        .map(_._1).sorted
+      val keep = col("ingest_ts").isNull || col("ingest_ts") >= lit(day2)
+      // random crash injection before the healing policy run
+      rnd.nextInt(4) match {
+        case 0 => // no crash
+        case 1 => // crash after the marker, before the swap
+          Retention.stageAndMarkOnly(spark, table, keep, parts): Unit
+        case 2 => // crash mid-swap: table dir deleted, staged not renamed
+          Retention.stageAndMarkOnly(spark, table, keep, parts): Unit
+          fs(table).delete(new Path(table), true): Unit
+        case _ => // crash after the swap, marker not yet deleted
+          val staged = Retention.stageAndMarkOnly(spark, table, keep, parts)
+          fs(table).delete(new Path(table), true): Unit
+          assert(fs(table).rename(new Path(s"$base/$staged"),
+            new Path(table)))
+      }
+      val stats = Retention.rewriteKeeping(spark, table, keep, parts)
+      assert(stats.rowsExpired == 0 || stats.rowsExpired ==
+        rows.size - expected.size, s"round $round: stats off")
+      val got =
+        if (graft.util.CommittedTable.hasData(spark, table))
+          spark.read.parquet(table).select("doc_id").as[Long]
+            .collect().toSeq.sorted
+        else Seq.empty[Long]
+      assert(got == expected, s"round $round: policy outcome diverged")
+      // no marker, no staged litter
+      val litter = fs(table).globStatus(new Path(base, ".t.retention_*"))
+      assert(litter == null || litter.isEmpty, s"round $round: litter")
+    }
+  }
+
   test("composes with compactGraduated: expired suspects' markers drop") {
     withDir { base =>
       val table = s"$base/corpus"

@@ -332,6 +332,67 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("seeded crash-point fuzz: random layouts, random crash injection, " +
+      "contents always intact, always idempotent after") {
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 0 until 8) withDir { table =>
+      // random layout: 1-3 dirs (flat root or partition-style subdirs),
+      // 1-4 files each, 0-7 rows per file (zero-row files included)
+      val nDirs = 1 + rnd.nextInt(3)
+      val dirs =
+        if (nDirs == 1 && rnd.nextBoolean()) Seq(table)
+        else (0 until nDirs).map(d => s"$table/source=s$d")
+      var id = 0L
+      for (dir <- dirs; _ <- 0 until (1 + rnd.nextInt(4))) {
+        val n = rnd.nextInt(8)
+        val rows = (0 until n).map { _ => id += 1; (id, s"doc-$id") }
+        import spark.implicits._
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      def idsByDir(): Map[String, Seq[Long]] = dirs.map { d =>
+        import spark.implicits._
+        d -> (if (graft.util.CommittedTable.hasData(spark, d))
+          spark.read.parquet(d).select("doc_id").as[Long]
+            .collect().toSeq.sorted
+        else Seq.empty[Long])
+      }.toMap
+      val before = idsByDir()
+      val target = rnd.nextInt(3) match {
+        case 0 => 1L << 20                 // everything bins
+        case 1 => 600L + rnd.nextInt(1200) // some files excluded
+        case _ => 2L                  // nothing bins (all files ≥ 2 bytes)
+      }
+      // random crash injection before the healing run
+      rnd.nextInt(3) match {
+        case 0 => // no crash
+        case 1 => // crash after journal, before any swap
+          try TableCompaction.stageAndJournalOnly(spark, table, target): Unit
+          catch { case _: IllegalArgumentException => } // nothing to stage
+        case 2 => // crash mid-swap: some bins renamed, none deleted
+          try {
+            val targets = TableCompaction
+              .stageAndJournalOnly(spark, table, target)
+            val renameable = targets.count(_.nonEmpty)
+            if (renameable > 0)
+              TableCompaction.renameFirstJournaled(spark, table,
+                1 + rnd.nextInt(renameable))
+          } catch { case _: IllegalArgumentException => }
+      }
+      TableCompaction.compactLanded(spark, table, target): Unit
+      assert(idsByDir() == before, s"round $round: contents diverged")
+      val leftovers = fs(table)
+        .globStatus(new Path(table, ".compact_*"))
+      assert(leftovers == null || leftovers.isEmpty,
+        s"round $round: protocol litter")
+      val digests = fileDigests(table)
+      val again = TableCompaction.compactLanded(spark, table, target)
+      assert(again.binsWritten == 0, s"round $round: not idempotent")
+      assert(fileDigests(table) == digests,
+        s"round $round: second run rewrote files")
+    }
+  }
+
   test("a session maxRecordsPerFile cannot split a bin into several " +
       "staged files") {
     withDir { table =>
