@@ -174,24 +174,51 @@ object CorpusIngest {
       minTokens: Int = 5, minDistinctRatio: Double = 0.2,
       watermarkDelay: String = "10 minutes",
       watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactLandedEvery: Int = 0,
+      compactLandedTargetBytes: Long = 128L << 20): StreamingQuery =
     writeRouted(gateVerdicts(docs, minTokens, minDistinctRatio, watchlist),
       checkpoint, watermarkDelay, trigger)(
-      auditedSinks(table, evidenceCols = Seq("bench_id", "match_pos")))
+      auditedSinks(table, evidenceCols = Seq("bench_id", "match_pos"),
+        compactLandedEvery, compactLandedTargetBytes))
 
   /** The passers/rejects sink pair every audited writer shares — kept
     * rows land source-partitioned minus the gate's `evidenceCols`
     * (evidence belongs in the audit tables, not the corpus), rejects
     * keep everything — so the landing/rejects routing has ONE
-    * definition across the three contamination postures. */
-  private def auditedSinks(table: String, evidenceCols: Seq[String])(
-      b: DataFrame): Unit = {
+    * definition across the three contamination postures.
+    *
+    * `compactLandedEvery > 0` folds the LANDING table's own small files
+    * every that-many micro-batches
+    * ([[graft.operators.TableCompaction.compactLanded]]), from inside
+    * foreachBatch's exclusive-writer window — the
+    * [[PerceptualIngest]] `writeBackCompactEvery` discipline carried to
+    * the plain-parquet landing table. Safe against the stream's own
+    * replay because the landing idempotence is content-based (the k:/r:
+    * dedup keys), never file-based; a compaction crash heals forward on
+    * the next cadence firing. External readers CONCURRENT with a fold
+    * can transiently hit a listing blink (a bin's sources deleted after
+    * its replacement landed — a scan that listed before and reads after
+    * fails with FileNotFound, never wrong rows): enable the knob when
+    * downstream scans run between batches or tolerate a retry, else
+    * compact out-of-band in the maintenance window. The REJECTS table is
+    * deliberately not folded here — its maintenance is the retention
+    * pass ([[graft.operators.Retention]]), whose staged rewrite already
+    * consolidates files. */
+  private def auditedSinks(table: String, evidenceCols: Seq[String],
+      compactLandedEvery: Int = 0,
+      compactLandedTargetBytes: Long = 128L << 20)(
+      b: DataFrame, batchId: Long): Unit = {
     b.filter(col("reject_reason").isNull)
       .drop("__dedup_key" +: "reject_reason" +: evidenceCols: _*)
       .write.mode("append").partitionBy("source").parquet(table)
     b.filter(col("reject_reason").isNotNull)
       .drop("__dedup_key")
       .write.mode("append").parquet(s"${table}_rejects")
+    if (compactLandedEvery > 0 &&
+        batchId % compactLandedEvery == (compactLandedEvery - 1))
+      graft.operators.TableCompaction.compactLanded(
+        b.sparkSession, table, compactLandedTargetBytes): Unit
   }
 
   /** THE routing skeleton [[writeAudited]] and [[writeAuditedExcising]]
@@ -209,7 +236,7 @@ object CorpusIngest {
     * re-evaluated plan branch. */
   private def writeRouted(
       verdicts: DataFrame, checkpoint: String, watermarkDelay: String,
-      trigger: Trigger)(sinks: DataFrame => Unit): StreamingQuery =
+      trigger: Trigger)(sinks: (DataFrame, Long) => Unit): StreamingQuery =
     verdicts
       .withColumn("__dedup_key",
         when(col("reject_reason").isNull, concat(lit("k:"), col("digest")))
@@ -220,9 +247,9 @@ object CorpusIngest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.cache()
-        try sinks(b) finally { b.unpersist(); () }
+        try sinks(b, batchId) finally { b.unpersist(); () }
       }
       .start()
 
@@ -269,11 +296,14 @@ object CorpusIngest {
       minTokens: Int = 5, minDistinctRatio: Double = 0.2,
       watermarkDelay: String = "10 minutes",
       minRun: Int = 3,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactLandedEvery: Int = 0,
+      compactLandedTargetBytes: Long = 128L << 20): StreamingQuery =
     writeRouted(
       gateVerdictsBloom(docs, watchlist, minTokens, minDistinctRatio, minRun),
       checkpoint, watermarkDelay, trigger)(
-      auditedSinks(table, evidenceCols = Seq("match_pos")))
+      auditedSinks(table, evidenceCols = Seq("match_pos"),
+        compactLandedEvery, compactLandedTargetBytes))
 
   /** The batch GRADUATION [[writeAuditedBloom]]'s suspects await — and
     * the RE-ADMISSION path a false-positive-able gate owes its corpus:
@@ -495,18 +525,22 @@ object CorpusIngest {
       watchlist: graft.operators.ContaminationGuard.BenchIndex,
       minTokens: Int = 5, minDistinctRatio: Double = 0.2,
       watermarkDelay: String = "10 minutes",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactLandedEvery: Int = 0,
+      compactLandedTargetBytes: Long = 128L << 20): StreamingQuery =
     writeRouted(
       gateVerdictsExcising(docs, watchlist, minTokens, minDistinctRatio),
-      checkpoint, watermarkDelay, trigger) { b =>
-      auditedSinks(table,
-        evidenceCols = Seq("n_spans", "removed_chars", "bench_ids"))(b)
-      // the third sink this posture owes: WHICH landed docs were cut
+      checkpoint, watermarkDelay, trigger) { (b, batchId) =>
+      // the excisions sink runs BEFORE the shared pair so the cadence
+      // fold (inside auditedSinks) sees every sink of this batch landed
       b.filter(col("reject_reason").isNull && col("n_spans") > 0)
         .select(col("doc_id"), col("source"), col("ingest_ts"),
           col("n_spans"), col("removed_chars"), col("bench_ids"),
           col("digest"))
         .write.mode("append").parquet(s"${table}_excisions")
+      auditedSinks(table,
+        evidenceCols = Seq("n_spans", "removed_chars", "bench_ids"),
+        compactLandedEvery, compactLandedTargetBytes)(b, batchId)
     }
 
   /** End-to-end convenience over a JSONL directory. The default

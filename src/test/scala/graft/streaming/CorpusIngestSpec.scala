@@ -138,6 +138,44 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(batchKept == Set(1L))
   }
 
+  test("compactLandedEvery folds the landing table's own small files on " +
+      "micro-batch cadence; contents, layout column and rejects untouched") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def drive(every: Int): (String, Long) = {
+      val table = tmp(s"cmpk$every-table"); val ckpt = tmp(s"cmpk$every-ckpt")
+      val source = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+      var id = 0L
+      for (_ <- 0 until 4) { // four waves on one checkpoint
+        source.addData((0 until 6).map { _ =>
+          id += 1
+          (id, soupWords(id, 8), s"src${id % 2}", t0)
+        }: _*)
+        CorpusIngest.writeAudited(
+          source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+          table, ckpt, compactLandedEvery = every).awaitTermination()
+      }
+      (table, graft.operators.TableCompaction.committedDataFiles(
+        spark, table))
+    }
+    val (plain, plainFiles) = drive(0)
+    val (folded, foldedFiles) = drive(2)
+    // the fold changed the LAYOUT only: strictly fewer files, identical
+    // rows, and the partition column still lives in the dir names
+    assert(foldedFiles < plainFiles,
+      s"cadence fold did not reduce files: $foldedFiles vs $plainFiles")
+    def rows(t: String) = spark.read.parquet(t)
+      .select("doc_id", "text", "source").collect()
+      .map(_.toString).sorted.toSeq
+    assert(rows(folded) == rows(plain))
+    assert(!spark.read.parquet(s"$folded/source=src0/")
+      .columns.contains("source"))
+    // neither run audited anything (all docs pass the gate), and the
+    // knob never touches the rejects table's files
+    assert(!graft.util.CommittedTable.hasData(spark, s"${folded}_rejects") ||
+      spark.read.parquet(s"${folded}_rejects").isEmpty)
+  }
+
   test("BLOOM-gated ingest: suspects reject with the run start, verdict classes match the exact gate, and the rejects graduate to confirmed leaks") {
     import graft.operators.ContaminationGuard
     val bench = soupWords(21L, 40)
