@@ -87,6 +87,11 @@ object TableCompaction {
       bytesRewritten: Long,
       healedBins: Long)
 
+  /** The one default fold target, shared with the streaming cadence
+    * knobs so the in-stream fold and the out-of-band operator cannot
+    * silently drift apart. */
+  val DefaultTargetBytes: Long = 128L << 20
+
   private val JournalName = ".compact_journal"
   private val JournalMagic = "GRAFT_COMPACT_JOURNAL_V1"
   private val StagingPrefix = ".compact_staging_"
@@ -255,7 +260,7 @@ object TableCompaction {
   def compactLanded(
       spark: SparkSession,
       table: String,
-      targetBytes: Long = 128L << 20,
+      targetBytes: Long = DefaultTargetBytes,
       minBinFiles: Int = 2): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minBinFiles >= 2,

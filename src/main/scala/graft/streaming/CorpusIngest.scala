@@ -176,7 +176,8 @@ object CorpusIngest {
       watchlist: Option[graft.operators.ContaminationGuard.BenchIndex] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       compactLandedEvery: Int = 0,
-      compactLandedTargetBytes: Long = 128L << 20): StreamingQuery =
+      compactLandedTargetBytes: Long =
+        graft.operators.TableCompaction.DefaultTargetBytes): StreamingQuery =
     writeRouted(gateVerdicts(docs, minTokens, minDistinctRatio, watchlist),
       checkpoint, watermarkDelay, trigger)(
       auditedSinks(table, evidenceCols = Seq("bench_id", "match_pos"),
@@ -196,7 +197,15 @@ object CorpusIngest {
     * the plain-parquet landing table. Safe against the stream's own
     * replay because the landing idempotence is content-based (the k:/r:
     * dedup keys), never file-based; a compaction crash heals forward on
-    * the next cadence firing. External readers CONCURRENT with a fold
+    * the next cadence firing. A fold FAILURE is non-fatal by design:
+    * the batch's appends have already landed when the fold runs, and
+    * foreachBatch is at-least-once — failing the batch here would
+    * replay it and permanently DUPLICATE its rows in the landing and
+    * rejects tables (the appends are not idempotent; only the layout
+    * fold is), and a persistently failing fold would crash-loop one
+    * more duplicate copy per restart. So the fold logs and moves on;
+    * its own journal contract already heals any torn state at the next
+    * firing. External readers CONCURRENT with a fold
     * can transiently hit a listing blink (a bin's sources deleted after
     * its replacement landed — a scan that listed before and reads after
     * fails with FileNotFound, never wrong rows): enable the knob when
@@ -206,8 +215,7 @@ object CorpusIngest {
     * pass ([[graft.operators.Retention]]), whose staged rewrite already
     * consolidates files. */
   private def auditedSinks(table: String, evidenceCols: Seq[String],
-      compactLandedEvery: Int = 0,
-      compactLandedTargetBytes: Long = 128L << 20)(
+      compactLandedEvery: Int, compactLandedTargetBytes: Long)(
       b: DataFrame, batchId: Long): Unit = {
     b.filter(col("reject_reason").isNull)
       .drop("__dedup_key" +: "reject_reason" +: evidenceCols: _*)
@@ -217,8 +225,14 @@ object CorpusIngest {
       .write.mode("append").parquet(s"${table}_rejects")
     if (compactLandedEvery > 0 &&
         batchId % compactLandedEvery == (compactLandedEvery - 1))
-      graft.operators.TableCompaction.compactLanded(
+      try graft.operators.TableCompaction.compactLanded(
         b.sparkSession, table, compactLandedTargetBytes): Unit
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] compactLanded cadence fold failed on $table at " +
+              s"batch $batchId (will heal at the next firing): $e")
+      }
   }
 
   /** THE routing skeleton [[writeAudited]] and [[writeAuditedExcising]]
@@ -298,7 +312,8 @@ object CorpusIngest {
       minRun: Int = 3,
       trigger: Trigger = Trigger.AvailableNow(),
       compactLandedEvery: Int = 0,
-      compactLandedTargetBytes: Long = 128L << 20): StreamingQuery =
+      compactLandedTargetBytes: Long =
+        graft.operators.TableCompaction.DefaultTargetBytes): StreamingQuery =
     writeRouted(
       gateVerdictsBloom(docs, watchlist, minTokens, minDistinctRatio, minRun),
       checkpoint, watermarkDelay, trigger)(
@@ -527,20 +542,24 @@ object CorpusIngest {
       watermarkDelay: String = "10 minutes",
       trigger: Trigger = Trigger.AvailableNow(),
       compactLandedEvery: Int = 0,
-      compactLandedTargetBytes: Long = 128L << 20): StreamingQuery =
+      compactLandedTargetBytes: Long =
+        graft.operators.TableCompaction.DefaultTargetBytes): StreamingQuery =
     writeRouted(
       gateVerdictsExcising(docs, watchlist, minTokens, minDistinctRatio),
       checkpoint, watermarkDelay, trigger) { (b, batchId) =>
-      // the excisions sink runs BEFORE the shared pair so the cadence
-      // fold (inside auditedSinks) sees every sink of this batch landed
+      auditedSinks(table,
+        evidenceCols = Seq("n_spans", "removed_chars", "bench_ids"),
+        compactLandedEvery, compactLandedTargetBytes)(b, batchId)
+      // the third sink this posture owes: WHICH landed docs were cut.
+      // Order vs the shared pair is crash-neutral (a mid-batch crash
+      // replays the WHOLE batch, duplicating whichever sinks had
+      // landed), and the cadence fold touches only `table`, never this
+      // sibling dir
       b.filter(col("reject_reason").isNull && col("n_spans") > 0)
         .select(col("doc_id"), col("source"), col("ingest_ts"),
           col("n_spans"), col("removed_chars"), col("bench_ids"),
           col("digest"))
         .write.mode("append").parquet(s"${table}_excisions")
-      auditedSinks(table,
-        evidenceCols = Seq("n_spans", "removed_chars", "bench_ids"),
-        compactLandedEvery, compactLandedTargetBytes)(b, batchId)
     }
 
   /** End-to-end convenience over a JSONL directory. The default

@@ -102,27 +102,60 @@ object AtomicPublish {
   /** Atomically publish a single file at `target`, replacing any
     * existing one: `write` fills a dot-prefixed temp, then
     * `FileContext.rename(OVERWRITE)` swaps it in. `magic` (when given)
-    * is written first via `writeUTF` and demanded back by [[readFile]]. */
+    * is written first via `writeUTF` and demanded back by [[readFile]].
+    *
+    * CONCURRENT publishers of one target are absorbed, not surfaced
+    * (last complete publish wins — the semantics read-modify-write
+    * retry loops assume): the local/Checksum FileContext implements
+    * OVERWRITE as validate → delete(target) → plain rename with no lock
+    * across the steps, and on ChecksumFs the data file and its `.crc`
+    * sidecar move in TWO renames — so a racing publish can (a) land the
+    * target back inside our delete→rename window, surfacing as
+    * FileAlreadyExists despite the OVERWRITE flag, and (b) do so on the
+    * CRC leg after our data rename already CONSUMED our temp, leaving
+    * the target torn (new bytes, stale sidecar). Both heal the same
+    * way: the payload is buffered once (these are metadata-scale files —
+    * manifests, markers, sketch indexes), and each bounded retry
+    * re-stages a FRESH temp and re-runs the whole overwrite-rename,
+    * which republishes data AND sidecar together; a genuinely stuck
+    * filesystem still surfaces on the last attempt. Caught live by
+    * FingerprintStoreSpec's racing-writers run; reproduced by
+    * PublishProbesSpec's racing-publishers hammer. */
   def file(conf: Configuration, target: Path,
       magic: Option[String] = None)(
       write: java.io.DataOutputStream => Unit): Unit = {
     val fs = target.getFileSystem(conf)
-    val tmp = tmpFor(target)
-    try {
-      val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    val payload = {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bytes)
+      magic.foreach(out.writeUTF)
+      write(out)
+      out.close()
+      bytes.toByteArray
+    }
+    val fc = FileContext.getFileContext(fs.makeQualified(target).toUri, conf)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val tmp = tmpFor(target)
       try {
-        magic.foreach(out.writeUTF)
-        write(out)
-      } finally out.close()
-      FileContext.getFileContext(fs.makeQualified(target).toUri, conf)
-        .rename(tmp, target, Options.Rename.OVERWRITE)
-    } catch {
-      // unique temp names mean no later publish overwrites an orphan —
-      // a failed publish must clean its own staging or a retried-on-a-
-      // schedule writer accumulates temps without bound
-      case t: Throwable =>
-        scala.util.Try(fs.delete(tmp, false))
-        throw t
+        val out = fs.create(tmp, true)
+        try out.write(payload) finally out.close()
+        fc.rename(tmp, target, Options.Rename.OVERWRITE)
+        return
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException
+            if attempt < 8 =>
+          val _ = e // the racing-publish window (scaladoc) — re-stage
+          scala.util.Try(fs.delete(tmp, false))
+          Thread.sleep(5L * attempt)
+        // unique temp names mean no later publish overwrites an orphan —
+        // a failed publish must clean its own staging or a retried-on-a-
+        // schedule writer accumulates temps without bound
+        case t: Throwable =>
+          scala.util.Try(fs.delete(tmp, false))
+          throw t
+      }
     }
   }
 

@@ -151,6 +151,10 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
           id += 1
           (id, soupWords(id, 8), s"src${id % 2}", t0)
         }: _*)
+        // one gate reject per wave, so the rejects table actually holds
+        // files for the untouched-by-the-fold assertion to observe
+        id += 1
+        source.addData((id, "hi", s"src${id % 2}", t0))
         CorpusIngest.writeAudited(
           source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
           table, ckpt, compactLandedEvery = every).awaitTermination()
@@ -170,10 +174,18 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(folded) == rows(plain))
     assert(!spark.read.parquet(s"$folded/source=src0/")
       .columns.contains("source"))
-    // neither run audited anything (all docs pass the gate), and the
-    // knob never touches the rejects table's files
-    assert(!graft.util.CommittedTable.hasData(spark, s"${folded}_rejects") ||
-      spark.read.parquet(s"${folded}_rejects").isEmpty)
+    // the knob never touches the rejects table: same audited rows AND
+    // the same file count as the unfolded run (a fold pointed at the
+    // rejects dir would have collapsed its per-wave appends)
+    def rejectRows(t: String) = spark.read.parquet(s"${t}_rejects")
+      .select("doc_id", "reject_reason").collect()
+      .map(_.toString).sorted.toSeq
+    assert(rejectRows(folded).nonEmpty)
+    assert(rejectRows(folded) == rejectRows(plain))
+    assert(graft.operators.TableCompaction.committedDataFiles(
+      spark, s"${folded}_rejects") ==
+      graft.operators.TableCompaction.committedDataFiles(
+        spark, s"${plain}_rejects"))
   }
 
   test("BLOOM-gated ingest: suspects reject with the run start, verdict classes match the exact gate, and the rejects graduate to confirmed leaks") {

@@ -130,4 +130,29 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
       }
     } finally { stop.set(true); writer.join() }
   }
+
+  test("RACING publishers of one target never fail on the overwrite-" +
+      "rename window; last complete value wins") {
+    // local/Checksum FileContext implements rename(OVERWRITE) as
+    // validate → delete → plain rename with no lock across the steps, so
+    // two concurrent publishes can interleave a rename into the other's
+    // delete→rename window — surfacing (pre-fix) as
+    // FileAlreadyExistsException despite OVERWRITE (caught live by
+    // FingerprintStoreSpec's racing-writers run). Two hammering threads
+    // reproduce the window with good probability; the publish must
+    // absorb it and the target must always read as ONE complete value.
+    val base = java.nio.file.Files.createTempDirectory("pub-race").toString
+    val target = new Path(s"$base/state")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { t =>
+      new Thread(() =>
+        try (1 to 150).foreach { i =>
+          AtomicPublish.file(conf, target)(_.writeLong(t * 1000L + i))
+        } catch { case e: Throwable => errors.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing publish threw: ${errors.peek()}")
+    val v = AtomicPublish.readFile(conf, target)(_.readLong())
+    assert(v == 1150L || v == 2150L, s"unexpected final value $v")
+  }
 }
