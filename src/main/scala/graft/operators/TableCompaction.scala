@@ -103,12 +103,17 @@ object TableCompaction {
   private final case class Move(
       target: String, staged: String, sources: Seq[String])
 
-  private def qualifiedRoot(fs: FileSystem, table: String): Path =
-    // qualify ONCE at entry: a relative table path would otherwise make
-    // the hidden-ancestor walk compare relative against absolute (every
-    // file silently classified hidden under a dotted cwd) and the
-    // journal relativization throw
-    fs.makeQualified(new Path(table))
+  /** Filesystem + QUALIFIED root for `table`, resolved once at every
+    * public entry: a relative table path would otherwise make the
+    * hidden-ancestor walk compare relative against absolute (every file
+    * silently classified hidden under a dotted cwd) and the journal
+    * relativization throw. */
+  private def fsAndRoot(
+      spark: SparkSession, table: String): (FileSystem, Path) = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
 
   /** A committed, visible data file: parquet, not a `_`/`.` marker, not
     * under a committer's `_temporary/` staging, not under any hidden
@@ -147,9 +152,7 @@ object TableCompaction {
 
   /** Count of committed data files — the dial the lifecycle entry emits. */
   def committedDataFiles(spark: SparkSession, table: String): Long = {
-    val p0 = new Path(table)
-    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = qualifiedRoot(fs, table)
+    val (fs, root) = fsAndRoot(spark, table)
     if (!fs.exists(root)) 0L
     else dataFilesByDir(fs, root).valuesIterator.map(_.size.toLong).sum
   }
@@ -207,8 +210,7 @@ object TableCompaction {
   private[graft] def healJournal(
       spark: SparkSession, table: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(table).getFileSystem(conf)
-    val root = qualifiedRoot(fs, table)
+    val (fs, root) = fsAndRoot(spark, table)
     if (!fs.exists(root)) return 0L
     val journal = new Path(root, JournalName)
     val moves: Seq[Move] =
@@ -265,9 +267,7 @@ object TableCompaction {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minBinFiles >= 2,
       "minBinFiles < 2 would rewrite lone files for no layout gain")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(table).getFileSystem(conf)
-    val root = qualifiedRoot(fs, table)
+    val (fs, root) = fsAndRoot(spark, table)
     require(!fs.exists(new Path(root, "_spark_metadata")),
       s"$table carries a streaming file-sink log (_spark_metadata): its " +
         "readers resolve the file list through the log, so rewriting " +
@@ -425,9 +425,7 @@ object TableCompaction {
   private[graft] def stageAndJournalOnly(
       spark: SparkSession, table: String, targetBytes: Long,
       minBinFiles: Int = 2): Seq[String] = {
-    val fs = new Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = qualifiedRoot(fs, table)
+    val (fs, root) = fsAndRoot(spark, table)
     val staged = stageAndJournal(spark, root,
       dataFilesByDir(fs, root), targetBytes, minBinFiles)
     require(staged.nonEmpty, "stageAndJournalOnly: nothing to stage")
@@ -440,8 +438,7 @@ object TableCompaction {
   private[graft] def renameFirstJournaled(
       spark: SparkSession, table: String, n: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(table).getFileSystem(conf)
-    val root = qualifiedRoot(fs, table)
+    val (fs, root) = fsAndRoot(spark, table)
     readMoves(conf, new Path(root, JournalName))
       .filter(_.target.nonEmpty).take(n).foreach { m =>
         require(fs.rename(new Path(root, m.staged), new Path(root, m.target)),

@@ -13,13 +13,8 @@ import graft.SparkTestSession
   * staging seam. */
 class RetentionSpec extends AnyFunSuite with SparkTestSession {
 
-  private def withDir[T](body: String => T): T = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-retain-" +
-      ProcessHandle.current().pid() + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    try body(base)
-    finally graft.util.LocalFs.deleteRecursively(base)
-  }
+  private def withDir[T](body: String => T): T =
+    graft.ScratchDir.withDir("retain")(body)
 
   private def fs(p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

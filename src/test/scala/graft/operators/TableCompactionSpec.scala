@@ -13,13 +13,8 @@ import graft.SparkTestSession
   * mid-swap), driven through the production staging seam. */
 class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
 
-  private def withDir[T](body: String => T): T = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-tcomp-" +
-      ProcessHandle.current().pid() + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    try body(base)
-    finally graft.util.LocalFs.deleteRecursively(base)
-  }
+  private def withDir[T](body: String => T): T =
+    graft.ScratchDir.withDir("tcomp")(body)
 
   private def fs(table: String) =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
