@@ -74,6 +74,18 @@ import org.apache.spark.sql.functions._
   * instants between its rename and its deletes (documented above), and a
   * reader concurrent with nothing (the normal case) sees only committed
   * plain-parquet states.
+  *
+  * Driver-memory bound at extreme file counts: the plan (one recursive
+  * listing, the FFD bins, the file→bin literal map) is driver-side
+  * metadata sized by the files THIS run touches — fine at maintenance
+  * cadence, but a years-neglected table's 10⁶-small-file backlog would
+  * make one run's listing and bin-route literal driver-heavy. The
+  * bound is structural, not a knob: `table` may be ANY directory, so a
+  * backlog run compacts per partition subtree (pass `<table>/source=X`
+  * as the root). The journal, staging and heal are all per-root, so
+  * runs over disjoint subtrees compose — each heals only its own
+  * protocol state — while the single-writer contract shrinks to the
+  * subtree each run owns.
   */
 object TableCompaction {
 
@@ -268,11 +280,21 @@ object TableCompaction {
     require(minBinFiles >= 2,
       "minBinFiles < 2 would rewrite lone files for no layout gain")
     val (fs, root) = fsAndRoot(spark, table)
-    require(!fs.exists(new Path(root, "_spark_metadata")),
-      s"$table carries a streaming file-sink log (_spark_metadata): its " +
-        "readers resolve the file list through the log, so rewriting " +
-        "files underneath it desyncs exactly-once reads — compact the " +
-        "sink's OUTPUT only via a log-aware rewrite, not this operator")
+    // refuse file-sink tables by walking the WHOLE ancestor chain, not
+    // just the given root: the class doc recommends per-partition-subtree
+    // runs, and a subtree of a _spark_metadata table carries the log at
+    // an ANCESTOR — a root-only probe would wave the subtree through and
+    // desync the log's exactly-once readers all the same
+    var probe: Path = root
+    while (probe != null) {
+      require(!fs.exists(new Path(probe, "_spark_metadata")),
+        s"$probe carries a streaming file-sink log (_spark_metadata): " +
+          "its readers resolve the file list through the log, so " +
+          "rewriting files underneath it desyncs exactly-once reads — " +
+          "compact the sink's OUTPUT only via a log-aware rewrite, not " +
+          "this operator")
+      probe = probe.getParent
+    }
     val healed = healJournal(spark, table)
     if (!fs.exists(root))
       return CompactStats(0L, 0L, 0L, 0L, healed)

@@ -157,6 +157,46 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("per-partition-subtree runs compose: each compacts only its own " +
+      "root, with its own journal state") {
+    withDir { table =>
+      landPartitioned(table)
+      val before = rowsOf(table)
+      val s1Digests = fileDigests(table)
+        .filter(_._1.startsWith("source=s1/"))
+      // a backlog-shaped run over ONE partition dir (the class doc's
+      // driver-memory bound): s0 compacts, s1 byte-untouched
+      val stats = TableCompaction.compactLanded(
+        spark, s"$table/source=s0", 64L << 20)
+      assert(stats.binsWritten == 1 && stats.filesAfter == 1)
+      assert(rowsOf(table) == before)
+      assert(fileDigests(table)
+        .filter(_._1.startsWith("source=s1/")) == s1Digests)
+      // and the sibling run is independent — its own journal, its own
+      // heal, composing to the whole-table outcome
+      TableCompaction.compactLanded(spark, s"$table/source=s1",
+        64L << 20): Unit
+      assert(TableCompaction.committedDataFiles(spark, table) == 2)
+      assert(rowsOf(table) == before)
+    }
+  }
+
+  test("refuses a partition SUBTREE of a file-sink table: the log at an " +
+      "ancestor still governs these files") {
+    withDir { table =>
+      for (_ <- 0 until 2)
+        docs(4).coalesce(1).write.mode("append")
+          .parquet(s"$table/source=a")
+      fs(table).mkdirs(new Path(table, "_spark_metadata")): Unit
+      val e = intercept[IllegalArgumentException] {
+        TableCompaction.compactLanded(spark, s"$table/source=a")
+      }
+      assert(e.getMessage.contains("_spark_metadata"))
+      assert(TableCompaction.committedDataFiles(
+        spark, s"$table/source=a") == 2) // untouched
+    }
+  }
+
   test("zero-row files fold away as delete-only bins") {
     withDir { table =>
       docs(200, pad = 64).coalesce(1)
