@@ -148,24 +148,20 @@ object Retention {
     // partition-column TYPE inference is lossy on values whose string
     // form is not the canonical rendering of the inferred type (a
     // `source=01` dir inferred int would be rewritten `source=1`), so
-    // for the partitioned rewrite the inference is pinned OFF around the
-    // eager relation resolution — partition values stay the exact dir
-    // strings and the staged write re-renders them byte-identically.
-    // The pin mutates SESSION conf for the duration of the (eager)
-    // resolution below: fine under the class's single-writer maintenance
-    // window, which the exclusivity contract already scopes to a session
-    // not concurrently resolving other partitioned reads
+    // for the partitioned rewrite the inference is pinned OFF —
+    // partition values stay the exact dir strings and the staged write
+    // re-renders them byte-identically. The pin rides a FRESH session
+    // (own SQLConf, shared SparkContext — r14 ADVICE), so it cannot
+    // leak to unrelated partitioned reads concurrently resolving on the
+    // caller's session; the read, the observed staging write and the
+    // counts below all bind to that throwaway session
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val before =
       if (partitionBy.isEmpty) spark.read.parquet(root.toString)
       else {
-        val prior = spark.conf.get(inferKey)
-        spark.conf.set(inferKey, "false")
-        try {
-          val df = spark.read.parquet(root.toString)
-          df.schema // force resolution inside the pinned window
-          df
-        } finally spark.conf.set(inferKey, prior)
+        val pinned = spark.newSession()
+        pinned.conf.set(inferKey, "false")
+        pinned.read.parquet(root.toString)
       }
     // BOTH counts observed on the single staging pass — no separate
     // count() scan of a forever-growing table, and no read-back of the

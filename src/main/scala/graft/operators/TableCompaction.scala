@@ -130,7 +130,9 @@ object TableCompaction {
   /** A committed, visible data file: parquet, not a `_`/`.` marker, not
     * under a committer's `_temporary/` staging, not under any hidden
     * (dot-prefixed) directory such as our own staging. Same predicate
-    * family as [[graft.util.CommittedTable.hasData]]. */
+    * family as [[graft.util.CommittedTable.hasData]] — including the
+    * hidden-ancestor walk, since r14 ADVICE (the two must agree inside
+    * a compaction crash window). */
   private def isCommittedDataFile(root: Path, f: FileStatus): Boolean = {
     val n = f.getPath.getName
     def hiddenAncestor(p: Path): Boolean = {
@@ -284,7 +286,13 @@ object TableCompaction {
     // just the given root: the class doc recommends per-partition-subtree
     // runs, and a subtree of a _spark_metadata table carries the log at
     // an ANCESTOR — a root-only probe would wave the subtree through and
-    // desync the log's exactly-once readers all the same
+    // desync the log's exactly-once readers all the same. The walk errs
+    // in the SAFE direction (r14 ADVICE): an unrelated sink cohabiting a
+    // shared ancestor (a _spark_metadata directly under /tmp or a bucket
+    // root) refuses unrelated tables beneath it too — a false-positive
+    // DENIAL, named in the message so the operator points at the fix
+    // (move the table out from under the sink) instead of reading as
+    // its own bug
     var probe: Path = root
     while (probe != null) {
       require(!fs.exists(new Path(probe, "_spark_metadata")),
@@ -292,7 +300,10 @@ object TableCompaction {
           "its readers resolve the file list through the log, so " +
           "rewriting files underneath it desyncs exactly-once reads — " +
           "compact the sink's OUTPUT only via a log-aware rewrite, not " +
-          "this operator")
+          "this operator. (If this log belongs to an UNRELATED sink " +
+          s"cohabiting a shared ancestor of $root, the refusal is a " +
+          "deliberate false positive — relocate the table outside the " +
+          "sink's tree.)")
       probe = probe.getParent
     }
     val healed = healJournal(spark, table)

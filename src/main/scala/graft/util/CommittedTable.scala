@@ -25,12 +25,29 @@ object CommittedTable {
 
   /** True iff `path` exists and holds at least one committed parquet
     * data file — recursive (partitioned layouts), skipping `_`/`.`
-    * markers and anything still under a `_temporary/` staging dir. */
+    * markers and anything under a HIDDEN (`_`/`.`-prefixed) ancestor
+    * dir below the queried root: `_temporary/` committer staging and a
+    * crash-orphaned `.compact_staging_*` dir alike (r14 ADVICE — this
+    * is the same ancestor rule as
+    * [[graft.operators.TableCompaction]]'s committed-file predicate, so
+    * the two emptiness views cannot diverge inside a compaction crash
+    * window; plain Spark readers also skip both shapes). */
   def hasData(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = new Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(p0)
     if (!fs.exists(p)) false
     else {
+      val rootPath = p.toUri.getPath
+      def hiddenAncestor(f: Path): Boolean = {
+        var cur = f.getParent
+        while (cur != null && cur.toUri.getPath != rootPath) {
+          val n = cur.getName
+          if (n.startsWith(".") || n.startsWith("_")) return true
+          cur = cur.getParent
+        }
+        false
+      }
       val it = fs.listFiles(p, true)
       var found = false
       while (!found && it.hasNext) {
@@ -38,7 +55,7 @@ object CommittedTable {
         val n = f.getPath.getName
         found = f.isFile && n.endsWith(".parquet") &&
           !n.startsWith("_") && !n.startsWith(".") &&
-          !f.getPath.toString.contains("/_temporary/")
+          !hiddenAncestor(f.getPath)
       }
       found
     }

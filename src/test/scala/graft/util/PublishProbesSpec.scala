@@ -31,6 +31,16 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
     java.nio.file.Files.write(
       tornDir.toPath.resolve("part-00000.snappy.parquet"), Array[Byte](1))
     assert(!CommittedTable.hasData(spark, s"$base/torn"))
+    // a part file under ANY hidden ancestor — e.g. a crash-orphaned
+    // compaction staging dir — is not committed data either (r14
+    // ADVICE: this predicate and TableCompaction's must agree during a
+    // compaction crash window; plain Spark readers skip it too)
+    val orphan = new java.io.File(s"$base/crash/.compact_staging_ab12/b=0")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(
+      orphan.toPath.resolve("part-00000.snappy.parquet"), Array[Byte](1))
+    assert(!CommittedTable.hasData(spark, s"$base/crash"),
+      "a staged-but-unpublished compaction file must not read as data")
     // a real write — including a partitioned layout — is data
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "source")
@@ -141,18 +151,19 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
     // FingerprintStoreSpec's racing-writers run). Two hammering threads
     // reproduce the window with good probability; the publish must
     // absorb it and the target must always read as ONE complete value.
-    val base = java.nio.file.Files.createTempDirectory("pub-race").toString
-    val target = new Path(s"$base/state")
-    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (1 to 2).map { t =>
-      new Thread(() =>
-        try (1 to 150).foreach { i =>
-          AtomicPublish.file(conf, target)(_.writeLong(t * 1000L + i))
-        } catch { case e: Throwable => errors.add(e): Unit })
+    graft.ScratchDir.withDir("pub-race") { base =>
+      val target = new Path(s"$base/state")
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { t =>
+        new Thread(() =>
+          try (1 to 150).foreach { i =>
+            AtomicPublish.file(conf, target)(_.writeLong(t * 1000L + i))
+          } catch { case e: Throwable => errors.add(e): Unit })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"racing publish threw: ${errors.peek()}")
+      val v = AtomicPublish.readFile(conf, target)(_.readLong())
+      assert(v == 1150L || v == 2150L, s"unexpected final value $v")
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    assert(errors.isEmpty, s"racing publish threw: ${errors.peek()}")
-    val v = AtomicPublish.readFile(conf, target)(_.readLong())
-    assert(v == 1150L || v == 2150L, s"unexpected final value $v")
   }
 }
