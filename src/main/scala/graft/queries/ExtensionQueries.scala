@@ -5106,42 +5106,44 @@ object ExtensionQueries {
     // micro-batch cadence (writeBackCompactEvery = 2, keepRecent = 1),
     // with the CURRENT epoch — the only batch that can ever replay —
     // passed to the fold as protected BY NAME from inside foreachBatch's
-    // exclusive-writer window. Five epochs arrive as five AvailableNow
+    // exclusive-writer window. Six epochs arrive as six AvailableNow
     // waves over a file-source stream (each wave appends one staged
     // parquet file and re-runs the query on the same checkpoint); the
-    // images are the synthetic corpus rendered for five mutually-far
+    // images are the synthetic corpus rendered for six mutually-far
     // doc_ids, so every epoch lands exactly one fresh fingerprint.
-    // Batch numbering quirk the phases encode: the FIRST wave's data
-    // batch (b0) advances the watermark from unset, so AvailableNow runs
-    // one extra no-data commit batch (b1) before stopping — the fold
-    // cadence (fires when batchId % 2 == 1) therefore spends its first
-    // firing on that empty batch (a no-op: keepRecent covers the only
-    // partition) and the real folds land on waves 3 and 5 (batchIds
-    // b3, b5). After each wave the entry snapshots (step, phase,
-    // n_live_partitions, n_compacted_bases, n_disk_partitions, n_rows)
-    // from the MANIFEST-pinned store: live partitions walk 1→2→2→3→2
-    // (fold_1 collapses {b0,b2} into compacted-1 keeping the protected
-    // b3; fold_2 collapses {compacted-1,b3,b4} into compacted-2 keeping
-    // b5) while DISK partitions walk 1→2→4→5→5 — fold_1 RETAINS its
-    // folded inputs for pinned readers (4 on disk vs 2 live) and fold_2
-    // reclaims that retired generation by explicit evidence while
-    // retiring its own (5 on disk, not 7) — and n_rows moves ONLY at
-    // epochs (1..5): the small-file discipline holding under the
-    // streaming writer without ever touching landed data. Rows-only
-    // (stateful lifecycle); ImageIngestSpec pins fold/provenance/
-    // warm-start on the same composition and the entry's exact arc on
-    // sf0.001.
+    // The cadence counts DATA-BEARING batches only (r14 verdict #5,
+    // DataBatchCadence): the first wave's watermark-advance no-data
+    // commit batch (b1) does NOT consume a cadence slot, so the fold
+    // fires on waves 2, 4 and 6 — every 2 batches OF WORK, durable
+    // across the per-wave query restarts via the counter beside the
+    // checkpoint. Wave 2's firing is then absorbed by the fold's own
+    // lone-input guard (one foldable partition is pure churn → files
+    // byte-identical), so the first REAL fold lands on wave 4 and the
+    // reclaiming fold on wave 6. After each wave the entry snapshots
+    // (step, phase, n_live_partitions, n_compacted_bases,
+    // n_disk_partitions, n_rows) from the MANIFEST-pinned store: live
+    // partitions walk 1→2→3→2→3→2 (fold_1 collapses {b0,b2,b3} into
+    // compacted-1 keeping the protected b4; fold_2 collapses
+    // {compacted-1,b4,b5} into compacted-2 keeping b6) while DISK
+    // partitions walk 1→2→3→5→6→5 — fold_1 RETAINS its folded inputs
+    // for pinned readers (5 on disk vs 2 live) and fold_2 reclaims that
+    // retired generation by explicit evidence while retiring its own
+    // (5 on disk, not 8) — and n_rows moves ONLY at epochs (1..6): the
+    // small-file discipline holding under the streaming writer without
+    // ever touching landed data. Rows-only (stateful lifecycle);
+    // ImageIngestSpec pins fold/provenance/warm-start on the same
+    // composition and the entry's exact arc on sf0.001.
     QueryDef(
       "ext134_writeback_compaction",
       (s, dir) => withScratch("wbcompact-ext134") { base =>
         import graft.operators.FingerprintStore
-        // five mutually-far images (families doc_id/3 = 0,10,20,30,40 —
+        // six mutually-far images (families doc_id/3 = 0,10,…,50 —
         // Hamming ≈ 32 apart), keyed off the documents table so the
         // entry reads its corpus ids from `dir` like every sibling
         val imgIds = Tables.documents(s, dir).select("doc_id")
-          .filter(col("doc_id") % 30 === 0 && col("doc_id") < 150)
+          .filter(col("doc_id") % 30 === 0 && col("doc_id") < 180)
           .orderBy("doc_id")
-          .collect().map(_.getLong(0)).toSeq // bounded: exactly 5 ids
+          .collect().map(_.getLong(0)).toSeq // bounded: exactly 6 ids
         val staged = s"$base/staged"
         val store = s"$base/store"
         import s.implicits._
@@ -5180,8 +5182,8 @@ object ExtensionQueries {
             disk.toLong,
             FingerprintStore.read(s, store, pinToManifest = true).count())
         }
-        val phases = Seq("seed", "append_1", "fold_1", "append_2",
-          "fold_2_reclaim")
+        val phases = Seq("seed", "fire_noop", "append_1", "fold_1",
+          "append_2", "fold_2_reclaim")
         val arc = phases.zipWithIndex.map { case (phase, i) =>
           stageEpoch(i); runWave()
           snap(i + 1L, phase)

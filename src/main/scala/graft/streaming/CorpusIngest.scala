@@ -181,7 +181,7 @@ object CorpusIngest {
     writeRouted(gateVerdicts(docs, minTokens, minDistinctRatio, watchlist),
       checkpoint, watermarkDelay, trigger)(
       auditedSinks(table, evidenceCols = Seq("bench_id", "match_pos"),
-        compactLandedEvery, compactLandedTargetBytes))
+        compactLandedEvery, compactLandedTargetBytes, checkpoint))
 
   /** The passers/rejects sink pair every audited writer shares — kept
     * rows land source-partitioned minus the gate's `evidenceCols`
@@ -190,11 +190,15 @@ object CorpusIngest {
     * definition across the three contamination postures.
     *
     * `compactLandedEvery > 0` folds the LANDING table's own small files
-    * every that-many micro-batches
+    * every that-many DATA-BEARING micro-batches
     * ([[graft.operators.TableCompaction.compactLanded]]), from inside
     * foreachBatch's exclusive-writer window — the
     * [[PerceptualIngest]] `writeBackCompactEvery` discipline carried to
-    * the plain-parquet landing table. Safe against the stream's own
+    * the plain-parquet landing table, including its [[DataBatchCadence]]
+    * counting (r14 verdict #5): a no-data watermark-advance commit batch
+    * never consumes a cadence slot, so folds land every N batches of
+    * actual appends, durable across restarts beside the checkpoint and
+    * exactly-once under replay. Safe against the stream's own
     * replay because the landing idempotence is content-based (the k:/r:
     * dedup keys), never file-based; a compaction crash heals forward on
     * the next cadence firing. A fold FAILURE is non-fatal by design:
@@ -215,24 +219,30 @@ object CorpusIngest {
     * pass ([[graft.operators.Retention]]), whose staged rewrite already
     * consolidates files. */
   private def auditedSinks(table: String, evidenceCols: Seq[String],
-      compactLandedEvery: Int, compactLandedTargetBytes: Long)(
-      b: DataFrame, batchId: Long): Unit = {
-    b.filter(col("reject_reason").isNull)
-      .drop("__dedup_key" +: "reject_reason" +: evidenceCols: _*)
-      .write.mode("append").partitionBy("source").parquet(table)
-    b.filter(col("reject_reason").isNotNull)
-      .drop("__dedup_key")
-      .write.mode("append").parquet(s"${table}_rejects")
-    if (compactLandedEvery > 0 &&
-        batchId % compactLandedEvery == (compactLandedEvery - 1))
-      try graft.operators.TableCompaction.compactLanded(
-        b.sparkSession, table, compactLandedTargetBytes): Unit
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(
-            s"[graft] compactLanded cadence fold failed on $table at " +
-              s"batch $batchId (will heal at the next firing): $e")
-      }
+      compactLandedEvery: Int, compactLandedTargetBytes: Long,
+      checkpoint: String): (DataFrame, Long) => Unit = {
+    val cadence = new DataBatchCadence(checkpoint)
+    (b: DataFrame, batchId: Long) => {
+      b.filter(col("reject_reason").isNull)
+        .drop("__dedup_key" +: "reject_reason" +: evidenceCols: _*)
+        .write.mode("append").partitionBy("source").parquet(table)
+      b.filter(col("reject_reason").isNotNull)
+        .drop("__dedup_key")
+        .write.mode("append").parquet(s"${table}_rejects")
+      // !b.isEmpty AFTER the two writes: the micro-batch shell caches b,
+      // so by here the probe reads the populated cache instead of paying
+      // its own job
+      if (cadence.fires(b.sparkSession.sparkContext.hadoopConfiguration,
+          compactLandedEvery, batchId, hasData = !b.isEmpty))
+        try graft.operators.TableCompaction.compactLanded(
+          b.sparkSession, table, compactLandedTargetBytes): Unit
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] compactLanded cadence fold failed on $table at " +
+                s"batch $batchId (will heal at the next firing): $e")
+        }
+    }
   }
 
   /** THE routing skeleton [[writeAudited]] and [[writeAuditedExcising]]
@@ -318,7 +328,7 @@ object CorpusIngest {
       gateVerdictsBloom(docs, watchlist, minTokens, minDistinctRatio, minRun),
       checkpoint, watermarkDelay, trigger)(
       auditedSinks(table, evidenceCols = Seq("match_pos"),
-        compactLandedEvery, compactLandedTargetBytes))
+        compactLandedEvery, compactLandedTargetBytes, checkpoint))
 
   /** The batch GRADUATION [[writeAuditedBloom]]'s suspects await — and
     * the RE-ADMISSION path a false-positive-able gate owes its corpus:
@@ -543,13 +553,14 @@ object CorpusIngest {
       trigger: Trigger = Trigger.AvailableNow(),
       compactLandedEvery: Int = 0,
       compactLandedTargetBytes: Long =
-        graft.operators.TableCompaction.DefaultTargetBytes): StreamingQuery =
+        graft.operators.TableCompaction.DefaultTargetBytes): StreamingQuery = {
+    val sharedSinks = auditedSinks(table,
+      evidenceCols = Seq("n_spans", "removed_chars", "bench_ids"),
+      compactLandedEvery, compactLandedTargetBytes, checkpoint)
     writeRouted(
       gateVerdictsExcising(docs, watchlist, minTokens, minDistinctRatio),
       checkpoint, watermarkDelay, trigger) { (b, batchId) =>
-      auditedSinks(table,
-        evidenceCols = Seq("n_spans", "removed_chars", "bench_ids"),
-        compactLandedEvery, compactLandedTargetBytes)(b, batchId)
+      sharedSinks(b, batchId)
       // the third sink this posture owes: WHICH landed docs were cut.
       // Order vs the shared pair is crash-neutral (a mid-batch crash
       // replays the WHOLE batch, duplicating whichever sinks had
@@ -561,6 +572,7 @@ object CorpusIngest {
           col("digest"))
         .write.mode("append").parquet(s"${table}_excisions")
     }
+  }
 
   /** End-to-end convenience over a JSONL directory. The default
     * `AvailableNow` trigger DRAINS the currently-present files and stops

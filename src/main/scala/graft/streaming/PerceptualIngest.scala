@@ -334,11 +334,18 @@ object PerceptualIngest {
     * `writeBackCompactEvery` (0 = off): one partition per micro-batch is
     * exactly the small-file trajectory [[graft.operators.FingerprintStore
     * .compact]] exists for, at micro-batch cadence instead of delivery
-    * cadence — so fold the store every N epochs FROM INSIDE foreachBatch,
-    * which IS the store's exclusive writer window while the stream owns
-    * it (the store contract's one-writer rule — don't point other
-    * writers, or readers that can't tolerate the rewrite, at the store
-    * while a compacting stream runs). `writeBackKeepRecent` (≥ 1 when
+    * cadence — so fold the store every N DATA-BEARING micro-batches FROM
+    * INSIDE foreachBatch, which IS the store's exclusive writer window
+    * while the stream owns it (the store contract's one-writer rule —
+    * don't point other writers, or readers that can't tolerate the
+    * rewrite, at the store while a compacting stream runs). "Data
+    * bearing" is the [[DataBatchCadence]] contract (r14 verdict #5): a
+    * no-data watermark-advance commit batch — AvailableNow runs one
+    * after the stream's first data batch, and idle-trigger production
+    * streams commit them constantly — never consumes a cadence slot, so
+    * folds land every N batches OF WORK, not at an arbitrary fraction of
+    * it; the count is durable beside the checkpoint and exactly-once
+    * under replay. `writeBackKeepRecent` (≥ 1 when
     * compaction is on, enforced) partitions stay unfolded; the floor any
     * setting must respect is the replay horizon, and for the stream's
     * OWN epochs that horizon is exactly ONE — only the last uncommitted
@@ -388,6 +395,7 @@ object PerceptualIngest {
         gatedBandRows(items, gateOf, idCol, payloadCol, watermarkDelay,
           maxDist)
     }
+    val cadence = new DataBatchCadence(checkpoint)
     verdicts(banded, ttlMillis, maxPerBucket, initial = initial)
       .toDF()
       .writeStream
@@ -414,12 +422,14 @@ object PerceptualIngest {
             if (!landed.isEmpty)
               graft.operators.FingerprintStore.writeDelivery(
                 storeDir, s"$streamTag-b$batchId", landed)
-            // epoch-cadence compaction (scaladoc): inside foreachBatch is
-            // the store's exclusive-writer window, and the current epoch
-            // — the only batch that can ever replay — is protected BY
-            // NAME, not by trusting mtime recency
-            if (writeBackCompactEvery > 0 &&
-              batchId % writeBackCompactEvery == writeBackCompactEvery - 1)
+            // data-batch-cadence compaction (scaladoc): inside
+            // foreachBatch is the store's exclusive-writer window, the
+            // current epoch — the only batch that can ever replay — is
+            // protected BY NAME (not by trusting mtime recency), and a
+            // no-data commit batch never consumes a cadence slot
+            if (cadence.fires(
+                batch.sparkSession.sparkContext.hadoopConfiguration,
+                writeBackCompactEvery, batchId, hasData = !r.isEmpty))
               graft.operators.FingerprintStore.compact(
                 landed.sparkSession, storeDir,
                 keepRecent = writeBackKeepRecent,

@@ -146,7 +146,10 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       val table = tmp(s"cmpk$every-table"); val ckpt = tmp(s"cmpk$every-ckpt")
       val source = MemoryStream[(Long, String, String, java.sql.Timestamp)]
       var id = 0L
-      for (_ <- 0 until 4) { // four waves on one checkpoint
+      // four waves on one checkpoint; with every=2 the DATA-batch cadence
+      // (r14 verdict #5) folds after waves 2 and 4 — the first wave's
+      // no-data watermark batch consumes no slot
+      for (_ <- 0 until 4) {
         source.addData((0 until 6).map { _ =>
           id += 1
           (id, soupWords(id, 8), s"src${id % 2}", t0)

@@ -482,7 +482,10 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
         writeBackCompactEvery = 2, writeBackKeepRecent = 1)
         .awaitTermination()
     // four epochs, one fresh image each (families 0,10,20,30 — all
-    // mutually far): every batch lands its image and writes a partition
+    // mutually far): every batch lands its image and writes a partition.
+    // The cadence counts DATA batches only (r14 verdict #5), so it fires
+    // on epochs 2 and 4 — epoch 2's firing is absorbed by the fold's
+    // lone-input guard, epoch 4's folds {b0,b2,b3} behind the kept b4
     val seeds = Seq(0L, 30L, 60L, 90L)
     seeds.zipWithIndex.foreach { case (seed, i) =>
       stream.addData((i + 1L, "camA", ts(t0 + i), ImageCorpus.render(seed)))
@@ -586,26 +589,29 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
         "an undecodable blob is not a duplicate — nothing lands in rejects")
   }
 
-  test("ext134 entry: the streaming write-back compaction arc is structural — live 1,2,2,3,2; disk retains then reclaims; rows move only at epochs") {
+  test("ext134 entry: the streaming write-back compaction arc is structural — folds fire on DATA waves 2/4/6; disk retains then reclaims; rows move only at epochs") {
     val out = graft.SparkEntry.queries("ext134_writeback_compaction")(
       spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.getAs[String]("phase")).toSeq ==
-      Seq("seed", "append_1", "fold_1", "append_2", "fold_2_reclaim"))
+      Seq("seed", "fire_noop", "append_1", "fold_1", "append_2",
+        "fold_2_reclaim"))
     assert(out.map(_.getAs[Long]("n_live_partitions")).toSeq ==
-      Seq(1L, 2L, 2L, 3L, 2L),
-      "fold_1 collapses {b0,b2} into compacted-1 keeping the protected " +
-        "current epoch; fold_2 collapses {compacted-1,b3,b4} into " +
-        "{compacted-2, b5}")
+      Seq(1L, 2L, 3L, 2L, 3L, 2L),
+      "the cadence fires on data waves 2/4/6 (the no-data watermark " +
+        "batch consumes no slot — r14 verdict #5); wave 2's firing is " +
+        "absorbed by the lone-input guard, fold_1 collapses {b0,b2,b3} " +
+        "into compacted-1 keeping the protected current epoch, fold_2 " +
+        "collapses {compacted-1,b4,b5} into {compacted-2, b6}")
     assert(out.map(_.getAs[Long]("n_compacted_bases")).toSeq ==
-      Seq(0L, 0L, 1L, 1L, 1L),
+      Seq(0L, 0L, 0L, 1L, 1L, 1L),
       "exactly one folded base is live from the first real fold on")
     assert(out.map(_.getAs[Long]("n_disk_partitions")).toSeq ==
-      Seq(1L, 2L, 4L, 5L, 5L),
-      "fold_1 RETAINS its folded inputs on disk (4 vs 2 live); fold_2 " +
+      Seq(1L, 2L, 3L, 5L, 6L, 5L),
+      "fold_1 RETAINS its folded inputs on disk (5 vs 2 live); fold_2 " +
         "reclaims that retired generation while retiring its own " +
-        "(5 on disk, not 7)")
+        "(5 on disk, not 8)")
     assert(out.map(_.getAs[Long]("n_rows")).toSeq ==
-      Seq(1L, 2L, 3L, 4L, 5L),
+      Seq(1L, 2L, 3L, 4L, 5L, 6L),
       "every epoch lands exactly one fresh fingerprint; folding never " +
         "moves row counts")
   }
