@@ -12,8 +12,15 @@ import org.apache.spark.sql.SparkSession
   * `tools/bench.sh` to make it the literal last line (sbt -error, no
   * epilogue). A `regressions` section
   * diffs this run against the previously committed BENCH_DETAIL.json
-  * ([[regressionsOf]] — >2× slower AND >1.5× shuffle growth), and
-  * `canary_sec` carries the [[canarySec]] contention read.
+  * ([[regressionsOf]] — >2× slower AND >1.5× shuffle growth),
+  * `canary_sec` carries the [[canarySec]] contention read, and every
+  * gate divides its wall comparisons by (multiplies its rates by) the
+  * same-artifact `contention_ratio`, so a contended run
+  * self-adjudicates instead of false-flagging (r14 verdict #1).
+  * Beside the motion pipeline's two fps dials, the LLM-ingest guard
+  * lanes ([[ingestDocsPerSec]], [[ingestImagesPerSec]] — r14 verdict
+  * #3) give the deployed ingest hot path throughput history under the
+  * `throughput_regressions` gate.
   *
   * Each query is fully materialized through the `noop` sink (count() would
   * let Catalyst prune the aggregate work away). AQE on, 32 shuffle
@@ -81,12 +88,27 @@ object Bench {
     }
   }
 
-  /** The PREVIOUS round's committed (queries, shuffle_write_mb,
-    * lifecycle) maps from BENCH_DETAIL.json — read BEFORE this run
-    * overwrites it, absent on a first run or an unparseable artifact
-    * (`lifecycle` empty on artifacts that predate the lane). */
-  private[graft] def readPrevDetail(path: String)
-      : Option[(Map[String, Double], Map[String, Double], Map[String, Double])] =
+  /** The PREVIOUS round's committed baselines from BENCH_DETAIL.json —
+    * read BEFORE this run overwrites it, absent on a first run or an
+    * unparseable artifact (`lifecycle`/`rates` empty on artifacts that
+    * predate their lanes). `rates` carries the throughput dials
+    * ([[ThroughputDials]]) for the rate gate. */
+  private[graft] final case class PrevDetail(
+      queries: Map[String, Double],
+      shuffleWriteMb: Map[String, Double],
+      lifecycle: Map[String, Double],
+      rates: Map[String, Double])
+
+  /** The throughput dials the rate gate covers: the motion pipeline's
+    * two fps lanes plus the two LLM-ingest guard lanes (r14 verdict #3
+    * — the deployed ingest hot path previously had no throughput
+    * history at all). Best-of-N values, not medians: the gate compares
+    * like with like across rounds. */
+  private[graft] val ThroughputDials = Seq(
+    "streaming_fps", "streaming_fps_e2e",
+    "ingest_docs_per_sec", "ingest_images_per_sec")
+
+  private[graft] def readPrevDetail(path: String): Option[PrevDetail] =
     try {
       val f = new java.io.File(path)
       if (!f.isFile) None
@@ -97,8 +119,12 @@ object Bench {
           if (node == null) Map.empty[String, Double]
           else node.fields().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        Some((toMap(root.get("queries")), toMap(root.get("shuffle_write_mb")),
-          toMap(root.get("lifecycle"))))
+        val rates = ThroughputDials.flatMap { k =>
+          Option(root.get(k)).filter(_.isNumber).map(k -> _.asDouble())
+        }.toMap
+        Some(PrevDetail(toMap(root.get("queries")),
+          toMap(root.get("shuffle_write_mb")),
+          toMap(root.get("lifecycle")), rates))
       }
     } catch { case _: Exception => None }
 
@@ -110,63 +136,83 @@ object Bench {
       p: Double, sec: Double, pw: Double, mb: Double): Boolean =
     sec > 2 * p && sec > 0.3 && mb > 1.5 * pw && mb > 1.0
 
-  /** Per-query bench regression gate (r10 verdict #5): a query regresses
-    * when it is BOTH >2× slower than the previous committed round AND its
-    * shuffle write grew >1.5× — the noise-robust conjunction (wall-clock
-    * alone swings up to 3× on this box under neighbor-VM load, but
-    * shuffle bytes are contention-free, so a genuine plan regression
-    * moves both). Floors (0.3 s, 1 MB now) keep sub-noise entries out.
-    * Returns (name, secPrev, secNow, mbPrev, mbNow). */
+  /** Per-query bench regression gate (r10 verdict #5; canary-normalized
+    * r15 — r14 verdict #1): a query regresses when its
+    * CONTENTION-NORMALIZED wall (sec / `contention`, where contention =
+    * max(pre,post canary)/idle_ref from the SAME artifact, floored at 1)
+    * is >2× the previous committed round AND its shuffle write grew
+    * >1.5× — the noise-robust conjunction (wall-clock alone swings up to
+    * 3× on this box under neighbor-VM load; the canary measures exactly
+    * that steal, so dividing it out makes the lane self-adjudicating
+    * instead of costing a manual re-run per contended driver bench).
+    * Floors (0.3 s, 1 MB) keep sub-noise entries out. Returns
+    * (name, secPrev, secNow, mbPrev, mbNow, secNorm). */
   private[graft] def regressionsOf(
       prevQ: Map[String, Double], prevW: Map[String, Double],
       now: Seq[(String, Double)],
-      nowShuffle: scala.collection.Map[String, Double])
-      : Seq[(String, Double, Double, Double, Double)] =
+      nowShuffle: scala.collection.Map[String, Double],
+      contention: Double = 1.0)
+      : Seq[(String, Double, Double, Double, Double, Double)] =
     now.flatMap { case (name, sec) =>
+      val secNorm = sec / math.max(1.0, contention)
       for {
         p <- prevQ.get(name)
         pw <- prevW.get(name)
         mb = nowShuffle.getOrElse(name, 0.0)
-        if wallAndShuffleRegressed(p, sec, pw, mb)
-      } yield (name, p, sec, pw, mb)
+        if wallAndShuffleRegressed(p, secNorm, pw, mb)
+      } yield (name, p, sec, pw, mb, secNorm)
     }
 
-  /** The LIFECYCLE lane's regression gate (r13 verdict #1): same
-    * noise-robust conjunction as [[regressionsOf]] where shuffle applies
-    * (either round moved >1 MB through an exchange), wall-only otherwise
-    * — several arcs are metadata-sized by construction (ext133's steps
-    * shuffle nothing), so a shuffle conjunct would make them ungateable.
-    * The wall-only branch carries a 1.0 s floor (vs the conjunction's
-    * 0.3 s): single-pass seconds on this box swing 2-4× under neighbor
-    * load and the canary in the same artifact is the adjudicator, so
-    * sub-second arcs stay out of the flag list entirely.
-    *
-    * The shuffle branch ALSO gates the COLLAPSE profile (shuffle shrank
-    * >1.5× while wall blew >2× past the 1.0 s floor): "shuffle flat ⇒
-    * contention" does not cover "shuffle vanished while wall
-    * quadrupled" — that is a plan change (e.g. a shuffled join replaced
-    * by a slow driver-side path), and without the collapse arm the
-    * growth conjunction would leave exactly that regression class
-    * ungateable for any arc that shuffled last round. The headline lane
-    * stays growth-only by design: across 170 AQE-planned queries a
-    * shuffle SHRINK is mode-flip territory (q44's 14.0↔3.9 MB,
-    * tools/bench_notes.txt), while the few dozen single-run arcs here
-    * are few enough to adjudicate individually against the canary. */
+  /** The LIFECYCLE lane's regression gate (r13 verdict #1;
+    * canary-normalized r15 — r14 verdict #1): every comparison runs on
+    * the CONTENTION-NORMALIZED wall (sec / canary ratio, like
+    * [[regressionsOf]]), and with contention divided out the primary
+    * branch is plain normalized wall >2× prev above a 1.0 s floor — for
+    * EVERY arc, shuffle-bearing or not. r14's shape ("shuffle flat ⇒
+    * contention ⇒ wall-only gating applies only to zero-shuffle arcs")
+    * had a structural blind spot: an 8× wall blowup at FLAT shuffle
+    * (ext133's contended driver read, 13.1→106.6 s at 1.9→1.9 MB) was
+    * unflaggable however real, while its zero-shuffle sibling
+    * false-flagged on every contended run. The canary now carries the
+    * contention verdict, so a flat-shuffle wall regression on a QUIET
+    * box — a driver-side loop, a sleep, a lost cache — flags like any
+    * other, and a contended run's inflation divides away for both
+    * classes symmetrically. The conjunction branch (0.3 s floor) stays
+    * for sub-second arcs whose shuffle growth is the only readable
+    * signal; the r14 collapse arm (shuffle vanished while wall blew up)
+    * is subsumed by the primary branch, which no longer exempts
+    * shuffle-bearing arcs. */
   private[graft] def lifecycleRegressionsOf(
       prevL: Map[String, Double], prevW: Map[String, Double],
       now: Seq[(String, Double)],
-      nowShuffle: scala.collection.Map[String, Double])
-      : Seq[(String, Double, Double, Double, Double)] =
+      nowShuffle: scala.collection.Map[String, Double],
+      contention: Double = 1.0)
+      : Seq[(String, Double, Double, Double, Double, Double)] =
     now.flatMap { case (name, sec) =>
       prevL.get(name).flatMap { p =>
+        val secNorm = sec / math.max(1.0, contention)
         val pw = prevW.getOrElse(name, 0.0)
         val mb = nowShuffle.getOrElse(name, 0.0)
         val regressed =
-          if (pw > 1.0 || mb > 1.0)
-            wallAndShuffleRegressed(p, sec, pw, mb) ||
-              (sec > 2 * p && sec > 1.0 && pw > 1.5 * mb)
-          else sec > 2 * p && sec > 1.0
-        if (regressed) Some((name, p, sec, pw, mb)) else None
+          (secNorm > 2 * p && secNorm > 1.0) ||
+            wallAndShuffleRegressed(p, secNorm, pw, mb)
+        if (regressed) Some((name, p, sec, pw, mb, secNorm)) else None
+      }
+    }
+
+  /** The THROUGHPUT dials' regression gate (r14 verdict #3): a dial
+    * regresses when its contention-normalized rate (rate × canary
+    * ratio — contention STEALS cycles, so the quiet-box rate is at
+    * least the measured one scaled back up) falls below HALF the
+    * previous committed round's. Returns (name, ratePrev, rateNow,
+    * rateNorm). */
+  private[graft] def throughputRegressionsOf(
+      prevRates: Map[String, Double], now: Seq[(String, Double)],
+      contention: Double = 1.0): Seq[(String, Double, Double, Double)] =
+    now.flatMap { case (name, rate) =>
+      prevRates.get(name).flatMap { p =>
+        val norm = rate * math.max(1.0, contention)
+        if (p > 0 && norm < p / 2) Some((name, p, rate, norm)) else None
       }
     }
 
@@ -228,6 +274,14 @@ object Bench {
     // streaming throughput first: isolated from the query suite's heap churn
     val (fps, fpsMedian) = streamingFps(spark)
     val (fpsE2e, fpsE2eMedian) = streamingFpsE2e(spark)
+    // the LLM-ingest guard lanes (r14 verdict #3): the deployed ingest
+    // hot path — docs through the Bloom-gated audited corpus ingest,
+    // images through the perceptual near-dup suppressor — measured with
+    // the same warm + best/median discipline as the fps lanes
+    val (docsPerSec, docsPerSecMedian) = ingestDocsPerSec(spark, staged,
+      cpus.toInt)
+    val (imgsPerSec, imgsPerSecMedian) = ingestImagesPerSec(spark,
+      cpus.toInt)
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val shuffleRead = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -354,21 +408,16 @@ object Bench {
       lifecycleTimesRaw.filterNot(t => failedSet(t._1))
     val resultsClean = results.filterNot(r => headlineFailed(r._1))
 
-    // previous round's committed numbers, read BEFORE we overwrite the file
+    // previous round's committed numbers, read BEFORE we overwrite the
+    // file; the gates themselves run AFTER the post-suite canary below,
+    // so every wall comparison can divide out the same-artifact
+    // contention ratio (r14 verdict #1)
     val prevDetail = readPrevDetail("BENCH_DETAIL.json")
-    val regressions = prevDetail
-      .map(p => regressionsOf(p._1, p._2, resultsClean, shuffleWrite))
-      .getOrElse(Seq.empty)
-    val lifecycleRegressions = prevDetail
-      .map(p => lifecycleRegressionsOf(p._3, p._2, lifecycleTimes, shuffleWrite))
-      .getOrElse(Seq.empty)
-    def regJson(rs: Seq[(String, Double, Double, Double, Double)]): String =
-      rs.map { case (n, p, s, pw, mb) =>
+    def regJson(rs: Seq[(String, Double, Double, Double, Double, Double)]): String =
+      rs.map { case (n, p, s, pw, mb, sn) =>
         "\"" + n +
-          f"""\":{"sec_prev":$p%.3f,"sec":$s%.3f,"shuffle_prev_mb":$pw%.1f,"shuffle_mb":$mb%.1f}"""
+          f"""\":{"sec_prev":$p%.3f,"sec":$s%.3f,"shuffle_prev_mb":$pw%.1f,"shuffle_mb":$mb%.1f,"sec_norm":$sn%.3f}"""
       }.mkString("{", ",", "}")
-    val regressionsJson = regJson(regressions)
-    val lifecycleRegressionsJson = regJson(lifecycleRegressions)
     val lifecycleJson = lifecycleTimes
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -387,9 +436,11 @@ object Bench {
     // not only in source comments)
     val protocol = "\"protocol\":{" +
       "\"streaming\":\"untimed warm pass; 5 timed runs each preceded by System.gc()+500ms settle; best and median reported\"," +
+      "\"ingest\":\"docs/s = Bloom-gated audited corpus ingest over the SF documents rendered as JSONL files; images/s = perceptual suppressor over 600 rendered PNGs (200 families x 3 variants); untimed warm run, then 3 timed runs on fresh checkpoints, best and median reported\"," +
       "\"relational\":\"pass1 times all queries once (per-query shuffle bytes captured); top-30 re-timed twice, pairs cache cleared per pass, ext82 first; min of 3 reported\"," +
       "\"scaling\":\"top-20 re-timed at sf0.01, min of 2, pairs cache cleared per pass\"," +
-      "\"lifecycle\":\"every bench=false entry timed once after the headline suite (no warm, no repeats; arcs self-reset); gate: wall+shuffle conjunction where shuffle applies, else 2x wall with 1s floor\"}"
+      "\"lifecycle\":\"every bench=false entry timed once after the headline suite (no warm, no repeats; arcs self-reset)\"," +
+      "\"gates\":\"all wall comparisons divide by contention_ratio = max(canary pre,post)/idle_ref before the 2x check; throughput rates multiply by it; headline lane adds the >1.5x shuffle-growth conjunct, lifecycle lane is normalized wall-only (1s floor) plus the conjunction for sub-second arcs, throughput lane flags normalized rate < half of previous\"}"
     // headline fps = best-of-5 (min-interference run, JMH/hyperfine
     // discipline — see streamingFps); the medians ride along so the
     // estimator choice is auditable, not hidden
@@ -411,11 +462,36 @@ object Bench {
       .map { case (m, f) => s""","scaling":$m,"scaling_flags":$f,$scalingNotes""".stripSuffix(",") }
       .getOrElse("")
     // post-suite canary AFTER all timed work, BEFORE the artifact is
-    // assembled, so both canary numbers ride in the same JSON line
+    // assembled, so both canary numbers ride in the same JSON line —
+    // and the gates run on the contention ratio they define (r14
+    // verdict #1: a contended driver run's wall inflation divides away
+    // instead of costing a manual adjudication re-run)
     val canaryPost = canarySec()
+    val contention = math.max(1.0,
+      math.max(canaryPre, canaryPost) / CanaryIdleRefSec)
+    val regressions = prevDetail
+      .map(p => regressionsOf(p.queries, p.shuffleWriteMb, resultsClean,
+        shuffleWrite, contention))
+      .getOrElse(Seq.empty)
+    val lifecycleRegressions = prevDetail
+      .map(p => lifecycleRegressionsOf(p.lifecycle, p.shuffleWriteMb,
+        lifecycleTimes, shuffleWrite, contention))
+      .getOrElse(Seq.empty)
+    val nowRates = ThroughputDials.zip(
+      Seq(fps, fpsE2e, docsPerSec, imgsPerSec))
+    val throughputRegressions = prevDetail
+      .map(p => throughputRegressionsOf(p.rates, nowRates, contention))
+      .getOrElse(Seq.empty)
+    val regressionsJson = regJson(regressions)
+    val lifecycleRegressionsJson = regJson(lifecycleRegressions)
+    val throughputRegressionsJson = throughputRegressions
+      .map { case (n, p, r, rn) =>
+        "\"" + n +
+          f"""\":{"rate_prev":$p%.1f,"rate":$r%.1f,"rate_norm":$rn%.1f}"""
+      }.mkString("{", ",", "}")
     val canaryJson =
-      f""""canary_sec":{"pre":$canaryPre%.3f,"post":$canaryPost%.3f,"idle_ref":$CanaryIdleRefSec%.3f}"""
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,$canaryJson%s,"queries":$qs,"lifecycle":$lifecycleJson%s,"lifecycle_total":$lifecycleTotal%.3f,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"regressions":$regressionsJson%s,"lifecycle_regressions":$lifecycleRegressionsJson%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
+      f""""canary_sec":{"pre":$canaryPre%.3f,"post":$canaryPost%.3f,"idle_ref":$CanaryIdleRefSec%.3f},"contention_ratio":$contention%.2f"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_3_top30",$protocol%s,$canaryJson%s,"queries":$qs,"lifecycle":$lifecycleJson%s,"lifecycle_total":$lifecycleTotal%.3f,"shuffle_write_mb":${mbJson(shuffleWrite)}%s,"shuffle_read_mb":${mbJson(shuffleRead)}%s$scalingPart%s,"regressions":$regressionsJson%s,"lifecycle_regressions":$lifecycleRegressionsJson%s,"throughput_regressions":$throughputRegressionsJson%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"ingest_docs_per_sec":$docsPerSec%.1f,"ingest_docs_per_sec_median":$docsPerSecMedian%.1f,"ingest_images_per_sec":$imgsPerSec%.1f,"ingest_images_per_sec_median":$imgsPerSecMedian%.1f,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // The single JSON line overflows tail-style log captures once the query
     // map is large (r5 lost its relational timings that way) — persist the
@@ -446,7 +522,9 @@ object Bench {
     val lcRegNames = lifecycleRegressions.map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val flags = scalingJson.map(_._2).getOrElse("[]")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","summary":"top10 of ${resultsClean.size} queries; full detail in BENCH_DETAIL.json",$canaryJson%s,"queries":$topQJson%s,"n_queries":${resultsClean.size},"lifecycle_total":$lifecycleTotal%.3f,"n_lifecycle":${lifecycleTimes.size},"failed":$failedJson%s,"scaling_flags":$flags%s,"regressions":$regNames%s,"lifecycle_regressions":$lcRegNames%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"sf":"$sfDir"}"""
+    val tpRegNames = throughputRegressions.map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","summary":"top10 of ${resultsClean.size} queries; full detail in BENCH_DETAIL.json",$canaryJson%s,"queries":$topQJson%s,"n_queries":${resultsClean.size},"lifecycle_total":$lifecycleTotal%.3f,"n_lifecycle":${lifecycleTimes.size},"failed":$failedJson%s,"scaling_flags":$flags%s,"regressions":$regNames%s,"lifecycle_regressions":$lcRegNames%s,"throughput_regressions":$tpRegNames%s,"streaming_fps":$fps%.1f,"streaming_fps_median":$fpsMedian%.1f,"streaming_fps_e2e":$fpsE2e%.1f,"streaming_fps_e2e_median":$fpsE2eMedian%.1f,"ingest_docs_per_sec":$docsPerSec%.1f,"ingest_images_per_sec":$imgsPerSec%.1f,"sf":"$sfDir"}"""
     spark.stop()
     // the program's FINAL act, on BOTH streams (r11 verdict #8): under a
     // bare `sbt runMain` the sbt "[success] Total time…" epilogue follows
@@ -545,5 +623,94 @@ object Bench {
     }.sorted
     graft.util.LocalFs.deleteRecursively(base.toFile)
     (nCams * perCam / secs.head, nCams * perCam / secs(secs.length / 2))
+  }
+
+  /** Docs/s through the deployed LLM-ingest hot path (r14 verdict #3 —
+    * the guards had no throughput history while the motion pipeline had
+    * two fps dials): [[graft.streaming.CorpusIngest.writeAuditedBloom]]
+    * — JSONL parse → quality gate → Bloom contamination probe →
+    * watermark digest dedup → source-partitioned landing + rejects
+    * audit — over the STAGED `documents` table rendered once (untimed)
+    * as multi-file JSONL text, the wire shape the production ingest
+    * reads (`splits`-way so the scan fans out like any real directory
+    * of deliveries). Every timed run is a fresh AvailableNow query on a
+    * fresh checkpoint/table — full state-store, probe and sink work per
+    * run; the Bloom suite is 2% of the corpus (doc_id % 50 = 0), so the
+    * probe pays realistic window-hashing and the rejects sink sees
+    * suspect traffic. Untimed warm run, then best/median of 3 timed
+    * runs with the fps lanes' GC+settle discipline (3, not 5: one drain
+    * is ~10× a kernel pass, and the best-of estimator converges the
+    * same way). */
+  private[graft] def ingestDocsPerSec(spark: SparkSession, sfDir: String,
+      splits: Int): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CorpusIngest
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("bench-ingest-docs").toString
+    val wireDir = s"$base/wire"
+    docs.select(to_json(struct(col("doc_id"), col("text"), col("source"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("ingest_ts")))
+        .as("value"))
+      .repartition(splits)
+      .write.text(wireDir)
+    val n = docs.count()
+    val idx = graft.operators.ContaminationGuard.bloomIndex(
+      docs.filter(col("doc_id") % 50 === 0), "text")
+    def run(tag: String): Double = {
+      val lines = spark.readStream.schema("value STRING").text(wireDir)
+      val t0 = System.nanoTime()
+      CorpusIngest.writeAuditedBloom(CorpusIngest.parse(lines),
+        s"$base/t-$tag", s"$base/c-$tag", idx).awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run("warm")
+    val secs = (1 to 3).map { i =>
+      System.gc(); Thread.sleep(500); run(s"timed-$i")
+    }.sorted
+    graft.util.LocalFs.deleteRecursively(base)
+    (n / secs.head, n / secs(secs.length / 2))
+  }
+
+  /** Images/s through the perceptual ingest guard (r14 verdict #3):
+    * [[graft.streaming.ImageIngest.writeDeduped]] with the quality gate
+    * on — one fenced decode per image yielding gate verdict + DCT pHash,
+    * band fan-out, keyed bucket state, per-item rollup, landing +
+    * rejects sinks — over 600 rendered PNGs staged once (untimed) as a
+    * `splits`-way parquet dir: 200 families × 3 variants, so roughly
+    * two thirds suppress as near-duplicates and a third lands, the
+    * production mix where the suppressor actually pays state lookups.
+    * Fresh checkpoint/table per timed run; warm + best/median of 3,
+    * same discipline as [[ingestDocsPerSec]]. */
+  private[graft] def ingestImagesPerSec(spark: SparkSession,
+      splits: Int, nImgs: Int = 600): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("bench-ingest-imgs").toString
+    val stagedDir = s"$base/staged"
+    graft.sources.ImageCorpus.forIds(
+        spark.range(nImgs.toLong).toDF("id").repartition(splits), "id")
+      .select(col("doc_id").as("img_id"),
+        concat(lit("cam"), (col("doc_id") % 4).cast("string")).as("source"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+          .as("ingest_ts"),
+        col("png"))
+      .write.parquet(stagedDir)
+    val schema = spark.read.parquet(stagedDir).schema
+    def run(tag: String): Double = {
+      val stream = spark.readStream.schema(schema).parquet(stagedDir)
+      val t0 = System.nanoTime()
+      graft.streaming.ImageIngest.writeDeduped(stream,
+        s"$base/t-$tag", s"$base/c-$tag", maxDist = 3,
+        watermarkDelay = "10 minutes", qualityGate = true)
+        .awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run("warm")
+    val secs = (1 to 3).map { i =>
+      System.gc(); Thread.sleep(500); run(s"timed-$i")
+    }.sorted
+    graft.util.LocalFs.deleteRecursively(base)
+    (nImgs / secs.head, nImgs / secs(secs.length / 2))
   }
 }

@@ -80,12 +80,21 @@ import org.apache.spark.sql.functions._
   * metadata sized by the files THIS run touches — fine at maintenance
   * cadence, but a years-neglected table's 10⁶-small-file backlog would
   * make one run's listing and bin-route literal driver-heavy. The
-  * bound is structural, not a knob: `table` may be ANY directory, so a
-  * backlog run compacts per partition subtree (pass `<table>/source=X`
-  * as the root). The journal, staging and heal are all per-root, so
-  * runs over disjoint subtrees compose — each heals only its own
-  * protocol state — while the single-writer contract shrinks to the
-  * subtree each run owns.
+  * bound is structural: `table` may be ANY directory, and the journal,
+  * staging and heal are all per-root, so runs over disjoint subtrees
+  * compose — each heals only its own protocol state — while the
+  * single-writer contract shrinks to the subtree each run owns.
+  * [[compactBacklog]] (r14 verdict #6) applies that bound
+  * automatically: it probes the file count with an EARLY-EXIT listing
+  * (never more than `budgetFiles`+1 entries held), and a subtree over
+  * budget recurses into its visible child directories — healing any
+  * journal a prior differently-sharded run left at the intermediate
+  * root, then compacting the root's own direct files as one scoped
+  * leaf — so a 10⁶-file backlog becomes many bounded per-subtree runs
+  * inside one call, driver metadata never exceeding one leaf's share.
+  * (A single FLAT directory over budget cannot shard below its own
+  * file count — it compacts as one leaf, the same cost as
+  * [[compactLanded]] today.)
   */
 object TableCompaction {
 
@@ -282,17 +291,111 @@ object TableCompaction {
     require(minBinFiles >= 2,
       "minBinFiles < 2 would rewrite lone files for no layout gain")
     val (fs, root) = fsAndRoot(spark, table)
-    // refuse file-sink tables by walking the WHOLE ancestor chain, not
-    // just the given root: the class doc recommends per-partition-subtree
-    // runs, and a subtree of a _spark_metadata table carries the log at
-    // an ANCESTOR — a root-only probe would wave the subtree through and
-    // desync the log's exactly-once readers all the same. The walk errs
-    // in the SAFE direction (r14 ADVICE): an unrelated sink cohabiting a
-    // shared ancestor (a _spark_metadata directly under /tmp or a bucket
-    // root) refuses unrelated tables beneath it too — a false-positive
-    // DENIAL, named in the message so the operator points at the fix
-    // (move the table out from under the sink) instead of reading as
-    // its own bug
+    refuseFileSinkAncestors(fs, root)
+    compactScoped(spark, fs, root, targetBytes, minBinFiles)
+  }
+
+  /** [[compactLanded]] with an automatic driver-memory bound (r14
+    * verdict #6, class doc): when the committed-file count under `table`
+    * exceeds `budgetFiles` (probed with an early-exit listing that never
+    * holds more than `budgetFiles`+1 entries), the run recurses per
+    * visible child directory — partition subtrees in a `partitionBy`
+    * layout — and compacts each bounded subtree as its own scoped run
+    * (own journal, own staging, own heal; they compose by construction).
+    * An intermediate root's leftover journal from a prior
+    * differently-sharded run is healed on the way down, and its DIRECT
+    * files (rare outside flat tables) compact as one leaf at that root.
+    * Equivalent to [[compactLanded]] when under budget; a FLAT
+    * over-budget directory cannot shard below its own file count and
+    * compacts as one leaf. Same single-writer window — one call, many
+    * scoped runs, each owning its subtree. */
+  def compactBacklog(
+      spark: SparkSession,
+      table: String,
+      targetBytes: Long = DefaultTargetBytes,
+      minBinFiles: Int = 2,
+      budgetFiles: Int = 100000): CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(minBinFiles >= 2,
+      "minBinFiles < 2 would rewrite lone files for no layout gain")
+    require(budgetFiles >= 1, s"budgetFiles must be >= 1, got $budgetFiles")
+    val (fs, root) = fsAndRoot(spark, table)
+    refuseFileSinkAncestors(fs, root)
+    shardOne(spark, fs, root, targetBytes, minBinFiles, budgetFiles)
+  }
+
+  private def shardOne(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      targetBytes: Long, minBinFiles: Int, budgetFiles: Int): CompactStats = {
+    if (!fs.exists(root)) return CompactStats(0L, 0L, 0L, 0L, 0L)
+    if (!committedFilesExceed(fs, root, budgetFiles))
+      return compactScoped(spark, fs, root, targetBytes, minBinFiles)
+    // over budget: heal THIS root's protocol state first (a prior
+    // unsharded — or differently-budgeted — run may have crashed with
+    // its journal here; subtree runs heal only their own roots), then
+    // recurse per visible child dir and finish with the root's direct
+    // files as one scoped leaf
+    val healed = healJournal(spark, root.toString)
+    val children = fs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+    val fromChildren = children.map { child =>
+      // a streaming file-sink table NESTED below the given root would be
+      // waved through by the ancestor walk (it only looks up) — refuse
+      // it here with the same contract before recursing into it
+      require(!fs.exists(new Path(child.getPath, "_spark_metadata")),
+        s"${child.getPath} carries a streaming file-sink log " +
+          "(_spark_metadata): its readers resolve the file list through " +
+          "the log — compact the sink's OUTPUT only via a log-aware " +
+          "rewrite, not this operator")
+      shardOne(spark, fs, child.getPath, targetBytes, minBinFiles,
+        budgetFiles)
+    }
+    val direct = fs.listStatus(root)
+      .filter(st => isCommittedDataFile(root, st)).toSeq
+    val fromDirect =
+      if (direct.isEmpty) CompactStats(0L, 0L, 0L, 0L, 0L)
+      else compactFrom(spark, fs, root, Map(root -> direct), targetBytes,
+        minBinFiles, healedAtRoot = 0L)
+    (fromChildren :+ fromDirect).foldLeft(
+      CompactStats(0L, 0L, 0L, 0L, healed)) { (a, b) =>
+      CompactStats(a.filesBefore + b.filesBefore,
+        a.filesAfter + b.filesAfter, a.binsWritten + b.binsWritten,
+        a.bytesRewritten + b.bytesRewritten, a.healedBins + b.healedBins)
+    }
+  }
+
+  /** True iff more than `budgetFiles` committed data files live under
+    * `root` — an EARLY-EXIT count: the listing iterator stops at
+    * budget+1, so probing a 10⁶-file backlog against a 10⁴ budget holds
+    * 10⁴+1 entries, never the backlog. */
+  private def committedFilesExceed(
+      fs: FileSystem, root: Path, budgetFiles: Int): Boolean = {
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      if (isCommittedDataFile(root, it.next())) {
+        n += 1
+        if (n > budgetFiles) return true
+      }
+    }
+    false
+  }
+
+  /** The refusal walk shared by every public entry: no `_spark_metadata`
+    * file-sink log at the root or ANY ancestor — the class doc
+    * recommends per-partition-subtree runs, and a subtree of a sink
+    * table carries the log at an ANCESTOR, so a root-only probe would
+    * wave the subtree through and desync the log's exactly-once readers
+    * all the same. The walk errs in the SAFE direction (r14 ADVICE): an
+    * unrelated sink cohabiting a shared ancestor (a _spark_metadata
+    * directly under /tmp or a bucket root) refuses unrelated tables
+    * beneath it too — a false-positive DENIAL, named in the message so
+    * the operator points at the fix (move the table out from under the
+    * sink) instead of reading as its own bug. */
+  private def refuseFileSinkAncestors(fs: FileSystem, root: Path): Unit = {
     var probe: Path = root
     while (probe != null) {
       require(!fs.exists(new Path(probe, "_spark_metadata")),
@@ -306,15 +409,31 @@ object TableCompaction {
           "sink's tree.)")
       probe = probe.getParent
     }
-    val healed = healJournal(spark, table)
+  }
+
+  /** One scoped run at `root`: heal, list, compact — [[compactLanded]]
+    * minus the ancestor refusal (done once per public call), shared by
+    * [[compactBacklog]]'s bounded leaves. */
+  private def compactScoped(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      targetBytes: Long, minBinFiles: Int): CompactStats = {
+    val healed = healJournal(spark, root.toString)
     if (!fs.exists(root))
       return CompactStats(0L, 0L, 0L, 0L, healed)
+    compactFrom(spark, fs, root, dataFilesByDir(fs, root), targetBytes,
+      minBinFiles, healed)
+  }
 
-    val byDir = dataFilesByDir(fs, root)
+  /** The plan → stage → journal → swap tail over an explicit `byDir`
+    * listing (class doc for the protocol and crash contract). */
+  private def compactFrom(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      byDir: Map[Path, Seq[FileStatus]], targetBytes: Long,
+      minBinFiles: Int, healedAtRoot: Long): CompactStats = {
     val filesBefore = byDir.valuesIterator.map(_.size.toLong).sum
     stageAndJournal(spark, root, byDir, targetBytes, minBinFiles) match {
       case None =>
-        CompactStats(filesBefore, filesBefore, 0L, 0L, healed)
+        CompactStats(filesBefore, filesBefore, 0L, 0L, healedAtRoot)
       case Some((moves, rewrittenBytes, staging)) =>
         for (m <- moves) {
           if (m.target.nonEmpty) {
@@ -336,7 +455,7 @@ object TableCompaction {
             moves.count(_.target.nonEmpty).toLong,
           binsWritten = moves.size.toLong,
           bytesRewritten = rewrittenBytes,
-          healedBins = healed)
+          healedBins = healedAtRoot)
     }
   }
 

@@ -304,6 +304,62 @@ class RetentionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ext137's policy runs generically over the EXCISIONS trail: the " +
+      "staged rewrite preserves bench_ids attribution and flat layout") {
+    withDir { base =>
+      // the excisions table is written by the PRODUCTION excising
+      // ingest, never a hand-rolled schema twin (schema drift would
+      // hide here) — two leaked deliveries on two days, both landing
+      // cleaned with their cut audited
+      import graft.TextFixtures.soupWords
+      import spark.implicits._
+      val bench = soupWords(31L, 40)
+      val idx = graft.operators.ContaminationGuard.benchmarkIndex(
+        Seq((9L, bench)).toDF("doc_id", "text"), "text", "doc_id")
+      val prefix = soupWords(32L, 10)
+      // DISTINCT suffix per doc: the landing dedup keys on the CLEANED
+      // digest, so identical remainders would (correctly) unify the two
+      // docs and leave one excision row
+      def leaked(lo: Int, sfxSeed: Long): String =
+        prefix + " " + bench.substring(lo, lo + 100) + " " +
+          soupWords(sfxSeed, 10)
+      val table = s"$base/corpus"
+      implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, java.sql.Timestamp)]
+      val day1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      src.addData((1L, leaked(0, 33L), "a", day1),
+        (2L, leaked(100, 34L), "a", day2))
+      graft.streaming.CorpusIngest.writeAuditedExcising(
+        src.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+        table, s"$base/ckpt", watchlist = idx).awaitTermination()
+      val excisions = s"${table}_excisions"
+      val before = spark.read.parquet(excisions)
+      assert(before.count() == 2, "both cut docs must audit")
+      val cols = before.columns.toSeq
+
+      val stats = Retention.expireOlderThan(spark, excisions,
+        "ingest_ts", day2)
+      assert(stats == Retention.RetentionStats(2L, 1L, 1L))
+      val left = spark.read.parquet(excisions)
+      assert(left.columns.toSeq == cols,
+        "the rewrite must preserve the production schema")
+      val row = left.collect().head
+      assert(row.getAs[Long]("doc_id") == 2L)
+      assert(row.getSeq[Long](row.fieldIndex("bench_ids")) == Seq(9L),
+        "WHICH-benchmark attribution must ride the staged rewrite " +
+          "untouched — losing it silently un-audits the cut")
+      assert(row.getAs[Long]("removed_chars") == 100L)
+      // the trail is written flat (no partitionBy) and must stay flat
+      assert(!fs(excisions).listStatus(new Path(excisions))
+        .exists(st => st.isDirectory && st.getPath.getName.contains("=")),
+        "no partition dirs may appear in the flat audit trail")
+      // idempotent re-run of the same policy
+      assert(Retention.expireOlderThan(spark, excisions, "ingest_ts",
+        day2) == Retention.RetentionStats(1L, 1L, 0L))
+    }
+  }
+
   test("composes with compactGraduated: expired suspects' markers drop") {
     withDir { base =>
       val table = s"$base/corpus"

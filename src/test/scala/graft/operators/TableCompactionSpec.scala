@@ -181,6 +181,96 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("compactBacklog: a 10^4-file backlog compacts under a small file " +
+      "budget in ONE call, sharded per partition subtree; rows survive") {
+    withDir { base =>
+      // ONE tiny committed parquet file, then byte-copies — 10^4 real
+      // Spark writes would dominate the suite, and the operator only
+      // needs each file to BE valid parquet (identical bytes are the
+      // adversarial case for row preservation: compaction must keep the
+      // multiset, never unify copies)
+      import spark.implicits._
+      val seedDir = s"$base/seed"
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(seedDir)
+      val f = fs(base)
+      val seed = f.globStatus(new Path(seedDir, "part-*.parquet")).head
+      val bytes = {
+        val in = f.open(seed.getPath)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close(); out.toByteArray
+      }
+      val table = s"$base/t"
+      val (nDirs, perDir) = (20, 500)
+      for (d <- 0 until nDirs; i <- 0 until perDir) {
+        val p = new Path(f"$table%s/source=s$d%02d/part-$i%05d.parquet")
+        val out = f.create(p, true)
+        out.write(bytes); out.close()
+      }
+      val total = nDirs.toLong * perDir
+      // budget far below the backlog: the run must shard per source dir
+      // (each 500-file subtree fits), never hold the 10^4 listing
+      val stats = TableCompaction.compactBacklog(spark, table,
+        targetBytes = 64L << 20, budgetFiles = 600)
+      assert(stats.filesBefore == total && stats.binsWritten == nDirs &&
+        stats.filesAfter == nDirs, s"stats $stats")
+      assert(TableCompaction.committedDataFiles(spark, table) == nDirs)
+      val rows = spark.read.parquet(table)
+      assert(rows.count() == total, "every copy's row must survive")
+      assert(rows.select("source").distinct().count() == nDirs,
+        "the dir-encoded partition column survives the shard runs")
+      // idempotent: the second call (under budget everywhere now)
+      // rewrites nothing
+      val again = TableCompaction.compactBacklog(spark, table,
+        targetBytes = 64L << 20, budgetFiles = 600)
+      assert(again.binsWritten == 0 && again.filesAfter == nDirs)
+    }
+  }
+
+  test("compactBacklog: under budget it IS compactLanded; a FLAT " +
+      "over-budget dir compacts as one leaf; a prior unsharded run's " +
+      "root journal heals before sharding") {
+    withDir { base =>
+      // flat over-budget: cannot shard below its own file count —
+      // compacts whole (class doc)
+      val flat = s"$base/flat"
+      for (b <- 0 until 3)
+        docs(12).filter(col("doc_id") % 3 === b).repartition(2)
+          .write.mode("append").parquet(flat)
+      val nFlat = TableCompaction.committedDataFiles(spark, flat)
+      assert(nFlat > 2)
+      val stats = TableCompaction.compactBacklog(spark, flat,
+        targetBytes = 64L << 20, budgetFiles = 2)
+      assert(stats.filesBefore == nFlat && stats.filesAfter == 1)
+      assert(spark.read.parquet(flat).count() == 12)
+
+      // under budget: same outcome as compactLanded
+      val small = s"$base/small"
+      landPartitioned(small)
+      val before = rowsOf(small)
+      val s2 = TableCompaction.compactBacklog(spark, small,
+        targetBytes = 64L << 20, budgetFiles = 100000)
+      assert(s2.filesAfter == 2 && rowsOf(small) == before)
+
+      // a crash between a prior UNSHARDED run's journal and its swap,
+      // healed by the over-budget path before it shards (the journal
+      // lives at the intermediate root the shard recursion visits)
+      val crashed = s"$base/crashed"
+      landPartitioned(crashed)
+      val beforeCrash = rowsOf(crashed)
+      TableCompaction.stageAndJournalOnly(spark, crashed,
+        targetBytes = 64L << 20): Unit
+      val s3 = TableCompaction.compactBacklog(spark, crashed,
+        targetBytes = 64L << 20, budgetFiles = 3)
+      assert(s3.healedBins == 2, s"both journaled bins heal forward: $s3")
+      assert(rowsOf(crashed) == beforeCrash)
+      assert(TableCompaction.committedDataFiles(spark, crashed) == 2)
+    }
+  }
+
   test("refuses a partition SUBTREE of a file-sink table: the log at an " +
       "ancestor still governs these files") {
     withDir { table =>

@@ -80,15 +80,8 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
 
   /** Deterministic word soup (spaces every 5 letters so the quality gate
     * sees real tokens). */
-  private def soupWords(seed: Long, nWords: Int): String = {
-    var x = seed * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
-    (0 until nWords).map { _ =>
-      (0 until 5).map { _ =>
-        x ^= x >>> 27; x *= 0x3c79ac492ba7b653L; x ^= x >>> 33
-        ('a' + ((x & 0x7fffffffL) % 26)).toChar
-      }.mkString
-    }.mkString(" ")
-  }
+  private def soupWords(seed: Long, nWords: Int): String =
+    graft.TextFixtures.soupWords(seed, nWords)
 
   test("audited ingest with a decontamination watchlist: leaked benchmark text rejects with evidence, quality rejects carry their rule, passers land, digest dups stay silent") {
     import graft.operators.ContaminationGuard
