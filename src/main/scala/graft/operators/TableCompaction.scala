@@ -161,13 +161,29 @@ object TableCompaction {
   /** Committed data files grouped by their immediate parent dir (the
     * partition leaf for `partitionBy` layouts; the root itself for flat
     * tables). ONE recursive listing — the run's only full walk of a
-    * table whose motivating problem is file count. */
+    * table whose motivating problem is file count. The listing ALSO
+    * refuses a `_spark_metadata` file-sink log found BELOW the root
+    * (r15): the ancestor walk at the public entries only looks UP, so a
+    * sink table nested inside the given root would otherwise have its
+    * part files rewritten — same desync, opposite direction. The log's
+    * own files surface it here (its dir holds batch files the recursive
+    * listing visits), one O(depth) walk per listed file, the walk
+    * [[isCommittedDataFile]] pays anyway. */
   private def dataFilesByDir(
       fs: FileSystem, root: Path): Map[Path, Seq[FileStatus]] = {
     val it = fs.listFiles(root, true)
     val buf = scala.collection.mutable.ArrayBuffer[FileStatus]()
     while (it.hasNext) {
       val f = it.next()
+      var cur = f.getPath.getParent
+      while (cur != null && cur.toUri.getPath != root.toUri.getPath) {
+        require(cur.getName != "_spark_metadata",
+          s"${cur.getParent} (under $root) is a streaming file-sink " +
+            "table (_spark_metadata): its readers resolve the file list " +
+            "through the log — compact the sink's OUTPUT only via a " +
+            "log-aware rewrite, not this operator")
+        cur = cur.getParent
+      }
       if (isCommittedDataFile(root, f)) buf += f
     }
     buf.toSeq.groupBy(_.getPath.getParent)

@@ -287,6 +287,30 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("refuses a file-sink table NESTED below the compaction root: the " +
+      "ancestor walk only looks up, the listing must look down") {
+    withDir { base =>
+      val table = s"$base/t"
+      for (_ <- 0 until 2)
+        docs(4).coalesce(1).write.mode("append")
+          .parquet(s"$table/source=a")
+      // a streaming sink cohabiting the tree one level down, with the
+      // log files a committed sink always carries
+      docs(2).coalesce(1).write.parquet(s"$table/nested_sink")
+      val log = new Path(s"$table/nested_sink/_spark_metadata")
+      fs(table).mkdirs(log): Unit
+      val out = fs(table).create(new Path(log, "0"), true)
+      out.write("v1".getBytes("UTF-8")); out.close()
+      val e = intercept[IllegalArgumentException] {
+        TableCompaction.compactLanded(spark, table)
+      }
+      assert(e.getMessage.contains("_spark_metadata"), e.getMessage)
+      // nothing moved: the refusal happened before any staging
+      assert(fs(table).globStatus(
+        new Path(table, ".compact_staging_*")).isEmpty)
+    }
+  }
+
   test("zero-row files fold away as delete-only bins") {
     withDir { table =>
       docs(200, pad = 64).coalesce(1)
