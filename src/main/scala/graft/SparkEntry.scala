@@ -58,7 +58,10 @@ import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries}
   * rejects retention + marker compaction arc ext137 (the staged
   * rewrite behind a pending marker expiring aged audit rows, composed
   * with the graduation-marker compaction it has always been the
-  * contractual upstream of) — 199 catalog entries total);
+  * contractual upstream of) and the backlog-sharded compaction arc
+  * ext138 (an over-budget file backlog recursing per partition subtree
+  * — independent scoped runs, driver metadata bounded by one subtree's
+  * share, idempotent no-op re-run) — 200 catalog entries total);
   * this object just flattens the catalog into the driver's Map shape.
   */
 object SparkEntry {

@@ -5442,7 +5442,78 @@ object ExtensionQueries {
           .toDF("step", "phase", "n_rejects", "n_markers", "rows_expired")
           .orderBy("step")
       },
-      None, bench = false, eagerLifecycle = true) // stateful lifecycle entry, like ext121/ext131
+      None, bench = false, eagerLifecycle = true), // stateful lifecycle entry, like ext121/ext131
+
+    // ------------------------------------------------------------ EXT138
+    // BACKLOG-SHARDED COMPACTION ARC (r15) — ext136 proves the landed-
+    // table compaction at maintenance cadence; this entry proves the
+    // NEGLECTED-table path: a backlog whose file count exceeds what one
+    // run should hold driver-side. `TableCompaction.compactBacklog`
+    // probes the count with an early-exit listing (never holds more
+    // than budgetFiles+1 entries), and an over-budget root recurses per
+    // partition subtree — each subtree a fully independent scoped run
+    // (own journal, own staging, own heal; prior unsharded runs' crash
+    // state at intermediate roots heals on the way down) — so the whole
+    // backlog clears in ONE call with driver metadata bounded by one
+    // subtree's share. The entry stages a 600-file backlog (6 source
+    // dirs × 100 byte-identical copies of one seed parquet — identical
+    // copies are the adversarial case: the fold must preserve the row
+    // MULTISET, never unify them) and runs the arc: backlog → sharded
+    // compact under budget 150 (root over budget, each 100-file subtree
+    // under — 6 scoped runs, 6 bins, 6 files left) → no-op re-run
+    // (idempotent, zero bins). n_rows never moves. Rows-only
+    // (filesystem lifecycle); TableCompactionSpec pins the 10⁴-file
+    // version under a 600-file budget, the flat-dir fallback, the
+    // crash-heal seam, the nested-file-sink refusal, and the entry's
+    // exact arc at sf0.001.
+    QueryDef(
+      "ext138_backlog_compaction",
+      (s, dir) => withScratch("backlog-ext138") { base =>
+        import graft.operators.TableCompaction
+        val table = s"$base/landed"
+        val seedDir = s"$base/seed"
+        // the seed row comes from the documents table so the entry
+        // reads its corpus from `dir` like every sibling (1 row, 1 file)
+        Tables.documents(s, dir).select("doc_id", "source")
+          .filter(col("doc_id") === 0)
+          .coalesce(1).write.parquet(seedDir)
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val seed = fs.globStatus(
+          new org.apache.hadoop.fs.Path(seedDir, "part-*.parquet")).head
+        val bytes = {
+          val in = fs.open(seed.getPath)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close(); out.toByteArray
+        }
+        for (d <- 0 until 6; i <- 0 until 100) {
+          val f = fs.create(new org.apache.hadoop.fs.Path(
+            f"$table%s/src=s$d%d/part-$i%05d.parquet"), true)
+          f.write(bytes); f.close()
+        }
+        def snap(step: Long, phase: String,
+            bins: Long): (Long, String, Long, Long, Long) =
+          (step, phase, TableCompaction.committedDataFiles(s, table),
+            bins, s.read.parquet(table).count())
+        val arc = scala.collection.mutable.ArrayBuffer(
+          snap(1, "backlog", 0L))
+        val c1 = TableCompaction.compactBacklog(s, table,
+          targetBytes = 64L << 20, budgetFiles = 150)
+        arc += snap(2, "shard_compact", c1.binsWritten)
+        val c2 = TableCompaction.compactBacklog(s, table,
+          targetBytes = 64L << 20, budgetFiles = 150)
+        arc += snap(3, "noop_rerun", c2.binsWritten)
+        // arc rows are plain collected values — withScratch's cleanup
+        // is safe to run on return
+        import s.implicits._
+        arc.toSeq
+          .toDF("step", "phase", "n_files", "n_bins_written", "n_rows")
+          .orderBy("step")
+      },
+      None, bench = false, eagerLifecycle = true) // filesystem lifecycle entry, like ext136
   )
 
   /** Shared ext126/ext127 oracle — the guard's broadcast probe restated

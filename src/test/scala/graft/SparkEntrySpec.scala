@@ -63,7 +63,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestSession {
     val pinnedElsewhere = Set(
       "ext133_fingerprint_compaction", "ext134_writeback_compaction",
       "ext135_ann_retrain_trigger", "ext136_landed_compaction",
-      "ext137_rejects_retention")
+      "ext137_rejects_retention", "ext138_backlog_compaction")
     SparkEntry.all
       .filter(q => q.eagerLifecycle && !pinnedElsewhere(q.name))
       .foreach { q =>

@@ -423,6 +423,21 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(bins(3) > 0 && bins(5) > 0 && bins(6) == 0)
   }
 
+  test("ext138 entry: the backlog-shard arc is structural — files " +
+      "600→6→6, bins 6 then 0, rows never move") {
+    val out = graft.SparkEntry.queries("ext138_backlog_compaction")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getAs[String]("phase")).toSeq ==
+      Seq("backlog", "shard_compact", "noop_rerun"))
+    assert(out.map(_.getAs[Long]("n_files")).toSeq == Seq(600L, 6L, 6L),
+      "each of the 6 over-root/under-subtree shards folds to one file")
+    assert(out.map(_.getAs[Long]("n_bins_written")).toSeq ==
+      Seq(0L, 6L, 0L), "the re-run is a structural no-op")
+    assert(out.map(_.getAs[Long]("n_rows")).toSeq ==
+      Seq(600L, 600L, 600L),
+      "identical copies are a row MULTISET — compaction never unifies")
+  }
+
   test("flat (unpartitioned) tables compact the same way") {
     withDir { table =>
       for (b <- 0 until 4)
