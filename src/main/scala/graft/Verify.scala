@@ -14,6 +14,11 @@ object Verify {
       .builder(s"local[$cpus]", cpus.toInt, appName = "graft-verify")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // enable the oracle-aux exports (graft.util.OracleAux): the multimodal
+    // entries materialize their deterministic fingerprint frames for the
+    // DuckDB side to brute-force-recompute the downstream math against —
+    // Verify-only, so bench/spec invocations pay nothing
+    System.setProperty(graft.util.OracleAux.EnableProp, "1")
     new java.io.File(outDir).mkdirs()
     // run the catalog 4 queries at a time: Spark's scheduler interleaves the
     // jobs across the local cores, roughly halving gate wall-clock (queries

@@ -194,7 +194,12 @@ object ImageDedup {
     * Output: (band, size_class, n_buckets, n_items, pairs_contrib) where
     * size_class = floor(log₂ bucket size) — buckets of size 1 (class 0)
     * contribute zero pairs but are reported: their count is the measure
-    * of hash entropy actually achieved.
+    * of hash entropy actually achieved. The class is computed EXACTLY as
+    * the bucket size's bit length − 1 (r16): a float `log(2, n)` puts
+    * exact powers of two on an ulp boundary (ln 8 / ln 2 floors to 2 on
+    * some libms), so the histogram would disagree with any independent
+    * integer implementation — the DuckDB oracle included — on exactly
+    * the bucket sizes a health audit most cares about.
     */
   def bandBucketHealth(hashFrame: DataFrame, maxDist: Int = 3): DataFrame =
     hashFrame
@@ -202,7 +207,7 @@ object ImageDedup {
       .groupBy(col("s.b").as("band"), col("s.v"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("band"),
-        floor(log(2.0, col("sz"))).cast("long").as("size_class"))
+        (length(bin(col("sz"))) - 1).cast("long").as("size_class"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("sz")).as("n_items"),
         sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("pairs_contrib"))

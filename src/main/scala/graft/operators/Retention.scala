@@ -159,7 +159,19 @@ object Retention {
     val before =
       if (partitionBy.isEmpty) spark.read.parquet(root.toString)
       else {
+        // newSession() initializes SQLConf from the CONTEXT's conf, not
+        // the caller session's runtime conf (r15 ADVICE) — so carry the
+        // caller's session-level settings (session timeZone feeding the
+        // keep predicate's casts, parquet writer options, shuffle
+        // partitions) onto the pinned session first, THEN pin inference
+        // off; without the copy the partitioned branch silently ran on
+        // defaults while the non-partitioned branch honored the caller
         val pinned = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          if (k != inferKey)
+            try pinned.conf.set(k, v)
+            catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
         pinned.conf.set(inferKey, "false")
         pinned.read.parquet(root.toString)
       }

@@ -160,19 +160,26 @@ object TableCompaction {
 
   /** Committed data files grouped by their immediate parent dir (the
     * partition leaf for `partitionBy` layouts; the root itself for flat
-    * tables). ONE recursive listing — the run's only full walk of a
-    * table whose motivating problem is file count. The listing ALSO
-    * refuses a `_spark_metadata` file-sink log found BELOW the root
-    * (r15): the ancestor walk at the public entries only looks UP, so a
-    * sink table nested inside the given root would otherwise have its
-    * part files rewritten — same desync, opposite direction. The log's
-    * own files surface it here (its dir holds batch files the recursive
-    * listing visits), one O(depth) walk per listed file, the walk
-    * [[isCommittedDataFile]] pays anyway. */
-  private def dataFilesByDir(
-      fs: FileSystem, root: Path): Map[Path, Seq[FileStatus]] = {
+    * tables), PLUS every `.compact_journal` found strictly BELOW the
+    * root (r15 ADVICE: a crashed CHILD-scoped run — a [[compactBacklog]]
+    * shard, or a user's own per-subtree maintenance — leaves its journal
+    * at the child, where a later run scoped at THIS root would neither
+    * heal it nor see that the child's published bins and stale undeleted
+    * sources are half of one swap; planning over that listing re-bins
+    * the duplicates as data, permanently). ONE recursive listing — the
+    * run's only full walk of a table whose motivating problem is file
+    * count. The listing ALSO refuses a `_spark_metadata` file-sink log
+    * found BELOW the root (r15): the ancestor walk at the public entries
+    * only looks UP, so a sink table nested inside the given root would
+    * otherwise have its part files rewritten — same desync, opposite
+    * direction. The log's own files surface it here (its dir holds batch
+    * files the recursive listing visits), one O(depth) walk per listed
+    * file, the walk [[isCommittedDataFile]] pays anyway. */
+  private def listCommitted(
+      fs: FileSystem, root: Path): (Map[Path, Seq[FileStatus]], Seq[Path]) = {
     val it = fs.listFiles(root, true)
     val buf = scala.collection.mutable.ArrayBuffer[FileStatus]()
+    val journals = scala.collection.mutable.ArrayBuffer[Path]()
     while (it.hasNext) {
       val f = it.next()
       var cur = f.getPath.getParent
@@ -184,10 +191,17 @@ object TableCompaction {
             "log-aware rewrite, not this operator")
         cur = cur.getParent
       }
+      if (f.getPath.getName == JournalName &&
+          f.getPath.getParent.toUri.getPath != root.toUri.getPath)
+        journals += f.getPath
       if (isCommittedDataFile(root, f)) buf += f
     }
-    buf.toSeq.groupBy(_.getPath.getParent)
+    (buf.toSeq.groupBy(_.getPath.getParent), journals.toSeq)
   }
+
+  private def dataFilesByDir(
+      fs: FileSystem, root: Path): Map[Path, Seq[FileStatus]] =
+    listCommitted(fs, root)._1
 
   /** Count of committed data files — the dial the lifecycle entry emits. */
   def committedDataFiles(spark: SparkSession, table: String): Long = {
@@ -429,14 +443,35 @@ object TableCompaction {
 
   /** One scoped run at `root`: heal, list, compact — [[compactLanded]]
     * minus the ancestor refusal (done once per public call), shared by
-    * [[compactBacklog]]'s bounded leaves. */
+    * [[compactBacklog]]'s bounded leaves. Any `.compact_journal` the
+    * listing finds BELOW the root is a crashed NARROWER-scoped run's
+    * protocol state (a backlog shard, a per-subtree maintenance run):
+    * heal each at ITS OWN root first — deepest first, each heal is
+    * confined to its subtree — and re-list, so half-swapped child state
+    * (published bin + stale sources + live journal) is never planned
+    * over as committed data (r15 ADVICE: re-binning both halves
+    * duplicates the rows permanently, and the surviving stale journal
+    * resurrects them again at the next child-scoped heal). */
   private def compactScoped(
       spark: SparkSession, fs: FileSystem, root: Path,
       targetBytes: Long, minBinFiles: Int): CompactStats = {
-    val healed = healJournal(spark, root.toString)
+    var healed = healJournal(spark, root.toString)
     if (!fs.exists(root))
       return CompactStats(0L, 0L, 0L, 0L, healed)
-    compactFrom(spark, fs, root, dataFilesByDir(fs, root), targetBytes,
+    var (byDir, nested) = listCommitted(fs, root)
+    if (nested.nonEmpty) {
+      nested.sortBy(-_.toUri.getPath.length)
+        .foreach(j => healed += healJournal(spark, j.getParent.toString))
+      val again = listCommitted(fs, root)
+      // healJournal deletes every journal it processes, so a survivor
+      // means an unreadable/empty journal — surface it, never plan over
+      // a subtree whose protocol state can't be resolved
+      require(again._2.isEmpty,
+        s"compaction: nested journal(s) survive healing under $root: " +
+          s"${again._2.mkString(", ")} — manual recovery required")
+      byDir = again._1
+    }
+    compactFrom(spark, fs, root, byDir, targetBytes,
       minBinFiles, healed)
   }
 

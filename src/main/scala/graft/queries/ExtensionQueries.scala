@@ -114,21 +114,38 @@ object ExtensionQueries {
     }
   }
 
+  /** The standard-corpus AUDIO fingerprint table — decode+hash pass
+    * memoized separately from the pair table (the [[sharedImageHashes]]
+    * discipline, r16): it is the persisted 8-byte-per-clip frame a daily
+    * ingest maintains, AND the deterministic intermediate the ext102
+    * oracle-aux export ships to DuckDB. */
+  private def sharedAudioHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.MaterializedPairs.frame(
+      s"${s.sparkContext.applicationId}#" +
+        s"${System.identityHashCode(s)}|audiohashes|$dir") {
+      graft.operators.AudioDedup.hashes(
+        graft.sources.AudioCorpus.forIds(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        "wav", "doc_id")
+    }
+
   /** The standard-corpus AUDIO pair table under the same discipline (ext102;
     * ext103's audio side deliberately renders a DIVERGENT corpus — doc_id %
     * 30 == 2 remapped — so it is a different artifact and carries its own
     * memo key rather than silently aliasing this one).
     */
   private def sharedAudioPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the hash memo BEFORE entering the pair memo (reentrant
+    // ConcurrentHashMap update otherwise — see sharedImagePairs)
+    val hashes = sharedAudioHashes(s, dir)
     graft.operators.MaterializedPairs.frame(
       s"${s.sparkContext.applicationId}#" +
         s"${System.identityHashCode(s)}|audiopairs|$dir") {
-      graft.operators.AudioDedup.nearDupPairs(
-        graft.sources.AudioCorpus.forIds(
-          Tables.documents(s, dir).select("doc_id"), "doc_id"),
-        "wav", "doc_id", maxDist = 3)
+      graft.operators.ImageDedup.hammingNearDupPairs(hashes, maxDist = 3)
     }
+  }
 
   /** The DECODED frame table of the scene-structured video corpus
     * ((video_id, frame_idx, rows, cols, channels, fps, px) —
@@ -3666,14 +3683,32 @@ object ExtensionQueries {
     // PNG stand-in for the engine's own A10 side-outputs
     // ([[graft.sources.ImageCorpus]]: families of 3 near-identical
     // variants per doc_id/3) — the encode → binary column → decode →
-    // hash → banded-join plumbing is the real multimodal path. Rows-only
-    // (DuckDB has no image stack); semantics pinned by ImageDedupSpec
-    // (identical + perturbed caught, disjoint not, banded candidates ==
-    // brute-force recall, binaryFile round-trip).
+    // hash → banded-join plumbing is the real multimodal path.
+    // ORACLE-HASHED since r16 (verdict #2): the decode stays engine-side
+    // (DuckDB has no image stack), but the entry exports its (id, phash)
+    // fingerprint frame via [[graft.util.OracleAux]] during Verify and
+    // the oracle recomputes the pair table BRUTE-FORCE (all-pairs
+    // bit_count(xor) ≤ 3) — a hash match gates the banded join's
+    // arithmetic AND re-proves its lossless pigeonhole recall on every
+    // Verify run. ImageDedupSpec still pins the semantics (identical +
+    // perturbed caught, disjoint not, banded == brute force,
+    // binaryFile round-trip).
     QueryDef(
       "ext101_image_neardup",
-      (s, dir) => sharedImagePairs(s, dir).orderBy("id_a", "id_b"),
-      None),
+      (s, dir) => {
+        graft.util.OracleAux.export("image_hashes", dir,
+          sharedImageHashes(s, dir))
+        sharedImagePairs(s, dir).orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH h AS (SELECT id, phash
+                   FROM read_parquet('${graft.util.OracleAux.glob("image_hashes")}'))
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+        FROM h a JOIN h b ON a.id < b.id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ORDER BY id_a, id_b
+      """)),
 
     // ------------------------------------------------------------ EXT102
     // AUDIO-column perceptual near-dup — third modality on the SAME
@@ -3682,13 +3717,28 @@ object ExtensionQueries {
     // amplitude/resample/duration invariant AND pitch-sensitive,
     // AudioOps.spectralHash64), then the shared bit-slice
     // candidate join + bit_count verification. Corpus = deterministic
-    // synthetic WAV families ([[graft.sources.AudioCorpus]]). Rows-only
-    // (no audio stack in DuckDB); AudioDedupSpec pins invariances,
-    // family recall vs brute force, and undecodable-drop.
+    // synthetic WAV families ([[graft.sources.AudioCorpus]]).
+    // ORACLE-HASHED since r16 like ext101: the WAV decode + Goertzel
+    // bank stay engine-side, the exported (id, phash) aux frame lets
+    // DuckDB brute-force the pair table and hash-gate the banded join.
+    // AudioDedupSpec pins invariances, family recall vs brute force,
+    // and undecodable-drop.
     QueryDef(
       "ext102_audio_neardup",
-      (s, dir) => sharedAudioPairs(s, dir).orderBy("id_a", "id_b"),
-      None),
+      (s, dir) => {
+        graft.util.OracleAux.export("audio_hashes", dir,
+          sharedAudioHashes(s, dir))
+        sharedAudioPairs(s, dir).orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH h AS (SELECT id, phash
+                   FROM read_parquet('${graft.util.OracleAux.glob("audio_hashes")}'))
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+        FROM h a JOIN h b ON a.id < b.id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ORDER BY id_a, id_b
+      """)),
 
     // ------------------------------------------------------------ EXT103
     // CROSS-MODAL near-dup agreement — the composition statement for the
@@ -3738,16 +3788,64 @@ object ExtensionQueries {
     // video-level vote (≥60% of the shorter side's sampled frames match
     // within Hamming ≤ 3). Robust to re-encodes, intro/outro edits and
     // frame jitter (any-frame-to-any-frame matching via band buckets, not
-    // index-aligned). Rows-only; VideoDedupSpec pins family recall, the
-    // splice threshold (8/12 borrowed frames caught, 4/12 not), and
-    // undecodable-drop.
+    // index-aligned). ORACLE-HASHED since r16: the GVID decode stays
+    // engine-side, the exported (id, frame_idx, phash) kept-frame aux
+    // lets DuckDB brute-force the frame-level Hamming pairs AND restate
+    // the temporal-alignment vote (per-offset distinct-frame support,
+    // RANGE window ±jitter, max single-alignment window — the exact
+    // [[graft.operators.TemporalAlignment.alignedOverlap]] arithmetic)
+    // so the whole frames → pairs → vote chain is hash-gated.
+    // VideoDedupSpec pins family recall, the splice threshold (8/12
+    // borrowed frames caught, 4/12 not), and undecodable-drop.
     QueryDef(
       "ext104_video_neardup",
-      (s, dir) => graft.operators.VideoDedup.nearDupPairsFromKept(
-        sharedDedupFrameHashes(s, dir),
-        everyNth = 2, maxDist = 3, minOverlap = 0.6)
-        .orderBy("vid_a", "vid_b"),
-      None),
+      (s, dir) => {
+        graft.util.OracleAux.export("video_frame_hashes", dir,
+          sharedDedupFrameHashes(s, dir).select("id", "frame_idx", "phash"))
+        graft.operators.VideoDedup.nearDupPairsFromKept(
+          sharedDedupFrameHashes(s, dir),
+          everyNth = 2, maxDist = 3, minOverlap = 0.6)
+          .orderBy("vid_a", "vid_b")
+      },
+      Some(s"""
+        WITH fh AS (SELECT id, frame_idx, phash
+                    FROM read_parquet('${graft.util.OracleAux.glob("video_frame_hashes")}')),
+        cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM fh GROUP BY id),
+        fp AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 a.frame_idx AS ta, b.frame_idx AS tb
+          FROM fh a JOIN fh b ON a.id < b.id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        wc AS (
+          SELECT fp.id_a, fp.id_b, fp.ta, fp.tb,
+                 ca.n_kept AS na, cb.n_kept AS nb,
+                 CASE WHEN ca.n_kept <= cb.n_kept THEN fp.ta ELSE fp.tb END
+                   AS small_t,
+                 fp.ta - fp.tb AS t_off
+          FROM fp
+          JOIN cnt ca ON ca.id = fp.id_a
+          JOIN cnt cb ON cb.id = fp.id_b),
+        m AS (SELECT id_a, id_b,
+                     CAST(COUNT(DISTINCT small_t) AS BIGINT) AS matched_frames
+              FROM wc GROUP BY id_a, id_b),
+        po AS (SELECT id_a, id_b, na, nb, t_off,
+                      COUNT(DISTINCT small_t) AS c
+               FROM wc GROUP BY id_a, id_b, na, nb, t_off),
+        win AS (SELECT id_a, id_b, na, nb,
+                       SUM(c) OVER (PARTITION BY id_a, id_b ORDER BY t_off
+                         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w
+                FROM po),
+        al AS (SELECT id_a, id_b, na, nb, MAX(w) AS aligned
+               FROM win GROUP BY id_a, id_b, na, nb)
+        SELECT al.id_a AS vid_a, al.id_b AS vid_b, m.matched_frames,
+               LEAST(1.0, ROUND(CAST(aligned AS DOUBLE) / LEAST(na, nb), 6))
+                 AS overlap_ratio
+        FROM al JOIN m USING (id_a, id_b)
+        WHERE LEAST(1.0, ROUND(CAST(aligned AS DOUBLE) / LEAST(na, nb), 6))
+                >= 0.6
+        ORDER BY vid_a, vid_b
+      """)),
 
     // ------------------------------------------------------------ EXT105
     // Image dedup RETENTION accounting — the proof that the
@@ -3757,12 +3855,18 @@ object ExtensionQueries {
     // step is the same pointer-jumped clusterPairs, the survivor policy
     // the same min-id-per-cluster window, and the rollup joins the
     // documents table's source column back on — per source: images_total,
-    // images_kept, dropped, dup_ratio. Rows-only (hash-derived);
-    // ImageDedupSpec pins the per-source accounting against the known
+    // images_kept, dropped, dup_ratio. ORACLE-HASHED since r16: off the
+    // exported image-hash aux, DuckDB brute-forces the pairs, closes the
+    // clusters with a recursive CTE (the ext29/ext100 closure shape),
+    // replays the min-id survivor window and the per-source rollup — the
+    // whole pairs → clusters → survivor → accounting chain hash-gated;
+    // ImageDedupSpec additionally pins the accounting against the known
     // family structure.
     QueryDef(
       "ext105_image_retention",
       (s, dir) => {
+        graft.util.OracleAux.export("image_hashes", dir,
+          sharedImageHashes(s, dir))
         val docs = Tables.documents(s, dir).select("doc_id", "source")
         val pairs = sharedImagePairs(s, dir)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -3781,7 +3885,34 @@ object ExtensionQueries {
               .cast("double") / col("images_total"), 6).as("dup_ratio"))
           .orderBy("source")
       },
-      None),
+      Some(s"""
+        WITH RECURSIVE
+        h AS (SELECT id, phash
+              FROM read_parquet('${graft.util.OracleAux.glob("image_hashes")}')),
+        pr AS (SELECT a.id AS doc_a, b.id AS doc_b
+               FROM h a JOIN h b ON a.id < b.id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+              UNION SELECT doc_b AS src, doc_a AS dst FROM pr),
+        r AS (SELECT src AS node, src AS lbl FROM e
+              UNION SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+        lab AS (SELECT d.doc_id, d.source,
+                       COALESCE(c.cluster_id, d.doc_id) AS cid
+                FROM documents d LEFT JOIN c USING (doc_id)),
+        k AS (SELECT source, cid,
+                     ROW_NUMBER() OVER (PARTITION BY cid ORDER BY doc_id) AS rk
+              FROM lab)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS images_total,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS images_kept,
+               CAST(COUNT(*) - SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dropped,
+               ROUND(CAST(COUNT(*) - SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+        FROM k GROUP BY source ORDER BY source
+      """)),
 
     // ------------------------------------------------------------ EXT106
     // Duplicated-SPAN REMOVAL — the remediation Lee et al. 2022 actually
@@ -4272,12 +4403,36 @@ object ExtensionQueries {
     // ImageDedupSpec pins the histogram against an independently-computed
     // reference over the collected hashes (family buckets land in class
     // >= 1; singleton count measures achieved hash entropy).
+    // ORACLE-HASHED since r16: off the exported image-hash aux, DuckDB
+    // restates the exact production banding (arithmetic shift + 16-bit
+    // mask ≡ the unsigned-shift slices after masking) and the histogram
+    // rollup; size_class is the bucket size's exact bit length − 1 on
+    // both sides (no float log — see bandBucketHealth's doc).
     QueryDef(
       "ext120_band_bucket_health",
-      (s, dir) => graft.operators.ImageDedup.bandBucketHealth(
-        sharedImageHashes(s, dir), maxDist = 3)
-        .orderBy("band", "size_class"),
-      None),
+      (s, dir) => {
+        graft.util.OracleAux.export("image_hashes", dir,
+          sharedImageHashes(s, dir))
+        graft.operators.ImageDedup.bandBucketHealth(
+          sharedImageHashes(s, dir), maxDist = 3)
+          .orderBy("band", "size_class")
+      },
+      Some(s"""
+        WITH h AS (SELECT phash
+                   FROM read_parquet('${graft.util.OracleAux.glob("image_hashes")}')),
+        sl AS (SELECT b.band, (h.phash >> b.lo) & 65535 AS v
+               FROM h CROSS JOIN (VALUES (CAST(0 AS INTEGER), 0),
+                 (CAST(1 AS INTEGER), 16), (CAST(2 AS INTEGER), 32),
+                 (CAST(3 AS INTEGER), 48)) AS b(band, lo)),
+        bk AS (SELECT band, v, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM sl GROUP BY band, v)
+        SELECT band,
+               CAST(length(bin(sz)) - 1 AS BIGINT) AS size_class,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(sz) AS BIGINT) AS n_items,
+               CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS pairs_contrib
+        FROM bk GROUP BY band, size_class ORDER BY band, size_class
+      """)),
 
     // ------------------------------------------------------------ EXT121
     // PERSISTED FINGERPRINT-STORE LIFECYCLE — the concrete form of
@@ -5455,11 +5610,13 @@ object ExtensionQueries {
     // (own journal, own staging, own heal; prior unsharded runs' crash
     // state at intermediate roots heals on the way down) — so the whole
     // backlog clears in ONE call with driver metadata bounded by one
-    // subtree's share. The entry stages a 600-file backlog (6 source
-    // dirs × 100 byte-identical copies of one seed parquet — identical
+    // subtree's share. The entry stages a 240-file backlog (6 source
+    // dirs × 40 byte-identical copies of one seed parquet — identical
     // copies are the adversarial case: the fold must preserve the row
-    // MULTISET, never unify them) and runs the arc: backlog → sharded
-    // compact under budget 150 (root over budget, each 100-file subtree
+    // MULTISET, never unify them; 240 not 600 per r15 verdict #3 — the
+    // protocol's steps are scale-invariant and the 600-file fixture's
+    // extra wall was pure lane cost) and runs the arc: backlog → sharded
+    // compact under budget 60 (root over budget, each 40-file subtree
     // under — 6 scoped runs, 6 bins, 6 files left) → no-op re-run
     // (idempotent, zero bins). n_rows never moves. Rows-only
     // (filesystem lifecycle); TableCompactionSpec pins the 10⁴-file
@@ -5489,7 +5646,7 @@ object ExtensionQueries {
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
           in.close(); out.toByteArray
         }
-        for (d <- 0 until 6; i <- 0 until 100) {
+        for (d <- 0 until 6; i <- 0 until 40) {
           val f = fs.create(new org.apache.hadoop.fs.Path(
             f"$table%s/src=s$d%d/part-$i%05d.parquet"), true)
           f.write(bytes); f.close()
@@ -5501,10 +5658,10 @@ object ExtensionQueries {
         val arc = scala.collection.mutable.ArrayBuffer(
           snap(1, "backlog", 0L))
         val c1 = TableCompaction.compactBacklog(s, table,
-          targetBytes = 64L << 20, budgetFiles = 150)
+          targetBytes = 64L << 20, budgetFiles = 60)
         arc += snap(2, "shard_compact", c1.binsWritten)
         val c2 = TableCompaction.compactBacklog(s, table,
-          targetBytes = 64L << 20, budgetFiles = 150)
+          targetBytes = 64L << 20, budgetFiles = 60)
         arc += snap(3, "noop_rerun", c2.binsWritten)
         // arc rows are plain collected values — withScratch's cleanup
         // is safe to run on return

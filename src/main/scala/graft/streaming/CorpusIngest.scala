@@ -223,17 +223,28 @@ object CorpusIngest {
       checkpoint: String): (DataFrame, Long) => Unit = {
     val cadence = new DataBatchCadence(checkpoint)
     (b: DataFrame, batchId: Long) => {
+      // the cadence dial rides an observe() ON the landing write itself
+      // (r15 ADVICE: a separate isEmpty probe is a third action over the
+      // gate-verdict plan on the ingest hot path — and "the shell's
+      // cache makes it free" is a claim about cache substitution this
+      // leaves nothing depending on). Landed-rows is also the RIGHT
+      // dial: the cadence gates compaction of the LANDING table, so a
+      // batch that only audited rejects appends no landing files and
+      // must not consume a fold slot
+      val obs = new org.apache.spark.sql.Observation()
       b.filter(col("reject_reason").isNull)
         .drop("__dedup_key" +: "reject_reason" +: evidenceCols: _*)
+        .observe(obs, count(lit(1)).as("n_landed"))
         .write.mode("append").partitionBy("source").parquet(table)
       b.filter(col("reject_reason").isNotNull)
         .drop("__dedup_key")
         .write.mode("append").parquet(s"${table}_rejects")
-      // !b.isEmpty AFTER the two writes: the micro-batch shell caches b,
-      // so by here the probe reads the populated cache instead of paying
-      // its own job
+      // the landing write always executes the observed plan, so the
+      // metric is present; the getOrElse(0) is pure defense
+      val landed = obs.get.get("n_landed")
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       if (cadence.fires(b.sparkSession.sparkContext.hadoopConfiguration,
-          compactLandedEvery, batchId, hasData = !b.isEmpty))
+          compactLandedEvery, batchId, hasData = landed > 0))
         try graft.operators.TableCompaction.compactLanded(
           b.sparkSession, table, compactLandedTargetBytes): Unit
         catch {

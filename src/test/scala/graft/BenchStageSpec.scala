@@ -116,7 +116,7 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("readPrevDetail parses a committed BENCH_DETAIL line and survives absence/garbage") {
-    val dir = java.nio.file.Files.createTempDirectory("bench-prev")
+    val dir = java.nio.file.Paths.get(graft.ScratchDir.dir("bench-prev"))
     val good = dir.resolve("good.json")
     java.nio.file.Files.write(good,
       """{"metric":"total","value":9.5,"queries":{"q1":1.25,"ext9":0.5},
@@ -135,6 +135,24 @@ class BenchStageSpec extends AnyFunSuite with SparkTestSession {
     java.nio.file.Files.write(bad, "{not json".getBytes("UTF-8"))
     assert(Bench.readPrevDetail(bad.toString).isEmpty,
       "an unparseable artifact must disable the gate, not crash the bench")
+  }
+
+  test("readPrevDetail normalizes the committed baseline by ITS OWN " +
+      "contention_ratio: walls divide, rates multiply, shuffle untouched") {
+    // r15 ADVICE: a baseline captured at contention 2.0 persisted raw —
+    // a following quiet-box round would gate at ~4x wall / quarter rate
+    graft.ScratchDir.withDir("bench-prev-norm") { dir =>
+      val p = java.nio.file.Paths.get(dir, "detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        """{"queries":{"q1":4.0},"shuffle_write_mb":{"q1":3.0},
+           "lifecycle":{"arc":8.0},"contention_ratio":2.0,
+           "streaming_fps":100.0}"""
+          .replaceAll("\n\\s*", "").getBytes("UTF-8"))
+      assert(Bench.readPrevDetail(p.toString).contains(
+        Bench.PrevDetail(Map("q1" -> 2.0), Map("q1" -> 3.0),
+          Map("arc" -> 4.0), Map("streaming_fps" -> 200.0))))
+    }
   }
 
   test("ingest throughput lanes run end-to-end at sf0.001 and report positive rates") {

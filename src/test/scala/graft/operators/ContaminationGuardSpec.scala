@@ -357,7 +357,7 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     val docs = (0 until 6).map(i => (10L + i, soup(80L + i, 150)))
       .toDF("doc_id", "text")
     val built = ContaminationGuard.bloomIndex(benchDf, "text", fpp = 0.5)
-    val dir = java.nio.file.Files.createTempDirectory("bloom-rt").toString
+    val dir = graft.ScratchDir.dir("bloom-rt")
     built.save(spark, dir)
     val loaded = ContaminationGuard.loadBloomIndex(spark, dir)
     assert(loaded.window == built.window &&
@@ -398,7 +398,7 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
       window = 16, hexPrefix = "", fpp = 0.01)
     val genB = ContaminationGuard.bloomIndex(benchDf, "text",
       window = 32, hexPrefix = "0", fpp = 0.25)
-    val dir = java.nio.file.Files.createTempDirectory("bloom-race").toString
+    val dir = graft.ScratchDir.dir("bloom-race")
     genA.save(spark, dir)
     @volatile var saving = true
     val writer = Future {
@@ -486,7 +486,7 @@ class ContaminationGuardSpec extends AnyFunSuite with SparkTestSession {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
     stream.addData(mk: _*)
-    val out = java.nio.file.Files.createTempDirectory("contam").toString
+    val out = graft.ScratchDir.dir("contam")
     graft.streaming.WatchlistMonitor.flagText(
         stream.toDF().toDF("item_id", "source", "text"), "text", idx)
       .writeStream

@@ -18,7 +18,7 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
   private def freshDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"fpstore-$tag").toString + "/store"
+    graft.ScratchDir.dir(s"fpstore-$tag") + "/store"
 
   test("a later delivery drops against an earlier delivery's kept rows (the merge step)") {
     // families of 3: {0,1,2}, {3,4,5}, {6,7,8}, {9,10,11}

@@ -156,7 +156,7 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("the binaryFile source path: engine-written PNGs dedup end to end") {
-    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toString
+    val dir = graft.ScratchDir.dir("imgdedup")
     // two near-identical frames (same family) + one unrelated, written by
     // the engine's own PNG sink path
     for (id <- Seq(0L, 1L, 30L)) {
@@ -469,7 +469,8 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
       val buckets = hs.groupBy(h => (h >>> lo) & ((1L << w) - 1))
       buckets.values.foreach { bucket =>
         val sz = bucket.length.toLong
-        val cls = (math.log(sz.toDouble) / math.log(2.0)).toLong
+        // exact integer log2 (bit length - 1) — the operator's contract
+        val cls = (63 - java.lang.Long.numberOfLeadingZeros(sz)).toLong
         val (c, items, pairs) = ref((b, cls))
         ref((b, cls)) = (c + 1, items + sz, pairs + sz * (sz - 1) / 2)
       }

@@ -95,7 +95,7 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     // touch for the same selective predicates. This is the claim the
     // span-fraction audit (ext65) only proxies: the narrow-in-both-dims
     // partitions become SKIPPED FILES at the storage layer.
-    val base = java.nio.file.Files.createTempDirectory("layout-skip").toString
+    val base = graft.ScratchDir.dir("layout-skip")
     Layout.zorder(grid, "x", "y", nParts = 8)
       .write.parquet(s"$base/z")
     grid.repartitionByRange(8, col("x")).sortWithinPartitions("x")

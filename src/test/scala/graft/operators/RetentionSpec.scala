@@ -135,6 +135,41 @@ class RetentionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("the partitioned rewrite honors the CALLER's session conf: a " +
+      "session timeZone set at runtime drives the keep predicate's casts") {
+    // r15 ADVICE: newSession() initializes from the context conf, so
+    // without the runtime-conf copy the partitioned branch would cast
+    // under the DEFAULT zone while the non-partitioned branch honors the
+    // caller — rows at 2026-01-01 23:00 UTC are Jan 1 under UTC but
+    // Jan 2 under +05:00, so the keep-by-date predicate splits on it
+    withDir { base =>
+      val table = s"$base/t"
+      import spark.implicits._
+      Seq(
+        (1L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-01-01T23:00:00Z")), "a"),
+        (2L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-01-01T01:00:00Z")), "a"))
+        .toDF("doc_id", "ts", "source")
+        .write.partitionBy("source").parquet(table)
+      val tzKey = "spark.sql.session.timeZone"
+      val prev = spark.conf.getOption(tzKey)
+      spark.conf.set(tzKey, "+05:00")
+      try {
+        val stats = Retention.rewriteKeeping(spark, table,
+          col("ts").cast("date") === lit("2026-01-02"),
+          partitionBy = Seq("source"))
+        // under +05:00, row 1 is Jan 2 04:00 (kept); row 2 is Jan 1 (expired)
+        assert(stats.rowsKept == 1L && stats.rowsExpired == 1L, s"$stats")
+        assert(spark.read.parquet(table).select("doc_id")
+          .as[Long].collect().toSeq == Seq(1L))
+      } finally prev match {
+        case Some(v) => spark.conf.set(tzKey, v)
+        case None => spark.conf.unset(tzKey)
+      }
+    }
+  }
+
   test("null timestamps are KEPT by the age policy, never silently expired") {
     withDir { base =>
       val table = s"$base/t"

@@ -424,17 +424,17 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("ext138 entry: the backlog-shard arc is structural — files " +
-      "600→6→6, bins 6 then 0, rows never move") {
+      "240→6→6, bins 6 then 0, rows never move") {
     val out = graft.SparkEntry.queries("ext138_backlog_compaction")(
       spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.getAs[String]("phase")).toSeq ==
       Seq("backlog", "shard_compact", "noop_rerun"))
-    assert(out.map(_.getAs[Long]("n_files")).toSeq == Seq(600L, 6L, 6L),
+    assert(out.map(_.getAs[Long]("n_files")).toSeq == Seq(240L, 6L, 6L),
       "each of the 6 over-root/under-subtree shards folds to one file")
     assert(out.map(_.getAs[Long]("n_bins_written")).toSeq ==
       Seq(0L, 6L, 0L), "the re-run is a structural no-op")
     assert(out.map(_.getAs[Long]("n_rows")).toSeq ==
-      Seq(600L, 600L, 600L),
+      Seq(240L, 240L, 240L),
       "identical copies are a row MULTISET — compaction never unifies")
   }
 
@@ -554,6 +554,78 @@ class TableCompactionSpec extends AnyFunSuite with SparkTestSession {
       assert(again.binsWritten == 0, s"round $round: not idempotent")
       assert(fileDigests(table) == digests,
         s"round $round: second run rewrote files")
+    }
+  }
+
+  test("a crashed CHILD-scoped run's journal heals before a root-scoped " +
+      "run plans: half-swapped child state is never re-binned as data") {
+    // the r15 ADVICE shape: a compactBacklog shard (or a user's own
+    // per-subtree run) crashes mid-swap in a child — bin published, some
+    // sources not yet deleted, journal live AT THE CHILD — and a later
+    // run scoped at the ROOT takes the under-budget compactScoped path,
+    // which heals only the root's journal; planning over the raw listing
+    // would bin the child's published file and its stale sources
+    // together, duplicating those rows permanently
+    withDir { table =>
+      landPartitioned(table)
+      val before = rowsOf(table)
+      val child = s"$table/source=s0"
+      val targets = TableCompaction.stageAndJournalOnly(spark, child,
+        targetBytes = 64L << 20)
+      assert(targets.size == 1)
+      TableCompaction.renameFirstJournaled(spark, child, 1)
+      // the crash window: the child's rows are transiently duplicated
+      assert(spark.read.parquet(table).count() > before.size.toLong)
+      val stats = TableCompaction.compactLanded(spark, table, 64L << 20)
+      assert(stats.healedBins == 1, s"child journal must heal: $stats")
+      assert(rowsOf(table) == before, "duplicates healed, nothing lost")
+      // no protocol litter anywhere in the tree: the child's journal and
+      // staging are consumed by the heal, the root run's by its swap
+      val litter = fs(table).listFiles(new Path(table), true)
+      val bad = scala.collection.mutable.ArrayBuffer[String]()
+      while (litter.hasNext) {
+        val p = litter.next().getPath
+        if (p.getName.startsWith(".compact_")) bad += p.toString
+        if (p.getParent.getName.startsWith(".compact_")) bad += p.toString
+      }
+      assert(bad.isEmpty, s"protocol litter: $bad")
+      // and the healed table is idempotent under both public entries
+      val again = TableCompaction.compactBacklog(spark, table,
+        targetBytes = 64L << 20, budgetFiles = 100000)
+      assert(again.binsWritten == 0 && rowsOf(table) == before)
+    }
+  }
+
+  test("a crashed GRANDCHILD journal under an over-budget root heals " +
+      "inside the sharded recursion's child-scoped runs") {
+    withDir { base =>
+      val table = s"$base/t"
+      // two partition subtrees, several files each (drop the data-side
+      // `source` column — the dir path already encodes it)
+      for (d <- 0 until 2; b <- 0 until 3)
+        docs(12).filter(col("doc_id") % 3 === b).drop("source")
+          .repartition(2)
+          .write.mode("append").parquet(s"$table/source=s$d/day=1")
+      def rows(): Seq[(String, Long)] = spark.read.parquet(table)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      val before = rows()
+      val grandchild = s"$table/source=s1/day=1"
+      TableCompaction.stageAndJournalOnly(spark, grandchild,
+        targetBytes = 64L << 20): Unit
+      TableCompaction.renameFirstJournaled(spark, grandchild, 1)
+      // budget 8 forces sharding at the root (13 committed files after
+      // the crash) while each source subtree stays UNDER budget (6 and
+      // 7), so source=s1 runs as ONE scoped leaf whose recursive listing
+      // must surface and heal the grandchild journal below it — the
+      // exact blind spot: the leaf's own healJournal only covers its root
+      val stats = TableCompaction.compactBacklog(spark, table,
+        targetBytes = 64L << 20, budgetFiles = 8)
+      assert(stats.healedBins == 1, s"grandchild journal must heal: $stats")
+      assert(rows() == before)
+      val again = TableCompaction.compactBacklog(spark, table,
+        targetBytes = 64L << 20, budgetFiles = 8)
+      assert(again.binsWritten == 0 && rows() == before)
     }
   }
 

@@ -11,7 +11,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
   private def emb = graft.sources.Tables.embeddings(spark, sf)
 
   test("build -> search equals the one-shot ivfPqTopK bit-for-bit; codes are list-partitioned") {
-    val dir = java.nio.file.Files.createTempDirectory("vecidx").toString
+    val dir = graft.ScratchDir.dir("vecidx")
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 8, m = 8, ksub = 16)
 
     // the inverted-file layout is real directory partitioning
@@ -31,7 +31,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("appendIvfPq: build on half, append the rest == one-shot search with the half-trained model") {
-    val dirA = java.nio.file.Files.createTempDirectory("vecidx-a").toString
+    val dirA = graft.ScratchDir.dir("vecidx-a")
     val half = emb.filter(col("vec_id") < 250)
     val rest = emb.filter(col("vec_id") >= 250)
     VectorIndex.buildIvfPq(half, "vec_id", "embedding", dirA, nLists = 8, m = 8, ksub = 16)
@@ -53,7 +53,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("deleteIvfPq: victims gone, untouched lists' files untouched, emptied lists cleared") {
-    val dir = java.nio.file.Files.createTempDirectory("vecidx-del").toString
+    val dir = graft.ScratchDir.dir("vecidx-del")
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 8, m = 8, ksub = 16)
     val codes = spark.read.parquet(s"$dir/codes")
       .select("neighbor_id", "list").collect()
@@ -96,7 +96,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     // every 7th id deleted — recall on the MUTATED index must stay usable
     // (the drift between trained and stored distributions is real but
     // bounded on this fixture) and deleted ids must never surface
-    val dir = java.nio.file.Files.createTempDirectory("vecidx-mut").toString
+    val dir = graft.ScratchDir.dir("vecidx-mut")
     VectorIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
       "vec_id", "embedding", dir, nLists = 8, m = 8, ksub = 16)
     VectorIndex.appendIvfPq(emb.filter(col("vec_id") % 2 === 1),
@@ -140,7 +140,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     val oldC = (0L until 150L).map(i => (i, vOld(i))).toDF("vec_id", "embedding")
     val newC = (150L until 300L).map(i => (i, vNew(i))).toDF("vec_id", "embedding")
     val fullC = oldC.unionByName(newC).localCheckpoint(true)
-    val dir = java.nio.file.Files.createTempDirectory("vecidx-retrain").toString
+    val dir = graft.ScratchDir.dir("vecidx-retrain")
     VectorIndex.buildIvfPq(oldC, "vec_id", "embedding", dir,
       nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
     VectorIndex.appendIvfPq(newC, "vec_id", "embedding", dir)
@@ -165,7 +165,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
       "vec_id", "embedding", threshold = 0.1,
       nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
     assert(did1 && psi1 == psi0, s"psi=$psi1 did=$did1")
-    val fresh = java.nio.file.Files.createTempDirectory("vecidx-fresh").toString
+    val fresh = graft.ScratchDir.dir("vecidx-fresh")
     VectorIndex.buildIvfPq(fullC, "vec_id", "embedding", fresh,
       nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
     val q = fullC.filter(col("vec_id") >= 150 && col("vec_id") < 160)
@@ -204,7 +204,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     // vector positive in every coordinate, before and after
     assert(built.unionByName(scaled)
       .filter(exists(col("embedding"), _ <= 0)).count() == 0)
-    val dir = java.nio.file.Files.createTempDirectory("vecidx-scale").toString
+    val dir = graft.ScratchDir.dir("vecidx-scale")
     VectorIndex.buildIvfPq(built, "vec_id", "embedding", dir,
       nLists = 2, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
     def fileHashes(): Map[String, String] = {
@@ -235,7 +235,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
       s"octant-invisible drift must fire the occupancy dial: psi=$psiDrift")
     // the rebuild equals a fresh build from the scaled corpus, and the
     // trigger disarms against it
-    val fresh = java.nio.file.Files.createTempDirectory("vecidx-scale-f").toString
+    val fresh = graft.ScratchDir.dir("vecidx-scale-f")
     VectorIndex.buildIvfPq(scaled, "vec_id", "embedding", fresh,
       nLists = 2, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
     val q = scaled.filter(col("vec_id") < 8)
@@ -287,8 +287,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     val corpus = (0L until 120L).map(i => (i, vec(i)))
       .toDF("vec_id", "embedding").localCheckpoint(true)
     for (sub <- Seq("codes", "model", "stats")) {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"vecidx-heal-$sub").toString
+      val dir = graft.ScratchDir.dir(s"vecidx-heal-$sub")
       VectorIndex.buildIvfPq(corpus, "vec_id", "embedding", dir,
         nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
       // manufacture the crash state: target moved into staging, marker armed
@@ -328,7 +327,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     val fullC = oldC.unionByName(
       (150L until 300L).map(i => (i, vNew(i))).toDF("vec_id", "embedding"))
       .localCheckpoint(true)
-    val dir = java.nio.file.Files.createTempDirectory("vecidx-mixed").toString
+    val dir = graft.ScratchDir.dir("vecidx-mixed")
     VectorIndex.buildIvfPq(oldC, "vec_id", "embedding", dir,
       nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
     VectorIndex.appendIvfPq(fullC.filter(col("vec_id") >= 150), "vec_id",
@@ -349,7 +348,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
     val (_, _) = VectorIndex.retrainIfDrifted(spark, dir, fullC,
       "vec_id", "embedding", threshold = 1e9, // below-threshold call: heal only
       nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
-    val fresh = java.nio.file.Files.createTempDirectory("vecidx-mixed-fresh").toString
+    val fresh = graft.ScratchDir.dir("vecidx-mixed-fresh")
     VectorIndex.buildIvfPq(fullC, "vec_id", "embedding", fresh,
       nLists = 4, m = 4, ksub = 8, sampleSize = 256, seed = 7L)
     val q = fullC.filter(col("vec_id") >= 150 && col("vec_id") < 160)
@@ -362,7 +361,7 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("the persisted model round-trips exactly") {
-    val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
+    val dir = graft.ScratchDir.dir("vecidx2")
     VectorIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nLists = 4, m = 4, ksub = 8)
     val trained = Similarity.trainPq(
       Similarity.sampleVectors(emb, "vec_id", "embedding", 2048, 42L), 4, 4, 8)

@@ -400,7 +400,8 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
       }
       buckets.toSeq
         .groupBy { case ((b, _), sz) =>
-          (b, math.floor(math.log(sz.toDouble) / math.log(2.0)).toLong)
+          // exact integer log2 (bit length - 1) — the operator's contract
+          (b, (63 - java.lang.Long.numberOfLeadingZeros(sz)).toLong)
         }
         .view.mapValues { g =>
           (g.size.toLong, g.map(_._2).sum, g.map { case (_, sz) => sz * (sz - 1) / 2 }.sum)

@@ -347,13 +347,13 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestSession {
     // the Cassandra partition-key read path (CassandraService.java:139-140):
     // one camera-day predicate must touch one hive partition, not the table
     import graft.streaming.{FrameFixtures, MotionPipeline}
-    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    val dir = graft.ScratchDir.dir("prune")
     import spark.implicits._
     val lines = FrameFixtures.sequence("camA", 1700000000000L, 2, moving = false) ++
       FrameFixtures.sequence("camB", 1700086400000L, 2, moving = false) // next day
     val results = MotionPipeline.detectBin(
       MotionPipeline.decodeWire(lines.toDF("value")),
-      java.nio.file.Files.createTempDirectory("prune-img").toString)
+      graft.ScratchDir.dir("prune-img"))
     MotionPipeline.toStorageLayout(results)
       .write.mode("overwrite").partitionBy("camera_id", "day").parquet(dir)
 

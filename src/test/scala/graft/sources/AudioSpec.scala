@@ -101,7 +101,7 @@ class AudioSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("binaryFile read + decode + features over a wav directory") {
-    val dir = Files.createTempDirectory("wavs").toString
+    val dir = graft.ScratchDir.dir("wavs")
     Files.write(Paths.get(dir, "tone.wav"), AudioOps.encodeWav(8000, 1, sine(8000, 440, 0.2)))
     Files.write(Paths.get(dir, "quiet.wav"), AudioOps.encodeWav(16000, 1, Array.fill(1600)(0: Short)))
     Files.write(Paths.get(dir, "junk.wav"), Array[Byte](9, 9, 9))

@@ -14,7 +14,7 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     // the lakehouse correction contract: re-running a day's pipeline with
     // fixed data must replace exactly that day's partition — static
     // overwrite mode would wipe the whole table
-    val dir = java.nio.file.Files.createTempDirectory("dpo").toString
+    val dir = graft.ScratchDir.dir("dpo")
     def rows(day: String, tag: String) =
       (1 to 4).map(i => ("camA", day, s"$tag-$i")).toDF("camera_id", "day", "payload")
     rows("2024-01-01", "orig").unionAll(rows("2024-01-02", "orig"))
@@ -51,7 +51,7 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
       .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
 
   test("compaction rewrites old partitions into few files and leaves fresh ones alone") {
-    val dir = Files.createTempDirectory("compact").toString
+    val dir = graft.ScratchDir.dir("compact")
     write(dir, "2024-01-01", n = 10, batches = 5) // historical: 10 small files
     write(dir, "2024-01-02", n = 10, batches = 5) // "today": must stay untouched
     val before = spark.read.parquet(dir).select("payload").as[String].collect().sorted
@@ -67,7 +67,7 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("a big partition splits across multiple files when over the target size") {
-    val dir = Files.createTempDirectory("compact3").toString
+    val dir = graft.ScratchDir.dir("compact3")
     write(dir, "2024-01-01", n = 2000, batches = 3)
     // tiny target forces several output files for the single partition —
     // the salt is what lets equal (camera_id, day) rows reach >1 writer
@@ -77,7 +77,7 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("watermark clamp: a too-eager cutoff is pulled back to the safe day") {
-    val dir = Files.createTempDirectory("compact4").toString
+    val dir = graft.ScratchDir.dir("compact4")
     write(dir, "2024-01-01", n = 4, batches = 3)
     write(dir, "2024-01-03", n = 4, batches = 3)
     // watermark sits mid-2024-01-03 → with the 6 h margin only days before
@@ -93,7 +93,7 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("no-op when nothing is older than the cutoff") {
-    val dir = Files.createTempDirectory("compact2").toString
+    val dir = graft.ScratchDir.dir("compact2")
     write(dir, "2024-03-05", n = 4, batches = 2)
     assert(Compaction.compactResults(spark, dir, "2024-01-01") == 0)
     assert(filesIn(dir, "2024-03-05") == 4)

@@ -21,7 +21,7 @@ class ImagesSpec extends AnyFunSuite with SparkTestSession {
     }
 
   test("binaryFile source + decode round-trips pipeline PNGs exactly") {
-    val dir = Files.createTempDirectory("imgs").toString
+    val dir = graft.ScratchDir.dir("imgs")
     writeFrames(dir, "camA", 3)
     val decoded = Images.decoded(Images.readPngDir(spark, dir)).collect()
     assert(decoded.length == 3)
@@ -37,7 +37,7 @@ class ImagesSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("undecodable binaries are dropped") {
-    val dir = Files.createTempDirectory("imgs-bad").toString
+    val dir = graft.ScratchDir.dir("imgs-bad")
     Files.write(java.nio.file.Paths.get(dir, "junk.png"), Array[Byte](1, 2, 3))
     writeFrames(dir, "camB", 1)
     assert(Images.decoded(Images.readPngDir(spark, dir)).count() == 1)
@@ -48,7 +48,7 @@ class ImagesSpec extends AnyFunSuite with SparkTestSession {
     val out = ImageOps.resizeBilinear(px, 32, 32, 3, 16, 16)
     assert(out.length == 16 * 16 * 3)
     assert(out.forall(_ == 100.toByte))
-    val dir = Files.createTempDirectory("imgs-rs").toString
+    val dir = graft.ScratchDir.dir("imgs-rs")
     writeFrames(dir, "camC", 1)
     val row = Images.withResized(
       Images.decoded(Images.readPngDir(spark, dir)), 24, 24).collect().head
@@ -64,7 +64,7 @@ class ImagesSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("sampleFrames keeps every nth frame per camera in time order") {
-    val dir = Files.createTempDirectory("imgs-smp").toString
+    val dir = graft.ScratchDir.dir("imgs-smp")
     writeFrames(dir, "camD", 6)
     writeFrames(dir, "camE", 3)
     // a stray PNG without the -T-{ms} pattern must be ignored, not abort

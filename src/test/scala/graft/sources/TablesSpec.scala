@@ -22,7 +22,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("CSV round-trip preserves rows; explicit schema avoids inference") {
-    val dir = Files.createTempDirectory("csv").toString
+    val dir = graft.ScratchDir.dir("csv")
     val nation = Tables.nation(spark, sf)
     nation.write.mode("overwrite").option("header", "true").csv(dir)
     val inferred = Tables.csv(spark, dir)
@@ -34,7 +34,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
 
   test("parquet schema evolution: mergeSchema unions batch schemas, old rows read NULL for new columns") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    val dir = graft.ScratchDir.dir("evolve")
     // delivery 1: (id, text); delivery 2 adds a quality column
     Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
       .write.mode("append").parquet(dir)
@@ -49,7 +49,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("ORC round-trip preserves rows and values") {
-    val dir = Files.createTempDirectory("orc").toString
+    val dir = graft.ScratchDir.dir("orc")
     val nation = Tables.nation(spark, sf)
     nation.write.mode("overwrite").orc(dir)
     val back = Tables.orc(spark, dir)
@@ -59,7 +59,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("JSON round-trip preserves rows and values") {
-    val dir = Files.createTempDirectory("json").toString
+    val dir = graft.ScratchDir.dir("json")
     val region = Tables.region(spark, sf)
     region.write.mode("overwrite").json(dir)
     val back = Tables.json(spark, dir, Some(region.schema))

@@ -36,7 +36,7 @@ class VideoSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("frames explodes per-frame rows; sampling and motion compose on top") {
-    val dir = Files.createTempDirectory("vids").toString
+    val dir = graft.ScratchDir.dir("vids")
     Files.write(Paths.get(dir, "moving.gvid"), clip(moving = true, 4))
     Files.write(Paths.get(dir, "static.gvid"), clip(moving = false, 4))
     Files.write(Paths.get(dir, "junk.gvid"), Array[Byte](7, 7))

@@ -41,7 +41,7 @@ class AudioIngestSpec extends AnyFunSuite with SparkTestSession {
     val a = AudioOps.decodeWav(AudioCorpus.render(0L)).get
     val quiet = AudioOps.encodeWav(a.sampleRate, a.channels,
       a.samples.map(s => (s / 2).toShort))
-    val base = Files.createTempDirectory("audingest").toString
+    val base = graft.ScratchDir.dir("audingest")
     val t0 = 1700000000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((1L, "podA", ts(t0), AudioCorpus.render(0L))),
@@ -66,7 +66,7 @@ class AudioIngestSpec extends AnyFunSuite with SparkTestSession {
     // batch gate is by the SHARED audioReasonOf scalar)
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val base = Files.createTempDirectory("audingest-gate").toString
+    val base = graft.ScratchDir.dir("audingest-gate")
     val t0 = 1700800000L
     val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
     def run(): Unit =
@@ -109,7 +109,7 @@ class AudioIngestSpec extends AnyFunSuite with SparkTestSession {
       "wav", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val expectedKeep = ids.toSet -- batchPairs.map(_._2).toSet
-    val base = Files.createTempDirectory("audingest-parity").toString
+    val base = graft.ScratchDir.dir("audingest-parity")
     val t0 = 1700400000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       ids.map(i => (i, "pod", ts(t0 + i), AudioCorpus.render(i)))))
@@ -120,7 +120,7 @@ class AudioIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("undecodable blobs are dropped map-side, not landed and not crashed on") {
-    val base = Files.createTempDirectory("audingest-junk").toString
+    val base = graft.ScratchDir.dir("audingest-junk")
     val t0 = 1700300000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((30L, "podA", ts(t0), AudioCorpus.render(9L)),

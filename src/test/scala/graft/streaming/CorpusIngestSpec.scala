@@ -16,7 +16,7 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
   private def tmp(tag: String): String =
-    Files.createTempDirectory(s"corpus-$tag").toString
+    graft.ScratchDir.dir(s"corpus-$tag")
 
   private def doc(id: Long, text: String, source: String, ts: String): String =
     s"""{"doc_id":$id,"text":"$text","source":"$source","ingest_ts":"$ts"}"""
@@ -182,6 +182,39 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestSession {
       spark, s"${folded}_rejects") ==
       graft.operators.TableCompaction.committedDataFiles(
         spark, s"${plain}_rejects"))
+  }
+
+  test("a reject-only micro-batch consumes no landing-fold cadence slot: " +
+      "the dial is LANDED rows, observed on the landing write itself") {
+    // r15 ADVICE: the slot dial used to be a separate !b.isEmpty action
+    // (a third run of the gate-verdict plan per batch); it now rides an
+    // observe() on the landing write — and counts LANDED rows, so a
+    // batch that only audited rejects (no landing append) cannot pull
+    // the landing-table fold cadence forward
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val table = tmp("rocad-table"); val ckpt = tmp("rocad-ckpt")
+    val source = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    def dataBatches(): Long = graft.util.AtomicPublish.readFile(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(ckpt, ".graft_data_batches"),
+      Some("GRAFT_DATA_BATCH_CADENCE_V1"))(
+      in => { in.readLong(); in.readLong() })
+    def wave(rows: (Long, String, String, java.sql.Timestamp)*): Unit = {
+      source.addData(rows: _*)
+      CorpusIngest.writeAudited(
+        source.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+        table, ckpt, compactLandedEvery = 100).awaitTermination()
+    }
+    wave((1L, soupWords(1L, 8), "srcA", t0),
+      (2L, soupWords(2L, 8), "srcA", t0))
+    assert(dataBatches() == 1L)
+    wave((3L, "hi", "srcA", t0)) // gate reject: too_few_tokens
+    assert(dataBatches() == 1L,
+      "a reject-only batch appends no landing files — no slot")
+    assert(spark.read.parquet(s"${table}_rejects").count() == 1L)
+    wave((4L, soupWords(4L, 8), "srcA", t0))
+    assert(dataBatches() == 2L)
   }
 
   test("BLOOM-gated ingest: suspects reject with the run start, verdict classes match the exact gate, and the rejects graduate to confirmed leaks") {

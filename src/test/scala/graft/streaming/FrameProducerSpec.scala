@@ -70,7 +70,7 @@ class FrameProducerSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("rate-micro-batch generator streams deterministic frames through detection") {
-    val img = Files.createTempDirectory("rmb-img").toString
+    val img = graft.ScratchDir.dir("rmb-img")
     val frames = FrameProducer.framesStreamDeterministic(
       spark, nCameras = 2, rowsPerBatch = 4, startMillis = t0)
     assert(frames.isStreaming)
@@ -94,7 +94,7 @@ class FrameProducerSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("end-to-end: produced frames flow through the motion pipeline and detect motion") {
-    val img = Files.createTempDirectory("prod-img").toString
+    val img = graft.ScratchDir.dir("prod-img")
     // square teleports every frame → motion on every frame after the first
     val frames = FrameProducer.framesBatch(spark, 2, 4, t0, fps = 1.0)
     val wire = FrameProducer.toWire(frames, 2)

@@ -44,7 +44,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("perturbed redelivery drops across a restart; distinct image passes; evidence lands") {
-    val base = Files.createTempDirectory("imgingest").toString
+    val base = graft.ScratchDir.dir("imgingest")
     val t0 = 1700000000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((1L, "camA", ts(t0), ImageCorpus.render(0L))),
@@ -65,7 +65,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // (ids 0..2 = one family, hashed but never streamed) and verify the
     // very first micro-batch rejects a family variant with the CORPUS
     // image as evidence - a blind-start suppressor would admit it
-    val base = Files.createTempDirectory("imgingest-boot").toString
+    val base = graft.ScratchDir.dir("imgingest-boot")
     val t0 = 1700900000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -108,7 +108,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // READ (all partitions, bases included) must still seed the
     // suppressor — a fingerprint living ONLY in the compacted base has to
     // reject its streaming near-dup in batch one
-    val base = Files.createTempDirectory("imgingest-compactboot").toString
+    val base = graft.ScratchDir.dir("imgingest-compactboot")
     val t0 = 1700910000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -116,7 +116,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     val hashes = graft.operators.ImageDedup.hashes(
       ImageCorpus.forIds((0L until 9L).toDF("doc_id"), "doc_id"),
       "png", "doc_id").localCheckpoint(true)
-    val dir = Files.createTempDirectory("imgingest-store").toString + "/store"
+    val dir = graft.ScratchDir.dir("imgingest-store") + "/store"
     FingerprintStore.init(hashes.filter($"id" < 3), dir)
     FingerprintStore.ingest(spark, dir, "d1",
       hashes.filter($"id".isin(3L, 4L))).collect(): Unit // kept: 3
@@ -149,7 +149,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // the same scenario as above, on the provider a production session runs
     // (GraftSession defaults to RocksDB): state must round-trip RocksDB's
     // serialization across the query restart with identical verdicts
-    val base = Files.createTempDirectory("imgingest-rocks").toString
+    val base = graft.ScratchDir.dir("imgingest-rocks")
     val t0 = 1700500000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes", rocksDb = true)(Seq(
       Seq((1L, "camA", ts(t0), ImageCorpus.render(0L))),
@@ -166,7 +166,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
   test("an identical-id redelivery in one batch lands exactly once, not zero times") {
     // both copies carry img_id 40; without the self-match skip the rollup
     // group's min_dist=0 rejected BOTH and the image never landed (r8 ADVICE)
-    val base = Files.createTempDirectory("imgingest-selfid").toString
+    val base = graft.ScratchDir.dir("imgingest-selfid")
     val t0 = 1700600000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((40L, "camA", ts(t0), ImageCorpus.render(12L)),
@@ -185,7 +185,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // apply to state carried from the earlier batch: the state hit proves
     // the image already landed, so the retry goes to rejects instead of
     // appending a second landing row.
-    val base = Files.createTempDirectory("imgingest-crossbatch").toString
+    val base = graft.ScratchDir.dir("imgingest-crossbatch")
     val t0 = 1700700000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((45L, "camA", ts(t0), ImageCorpus.render(15L))),
@@ -201,7 +201,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("same-batch exact duplicate keeps the earliest, rejects at distance 0") {
-    val base = Files.createTempDirectory("imgingest-exact").toString
+    val base = graft.ScratchDir.dir("imgingest-exact")
     val t0 = 1700100000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((10L, "camA", ts(t0), ImageCorpus.render(3L)),
@@ -214,7 +214,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("state does not outlive the watermark: a re-arrival past the horizon is kept") {
-    val base = Files.createTempDirectory("imgingest-evict").toString
+    val base = graft.ScratchDir.dir("imgingest-evict")
     val t0 = 1700200000L
     runBatches(s"$base/t", s"$base/c", delay = "1 minutes")(Seq(
       Seq((20L, "camA", ts(t0), ImageCorpus.render(6L))),
@@ -241,7 +241,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
       "png", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val expectedKeep = ids.toSet -- batchPairs.map(_._2).toSet
-    val base = Files.createTempDirectory("imgingest-parity").toString
+    val base = graft.ScratchDir.dir("imgingest-parity")
     val t0 = 1700400000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       ids.map(i => (i, "cam", ts(t0 + i), ImageCorpus.render(i)))))
@@ -273,7 +273,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // entered state, the re-arrival would reject as near_duplicate at
     // dist 0 — pinning its reason as too_dark proves the gate kept it
     // out of the suppressor entirely (r9 verdict #5)
-    val base = Files.createTempDirectory("imgingest-gate").toString
+    val base = graft.ScratchDir.dir("imgingest-gate")
     val t0 = 1700800000L
     runGatedBatches(s"$base/t", s"$base/c")(Seq(
       Seq((50L, "camA", ts(t0), ImageCorpus.renderGraded(3L)),
@@ -297,7 +297,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // gate on, both images pass quality: the dedup path through the gated
     // pipeline must behave exactly as ungated — reason column says
     // near_duplicate, evidence intact
-    val base = Files.createTempDirectory("imgingest-gate-dup").toString
+    val base = graft.ScratchDir.dir("imgingest-gate-dup")
     val t0 = 1701000000L
     runGatedBatches(s"$base/t", s"$base/c")(Seq(
       Seq((60L, "camA", ts(t0), ImageCorpus.render(0L))),
@@ -318,7 +318,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // healthy near-dup of the corpus must still reject against the
     // bootstrapped bucket with corpus evidence — the gate prunes work
     // BEFORE the suppressor without blinding it
-    val base = Files.createTempDirectory("imgingest-gate-boot").toString
+    val base = graft.ScratchDir.dir("imgingest-gate-boot")
     val t0 = 1701200000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -365,7 +365,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
         "png", "doc_id"))
       .collect().map(r => r.getAs[Long]("id") ->
         Option(r.getAs[String]("reason"))).toMap
-    val base = Files.createTempDirectory("imgingest-gate-parity").toString
+    val base = graft.ScratchDir.dir("imgingest-gate-parity")
     val t0 = 1701100000L
     runGatedBatches(s"$base/t", s"$base/c")(Seq(
       ids.map(i => (i, "cam", ts(t0 + i), ImageCorpus.renderGraded(i)))))
@@ -387,7 +387,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // — store rows stay exactly one per landed item, while the landing
     // table's appends are allowed to duplicate (at-least-once, as
     // documented)
-    val base = Files.createTempDirectory("imgingest-writeback").toString
+    val base = graft.ScratchDir.dir("imgingest-writeback")
     val store = s"$base/store"
     val t0 = 1701400000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -425,7 +425,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // bootstrap from the write-back store: a near-dup of what the FIRST
     // run landed must reject with the landed item as evidence — only the
     // store knows it; a blind restart would re-admit it
-    val base = Files.createTempDirectory("imgingest-writeback-boot").toString
+    val base = graft.ScratchDir.dir("imgingest-writeback-boot")
     val store = s"$base/store"
     val t0 = 1701500000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -468,7 +468,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // exists for; folding from INSIDE foreachBatch is the writer's own
     // exclusive window. keepRecent=1 keeps the partition the current
     // batch just wrote, so the only replayable epoch always finds it.
-    val base = Files.createTempDirectory("imgingest-wb-compact").toString
+    val base = graft.ScratchDir.dir("imgingest-wb-compact")
     val store = s"$base/store"
     val t0 = 1701600000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -545,7 +545,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
     // payload decoded twice per micro-batch (r10 ADVICE). The single-
     // branch QualityBand routing must pay one evaluation per item; a
     // counting gate pins the count AND that verdicts are unchanged.
-    val base = Files.createTempDirectory("imgingest-evalcount").toString
+    val base = graft.ScratchDir.dir("imgingest-evalcount")
     val t0 = 1701300000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -574,7 +574,7 @@ class ImageIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("undecodable blobs are dropped map-side, not landed and not crashed on") {
-    val base = Files.createTempDirectory("imgingest-junk").toString
+    val base = graft.ScratchDir.dir("imgingest-junk")
     val t0 = 1700300000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((30L, "camA", ts(t0), ImageCorpus.render(9L)),

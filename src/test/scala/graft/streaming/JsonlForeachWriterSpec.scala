@@ -12,8 +12,8 @@ class JsonlForeachWriterSpec extends AnyFunSuite with SparkTestSession {
   test("streams result rows one at a time into jsonl files") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val out = Files.createTempDirectory("few").toString
-    val img = Files.createTempDirectory("few-img").toString
+    val out = graft.ScratchDir.dir("few")
+    val img = graft.ScratchDir.dir("few-img")
     val stream = MemoryStream[String]
     val t0 = 1700900000000L
 
@@ -37,7 +37,7 @@ class JsonlForeachWriterSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("control characters in string fields are escaped, keeping one record per line") {
-    val out = Files.createTempDirectory("few-esc").toString
+    val out = graft.ScratchDir.dir("few-esc")
     val w = new JsonlForeachWriter(out)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))

@@ -17,11 +17,52 @@ import graft.SparkTestSession
 class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.ScratchDir.dir(prefix)
 
   private def pngs(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
     Option(d.list()).map(_.toSeq.sorted).getOrElse(Nil)
+  }
+
+  test("Kafka plan parity, pinned structurally: the frame-parse chain " +
+      "above the source leaf is source-invariant, and the Kafka builder's " +
+      "offline failure is the CONNECTOR boundary, never a plan mismatch") {
+    // r15 verdict #4: framesStreamFromKafka's doc claims "the produced
+    // plan is identical to the JSON path after the value projection".
+    // The Kafka leaf itself cannot be constructed here (no
+    // spark-sql-kafka connector jar in the offline image — load() fails
+    // resolving the data source, before any plan exists), so the claim
+    // is pinned at its actual content: parseFrames builds ONE downstream
+    // operator chain over ANY (value STRING) relation — batch file,
+    // streaming file, or an arbitrary local relation standing in for the
+    // Kafka value projection — with identical node structure and schema.
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+    def chain(ds: org.apache.spark.sql.Dataset[_]): Seq[String] =
+      ds.queryExecution.analyzed.collect {
+        case n if !n.isInstanceOf[LeafNode] => n.nodeName
+      }
+    val in = tmp("kafka-parity")
+    val lines = FrameFixtures.sequence("camA", 1700000000000L, 2,
+      moving = false)
+    Files.write(Paths.get(in, "wire.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    val batch = MotionPipeline.framesFromJson(spark, in)
+    val stream = MotionPipeline.framesStreamFromJson(spark, in)
+    // the stand-in for Kafka's `CAST(value AS STRING) AS value` output
+    import spark.implicits._
+    val generic = MotionPipeline.parseFrames(
+      Seq("not json").toDF("value"))
+    assert(chain(batch) == chain(stream),
+      s"batch=${chain(batch)} stream=${chain(stream)}")
+    assert(chain(generic) == chain(stream),
+      s"generic=${chain(generic)} stream=${chain(stream)}")
+    assert(batch.schema == stream.schema && generic.schema == stream.schema)
+    // the offline boundary is the missing connector, surfaced while
+    // resolving the source — not a divergent downstream plan
+    val e = intercept[Exception] {
+      MotionPipeline.framesStreamFromKafka(spark, "broker:9092")
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
   test("batch end-to-end: one result per frame, PNGs only for motion frames") {

@@ -45,7 +45,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("edited redelivery drops, distinct doc passes, evidence lands in rejects") {
-    val base = Files.createTempDirectory("neardup").toString
+    val base = graft.ScratchDir.dir("neardup")
     val t0 = 1700000000L
     runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
       Seq(jsonl(1, body, t0)),
@@ -73,7 +73,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
     val spamText = Seq.fill(40)("spam").mkString(" ")
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val base = Files.createTempDirectory("neardup-gate").toString
+    val base = graft.ScratchDir.dir("neardup-gate")
     val t0 = 1700800000L
     val stream = MemoryStream[String]
     def run(): Unit =
@@ -110,7 +110,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("quality gate: near-dup suppression through the gated pipeline is unchanged") {
-    val base = Files.createTempDirectory("neardup-gate-dup").toString
+    val base = graft.ScratchDir.dir("neardup-gate-dup")
     val t0 = 1700900000L
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -136,7 +136,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("edited redelivery drops across a restart ON THE ROCKSDB STATE STORE") {
-    val base = Files.createTempDirectory("neardup-rocks").toString
+    val base = graft.ScratchDir.dir("neardup-rocks")
     val t0 = 1700500000L
     runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes",
       rocksDb = true)(Seq(
@@ -151,7 +151,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("an identical-id redelivery in one batch lands exactly once, not zero times") {
-    val base = Files.createTempDirectory("neardup-selfid").toString
+    val base = graft.ScratchDir.dir("neardup-selfid")
     val t0 = 1700600000L
     runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
       Seq(jsonl(50, body, t0), jsonl(50, body, t0 + 1))))
@@ -168,7 +168,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
     // entry of the SAME id from an earlier batch: that entry proves the
     // doc already landed, so the retry routes to rejects (see
     // PerceptualIngest.processBucket)
-    val base = Files.createTempDirectory("neardup-crossbatch").toString
+    val base = graft.ScratchDir.dir("neardup-crossbatch")
     val t0 = 1700800000L
     runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
       Seq(jsonl(60, body, t0)),
@@ -183,7 +183,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("exact duplicate estimates 1.0 and same-batch ties keep the earliest") {
-    val base = Files.createTempDirectory("neardup-exact").toString
+    val base = graft.ScratchDir.dir("neardup-exact")
     val t0 = 1700100000L
     runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "10 minutes")(Seq(
       Seq(jsonl(10, body, t0), jsonl(11, body, t0 + 1)))) // same batch, exact dup
@@ -195,7 +195,7 @@ class NearDupIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("state does not outlive the watermark: a late re-arrival past the horizon is kept") {
-    val base = Files.createTempDirectory("neardup-evict").toString
+    val base = graft.ScratchDir.dir("neardup-evict")
     val t0 = 1700200000L
     runBatches(s"$base/t", s"$base/c", threshold = 0.9, delay = "1 minutes")(Seq(
       Seq(jsonl(20, body, t0)),

@@ -59,7 +59,7 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkTestSession {
     val df = docs.toDF("doc_id", "text")
 
     // ---- stream policy: docs arrive in id order (ts follows id), one run
-    val base = Files.createTempDirectory("parity").toString
+    val base = graft.ScratchDir.dir("parity")
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[String]
     val t0 = 1700000000L

@@ -273,8 +273,8 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val table = java.nio.file.Files.createTempDirectory(s"oa-$label-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory(s"oa-$label-ckpt").toString
+      val table = graft.ScratchDir.dir(s"oa-$label-out")
+      val ckpt = graft.ScratchDir.dir(s"oa-$label-ckpt")
       val stream = MemoryStream[String]
       // a NEW query per run, recovered from the same checkpoint: liveness
       // state, the armed timer AND the watermark must all carry over

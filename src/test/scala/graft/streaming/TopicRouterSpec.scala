@@ -53,8 +53,8 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
   test("a camera appearing mid-stream re-routes the fleet without restart") {
     val source = MemoryStream[(String, String)](spark)
     val router = new TopicRouter(maxPerTopic = 2, minTopics = 1)
-    val out = Files.createTempDirectory("router-out").toString
-    val ckpt = Files.createTempDirectory("router-ckpt").toString
+    val out = graft.ScratchDir.dir("router-out")
+    val ckpt = graft.ScratchDir.dir("router-ckpt")
     val wire = source.toDF().toDF("key", "value")
 
     val q = TopicRouter.routeStream(wire, router, out, ckpt,
@@ -92,8 +92,8 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
     val noExpiry = new TopicRouter(maxPerTopic = 1, minTopics = 1)
     noExpiry.observe(Seq("cam-idle", "cam0"))
     assert(noExpiry.assignments("cam0") == "video-events-1") // without-expiry baseline
-    val out = Files.createTempDirectory("router-exp-out").toString
-    val ckpt = Files.createTempDirectory("router-exp-ckpt").toString
+    val out = graft.ScratchDir.dir("router-exp-out")
+    val ckpt = graft.ScratchDir.dir("router-exp-ckpt")
     val q = TopicRouter.routeStream(source.toDF().toDF("key", "value"), router, out, ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
       maxIdleMillis = 60_000L)
@@ -112,8 +112,8 @@ class TopicRouterSpec extends AnyFunSuite with SparkTestSession {
     // reference's scaler, which rebuilds from ZK); a new router must re-learn
     // the fleet from the first post-restart batch and route consistently
     val source = MemoryStream[(String, String)](spark)
-    val out = Files.createTempDirectory("router-rs-out").toString
-    val ckpt = Files.createTempDirectory("router-rs-ckpt").toString
+    val out = graft.ScratchDir.dir("router-rs-out")
+    val ckpt = graft.ScratchDir.dir("router-rs-ckpt")
     val wire = source.toDF().toDF("key", "value")
 
     val q1 = TopicRouter.routeStream(wire, new TopicRouter(maxPerTopic = 2), out, ckpt,

@@ -53,8 +53,8 @@ class TrendingSpec extends AnyFunSuite with SparkTestSession {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val stream = MemoryStream[(String, String)]
-    val ckpt = java.nio.file.Files.createTempDirectory("trend-ckpt").toString
-    val out = java.nio.file.Files.createTempDirectory("trend-out").toString
+    val ckpt = graft.ScratchDir.dir("trend-ckpt")
+    val out = graft.ScratchDir.dir("trend-out")
     def runOnce(): Array[org.apache.spark.sql.Row] = {
       // foreachBatch parquet append: the memory sink refuses checkpoint
       // recovery, and this is the production sink shape anyway

@@ -52,7 +52,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("variant redelivery drops across a restart; other family passes; evidence lands") {
-    val base = Files.createTempDirectory("vidingest").toString
+    val base = graft.ScratchDir.dir("vidingest")
     val t0 = 1710000000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((1L, "chanA", ts(t0), VideoCorpus.render(0L))),
@@ -95,7 +95,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
       Seq.fill(VideoCorpus.NFrames)(black.clone()))
     val mostlyBlack = Video.encode(VideoCorpus.Side, VideoCorpus.Side, 3, 10,
       a._5.take(2) ++ Seq.fill(VideoCorpus.NFrames - 2)(black.clone()))
-    val base = Files.createTempDirectory("vidingest-gate").toString
+    val base = graft.ScratchDir.dir("vidingest-gate")
     val t0 = 1711000000L
     runGatedBatches(s"$base/t", s"$base/c")(Seq(
       Seq((1L, "chanA", ts(t0), allBlack),
@@ -113,7 +113,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("quality gate: near-dup suppression through the gated pipeline is unchanged") {
-    val base = Files.createTempDirectory("vidingest-gate-dup").toString
+    val base = graft.ScratchDir.dir("vidingest-gate-dup")
     val t0 = 1711100000L
     runGatedBatches(s"$base/t", s"$base/c")(Seq(
       Seq((1L, "chanA", ts(t0), VideoCorpus.render(0L))),
@@ -134,7 +134,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
     // per clip at the codec boundary (Video.decodeCalls — suites run
     // sequentially in the forked test JVM, so the JVM-global counter is
     // interference-free inside this test body)
-    val base = Files.createTempDirectory("vidingest-deccount").toString
+    val base = graft.ScratchDir.dir("vidingest-deccount")
     val t0 = 1711200000L
     val clips = Seq(
       (7L, "chanA", ts(t0), VideoCorpus.render(3L)),
@@ -152,7 +152,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
     // the frame-granular packed-id state (and its sameGroup scan) must
     // round-trip RocksDB serialization across a query restart with
     // identical verdicts — the provider a production GraftSession runs
-    val base = Files.createTempDirectory("vidingest-rocks").toString
+    val base = graft.ScratchDir.dir("vidingest-rocks")
     val t0 = 1710500000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes", rocksDb = true)(Seq(
       Seq((1L, "chanA", ts(t0), VideoCorpus.render(0L))),
@@ -171,7 +171,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
     // positions in scrambled order: every sampled frame MATCHES something
     // in state, but no ±2 offset window collects more than 3 of the 6 —
     // the alignment vote (ext104 r9) is what separates it from a re-upload
-    val base = Files.createTempDirectory("vidingest-montage").toString
+    val base = graft.ScratchDir.dir("vidingest-montage")
     val t0 = 1710100000L
     val scramble = Seq(4, 1, 8, 3, 0, 5, 10, 7, 2, 9, 6, 11)
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
@@ -191,7 +191,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
   test("a LATER-batch same-id re-upload is suppressed; evidence names its own prior landing") {
     // the sameGroup skip is batch-local: the clip's own frames in CARRIED
     // state prove a prior landing, so a retry of vid_id 5 lands once
-    val base = Files.createTempDirectory("vidingest-crossbatch").toString
+    val base = graft.ScratchDir.dir("vidingest-crossbatch")
     val t0 = 1710400000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((5L, "chan", ts(t0), VideoCorpus.render(21L))),
@@ -209,7 +209,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
     // first 6 frames of the retained clip: 3 sampled frames, all matching
     // at offset 0 → 3/3 = 1.0 on the arriving side (the streaming
     // denominator is the arriving clip's surviving frames)
-    val base = Files.createTempDirectory("vidingest-contain").toString
+    val base = graft.ScratchDir.dir("vidingest-contain")
     val t0 = 1710200000L
     runBatches(s"$base/t", s"$base/c", delay = "10 minutes")(Seq(
       Seq((1L, "chan", ts(t0), VideoCorpus.render(9L))),
@@ -224,7 +224,7 @@ class VideoIngestSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("an all-low-information clip is dropped like an undecodable blob; junk bytes too") {
-    val base = Files.createTempDirectory("vidingest-lowinfo").toString
+    val base = graft.ScratchDir.dir("vidingest-lowinfo")
     val t0 = 1710300000L
     val black = Video.encode(32, 32, 3, fps = 10,
       Seq.fill(12)(new Array[Byte](32 * 32 * 3)))

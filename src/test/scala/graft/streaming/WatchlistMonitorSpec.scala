@@ -37,7 +37,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
       Seq((0L, AudioCorpus.renderTrack(0L))).toDF("doc_id", "wav"),
       "wav", "doc_id", windowSec = winSec)
     assert(watch.map(_.clip_id) == Seq(0L) && watch.head.units.size == 4)
-    val base = Files.createTempDirectory("watchmon-audio").toString
+    val base = graft.ScratchDir.dir("watchmon-audio")
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
     stream.addData(
@@ -77,7 +77,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
       Seq((0L, VideoCorpus.renderClipTrack(0L))).toDF("doc_id", "gvid"),
       "gvid", "doc_id", everyNth = 1)
     assert(watch.map(_.clip_id) == Seq(0L))
-    val base = Files.createTempDirectory("watchmon-video").toString
+    val base = graft.ScratchDir.dir("watchmon-video")
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte])]
     stream.addData(
@@ -123,7 +123,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
       flipped((r * img.cols + c) * img.channels + k) =
         img.px((r * img.cols + (img.cols - 1 - c)) * img.channels + k)
     val mirrorPng = Png.encodeBytes(flipped, img.rows, img.cols, img.channels)
-    val base = Files.createTempDirectory("watchmon-image").toString
+    val base = graft.ScratchDir.dir("watchmon-image")
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String, Array[Byte])]
     stream.addData(
@@ -175,7 +175,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     // clip 4, and the re-arriving track 7 flags at the same offset the
     // static path would report
     val winSec = AudioCorpus.TrackWindowSec
-    val base = Files.createTempDirectory("watchmon-dynamic").toString
+    val base = graft.ScratchDir.dir("watchmon-dynamic")
     val wlDir = s"$base/watchlist"
     Seq((0L, AudioCorpus.renderTrack(0L))).toDF("doc_id", "wav")
       .write.mode("overwrite").parquet(wlDir)
@@ -212,7 +212,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
 
   test("retroactive sweep: a clip watched TODAY finds yesterday's LANDED corpus at the monitor's own offsets, flag schema identical") {
     val winSec = AudioCorpus.TrackWindowSec
-    val base = Files.createTempDirectory("watchmon-sweep").toString
+    val base = graft.ScratchDir.dir("watchmon-sweep")
     // yesterday: tracks 3 and 7 landed while only clip 0 was watched —
     // track 7's embed of clip 4 passed the door silently and LANDED
     val landedDir = s"$base/landed"
@@ -271,7 +271,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
 
   test("watermarked sweep computes its own delta: a re-run is idempotent, a newly watched clip sweeps only itself") {
     val winSec = AudioCorpus.TrackWindowSec
-    val base = Files.createTempDirectory("watchmon-sweep-wm").toString
+    val base = graft.ScratchDir.dir("watchmon-sweep-wm")
     // the landed corpus: embed tracks 3 (of clip 0) and 7 (of clip 4)
     val landedDir = s"$base/landed"
     Seq((3L, AudioCorpus.renderTrack(3L)), (7L, AudioCorpus.renderTrack(7L)))
@@ -320,7 +320,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
 
   test("the sweep watermark read distinguishes 'nothing durably swept' from a broken table") {
     val winSec = AudioCorpus.TrackWindowSec
-    val base = Files.createTempDirectory("watchmon-sweep-edge").toString
+    val base = graft.ScratchDir.dir("watchmon-sweep-edge")
     val landedDir = s"$base/landed"
     Seq((3L, AudioCorpus.renderTrack(3L)))
       .toDF("track_id", "wav").write.parquet(landedDir)
@@ -363,7 +363,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     // and any Join/SortMergeJoin would shuffle the watermark — the
     // driver-sized structure's return in exchange form
     val winSec = AudioCorpus.TrackWindowSec
-    val base = Files.createTempDirectory("watchmon-sweep-plan").toString
+    val base = graft.ScratchDir.dir("watchmon-sweep-plan")
     val landedDir = s"$base/landed"
     Seq((3L, AudioCorpus.renderTrack(3L)), (7L, AudioCorpus.renderTrack(7L)))
       .toDF("track_id", "wav").write.parquet(landedDir)
@@ -410,7 +410,7 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
 
   test("the sweep watermark folds past its file bound: one file per sweep, fold to one row per clip, idempotency intact across the fold") {
     val winSec = AudioCorpus.TrackWindowSec
-    val base = Files.createTempDirectory("watchmon-sweep-fold").toString
+    val base = graft.ScratchDir.dir("watchmon-sweep-fold")
     val landedDir = s"$base/landed"
     Seq((3L, AudioCorpus.renderTrack(3L)), (7L, AudioCorpus.renderTrack(7L)),
       (11L, AudioCorpus.renderTrack(11L)))

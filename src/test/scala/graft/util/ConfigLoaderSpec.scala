@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ConfigLoaderSpec extends AnyFunSuite {
 
   test("config-dir file loads and .local. overlay wins per key") {
-    val dir = Files.createTempDirectory("cfg").toString
+    val dir = graft.ScratchDir.dir("cfg")
     Files.writeString(java.nio.file.Paths.get(dir, "app.properties"),
       "a=1\nb=2\n")
     Files.writeString(java.nio.file.Paths.get(dir, "app.local.properties"),
@@ -19,7 +19,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
   }
 
   test("explicit path has highest priority; typed getters and defaults") {
-    val dir = Files.createTempDirectory("cfg2").toString
+    val dir = graft.ScratchDir.dir("cfg2")
     Files.writeString(java.nio.file.Paths.get(dir, "app.properties"), "x=5\n")
     val explicit = java.nio.file.Paths.get(dir, "override.properties")
     Files.writeString(explicit, "x=7\n")

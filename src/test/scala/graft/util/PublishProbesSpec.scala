@@ -15,7 +15,7 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
   private def conf = spark.sparkContext.hadoopConfiguration
 
   test("CommittedTable.hasData: missing dir, marker-only dir and _temporary-only dir are structurally empty; a committed file is data") {
-    val base = java.nio.file.Files.createTempDirectory("committed").toString
+    val base = graft.ScratchDir.dir("committed")
     assert(!CommittedTable.hasData(spark, s"$base/nope"),
       "missing dir has never held rows")
     // _SUCCESS alone: the all-rejected-stream shape — exists, no data
@@ -87,7 +87,7 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("readFile wires the gate to confirmedAbsent: never-published throws FNF; a fresh temp sibling reads as in-flight; an aged orphan does not") {
-    val base = java.nio.file.Files.createTempDirectory("pubprobe").toString
+    val base = graft.ScratchDir.dir("pubprobe")
     val target = new Path(s"$base/index.bin")
     intercept[java.io.FileNotFoundException] {
       AtomicPublish.readFile(conf, target)(_.readLong())
@@ -120,7 +120,7 @@ class PublishProbesSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("readFile still absorbs a concurrent re-publish: the file existed at entry, so mid-blink FNF retries") {
-    val base = java.nio.file.Files.createTempDirectory("pubrace").toString
+    val base = graft.ScratchDir.dir("pubrace")
     val target = new Path(s"$base/value.bin")
     def save(v: Long): Unit =
       AtomicPublish.file(conf, target)(_.writeLong(v))
