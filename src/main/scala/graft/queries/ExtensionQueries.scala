@@ -3753,7 +3753,9 @@ object ExtensionQueries {
     // (one member of every 10th family) carries DIVERGENT audio (rendered
     // from a remapped content id), so its image-duplicate pairs fail the
     // audio side and the AND gate visibly drops them — at gate SF the
-    // output is strictly smaller than ext101's pair table. Rows-only;
+    // output is strictly smaller than ext101's pair table. ORACLE-HASHED
+    // since r16 (both modality aux frames brute-forced and AND-joined in
+    // DuckDB);
     // the drop set is spec-pinned in AudioDedupSpec.
     QueryDef(
       "ext103_multimodal_neardup",
@@ -3761,22 +3763,51 @@ object ExtensionQueries {
         val img = sharedImagePairs(s, dir)
           .withColumnRenamed("dist", "img_dist")
         // divergent-audio corpus (doc_id % 30 == 2 remapped) — its OWN memo
-        // key: a different artifact from ext102's standard pair table
-        val aud = graft.operators.MaterializedPairs.frame(
+        // keys: a different artifact from ext102's standard tables. The
+        // hash frame is memoized separately so the oracle-aux export ships
+        // it (ORACLE-HASHED since r16: both modality pair tables are
+        // brute-forced in DuckDB off their aux frames and AND-joined —
+        // the whole cross-modal gate is hash-gated, decode excepted)
+        val divergentHashes = graft.operators.MaterializedPairs.frame(
           s"${s.sparkContext.applicationId}#" +
-            s"${System.identityHashCode(s)}|audiopairs-divergent|$dir") {
+            s"${System.identityHashCode(s)}|audiohashes-divergent|$dir") {
           val clips = Tables.documents(s, dir).select("doc_id")
             .select(col("doc_id"),
               graft.sources.AudioCorpus.wavFor(
                 when(col("doc_id") % 30 === 2, col("doc_id") + 999999L)
                   .otherwise(col("doc_id"))).as("wav"))
-          graft.operators.AudioDedup.nearDupPairs(
-            clips, "wav", "doc_id", maxDist = 3)
+          graft.operators.AudioDedup.hashes(clips, "wav", "doc_id")
+        }
+        graft.util.OracleAux.export("image_hashes", dir,
+          sharedImageHashes(s, dir))
+        graft.util.OracleAux.export("audio_hashes_divergent", dir,
+          divergentHashes)
+        val aud = graft.operators.MaterializedPairs.frame(
+          s"${s.sparkContext.applicationId}#" +
+            s"${System.identityHashCode(s)}|audiopairs-divergent|$dir") {
+          graft.operators.ImageDedup.hammingNearDupPairs(
+            divergentHashes, maxDist = 3)
         }.withColumnRenamed("dist", "audio_dist")
         img.join(aud, Seq("id_a", "id_b"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""
+        WITH ih AS (SELECT id, phash
+                    FROM read_parquet('${graft.util.OracleAux.glob("image_hashes")}')),
+        ah AS (SELECT id, phash
+               FROM read_parquet('${graft.util.OracleAux.glob("audio_hashes_divergent")}')),
+        ip AS (SELECT a.id AS id_a, b.id AS id_b,
+                      CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS img_dist
+               FROM ih a JOIN ih b ON a.id < b.id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        ap AS (SELECT a.id AS id_a, b.id AS id_b,
+                      CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS audio_dist
+               FROM ah a JOIN ah b ON a.id < b.id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+        SELECT id_a, id_b, img_dist, audio_dist
+        FROM ip JOIN ap USING (id_a, id_b)
+        ORDER BY id_a, id_b
+      """)),
 
     // ------------------------------------------------------------ EXT104
     // VIDEO-column perceptual near-dup — the modality triad closed
@@ -4042,8 +4073,11 @@ object ExtensionQueries {
     // Output per source: delivered / kept / dropped_within /
     // dropped_existing — all three verdict classes live at every SF (full
     // families inside the tail yield within-drops and kept survivors; the
-    // family straddling the 80% boundary yields existing-drops). Rows-only
-    // (image side); ImageDedupSpec pins the verdicts against the known
+    // family straddling the 80% boundary yields existing-drops).
+    // ORACLE-HASHED since r16 (the cut, the within-closure + survivor,
+    // the against-existing probe and the verdict precedence replayed
+    // brute-force in DuckDB off the image-hash aux);
+    // ImageDedupSpec additionally pins the verdicts against the known
     // family structure and the two-sided join's recall against brute
     // force.
     QueryDef(
@@ -4051,6 +4085,7 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "source")
         val hashes = sharedImageHashes(s, dir)
+        graft.util.OracleAux.export("image_hashes", dir, hashes)
         val bound = hashes.agg(((max(col("id")) + 1L) * 4L / 5L).as("cut"))
         val withCut = hashes.crossJoin(broadcast(bound))
         val verdicts = graft.operators.ImageDedup.incrementalVerdicts(
@@ -4067,7 +4102,47 @@ object ExtensionQueries {
               .as("dropped_existing"))
           .orderBy("source")
       },
-      None),
+      // ORACLE-HASHED since r16: off the image-hash aux, DuckDB replays
+      // the whole incremental protocol brute-force — the 80% cut, the
+      // within-delivery closure + min-id survivor, the against-existing
+      // probe, and the dropped_within-over-dropped_existing precedence —
+      // then the per-source rollup
+      Some(s"""
+        WITH RECURSIVE
+        h AS (SELECT id, phash
+              FROM read_parquet('${graft.util.OracleAux.glob("image_hashes")}')),
+        cut AS (SELECT (MAX(id) + 1) * 4 / 5 AS c FROM h),
+        newh AS (SELECT id, phash FROM h, cut WHERE id >= c),
+        oldh AS (SELECT id, phash FROM h, cut WHERE id < c),
+        pr AS (SELECT a.id AS doc_a, b.id AS doc_b
+               FROM newh a JOIN newh b ON a.id < b.id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+              UNION SELECT doc_b AS src, doc_a AS dst FROM pr),
+        r AS (SELECT src AS node, src AS lbl FROM e
+              UNION SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+        surv AS (SELECT n.id, COALESCE(c.cluster_id, n.id) AS survivor
+                 FROM newh n LEFT JOIN c USING (id)),
+        ex AS (SELECT DISTINCT n.id
+               FROM newh n JOIN oldh o
+                 ON bit_count(xor(n.phash, o.phash)) <= 3),
+        v AS (SELECT s.id,
+                     CASE WHEN s.survivor <> s.id THEN 'dropped_within'
+                          WHEN ex.id IS NOT NULL THEN 'dropped_existing'
+                          ELSE 'kept' END AS verdict
+              FROM surv s LEFT JOIN ex ON ex.id = s.id)
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS delivered,
+               CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS kept,
+               CAST(SUM(CASE WHEN verdict = 'dropped_within' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dropped_within,
+               CAST(SUM(CASE WHEN verdict = 'dropped_existing' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dropped_existing
+        FROM v JOIN documents d ON d.doc_id = v.id
+        GROUP BY d.source ORDER BY d.source
+      """)),
 
     // ------------------------------------------------------------ EXT109
     // AUDIO CLIP CONTAINMENT — "which tracks contain this clip, and
@@ -4260,18 +4335,46 @@ object ExtensionQueries {
     // (id%7==3) leak family siblings into train — so contaminated
     // (singles) and clean (whole families) verdicts are both live at
     // every SF. Reads the session's MEMOIZED fingerprint table: zero new
-    // decode passes. Rows-only; ImageDedupSpec pins the verdict set
-    // against the family structure and the nearest-evidence determinism.
+    // decode passes. ORACLE-HASHED since r16 (eval/train re-split +
+    // brute-force probe + (dist, id) tie-break replayed in DuckDB);
+    // ImageDedupSpec additionally pins the verdict set against the
+    // family structure and the nearest-evidence determinism.
     QueryDef(
       "ext116_image_decontamination",
       (s, dir) => {
         val hashes = sharedImageHashes(s, dir)
+        graft.util.OracleAux.export("image_hashes", dir, hashes)
         val isEval = (floor(col("id") / 3) % 5 === 4) || (col("id") % 7 === 3)
         graft.operators.ImageDedup.leakageVerdicts(
           hashes.filter(isEval), hashes.filter(!isEval), maxDist = 3)
           .orderBy("eval_id")
       },
-      None),
+      // ORACLE-HASHED since r16: DuckDB re-splits the aux hash frame with
+      // the same eval predicate, brute-forces the eval×train probe, and
+      // replays the deterministic (dist, id) nearest tie-break
+      Some(s"""
+        WITH h AS (SELECT id, phash
+                   FROM read_parquet('${graft.util.OracleAux.glob("image_hashes")}')),
+        ev AS (SELECT id, phash FROM h
+               WHERE CAST(floor(id / 3) AS BIGINT) % 5 = 4 OR id % 7 = 3),
+        tr AS (SELECT id, phash FROM h
+               WHERE NOT (CAST(floor(id / 3) AS BIGINT) % 5 = 4 OR id % 7 = 3)),
+        j AS (SELECT e.id AS eval_id, t.id AS train_id,
+                     CAST(bit_count(xor(e.phash, t.phash)) AS BIGINT) AS dist
+              FROM ev e JOIN tr t
+                ON bit_count(xor(e.phash, t.phash)) <= 3),
+        n AS (SELECT eval_id, train_id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY eval_id
+                       ORDER BY dist, train_id) AS rk
+              FROM j)
+        SELECT e.id AS eval_id,
+               n.train_id IS NOT NULL AS contaminated,
+               n.train_id AS nearest_train_id,
+               n.dist
+        FROM ev e LEFT JOIN (SELECT * FROM n WHERE rk = 1) n
+          ON n.eval_id = e.id
+        ORDER BY eval_id
+      """)),
 
     // ------------------------------------------------------------ EXT117
     // VIDEO CLIP CONTAINMENT — closes the containment-family symmetry

@@ -380,7 +380,18 @@ object MotionPipeline {
 
   /** Spark 4 `transformWithState` variant of [[detectBin]] — same
     * semantics via the same [[processFrames]] core, on the new arbitrary
-    * stateful API (requires the RocksDB state store provider in streaming).
+    * stateful API (requires the RocksDB state store provider in streaming,
+    * which [[graft.GraftSession]] pins by default).
+    *
+    * Deliberately NOT the default (r15 verdict #7 considered the
+    * promotion): the two operators write INCOMPATIBLE state-store
+    * formats, so flipping [[detectBin]]'s implementation would silently
+    * break every existing deployment's checkpoint on upgrade — a
+    * restarted query would fail (or worse, cold-start its planes) where
+    * yesterday's run left off. New pipelines opt in by calling this
+    * directly; the shared [[processFrames]] core plus the output-parity
+    * spec (MotionPipelineSpec "identical results on the same fixture
+    * stream") guarantee the choice is operational, never semantic.
     */
   def detectTws(frames: Dataset[BinFrame], imageOutputDir: String): Dataset[ProcessingResult] = {
     import org.apache.spark.sql.{Encoders, streaming}

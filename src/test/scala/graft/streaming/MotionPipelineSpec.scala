@@ -271,6 +271,68 @@ class MotionPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(pngs(img).isEmpty) // eviction prevented the would-be motion diff
   }
 
+  test("DIRECT output parity: detectTws and detectBin emit identical " +
+      "rows and PNGs when driven over the same fixture stream") {
+    // r15 verdict #7: the promotion-parity pin. The restart spec below
+    // asserts each path against ABSOLUTE expectations; this one runs the
+    // SAME two-wave fixture (two cameras, moving + static, restart
+    // between waves) through BOTH operators and diffs their outputs
+    // directly — id (UUID) and processing_timestamp (wall clock) are the
+    // only columns excluded, and image_path is compared by file name
+    // (the dir prefix differs per run by construction).
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevConf = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700995000000L
+      def drive(tag: String,
+          detect: (org.apache.spark.sql.Dataset[MotionPipeline.BinFrame], String) =>
+            org.apache.spark.sql.Dataset[graft.model.ProcessingResult])
+          : (Seq[String], Seq[String]) = {
+        val img = tmp(s"par-$tag-img"); val table = tmp(s"par-$tag-out")
+        val ckpt = tmp(s"par-$tag-ckpt")
+        val stream =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+        def runOnce(): Unit = {
+          val q = MotionPipeline.toStorageLayout(
+            detect(MotionPipeline.decodeWire(stream.toDF().toDF("value")), img))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").partitionBy("camera_id", "day").parquet(table)
+            }.start()
+          q.awaitTermination()
+        }
+        stream.addData(FrameFixtures.sequence("camA", t0, 3, moving = true) ++
+          FrameFixtures.sequence("camB", t0, 2, moving = false): _*)
+        runOnce()
+        // wave 2 from the same checkpoint: state restored in both APIs
+        stream.addData(
+          FrameFixtures.frameJson("camA", t0 + 3000, FrameFixtures.PosA),
+          FrameFixtures.frameJson("camB", t0 + 2000, FrameFixtures.PosB))
+        runOnce()
+        val rows = spark.read.parquet(table)
+          .select("camera_id", "day", "frame_timestamp", "detection_type",
+            "detection_count", "frame_rows", "frame_cols", "image_path")
+          .collect()
+          .map(r => r.toSeq.updated(7, r.getString(7).split("/").last)
+            .mkString("|"))
+          .sorted.toSeq
+        (rows, pngs(img))
+      }
+      val (rowsF, pngsF) = drive("fmgws", MotionPipeline.detectBin)
+      val (rowsT, pngsT) = drive("tws", MotionPipeline.detectTws)
+      assert(rowsF.nonEmpty && pngsF.nonEmpty, "fixture must exercise both sinks")
+      assert(rowsT == rowsF,
+        s"row divergence:\n fmgws=$rowsF\n tws=$rowsT")
+      assert(pngsT == pngsF, s"png divergence: fmgws=$pngsF tws=$pngsT")
+    } finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("transformWithState path matches the flatMapGroupsWithState path") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
