@@ -404,7 +404,8 @@ object Bench {
       val est = results.sortBy(-_._2).take(20).map(_._2).sum + 60
       remainingS > est + lifecycleReserve + 120
     }
-    if (!scalingBudgetOk && smallRaw != sfDir) {
+    if (!scalingBudgetOk && smallRaw != sfDir &&
+        new java.io.File(smallRaw).isDirectory) {
       skippedLanes += "scaling_map"
       System.err.println(
         f"[bench] budget: skipping scaling map (remaining=$remainingS%.0fs)")

@@ -363,7 +363,20 @@ class WatchlistMonitorSpec extends AnyFunSuite with SparkTestSession {
     // and any Join/SortMergeJoin would shuffle the watermark — the
     // driver-sized structure's return in exchange form
     val winSec = AudioCorpus.TrackWindowSec
-    val base = graft.ScratchDir.dir("watchmon-sweep-plan")
+    // DELIBERATELY SHORT slug: the plan filter below matches the
+    // watermark dir's "flags_swept" suffix inside the executedPlan
+    // STRING, and FileSourceScanExec truncates its Location metadata at
+    // spark.sql.maxMetadataStringLength (100 chars) — a scratch path a
+    // few chars longer silently cuts the suffix out of the rendered
+    // plan and the pin reads 0 scans (this bit the r16 scratch-dir
+    // sweep: the shared-root layout pushed the path past the boundary)
+    val base = graft.ScratchDir.dir("wmsp")
+    // loud guard so a future path-layout change fails HERE, not as a
+    // mysterious 0-scan assertion: "InMemoryFileIndex(1 paths)[" is 27
+    // chars of the 100-char metadata budget, so the rendered file: URI
+    // must fit in the remaining 72 for "flags_swept" to survive
+    assert(s"file:${base}/flags_swept".length <= 72,
+      s"scratch path too long for the plan-string pin: $base")
     val landedDir = s"$base/landed"
     Seq((3L, AudioCorpus.renderTrack(3L)), (7L, AudioCorpus.renderTrack(7L)))
       .toDF("track_id", "wav").write.parquet(landedDir)
