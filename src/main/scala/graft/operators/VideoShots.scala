@@ -72,12 +72,21 @@ object VideoShots {
     * assignment [[shotsFromFrames]] and [[keyframes]] both roll up from:
     * one lag + one running sum over the per-video window.
     */
-  private def shotAssignment(frameRows: DataFrame,
-      everyNth: Int, cutDist: Int): DataFrame = {
-    val fh = graft.sources.Video.sampleFrames(frameRows, everyNth)
+  /** The sampled-frame dHash table [[shotAssignment]] rolls up from —
+    * public as the oracle-aux seam (r16): ext110/ext112 export it during
+    * Verify so DuckDB can restate the lag / cut-threshold / running-sum
+    * segmentation and the ceil-middle keyframe rank over the exact
+    * hashes the engine computed; the decode+hash pass stays engine-side.
+    */
+  def frameHashes(frameRows: DataFrame, everyNth: Int = 1): DataFrame =
+    graft.sources.Video.sampleFrames(frameRows, everyNth)
       .select(col("video_id").as("id"), col("frame_idx"),
         frameHashUdf(col("rows"), col("cols"), col("channels"), col("px"))
           .as("phash"))
+
+  private def shotAssignment(frameRows: DataFrame,
+      everyNth: Int, cutDist: Int): DataFrame = {
+    val fh = frameHashes(frameRows, everyNth)
     val w = Window.partitionBy("id").orderBy("frame_idx")
     fh
       .withColumn("prev", lag(col("phash"), 1).over(w))

@@ -4192,15 +4192,44 @@ object ExtensionQueries {
     // = VideoCorpus.scenesFor (2–5 independent block-noise scenes of 4–7
     // frames per video, in-scene jitter below both hash resolution and
     // the motion threshold), so every video's expected segmentation is
-    // known. Rows-only; VideoShotsSpec pins segmentation == constructed
-    // scene lengths, the single-scene and everyNth cases, and
-    // undecodable-drop.
+    // known. ORACLE-HASHED since r16: the sampled-frame dHash table
+    // (VideoShots.frameHashes, the decode+hash pass) exports as aux and
+    // DuckDB restates the lag / cut-threshold / running-sum segmentation
+    // and the rollup; VideoShotsSpec additionally pins segmentation ==
+    // constructed scene lengths, the single-scene and everyNth cases,
+    // and undecodable-drop.
     QueryDef(
       "ext110_video_shots",
-      (s, dir) => graft.operators.VideoShots.shotsFromFrames(
-        sharedSceneFrames(s, dir), everyNth = 1, cutDist = 10)
-        .orderBy("video_id", "shot_idx"),
-      None),
+      (s, dir) => {
+        graft.util.OracleAux.export("scene_frame_hashes", dir,
+          graft.operators.VideoShots.frameHashes(
+            sharedSceneFrames(s, dir), everyNth = 1))
+        graft.operators.VideoShots.shotsFromFrames(
+          sharedSceneFrames(s, dir), everyNth = 1, cutDist = 10)
+          .orderBy("video_id", "shot_idx")
+      },
+      Some(s"""
+        WITH fh AS (SELECT id, frame_idx, phash
+                    FROM read_parquet('${graft.util.OracleAux.glob("scene_frame_hashes")}')),
+        l AS (SELECT id, frame_idx,
+                     CASE WHEN LAG(phash) OVER
+                              (PARTITION BY id ORDER BY frame_idx)
+                            IS NOT NULL
+                           AND bit_count(xor(phash, LAG(phash) OVER
+                              (PARTITION BY id ORDER BY frame_idx))) > 10
+                          THEN 1 ELSE 0 END AS is_cut
+              FROM fh),
+        a AS (SELECT id, frame_idx,
+                     CAST(SUM(is_cut) OVER (PARTITION BY id
+                       ORDER BY frame_idx ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS shot_idx
+              FROM l)
+        SELECT id AS video_id, shot_idx,
+               MIN(frame_idx) AS start_frame,
+               MAX(frame_idx) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM a GROUP BY id, shot_idx ORDER BY video_id, shot_idx
+      """)),
 
     // ------------------------------------------------------------ EXT111
     // BATCH MOTION BACKFILL — the reference's LIVE motion pipeline
@@ -4249,10 +4278,44 @@ object ExtensionQueries {
     // scene and one-keyframe-per-shot totals.
     QueryDef(
       "ext112_keyframes",
-      (s, dir) => graft.operators.VideoShots.keyframes(
-        sharedSceneFrames(s, dir), everyNth = 1, cutDist = 10)
-        .orderBy("video_id", "shot_idx"),
-      None),
+      // ORACLE-HASHED since r16: same scene_frame_hashes aux as ext110
+      // (one export feeds both); DuckDB replays the segmentation plus
+      // the deterministic ceil-middle keyframe rank
+      (s, dir) => {
+        graft.util.OracleAux.export("scene_frame_hashes", dir,
+          graft.operators.VideoShots.frameHashes(
+            sharedSceneFrames(s, dir), everyNth = 1))
+        graft.operators.VideoShots.keyframes(
+          sharedSceneFrames(s, dir), everyNth = 1, cutDist = 10)
+          .orderBy("video_id", "shot_idx")
+      },
+      Some(s"""
+        WITH fh AS (SELECT id, frame_idx, phash
+                    FROM read_parquet('${graft.util.OracleAux.glob("scene_frame_hashes")}')),
+        l AS (SELECT id, frame_idx,
+                     CASE WHEN LAG(phash) OVER
+                              (PARTITION BY id ORDER BY frame_idx)
+                            IS NOT NULL
+                           AND bit_count(xor(phash, LAG(phash) OVER
+                              (PARTITION BY id ORDER BY frame_idx))) > 10
+                          THEN 1 ELSE 0 END AS is_cut
+              FROM fh),
+        a AS (SELECT id, frame_idx,
+                     CAST(SUM(is_cut) OVER (PARTITION BY id
+                       ORDER BY frame_idx ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS shot_idx
+              FROM l),
+        r AS (SELECT id, shot_idx, frame_idx,
+                     ROW_NUMBER() OVER (PARTITION BY id, shot_idx
+                       ORDER BY frame_idx) AS rn,
+                     CAST(COUNT(*) OVER (PARTITION BY id, shot_idx)
+                       AS BIGINT) AS cnt
+              FROM a)
+        SELECT id AS video_id, shot_idx, frame_idx AS keyframe_idx,
+               cnt AS shot_frames
+        FROM r WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+        ORDER BY video_id, shot_idx
+      """)),
 
     // ------------------------------------------------------------ EXT113
     // IMAGE QUALITY GATE — the multimodal analog of ext05's text quality
