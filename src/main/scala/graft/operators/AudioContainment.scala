@@ -82,11 +82,26 @@ object AudioContainment {
     */
   def containmentPairs(tracks: DataFrame, audioCol: String, idCol: String,
       windowSec: Double = 0.512, maxDist: Int = 2,
-      minCoverage: Double = 0.8, hopSec: Double = 0.0): DataFrame = {
-    val hop = if (hopSec > 0) hopSec else windowSec
-    val wh = windowHashes(tracks, audioCol, idCol, windowSec, hopSec)
+      minCoverage: Double = 0.8, hopSec: Double = 0.0): DataFrame =
+    containmentPairsFromWindows(
+      keptWindowHashes(tracks, audioCol, idCol, windowSec, hopSec)
+        .localCheckpoint(true),
+      hop = if (hopSec > 0) hopSec else windowSec, maxDist, minCoverage)
+
+  /** The informative (post-silence-filter) window-hash table the verdict
+    * consumes — the [[VideoDedup.keptFrameHashes]] sibling, exposed so a
+    * caller can materialize or export (oracle-aux) the exact unit rows
+    * [[containmentPairsFromWindows]] votes over. */
+  def keptWindowHashes(tracks: DataFrame, audioCol: String, idCol: String,
+      windowSec: Double, hopSec: Double = 0.0): DataFrame =
+    windowHashes(tracks, audioCol, idCol, windowSec, hopSec)
       .filter(TemporalAlignment.informative(col("whash")))
-      .localCheckpoint(true)
+
+  /** [[containmentPairs]] downstream of an already-built
+    * [[keptWindowHashes]] frame (`hop` in seconds converts the winning
+    * window offset to `offset_seconds`). */
+  def containmentPairsFromWindows(wh: DataFrame, hop: Double,
+      maxDist: Int = 2, minCoverage: Double = 0.8): DataFrame = {
     val windowPairs = ImageDedup.hammingNearDupPairs(
       wh.select(struct(col("id"), col("win_idx")).as("id"),
         col("whash").as("phash")),

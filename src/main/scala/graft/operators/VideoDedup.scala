@@ -420,11 +420,17 @@ object VideoDedup {
     */
   def containmentPairs(videos: DataFrame, videoCol: String, idCol: String,
       everyNth: Int = 1, maxDist: Int = 3,
-      minCoverage: Double = 0.8): DataFrame = {
-    val fh = frameHashes(videos, videoCol, idCol, everyNth)
-      .filter(TemporalAlignment.informative(col("phash"),
-        LowInfoMinBits, LowInfoMaxBits))
-      .localCheckpoint(false)
+      minCoverage: Double = 0.8): DataFrame =
+    containmentPairsFromKept(
+      keptFrameHashes(videos, videoCol, idCol, everyNth).localCheckpoint(false),
+      everyNth, maxDist, minCoverage)
+
+  /** [[containmentPairs]] downstream of an already-built
+    * [[keptFrameHashes]] frame — the oracle-aux seam (ext117 exports the
+    * frame table and this runs the localization vote over the exact
+    * exported rows). */
+  def containmentPairsFromKept(fh: DataFrame, everyNth: Int = 1,
+      maxDist: Int = 3, minCoverage: Double = 0.8): DataFrame = {
     val framePairs = ImageDedup.hammingNearDupPairs(
       fh.select(struct(col("id"), col("frame_idx")).as("id"), col("phash")),
       maxDist)

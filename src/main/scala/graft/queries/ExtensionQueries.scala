@@ -42,6 +42,100 @@ object ExtensionQueries {
             FROM grams JOIN prof USING (g)
             GROUP BY doc_id, cand) WHERE rk = 1)"""
 
+  /** The [[graft.operators.TemporalAlignment.alignedOverlap]] vote
+    * restated in DuckDB SQL over an exported post-filter unit-hash aux
+    * table — the oracle half shared by the two containment entries
+    * (ext109: audio windows; ext117: video frames). Brute-force all-pairs
+    * Hamming candidates (the banded join's lossless-recall twin),
+    * per-offset COUNT(DISTINCT small-side unit), best ±`jitter` RANGE
+    * window with the engine's (win DESC, off ASC) tie-break, and coverage
+    * over the shorter surviving side capped at 1.0. Emits the CTE chain
+    * ending at `cov` (id_a, id_b, na, nb, aligned_units, best_off,
+    * matched_units, coverage) — the caller appends its final SELECT (the
+    * clip/track side pick and offset sign flip).
+    */
+  private def alignedOverlapOracleCtes(glob: String, unitCol: String,
+      hashCol: String, maxDist: Int, jitter: Int): String = s"""
+        u AS (SELECT id, $unitCol AS t, $hashCol AS h
+              FROM read_parquet('$glob')),
+        cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM u GROUP BY id),
+        p AS (SELECT a.id AS id_a, b.id AS id_b, a.t AS ta, b.t AS tb
+              FROM u a JOIN u b
+                ON a.id < b.id AND bit_count(xor(a.h, b.h)) <= $maxDist),
+        pc AS (SELECT p.*, ca.n_kept AS na, cb.n_kept AS nb,
+                      CASE WHEN ca.n_kept <= cb.n_kept THEN ta ELSE tb END
+                        AS small_t,
+                      ta - tb AS off
+               FROM p JOIN cnt ca ON ca.id = p.id_a
+                      JOIN cnt cb ON cb.id = p.id_b),
+        m AS (SELECT id_a, id_b,
+                     CAST(COUNT(DISTINCT small_t) AS BIGINT) AS matched_units
+              FROM pc GROUP BY id_a, id_b),
+        po AS (SELECT id_a, id_b, na, nb, off,
+                      COUNT(DISTINCT small_t) AS cnt_o
+               FROM pc GROUP BY id_a, id_b, na, nb, off),
+        wn AS (SELECT id_a, id_b, na, nb, off,
+                      SUM(cnt_o) OVER (PARTITION BY id_a, id_b ORDER BY off
+                        RANGE BETWEEN $jitter PRECEDING AND $jitter FOLLOWING)
+                        AS win
+               FROM po),
+        bw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                        ORDER BY win DESC, off ASC) AS rk
+               FROM wn),
+        cov AS (SELECT b.id_a, b.id_b, b.na, b.nb,
+                       CAST(b.win AS BIGINT) AS aligned_units,
+                       b.off AS best_off, m.matched_units,
+                       LEAST(1.0, ROUND(CAST(b.win AS DOUBLE)
+                         / LEAST(b.na, b.nb), 6)) AS coverage
+                FROM bw b JOIN m ON m.id_a = b.id_a AND m.id_b = b.id_b
+                WHERE b.rk = 1)"""
+
+  /** The 64-term per-bit MAJORITY-vote expression over a grouped hash
+    * column — the DuckDB restatement of
+    * [[graft.operators.VideoDedup]]'s majoritySignatures (2·bitsum > n ⇒
+    * bit set; disjoint bit terms OR-folded back into one BIGINT; the
+    * bit-63 term is the negative two's-complement literal, exactly the
+    * engine's `lit(1L << 63)`). Arithmetic `>>` then `& 1` extracts any
+    * bit incl. the sign bit. */
+  private def majorityTerms(hashCol: String): String =
+    (0 until 64).map { b =>
+      s"(CASE WHEN 2 * SUM(($hashCol >> $b) & 1) > COUNT(*) " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" | ")
+
+  /** [[graft.operators.ImageDedup.bandSlices]] as a DuckDB VALUES relation
+    * (band, lo, msk) for `maxDist` banding — arithmetic `>>` plus mask is
+    * slice-equivalent to the engine's unsigned shift for every band
+    * because the mask strips the sign-extended bits. */
+  private def bandSlicesValues(maxDist: Int): String = {
+    val nBands = maxDist + 1
+    (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val w = (b + 1) * 64 / nBands - lo
+      s"(CAST($b AS INTEGER), $lo, CAST(${(1L << w) - 1} AS BIGINT))"
+    }.mkString(", ")
+  }
+
+  /** [[graft.operators.ImageDedup.bandBucketHealth]] restated over a CTE
+    * `sigCte` providing a `phash` column, under `maxDist` banding, tagged
+    * with `tier` — the per-band log2 size-class histogram with each
+    * class's candidate-pair cost (size_class = exact integer bit length −
+    * 1 on both engines, see bandBucketHealth's doc). */
+  private def bandHealthSelect(sigCte: String, maxDist: Int,
+      tier: String): String = s"""
+        SELECT '$tier' AS tier, band,
+               CAST(length(bin(sz)) - 1 AS BIGINT) AS size_class,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(sz) AS BIGINT) AS n_items,
+               CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS pairs_contrib
+        FROM (SELECT band, v, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM (SELECT bb.band, (h.phash >> bb.lo) & bb.msk AS v
+                    FROM $sigCte h CROSS JOIN
+                      (VALUES ${bandSlicesValues(maxDist)}) AS bb(band, lo, msk))
+              GROUP BY band, v)
+        GROUP BY band, size_class"""
+
   /** Per-invocation scratch dir for the eager lifecycle entries (r13
     * verdict #4 — ONE helper instead of three hand-rolled copies, two of
     * which had kept the pid-only naming whose concurrent-invocation race
@@ -4159,22 +4253,45 @@ object ExtensionQueries {
     // AudioCorpus.trackFor: variable-length tracks where every id%4==3
     // track embeds clip id−3 at window offset 3, amplitude-scaled ×0.7 —
     // so matching is perceptual (bytes differ), the expected pair set is
-    // known, and every reported offset is checkable. Rows-only (no audio
-    // stack in DuckDB); AudioContainmentSpec pins the pair set, offsets,
-    // coverage, the scattered-coincidence rejection and the
-    // silence-window drop.
+    // known, and every reported offset is checkable. ORACLE-HASHED since
+    // r16: the post-silence-filter window-hash table exports as aux and
+    // DuckDB brute-forces the all-pairs Hamming candidates and replays
+    // the whole temporal-alignment vote (per-offset distinct small-side
+    // counts, best ±1 RANGE window, tie-break, coverage, side pick and
+    // offset sign) — the decode+spectral-hash stays engine-side;
+    // AudioContainmentSpec pins the pair set, offsets, coverage, the
+    // scattered-coincidence rejection and the silence-window drop.
     QueryDef(
       "ext109_audio_containment",
       (s, dir) => {
-        val tracks = graft.sources.AudioCorpus.trackFor(
-          Tables.documents(s, dir).select("doc_id"), "doc_id")
-        graft.operators.AudioContainment.containmentPairs(
-          tracks, "wav", "doc_id",
-          windowSec = graft.sources.AudioCorpus.TrackWindowSec,
+        val wh = graft.operators.AudioContainment.keptWindowHashes(
+          graft.sources.AudioCorpus.trackFor(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "wav", "doc_id",
+          windowSec = graft.sources.AudioCorpus.TrackWindowSec)
+        graft.util.OracleAux.export("audio_window_hashes", dir,
+          wh.select("id", "win_idx", "whash"))
+        graft.operators.AudioContainment.containmentPairsFromWindows(
+          wh.localCheckpoint(true),
+          hop = graft.sources.AudioCorpus.TrackWindowSec,
           maxDist = 2, minCoverage = 0.8)
           .orderBy("clip_id", "track_id")
       },
-      None),
+      Some(s"""
+        WITH ${alignedOverlapOracleCtes(
+          graft.util.OracleAux.glob("audio_window_hashes"),
+          "win_idx", "whash", maxDist = 2, jitter = 1)}
+        SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS clip_id,
+               CASE WHEN na <= nb THEN id_b ELSE id_a END AS track_id,
+               CASE WHEN na <= nb THEN -best_off ELSE best_off END
+                 AS offset_windows,
+               ROUND((CASE WHEN na <= nb THEN -best_off ELSE best_off END)
+                 * ${graft.sources.AudioCorpus.TrackWindowSec}, 6)
+                 AS offset_seconds,
+               matched_units AS matched_windows,
+               coverage
+        FROM cov WHERE coverage >= 0.8 ORDER BY clip_id, track_id
+      """)),
 
     // ------------------------------------------------------------ EXT110
     // VIDEO SHOT-BOUNDARY SEGMENTATION — the temporal-segmentation dual
@@ -4246,13 +4363,22 @@ object ExtensionQueries {
     // in-scene jitter (+6 single pixels) sits below threshold 20, every
     // scene cut is a full-frame change, so frames_with_motion == scenes−1
     // — which makes ext110 and ext111 mutually checking: n_shots ==
-    // frames_with_motion + 1 for every video. Rows-only;
+    // frames_with_motion + 1 for every video. ORACLE-HASHED since r16
+    // (rollup replayed off the exported per-frame motion aux);
     // VideoShotsSpec pins that cross-invariant and the per-video counts.
     QueryDef(
       "ext111_batch_motion",
+      // ORACLE-HASHED since r16: the per-frame motion table (video_id,
+      // frame_idx, n_regions — the CV kernel's output, decode and kernel
+      // engine-side as everywhere in the aux family) exports as aux and
+      // DuckDB replays the per-video rollup, so the backfill's
+      // frames-with-motion / ratio / total-regions arithmetic is
+      // hash-gated while the kernel itself stays pinned by its goldens
       (s, dir) => {
         val motion = graft.sources.Video.withMotion(
           sharedSceneFrames(s, dir), keyCol = "video_id")
+        graft.util.OracleAux.export("scene_motion_frames", dir,
+          motion.select(col("video_id"), col("frame_idx"), col("n_regions")))
         motion.groupBy(col("video_id"))
           .agg(count(lit(1)).as("n_frames"),
             sum(when(col("n_regions") > 0, 1L).otherwise(0L))
@@ -4262,7 +4388,18 @@ object ExtensionQueries {
             sum(coalesce(col("n_regions"), lit(0))).as("total_regions"))
           .orderBy("video_id")
       },
-      None),
+      Some(s"""
+        WITH m AS (SELECT video_id, frame_idx, n_regions
+                   FROM read_parquet('${graft.util.OracleAux.glob("scene_motion_frames")}'))
+        SELECT video_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN n_regions > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS frames_with_motion,
+               ROUND(CAST(SUM(CASE WHEN n_regions > 0 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS motion_ratio,
+               CAST(SUM(COALESCE(n_regions, 0)) AS BIGINT) AS total_regions
+        FROM m GROUP BY video_id ORDER BY video_id
+      """)),
 
     // ------------------------------------------------------------ EXT112
     // KEYFRAME EXTRACTION — the step ext110's segmentation exists for:
@@ -4329,18 +4466,42 @@ object ExtensionQueries {
     // blurred / dark / tiny, so every verdict class is live at every SF
     // (the blurred grade keeps healthy contrast — the case separating the
     // RMS gradient from the blur-invariant total-variation form).
-    // Rows-only (no image stack in DuckDB); MediaQualitySpec pins verdict
-    // == grade for the whole corpus, undecodable handling, and the
-    // blur/contrast separation on constructed fixtures.
+    // ORACLE-HASHED since r16: the per-image stats frame (the decode's
+    // deterministic output, 6-dp-rounded per-item math) exports as aux
+    // and DuckDB replays the FIXED-ORDER verdict rules — the relational
+    // half that can silently rot (rule order, threshold comparisons
+    // against rounded stats) gets a hash gate while the decode stays
+    // engine-side; MediaQualitySpec pins verdict == grade for the whole
+    // corpus, undecodable handling, and the blur/contrast separation on
+    // constructed fixtures.
     QueryDef(
       "ext113_image_quality",
-      (s, dir) => graft.operators.MediaQuality.imageVerdicts(
-        graft.operators.MediaQuality.imageStats(
+      (s, dir) => {
+        val stats = graft.operators.MediaQuality.imageStats(
           graft.sources.ImageCorpus.gradedFor(
             Tables.documents(s, dir).select("doc_id"), "doc_id"),
-          "png", "doc_id"))
-        .orderBy("id"),
-      None),
+          "png", "doc_id")
+        graft.util.OracleAux.export("image_quality_stats", dir, stats)
+        graft.operators.MediaQuality.imageVerdicts(stats).orderBy("id")
+      },
+      Some(s"""
+        WITH st AS (SELECT * FROM read_parquet(
+               '${graft.util.OracleAux.glob("image_quality_stats")}')),
+        v AS (SELECT *,
+                     CASE WHEN NOT decodable THEN 'undecodable'
+                          WHEN LEAST(width, height) < ${graft.operators.MediaQuality.DefaultMinSide}
+                            THEN 'too_small'
+                          WHEN mean_luma < ${graft.operators.MediaQuality.DefaultMinMeanLuma}
+                            THEN 'too_dark'
+                          WHEN contrast < ${graft.operators.MediaQuality.DefaultMinContrast}
+                            THEN 'low_contrast'
+                          WHEN sharpness < ${graft.operators.MediaQuality.DefaultMinSharpness}
+                            THEN 'blurred' END AS reason
+              FROM st)
+        SELECT id, decodable, width, height, mean_luma, contrast,
+               sharpness, entropy, reason, reason IS NULL AS keep
+        FROM v ORDER BY id
+      """)),
 
     // ------------------------------------------------------------ EXT114
     // AUDIO QUALITY GATE — ext113's audio sibling: one map-side WAV
@@ -4349,18 +4510,38 @@ object ExtensionQueries {
     // corpus (id%5: clean / near-silent / clipped / mostly-silent /
     // too-short) keeps every failure class live; the mostly-silent grade
     // passes whole-track RMS while failing frame-level silence — the case
-    // that justifies per-frame measurement. Rows-only; MediaQualitySpec
-    // pins verdict == grade, the silence/RMS separation, and stereo
-    // frame accounting.
+    // that justifies per-frame measurement. ORACLE-HASHED since r16
+    // (verdict rules replayed off the exported per-track stats aux, the
+    // ext113 discipline); MediaQualitySpec pins verdict == grade, the
+    // silence/RMS separation, and stereo frame accounting.
     QueryDef(
       "ext114_audio_quality",
-      (s, dir) => graft.operators.MediaQuality.audioVerdicts(
-        graft.operators.MediaQuality.audioStats(
+      (s, dir) => {
+        val stats = graft.operators.MediaQuality.audioStats(
           graft.sources.AudioCorpus.gradedFor(
             Tables.documents(s, dir).select("doc_id"), "doc_id"),
-          "wav", "doc_id"))
-        .orderBy("id"),
-      None),
+          "wav", "doc_id")
+        graft.util.OracleAux.export("audio_quality_stats", dir, stats)
+        graft.operators.MediaQuality.audioVerdicts(stats).orderBy("id")
+      },
+      Some(s"""
+        WITH st AS (SELECT * FROM read_parquet(
+               '${graft.util.OracleAux.glob("audio_quality_stats")}')),
+        v AS (SELECT *,
+                     CASE WHEN NOT decodable THEN 'undecodable'
+                          WHEN duration_sec < ${graft.operators.MediaQuality.DefaultMinDurationSec}
+                            THEN 'too_short'
+                          WHEN rms < ${graft.operators.MediaQuality.DefaultMinRms}
+                            THEN 'near_silent'
+                          WHEN silence_ratio > ${graft.operators.MediaQuality.DefaultMaxSilenceRatio}
+                            THEN 'mostly_silent'
+                          WHEN clipping_ratio > ${graft.operators.MediaQuality.DefaultMaxClippingRatio}
+                            THEN 'clipped' END AS reason
+              FROM st)
+        SELECT id, decodable, duration_sec, rms, peak, clipping_ratio,
+               silence_ratio, reason, reason IS NULL AS keep
+        FROM v ORDER BY id
+      """)),
 
     // ------------------------------------------------------------ EXT115
     // VIDEO QUALITY SUMMARY — per-video corpus health over the DECODED
@@ -4455,18 +4636,39 @@ object ExtensionQueries {
     // matching is perceptual (bytes differ; the gradient-sign dHash is
     // shift-invariant away from the 255 clamp — isolated frames may flip
     // their mirror-canonical winner, which the vote tolerates) and every
-    // reported offset is checkable. Rows-only; VideoDedupSpec pins the
+    // reported offset is checkable. ORACLE-HASHED since r16 (the ext109
+    // discipline on the video axis: the post-low-info-filter frame-hash
+    // table exports as aux, DuckDB brute-forces candidates and replays
+    // the shared alignment vote); VideoDedupSpec pins the
     // planted pair set with exact offsets (coverage >= threshold, >= 80%
     // of pairs perfect), byte-divergence of the embedded copy, and
     // scattered-montage rejection vs aligned-embed acceptance.
     QueryDef(
       "ext117_video_containment",
-      (s, dir) => graft.operators.VideoDedup.containmentPairs(
-        graft.sources.VideoCorpus.clipTracksFor(
-          Tables.documents(s, dir).select("doc_id"), "doc_id"),
-        "gvid", "doc_id", everyNth = 1, maxDist = 3, minCoverage = 0.8)
-        .orderBy("clip_id", "track_id"),
-      None),
+      (s, dir) => {
+        val fh = graft.operators.VideoDedup.keptFrameHashes(
+          graft.sources.VideoCorpus.clipTracksFor(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "gvid", "doc_id", everyNth = 1)
+        graft.util.OracleAux.export("clip_frame_hashes", dir,
+          fh.select("id", "frame_idx", "phash"))
+        graft.operators.VideoDedup.containmentPairsFromKept(
+          fh.localCheckpoint(false), everyNth = 1, maxDist = 3,
+          minCoverage = 0.8)
+          .orderBy("clip_id", "track_id")
+      },
+      Some(s"""
+        WITH ${alignedOverlapOracleCtes(
+          graft.util.OracleAux.glob("clip_frame_hashes"),
+          "frame_idx", "phash", maxDist = 3, jitter = 1)}
+        SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS clip_id,
+               CASE WHEN na <= nb THEN id_b ELSE id_a END AS track_id,
+               CASE WHEN na <= nb THEN -best_off ELSE best_off END
+                 AS offset_frames,
+               matched_units AS matched_frames,
+               coverage
+        FROM cov WHERE coverage >= 0.8 ORDER BY clip_id, track_id
+      """)),
 
     // ------------------------------------------------------------ EXT118
     // IMAGE CURATION FUNNEL — ext100's composition statement carried to
@@ -4482,9 +4684,15 @@ object ExtensionQueries {
     // production funnels order stages this way. Corpus =
     // ImageCorpus.funnelFor (family-keyed quality fates + corrupt ids +
     // clean families bit-identical to the standard corpus), so every
-    // stage drop is live at every SF. Rows-only; ImageDedupSpec pins the
-    // per-source accounting against an operator-independent reference
-    // computed from the corpus structure.
+    // stage drop is live at every SF. ORACLE-HASHED since r16: the stage
+    // flags (decodable/keep — the verdict RULES are already hash-gated by
+    // ext113) and the survivor fingerprint table export as aux, and
+    // DuckDB replays the funnel COMPOSITION — brute-force pairs,
+    // recursive-CTE clusters, min-id survivor, the benchmark probe and
+    // the per-source rollup — the part unique to this entry;
+    // ImageDedupSpec additionally pins the per-source accounting against
+    // an operator-independent reference computed from the corpus
+    // structure.
     QueryDef(
       "ext118_image_funnel",
       (s, dir) => {
@@ -4495,12 +4703,16 @@ object ExtensionQueries {
           graft.operators.MediaQuality.imageStats(imgs, "png", "doc_id"))
           .select(col("id").as("doc_id"), col("decodable"), col("keep"))
           .localCheckpoint(false)
+        graft.util.OracleAux.export("funnel_image_stats", dir, stats)
         val keptIds = stats.filter(col("keep"))
           .select(col("doc_id").as("kid"))
         // hash decode over quality survivors only
         val h = graft.operators.ImageDedup.hashes(
           imgs.join(keptIds, col("doc_id") === col("kid")).drop("kid"),
           "png", "doc_id").localCheckpoint(false)
+        graft.util.OracleAux.export("funnel_image_hashes", dir, h)
+        graft.util.OracleAux.export("image_hashes", dir,
+          sharedImageHashes(s, dir))
         val clusters = graft.operators.Dedup.clusterPairs(
           graft.operators.ImageDedup.hammingNearDupPairs(h, maxDist = 3)
             .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
@@ -4525,7 +4737,44 @@ object ExtensionQueries {
             sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"))
           .orderBy("source")
       },
-      None),
+      Some(s"""
+        WITH RECURSIVE
+        st AS (SELECT doc_id, decodable, keep FROM read_parquet(
+               '${graft.util.OracleAux.glob("funnel_image_stats")}')),
+        h AS (SELECT id, phash FROM read_parquet(
+               '${graft.util.OracleAux.glob("funnel_image_hashes")}')),
+        pr AS (SELECT a.id AS doc_a, b.id AS doc_b
+               FROM h a JOIN h b ON a.id < b.id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+              UNION SELECT doc_b AS src, doc_a AS dst FROM pr),
+        r AS (SELECT src AS node, src AS lbl FROM e
+              UNION SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+        uq AS (SELECT h.id, h.phash FROM h LEFT JOIN c USING (id)
+               WHERE COALESCE(c.cluster_id, h.id) = h.id),
+        bench AS (SELECT id, phash FROM read_parquet(
+               '${graft.util.OracleAux.glob("image_hashes")}') WHERE id % 7 = 3),
+        lk AS (SELECT DISTINCT u.id FROM uq u JOIN bench b
+               ON bit_count(xor(u.phash, b.phash)) <= 3),
+        cl AS (SELECT u.id FROM uq u LEFT JOIN lk ON lk.id = u.id
+               WHERE lk.id IS NULL)
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN st.decodable THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_decodable,
+               CAST(SUM(CASE WHEN st.keep THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN uq.id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN cl.id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clean
+        FROM documents d
+        LEFT JOIN st ON st.doc_id = d.doc_id
+        LEFT JOIN uq ON uq.id = d.doc_id
+        LEFT JOIN cl ON cl.id = d.doc_id
+        GROUP BY d.source ORDER BY d.source
+      """)),
 
     // ------------------------------------------------------------ EXT119
     // AUDIO SILENCE-GAP SEGMENTATION — the audio sibling of ext110's shot
@@ -4539,18 +4788,45 @@ object ExtensionQueries {
     // longest single track; the frame grid is shared with ext114's
     // silence_ratio so the gate and the segmenter count the same frames.
     // Corpus = AudioCorpus.segmentedFor (1–4 frame-aligned voiced spans
-    // with known gaps — exact expected segmentation). Rows-only;
+    // with known gaps — exact expected segmentation). ORACLE-HASHED since
+    // r16: the per-frame RMS grid (the decode's deterministic output,
+    // 6-dp-rounded per-item math) exports as aux and DuckDB replays the
+    // voiced filter, the lag-gap segment opening, the running-sum segment
+    // index and the rollup — the ext110 discipline on the audio axis;
     // AudioSegmentationSpec pins segmentation == constructed spans,
     // dropout-tolerance vs gap-split, amplitude invariance of the
     // boundaries, and silence/undecodable emptiness.
     QueryDef(
       "ext119_audio_segments",
-      (s, dir) => graft.operators.AudioSegmentation.segments(
-        graft.sources.AudioCorpus.segmentedFor(
-          Tables.documents(s, dir).select("doc_id"), "doc_id"),
-        "wav", "doc_id")
-        .orderBy("id", "seg_idx"),
-      None),
+      (s, dir) => {
+        val tracks = graft.sources.AudioCorpus.segmentedFor(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+        graft.util.OracleAux.export("audio_frame_rms", dir,
+          graft.operators.AudioSegmentation.frameRms(tracks, "wav", "doc_id"))
+        graft.operators.AudioSegmentation.segments(tracks, "wav", "doc_id")
+          .orderBy("id", "seg_idx")
+      },
+      Some(s"""
+        WITH fr AS (SELECT id, frame_idx, rms, sample_rate FROM read_parquet(
+               '${graft.util.OracleAux.glob("audio_frame_rms")}')),
+        v AS (SELECT * FROM fr WHERE rms >= 0.01),
+        l AS (SELECT id, frame_idx, sample_rate,
+                     frame_idx - LAG(frame_idx) OVER
+                       (PARTITION BY id ORDER BY frame_idx) AS gap
+              FROM v),
+        a AS (SELECT id, frame_idx, sample_rate,
+                     CAST(SUM(CASE WHEN gap IS NULL OR gap > 2 THEN 1 ELSE 0
+                       END) OVER (PARTITION BY id ORDER BY frame_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS seg_idx
+              FROM l)
+        SELECT id, seg_idx,
+               MIN(frame_idx) AS start_frame,
+               MAX(frame_idx) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_voiced_frames,
+               ROUND((MAX(frame_idx) - MIN(frame_idx) + 1) * 512.0
+                 / ANY_VALUE(sample_rate), 6) AS duration_sec
+        FROM a GROUP BY id, seg_idx ORDER BY id, seg_idx
+      """)),
 
     // ------------------------------------------------------------ EXT120
     // BAND-BUCKET HEALTH — the observability dial for every Hamming-
@@ -4678,6 +4954,8 @@ object ExtensionQueries {
         // grid-misaligned splice the ALIGNED tier provably misses being
         // caught at hop=segLen/2.
         val fh = sharedDedupFrameHashes(s, dir)
+        graft.util.OracleAux.export("video_frame_hashes", dir,
+          fh.select("id", "frame_idx", "phash"))
         // each tier's candidate join runs ONCE (lazy localCheckpoint; the
         // counts materialize them) and the union is REUSED by refine —
         // without this the audit pays the signature aggregations and
@@ -4715,7 +4993,60 @@ object ExtensionQueries {
             "n_cands_video", "n_cands_segment", "n_cands_two_tier",
             "n_cands_segment_hop")
       },
-      None),
+      // ORACLE-HASHED since r16: off ext104's frame-hash aux, DuckDB
+      // replays BOTH tiers end-to-end — the exact path (brute-force
+      // candidates + the shared alignment vote at jitter 2), the
+      // whole-video and segment majority signatures with their per-tier
+      // brute-force candidate joins (lossless twins of the banded
+      // production joins), the hop tier's overlapping-span grid, and the
+      // audit arithmetic (missed / recall / per-tier candidate counts).
+      // n_extra restates the refine-parity invariant (refined ⊆ exact ⇒
+      // 0): if the engine's refine kernel ever drifts from the DataFrame
+      // vote, the engine reports n_extra > 0 and the hash gate fails.
+      Some(s"""
+        WITH ${alignedOverlapOracleCtes(
+          graft.util.OracleAux.glob("video_frame_hashes"),
+          "frame_idx", "phash", maxDist = 3, jitter = 2)},
+        full_p AS (SELECT id_a, id_b FROM cov WHERE coverage >= 0.6),
+        vsig AS (SELECT id, ${majorityTerms("h")} AS phash
+                 FROM u GROUP BY id),
+        vcand AS (SELECT a.id AS id_a, b.id AS id_b
+                  FROM vsig a JOIN vsig b ON a.id < b.id
+                    AND bit_count(xor(a.phash, b.phash)) <= 10),
+        ssig AS (SELECT id, ${majorityTerms("h")} AS phash
+                 FROM (SELECT id, CAST(floor(t / 6) AS BIGINT) AS sg, h
+                       FROM u)
+                 GROUP BY id, sg),
+        scand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM ssig a JOIN ssig b ON a.id < b.id
+                    AND bit_count(xor(a.phash, b.phash)) <= 4),
+        hseg AS (SELECT id,
+                        unnest(generate_series(
+                          CAST(GREATEST(0, floor((uu - 1) / 2)) AS BIGINT),
+                          CAST(floor(uu / 2) AS BIGINT))) AS sg,
+                        h
+                 FROM (SELECT id, CAST(floor(t / 2) AS BIGINT) AS uu, h
+                       FROM u)),
+        hsig AS (SELECT id, ${majorityTerms("h")} AS phash
+                 FROM hseg GROUP BY id, sg),
+        hcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM hsig a JOIN hsig b ON a.id < b.id
+                    AND bit_count(xor(a.phash, b.phash)) <= 4),
+        tt AS (SELECT * FROM vcand UNION SELECT * FROM scand),
+        rf AS (SELECT f.* FROM full_p f JOIN tt USING (id_a, id_b))
+        SELECT CAST((SELECT COUNT(*) FROM full_p) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM rf) AS BIGINT) AS n_prefiltered,
+               CAST((SELECT COUNT(*) FROM full_p)
+                 - (SELECT COUNT(*) FROM rf) AS BIGINT) AS n_missed,
+               CAST(0 AS BIGINT) AS n_extra,
+               CASE WHEN (SELECT COUNT(*) FROM full_p) = 0 THEN 1.0
+                    ELSE ROUND(CAST((SELECT COUNT(*) FROM rf) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM full_p), 6) END AS recall,
+               CAST((SELECT COUNT(*) FROM vcand) AS BIGINT) AS n_cands_video,
+               CAST((SELECT COUNT(*) FROM scand) AS BIGINT) AS n_cands_segment,
+               CAST((SELECT COUNT(*) FROM tt) AS BIGINT) AS n_cands_two_tier,
+               CAST((SELECT COUNT(*) FROM hcand) AS BIGINT) AS n_cands_segment_hop
+      """)),
 
     // ------------------------------------------------------------ EXT123
     // Span removal ON THE PRODUCTION DETECTOR (r9 verdict #3): the same
@@ -4808,13 +5139,19 @@ object ExtensionQueries {
     // signature rows land in these buckets, so the hop dial's cost is
     // visible here BEFORE ext122's n_cands_segment_hop is paid at
     // refine. Zero decodes — one hash agg per tier over the memoized
-    // frame table's signatures. Rows-only; VideoDedupSpec pins the
+    // frame table's signatures. ORACLE-HASHED since r16: off ext104's
+    // frame-hash aux, DuckDB recomputes BOTH signature tiers bit-for-bit
+    // (the 64-term majority vote, the aligned and overlapping-span
+    // segment grids) and replays the exact production banding + the
+    // histogram rollup for each tier; VideoDedupSpec pins the
     // histogram cell-for-cell against an independently computed
     // reference over the collected signatures, hop tier included.
     QueryDef(
       "ext124_video_signature_health",
       (s, dir) => {
         val fh = sharedDedupFrameHashes(s, dir)
+        graft.util.OracleAux.export("video_frame_hashes", dir,
+          fh.select("id", "frame_idx", "phash"))
         graft.operators.ImageDedup.bandBucketHealth(
           graft.operators.VideoDedup.videoSignatures(fh), maxDist = 10)
           .withColumn("tier", lit("video_sig_d10"))
@@ -4830,7 +5167,34 @@ object ExtensionQueries {
               .withColumn("tier", lit("segment_sig_d4_hop2")))
           .orderBy("tier", "band", "size_class")
       },
-      None),
+      Some(s"""
+        WITH fh AS (SELECT id, frame_idx, phash FROM read_parquet(
+               '${graft.util.OracleAux.glob("video_frame_hashes")}')),
+        vsig AS (SELECT ${majorityTerms("phash")} AS phash
+                 FROM fh GROUP BY id),
+        ssig AS (SELECT ${majorityTerms("phash")} AS phash
+                 FROM (SELECT id, CAST(floor(frame_idx / 6) AS BIGINT) AS sg,
+                              phash
+                       FROM fh)
+                 GROUP BY id, sg),
+        hseg AS (SELECT id,
+                        unnest(generate_series(
+                          CAST(GREATEST(0, floor((u - 1) / 2)) AS BIGINT),
+                          CAST(floor(u / 2) AS BIGINT))) AS sg,
+                        phash
+                 FROM (SELECT id, CAST(floor(frame_idx / 2) AS BIGINT) AS u,
+                              phash
+                       FROM fh)),
+        hsig AS (SELECT ${majorityTerms("phash")} AS phash
+                 FROM hseg GROUP BY id, sg)
+        SELECT * FROM (
+          ${bandHealthSelect("vsig", 10, "video_sig_d10")}
+          UNION ALL
+          ${bandHealthSelect("ssig", 4, "segment_sig_d4")}
+          UNION ALL
+          ${bandHealthSelect("hsig", 4, "segment_sig_d4_hop2")})
+        ORDER BY tier, band, size_class
+      """)),
 
     // ------------------------------------------------------------ EXT125
     // STREAMING WATCHLIST MONITOR AT CORPUS SCALE — the r11 rights/
