@@ -335,14 +335,33 @@ object MediaQuality {
 
   // ------------------------------------------------------------ video
 
-  private val frameLumaUdf = udf {
+  // Per-frame mean luma in MICRO-units (round(mean·10⁶) as a Long): the
+  // video summary's cross-video mean then reduces by an exact integer
+  // SUM — order-independent however the frames are partitioned — instead
+  // of a float sum whose low bits depend on add order. The 10⁻⁶ grain
+  // matches the 6-dp output rounding, so nothing visible is lost.
+  private val frameLumaMicrosUdf = udf {
     (px: Array[Byte], rows: Int, cols: Int, channels: Int) =>
       val gray = Kernels.grayscale(px, rows, cols, channels)
       var sum = 0.0
       var i = 0
       while (i < gray.length) { sum += (gray(i) & 0xff); i += 1 }
-      if (gray.length == 0) 0.0 else sum / gray.length
+      if (gray.length == 0) 0L else math.round(sum / gray.length * 1e6)
   }.asNondeterministic()
+
+  /** The per-frame substrate of [[videoStats]]: (video_id, frame_idx,
+    * luma_micro, fh, w, h) — one row per decoded frame, all per-item
+    * math (the dHash and the micro-unit luma), no shuffle. Exposed as
+    * the oracle-aux seam (ext115 exports it and DuckDB replays the
+    * summary rollup) and so a caller holding the materialized frame
+    * table can compute several summaries from one hash/luma pass. */
+  def videoFrameStats(frameRows: DataFrame): DataFrame =
+    frameRows.select(col("video_id"), col("frame_idx"),
+      frameLumaMicrosUdf(col("px"), col("rows"), col("cols"), col("channels"))
+        .as("luma_micro"),
+      VideoShots.frameHash(col("px"), col("rows"), col("cols"),
+        col("channels")).as("fh"),
+      col("cols").as("w"), col("rows").as("h"))
 
   /** Per-video quality stats over a DECODED frame table
     * ([[graft.sources.Video.framesById]] schema) — the fourth consumer of
@@ -354,21 +373,26 @@ object MediaQuality {
     * band (black frames / title cards) and static_ratio is the fraction
     * of frame TRANSITIONS whose dHash Hamming distance is <= `staticDist`
     * (a 2-hour static interview scores ~1.0; a montage ~0.0). One
-    * window + one agg, both partitioned by video_id — no join.
+    * window + one agg, both partitioned by video_id — no join. Every
+    * cross-row reduction is order-independent (exact integer sums for
+    * the luma mean, exact 0/1 sums for the ratios), so the summary is
+    * bit-stable across partitionings — and oracle-replayable.
     */
-  def videoStats(frameRows: DataFrame, staticDist: Int = 2): DataFrame = {
-    val hashed = frameRows.withColumn("fh",
-      VideoShots.frameHash(col("px"), col("rows"), col("cols"), col("channels")))
-      .withColumn("luma",
-        frameLumaUdf(col("px"), col("rows"), col("cols"), col("channels")))
+  def videoStats(frameRows: DataFrame, staticDist: Int = 2): DataFrame =
+    videoStatsFromFrames(videoFrameStats(frameRows), staticDist)
+
+  /** [[videoStats]] downstream of an already-built [[videoFrameStats]]
+    * frame. */
+  def videoStatsFromFrames(pf: DataFrame, staticDist: Int = 2): DataFrame = {
     val w = Window.partitionBy("video_id").orderBy("frame_idx")
-    hashed
+    pf
       .withColumn("prev", lag(col("fh"), 1).over(w))
       .groupBy(col("video_id"))
       .agg(count(lit(1)).as("n_frames"),
-        first(col("cols")).as("width"),
-        first(col("rows")).as("height"),
-        round(avg(col("luma")), 6).as("mean_luma"),
+        first(col("w")).as("width"),
+        first(col("h")).as("height"),
+        round(sum(col("luma_micro")) / (count(lit(1)) * lit(1e6)), 6)
+          .as("mean_luma"),
         round(avg(when(TemporalAlignment.informative(col("fh")), 0.0)
           .otherwise(1.0)), 6).as("low_info_ratio"),
         round(coalesce(

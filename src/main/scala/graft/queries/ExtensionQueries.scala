@@ -3514,8 +3514,11 @@ object ExtensionQueries {
     // doc whose UTF-8 bytes DEFLATE far below its raw size is repetitive
     // boilerplate. deflate_len is the codegen'd [[graft.expressions
     // .DeflateLen]] — one zlib pass per row, map-side only, no shuffle
-    // before the per-source rollup. Rows-only at the gate (no deflate in
-    // DuckDB); byte semantics pinned by DeflateLenSpec against an
+    // before the per-source rollup. ORACLE-HASHED since r16: the deflate
+    // byte counts (the one engine-specific input — no deflate in DuckDB)
+    // export as aux, and the oracle recomputes raw_len INDEPENDENTLY
+    // (octet_length over the documents table) plus the ratio and flag
+    // math; byte semantics pinned by DeflateLenSpec against an
     // independent java.util.zip recomputation, flag threshold liveness
     // asserted in the spec at gate SF. The ratio is BYTES/BYTES
     // (octet_length, the Gopher definition — length() would count
@@ -3526,6 +3529,9 @@ object ExtensionQueries {
       (s, dir) => {
         val raw = octet_length(col("text")).cast("long")
         val defl = TextFunctions.deflateLen(col("text")).cast("long")
+        graft.util.OracleAux.export("deflate_lens", dir,
+          Tables.documents(s, dir)
+            .select(col("doc_id"), defl.as("deflate_len")))
         Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), raw.as("raw_len"),
             defl.as("deflate_len"),
@@ -3533,7 +3539,19 @@ object ExtensionQueries {
           .withColumn("is_repetitive",
             coalesce(col("ratio") < 0.4, lit(false)))
       },
-      None),
+      Some(s"""
+        WITH dl AS (SELECT doc_id, deflate_len FROM read_parquet(
+               '${graft.util.OracleAux.glob("deflate_lens")}'))
+        SELECT d.doc_id, d.source,
+               CAST(strlen(d.text) AS BIGINT) AS raw_len,
+               dl.deflate_len,
+               ROUND(CAST(dl.deflate_len AS DOUBLE)
+                 / NULLIF(strlen(d.text), 0), 6) AS ratio,
+               COALESCE(ROUND(CAST(dl.deflate_len AS DOUBLE)
+                 / NULLIF(strlen(d.text), 0), 6) < 0.4, FALSE)
+                 AS is_repetitive
+        FROM documents d JOIN dl USING (doc_id)
+      """)),
 
     // ------------------------------------------------------------- EXT98
     // Exact triangle counting + local clustering coefficient on the
@@ -4123,11 +4141,17 @@ object ExtensionQueries {
     // same pointer-jumped clusters / min-id survivor / per-source rollup
     // as ext105. Text edges BRIDGE image families (and vice versa), so
     // kept counts here are <= ext105's per source — the gap is the
-    // cross-modal signal. Rows-only (image side); the OR superset-of-
+    // cross-modal signal. ORACLE-HASHED since r16: the text edges
+    // brute-force straight from `documents` (the ext82 oracle shape),
+    // the image edges off the image-hash aux, and DuckDB replays the
+    // union, the recursive-CTE closure and the retention rollup — the
+    // whole OR gate hash-gated, decode excepted; the OR superset-of-
     // either-modality drop containment is spec-pinned in ImageDedupSpec.
     QueryDef(
       "ext107_multimodal_retention_or",
       (s, dir) => {
+        graft.util.OracleAux.export("image_hashes", dir,
+          sharedImageHashes(s, dir))
         val docs = Tables.documents(s, dir).select("doc_id", "source")
         val textEdges = sharedSetSimPairs(s, dir)
           .select(col("doc_a"), col("doc_b"))
@@ -4149,7 +4173,51 @@ object ExtensionQueries {
               .cast("double") / col("items_total"), 6).as("dup_ratio"))
           .orderBy("source")
       },
-      None),
+      Some(s"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '') AS toks
+              FROM documents),
+        sg AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))
+                        AS g
+               FROM d WHERE len(toks) >= 3),
+        tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.g, b.g)) AS i,
+                      len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+               FROM sg a, sg b WHERE a.doc_id < b.doc_id),
+        te AS (SELECT doc_a, doc_b FROM tp
+               WHERE (CASE WHEN u = 0 THEN 1.0
+                           ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END) >= 0.8),
+        h AS (SELECT id, phash
+              FROM read_parquet('${graft.util.OracleAux.glob("image_hashes")}')),
+        ie AS (SELECT a.id AS doc_a, b.id AS doc_b
+               FROM h a JOIN h b ON a.id < b.id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        pe AS (SELECT * FROM te UNION SELECT * FROM ie),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+              UNION SELECT doc_b AS src, doc_a AS dst FROM pe),
+        r AS (SELECT src AS node, src AS lbl FROM e
+              UNION SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+        c AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+        lab AS (SELECT d2.doc_id, d2.source,
+                       COALESCE(c.cluster_id, d2.doc_id) AS cid
+                FROM documents d2 LEFT JOIN c USING (doc_id)),
+        k AS (SELECT source, cid,
+                     ROW_NUMBER() OVER (PARTITION BY cid ORDER BY doc_id) AS rk
+              FROM lab)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS items_total,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS items_kept,
+               CAST(COUNT(*) - SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dropped,
+               ROUND(CAST(COUNT(*) - SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+        FROM k GROUP BY source ORDER BY source
+      """)),
 
     // ------------------------------------------------------------ EXT108
     // INCREMENTAL image dedup — ext47's incremental contract (dedupe the
@@ -4555,15 +4623,44 @@ object ExtensionQueries {
     // it) — zero extra decodes, one window + one agg partitioned by
     // video_id, no join. On the scene corpus static_ratio is exactly
     // (n_frames-1 - cuts)/(n_frames-1), making ext115 mutually checking
-    // with ext110's shot count. Rows-only; MediaQualitySpec pins that
+    // with ext110's shot count. ORACLE-HASHED since r16: the per-frame
+    // stats substrate (micro-unit luma + dHash, all per-item math)
+    // exports as aux and DuckDB replays the whole summary — lag
+    // transitions, the exact-integer luma mean, both ratio averages;
+    // every cross-row reduction in videoStats is order-independent by
+    // construction (see its doc), which is what makes the replay
+    // bit-exact. MediaQualitySpec pins the
     // cross-invariant and the static/low-info ratios on constructed
     // fixtures.
     QueryDef(
       "ext115_video_quality",
-      (s, dir) => graft.operators.MediaQuality.videoStats(
-        sharedSceneFrames(s, dir))
-        .orderBy("video_id"),
-      None),
+      (s, dir) => {
+        val pf = graft.operators.MediaQuality.videoFrameStats(
+          sharedSceneFrames(s, dir))
+        graft.util.OracleAux.export("scene_frame_stats", dir, pf)
+        graft.operators.MediaQuality.videoStatsFromFrames(pf)
+          .orderBy("video_id")
+      },
+      Some(s"""
+        WITH pf AS (SELECT video_id, frame_idx, luma_micro, fh, w, h
+                    FROM read_parquet(
+               '${graft.util.OracleAux.glob("scene_frame_stats")}')),
+        l AS (SELECT *, LAG(fh) OVER (PARTITION BY video_id
+                ORDER BY frame_idx) AS prev
+              FROM pf)
+        SELECT video_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               ANY_VALUE(w) AS width,
+               ANY_VALUE(h) AS height,
+               ROUND(SUM(luma_micro) / (COUNT(*) * 1000000.0), 6)
+                 AS mean_luma,
+               ROUND(AVG(CASE WHEN bit_count(fh) BETWEEN 4 AND 60
+                 THEN 0.0 ELSE 1.0 END), 6) AS low_info_ratio,
+               ROUND(COALESCE(AVG(CASE WHEN prev IS NOT NULL THEN
+                 (CASE WHEN bit_count(xor(prev, fh)) <= 2
+                  THEN 1.0 ELSE 0.0 END) END), 0.0), 6) AS static_ratio
+        FROM l GROUP BY video_id ORDER BY video_id
+      """)),
 
     // ------------------------------------------------------------ EXT116
     // PERCEPTUAL EVAL DECONTAMINATION — the multimodal analog of
@@ -5211,25 +5308,87 @@ object ExtensionQueries {
     // of UNWATCHED clips, unwatched clips themselves) passes silently.
     // Zero shuffle, zero state: cost is |items| decodes × a broadcast
     // probe, the shape that holds when the item side is the 100 TB
-    // firehose and the watchlist is a takedown list. Rows-only (no audio
-    // stack in DuckDB); WatchlistMonitorSpec pins flag set, offsets and
+    // firehose and the watchlist is a takedown list. ORACLE-HASHED since
+    // r16: both sides' post-silence-filter window-hash tables export as
+    // aux (ext109's shared arithmetic — the monitor's map-side kernel is
+    // parity-pinned against it) and DuckDB brute-forces the clip×item
+    // probe and replays the fixed-role alignment vote (clip units on the
+    // a side, the monitor's convention) plus the flag criteria;
+    // WatchlistMonitorSpec pins flag set, offsets and
     // batch-containment verdict parity.
     QueryDef(
       "ext125_watchlist_flags",
       (s, dir) => {
         val ids = Tables.documents(s, dir).select("doc_id")
         val watched = col("doc_id") % 4 === 0 && col("doc_id") < 40
+        val watchTracks =
+          graft.sources.AudioCorpus.trackFor(ids.filter(watched), "doc_id")
+        val itemTracks =
+          graft.sources.AudioCorpus.trackFor(ids.filter(!watched), "doc_id")
+        graft.util.OracleAux.export("watch_window_hashes", dir,
+          graft.operators.AudioContainment.keptWindowHashes(
+            watchTracks, "wav", "doc_id",
+            windowSec = graft.sources.AudioCorpus.TrackWindowSec)
+            .select("id", "win_idx", "whash"))
+        graft.util.OracleAux.export("item_window_hashes", dir,
+          graft.operators.AudioContainment.keptWindowHashes(
+            itemTracks, "wav", "doc_id",
+            windowSec = graft.sources.AudioCorpus.TrackWindowSec)
+            .select("id", "win_idx", "whash"))
         val watch = graft.streaming.WatchlistMonitor.audioWatchlist(
-          graft.sources.AudioCorpus.trackFor(ids.filter(watched), "doc_id"),
-          "wav", "doc_id",
+          watchTracks, "wav", "doc_id",
           windowSec = graft.sources.AudioCorpus.TrackWindowSec)
         graft.streaming.WatchlistMonitor.flagAudio(
-          graft.sources.AudioCorpus.trackFor(ids.filter(!watched), "doc_id"),
-          "wav", watch,
+          itemTracks, "wav", watch,
           windowSec = graft.sources.AudioCorpus.TrackWindowSec)
           .orderBy("doc_id", "clip_id")
       },
-      None),
+      Some(s"""
+        WITH wc AS (SELECT id AS clip_id, win_idx AS tc, whash AS hc
+                    FROM read_parquet(
+               '${graft.util.OracleAux.glob("watch_window_hashes")}')),
+        it AS (SELECT id AS doc_id, win_idx AS ti, whash AS hi
+               FROM read_parquet(
+               '${graft.util.OracleAux.glob("item_window_hashes")}')),
+        wcn AS (SELECT clip_id, CAST(COUNT(*) AS BIGINT) AS nc
+                FROM wc GROUP BY clip_id),
+        itn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ni
+                FROM it GROUP BY doc_id),
+        p AS (SELECT w.clip_id, i.doc_id, w.tc, i.ti
+              FROM wc w JOIN it i ON bit_count(xor(w.hc, i.hi)) <= 2),
+        pc AS (SELECT p.*, c.nc, n.ni,
+                      CASE WHEN c.nc <= n.ni THEN tc ELSE ti END AS small_t,
+                      tc - ti AS off
+               FROM p JOIN wcn c USING (clip_id) JOIN itn n USING (doc_id)),
+        m AS (SELECT doc_id, clip_id,
+                     CAST(COUNT(DISTINCT small_t) AS BIGINT) AS matched_units
+              FROM pc GROUP BY doc_id, clip_id),
+        po AS (SELECT doc_id, clip_id, nc, ni, off,
+                      COUNT(DISTINCT small_t) AS cnt_o
+               FROM pc GROUP BY doc_id, clip_id, nc, ni, off),
+        wn AS (SELECT doc_id, clip_id, nc, ni, off,
+                      SUM(cnt_o) OVER (PARTITION BY doc_id, clip_id
+                        ORDER BY off
+                        RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS win
+               FROM po),
+        bw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, clip_id
+                        ORDER BY win DESC, off ASC) AS rk
+               FROM wn),
+        cov AS (SELECT b.doc_id, b.clip_id,
+                       CAST(b.win AS BIGINT) AS aligned_units,
+                       b.off AS best_off, m.matched_units,
+                       LEAST(1.0, ROUND(CAST(b.win AS DOUBLE)
+                         / LEAST(b.nc, b.ni), 6)) AS coverage
+                FROM bw b JOIN m ON m.doc_id = b.doc_id
+                       AND m.clip_id = b.clip_id
+                WHERE b.rk = 1)
+        SELECT doc_id, clip_id,
+               -best_off AS offset_units,
+               ROUND(-best_off * ${graft.sources.AudioCorpus.TrackWindowSec},
+                 6) AS offset_seconds,
+               matched_units, aligned_units, coverage
+        FROM cov WHERE coverage >= 0.8 ORDER BY doc_id, clip_id
+      """)),
 
     // ------------------------------------------------------------ EXT126
     // BENCHMARK-CONTAMINATION AUDIT, exact tier — the train/eval overlap
