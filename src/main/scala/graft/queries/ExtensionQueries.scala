@@ -91,6 +91,41 @@ object ExtensionQueries {
                 FROM bw b JOIN m ON m.id_a = b.id_a AND m.id_b = b.id_b
                 WHERE b.rk = 1)"""
 
+  /** The ANN recall-audit oracle shared by ext16/ext17/ext62: the
+    * approximate top-k (the one sketch-dependent input) is read back from
+    * the aux table `auxName`, the EXACT brute-force top-5 is recomputed
+    * independently in DuckDB (the ext02 restatement — 6-dp-rounded cosine,
+    * (sim DESC, neighbor_id) rank), and the per-query hit/recall
+    * arithmetic of [[graft.operators.Similarity.recallVsExact]] is
+    * replayed over the two.
+    */
+  private def annRecallOracleSql(auxName: String): String = s"""
+        WITH ap AS (SELECT query_id, neighbor_id FROM read_parquet(
+               '${graft.util.OracleAux.glob(auxName)}')),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (SELECT query_id, neighbor_id,
+                          ROUND(list_dot_product(qv, cv) /
+                            (sqrt(list_dot_product(qv, qv)) *
+                             sqrt(list_dot_product(cv, cv))), 6) AS sim
+                   FROM c, q WHERE query_id <> neighbor_id),
+        e AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS rank
+                FROM scored) WHERE rank <= 5),
+        hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM e JOIN ap USING (query_id, neighbor_id)
+                 GROUP BY e.query_id),
+        expd AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS expected
+                 FROM e GROUP BY query_id)
+        SELECT x.query_id, x.expected,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / x.expected, 6)
+                 AS recall
+        FROM expd x LEFT JOIN hits h USING (query_id)"""
+
   /** The 64-term per-bit MAJORITY-vote expression over a grouped hash
     * column — the DuckDB restatement of
     * [[graft.operators.VideoDedup]]'s majoritySignatures (2·bitsum > n ⇒
@@ -536,31 +571,45 @@ object ExtensionQueries {
       None, bench = false),
 
     // ANN quality made driver-visible: per-query recall of each approximate
-    // method against the exact brute-force top-k (rows-only: the recall
-    // value depends on the sketch; the ≥-floor assertion lives in
-    // SimilaritySpec). One row per query id, so the driver sees the quality
-    // dial, not just that the plumbing returned rows.
+    // method against the exact brute-force top-k. ORACLE-HASHED since r16
+    // (the ext122 audit discipline): the approximate top-k — the one
+    // sketch-dependent input — exports as aux, and DuckDB recomputes the
+    // EXACT brute-force top-k independently (the ext02 restatement) plus
+    // the hit/recall arithmetic, so the audit math is hash-gated while
+    // the recall VALUE stays an engine fact; the ≥-floor assertion lives
+    // in SimilaritySpec. One row per query id, so the driver sees the
+    // quality dial, not just that the plumbing returned rows.
     QueryDef(
       "ext16_ann_lsh_recall",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") < 8)
+        val approx = Similarity.lshTopK(
+          q, emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 8)
+        graft.util.OracleAux.export("lsh_topk", dir,
+          approx.select("query_id", "neighbor_id"))
         Similarity.recallVsExact(
-          Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 8),
+          approx,
           Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
       },
-      None, bench = false),
+      Some(annRecallOracleSql("lsh_topk")), bench = false),
 
     QueryDef(
       "ext17_ann_ivf_recall",
+      // ORACLE-HASHED since r16 — the ext16 discipline (aux = the IVF
+      // top-k; exact side + recall arithmetic recomputed in DuckDB)
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") < 8)
+        val approx = Similarity.ivfTopK(
+          q, emb, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2)
+        graft.util.OracleAux.export("ivf_topk", dir,
+          approx.select("query_id", "neighbor_id"))
         Similarity.recallVsExact(
-          Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2),
+          approx,
           Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
       },
-      None, bench = false),
+      Some(annRecallOracleSql("ivf_topk")), bench = false),
 
     // ------------------------------------------------------------- EXT32
     // Fully distributed Lloyd's k-means over the embeddings corpus — no
@@ -580,13 +629,43 @@ object ExtensionQueries {
       None, bench = true),
 
     // The full scalable near-dedup composition: LSH candidates → exact
-    // Jaccard verify (rows-only: the candidate set is sketch-dependent;
-    // recall vs the exact all-pairs method is pinned by DedupSpec).
+    // Jaccard verify. ORACLE-HASHED since r16: the candidate pair set —
+    // the one sketch-dependent input — exports as aux, and DuckDB replays
+    // the VERIFY stage (exact word-token-set Jaccard over exactly those
+    // pairs, threshold filter) from the documents table, so the stage a
+    // user actually trusts is hash-gated; recall vs the exact all-pairs
+    // method stays pinned by DedupSpec.
     QueryDef(
       "ext15_neardup_pipeline",
-      (s, dir) => Dedup.nearDupPipeline(
-        Tables.documents(s, dir), "text", "doc_id", threshold = 0.8),
-      None, bench = true),
+      (s, dir) => {
+        graft.util.OracleAux.export("lsh_candidates", dir,
+          Dedup.minHashLshCandidates(
+            Tables.documents(s, dir), "text", "doc_id"))
+        Dedup.nearDupPipeline(
+          Tables.documents(s, dir), "text", "doc_id", threshold = 0.8)
+      },
+      Some(s"""
+        WITH cand AS (SELECT id_a, id_b FROM read_parquet(
+               '${graft.util.OracleAux.glob("lsh_candidates")}')),
+        t AS (SELECT doc_id, list_sort(list_distinct(list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '')))
+                AS toks
+              FROM documents),
+        j AS (SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+                     len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                       AS inter,
+                     len(a.toks) + len(b.toks) AS tot
+              FROM cand c JOIN t a ON a.doc_id = c.id_a
+                          JOIN t b ON b.doc_id = c.id_b)
+        SELECT doc_a, doc_b,
+               CASE WHEN tot - inter = 0 THEN 1.0
+                    ELSE ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) END
+                 AS jaccard
+        FROM j
+        WHERE (CASE WHEN tot - inter = 0 THEN 1.0
+                    ELSE ROUND(CAST(inter AS DOUBLE) / (tot - inter), 6) END)
+              >= 0.8
+      """), bench = true),
 
     // ------------------------------------------------------------- EXT18
     // Character-4-gram Jaccard near-dup pairs on a bounded candidate set —
@@ -2106,14 +2185,18 @@ object ExtensionQueries {
     // MinHash estimator accuracy made driver-visible (the sketch-quality
     // sibling of the ANN recall entries ext16/17/62): every LSH candidate
     // pair's estimated Jaccard next to the EXACT shingle-set Jaccard of
-    // the same pair, plus the absolute error. Rows-only (the candidate
-    // set is sketch-dependent); the mean-error floor is pinned in
-    // ApproxSpec.
+    // the same pair, plus the absolute error. ORACLE-HASHED since r16:
+    // the candidate pairs WITH their estimates (the sketch-dependent
+    // input) export as aux, and DuckDB recomputes the exact shingle-set
+    // Jaccard of each pair independently from the documents table plus
+    // the error arithmetic — the accuracy audit's exact side and math
+    // are hash-gated; the mean-error floor is pinned in ApproxSpec.
     QueryDef(
       "ext67_minhash_accuracy",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val pairs = Dedup.minHashLsh(docs, "text", "doc_id")
+        graft.util.OracleAux.export("minhash_estimates", dir, pairs)
         val sh = docs.select(col("doc_id"),
           TextFunctions.wordShingleSetFast(col("text"), 3).as("sh"))
         val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -2126,7 +2209,32 @@ object ExtensionQueries {
           .select(col("id_a"), col("id_b"), col("est_jaccard"), col("exact_jaccard"),
             round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
       },
-      None, bench = false),
+      Some(s"""
+        WITH est AS (SELECT id_a, id_b, est_jaccard FROM read_parquet(
+               '${graft.util.OracleAux.glob("minhash_estimates")}')),
+        d AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '') AS toks
+              FROM documents),
+        sg AS (SELECT doc_id,
+                      CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                           ELSE list_distinct(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> list_aggregate(toks[i:i+2],
+                               'string_agg', ' '))) END AS g
+               FROM d),
+        j AS (SELECT e.id_a, e.id_b, e.est_jaccard,
+                     len(list_intersect(a.g, b.g)) AS i,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+              FROM est e JOIN sg a ON a.doc_id = e.id_a
+                         JOIN sg b ON b.doc_id = e.id_b)
+        SELECT id_a, id_b, est_jaccard,
+               CASE WHEN u = 0 THEN 1.0
+                    ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END AS exact_jaccard,
+               ROUND(ABS(est_jaccard - (CASE WHEN u = 0 THEN 1.0
+                 ELSE ROUND(CAST(i AS DOUBLE) / u, 6) END)), 6) AS abs_err
+        FROM j
+      """), bench = false),
 
     // ------------------------------------------------------------- EXT68
     // FIM (fill-in-the-middle) training splits, Bavarian et al. 2022:
@@ -2596,15 +2704,20 @@ object ExtensionQueries {
 
     QueryDef(
       "ext62_ann_ivfpq_recall",
+      // ORACLE-HASHED since r16 — the ext16 discipline (aux = the IVF-PQ
+      // top-k; exact side + recall arithmetic recomputed in DuckDB)
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") < 8)
+        val approx = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 2, m = 8, ksub = 16, refineFactor = 4)
+        graft.util.OracleAux.export("ivfpq_topk", dir,
+          approx.select("query_id", "neighbor_id"))
         Similarity.recallVsExact(
-          Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-            k = 5, nLists = 8, nProbe = 2, m = 8, ksub = 16, refineFactor = 4),
+          approx,
           Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
       },
-      None, bench = false),
+      Some(annRecallOracleSql("ivfpq_topk")), bench = false),
 
     // ------------------------------------------------------------- EXT80
     // Winnowing recall audit for ext42 (the ext67 pattern applied to
