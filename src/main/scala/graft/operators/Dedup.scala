@@ -509,7 +509,19 @@ object Dedup {
     */
   def semDedup(
       df: DataFrame, vecCol: String, idCol: String, k: Int,
-      threshold: Double, iters: Int = 3, seed: Long = 42L): DataFrame = {
+      threshold: Double, iters: Int = 3, seed: Long = 42L): DataFrame =
+    semDedupFromAssignments(
+      semDedupAssignments(df, vecCol, idCol, k, iters, seed), threshold)
+
+  /** The cluster-assignment half of [[semDedup]] — the one engine-specific
+    * step (iterative float k-means): (id, v, nrm, cluster), localCheckpoint'd
+    * since it feeds both pair-join sides and the accounting join. Exposed
+    * as the oracle-aux seam: ext54 exports (id, cluster) and DuckDB
+    * replays everything downstream ([[semDedupFromAssignments]] — the
+    * within-cluster cosine pruning and the rollup) off it. */
+  def semDedupAssignments(
+      df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 3, seed: Long = 42L): DataFrame = {
     val (cents, _) = Similarity.kmeansCentroids(df, idCol, vecCol, k, iters, seed)
     // map-side argmin against the driver-held k×dim matrix (same tie rule
     // as training: lowest cluster id wins) — assignment costs ZERO
@@ -527,13 +539,20 @@ object Dedup {
     // localCheckpoint: the assignment frame feeds BOTH pair-join sides and
     // the final accounting join — one materialization instead of three
     // scan+assign passes. Same discipline as the Lloyd's loop's cache.
-    val assigned = df
+    df
       .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm2(col("v")))
       .filter(col("nrm") > 0)
       .withColumn("cluster", assignUdf(col("v")))
       .localCheckpoint()
+  }
+
+  /** [[semDedup]] downstream of an already-built [[semDedupAssignments]]
+    * frame: within-cluster 6-dp-rounded cosine pruning (drop the higher
+    * id of every qualifying pair) + the per-cluster rollup. */
+  def semDedupFromAssignments(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),

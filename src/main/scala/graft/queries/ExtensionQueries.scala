@@ -91,6 +91,94 @@ object ExtensionQueries {
                 FROM bw b JOIN m ON m.id_a = b.id_a AND m.id_b = b.id_b
                 WHERE b.rk = 1)"""
 
+  /** The MMR greedy re-rank (ext64) restated by UNROLLING its k=5
+    * sequential steps as CTEs — each step's candidate score is
+    * λ·rel − (1−λ)·max(0, cosine to any prior pick) (the engine's maxSim
+    * array initializes at 0 and only increases, so a pool whose picks are
+    * all ANTI-correlated with a candidate applies no diversity penalty —
+    * GREATEST(0, …) restates that floor), the argmax ties break
+    * on the lower neighbor id (the engine's ascending-id strict-> scan),
+    * and every input double (6-dp pool relevance, normalized vectors,
+    * sequential dot products) is bit-identical across engines, so the
+    * float greedy is exactly replayable without any aux table. */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 5).map { r => s"""
+        mx$r AS (SELECT c2.query_id, c2.neighbor_id,
+                        GREATEST(0.0, MAX(list_dot_product(c2.nv, pk.nv)))
+                          AS ms
+                 FROM p0 c2 JOIN picks${r - 1} pk USING (query_id)
+                 WHERE NOT EXISTS (SELECT 1 FROM picks${r - 1} x
+                   WHERE x.query_id = c2.query_id
+                     AND x.neighbor_id = c2.neighbor_id)
+                 GROUP BY c2.query_id, c2.neighbor_id),
+        pk$r AS (SELECT c.query_id, c.neighbor_id,
+                        0.5 * c.rel - 0.5 * mx$r.ms AS score, c.nv
+                 FROM p0 c JOIN mx$r ON mx$r.query_id = c.query_id
+                   AND mx$r.neighbor_id = c.neighbor_id
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY c.query_id
+                   ORDER BY 0.5 * c.rel - 0.5 * mx$r.ms DESC,
+                     c.neighbor_id) = 1),
+        picks$r AS (SELECT * FROM picks${r - 1} UNION ALL
+                    SELECT query_id, neighbor_id, $r AS rank, score, nv
+                    FROM pk$r)"""
+    }.mkString(",")
+    s"""
+        WITH eq AS (SELECT vec_id AS query_id,
+                           CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 8),
+        ec AS (SELECT vec_id AS neighbor_id,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+        scored AS (SELECT query_id, neighbor_id, cv,
+                          ROUND(list_dot_product(qv, cv) /
+                            (sqrt(list_dot_product(qv, qv)) *
+                             sqrt(list_dot_product(cv, cv))), 6) AS rel
+                   FROM ec, eq WHERE query_id <> neighbor_id),
+        p0 AS (SELECT query_id, neighbor_id, rel,
+                      list_transform(cv,
+                        x -> x / sqrt(list_dot_product(cv, cv))) AS nv
+               FROM scored
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, neighbor_id) <= 20),
+        pk1 AS (SELECT query_id, neighbor_id, 0.5 * rel AS score, nv
+                FROM p0
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY 0.5 * rel DESC, neighbor_id) = 1),
+        picks1 AS (SELECT query_id, neighbor_id, 1 AS rank, score, nv
+                   FROM pk1),$steps
+        SELECT query_id, neighbor_id, ROUND(score, 6) AS mmr_score,
+               CAST(rank AS BIGINT) AS rank
+        FROM picks5"""
+  }
+
+  /** The ANN top-k re-rank oracle shared by ext12/ext14/ext61: the
+    * returned (query_id, neighbor_id) SET is the sketch-dependent part
+    * (candidate generation is the approximation, by design), but the
+    * scoring and ranking of whatever the sketch admitted are exact math —
+    * so the result set exports as aux and DuckDB re-scores each pair from
+    * the embeddings table (6-dp-rounded cosine) and re-ranks within the
+    * set. Ranks are faithful: row_number over all candidates restricted
+    * to the surviving top-k equals row_number within the k, since
+    * everything excluded ranked strictly below.
+    */
+  private def annTopKOracleSql(auxName: String): String = s"""
+        WITH ap AS (SELECT query_id, neighbor_id FROM read_parquet(
+               '${graft.util.OracleAux.glob(auxName)}')),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings)
+        SELECT ap.query_id, ap.neighbor_id,
+               ROUND(list_dot_product(qv, cv) /
+                 (sqrt(list_dot_product(qv, qv)) *
+                  sqrt(list_dot_product(cv, cv))), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY ap.query_id
+                 ORDER BY ROUND(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   ap.neighbor_id) AS rank
+        FROM ap JOIN q USING (query_id) JOIN c USING (neighbor_id)"""
+
   /** The ANN recall-audit oracle shared by ext16/ext17/ext62: the
     * approximate top-k (the one sketch-dependent input) is read back from
     * the aux table `auxName`, the EXACT brute-force top-5 is recomputed
@@ -537,38 +625,74 @@ object ExtensionQueries {
         TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("fp")),
       None, bench = false),
 
-    // Heuristic language ID vs the labeled lang column.
+    // Heuristic language ID vs the labeled lang column. ORACLE-HASHED
+    // since r16: the marker lists are static data, the scoring is token
+    // counting, and the tie rule is (max score, lexicographically larger
+    // lang) — all restatable, so this needs no aux at all; DuckDB
+    // recomputes the whole heuristic from the documents table.
     QueryDef(
       "ext11_langid",
       (s, dir) => Tables.documents(s, dir).select(
         col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("predicted")),
-      None, bench = false),
+      Some("""
+        WITH t AS (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+                   FROM documents),
+        sc AS (SELECT doc_id, lang, m.ml,
+                      len(list_filter(toks, x -> list_contains(m.ms, x)))
+                        AS score
+               FROM t CROSS JOIN (VALUES
+                 ('en', ['the','and','of','is']),
+                 ('de', ['der','die','das','und']),
+                 ('fr', ['le','la','les','et']),
+                 ('es', ['el','los','las','que']),
+                 ('zh', ['的','是','了'])) AS m(ml, ms)),
+        b AS (SELECT doc_id, lang, ml, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, ml DESC) AS rk
+              FROM sc)
+        SELECT doc_id, lang,
+               CASE WHEN score > 0 THEN ml ELSE 'und' END AS predicted
+        FROM b WHERE rk = 1
+      """), bench = false),
 
     // Approximate NN via multi-table hyperplane-LSH buckets (the 100 TB
     // path: equi join on (table, bucket) instead of query × corpus; 8
     // independent 4-bit tables — recall measured by ext16).
     QueryDef(
       "ext12_ann_lsh",
+      // ORACLE-HASHED since r16: the returned set is the sketch's (by
+      // design), but its scoring and ranking are exact math — the result
+      // ids export as aux and DuckDB re-scores + re-ranks them from the
+      // embeddings table (annTopKOracleSql's faithful-rank argument)
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.lshTopK(
+        val r = Similarity.lshTopK(
           emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
           k = 5, nBits = 4, nTables = 8)
+        graft.util.OracleAux.export("lsh_topk", dir,
+          r.select("query_id", "neighbor_id"))
+        r
       },
-      None, bench = false),
+      Some(annTopKOracleSql("lsh_topk")), bench = false),
 
     // Approximate NN via IVF coarse quantization (k-means lists + nProbe
     // probing — the other 100 TB ANN path besides LSH).
     QueryDef(
       "ext14_ann_ivf",
+      // ORACLE-HASHED since r16 — the ext12 discipline
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(
+        val r = Similarity.ivfTopK(
           emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
           k = 5, nLists = 8, nProbe = 2)
+        graft.util.OracleAux.export("ivf_topk", dir,
+          r.select("query_id", "neighbor_id"))
+        r
       },
-      None, bench = false),
+      Some(annTopKOracleSql("ivf_topk")), bench = false),
 
     // ANN quality made driver-visible: per-query recall of each approximate
     // method against the exact brute-force top-k. ORACLE-HASHED since r16
@@ -1813,10 +1937,37 @@ object ExtensionQueries {
     // the core semantic data-dead.
     QueryDef(
       "ext54_semdedup",
-      (s, dir) => Dedup.semDedup(
-        Tables.embeddings(s, dir), "embedding", "vec_id",
-        k = 8, threshold = 0.42, iters = 3),
-      None),
+      // ORACLE-HASHED since r16: the cluster ASSIGNMENT (iterative float
+      // k-means — the one engine-specific step) exports as aux, and
+      // DuckDB replays everything downstream — the within-cluster
+      // 6-dp-rounded cosine pruning over the embeddings table and the
+      // per-cluster rollup
+      (s, dir) => {
+        val assigned = Dedup.semDedupAssignments(
+          Tables.embeddings(s, dir), "embedding", "vec_id", k = 8, iters = 3)
+        graft.util.OracleAux.export("semdedup_assignments", dir,
+          assigned.select("id", "cluster"))
+        Dedup.semDedupFromAssignments(assigned, threshold = 0.42)
+      },
+      Some(s"""
+        WITH asg AS (SELECT id, cluster FROM read_parquet(
+               '${graft.util.OracleAux.glob("semdedup_assignments")}')),
+        v AS (SELECT a.id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+              FROM asg a JOIN embeddings e ON e.vec_id = a.id),
+        dr AS (SELECT DISTINCT b.id AS idb
+               FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id
+               WHERE ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42)
+        SELECT CAST(a.cluster AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN dr.idb IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) - SUM(CASE WHEN dr.idb IS NOT NULL THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM asg a LEFT JOIN dr ON dr.idb = a.id
+        GROUP BY a.cluster
+      """)),
 
     // ------------------------------------------------------------- EXT57
     // Zipf fit over the token frequency spectrum: least-squares slope of
@@ -2086,13 +2237,18 @@ object ExtensionQueries {
     // via ext62.
     QueryDef(
       "ext61_ann_ivfpq",
+      // ORACLE-HASHED since r16 — the ext12 discipline (same aux as
+      // ext62's recall audit: identical query, one export feeds both)
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfPqTopK(
+        val r = Similarity.ivfPqTopK(
           emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
           k = 5, nLists = 8, nProbe = 2, m = 8, ksub = 16, refineFactor = 4)
+        graft.util.OracleAux.export("ivfpq_topk", dir,
+          r.select("query_id", "neighbor_id"))
+        r
       },
-      None, bench = false),
+      Some(annTopKOracleSql("ivfpq_topk")), bench = false),
 
     // ------------------------------------------------------------- EXT63
     // In-engine quality-classifier training (the GPT-3/CCNet pipeline
@@ -2120,8 +2276,11 @@ object ExtensionQueries {
     // MMR diversified retrieval (Carbonell & Goldstein 1998): top-5 per
     // query re-ranked from a 20-deep relevance pool at λ=0.5 — the RAG/
     // few-shot selection step that trades raw similarity for coverage.
-    // The greedy loop only ever sees the bounded pool; rows-only (float
-    // greedy), λ-invariants pinned in SimilaritySpec.
+    // The greedy loop only ever sees the bounded pool. ORACLE-HASHED
+    // since r16: the k=5 sequential greedy UNROLLS as five SQL steps
+    // (mmrOracleSql) — every input double is bit-identical across
+    // engines, so the float greedy replays exactly with no aux at all;
+    // λ-invariants pinned in SimilaritySpec.
     QueryDef(
       "ext64_mmr_diversify",
       (s, dir) => {
@@ -2130,7 +2289,7 @@ object ExtensionQueries {
           emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
           k = 5, poolK = 20, lambda = 0.5)
       },
-      None),
+      Some(mmrOracleSql)),
 
     // ------------------------------------------------------------- EXT65
     // Z-order (Morton) write layout on (l_partkey, l_suppkey): the
