@@ -91,6 +91,38 @@ object ExtensionQueries {
                 FROM bw b JOIN m ON m.id_a = b.id_a AND m.id_b = b.id_b
                 WHERE b.rk = 1)"""
 
+  /** The PCA projection (ext43) replayed off the exported model aux:
+    * score_j = dot(v, w_j) − (Σ μ·w_j), the score-energy sum and the
+    * Parseval residual √max(0, ‖x−μ‖² − Σ s_j²) written in the engine's
+    * exact left-to-right association so every double matches bit-for-bit;
+    * the eigensolve itself stays engine-side (it IS the model). */
+  private def pcaOracleSql: String = {
+    val sCols = (0 until 8).map { j =>
+      s"(list_dot_product(v, (SELECT vec FROM md WHERE comp_idx = $j)) " +
+        s"- (SELECT scalar FROM md WHERE comp_idx = $j)) AS s$j"
+    }.mkString(",\n               ")
+    val u6 = (0 until 8).map { j =>
+      s"CAST(ROUND(ROUND(s$j, 6) * 1000000, 0) AS BIGINT)"
+    }.mkString(", ")
+    val scoreSq = (0 until 8).map(j => s"s$j * s$j").mkString(" + ")
+    s"""
+        WITH md AS (SELECT comp_idx, vec, scalar FROM read_parquet(
+               '${graft.util.OracleAux.glob("pca_model")}')),
+        base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE len(embedding) = 64),
+        sc AS (SELECT vec_id,
+               $sCols,
+               ((list_dot_product(v, v)
+                 - 2.0 * list_dot_product(v,
+                     (SELECT vec FROM md WHERE comp_idx = -1)))
+                 + (SELECT scalar FROM md WHERE comp_idx = -1)) AS csq
+               FROM base)
+        SELECT vec_id,
+               CONCAT_WS(',', $u6) AS scores_u6,
+               ROUND(sqrt(GREATEST(csq - ($scoreSq), 0.0)), 6) AS recon_err
+        FROM sc"""
+  }
+
   /** The MMR greedy re-rank (ext64) restated by UNROLLING its k=5
     * sequential steps as CTEs — each step's candidate score is
     * λ·rel − (1−λ)·max(0, cosine to any prior pick) (the engine's maxSim
@@ -1715,7 +1747,12 @@ object ExtensionQueries {
     // the O(rows) moment pass is one constant-buffer Aggregator, the d×d
     // eigensolve is driver-side (d = dimension, never corpus), projection
     // is codegen'd dots against broadcast literal components — no shuffle.
-    // Eigensolve output is engine-specific float work → rows-only; sign
+    // Eigensolve output is engine-specific float work; the PROJECTION is
+    // exact given the model. ORACLE-HASHED since r16: the fitted model
+    // (components + the exact scalar precomputations project() folds into
+    // its literals) exports as aux, and DuckDB replays the projection —
+    // per-component dots, the left-fold score-energy sum, the Parseval
+    // residual — term-for-term in the engine's association order; sign
     // convention, orthonormality, variance ordering, Parseval residuals,
     // and agreement with a reference eigensolve are pinned in PcaSpec.
     // Scores emit as 6-dp micro-units (×1e6) strings, the ext28 pattern
@@ -1725,13 +1762,26 @@ object ExtensionQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val model = graft.operators.Pca.fit(emb, "embedding", d = 64, k = 8)
+        // aux rows: (comp_idx, vec, scalar) — component j carries
+        // Σ μ·w_j (the centering constant project() bakes into its
+        // literal), the comp_idx = -1 row carries (μ, Σ μ²). The scalars
+        // are computed by the SAME expressions project() uses, so the
+        // oracle consumes bit-identical constants.
+        locally {
+          import s.implicits._
+          val rows = model.components.toSeq.zipWithIndex.map { case (w, j) =>
+            (j, w.toSeq, model.mean.zip(w).map { case (m, c) => m * c }.sum)
+          } :+ ((-1, model.mean.toSeq, model.mean.map(x => x * x).sum))
+          graft.util.OracleAux.export("pca_model", dir,
+            rows.toDF("comp_idx", "vec", "scalar")): Unit
+        }
         graft.operators.Pca.project(emb, "vec_id", "embedding", model)
           .select(col("vec_id"),
             array_join(transform(col("scores"),
               x => round(x * 1000000d).cast("long")), ",").as("scores_u6"),
             col("recon_err"))
       },
-      None),
+      Some(pcaOracleSql)),
 
     // ------------------------------------------------------------- EXT44
     // Character-trigram LM quality score (the CCNet/KenLM perplexity
