@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * destination, and a 1-row dangling-mass aggregate that is broadcast —
   * the textbook distributed-PageRank topology that holds at any node count.
   * Join discipline under the AQE-off iteration session: every join whose
-  * build side is O(|nodes|) (rank⋈out-degrees, rank⋈edges, new-rank⋈contrib)
+  * build side is O(|nodes|) (rank⋈dangling, rank⋈edges, new-rank⋈contrib)
   * carries a `shuffle_hash` hint — co-partitioned hash join on `node`, no
   * per-round sort (the SMJ tax the hint exists to avoid) and, critically,
   * NO size ceiling: a broadcast hint here would force driver-side collection
@@ -62,7 +62,22 @@ object Centrality {
       .localCheckpoint(false)
     val outd = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+    // Out-degree baked into the checkpointed edge list ONCE (r16, guide
+    // §2.4): the contribution join previously looked up (node, outdeg)
+    // via an extra r⋈outd hash join EVERY round — 8 identical joins whose
+    // result is loop-invariant. eDeg inherits e's hash(src) partitioning
+    // (outd is hash(src) from its own groupBy, so the bake-in join is
+    // itself exchange-free) and each round joins r against it directly.
+    val eDeg = e.join(outd.withColumnRenamed("node", "src")
+        .hint("shuffle_hash"), Seq("src"))
       .localCheckpoint(false)
+    // The DANGLING node set is loop-invariant too: previously every round
+    // re-derived it as r ⋈ outd (left) + outdeg-IS-NULL filter — a full
+    // O(|nodes|) join against the out-degree table per round. Computed
+    // once, the per-round dangling mass is one co-partitioned semi-join
+    // of r against this (usually far smaller) frame.
+    val dangNodes = nodes.join(outd.hint("shuffle_hash"), Seq("node"),
+      "left_anti").localCheckpoint(false)
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
 
     var r = nodes.crossJoin(broadcast(n))
@@ -71,7 +86,7 @@ object Centrality {
       .localCheckpoint(false)
 
     for (_ <- 1 to iters)
-      r = pageRankStep(nodes, outd, e, n, r, damping).localCheckpoint(false)
+      r = pageRankStep(nodes, dangNodes, eDeg, n, r, damping).localCheckpoint(false)
     r
   }
 
@@ -80,16 +95,20 @@ object Centrality {
     * strategy of a single UN-checkpointed round — the iteration loop's
     * lazy localCheckpoint truncates lineage, so the per-round joins are
     * invisible in the returned frame's executed plan.
+    *
+    * `eDeg` is the edge list with `outdeg` pre-attached and `dangNodes`
+    * the (loop-invariant) set of nodes with no out-edges — both built
+    * once by [[pageRank]], so a round is down to two co-partitioned
+    * hash joins + the one irreducible contribution shuffle (r16; it was
+    * four joins, two of them the same per-round r⋈outd lookup).
     */
-  private[graft] def pageRankStep(nodes: DataFrame, outd: DataFrame,
-      e: DataFrame, n: DataFrame, r: DataFrame, damping: Double): DataFrame = {
+  private[graft] def pageRankStep(nodes: DataFrame, dangNodes: DataFrame,
+      eDeg: DataFrame, n: DataFrame, r: DataFrame, damping: Double): DataFrame = {
     val base = lit(1.0 - damping)
-    val dang = r.join(outd.hint("shuffle_hash"), Seq("node"), "left")
-      .filter(col("outdeg").isNull)
+    val dang = r.join(dangNodes.hint("shuffle_hash"), Seq("node"))
       .agg(coalesce(sum(col("r")), lit(0)).cast("decimal(38,12)").as("dangle"))
-    val contrib = r.join(outd.hint("shuffle_hash"), "node")
-      .hint("shuffle_hash")
-      .join(e, col("node") === col("src"))
+    val contrib = r.hint("shuffle_hash")
+      .join(eDeg, col("node") === col("src"))
       .groupBy("dst")
       .agg(sum(round(col("r").cast("double") / col("outdeg"), 12)
         .cast("decimal(28,12)")).cast("decimal(38,12)").as("in_sum"))

@@ -469,6 +469,17 @@ object ExtensionQueries {
     * fact-table join + distinct that neither iterative consumer should
     * re-pay. The returned frame is bound to the AQE-off session, so every
     * query built on it executes with static plans (see [[noAqeSession]]).
+    *
+    * Nodes are carried as LONGS inside the iterate (r16, guide §2.3
+    * narrower types): supplier s → 2s, customer c → 2c+1 — a bijection
+    * into disjoint parity classes, so grouping/joining on the long key
+    * partitions rows exactly like the 's…'/'c…' strings did while every
+    * per-round shuffle (8 PageRank rounds, 16 HITS half-steps) moves an
+    * 8-byte fixed-width key instead of a variable-width UTF8 string.
+    * [[tradeNodeStr]] decodes back to the catalog's public node labels
+    * AFTER the iterate, before any ordering the output depends on — so
+    * the declared output (ranking ties broken on the STRING label) is
+    * bit-identical to the all-string implementation the oracle replays.
     */
   private def sharedTradeEdges(s0: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -478,10 +489,17 @@ object ExtensionQueries {
       val s = noAqeSession(s0)
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
+        .select(shiftleft(col("l_suppkey").cast("long"), 1).as("src"),
+          (shiftleft(col("o_custkey").cast("long"), 1) + 1).as("dst"))
         .distinct()
     }
+
+  /** Decode a [[sharedTradeEdges]] long node id back to its public label
+    * ('s<suppkey>' / 'c<custkey>') — see the encoding note there. */
+  private def tradeNodeStr(node: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(when(node.bitwiseAND(lit(1L)) === 0, lit("s")).otherwise(lit("c")),
+      shiftright(node, 1).cast("string"))
 
   /** The bounded CHAR-4-gram template-pair table (J ≥ 0.4, doc_id < 150 —
     * the ext87 substrate where template chains are live), materialized once
@@ -3631,6 +3649,7 @@ object ExtensionQueries {
       (s0, dir) => {
         val edges = sharedTradeEdges(s0, dir)
         val pr = graft.operators.Centrality.pageRank(edges, damping = 0.85, iters = 8)
+          .select(tradeNodeStr(col("node")).as("node"), col("r"))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("r").desc, col("node"))
         pr.withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
@@ -3787,6 +3806,7 @@ object ExtensionQueries {
       (s0, dir) => {
         val edges = sharedTradeEdges(s0, dir)
         val hs = graft.operators.Centrality.hits(edges, iters = 8)
+          .select(tradeNodeStr(col("node")).as("node"), col("auth"), col("hub"))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("auth").desc, col("node"))
         hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
@@ -4867,10 +4887,15 @@ object ExtensionQueries {
     QueryDef(
       "ext113_image_quality",
       (s, dir) => {
+        // checkpoint BEFORE the global orderBy (r16, guide §7.2 duplicated
+        // subtrees): the sort's range-partitioner SAMPLING pass executes
+        // its child plan once for boundaries and once for real — without
+        // the checkpoint that is the whole render+decode UDF chain twice
+        // per run (measured 4.5 s vs 1.3 s for the stats pass alone)
         val stats = graft.operators.MediaQuality.imageStats(
           graft.sources.ImageCorpus.gradedFor(
             Tables.documents(s, dir).select("doc_id"), "doc_id"),
-          "png", "doc_id")
+          "png", "doc_id").localCheckpoint(false)
         graft.util.OracleAux.export("image_quality_stats", dir, stats)
         graft.operators.MediaQuality.imageVerdicts(stats).orderBy("id")
       },
@@ -4907,10 +4932,13 @@ object ExtensionQueries {
     QueryDef(
       "ext114_audio_quality",
       (s, dir) => {
+        // checkpoint before the global orderBy — same double-execution
+        // economics as ext113 (the sort sampling pass would re-run the
+        // WAV render+decode chain)
         val stats = graft.operators.MediaQuality.audioStats(
           graft.sources.AudioCorpus.gradedFor(
             Tables.documents(s, dir).select("doc_id"), "doc_id"),
-          "wav", "doc_id")
+          "wav", "doc_id").localCheckpoint(false)
         graft.util.OracleAux.export("audio_quality_stats", dir, stats)
         graft.operators.MediaQuality.audioVerdicts(stats).orderBy("id")
       },

@@ -29,7 +29,7 @@ object AudioCorpus {
 
   /** One WAV per input id: (doc_id, wav BINARY), rendered map-side. */
   def forIds(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("wav", wavFor(col("doc_id")))
 
   /** WAV bytes column rendered from an arbitrary id expression — lets a
@@ -91,7 +91,7 @@ object AudioCorpus {
     * Pure function of the id: identical corpus at every SF.
     */
   def trackFor(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("wav", trackUdf(col("doc_id")))
 
   private val trackUdf = udf { id: Long => renderTrack(id) }.asNondeterministic()
@@ -148,7 +148,7 @@ object AudioCorpus {
     * Pure function of the id.
     */
   def gradedFor(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("wav", gradedUdf(col("doc_id")))
 
   private val gradedUdf = udf { id: Long => renderGraded(id) }.asNondeterministic()
@@ -185,7 +185,7 @@ object AudioCorpus {
     * ([[segmentSpans]]) is exact. Pure function of the id.
     */
   def segmentedFor(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("wav", segmentedUdf(col("doc_id")))
 
   private val segmentedUdf = udf { id: Long => renderSegmented(id) }.asNondeterministic()

@@ -31,7 +31,7 @@ object ImageCorpus {
     * same shape as decoding real blobs off a binaryFile/parquet scan.
     */
   def forIds(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("png", renderUdf(col("doc_id")))
 
   private val renderUdf = udf { id: Long => render(id) }.asNondeterministic()
@@ -83,7 +83,7 @@ object ImageCorpus {
     * quality is a per-item property).
     */
   def gradedFor(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("png", gradedUdf(col("doc_id")))
 
   private val gradedUdf = udf { id: Long => renderGraded(id) }.asNondeterministic()
@@ -152,7 +152,7 @@ object ImageCorpus {
     * id. Pure function of the id.
     */
   def funnelFor(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("png", funnelUdf(col("doc_id")))
 
   private val funnelUdf = udf { id: Long => renderFunnel(id) }.asNondeterministic()

@@ -24,7 +24,7 @@ object VideoCorpus {
 
   /** One GVID per input id: (doc_id, gvid BINARY), rendered map-side. */
   def forIds(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("gvid", renderUdf(col("doc_id")))
 
   private val renderUdf = udf { id: Long => render(id) }.asNondeterministic()
@@ -74,7 +74,7 @@ object VideoCorpus {
     * (a full-frame change at every cut). Pure function of the id.
     */
   def scenesFor(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("gvid", scenesUdf(col("doc_id")))
 
   private val scenesUdf = udf { id: Long => renderScenes(id) }.asNondeterministic()
@@ -137,7 +137,7 @@ object VideoCorpus {
     * copies. Pure function of the id: identical corpus at every SF.
     */
   def clipTracksFor(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(col(idCol).cast("long").as("doc_id"))
+    RenderIds.fanOut(ids, idCol)
       .withColumn("gvid", clipTrackUdf(col("doc_id")))
 
   private val clipTrackUdf = udf { id: Long => renderClipTrack(id) }.asNondeterministic()
