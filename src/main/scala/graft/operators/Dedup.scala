@@ -373,14 +373,47 @@ object Dedup {
     * (doc_id, cluster_id) for every document appearing in a pair, with
     * cluster_id = the component's minimum doc id.
     */
+  /** Target directed-edge rows per shuffle partition for the BSP rounds —
+    * ~1M rows of two ids is tens of MB, inside the guide §2.2 window. */
+  private val EdgeRowsPerPartition = 1L << 20
+
   def clusterPairs(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // SCALE-ADAPTIVE round partitioning (r16, guide §2.5: derive the
+    // partitioning from the input, don't inherit a constant tuned for
+    // either local mode or the cluster): every round's joins/aggs run at
+    // spark.sql.shuffle.partitions, which for a dup graph far below
+    // ~[[EdgeRowsPerPartition]] edges per partition is pure
+    // task-scheduling overhead (measured 2-4 s/call on a 10k-edge graph
+    // at the catalog's 32 partitions — dozens of 8-row tasks per round).
+    // The edge count is measured with one counting pass (the e-union
+    // below was already paying a second pass over the pair plan; the
+    // small-graph branch converts that second pass into a checkpoint)
+    // and the iteration runs in a sibling session whose shuffle
+    // partitioning is ceil(2·pairs / EdgeRowsPerPartition) clamped to
+    // the caller's setting — at production scale the derivation
+    // saturates at the caller's own configuration and this is exactly
+    // the previous code path.
+    val s0 = pairs.sparkSession
+    val sessParts = s0.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPairs = pairs.count()
+    val targetParts = math.max(1L, math.min(sessParts.toLong,
+      math.ceil(2.0 * nPairs / EdgeRowsPerPartition).toLong)).toInt
+    val pIn =
+      if (targetParts >= sessParts) pairs
+      else {
+        val s2 = s0.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", targetParts.toString)
+        val p0 = pairs.select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(false)
+        s2.createDataFrame(p0.rdd, p0.schema)
+      }
     // pre-partition the (persisted) edge frame on its per-round join key —
     // the cached InMemoryRelation then carries hash(dst) partitioning into
     // EVERY round's neighbor join, so only the label frame reshuffles per
     // round (the Centrality r9 discipline; the edge side is the larger one
     // on any real dup graph)
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val e = pIn.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().repartition(col("dst")).persist()
     // SUM over an empty frame is NULL — coalesce so a pair-free input (a
     // clean delivery in the incremental path) converges to an empty label
